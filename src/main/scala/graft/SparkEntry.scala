@@ -1,13 +1,109 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Relational
+import graft.ext.{Similarity, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §2.3/§2.5 + §7.
+  *
+  * `queries` keys ↔ `oracleSql` keys; column names in the Spark plans
+  * and the DuckDB SQL are aligned (the driver's compare sorts columns
+  * by name before hashing values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Q7: 5-way join + aggregation — exercises scan, shuffle join,
+    * broadcast join, hash agg, sort. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q07(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_filter_project"  -> (Relational.q01 _),
+    "q02_string_fns"      -> (Relational.q02 _),
+    "q03_date_fns"        -> (Relational.q03 _),
+    "q04_math_fns"        -> (Relational.q04 _),
+    "q05_conditional"     -> (Relational.q05 _),
+    "q06_inner_join"      -> (Relational.q06 _),
+    "q07_multiway_join"   -> (Relational.q07 _),
+    "q08_left_join"       -> (Relational.q08 _),
+    "q09_full_join"       -> (Relational.q09 _),
+    "q10_semi_anti_join"  -> (Relational.q10 _),
+    "q11_cross_join"      -> (Relational.q11 _),
+    "q12_theta_join"      -> (Relational.q12 _),
+    "q13_hash_agg"        -> (Relational.q13 _),
+    "q14_distinct_agg"    -> (Relational.q14 _),
+    "q15_rollup"          -> (Relational.q15 _),
+    "q16_having"          -> (Relational.q16 _),
+    "q17_rank_window"     -> (Relational.q17 _),
+    "q18_frame_window"    -> (Relational.q18 _),
+    "q19_topk_per_group"  -> (Relational.q19 _),
+    "q20_global_topk"     -> (Relational.q20 _),
+    "q21_set_ops"         -> (Relational.q21 _),
+    "q22_corr_subquery"   -> (Relational.q22 _),
+    "q23_json_extract"    -> (Relational.q23 _),
+    "q24_time_bucket"     -> (Relational.q24 _),
+    "q25_dedup_prefix"    -> (TextOps.q25 _),
+    "q26_term_count"      -> (TextOps.q26 _),
+    "q27_cosine_topk"     -> (Similarity.q27 _),
+  )
+
+  /** DuckDB-dialect oracle SQL, one per `queries` key. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "q02_string_fns" ->
+      "SELECT p_partkey, UPPER(p_brand) AS b, LOWER(p_type) AS t, SUBSTRING(p_name, 1, 8) AS pre, LENGTH(p_name) AS len, REPLACE(p_brand, '#', '-') AS r, CONCAT(p_brand, ':', p_type) AS c FROM part WHERE p_name LIKE '%ol%' ORDER BY p_partkey LIMIT 100",
+    "q03_date_fns" ->
+      "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, EXTRACT(YEAR FROM o_orderdate) AS y, EXTRACT(MONTH FROM o_orderdate) AS m, DATE_TRUNC('month', o_orderdate) AS mo FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q04_math_fns" ->
+      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS p, ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price, ABS(l_discount - 0.05) > 0.01 AS far, CAST(FLOOR(l_quantity) AS BIGINT) AS fq, CAST(CEIL(l_quantity) AS BIGINT) AS cq, CAST(l_partkey // 7 AS BIGINT) AS divk, l_partkey % 7 AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "q05_conditional" ->
+      "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket, o_orderstatus IN ('O','F') AS known, o_totalprice BETWEEN 1000 AND 2000 AS band, COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'urgent!') AS pri FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q06_inner_join" ->
+      "SELECT o.o_orderkey, c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey LIMIT 100",
+    "q07_multiway_join" ->
+      "SELECT r.r_name, n.n_name, COUNT(*) AS cnt, SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name",
+    "q08_left_join" ->
+      "SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey ORDER BY n_orders DESC, c.c_custkey LIMIT 100",
+    "q09_full_join" ->
+      "SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nk, COUNT(c.c_custkey) AS nc, COUNT(s.s_suppkey) AS ns FROM customer c FULL JOIN supplier s ON c.c_nationkey = s.s_nationkey GROUP BY COALESCE(c.c_nationkey, s.s_nationkey) ORDER BY nk",
+    "q10_semi_anti_join" ->
+      "SELECT c_custkey FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 300000) ORDER BY c_custkey LIMIT 100",
+    "q11_cross_join" ->
+      "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n ORDER BY r.r_name, n.n_name",
+    "q12_theta_join" ->
+      "SELECT l.l_orderkey, l.l_linenumber FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate ORDER BY l.l_orderkey, l.l_linenumber LIMIT 100",
+    "q13_hash_agg" ->
+      "SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base, ROUND(AVG(CAST(l_discount AS DECIMAL(18,4))), 4) AS avg_disc, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q14_distinct_agg" ->
+      "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS ucust, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q15_rollup" ->
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "q16_having" ->
+      "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5 ORDER BY n DESC, o_custkey LIMIT 100",
+    "q17_rank_window" ->
+      "SELECT c_custkey, c_mktsegment, ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn, RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS rk FROM customer ORDER BY c_mktsegment, rn LIMIT 100",
+    "q18_frame_window" ->
+      "SELECT o_custkey, o_orderkey, LAG(o_orderkey) OVER w AS prev_ok, SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_tot FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) ORDER BY o_custkey, o_orderkey LIMIT 100",
+    "q19_topk_per_group" ->
+      "SELECT * FROM (SELECT c_mktsegment, c_custkey, c_acctbal, ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer) t WHERE rn <= 3 ORDER BY c_mktsegment, rn",
+    "q20_global_topk" ->
+      "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS tp FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
+    "q21_set_ops" ->
+      "SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier UNION SELECT n_nationkey FROM nation WHERE n_regionkey = 0 EXCEPT SELECT 999 ORDER BY nk",
+    "q22_corr_subquery" ->
+      "SELECT c_custkey FROM customer c WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) ORDER BY c_custkey LIMIT 100",
+    "q23_json_extract" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events ORDER BY event_id LIMIT 100",
+    "q24_time_bucket" ->
+      "SELECT DATE_TRUNC('hour', ts) AS h, event_type, COUNT(*) AS cnt, ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS sv FROM events GROUP BY DATE_TRUNC('hour', ts), event_type ORDER BY h, event_type",
+    "q25_dedup_prefix" ->
+      "SELECT SUBSTRING(text, 1, 40) AS prefix, MIN(doc_id) AS keeper, COUNT(*) AS n_members FROM documents GROUP BY SUBSTRING(text, 1, 40) HAVING COUNT(*) > 1 ORDER BY keeper",
+    "q26_term_count" ->
+      "SELECT w AS word, COUNT(*) AS n FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) t GROUP BY w ORDER BY n DESC, w LIMIT 20",
+    "q27_cosine_topk" ->
+      "SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10",
+  )
 }

@@ -1,0 +1,302 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** The declared relational query surface (SURVEY.md §2.3, Q1–Q24).
+  *
+  * Every query is a declarative DataFrame plan — no lambdas, no UDFs —
+  * so Catalyst gets full predicate pushdown / column pruning / join
+  * selection. Aliases match the DuckDB oracle SQL exactly (the driver's
+  * compare sorts columns by name before hashing).
+  *
+  * Type alignment with DuckDB: computed integer-ish columns are cast to
+  * BIGINT on whichever side is narrower, so both engines emit identical
+  * logical types (DuckDB EXTRACT/LENGTH/ROW_NUMBER return BIGINT; Spark
+  * returns INT — we widen Spark; Spark FLOOR/CEIL return BIGINT while
+  * DuckDB returns DOUBLE — the oracle SQL casts DuckDB's side).
+  */
+object Relational {
+
+  /** Q1 — scan + filter + project. Filter and 3-column projection both
+    * push into the parquet scan. */
+  def q01(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  /** Q2 — string scalar functions. */
+  def q02(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_name").like("%ol%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("b"),
+        lower(col("p_type")).as("t"),
+        substring(col("p_name"), 1, 8).as("pre"),
+        length(col("p_name")).cast("bigint").as("len"),
+        expr("replace(p_brand, '#', '-')").as("r"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("c"))
+      .orderBy("p_partkey")
+      .limit(100)
+
+  /** Q3 — date/time scalar functions (the reference's day/datetime
+    * derivations, RawDataIngestion.java:137–138). */
+  def q03(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        year(col("o_orderdate")).cast("bigint").as("y"),
+        month(col("o_orderdate")).cast("bigint").as("m"),
+        // trunc() returns DATE, matching DuckDB's DATE_TRUNC('month', ts).
+        trunc(col("o_orderdate"), "month").as("mo"))
+      .orderBy("o_orderkey")
+      .limit(100)
+
+  /** Q4 — math scalar functions incl. the reference's truncating integer
+    * division (RawDataIngestion.java:139 — `offset / 60000` on Java ints). */
+  def q04(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(18,2)").as("p"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("disc_price"),
+        (abs(col("l_discount") - 0.05) > 0.01).as("far"),
+        floor(col("l_quantity")).as("fq"),
+        ceil(col("l_quantity")).as("cq"),
+        expr("l_partkey div 7").as("divk"),
+        (col("l_partkey") % 7).as("modk"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  /** Q5 — CASE / IN / BETWEEN / COALESCE / NULLIF. */
+  def q05(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"),
+        col("o_orderstatus").isin("O", "F").as("known"),
+        col("o_totalprice").between(1000, 2000).as("band"),
+        coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")), lit("urgent!")).as("pri"))
+      .orderBy("o_orderkey")
+      .limit(100)
+
+  /** Q6 — inner equi join. At scale: orders is the big side, customer is
+    * broadcast-eligible up to the threshold; AQE decides. */
+  def q06(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(o("o_orderkey"), c("c_name"))
+      .orderBy("o_orderkey")
+      .limit(100)
+  }
+
+  /** Q7 — 5-way join + aggregation. lineitem⋈orders is the only
+    * shuffle-worthy join; nation/region are tiny and explicitly
+    * broadcast; customer is left to AQE (auto-broadcast below the
+    * threshold, shuffle join beyond — correct at 100 TB where customer
+    * is not small). */
+  def q07(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      .orderBy("r_name", "n_name")
+
+  /** Q8 — left outer join + COUNT(non-null) null semantics. */
+  def q08(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+    c.join(o, o("o_custkey") === c("c_custkey"), "left")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("c_custkey"))
+      .limit(100)
+  }
+
+  /** Q9 — full outer join, grouped on the coalesced key. */
+  def q09(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d); val sp = Tables.supplier(s, d)
+    c.join(sp, c("c_nationkey") === sp("s_nationkey"), "full")
+      .groupBy(coalesce(c("c_nationkey"), sp("s_nationkey")).as("nk"))
+      .agg(count(c("c_custkey")).as("nc"), count(sp("s_suppkey")).as("ns"))
+      .orderBy("nk")
+  }
+
+  /** Q10 — semi + anti join (EXISTS / NOT EXISTS). Planner emits
+    * LeftSemi/LeftAnti, both shuffle-free on the probe side when the
+    * build side broadcasts. */
+  def q10(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val big = o.filter(col("o_totalprice") > 300000)
+    c.join(o, o("o_custkey") === c("c_custkey"), "left_semi")
+      .join(big, big("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+      .limit(100)
+  }
+
+  /** Q11 — cross join (both sides tiny by construction). */
+  def q11(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  /** Q12 — mixed equi + range (theta) join: equi key drives the shuffle,
+    * the range predicate stays a post-join filter inside the same join
+    * operator (no nested-loop blowup). */
+  def q12(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"))
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  /** Q13 — hash aggregation, TPC-H Q1 shape. Decimal casts inside the
+    * SUM/AVG keep both engines in exact decimal arithmetic. Partial
+    * (map-side) + final aggregation for free via HashAggregateExec. */
+  def q13(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base"),
+        // DuckDB's AVG(DECIMAL) returns DOUBLE; cast after the exact
+        // decimal round so both engines emit the same double value.
+        round(avg(col("l_discount").cast("decimal(18,4)")), 4).cast("double").as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q14 — distinct aggregate + min/max. */
+  def q14(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("o_custkey")).as("ucust"),
+        min("o_orderkey").as("mn"),
+        max("o_orderkey").as("mx"))
+      .orderBy("o_orderstatus")
+
+  /** Q15 — ROLLUP (grouping sets family). */
+  def q15(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Q16 — HAVING (post-aggregation filter). */
+  def q16(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .orderBy(col("n").desc, col("o_custkey"))
+      .limit(100)
+
+  /** Q17 — ranking window functions. */
+  def q17(s: SparkSession, d: String): DataFrame = {
+    val wRn = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val wRk = Window.partitionBy("c_mktsegment").orderBy("c_nationkey")
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        row_number().over(wRn).cast("bigint").as("rn"),
+        rank().over(wRk).cast("bigint").as("rk"))
+      .orderBy("c_mktsegment", "rn")
+      .limit(100)
+  }
+
+  /** Q18 — analytic windows with explicit frame (running sum + lag). */
+  def q18(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("run_tot"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(100)
+  }
+
+  /** Q19 — top-k per group (row_number + filter; the scalable idiom —
+    * no global sort, one shuffle on the partition key). */
+  def q19(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).cast("bigint").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** Q20 — global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject
+    * (partition-local heaps + driver merge, no full sort). */
+  def q20(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("tp"))
+      .limit(25)
+
+  /** Q21 — set operations: ((A INTERSECT B) UNION C) EXCEPT D with SQL
+    * precedence (INTERSECT binds tighter; UNION is distinct). */
+  def q21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+    val b = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+    val c = Tables.nation(s, d).filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").as("nk"))
+    val dd = Seq(999).toDF("nk")
+    a.intersect(b).union(c).distinct().except(dd).orderBy("nk")
+  }
+
+  /** Q22 — correlated scalar subquery, decorrelated the way Catalyst
+    * itself would: per-group aggregate joined back (broadcast — the agg
+    * side is |nations| rows). */
+  def q22(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val avgByNation = c.groupBy(col("c_nationkey").as("nk2"))
+      .agg(avg("c_acctbal").as("avg_bal"))
+    c.join(broadcast(avgByNation), col("c_nationkey") === col("nk2"))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .select("c_custkey")
+      .orderBy("c_custkey")
+      .limit(100)
+  }
+
+  /** Q23 — JSON extraction (the reference's opaque `sample` semantics,
+    * RawDataIngestion.java:140, applied to events.props). */
+  def q23(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+      .limit(100)
+
+  /** Q24 — time bucketing (batch analog of a tumbling window). */
+  def q24(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).as("sv"))
+      .orderBy("h", "event_type")
+}

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-table registry over the driver-provided parquet test data
+  * (see /root/repo/TESTDATA.md and FIXTURES.md).
+  *
+  * All tables are plain parquet scans — Catalyst pushes filters and prunes
+  * columns into the scan, so query code should never pre-select here.
+  *
+  * `events` needs special handling: its `ts` column is INT64
+  * TIMESTAMP(NANOS,false), which Spark 4.x refuses to read natively
+  * ([PARQUET_TYPE_ILLEGAL]). We read it with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (ts arrives as LongType
+  * nanoseconds) and convert to a microsecond timestamp. Truncation
+  * ns→us is exact for this data (values are ms-granular) and matches
+  * what the DuckDB oracle sees after any date_trunc/aggregation.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, sfDir)
+      case other    => spark.read.parquet(s"$sfDir/$other.parquet")
+    }
+
+  def region(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = apply(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "lineitem")
+  def documents(spark: SparkSession, d: String): DataFrame = apply(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = apply(spark, d, "embeddings")
+
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // Session-level legacy conf; read at parquet schema-conversion time,
+    // so setting it dynamically (before the read) is sufficient.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Register every table as a temp view (SQL-surface entry point). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+}
