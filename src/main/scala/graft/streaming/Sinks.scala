@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Sink adapters — the Spark-native analogs of the reference's two
+  * output operations (SURVEY.md Table A):
+  *
+  *   A6 Cassandra sink (RawDataIngestion.java:152) → partitioned parquet
+  *      table keyed (datastream_id, day), mirroring the Cassandra
+  *      partition key (DataPoint.java:33–34) so partition pruning fires
+  *      on the natural access path. Exactly-once via the streaming
+  *      checkpoint (idempotent batch re-writes on restart replay).
+  *   A8 console debug sink, first 10 rows (RawDataIngestion.java:165).
+  *
+  * Unlike the reference — which registered two output ops over an
+  * uncached lineage and therefore read+parsed every batch twice
+  * (SURVEY.md §1.4.4) — each writer here is a single sink; compose with
+  * foreachBatch+persist if both are ever needed together.
+  */
+object Sinks {
+
+  val defaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds") // :61,91
+
+  /** A6: append to parquet partitioned by (datastream_id, day). */
+  def parquetPartitioned(
+      points: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = defaultTrigger): StreamingQuery =
+    points.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("datastream_id", "day")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** A8: console debug sink, 10 rows per batch. */
+  def console(df: DataFrame, trigger: Trigger = defaultTrigger): DataStreamWriter[Row] =
+    df.writeStream.format("console").option("numRows", 10).trigger(trigger)
+
+  /** Batch form of A6 (used by tests and by foreachBatch composition). */
+  def writeBatchPartitioned(points: DataFrame, path: String): Unit =
+    points.write.mode("append").partitionBy("datastream_id", "day").parquet(path)
+}

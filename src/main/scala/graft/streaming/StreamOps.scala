@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The declared streaming operator surface S2–S7 (SURVEY.md §2.4) —
+  * event-time upgrades of the reference's processing-time-only design.
+  * Each takes a (streaming or batch) DataFrame with the events schema
+  * (ts: timestamp, user_id, event_type, value, event_id).
+  *
+  * Scale notes: all stateful ops are keyed and watermarked, so state
+  * is bounded and evicted; at cluster scale back them with the RocksDB
+  * state store (`spark.sql.streaming.stateStore.providerClass`).
+  */
+object StreamOps {
+
+  /** S2 — tumbling event-time window counts (the event-time analog of
+    * the reference's 5 s processing-time batch, RawDataIngestion.java:91). */
+  def tumblingCounts(events: DataFrame, size: String = "5 seconds",
+      watermark: String = "10 seconds"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+
+  /** S3 — sliding window aggregation. */
+  def slidingAgg(events: DataFrame, size: String = "1 minute",
+      slide: String = "30 seconds", watermark: String = "2 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("cnt"), col("sv"))
+
+  /** S4 — session windows per user (gap-based sessionization). */
+  def sessionAgg(events: DataFrame, gap: String = "30 seconds",
+      watermark: String = "2 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col("user_id"), col("n_events"))
+
+  /** S5 — streaming dedup by key within the watermark horizon: the
+    * exactly-once-per-key the reference only got from Cassandra upserts
+    * (SURVEY.md §1.4.5). */
+  def dedupByKey(events: DataFrame, watermark: String = "10 seconds"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** S6 — stream–static join: enrich the stream against a static
+    * dimension (broadcast-sized dims stay map-side; no stream state). */
+  def streamStaticJoin(events: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
+  /** S7 — late-data policy: rows later than the watermark are dropped
+    * by the stateful aggregation; within-watermark late rows update
+    * their window. (The watermark horizon IS the allowed lateness.) */
+  def lateTolerantCounts(events: DataFrame, size: String, lateness: String): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), size))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("cnt"))
+}

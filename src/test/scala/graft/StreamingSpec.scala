@@ -1,0 +1,123 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{Ingest, Sinks, StreamOps}
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double, event_id: Long)
+
+/** S2–S8 streaming tests (SURVEY.md §2.4): scripted MemoryStream input,
+  * processAllAvailable, assert exact state of the memory/parquet sink. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ev(sec: Long, typ: String, id: Long, user: Long = 1, v: Double = 1.0) =
+    Ev(new Timestamp(sec * 1000), user, typ, v, id)
+
+  private var qn = 0
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, mode: String): String = {
+    qn += 1; val name = s"sink$qn"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    q.processAllAvailable(); q.stop()
+    name
+  }
+
+  test("S2: tumbling 5s window counts by event_type") {
+    val in = MemoryStream[Ev]
+    in.addData(ev(0, "a", 1), ev(1, "a", 2), ev(3, "b", 3), ev(6, "a", 4))
+    val name = runToMemory(StreamOps.tumblingCounts(in.toDF()), "complete")
+    val rows = spark.table(name).orderBy("ws", "event_type")
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((0L, "a", 2L), (0L, "b", 1L), (5L, "a", 1L)))
+  }
+
+  test("S3: sliding 1min/30s windows overlap correctly") {
+    val in = MemoryStream[Ev]
+    in.addData(ev(10, "a", 1, v = 2.0), ev(40, "a", 2, v = 3.0))
+    val name = runToMemory(StreamOps.slidingAgg(in.toDF()), "complete")
+    val rows = spark.table(name).orderBy("ws")
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(3), r.getDouble(4)))
+    // windows [-30,30):{e1}, [0,60):{e1,e2}, [30,90):{e2}
+    assert(rows.toSeq == Seq((-30L, 1L, 2.0), (0L, 2L, 5.0), (30L, 1L, 3.0)))
+  }
+
+  test("S4: session windows split on >30s gaps per user") {
+    val in = MemoryStream[Ev]
+    in.addData(ev(0, "a", 1), ev(20, "a", 2), ev(100, "a", 3), // user 1: 2 sessions
+      ev(0, "a", 4, user = 2))                                 // user 2: 1 session
+    val name = runToMemory(StreamOps.sessionAgg(in.toDF()), "complete")
+    val rows = spark.table(name).orderBy("user_id", "ss")
+      .collect().map(r => (r.getLong(2), r.getTimestamp(0).getTime / 1000, r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 0L, 2L), (1L, 100L, 1L), (2L, 0L, 1L)))
+  }
+
+  test("S5: streaming dedup by event_id within watermark") {
+    val in = MemoryStream[Ev]
+    val out = StreamOps.dedupByKey(in.toDF())
+    val name = s"dedup${qn + 100}"
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    in.addData(ev(1, "a", 1), ev(2, "a", 1), ev(3, "a", 2))
+    q.processAllAvailable()
+    in.addData(ev(4, "a", 2), ev(5, "a", 3)) // id=2 is a cross-batch dup
+    q.processAllAvailable(); q.stop()
+    assert(spark.table(name).select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("S6: stream-static broadcast join enriches events") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
+    val in = MemoryStream[Ev]
+    in.addData(ev(0, "a", 1, user = 1), ev(1, "b", 2, user = 3))
+    val name = runToMemory(
+      StreamOps.streamStaticJoin(in.toDF(), dim, "user_id", "cust_id")
+        .select($"event_id", $"tier"), "append")
+    val rows = spark.table(name).orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("∅")))
+    assert(rows.toSeq == Seq((1L, "gold"), (2L, "∅")))
+  }
+
+  test("S7: rows later than the watermark are dropped; within-horizon late rows counted") {
+    val in = MemoryStream[Ev]
+    val out = StreamOps.lateTolerantCounts(in.toDF(), "10 seconds", "10 seconds")
+    val name = s"late${qn + 200}"
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    in.addData(ev(5, "a", 1), ev(12, "a", 2)); q.processAllAvailable() // wm → 2
+    in.addData(ev(8, "a", 3)); q.processAllAvailable()  // late but within horizon → counts
+    in.addData(ev(60, "a", 4)); q.processAllAvailable() // advances wm → 50, closes [0,10),[10,20)
+    in.addData(ev(7, "a", 5)); q.processAllAvailable()  // beyond watermark → dropped
+    q.stop()
+    val rows = spark.table(name).orderBy("ws")
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1)))
+    assert(rows.toSeq == Seq((0L, 2L), (10L, 1L))) // [0,10)={1,3}, [10,20)={2}; 5 dropped
+  }
+
+  test("S8: partitioned parquet sink + checkpoint restart: no loss, no dupes") {
+    val srcDir = tmpDir("s8src"); val outDir = tmpDir("s8out"); val ckpt = tmpDir("s8ckpt")
+    def writeFile(n: String, lines: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(srcDir, n)
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes)
+    }
+    def envelope(id: Int, ms: Long) =
+      s"""{"datastream_id":$id,"data":[{"dateTime":$ms,"offset":60000,"sample":{"v":$id}}]}"""
+    writeFile("f1.json", Seq(envelope(1, 1718064000000L), envelope(2, 1718064001000L)))
+
+    def startQuery() = {
+      val raw = spark.readStream.text(srcDir)
+      Sinks.parquetPartitioned(Ingest.dataPoints(Ingest.parse(raw)), outDir, ckpt,
+        Trigger.ProcessingTime("100 milliseconds"))
+    }
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    writeFile("f2.json", Seq(envelope(3, 1718064002000L)))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop() // restart from checkpoint
+    val got = spark.read.parquet(outDir).select("datastream_id").as[Int].collect().sorted
+    assert(got.toSeq == Seq(1, 2, 3)) // f1 not re-ingested, f2 picked up
+    // partition layout mirrors the Cassandra key (datastream_id, day)
+    val dirs = new java.io.File(outDir).listFiles().map(_.getName).filter(_.startsWith("datastream_id="))
+    assert(dirs.sorted.toSeq == Seq("datastream_id=1", "datastream_id=2", "datastream_id=3"))
+  }
+}
