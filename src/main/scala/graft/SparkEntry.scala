@@ -58,7 +58,7 @@ object SparkEntry {
     "q03_date_fns" ->
       "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, EXTRACT(YEAR FROM o_orderdate) AS y, EXTRACT(MONTH FROM o_orderdate) AS m, DATE_TRUNC('month', o_orderdate) AS mo FROM orders ORDER BY o_orderkey LIMIT 100",
     "q04_math_fns" ->
-      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS p, ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price, ABS(l_discount - 0.05) > 0.01 AS far, CAST(FLOOR(l_quantity) AS BIGINT) AS fq, CAST(CEIL(l_quantity) AS BIGINT) AS cq, CAST(l_partkey // 7 AS BIGINT) AS divk, l_partkey % 7 AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS p, ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price, ABS(l_discount - 0.05) > 0.01 AS far, FLOOR(l_quantity) AS fq, CEIL(l_quantity) AS cq, CAST(l_partkey // 7 AS BIGINT) AS divk, l_partkey % 7 AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
     "q05_conditional" ->
       "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket, o_orderstatus IN ('O','F') AS known, o_totalprice BETWEEN 1000 AND 2000 AS band, COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'urgent!') AS pri FROM orders ORDER BY o_orderkey LIMIT 100",
     "q06_inner_join" ->

@@ -67,8 +67,10 @@ object Relational {
         col("l_extendedprice").cast("decimal(18,2)").as("p"),
         round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("disc_price"),
         (abs(col("l_discount") - 0.05) > 0.01).as("far"),
-        floor(col("l_quantity")).as("fq"),
-        ceil(col("l_quantity")).as("cq"),
+        // DuckDB's native FLOOR/CEIL(DOUBLE) → DOUBLE; Spark returns
+        // BIGINT — widen to double so result types match the oracle.
+        floor(col("l_quantity")).cast("double").as("fq"),
+        ceil(col("l_quantity")).cast("double").as("cq"),
         expr("l_partkey div 7").as("divk"),
         (col("l_partkey") % 7).as("modk"))
       .orderBy("l_orderkey", "l_linenumber")
@@ -112,7 +114,9 @@ object Relational {
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+        // DuckDB SUM(DECIMAL(18,2)) → DECIMAL(38,2); Spark widens only
+        // to DECIMAL(28,2) — cast up so result types match the oracle.
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("rev"))
       .orderBy("r_name", "n_name")
 
   /** Q8 — left outer join + COUNT(non-null) null semantics. */
@@ -125,12 +129,30 @@ object Relational {
       .limit(100)
   }
 
-  /** Q9 — full outer join, grouped on the coalesced key. */
+  /** Q9 — full outer join, grouped on the coalesced key.
+    *
+    * Eager aggregation: the naive plan (full-join raw tables on
+    * `nationkey` — a ~25-value key — then count) is a many-to-many row
+    * explosion that grows quadratically and skew-binds parallelism to
+    * one task per key. Since both aggregates are pure per-key counts,
+    * pre-aggregate each side to |nations| rows first, full-outer-join
+    * the two tiny aggregates, and multiply: a joined (c,s) key with
+    * Nc customers and Ns suppliers yields Nc·Ns rows, all with non-null
+    * custkey and suppkey, so COUNT(c_custkey) = Nc·Ns (= Nc when the
+    * supplier side is absent) and symmetrically for suppliers. Two
+    * narrow shuffles over the base tables, one 25×25 join. */
   def q09(s: SparkSession, d: String): DataFrame = {
-    val c = Tables.customer(s, d); val sp = Tables.supplier(s, d)
-    c.join(sp, c("c_nationkey") === sp("s_nationkey"), "full")
-      .groupBy(coalesce(c("c_nationkey"), sp("s_nationkey")).as("nk"))
-      .agg(count(c("c_custkey")).as("nc"), count(sp("s_suppkey")).as("ns"))
+    val cAgg = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("cnt_c"))
+    val sAgg = Tables.supplier(s, d)
+      .groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("cnt_s"))
+    cAgg.join(sAgg, col("nk_c") === col("nk_s"), "full")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nk"),
+        coalesce(col("cnt_c") * coalesce(col("cnt_s"), lit(1L)), lit(0L)).as("nc"),
+        coalesce(col("cnt_s") * coalesce(col("cnt_c"), lit(1L)), lit(0L)).as("ns"))
       .orderBy("nk")
   }
 
@@ -172,8 +194,8 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base"),
         // DuckDB's AVG(DECIMAL) returns DOUBLE; cast after the exact
         // decimal round so both engines emit the same double value.
         round(avg(col("l_discount").cast("decimal(18,4)")), 4).cast("double").as("avg_disc"),
@@ -229,7 +251,7 @@ object Relational {
         lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
         sum(col("o_totalprice").cast("decimal(18,2)"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("run_tot"))
+          .cast("decimal(38,2)").as("run_tot"))
       .orderBy("o_custkey", "o_orderkey")
       .limit(100)
   }
@@ -272,8 +294,10 @@ object Relational {
     * side is |nations| rows). */
   def q22(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
+    // DuckDB's AVG → DOUBLE; cast Spark's avg to double so boundary
+    // rows (acctbal exactly at the group mean) classify identically.
     val avgByNation = c.groupBy(col("c_nationkey").as("nk2"))
-      .agg(avg("c_acctbal").as("avg_bal"))
+      .agg(avg("c_acctbal").cast("double").as("avg_bal"))
     c.join(broadcast(avgByNation), col("c_nationkey") === col("nk2"))
       .filter(col("c_acctbal") > col("avg_bal"))
       .select("c_custkey")
@@ -297,6 +321,6 @@ object Relational {
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
-        round(sum(col("value").cast("decimal(18,2)")), 2).as("sv"))
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("decimal(38,2)").as("sv"))
       .orderBy("h", "event_type")
 }

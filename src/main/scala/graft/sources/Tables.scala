@@ -40,9 +40,13 @@ object Tables {
   def embeddings(spark: SparkSession, d: String): DataFrame = apply(spark, d, "embeddings")
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    // Session-level legacy conf; read at parquet schema-conversion time,
-    // so setting it dynamically (before the read) is sufficient.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Requires spark.sql.legacy.parquet.nanosAsLong=true, set once at
+    // session build time (graft.core.Sessions) — a table accessor must
+    // not mutate session conf as a side effect.
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet has INT64 TIMESTAMP(NANOS) columns; build the session " +
+        "via graft.core.Sessions (sets spark.sql.legacy.parquet.nanosAsLong=true)")
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

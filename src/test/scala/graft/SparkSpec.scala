@@ -3,15 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared local session for all suites (one per suite via lazy val). */
+/** Shared local session for all suites (one per suite via lazy val),
+  * built through the same bootstrap as the CLI mains (graft.core.Sessions)
+  * so tests see identical conf (UTC, nanosAsLong, AQE). */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName(getClass.getSimpleName)
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession =
+    graft.core.Sessions.local(4, getClass.getSimpleName)
 
   def sf(name: String): String = s"/root/testdata/$name"
 
