@@ -57,14 +57,18 @@ object SparkEntry {
       "SELECT p_partkey, UPPER(p_brand) AS b, LOWER(p_type) AS t, SUBSTRING(p_name, 1, 8) AS pre, LENGTH(p_name) AS len, REPLACE(p_brand, '#', '-') AS r, CONCAT(p_brand, ':', p_type) AS c FROM part WHERE p_name LIKE '%ol%' ORDER BY p_partkey LIMIT 100",
     "q03_date_fns" ->
       "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, EXTRACT(YEAR FROM o_orderdate) AS y, EXTRACT(MONTH FROM o_orderdate) AS m, DATE_TRUNC('month', o_orderdate) AS mo FROM orders ORDER BY o_orderkey LIMIT 100",
+    // Type-explicit + dual-dialect: every computed column is CAST to the
+    // exact type the engine emits, and FLOOR(x / 7) replaces DuckDB's
+    // `//` so the string parses identically on ANY ANSI engine (the casts
+    // are no-ops on DuckDB — same types, same values).
     "q04_math_fns" ->
-      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS p, ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price, ABS(l_discount - 0.05) > 0.01 AS far, FLOOR(l_quantity) AS fq, CEIL(l_quantity) AS cq, CAST(l_partkey // 7 AS BIGINT) AS divk, l_partkey % 7 AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS p, ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price, ABS(l_discount - 0.05) > 0.01 AS far, CAST(FLOOR(l_quantity) AS DOUBLE) AS fq, CAST(CEIL(l_quantity) AS DOUBLE) AS cq, CAST(FLOOR(l_partkey / 7) AS BIGINT) AS divk, CAST(l_partkey % 7 AS BIGINT) AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
     "q05_conditional" ->
       "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket, o_orderstatus IN ('O','F') AS known, o_totalprice BETWEEN 1000 AND 2000 AS band, COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'urgent!') AS pri FROM orders ORDER BY o_orderkey LIMIT 100",
     "q06_inner_join" ->
       "SELECT o.o_orderkey, c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey LIMIT 100",
     "q07_multiway_join" ->
-      "SELECT r.r_name, n.n_name, COUNT(*) AS cnt, SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name",
+      "SELECT r.r_name, n.n_name, COUNT(*) AS cnt, CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name",
     "q08_left_join" ->
       "SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey ORDER BY n_orders DESC, c.c_custkey LIMIT 100",
     "q09_full_join" ->
@@ -76,7 +80,7 @@ object SparkEntry {
     "q12_theta_join" ->
       "SELECT l.l_orderkey, l.l_linenumber FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate ORDER BY l.l_orderkey, l.l_linenumber LIMIT 100",
     "q13_hash_agg" ->
-      "SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base, ROUND(AVG(CAST(l_discount AS DECIMAL(18,4))), 4) AS avg_disc, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+      "SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base, CAST(ROUND(AVG(CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS avg_disc, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q14_distinct_agg" ->
       "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS ucust, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "q15_rollup" ->
@@ -86,7 +90,7 @@ object SparkEntry {
     "q17_rank_window" ->
       "SELECT c_custkey, c_mktsegment, ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn, RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS rk FROM customer ORDER BY c_mktsegment, rn LIMIT 100",
     "q18_frame_window" ->
-      "SELECT o_custkey, o_orderkey, LAG(o_orderkey) OVER w AS prev_ok, SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_tot FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) ORDER BY o_custkey, o_orderkey LIMIT 100",
+      "SELECT o_custkey, o_orderkey, LAG(o_orderkey) OVER w AS prev_ok, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_tot FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) ORDER BY o_custkey, o_orderkey LIMIT 100",
     "q19_topk_per_group" ->
       "SELECT * FROM (SELECT c_mktsegment, c_custkey, c_acctbal, ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer) t WHERE rn <= 3 ORDER BY c_mktsegment, rn",
     "q20_global_topk" ->
@@ -98,7 +102,7 @@ object SparkEntry {
     "q23_json_extract" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events ORDER BY event_id LIMIT 100",
     "q24_time_bucket" ->
-      "SELECT DATE_TRUNC('hour', ts) AS h, event_type, COUNT(*) AS cnt, ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS sv FROM events GROUP BY DATE_TRUNC('hour', ts), event_type ORDER BY h, event_type",
+      "SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h, event_type, COUNT(*) AS cnt, CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DECIMAL(38,2)) AS sv FROM events GROUP BY DATE_TRUNC('hour', ts), event_type ORDER BY h, event_type",
     "q25_dedup_prefix" ->
       "SELECT SUBSTRING(text, 1, 40) AS prefix, MIN(doc_id) AS keeper, COUNT(*) AS n_members FROM documents GROUP BY SUBSTRING(text, 1, 40) HAVING COUNT(*) > 1 ORDER BY keeper",
     "q26_term_count" ->

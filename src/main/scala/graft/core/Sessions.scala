@@ -27,6 +27,11 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Write TIMESTAMP as INT64 micros, not legacy INT96: INT96 is
+      // deprecated, unreadable as a typed value by many readers (pyarrow
+      // surfaces it as ns), and breaks bit-exact schema comparison with
+      // engines that emit standard micros.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 
   /** Local session for the CLI mains and tests. */

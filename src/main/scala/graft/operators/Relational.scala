@@ -315,10 +315,16 @@ object Relational {
       .orderBy("event_id")
       .limit(100)
 
-  /** Q24 — time bucketing (batch analog of a tumbling window). */
+  /** Q24 — time bucketing (batch analog of a tumbling window).
+    *
+    * `h` is emitted as TIMESTAMP_NTZ: the session-tz'd TIMESTAMP would be
+    * written to parquet with isAdjustedToUTC=true, a physical annotation
+    * the DuckDB oracle (naive timestamps) does not carry — same instant,
+    * different Arrow schema, failed hash. NTZ under a UTC session keeps
+    * the identical wall-clock value with the oracle's exact annotation. */
   def q24(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"), col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
         round(sum(col("value").cast("decimal(18,2)")), 2).cast("decimal(38,2)").as("sv"))
