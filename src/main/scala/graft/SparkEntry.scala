@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Relational
-import graft.ext.{Similarity, TextOps}
+import graft.ext.{NearDup, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3/§2.5 + §7.
   *
@@ -47,6 +47,12 @@ object SparkEntry {
     "q25_dedup_prefix"    -> (TextOps.q25 _),
     "q26_term_count"      -> (TextOps.q26 _),
     "q27_cosine_topk"     -> (Similarity.q27 _),
+    "q28_near_dup_minhash" -> (NearDup.q28 _),
+    "q29_embedding_pairs"  -> (Similarity.q29 _),
+    "q30_quality_score"    -> (TextOps.q30 _),
+    "q31_lang_id"          -> (TextOps.q31 _),
+    "q32_token_count"      -> (TextOps.q32 _),
+    "q33_fingerprint"      -> (TextOps.q33 _),
   )
 
   /** DuckDB-dialect oracle SQL, one per `queries` key. */
@@ -109,5 +115,28 @@ object SparkEntry {
       "SELECT w AS word, COUNT(*) AS n FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) t GROUP BY w ORDER BY n DESC, w LIMIT 20",
     "q27_cosine_topk" ->
       "SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10",
+    // The engine computes q28 via MinHash+LSH+Jaccard-verified connected
+    // components (no group-by key); the fixture's near-dup groups are
+    // exactly the 40-char-prefix groups (in-group Jaccard ≥ 0.9,
+    // cross-group ≤ ~0.07 vs the 0.5 threshold), so the SQL ground truth
+    // is the prefix grouping — same answer, independent derivation.
+    "q28_near_dup_minhash" ->
+      "SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_members FROM documents GROUP BY SUBSTRING(text, 1, 40) HAVING COUNT(*) > 1 ORDER BY keeper",
+    "q29_embedding_pairs" ->
+      "SELECT a, b, sim FROM (SELECT a.vec_id AS a, b.vec_id AS b, ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t WHERE sim >= 0.4 ORDER BY a, b",
+    "q30_quality_score" ->
+      ("SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(ROUND((LENGTH(text) - LEN(STRING_SPLIT(text, ' ')) + 1.0) / LEN(STRING_SPLIT(text, ' ')), 4) AS DOUBLE) AS avg_token_len, " +
+        "CAST(ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> LIST_CONTAINS(['the','a','of','and','to','in','is'], w))) AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')), 4) AS DOUBLE) AS stopword_ratio " +
+        "FROM documents ORDER BY doc_id LIMIT 100"),
+    "q31_lang_id" ->
+      ("SELECT doc_id, en_ratio, CASE WHEN en_ratio >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred FROM " +
+        "(SELECT doc_id, CAST(ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> LIST_CONTAINS(['the','is','and','of','a'], w))) AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')), 4) AS DOUBLE) AS en_ratio FROM documents) t " +
+        "ORDER BY doc_id LIMIT 100"),
+    "q32_token_count" ->
+      ("SELECT doc_id, CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens, " +
+        "CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_ws_tokens FROM documents ORDER BY doc_id LIMIT 100"),
+    "q33_fingerprint" ->
+      "SELECT doc_id, MD5(REGEXP_REPLACE(TRIM(text), ' +', ' ', 'g')) AS fp FROM documents ORDER BY doc_id LIMIT 100",
   )
 }

@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.functions.TopKAggregator
+
+/** Approximate nearest-neighbor search: IVF (inverted-file) index over an
+  * `array<float>` embedding column (SURVEY.md §2.5 similarity-search
+  * scale path; brute force Similarity.q27/topKBatch is the ground truth).
+  *
+  * How it scales: brute force touches all N corpus vectors per query.
+  * IVF partitions the corpus into nCentroids buckets (nearest centroid);
+  * a query scores only the centroids (tiny, broadcast), picks the
+  * nProbe closest buckets, and scans just those — expected cost
+  * N·(nProbe/nCentroids) per query. At 100 TB the assignment table is
+  * written partitioned/bucketed BY centroid_id, so a probe is a
+  * partition-pruned scan, not a shuffle of the corpus.
+  *
+  * Everything is deterministic — no RNG: seed centroids are the
+  * nCentroids lowest-id vectors, then refined by `iters` rounds of
+  * Lloyd's k-means (mean of assigned vectors), all as DataFrame ops.
+  */
+object Ann {
+
+  /** element-wise mean of an array column within each group:
+    * posexplode → avg per position → re-assemble ordered. */
+  private def meanVector(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("centroid_id", "pos").agg(avg("v").as("m"))
+      .groupBy("centroid_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("centroid_id"),
+        transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
+
+  /** Assign every corpus vector to its nearest (max-cosine) centroid.
+    * Centroids are broadcast; rank-1 per vector via a window over the
+    * per-vector candidate list (nCentroids rows per vector — bounded). */
+  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", cosineSimilarity(col("embedding"), col("centroid")))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"))
+  }
+
+  /** Build the IVF index: (centroids, assignments). */
+  def build(corpus: DataFrame, nCentroids: Int, iters: Int = 2): (DataFrame, DataFrame) = {
+    var centroids = corpus.orderBy("vec_id").limit(nCentroids)
+      .select(monotonically_increasing_id().as("centroid_id"),
+        col("embedding").as("centroid"))
+      .persist()
+    centroids.count()
+    for (_ <- 0 until iters) {
+      val next = meanVector(assign(corpus, centroids)).persist()
+      next.count()
+      centroids.unpersist()
+      centroids = next
+    }
+    val assigned = assign(corpus, centroids).persist()
+    (centroids, assigned)
+  }
+
+  /** Top-k per query via the IVF index: score centroids per query
+    * (broadcast both — queries and centroids are small), keep nProbe
+    * buckets per query, scan only those buckets, exact top-k within.
+    * Output shape matches Similarity.topKBatch: (qid, rank, vec_id, sim). */
+  def search(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cw = Window.partitionBy("qid").orderBy(col("csim").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosineSimilarity(col("qe"), col("centroid")))
+      .withColumn("crn", row_number().over(cw)).filter(col("crn") <= nProbe)
+      .select(col("qid"), col("qe"), col("centroid_id"))
+    // final top-k via the bounded-heap aggregator (map-side partial),
+    // not a window sort — probed candidates can still be numerous at scale
+    val topk = udaf(new TopKAggregator(k))
+    probes.join(assigned, "centroid_id")
+      .select(col("qid"), col("vec_id"),
+        round(cosineSimilarity(col("embedding"), col("qe")), 6).as("sim"))
+      .groupBy("qid")
+      .agg(topk(col("vec_id"), col("sim")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("hit.id").as("vec_id"), col("hit.score").as("sim"))
+  }
+}

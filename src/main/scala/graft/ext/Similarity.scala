@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.VectorFunctions._
+import graft.functions.TopKAggregator
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2.5). */
 object Similarity {
@@ -28,4 +29,55 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }
+
+  /** Batched top-k: the k most cosine-similar corpus vectors for EACH of
+    * Q query vectors at once (SURVEY.md §7.4 — Q27 generalized past one
+    * query).
+    *
+    * Shape at 100 TB: the query side is broadcast (Q is small — a batch
+    * of probes, not the corpus); each corpus partition scores its rows
+    * against all queries and reduces to a ≤ k-entry buffer per query
+    * map-side (TopKAggregator partial), so the only shuffle carries
+    * Q·k·#partitions buffer rows — never the N·Q scored pairs a
+    * window/sort formulation would move.
+    *
+    * Output: (qid, rank, vec_id, sim), rank 1..k by (sim DESC, vec_id),
+    * sim rounded to 6dp before ranking for cross-engine determinism
+    * (same convention as q27).
+    */
+  def topKBatch(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k))
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(
+        queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))))
+      .select(col("qid"), col("vec_id"),
+        round(cosineSimilarity(col("embedding"), col("qe")), 6).as("sim"))
+      .groupBy("qid")
+      .agg(topk(col("vec_id"), col("sim")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("hit.id").as("vec_id"), col("hit.score").as("sim"))
+  }
+
+  /** Exact cosine-threshold pairs (a < b, sim ≥ threshold) — the
+    * embedding-space analog of near-dup detection. This is the EXACT
+    * variant: an all-pairs join, O(N²/2) scored pairs, declared for
+    * oracle-checkable correctness at test scale. At 100 TB you run the
+    * ANN path instead (graft.ext.Ann buckets candidates first); this
+    * form remains the ground-truth oracle for its recall tests. */
+  def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosineSimilarity(col("ea"), col("eb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Q29 — embedding near-dup pairs on `embeddings` at threshold 0.4
+    * (the fixture's max off-diagonal cosine is ≈0.51; 0.4 yields a
+    * non-trivial pair set). */
+  def q29(s: SparkSession, d: String): DataFrame =
+    cosinePairs(Tables.embeddings(s, d), 0.4)
+      .orderBy("a", "b")
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -32,4 +32,117 @@ object TextOps {
       .orderBy(col("n").desc, col("w"))
       .select(col("w").as("word"), col("n"))
       .limit(20)
+
+  // ---- per-document text-analysis column functions (all codegen'd
+  // higher-order-function expressions — narrow, zero-shuffle per doc) ----
+
+  private def tokens(text: Column): Column = split(text, " ")
+
+  /** Fraction of whitespace tokens found in `vocab` (4dp double). */
+  def tokenRatio(text: Column, vocab: Seq[String]): Column = {
+    val vocabCol = array(vocab.map(lit): _*)
+    round(
+      size(filter(tokens(text), w => array_contains(vocabCol, w))).cast("double") /
+        size(tokens(text)), 4)
+  }
+
+  /** Mean token length for single-space-separated text:
+    * (chars − separators) / tokens. */
+  def avgTokenLen(text: Column): Column =
+    round((length(text) - size(tokens(text)) + 1.0) / size(tokens(text)), 4)
+
+  /** Regex token count — a BPE-ish pre-tokenizer shape: letter runs,
+    * digit runs, single other non-space chars. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Content fingerprint: md5 over whitespace-normalized text. Exact-dup
+    * detection at 100 TB groups on this 128-bit key instead of the full
+    * text — the shuffle carries 16 bytes per doc, not documents. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(text), " +", " "))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val enMarkers = Seq("the", "is", "and", "of", "a")
+
+  /** Q30 — document quality scoring: length, token count, mean token
+    * length, stopword ratio. One narrow projection, no shuffle before
+    * the output sort. */
+  def q30(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      size(tokens(col("text"))).cast("bigint").as("n_tokens"),
+      avgTokenLen(col("text")).cast("double").as("avg_token_len"),
+      tokenRatio(col("text"), stopwords).cast("double").as("stopword_ratio"))
+      .orderBy("doc_id").limit(100)
+
+  /** Q31 — language ID by marker-token ratio (n-gram/stopword heuristic;
+    * a real model plugs in behind the same column signature). */
+  def q31(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      tokenRatio(col("text"), enMarkers).cast("double").as("en_ratio"))
+      .withColumn("lang_pred",
+        when(col("en_ratio") >= 0.05, "en").otherwise("und"))
+      .orderBy("doc_id").limit(100)
+
+  /** Q32 — token counting: regex (BPE-ish) vs whitespace tokenization. */
+  def q32(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexTokenCount(col("text")).cast("bigint").as("n_re_tokens"),
+      size(tokens(col("text"))).cast("bigint").as("n_ws_tokens"))
+      .orderBy("doc_id").limit(100)
+
+  /** Q33 — document fingerprinting (md5 of normalized text). */
+  def q33(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").limit(100)
+
+  // ---- SimHash (near-dup fingerprint; no SQL-expressible oracle —
+  // verified by ScalaTest against the fixture's near-dup groups) ----
+
+  /** 64-bit SimHash over shingle hashes: bit b of the output is set iff
+    * the majority of shingles have bit b set. Near-identical texts give
+    * near-identical simhashes (small Hamming distance). Pure column
+    * expressions: 64 bounded aggregates over the shingle array. */
+  def simHash(shingles: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(63)), b =>
+        when(aggregate(shingles, lit(0),
+          (acc, h) => acc + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1)) >= 0,
+          call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+
+  /** Hamming distance between two simhashes. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64-bit simhash into 8 bytes — two
+    * docs within Hamming distance 7 must agree on at least one band
+    * (pigeonhole), so banding has NO false negatives at maxDist ≤ 7.
+    * One explode + one shuffle on (band, value), then exact Hamming
+    * verify on candidates — same scale shape as MinHash LSH. */
+  def simHashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      maxDist: Int = 7): DataFrame = {
+    require(maxDist <= 7, "8-band banding guarantees recall only to Hamming 7")
+    val sh = docs.select(col(idCol).as("id"),
+      simHash(NearDup.shingleHashes(col(textCol), shingleN)).as("sh"))
+    val banded = sh.select(col("id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(7)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("sh"), b * 8).bitwiseAND(255).as("bv")))).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val l = banded.select(col("band"), col("bv"), col("id").as("a"), col("sh").as("sha"))
+    val r = banded.select(col("band"), col("bv"), col("id").as("b"), col("sh").as("shb"))
+    l.join(r, Seq("band", "bv")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), hammingDistance(col("sha"), col("shb")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -54,4 +54,25 @@ object Tables {
   /** Register every table as a temp view (SQL-surface entry point). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+
+  // ---- non-parquet file sources (SURVEY.md §2.2 scans row) ----
+  //
+  // Schema-explicit by design: schema inference is a full extra pass
+  // over the data (unacceptable at 100 TB) and can silently drift types
+  // between runs. Callers pass the StructType; the reader never infers.
+
+  /** CSV scan (header expected, RFC-4180 quoting). Malformed rows go to
+    * a `_corrupt_record` column (PERMISSIVE) rather than failing the
+    * scan — same quarantine philosophy as streaming ingest (§1.4.1). */
+  def csv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** JSON-lines scan (one object per line — the splittable form). */
+  def jsonLines(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

@@ -1,8 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
-import org.apache.spark.sql.Row
 
 /** Sink adapters — the Spark-native analogs of the reference's two
   * output operations (SURVEY.md Table A):
@@ -43,4 +42,31 @@ object Sinks {
   /** Batch form of A6 (used by tests and by foreachBatch composition). */
   def writeBatchPartitioned(points: DataFrame, path: String): Unit =
     points.write.mode("append").partitionBy("datastream_id", "day").parquet(path)
+
+  /** A8 semantics, testable: the first `n` rows of every micro-batch
+    * handed to a callback (`console` above prints them in production —
+    * `print()` = take(10) in the reference, RawDataIngestion.java:165).
+    * limit(n) before collect keeps the driver fetch bounded. */
+  def foreachBatchLimit(df: DataFrame, n: Int,
+      trigger: Trigger = defaultTrigger)(f: (Array[Row], Long) => Unit): StreamingQuery =
+    df.writeStream
+      .foreachBatch((batch: Dataset[Row], id: Long) => f(batch.limit(n).collect(), id))
+      .trigger(trigger)
+      .start()
+
+  /** Multi-sink composition: persist each micro-batch once and fan out
+    * to every sink — computing the lineage exactly once, unlike the
+    * reference, whose two output ops re-read and re-parsed every batch
+    * from Kafka (no cache(); SURVEY.md §1.4.4). */
+  def fanOut(df: DataFrame, checkpoint: String,
+      trigger: Trigger = defaultTrigger)(sinks: ((DataFrame, Long) => Unit)*): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        batch.persist()
+        try sinks.foreach(s => s(batch.toDF(), id))
+        finally { batch.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
 }

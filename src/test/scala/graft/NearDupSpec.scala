@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{NearDup, TextOps}
+
+/** MinHash/LSH near-dup dedup (SURVEY.md §2.5). Ground truth: the fixture's
+  * near-dup groups share a 40-char text prefix (FIXTURES.md documents table)
+  * with in-group shingle Jaccard far above the 0.5 threshold and cross-group
+  * Jaccard far below it, so LSH grouping must recover exactly the Q25
+  * prefix groups — same answer, reached without a group-by key. */
+class NearDupSpec extends SparkSpec {
+
+  test("similarPairs finds near-dups and skips distinct texts (literal data)") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different words about spark query engines and columnar storage")
+    )).toDF("doc_id", "text")
+    val pairs = NearDup.similarPairs(docs).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) > 0.5)
+  }
+
+  test("q28 LSH groups == Q25 prefix groups at sf0.001 (21) and sf0.01 (23)") {
+    for ((d, n) <- Seq(sf("sf0.001") -> 21, sf("sf0.01") -> 23)) {
+      val lsh = NearDup.q28(spark, d).collect().map(r => (r.getLong(0), r.getLong(1)))
+      val prefix = TextOps.q25(spark, d).select("keeper", "n_members")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(lsh.length == n, s"$d: ${lsh.length} groups")
+      assert(lsh.sorted.sameElements(prefix.sorted), s"$d group mismatch")
+    }
+  }
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val once = NearDup.dedup(docs)
+    val twice = NearDup.dedup(once)
+    val onceIds = once.select("doc_id").collect().map(_.getLong(0)).sorted
+    val twiceIds = twice.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(onceIds.sameElements(twiceIds))
+    // 500 docs, 21 groups; every non-keeper member removed exactly once
+    val removed = 500 - onceIds.length
+    val expectRemoved = TextOps.q25(spark, sf("sf0.001"))
+      .agg(sum(col("n_members") - 1)).head().getLong(0)
+    assert(removed == expectRemoved)
+  }
+
+  test("signatures are deterministic across plans (seeded hash, no RNG)") {
+    val docs = spark.createDataFrame(Seq((1L, "a b c d e f g h i j"))).toDF("doc_id", "text")
+    val sig1 = docs.select(NearDup.minhashSignature(NearDup.shingleHashes(col("text")))).head().getSeq[Long](0)
+    val sig2 = docs.select(NearDup.minhashSignature(NearDup.shingleHashes(col("text")))).head().getSeq[Long](0)
+    assert(sig1 == sig2 && sig1.length == 128)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Ann, Similarity}
+import graft.sources.Tables
+
+/** Batched top-k Aggregator + IVF ANN (SURVEY.md §2.5/§7.4). Brute force
+  * (orderBy+limit per query — Q27's shape) is the ground truth. */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf("sf0.001")).persist()
+  private lazy val queries = emb.filter(col("vec_id") < 3)
+
+  private def bruteTopK(qid: Long, k: Int): Seq[(Long, Double)] = {
+    import graft.functions.VectorFunctions._
+    val qv = emb.filter(col("vec_id") === qid).select(col("embedding").as("qe"))
+    emb.crossJoin(broadcast(qv))
+      .select(col("vec_id"), round(cosineSimilarity(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
+  test("topKBatch equals brute-force orderBy/limit for every query vector") {
+    val got = Similarity.topKBatch(emb, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    for (qid <- 0L to 2L) {
+      val expect = bruteTopK(qid, 10)
+      val actual = got(qid).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(actual == expect, s"qid=$qid")
+    }
+  }
+
+  test("topKBatch plan aggregates partially (no window sort of all pairs)") {
+    val plan = Similarity.topKBatch(emb, queries, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(plan.toLowerCase.contains("partial_topkaggregator"), plan.take(2000))
+    assert(!plan.contains("Window"), "unexpected window sort in top-k plan")
+  }
+
+  test("IVF with full probe count is exact; half probe keeps recall >= 0.5") {
+    val (centroids, assigned) = Ann.build(emb, nCentroids = 8, iters = 2)
+    val brute = (0L to 2L).map(q => q -> bruteTopK(q, 10).map(_._1).toSet).toMap
+
+    val exact = Ann.search(assigned, centroids, queries, k = 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    for (q <- 0L to 2L)
+      assert(exact(q).map(_._2).toSet == brute(q), s"full-probe qid=$q")
+
+    val approx = Ann.search(assigned, centroids, queries, k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val recalls = (0L to 2L).map { q =>
+      approx(q).map(_._2).toSet.intersect(brute(q)).size / 10.0
+    }
+    assert(recalls.forall(_ >= 0.5), s"recall@10 with nProbe=4/8: $recalls")
+    info(s"recall@10 at nProbe=4/8: $recalls")
+  }
+
+  test("q29 cosine pairs: symmetric-free (a<b), thresholded, 59 pairs at sf0.01") {
+    val pairs = Similarity.q29(spark, sf("sf0.01")).collect()
+    assert(pairs.length == 59)
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getDouble(2) >= 0.4))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{NearDup, TextOps}
+
+/** Text-analysis ops (SURVEY.md §2.5): quality scoring, language-ID
+  * heuristic, token counting, fingerprinting, SimHash near-dup. */
+class TextAnalysisSpec extends SparkSpec {
+
+  test("quality metrics on a literal doc") {
+    val df = spark.createDataFrame(Seq((1L, "the cat sat on the mat")))
+      .toDF("doc_id", "text")
+    val r = df.select(
+      length(col("text")).as("c"),
+      size(split(col("text"), " ")).as("t"),
+      TextOps.avgTokenLen(col("text")).as("avg"),
+      TextOps.tokenRatio(col("text"), Seq("the", "a", "of", "and", "to", "in", "is")).as("sw"))
+      .head()
+    assert(r.getInt(0) == 22 && r.getInt(1) == 6)
+    assert(r.getDouble(2) == round(17.0 / 6, 4)) // 22 chars - 5 separators
+    assert(r.getDouble(3) == round(2.0 / 6, 4))  // two "the"
+  }
+
+  private def round(x: Double, dp: Int) =
+    BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("regex tokenizer counts letter runs, digit runs, and symbols") {
+    val df = spark.createDataFrame(Seq((1L, "abc 123 x!y"))).toDF("doc_id", "text")
+    // tokens: abc, 123, x, !, y
+    assert(df.select(TextOps.regexTokenCount(col("text"))).head().getInt(0) == 5)
+  }
+
+  test("fingerprint is whitespace-normalization invariant, content-sensitive") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b  c"), (2L, "  a b c "), (3L, "a b d"))).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+    assert(fp(1L).matches("[0-9a-f]{32}"))
+  }
+
+  test("simhash: near-identical texts are close in Hamming space, distinct are far") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "columnar storage engines shuffle partitioned aggregates across executor heaps")))
+      .toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"),
+      TextOps.simHash(NearDup.shingleHashes(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) <= 7, s"near-dup dist=${ham(sh(1L), sh(2L))}")
+    assert(ham(sh(1L), sh(3L)) > 7, s"distinct dist=${ham(sh(1L), sh(3L))}")
+  }
+
+  test("simHashPairs: banding is exact to Hamming 7; high recall on fixture groups at sf0.001") {
+    val d = sf("sf0.001")
+    val docs = graft.sources.Tables.documents(spark, d)
+    // ground truth: doc pairs sharing a 40-char prefix (the fixture's
+    // near-dup groups — same ground truth as NearDupSpec)
+    val byPrefix = docs.select(substring(col("text"), 1, 40).as("p"), col("doc_id"))
+      .collect().groupBy(_.getString(0)).values
+      .flatMap(g => g.map(_.getLong(1)).sorted.combinations(2).map(c => (c(0), c(1))))
+      .toSet
+    val got = TextOps.simHashPairs(docs).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // (1) SimHash's REAL contract: the 8-byte banding finds EXACTLY the
+    // pairs within Hamming distance 7 (pigeonhole: d<=7 differing bits
+    // leave >=1 of 8 bands untouched). Brute-force all-pairs check at
+    // driver — fine at sf0.001 (~hundreds of docs), never an engine path.
+    val sh = docs.select(col("doc_id"),
+      TextOps.simHash(NearDup.shingleHashes(col("text"))).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth7 = (for {
+      (ida, sa) <- sh; (idb, sb) <- sh
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (ida, idb)).toSet
+    assert(got == truth7,
+      s"banding!=brute-force: missed ${(truth7 -- got).take(5)} spurious ${(got -- truth7).take(5)}")
+
+    // (2) empirical quality vs the fixture's Jaccard-level ground truth:
+    // a ~0.9-Jaccard pair usually (not always) lands within Hamming 7 —
+    // assert high recall and no false positives. (MinHash/Jaccard is the
+    // exact-recall path; SimHash trades recall for a 16-byte/doc index.)
+    val recall = (byPrefix & got).size.toDouble / byPrefix.size
+    assert(recall >= 0.85, s"recall=$recall missed ${(byPrefix -- got).take(5)}")
+    assert((got -- byPrefix).isEmpty, s"spurious ${(got -- byPrefix).take(5)}")
+  }
+
+  test("q30-q33 run and key invariants hold at sf0.001") {
+    val d = sf("sf0.001")
+    val q30 = TextOps.q30(spark, d).collect()
+    assert(q30.length == 100 && q30.forall(r =>
+      r.getDouble(4) >= 0 && r.getDouble(4) <= 1 && r.getLong(2) > 0))
+    val q31 = TextOps.q31(spark, d).collect()
+    assert(q31.forall(r => Set("en", "und")(r.getString(2))))
+    val q32 = TextOps.q32(spark, d).collect()
+    // all-lowercase space-separated soup: regex tokens == whitespace tokens
+    assert(q32.forall(r => r.getLong(1) == r.getLong(2)))
+    val q33 = TextOps.q33(spark, d).collect()
+    assert(q33.map(_.getString(1)).distinct.length == 100) // no exact dups
+  }
+}
