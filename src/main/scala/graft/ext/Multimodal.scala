@@ -69,7 +69,9 @@ object Multimodal {
   /** Deterministic stand-in for a codec feature extractor: `dim` doubles
     * in [0,1) derived from xxhash64(payload, lane). Same signature and
     * output shape (`array<double>`) as a real embedding UDF; pure column
-    * expressions, so it stays inside whole-stage codegen. */
+    * expressions (the `transform` HOF evaluates interpreted /
+    * CodegenFallback — fine once per row; a real codec would be a
+    * compiled UDF anyway). */
   def decodeFeaturesStub(media: Column, dim: Int = 16): Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(payload(media), i), lit(1000000L)).cast("double") / 1000000.0))

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Partitioning
 import graft.sources.Tables
 
 /** Near-duplicate detection: MinHash signatures + LSH banding +
@@ -10,24 +11,27 @@ import graft.sources.Tables
   * operators at all — this is a north-star extension for training-data
   * pipelines over the `documents` table.)
   *
-  * Everything is declarative column expressions (higher-order functions
-  * + xxhash64) — no UDFs, no driver-side loops over data, no all-pairs
-  * comparison anywhere:
+  * Pipeline (no all-pairs comparison anywhere):
   *
-  *   1. shingle: word n-grams, hashed to i64 (`shingleHashes`) — narrow.
-  *   2. signature: `numPerm` minhashes; permutation j is the keyed hash
-  *      xxhash64(j, shingleHash) — narrow, deterministic (Spark's
-  *      xxhash64 has a fixed seed).
-  *   3. LSH banding: signature split into `bands` bands of
-  *      `numPerm/bands` rows; docs sharing any band hash become
-  *      candidates. One explode + one shuffle on (band, bandSig).
+  *   1. shingle: word n-grams, hashed to i64 (`shingleHashes`) —
+  *      declarative column expressions, narrow.
+  *   2. signature: `numPerm` minhashes via a COMPILED kernel
+  *      (`minhashSignature` — a Scala UDF whose numPerm×shingles loop
+  *      JIT-compiles; the r3 higher-order-function form evaluated
+  *      interpreted/CodegenFallback and was the suite's hottest spot at
+  *      ~64M boxed evals per 5k docs). Deterministic: permutation j is
+  *      the murmur3 fmix64 finalizer of (shingleHash ⊕ j·golden-ratio),
+  *      no RNG.
+  *   3. LSH banding: signature split into `bands` bands; docs sharing
+  *      any band hash become candidates. One explode + one shuffle on
+  *      (band, bandSig).
   *   4. verify: exact Jaccard on the shingle-hash sets, only for
-  *      candidate pairs (array_intersect/array_union — codegen-friendly,
-  *      no re-tokenization).
+  *      candidate pairs (array_intersect/array_union — interpreted, but
+  *      only over candidates, not the corpus).
   *   5. group: connected components by iterative min-label propagation;
   *      converges in O(component diameter) joins — near-dup groups are
   *      small by construction, so 2–4 iterations in practice, hard
-  *      capped and convergence-checked.
+  *      capped and convergence-checked with one action per iteration.
   *
   * 100 TB posture: cost is O(docs · numPerm) for signatures plus a
   * shuffle keyed on (band, bandSig). Candidate volume is controlled by
@@ -37,27 +41,61 @@ import graft.sources.Tables
   * band): `maxBucket` caps the per-bucket join fan-out and such floods
   * should be removed by exact dedup (xxhash64 of the full text) before
   * minhashing — exact dedup is cheaper and makes LSH buckets small.
+  * Under-split inputs are widened to one task per core
+  * (Partitioning.ensureParallelism) so the signature stage never runs
+  * single-task on a small file.
   */
 object NearDup {
 
   /** Distinct word-n-gram shingle hashes of a text column (i64 array).
-    * Words beyond the end are skipped by concat_ws (null-safe), so texts
-    * shorter than n words yield one shingle of the whole text. */
+    * `try_element_at` returns NULL past the array end (even under ANSI
+    * mode, where plain `element_at` throws INVALID_ARRAY_INDEX — this
+    * build runs ANSI-on) and `concat_ws` skips NULLs, so texts shorter
+    * than n words yield one shingle of the whole text. */
   def shingleHashes(text: Column, n: Int = 3): Column = {
     val words = split(text, " ")
     val nShingles = greatest(size(words) - (n - 1), lit(1))
     array_distinct(transform(sequence(lit(0), nShingles - 1),
-      i => xxhash64(concat_ws("",
-        (0 until n).map(j => element_at(words, i + j + 1)): _*))))
+      i => xxhash64(concat_ws("",
+        (0 until n).map(j => try_element_at(words, i + j + 1)): _*))))
+  }
+
+  /** murmur3 fmix64 finalizer — a public, well-mixed 64-bit bijection. */
+  @inline private def fmix64(v: Long): Long = {
+    var x = v
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+    x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+    x ^= x >>> 33; x
   }
 
   /** MinHash signature (length numPerm) over a shingle-hash array.
-    * Permutation j = xxhash64(j, h): one expression tree referencing the
-    * hash array once, so projection collapse cannot duplicate the
-    * shingling work per permutation. */
-  def minhashSignature(hashes: Column, numPerm: Int = 128): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)),
-      j => array_min(transform(hashes, h => xxhash64(j, h))))
+    * Compiled kernel: permutation j of hash h is fmix64(h ⊕ j·φ64) — a
+    * distinct deterministic bijection per j, so min over the shingle set
+    * is a proper minhash. The two nested loops JIT to tight machine code
+    * (≈ numPerm·|shingles| multiply-xor steps per doc). */
+  def minhashSignature(hashes: Column, numPerm: Int = 128): Column = {
+    val kernel = udf { (sh: Array[Long]) =>
+      if (sh == null) null
+      else {
+        val out = new Array[Long](numPerm)
+        var j = 0
+        while (j < numPerm) {
+          val seed = (j + 1) * 0x9E3779B97F4A7C15L
+          var mn = Long.MaxValue
+          var i = 0
+          while (i < sh.length) {
+            val x = fmix64(sh(i) ^ seed)
+            if (x < mn) mn = x
+            i += 1
+          }
+          out(j) = mn
+          j += 1
+        }
+        out
+      }
+    }
+    kernel(hashes)
+  }
 
   /** LSH band hashes: array of `bands` structs (band index, band sig). */
   def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
@@ -65,23 +103,22 @@ object NearDup {
       b => struct(b.as("band"),
         xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bsig")))
 
-  /** Candidate pairs (a < b) from LSH buckets, Jaccard-verified.
-    * Output: (a, b, jaccard) with jaccard >= threshold. */
-  def similarPairs(
-      docs: DataFrame,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      shingleN: Int = 3,
-      numPerm: Int = 128,
-      bands: Int = 32,
-      threshold: Double = 0.5,
-      maxBucket: Int = 10000): DataFrame = {
-    require(numPerm % bands == 0, s"numPerm=$numPerm not divisible by bands=$bands")
-    val rowsPerBand = numPerm / bands
-
-    val hashed = docs.select(
+  /** (id, shingle-hash array) with guaranteed parallelism — the input to
+    * both the LSH banding and the Jaccard verification. */
+  private def hashedShingles(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    Partitioning.ensureParallelism(docs).select(
       col(idCol).as("id"),
       shingleHashes(col(textCol), shingleN).as("sh"))
+
+  /** Candidate pairs (a < b) from LSH buckets on a pre-computed
+    * (id, sh) frame. `hashed` is consumed three times (banding + both
+    * verify sides) — callers persist it. */
+  private def similarPairsFrom(
+      hashed: DataFrame,
+      numPerm: Int, bands: Int, threshold: Double, maxBucket: Int): DataFrame = {
+    require(numPerm % bands == 0, s"numPerm=$numPerm not divisible by bands=$bands")
+    val rowsPerBand = numPerm / bands
 
     val buckets = hashed
       .select(col("id"),
@@ -114,10 +151,33 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Candidate pairs (a < b) from LSH buckets, Jaccard-verified.
+    * Output: (a, b, jaccard) with jaccard >= threshold.
+    *
+    * The shingle frame is persisted here (it feeds banding AND both
+    * verify sides — without the cache the scan+shingling runs 3×, and
+    * ran 3× single-task in r3). The cache block is released by Spark's
+    * ContextCleaner once the returned plan is no longer referenced;
+    * `nearDupGroups` manages the lifecycle explicitly instead. */
+  def similarPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numPerm: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
+    val hashed = hashedShingles(docs, idCol, textCol, shingleN).persist()
+    similarPairsFrom(hashed, numPerm, bands, threshold, maxBucket)
+  }
+
   /** Connected components over the similar-pair graph: every doc gets a
     * group_id = min doc id reachable from it. Docs with no near-dup are
-    * their own group. Iterative min-label propagation with an action per
-    * round (bounded by `maxIter`, early-stops on convergence). */
+    * their own group. Iterative min-label propagation, bounded by
+    * `maxIter`, early-stops on convergence with ONE action per
+    * iteration (the changed-count rides the persisted label frame —
+    * no extra join). */
   def nearDupGroups(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -127,31 +187,42 @@ object NearDup {
       bands: Int = 32,
       threshold: Double = 0.5,
       maxIter: Int = 20): DataFrame = {
-    val pairs = similarPairs(docs, idCol, textCol, shingleN, numPerm, bands, threshold)
+    val hashed = hashedShingles(docs, idCol, textCol, shingleN).persist()
+    val pairs = similarPairsFrom(hashed, numPerm, bands, threshold, maxBucket = 10000)
       .select("a", "b").persist()
     // adjacency both directions (self-loops implicit via the left join)
     val adj = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).persist()
     adj.count() // materialize; drops the LSH lineage from the loop below
+    hashed.unpersist() // pairs/adj are cached; the shingle frame is done
 
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("label")).persist()
+    // `cached` is the persisted handle (unpersist must target the exact
+    // cached plan); `labels` is the (id, label) view read by the loop.
+    var cached = docs.select(col(idCol).as("id"), col(idCol).as("label")).persist()
+    var labels = cached
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // label'(v) = min(label(v), min over neighbors u of label(u))
+      // label'(v) = min(label(v), min over neighbors u of label(u));
+      // carry the previous label so convergence needs no second join
       val nbrMin = adj.join(labels, adj("b") === labels("id"))
         .groupBy(adj("a").as("id2")).agg(min("label").as("nbr_label"))
       val next = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          col("label").as("prev"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("label") =!= col("prev")).limit(1).count()
+      cached.unpersist()
+      cached = next
+      labels = next.drop("prev")
       converged = changed == 0
       iter += 1
     }
     pairs.unpersist(); adj.unpersist()
-    labels.select(col("id").as(idCol), col("label").as("group_id"))
+    val out = labels.select(col("id").as(idCol), col("label").as("group_id"))
+    // NOTE: the final label frame stays cached for the consumer; the
+    // ContextCleaner reclaims it once unreferenced.
+    out
   }
 
   /** Dedup: keep one representative (the min-id doc) per near-dup group. */

@@ -33,8 +33,11 @@ object TextOps {
       .select(col("w").as("word"), col("n"))
       .limit(20)
 
-  // ---- per-document text-analysis column functions (all codegen'd
-  // higher-order-function expressions — narrow, zero-shuffle per doc) ----
+  // ---- per-document text-analysis column functions (declarative
+  // higher-order-function expressions — narrow, zero-shuffle per doc.
+  // NOTE: HOFs evaluate interpreted/CodegenFallback, not inside
+  // WholeStageCodegen; acceptable here because each runs once per doc
+  // over a short token array, never in a per-pair hot loop) ----
 
   private def tokens(text: Column): Column = split(text, " ")
 

@@ -3,17 +3,31 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, built from
-  * codegen'd higher-order functions (zip_with/aggregate) — no UDFs, so
-  * the whole computation stays inside WholeStageCodegen.
+/** Vector math over `array<float>` embedding columns.
+  *
+  * Two tiers, same numerics:
+  *
+  *  - Declarative higher-order functions (`zip_with`/`aggregate`).
+  *    NOTE: HOFs are CodegenFallback in every current Spark — they
+  *    evaluate INTERPRETED with per-element boxing, outside
+  *    WholeStageCodegen. Fine for once-per-row work (a single broadcast
+  *    query vector), ruinous in per-pair hot loops (r3 verdict: q29's
+  *    O(N²) HOF kernel ran ~1 core at ~80 µs/pair).
+  *
+  *  - Compiled kernels (`dotUdf`/`normUdf`): plain Scala UDFs over
+  *    primitive `Array[Double]` — the closure JIT-compiles to a tight
+  *    SIMD-able loop. A Scala UDF costs one row-boundary conversion but
+  *    the loop body is machine code; for pairwise scoring this beats the
+  *    interpreted HOF tree by orders of magnitude. Use these in any
+  *    all-pairs / candidate-verification path.
   *
   * All arithmetic is promoted to double with strict left-to-right
-  * summation, which is bit-identical to the DuckDB oracle's sequential
-  * loop over the same values.
+  * summation — both tiers produce bit-identical doubles to each other
+  * and to the DuckDB oracle's sequential loop over the same values.
   */
 object VectorFunctions {
 
-  /** dot(a, b) in double precision, sequential sum. */
+  /** dot(a, b) in double precision, sequential sum (interpreted HOF). */
   def dotProduct(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -36,4 +50,25 @@ object VectorFunctions {
       }),
       lit(0.0),
       (acc, v) => acc + v)
+
+  // ---- compiled kernels (hot-path tier) ----
+
+  /** Compiled dot product over `array<double>` columns. Left-to-right
+    * summation — bit-identical to `dotProduct` on the same input. */
+  val dotUdf = udf { (a: Array[Double], b: Array[Double]) =>
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Compiled ||a||₂ over an `array<double>` column — sqrt of the same
+    * left-to-right self-dot `l2Norm` computes. */
+  val normUdf = udf { (a: Array[Double]) =>
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  }
 }

@@ -8,11 +8,13 @@ class RelationalSmokeSpec extends SparkSpec {
   private val d = sf("sf0.001")
 
   test("q13 decimal aggregates match the validated values") {
-    val r = SparkEntry.queries("q13_hash_agg")(spark, d).collect()
+    val r = SparkEntry.queries("q13_hash_agg_b")(spark, d).collect()
     assert(r.length == 6)
     val af = r.find(x => x.getString(0) == "A" && x.getString(1) == "F").get
-    assert(af.getDecimal(2).toString == "24851.00")
-    assert(af.getDecimal(3).toString == "50132697.39")
+    // sums are exact decimal internally, presented as DOUBLE (round-4
+    // hash-fail experiment) — same validated values
+    assert(af.getDouble(2) == 24851.00)
+    assert(af.getDouble(3) == 50132697.39)
     assert(af.getDouble(4) == 0.0502)
   }
 
