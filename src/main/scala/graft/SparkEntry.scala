@@ -39,6 +39,15 @@ object SparkEntry {
     "q03_date_fns"        -> (Relational.q03 _),
     "q04_math_fns_b"      -> (Relational.q04 _),
     "q04_math_fns_c"      -> (Relational.q04c _),
+    // Round-5 bisection probes for the 4-round-old q04 hash-fail (values
+    // verified identical cross-engine; rows+schema green) — same row set,
+    // one computed-column class each; the red probe names the culprit.
+    "q04_probe_keys"      -> (Relational.q04probeKeys _),
+    "q04_probe_p"         -> (Relational.q04probeP _),
+    "q04_probe_disc"      -> (Relational.q04probeDisc _),
+    "q04_probe_far"       -> (Relational.q04probeFar _),
+    "q04_probe_fqcq"      -> (Relational.q04probeFqcq _),
+    "q04_probe_divmod"    -> (Relational.q04probeDivmod _),
     "q05_conditional"     -> (Relational.q05 _),
     "q06_inner_join"      -> (Relational.q06 _),
     "q07_multiway_join_b" -> (Relational.q07 _),
@@ -68,6 +77,7 @@ object SparkEntry {
     "q31_lang_id"          -> (TextOps.q31 _),
     "q32_token_count"      -> (TextOps.q32 _),
     "q33_fingerprint"      -> (TextOps.q33 _),
+    "q34_ann_topk"         -> (graft.ext.Ann.q34 _),
   )
 
   /** DuckDB-dialect oracle SQL, one per `queries` key. */
@@ -89,6 +99,18 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS p, ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price, ABS(l_discount - 0.05) > 0.01 AS far, CAST(FLOOR(l_quantity) AS DOUBLE) AS fq, CAST(CEIL(l_quantity) AS DOUBLE) AS cq, CAST(FLOOR(l_partkey / 7) AS BIGINT) AS divk, CAST(l_partkey % 7 AS BIGINT) AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
     "q04_math_fns_c" ->
       "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS p, CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)) AS disc_price, ABS(l_discount - 0.05) > 0.01 AS far, CAST(FLOOR(l_quantity) AS DOUBLE) AS fq, CAST(CEIL(l_quantity) AS DOUBLE) AS cq, CAST(FLOOR(l_partkey / 7) AS BIGINT) AS divk, CAST(l_partkey % 7 AS BIGINT) AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "q04_probe_keys" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "q04_probe_p" ->
+      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS p FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "q04_probe_disc" ->
+      "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "q04_probe_far" ->
+      "SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) > 0.01 AS far FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "q04_probe_fqcq" ->
+      "SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_quantity) AS DOUBLE) AS fq, CAST(CEIL(l_quantity) AS DOUBLE) AS cq FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "q04_probe_divmod" ->
+      "SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_partkey / 7) AS BIGINT) AS divk, CAST(l_partkey % 7 AS BIGINT) AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
     "q05_conditional" ->
       "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket, o_orderstatus IN ('O','F') AS known, o_totalprice BETWEEN 1000 AND 2000 AS band, COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'urgent!') AS pri FROM orders ORDER BY o_orderkey LIMIT 100",
     "q06_inner_join" ->
@@ -165,5 +187,15 @@ object SparkEntry {
         "CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_ws_tokens FROM documents ORDER BY doc_id LIMIT 100"),
     "q33_fingerprint" ->
       "SELECT doc_id, MD5(REGEXP_REPLACE(TRIM(text), ' +', ' ', 'g')) AS fp FROM documents ORDER BY doc_id LIMIT 100",
+    // IVF ANN at full probe is exact → brute-force top-k is the oracle
+    // (k=10 per query vec_id<5; rank ties broken by vec_id on the
+    // 6dp-rounded sim in both engines).
+    "q34_ann_topk" ->
+      ("SELECT qid, rank, vec_id, sim FROM (" +
+        "SELECT q.vec_id AS qid, e.vec_id AS vec_id, " +
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rank " +
+        "FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q" +
+        ") t WHERE rank <= 10 ORDER BY qid, rank"),
   )
 }

@@ -16,7 +16,14 @@ object Partitioning {
     * than the cluster has slots. At scale the scan is already wide and
     * this is a no-op — never a gratuitous data-sized shuffle; on
     * small/single-split inputs it spreads the downstream CPU-bound work
-    * across all cores. (`df.rdd` forces planning, not execution.) */
+    * across all cores.
+    *
+    * CONSTRAINT: apply to SCAN-LEVEL frames only. `df.rdd` resolves the
+    * physical plan, and under AQE (default in Spark 4) that finalizes
+    * the adaptive plan and EAGERLY EXECUTES any upstream shuffle stages
+    * — harmless on a raw file scan (no shuffle above it, planning only),
+    * a hidden job on anything post-shuffle. Current callers
+    * (NearDup.hashedShingles) pass raw scans. */
   def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df

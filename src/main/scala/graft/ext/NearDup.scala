@@ -26,8 +26,10 @@ import graft.sources.Tables
   *      any band hash become candidates. One explode + one shuffle on
   *      (band, bandSig).
   *   4. verify: exact Jaccard on the shingle-hash sets, only for
-  *      candidate pairs (array_intersect/array_union — interpreted, but
-  *      only over candidates, not the corpus).
+  *      candidate pairs — a COMPILED sorted-merge kernel over the
+  *      sorted-distinct shingle arrays (`jaccardSortedUdf`; the r3/r4
+  *      interpreted array_intersect/array_union pair was the verify
+  *      hotspot).
   *   5. group: connected components by iterative min-label propagation;
   *      converges in O(component diameter) joins — near-dup groups are
   *      small by construction, so 2–4 iterations in practice, hard
@@ -47,17 +49,44 @@ import graft.sources.Tables
   */
 object NearDup {
 
-  /** Distinct word-n-gram shingle hashes of a text column (i64 array).
-    * `try_element_at` returns NULL past the array end (even under ANSI
-    * mode, where plain `element_at` throws INVALID_ARRAY_INDEX — this
-    * build runs ANSI-on) and `concat_ws` skips NULLs, so texts shorter
-    * than n words yield one shingle of the whole text. */
+  /** Distinct SORTED word-n-gram shingle hashes of a text column (i64
+    * array). `try_element_at` returns NULL past the array end (even under
+    * ANSI mode, where plain `element_at` throws INVALID_ARRAY_INDEX —
+    * this build runs ANSI-on) and `concat_ws` skips NULLs, so texts
+    * shorter than n words yield one shingle of the whole text.
+    * Sorted ascending (native sort_array, codegen'd) so set operations
+    * downstream can run as linear merges: the compiled sorted-merge
+    * Jaccard kernel below, and any future sorted-intersect consumer.
+    * Minhash is order-insensitive, SimHash's majority vote too. */
   def shingleHashes(text: Column, n: Int = 3): Column = {
     val words = split(text, " ")
     val nShingles = greatest(size(words) - (n - 1), lit(1))
-    array_distinct(transform(sequence(lit(0), nShingles - 1),
+    sort_array(array_distinct(transform(sequence(lit(0), nShingles - 1),
       i => xxhash64(concat_ws("",
-        (0 until n).map(j => try_element_at(words, i + j + 1)): _*))))
+        (0 until n).map(j => try_element_at(words, i + j + 1)): _*)))))
+  }
+
+  /** Compiled exact Jaccard over two SORTED distinct i64 arrays: one
+    * linear merge counts the intersection; |union| = |a|+|b|−|inter|.
+    * Same value as size(array_intersect)/size(array_union) (exact int
+    * counts, one double division) but the loop JITs to machine code —
+    * the interpreted array_intersect/array_union pair allocated and
+    * hashed per-candidate over ~50-element arrays and was q28's verify
+    * hotspot (r4 VERDICT perf item 4). Null if either side is null;
+    * both-empty (never produced by shingleHashes) defines 1.0. */
+  private[ext] val jaccardSortedUdf = udf { (a: Array[Long], b: Array[Long]) =>
+    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+    else {
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i); val y = b(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      val union = a.length + b.length - inter
+      java.lang.Double.valueOf(if (union == 0) 1.0 else inter.toDouble / union)
+    }
   }
 
   /** murmur3 fmix64 finalizer — a public, well-mixed 64-bit bijection. */
@@ -146,8 +175,7 @@ object NearDup {
     candidates
       .join(ha, "a").join(hb, "b")
       .select(col("a"), col("b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        jaccardSortedUdf(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -175,9 +203,21 @@ object NearDup {
   /** Connected components over the similar-pair graph: every doc gets a
     * group_id = min doc id reachable from it. Docs with no near-dup are
     * their own group. Iterative min-label propagation, bounded by
-    * `maxIter`, early-stops on convergence with ONE action per
-    * iteration (the changed-count rides the persisted label frame —
-    * no extra join). */
+    * `maxIter`, early-stops on convergence.
+    *
+    * Cache discipline (r4 VERDICT findings 3 + ADVICE lineage item):
+    * each iteration's changed-count is a FULL count over the filtered
+    * frame, so the persisted `next` is completely materialized before
+    * its parent is unpersisted — later stages never recompute through an
+    * unpersisted lineage chain (the old `limit(1).count()` short-circuit
+    * materialized only the first changed partition). The endpoint label
+    * frame is `localCheckpoint`ed: its lineage (the whole LSH+CC DAG
+    * through now-released caches) is truncated to the materialized
+    * blocks, so every intermediate persist is released HERE instead of
+    * leaking until GC — the returned plan holds only the tiny
+    * checkpointed frame plus a re-computable doc scan. A production
+    * deployment would `write` the labels to a table instead (reliable
+    * storage); localCheckpoint is the single-session analog. */
   def nearDupGroups(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -195,9 +235,16 @@ object NearDup {
     adj.count() // materialize; drops the LSH lineage from the loop below
     hashed.unpersist() // pairs/adj are cached; the shingle frame is done
 
+    // The loop's working set is the pair-graph ENDPOINTS only — a doc
+    // with no verified near-dup edge can never change label, so carrying
+    // the whole corpus through every iteration (as r1–r4 did) shuffles
+    // O(corpus) per step for nothing; endpoints are O(pairs), the set
+    // that actually propagates. Non-endpoints rejoin as identity groups
+    // at the end.
     // `cached` is the persisted handle (unpersist must target the exact
     // cached plan); `labels` is the (id, label) view read by the loop.
-    var cached = docs.select(col(idCol).as("id"), col(idCol).as("label")).persist()
+    var cached = adj.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist()
     var labels = cached
     var converged = false
     var iter = 0
@@ -211,7 +258,9 @@ object NearDup {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           col("label").as("prev"))
         .persist()
-      val changed = next.filter(col("label") =!= col("prev")).limit(1).count()
+      // FULL count: materializes every partition of `next` before the
+      // parent cache is dropped (see scaladoc).
+      val changed = next.filter(col("label") =!= col("prev")).count()
       cached.unpersist()
       cached = next
       labels = next.drop("prev")
@@ -219,10 +268,17 @@ object NearDup {
       iter += 1
     }
     pairs.unpersist(); adj.unpersist()
-    val out = labels.select(col("id").as(idCol), col("label").as("group_id"))
-    // NOTE: the final label frame stays cached for the consumer; the
-    // ContextCleaner reclaims it once unreferenced.
-    out
+    // Pin the endpoint labels (O(pairs) rows, not O(corpus)), release
+    // the last loop cache, then widen back to every doc: non-endpoints
+    // are their own group. The widening join's build side is the tiny
+    // checkpointed frame; the probe side is the plain doc scan —
+    // re-computable lineage, nothing left persisted.
+    val endpointLabels = labels.localCheckpoint(true)
+    cached.unpersist()
+    docs.select(col(idCol).as("id"))
+      .join(endpointLabels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("label"), col("id")).as("group_id"))
   }
 
   /** Dedup: keep one representative (the min-id doc) per near-dup group. */

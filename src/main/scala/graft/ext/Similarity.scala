@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.VectorFunctions._
@@ -9,24 +9,40 @@ import graft.functions.TopKAggregator
 /** Similarity search over the `embeddings` table (SURVEY.md §2.5). */
 object Similarity {
 
+  /** One packed vector inside a block: id, double-cast embedding, ‖v‖. */
+  case class PackedVec(id: Long, e: Array[Double], nrm: Double)
+
+  /** A joined pair of vector blocks flowing into the block-scoring
+    * flatMap (field order matches the join projection). */
+  case class BlockPair(bi: Int, va: Seq[PackedVec], bj: Int, vb: Seq[PackedVec])
+
   /** Q27 — brute-force cosine top-k against the query vector
     * (vec_id = 0). The single-row query side is broadcast; the scan
-    * side computes cosine via higher-order functions (interpreted /
-    * CodegenFallback — acceptable here because it runs ONCE per corpus
-    * row, not per pair); ORDER BY + LIMIT plans as TakeOrderedAndProject
-    * = partition-local top-k heaps merged on the driver — the correct
+    * side scores with the COMPILED dot/norm kernels (r5: the r1–r4
+    * interpreted-HOF cosine was "acceptable once per row" in a fresh
+    * JVM but collapsed ~15× in a long-lived one — BENCH_r05 measured
+    * 6.5 s mid-suite vs 0.4 s fresh; interpreted expression trees
+    * de-optimize as call sites go megamorphic, compiled UDF loops
+    * don't); ORDER BY + LIMIT plans as TakeOrderedAndProject =
+    * partition-local top-k heaps merged on the driver — the correct
     * distributed top-k, no global sort even at 100 TB.
     *
     * Similarity is rounded to 6 decimals and the rounded value is the
     * sort key (ties broken by vec_id) so ordering is identical across
-    * engines regardless of last-ulp float drift. */
+    * engines regardless of last-ulp float drift. Numerics are
+    * bit-identical to the HOF form (same left-to-right double
+    * arithmetic — VectorFunctions scaladoc). */
   def q27(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qe"))
     emb.crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"), col("qe"))
       .select(
         col("vec_id"),
-        round(cosineSimilarity(col("embedding"), col("qe")), 6).as("sim"))
+        round(dotUdf(col("e"), col("qe")) /
+          (normUdf(col("e")) * normUdf(col("qe"))), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -48,11 +64,13 @@ object Similarity {
     */
   def topKBatch(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAggregator(k))
-    corpus.select(col("vec_id"), col("embedding"))
+    corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .crossJoin(broadcast(
-        queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))))
+        queries.select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qe"))))
       .select(col("qid"), col("vec_id"),
-        round(cosineSimilarity(col("embedding"), col("qe")), 6).as("sim"))
+        round(dotUdf(col("e"), col("qe")) /
+          (normUdf(col("e")) * normUdf(col("qe"))), 6).as("sim"))
       .groupBy("qid")
       .agg(topk(col("vec_id"), col("sim")).as("topk"))
       .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "hit")))
@@ -62,33 +80,89 @@ object Similarity {
 
   /** Exact cosine-threshold pairs (a < b, sim ≥ threshold) — the
     * embedding-space analog of near-dup detection. This is the EXACT
-    * variant: an all-pairs join, O(N²/2) scored pairs, declared for
-    * oracle-checkable correctness at test scale. At 100 TB you run the
-    * ANN path instead (graft.ext.Ann buckets candidates first); this
-    * form remains the ground-truth oracle for its recall tests.
+    * variant: all N²/2 pairs are scored, declared for oracle-checkable
+    * correctness at test scale. At 100 TB you run the ANN path instead
+    * (graft.ext.Ann buckets candidates first); this form remains the
+    * ground-truth oracle for its recall tests.
     *
-    * Kernel shape (r3 verdict fixes — 3 scale-killers removed):
-    *  1. the scan is widened to defaultParallelism when it arrives
-    *     under-split (Partitioning.ensureParallelism — a no-op at scale),
-    *     so the nested-loop stream side runs one task per core instead
-    *     of one task total;
-    *  2. ||v|| is computed ONCE per row (not 2× per pair) and carried
-    *     next to the vector;
-    *  3. pairs are scored by the compiled `dotUdf` kernel, not the
-    *     interpreted CodegenFallback HOF tree.
-    * Numerics are unchanged: dot/(na·nb) over float→double-cast values
-    * in left-to-right order — bit-identical to the previous HOF form
-    * and to the DuckDB oracle at the 6dp round. */
+    * Kernel: distributed BLOCK nested loop (r4 VERDICT perf item 5 —
+    * the r3 row-pair BroadcastNestedLoopJoin paid a catalyst→Array
+    * conversion per PAIR, ~19 µs/pair; this pays it once per block
+    * copy and scores pairs in a tight JITed loop):
+    *
+    *  1. prep: cast to double, ‖v‖ once per ROW (`normUdf`);
+    *  2. pack: group vectors into nBlocks blocks (hash of vec_id) —
+    *     one corpus-sized shuffle;
+    *  3. grid join: block pairs (bi ≤ bj) — each unordered doc pair
+    *     lands in exactly one block pair; communication is the
+    *     inherent O(N·√P) replication of exact all-pairs, nothing more;
+    *  4. score: per block pair, a compiled double loop computes
+    *     dot/(na·nb) left-to-right — bit-identical to the r3 kernel and
+    *     to the DuckDB oracle at the 6dp round — and emits only pairs
+    *     whose RAW sim can possibly round to ≥ threshold;
+    *  5. present: Spark-side round(·, 6) + the declared threshold filter,
+    *     so the emitted sim and the cut are exactly the old column forms.
+    */
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val prepped = graft.core.Partitioning.ensureParallelism(emb)
-      .select(col("vec_id"),
-        col("embedding").cast("array<double>").as("e"))
+    val spark = emb.sparkSession
+    val nBlocks = math.max(2, spark.sparkContext.defaultParallelism)
+    val prepped = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", normUdf(col("e")))
-    val a = prepped.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
-    val b = prepped.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("a") < col("b"))
-      .select(col("a"), col("b"),
-        round(dotUdf(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
+    val packed = prepped
+      .groupBy(pmod(col("vec_id"), lit(nBlocks)).cast("int").as("blk"))
+      .agg(collect_list(struct(col("vec_id").as("id"), col("e"), col("nrm"))).as("vs"))
+    // The upper-triangular block grid as literal (bi, bj) rows joined
+    // EQUI on each side: each block is replicated to its ≤ nBlocks grid
+    // partners through an ordinary shuffle join — no non-equi condition,
+    // which would plan as a BroadcastNestedLoopJoin shipping the whole
+    // packed corpus to every task.
+    import spark.implicits._
+    val grid = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
+      .toDF("bi", "bj")
+    val l = packed.select(col("blk").as("bi"), col("vs").as("va"))
+    val r = packed.select(col("blk").as("bj"), col("vs").as("vb"))
+    // Pre-filter margin: round(x,6) ≥ t implies x ≥ t − 5e-7; use 1e-6
+    // so no double-repr edge case can drop a pair the rounded filter
+    // would keep. The final cut below is on the ROUNDED value.
+    val rawCut = threshold - 1e-6
+    val raw = grid.join(l, "bi").join(r, "bj")
+      .select(col("bi"), col("va"), col("bj"), col("vb"))
+      .as(Encoders.product[BlockPair])
+      .flatMap { bp =>
+        val same = bp.bi == bp.bj
+        val va = bp.va.toArray
+        val vb = bp.vb.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < va.length) {
+          val x = va(i)
+          var j = 0
+          while (j < vb.length) {
+            val y = vb(j)
+            // same-block pairs appear twice in the (va × vb) product —
+            // score only the x.id < y.id orientation; cross-block pairs
+            // appear once (x's block is bi, y's is bj) in whichever id
+            // order — score all, emit as (min, max)
+            if (if (same) x.id < y.id else x.id != y.id) {
+              val d = x.e; val f = y.e
+              var s = 0.0; var k = 0
+              val n = math.min(d.length, f.length)
+              while (k < n) { s += d(k) * f(k); k += 1 }
+              val sim = s / (x.nrm * y.nrm)
+              if (sim >= rawCut) {
+                if (x.id < y.id) out += ((x.id, y.id, sim))
+                else out += ((y.id, x.id, sim))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.toSeq
+      }(Encoders.product[(Long, Long, Double)])
+      .toDF("a", "b", "raw")
+    raw.select(col("a"), col("b"), round(col("raw"), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 

@@ -57,6 +57,25 @@ class SimilaritySpec extends SparkSpec {
     info(s"recall@10 at nProbe=4/8: $recalls")
   }
 
+  test("IVF build is layout-invariant: same centroids and assignment under repartition") {
+    // centroid_id is row_number-over-vec_id on the seed rows (a pure
+    // function of the data); the r1–r4 monotonically_increasing_id
+    // encoded the physical partition layout into the id (r3 ADVICE).
+    def buildOn(corpus: org.apache.spark.sql.DataFrame) = {
+      val (c, a) = Ann.build(corpus, nCentroids = 8, iters = 2)
+      val cs = c.select(col("centroid_id"), col("centroid"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val as = a.select(col("centroid_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      c.unpersist(); a.unpersist()
+      (cs, as)
+    }
+    val (c1, a1) = buildOn(emb)
+    val (c2, a2) = buildOn(emb.repartition(7, col("vec_id")))
+    assert(c1 == c2, "centroids differ across partitionings")
+    assert(a1 == a2, "assignments differ across partitionings")
+  }
+
   test("q29 cosine pairs: symmetric-free (a<b), thresholded, 59 pairs at sf0.01") {
     val pairs = Similarity.q29(spark, sf("sf0.01")).collect()
     assert(pairs.length == 59)

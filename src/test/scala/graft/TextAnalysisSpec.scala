@@ -40,17 +40,30 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("simhash: near-identical texts are close in Hamming space, distinct are far") {
+    // Long texts (~46 words → ~44 shingles) so the per-bit majority vote
+    // has a real margin: the near pair shares ~93% of shingles. The old
+    // 14-word toy texts (12 shingles, 75% shared) made the vote noisy —
+    // Hamming 9 — and the test red for 4 rounds while the REAL contract
+    // (banding exact to Hamming 7, fixture recall) passed below. The
+    // near/far bounds here carry a wide margin on both sides of the
+    // banding threshold 7; random 64-bit hashes sit at Hamming ~32.
+    val base = "the quick brown fox jumps over the lazy dog near the wide river bank " +
+      "while morning light settles across the quiet valley and distant hills slowly " +
+      "wake beneath a pale clear sky as birds begin their first songs of the day"
     val df = spark.createDataFrame(Seq(
-      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
-      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
-      (3L, "columnar storage engines shuffle partitioned aggregates across executor heaps")))
+      (1L, base + " today"),
+      (2L, base + " tonight"),
+      (3L, "columnar storage engines shuffle partitioned aggregates across executor " +
+        "heaps while vectorized readers prune row groups and adaptive planners " +
+        "coalesce skewed shuffle partitions into balanced tasks before codegen " +
+        "stages fuse operators into tight loops over off heap buffers at runtime")))
       .toDF("doc_id", "text")
     val sh = df.select(col("doc_id"),
       TextOps.simHash(NearDup.shingleHashes(col("text"))).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sh(1L), sh(2L)) <= 7, s"near-dup dist=${ham(sh(1L), sh(2L))}")
-    assert(ham(sh(1L), sh(3L)) > 7, s"distinct dist=${ham(sh(1L), sh(3L))}")
+    assert(ham(sh(1L), sh(3L)) >= 20, s"distinct dist=${ham(sh(1L), sh(3L))}")
   }
 
   test("simHashPairs: banding is exact to Hamming 7; high recall on fixture groups at sf0.001") {

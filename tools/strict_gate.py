@@ -14,9 +14,10 @@ ZERO normalization, under two independent read paths:
           sorted, str() per cell, decimal/float/timestamp as repr) and
           sha256-hashed — the shape a hash-based driver gate would use.
 
-If THIS script reports 27/27 OK, any faithful compare of the dump vs the
-oracle passes; a driver failure would then prove the driver is not
-consuming the dump. Usage: strict_gate.py <sf_dir> <verify_out_dir>
+If THIS script reports all declared queries OK (the count follows
+oracle_sql.json — do not hard-code it), any faithful compare of the dump
+vs the oracle passes; a driver failure would then prove the driver is
+not consuming the dump. Usage: strict_gate.py <sf_dir> <verify_out_dir>
 """
 import sys, json, glob, hashlib
 import duckdb
