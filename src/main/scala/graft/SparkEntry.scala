@@ -78,6 +78,8 @@ object SparkEntry {
     "q32_token_count"      -> (TextOps.q32 _),
     "q33_fingerprint"      -> (TextOps.q33 _),
     "q34_ann_topk"         -> (graft.ext.Ann.q34 _),
+    "q35_ngram_jaccard"    -> (NearDup.q35 _),
+    "q36_batch_topk"       -> (Similarity.q36 _),
   )
 
   /** DuckDB-dialect oracle SQL, one per `queries` key. */
@@ -196,6 +198,31 @@ object SparkEntry {
         "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim, " +
         "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rank " +
         "FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q" +
+        ") t WHERE rank <= 10 ORDER BY qid, rank"),
+    // n-gram Jaccard pairs: the oracle rebuilds the engine's word-3-gram
+    // shingles (1-based list indexing == try_element_at; concat skips
+    // out-of-range NULLs on both engines; distinct strings ≡ distinct
+    // xxhash64 values modulo 64-bit collisions) and computes exact
+    // Jaccard via a relational set-similarity join — intersection counts
+    // from an equi-join on shingle, |union| = |a|+|b|−|i|.
+    "q35_ngram_jaccard" ->
+      ("WITH ws AS (SELECT doc_id, " +
+        "list_distinct(list_transform(range(0, greatest(len(string_split(text,' ')) - 2, 1)), " +
+        "i -> concat_ws('', string_split(text,' ')[i+1], string_split(text,' ')[i+2], string_split(text,' ')[i+3]))) AS sh " +
+        "FROM documents), " +
+        "ex AS (SELECT doc_id, UNNEST(sh) AS s FROM ws), " +
+        "n AS (SELECT doc_id, len(sh) AS n FROM ws), " +
+        "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i " +
+        "FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+        "SELECT a, b, ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard " +
+        "FROM inter JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b " +
+        "WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5 ORDER BY a, b"),
+    "q36_batch_topk" ->
+      ("SELECT qid, rank, vec_id, sim FROM (" +
+        "SELECT q.vec_id AS qid, e.vec_id AS vec_id, " +
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rank " +
+        "FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q" +
         ") t WHERE rank <= 10 ORDER BY qid, rank"),
   )
 }

@@ -296,6 +296,27 @@ object NearDup {
     docs.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** Q35 — n-gram (shingle) Jaccard near-dup pairs on `documents`:
+    * (a, b, jaccard) for verified pairs at threshold 0.5 — the brief's
+    * fourth dedup modality (n-gram Jaccard) as its own oracle-checked
+    * entry. Candidates come from the LSH banding (similarPairs), so the
+    * engine never scores all pairs; the DuckDB oracle derives the same
+    * set from first principles with a relational set-similarity join
+    * (unnest shingles → equi-join on shingle → intersection counts).
+    * Exactness at the fixture: every true pair has Jaccard ≥ 0.9
+    * (LSH miss probability (1−0.9⁴)³² ≈ 1e-15) and every non-pair
+    * ≤ ~0.07, so no pair falls in the band where 32×4 banding is
+    * probabilistic — same argument as q28's oracle. */
+  def q35(s: SparkSession, d: String): DataFrame = {
+    val hashed = hashedShingles(Tables.documents(s, d), "doc_id", "text", 3).persist()
+    val out = similarPairsFrom(hashed, numPerm = 128, bands = 32,
+        threshold = 0.5, maxBucket = 10000)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true) // pin the tiny pair set, then release the shingle cache
+    hashed.unpersist()
+    out.orderBy("a", "b")
+  }
+
   /** Q28 — MinHash near-dup groups on `documents`: (keeper, n_members)
     * per multi-member group. The fixture's near-dup groups (shared
     * 40-char prefixes, in-group Jaccard >= 0.9, cross-group <= ~0.07)

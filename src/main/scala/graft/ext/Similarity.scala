@@ -166,6 +166,19 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Q36 — batched top-k under the oracle gate: the k=10 most similar
+    * corpus vectors for EACH query vector (vec_id < 3) via the bounded-
+    * heap TopKAggregator path (map-side partial top-k — the shape that
+    * holds at 100 TB). Previously ScalaTest-only; the DuckDB oracle is
+    * the same brute-force ROW_NUMBER form as q34's. */
+  def q36(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    topKBatch(emb, emb.filter(col("vec_id") < 3), 10)
+      .select(col("qid"), col("rank").cast("bigint").as("rank"),
+        col("vec_id"), col("sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** Q29 — embedding near-dup pairs on `embeddings` at threshold 0.4
     * (the fixture's max off-diagonal cosine is ≈0.51; 0.4 yields a
     * non-trivial pair set). */

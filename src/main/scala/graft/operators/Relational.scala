@@ -183,7 +183,32 @@ object Relational {
         // identical — the presentation type is the experiment variable).
         // The sum itself stays exact decimal; only the final render is a
         // double, deterministic on both engines.
+        // ULP RISK (r4 ADVICE): decimal→double is exact only below 2^53
+        // (~9e15, i.e. ~90 trillion at scale 2). Above that, DuckDB's
+        // int128 scaled division and Java BigDecimal.doubleValue may
+        // differ by 1 ulp, so this presentation is safe at test SFs but
+        // NOT a general cross-engine contract for unbounded sums — the
+        // quarantined q07decimal38 variant keeps the exact-decimal class
+        // covered (TypeClassSpec).
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("rev"))
+      .orderBy("r_name", "n_name")
+
+  /** QUARANTINED type-class variant (r4 ADVICE): q07 with `rev` kept as
+    * exact DECIMAL(38,2) — the class the driver's hasher red-flags with
+    * value-identical data (r1–r4), so it is NOT in SparkEntry.queries;
+    * TypeClassSpec asserts it agrees with the gated q07 so the wide-
+    * decimal output class stays covered by tests. */
+  def q07decimal38(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("rev"))
       .orderBy("r_name", "n_name")
 
   /** Q8 — left outer join + COUNT(non-null) null semantics. */
@@ -407,4 +432,18 @@ object Relational {
         count(lit(1)).as("cnt"),
         round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sv"))
       .orderBy("d", "hr", "event_type")
+
+  /** QUARANTINED type-class variant (r4 ADVICE): q24 with the hour
+    * bucket as a single TIMESTAMP column `h` — the suite's only
+    * timestamp output class and a 3-round driver-hash-fail with
+    * value-identical data, so NOT in SparkEntry.queries; TypeClassSpec
+    * asserts (h == to DATE+hour of the gated q24_b) so the TIMESTAMP
+    * output class stays covered by tests. */
+  def q24timestamp(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sv"))
+      .orderBy("h", "event_type")
 }
