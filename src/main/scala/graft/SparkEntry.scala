@@ -80,6 +80,8 @@ object SparkEntry {
     "q34_ann_topk"         -> (graft.ext.Ann.q34 _),
     "q35_ngram_jaccard"    -> (NearDup.q35 _),
     "q36_batch_topk"       -> (Similarity.q36 _),
+    "q37_asof_join"        -> (Relational.q37 _),
+    "q38_sessionize"       -> (Relational.q38 _),
   )
 
   /** DuckDB-dialect oracle SQL, one per `queries` key. */
@@ -224,5 +226,23 @@ object SparkEntry {
         "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rank " +
         "FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q" +
         ") t WHERE rank <= 10 ORDER BY qid, rank"),
+    // As-of join: DuckDB's NATIVE ASOF JOIN is the oracle; the engine
+    // composes the same semantics from a tagged union + running window.
+    // Both sides compare epoch MICROS (shared ns→µs truncation).
+    "q37_asof_join" ->
+      ("SELECT p.event_id, p.user_id, c.click_id " +
+        "FROM (SELECT event_id, user_id, epoch_us(ts) tsu FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT event_id AS click_id, user_id, epoch_us(ts) tsu FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.tsu >= c.tsu " +
+        "ORDER BY p.event_id LIMIT 200"),
+    // Sessionization: 12 h idle-gap split per user (lag-mark-cumsum);
+    // SUM(int) is HUGEINT in DuckDB → CAST sid to BIGINT to match Spark.
+    "q38_sessionize" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events), " +
+        "m AS (SELECT user_id, tsu, CASE WHEN LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu) IS NULL " +
+        "OR tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu) > 43200000000 THEN 1 ELSE 0 END AS ns FROM e), " +
+        "s AS (SELECT user_id, tsu, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM m) " +
+        "SELECT user_id, sid, COUNT(*) AS n_events, MIN(tsu) AS start_us, MAX(tsu) AS end_us " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, sid"),
   )
 }

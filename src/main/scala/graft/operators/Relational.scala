@@ -433,6 +433,60 @@ object Relational {
         round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sv"))
       .orderBy("d", "hr", "event_type")
 
+  /** Q37 — AS-OF (temporal) join: for each purchase event, the most
+    * recent click by the same user at or before the purchase instant.
+    * Spark has no asof-join operator (SURVEY §2.2 joins row); composed
+    * from built-ins the scalable way: union both sides tagged, ONE
+    * shuffle on user_id, and `last(click_id, ignoreNulls)` over a
+    * running window — cost O(n log n) per user partition, no range
+    * self-join blowup. Clicks sort before purchases at an equal
+    * timestamp (kind 0 < 1), giving the same >= semantics as DuckDB's
+    * native ASOF JOIN oracle. Timestamps compared as epoch MICROS on
+    * both engines (the events table is ns-precision parquet; µs is the
+    * shared truncation — SURVEY §2.3). */
+  def q37(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        lit(0).as("kind"), col("event_id").as("click_id"),
+        lit(null).cast("bigint").as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        lit(1).as("kind"), lit(null).cast("bigint").as("click_id"),
+        col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsu"), col("kind"), col("click_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("asof_click").as("click_id"))
+      .orderBy("event_id")
+      .limit(200)
+  }
+
+  /** Q38 — batch sessionization (the batch analog of S4's
+    * session_window): events gap-split per user at 12 h idle, classic
+    * lag-mark-cumsum — two windows over ONE shuffle on user_id, then a
+    * hash aggregation per (user, session). Timestamps as epoch micros
+    * (see q37). */
+  def q38(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 12L * 3600 * 1000000
+    val wo = Window.partitionBy("user_id").orderBy("tsu")
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+      .withColumn("prev", lag(col("tsu"), 1).over(wo))
+      .withColumn("ns",
+        when(col("prev").isNull || col("tsu") - col("prev") > gapUs, 1).otherwise(0))
+      .withColumn("sid",
+        sum(col("ns")).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("bigint"))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        min("tsu").as("start_us"), max("tsu").as("end_us"))
+      .orderBy("user_id", "sid")
+  }
+
   /** QUARANTINED type-class variant (r4 ADVICE): q24 with the hour
     * bucket as a single TIMESTAMP column `h` — the suite's only
     * timestamp output class and a 3-round driver-hash-fail with
