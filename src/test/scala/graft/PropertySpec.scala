@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import graft.streaming.Ingest
+import graft.ext.NearDup
+import graft.functions.VectorFunctions
+
+/** The four property-based contracts declared in SURVEY.md §5.2(3),
+  * generative where example tests can only sample:
+  *
+  *  (a) envelope→DataPoint: ∀ valid envelope, row count = |data| and
+  *      every field derivation matches a plain-Scala reference
+  *      implementation of RawDataIngestion.java:136–140 semantics
+  *      (UTC day, ms timestamp, toward-zero int division);
+  *  (b) near-dup dedup: survivors are pairwise non-similar — which is
+  *      exactly idempotence (a second dedup pass finds no pairs, so it
+  *      is the identity);
+  *  (c) vector kernels: cosine ∈ [−1, 1], sim(v, v) ≈ 1, and the
+  *      compiled dotUdf/normUdf tier is BIT-IDENTICAL to the
+  *      declarative HOF tier on non-null equal-length input
+  *      (VectorFunctions' contract);
+  *  (d) windowed running sum equals naive per-key prefix sums.
+  *
+  * ScalaCheck is driven through its raw API (no scalatestplus bridge in
+  * this offline env) with a FIXED seed — a gate suite must not be
+  * flaky; the generative value is breadth, not fresh randomness per run.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(prop: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(n)
+        .withInitialSeed(Seed(42L)),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---- (a) envelope → DataPoint ----
+
+  private case class Dp(dateTime: Long, offset: Int, sample: Long)
+
+  test("property: envelope transform matches the plain-Scala reference semantics") {
+    import spark.implicits._
+    val genDp = for {
+      dt <- Gen.chooseNum(0L, 4_000_000_000_000L) // 1970..~2096, ms
+      off <- Gen.chooseNum(-10_000_000, 10_000_000)
+      sm <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    } yield Dp(dt, off, sm)
+    val genEnv = for {
+      id <- Gen.chooseNum(0, 1_000_000)
+      dps <- Gen.listOfN(5, genDp)
+    } yield (id, dps)
+
+    val dayFmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+      .withZone(java.time.ZoneOffset.UTC)
+    val prop = Prop.forAll(Gen.listOfN(8, genEnv)) { envs =>
+      val json = envs.map { case (id, dps) =>
+        s"""{"datastream_id":$id,"data":[${
+          dps.map(d => s"""{"dateTime":${d.dateTime},"offset":${d.offset},"sample":${d.sample}}""")
+            .mkString(",")}]}"""
+      }
+      val got = Ingest.dataPoints(Ingest.parse(json.toDF("value")))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getTimestamp(2).getTime,
+          r.getInt(3), r.getString(4)))
+        .sorted
+      val expect = envs.flatMap { case (id, dps) =>
+        dps.map(d => (id, dayFmt.format(java.time.Instant.ofEpochMilli(d.dateTime)),
+          d.dateTime, d.offset / 60000, d.sample.toString))
+      }.sorted
+      got.sameElements(expect)
+    }
+    check(prop, n = 10)
+  }
+
+  // ---- (b) dedup: survivors pairwise non-similar ⇒ idempotent ----
+
+  test("property: near-dup dedup leaves no similar pair among survivors (idempotence)") {
+    import spark.implicits._
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+    val genBase = Gen.listOfN(25, Gen.oneOf(vocab)).map(_.mkString(" "))
+    val genCorpus = for {
+      bases <- Gen.listOfN(6, genBase)
+      // each base doc gets 0–2 near-dup copies with ONE word changed
+      copies <- Gen.listOf(Gen.chooseNum(0, 5))
+    } yield {
+      val dups = bases.zipWithIndex.flatMap { case (b, i) =>
+        if (i % 2 == 0) Seq(b.replaceFirst("\\w+$", "zulu")) else Nil
+      }
+      (bases ++ dups).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    }
+    val prop = Prop.forAll(genCorpus) { corpus =>
+      val docs = corpus.toDF("doc_id", "text")
+      val kept = NearDup.dedup(docs)
+      NearDup.similarPairs(kept).isEmpty
+    }
+    check(prop, n = 4)
+  }
+
+  // ---- (c) vector kernel contracts ----
+
+  test("property: cosine bounds, self-similarity, and compiled≡declarative tiers") {
+    import spark.implicits._
+    val genVec = Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0))
+      .suchThat(_.exists(_ != 0.0))
+    val prop = Prop.forAll(Gen.listOfN(12, Gen.zip(genVec, genVec))) { pairs =>
+      val df = pairs.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a.toArray, b.toArray) }
+        .toDF("id", "a", "b")
+      val rows = df.select(
+        (VectorFunctions.dotUdf(col("a"), col("b")) /
+          (VectorFunctions.normUdf(col("a")) * VectorFunctions.normUdf(col("b")))).as("cosC"),
+        (VectorFunctions.dotProduct(col("a"), col("b")) /
+          (VectorFunctions.l2Norm(col("a")) * VectorFunctions.l2Norm(col("b")))).as("cosH"),
+        (VectorFunctions.dotUdf(col("a"), col("a")) /
+          (VectorFunctions.normUdf(col("a")) * VectorFunctions.normUdf(col("a")))).as("selfC"))
+        .collect()
+      rows.forall { r =>
+        val (c, h, self) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+        // bit-identical tiers, bounded cosine, self-sim ≈ 1
+        java.lang.Double.doubleToLongBits(c) == java.lang.Double.doubleToLongBits(h) &&
+          math.abs(c) <= 1.0 + 1e-12 && math.abs(self - 1.0) <= 1e-12
+      }
+    }
+    check(prop, n = 10)
+  }
+
+  // ---- (d) running-sum window = naive prefix sums ----
+
+  test("property: windowed running sum equals per-key prefix sums") {
+    import spark.implicits._
+    val genRow = for {
+      k <- Gen.chooseNum(0, 4)
+      v <- Gen.chooseNum(-1000L, 1000L)
+    } yield (k, v)
+    val prop = Prop.forAll(Gen.listOfN(60, genRow)) { rows0 =>
+      val rows = rows0.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+      val w = Window.partitionBy("k").orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = rows.toDF("k", "ord", "v")
+        .select(col("k"), col("ord"), sum("v").over(w).as("run"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val expect = rows.groupBy(_._1).flatMap { case (_, g) =>
+        val sorted = g.sortBy(_._2)
+        sorted.zip(sorted.scanLeft(0L)(_ + _._3).tail)
+          .map { case ((k, ord, _), run) => (k, ord) -> run }
+      }
+      got == expect
+    }
+    check(prop, n = 15)
+  }
+}
