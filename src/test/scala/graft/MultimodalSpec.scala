@@ -79,4 +79,84 @@ class MultimodalSpec extends SparkSpec {
     val readSchema = "ReadSchema: .*".r.findFirstIn(plan).getOrElse("")
     assert(!readSchema.contains("payload"), s"payload not pruned: $readSchema")
   }
+
+  // ---- REAL decoders (JDK codecs: ImageIO + javax.sound) ----
+
+  private def pngBytes(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage: real PNG decode recovers dimensions and channel means") {
+    // left half pure red, right half pure blue, 8x8
+    val bytes = pngBytes(8, 8)((x, _) => if (x < 4) 0xFF0000 else 0x0000FF)
+    val df = spark.createDataFrame(Seq(Tuple1(bytes))).toDF("p")
+      .select(Multimodal.pack(lit("image"), lit("image/png"), col("p")).as("m"))
+    val r = df.select(Multimodal.decodeImage(col("m")).as("d")).select("d.*").head()
+    assert(r.getInt(0) == 8 && r.getInt(1) == 8)
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-9) // mean_r: half the pixels full red
+    assert(math.abs(r.getDouble(3) - 0.0) < 1e-9) // mean_g
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-9) // mean_b
+  }
+
+  test("imageGridFeatures: luminance grid separates dark and bright halves") {
+    // top half black, bottom half white, 8x8; 2x2 grid row-major
+    val bytes = pngBytes(8, 8)((_, y) => if (y < 4) 0x000000 else 0xFFFFFF)
+    val df = spark.createDataFrame(Seq(Tuple1(bytes))).toDF("p")
+      .select(Multimodal.pack(lit("image"), lit("image/png"), col("p")).as("m"))
+    val f = df.select(Multimodal.imageGridFeatures(col("m"), 2, 2).as("f"))
+      .head().getSeq[Double](0)
+    assert(f.length == 4)
+    assert(f(0) < 1e-9 && f(1) < 1e-9, s"top cells not black: $f")
+    assert(f(2) > 1.0 - 1e-9 && f(3) > 1.0 - 1e-9, s"bottom cells not white: $f")
+  }
+
+  test("resizeImage: real downscale halves dimensions, re-decodable, never upscales") {
+    val bytes = pngBytes(16, 8)((_, _) => 0x808080)
+    val df = spark.createDataFrame(Seq(Tuple1(bytes))).toDF("p")
+      .select(Multimodal.pack(lit("image"), lit("image/png"), col("p")).as("m"))
+    val resized = df.select(Multimodal.resizeImage(col("m"), 8, 8).as("m2"))
+    val meta = resized.select(
+      Multimodal.width(col("m2")), Multimodal.height(col("m2"))).head()
+    assert(meta.getInt(0) == 8 && meta.getInt(1) == 4) // aspect preserved
+    // the resized payload is itself a decodable PNG with those dims
+    val rt = resized.select(Multimodal.decodeImage(col("m2")).as("d")).select("d.*").head()
+    assert(rt.getInt(0) == 8 && rt.getInt(1) == 4)
+    // no upscale: asking for a larger box returns the original dims
+    val same = df.select(Multimodal.resizeImage(col("m"), 100, 100).as("m2"))
+      .select(Multimodal.width(col("m2"))).head().getInt(0)
+    assert(same == 16)
+  }
+
+  test("decodeWav: real RIFF/PCM decode recovers rate, frames, and RMS") {
+    // 16-bit mono 8kHz, 800 frames of a constant half-amplitude sample
+    val n = 800
+    val amp = 16384 // 0.5 in 16-bit
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) { pcm(2 * i) = (amp & 0xff).toByte; pcm(2 * i + 1) = (amp >> 8).toByte }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = spark.createDataFrame(Seq(Tuple1(bos.toByteArray))).toDF("p")
+      .select(Multimodal.pack(lit("audio"), lit("audio/wav"), col("p")).as("m"))
+    val r = df.select(Multimodal.decodeWav(col("m")).as("d")).select("d.*").head()
+    assert(r.getInt(0) == 8000 && r.getInt(1) == 1 && r.getLong(2) == n)
+    assert(math.abs(r.getDouble(3) - amp / 32768.0) < 1e-6)
+  }
+
+  test("real decoders quarantine undecodable payloads as null, not exceptions") {
+    val junk = Array.fill[Byte](64)(42)
+    val df = spark.createDataFrame(Seq(Tuple1(junk))).toDF("p")
+      .select(Multimodal.pack(lit("image"), lit("application/octet-stream"), col("p")).as("m"))
+    assert(df.select(Multimodal.decodeImage(col("m"))).head().isNullAt(0))
+    assert(df.select(Multimodal.decodeWav(col("m"))).head().isNullAt(0))
+    assert(df.select(Multimodal.imageGridFeatures(col("m"))).head().isNullAt(0))
+  }
 }
