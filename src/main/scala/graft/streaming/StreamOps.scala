@@ -62,4 +62,28 @@ object StreamOps {
       .groupBy(window(col("ts"), size))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("ws"), col("cnt"))
+
+  /** S9 (r5) — stream–stream interval join: each left event joins right
+    * events for the same key whose event time falls within
+    * [left.ts, left.ts + horizon] — e.g. clicks attributed to the
+    * impression they followed. Both sides are watermarked, and the time
+    * bound is two-sided, so each side's join state is evictable once
+    * the other side's watermark passes the interval — bounded state,
+    * the requirement for an unbounded 100 TB/day run. Inner join:
+    * unmatched rows simply never emit.
+    *
+    * Input frames must carry distinct column names (lKey/lTs vs
+    * rKey/rTs) — Structured Streaming's join state keys on the
+    * condition columns. */
+  def streamStreamIntervalJoin(
+      left: DataFrame, right: DataFrame,
+      lKey: String, lTs: String, rKey: String, rTs: String,
+      horizon: String = "20 seconds",
+      watermark: String = "10 seconds"): DataFrame =
+    left.withWatermark(lTs, watermark)
+      .join(
+        right.withWatermark(rTs, watermark),
+        col(lKey) === col(rKey) &&
+          col(rTs) >= col(lTs) &&
+          col(rTs) <= col(lTs) + expr(s"interval $horizon"))
 }

@@ -120,4 +120,32 @@ class StreamingSpec extends SparkSpec {
     val dirs = new java.io.File(outDir).listFiles().map(_.getName).filter(_.startsWith("datastream_id="))
     assert(dirs.sorted.toSeq == Seq("datastream_id=1", "datastream_id=2", "datastream_id=3"))
   }
+
+  test("S9: stream-stream interval join attributes clicks to impressions, bounded state") {
+    // Realistic (non-epoch-0) event times: the interval join derives
+    // per-side state watermarks by SUBTRACTING the horizon from the
+    // global watermark, and near epoch 0 that arithmetic clamps and
+    // filters the whole batch (verified empirically on Spark 4.1.2 —
+    // same plan matches correctly at 2023-era timestamps).
+    val base = 1700000000L
+    val imps = MemoryStream[Ev]   // event_id = impression id, user_id = ad key
+    val clicks = MemoryStream[Ev]
+    val joined = StreamOps.streamStreamIntervalJoin(
+      imps.toDF().select(col("user_id").as("ad"), col("ts").as("imp_ts"),
+        col("event_id").as("imp_id")),
+      clicks.toDF().select(col("user_id").as("c_ad"), col("ts").as("click_ts"),
+        col("event_id").as("click_id")),
+      lKey = "ad", lTs = "imp_ts", rKey = "c_ad", rTs = "click_ts",
+      horizon = "20 seconds", watermark = "10 seconds")
+      .select(col("imp_id"), col("click_id"))
+
+    imps.addData(ev(base + 0, "imp", 100, user = 7), ev(base + 0, "imp", 200, user = 8))
+    clicks.addData(
+      ev(base + 5, "click", 101, user = 7),   // within [0, 20] of imp 100 → match
+      ev(base + 25, "click", 102, user = 7),  // past the 20 s horizon → no match
+      ev(base + 3, "click", 201, user = 9))   // wrong key → no match
+    val name = runToMemory(joined, "append")
+    val rows = spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((100L, 101L)))
+  }
 }
