@@ -82,6 +82,8 @@ object SparkEntry {
     "q36_batch_topk"       -> (Similarity.q36 _),
     "q37_asof_join"        -> (Relational.q37 _),
     "q38_sessionize"       -> (Relational.q38 _),
+    "q39_percentiles"      -> (Relational.q39 _),
+    "q40_cube"             -> (Relational.q40 _),
   )
 
   /** DuckDB-dialect oracle SQL, one per `queries` key. */
@@ -244,5 +246,11 @@ object SparkEntry {
         "s AS (SELECT user_id, tsu, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM m) " +
         "SELECT user_id, sid, COUNT(*) AS n_events, MIN(tsu) AS start_us, MAX(tsu) AS end_us " +
         "FROM s GROUP BY user_id, sid ORDER BY user_id, sid"),
+    // Spark percentile (exact, interpolated) ≡ DuckDB quantile_cont —
+    // verified bit-identical at sf0.01.
+    "q39_percentiles" ->
+      "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, quantile_cont(l_extendedprice, 0.95) AS p95 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q40_cube" ->
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, CAST(GROUPING(l_returnflag) AS BIGINT) AS g1, CAST(GROUPING(l_linestatus) AS BIGINT) AS g2 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
   )
 }

@@ -433,6 +433,35 @@ object Relational {
         round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sv"))
       .orderBy("d", "hr", "event_type")
 
+  /** Q39 — exact percentile aggregates (median + p95 per group).
+    * Spark's `percentile` is the exact sort-based linear-interpolation
+    * aggregate — numerically identical to DuckDB's `quantile_cont`
+    * (verified bit-exact at sf0.01 incl. the interpolated midpoints).
+    * Exact percentiles need the full value multiset per group (unlike
+    * approx_percentile's mergeable sketch) — the declared form is the
+    * correctness anchor; at 100 TB you'd trade exactness for
+    * `approx_percentile`'s bounded-memory sketch. */
+  def q39(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .orderBy("l_returnflag")
+
+  /** Q40 — CUBE + GROUPING() under the oracle gate (the grouping-sets
+    * family row was ScalaTest-only through r4; ROLLUP is Q15). GROUPING
+    * flags disambiguate "NULL because aggregated" from data NULLs. */
+  def q40(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        grouping(col("l_returnflag")).cast("bigint").as("g1"),
+        grouping(col("l_linestatus")).cast("bigint").as("g2"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** Q37 — AS-OF (temporal) join: for each purchase event, the most
     * recent click by the same user at or before the purchase instant.
     * Spark has no asof-join operator (SURVEY §2.2 joins row); composed
