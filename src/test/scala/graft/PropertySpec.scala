@@ -84,11 +84,8 @@ class PropertySpec extends SparkSpec {
     val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
       "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
     val genBase = Gen.listOfN(25, Gen.oneOf(vocab)).map(_.mkString(" "))
-    val genCorpus = for {
-      bases <- Gen.listOfN(6, genBase)
-      // each base doc gets 0–2 near-dup copies with ONE word changed
-      copies <- Gen.listOf(Gen.chooseNum(0, 5))
-    } yield {
+    val genCorpus = Gen.listOfN(6, genBase).map { bases =>
+      // every other base doc gets a near-dup copy with its last word changed
       val dups = bases.zipWithIndex.flatMap { case (b, i) =>
         if (i % 2 == 0) Seq(b.replaceFirst("\\w+$", "zulu")) else Nil
       }
