@@ -23,28 +23,19 @@ object SparkEntry {
     * Key-suffix history: the `_b`/`_c` suffixes are round-4's
     * discriminating experiment on the r1–r3 hash-fails — q07/q13/q18/q24
     * `_b` re-declared DECIMAL(38,2)/TIMESTAMP outputs into hash-green
-    * presentation classes and flipped green. The q04 residue resisted
-    * every type-class theory because its root cause was different:
-    * tie-order nondeterminism on the non-unique lineitem sort keys,
-    * found (reproducibly, at sf0.1) and fixed in round 5 by totally
-    * ordering every lineitem-prefix query — see Relational.q04. */
+    * presentation classes and flipped green. The q04 residue had TWO
+    * stacked causes: tie-order nondeterminism on non-unique sort keys
+    * (fixed r5 by total ordering) and a declared DECIMAL(18,2) output
+    * column, whose driver-side string form diverges from DuckDB's
+    * float64 rendering whenever the cents digit is 0 (diagnosed r6;
+    * full story in Relational.q04's scaladoc). The r5 bisection probes
+    * that isolated the decimal column are retired; `_d` is the final
+    * all-green presentation. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_project"  -> (Relational.q01 _),
     "q02_string_fns"      -> (Relational.q02 _),
     "q03_date_fns"        -> (Relational.q03 _),
-    "q04_math_fns_b"      -> (Relational.q04 _),
-    "q04_math_fns_c"      -> (Relational.q04c _),
-    // Round-5 bisection probes for the 4-round-old q04 hash-fail — one
-    // computed-column class each, totally ordered (the root cause turned
-    // out to be tie-order nondeterminism on the non-unique lineitem
-    // keys, found at sf0.1 later in r5; see Relational.q04). A green
-    // family in CORRECTNESS_r05 confirms the fix.
-    "q04_probe_keys"      -> (Relational.q04probeKeys _),
-    "q04_probe_p"         -> (Relational.q04probeP _),
-    "q04_probe_disc"      -> (Relational.q04probeDisc _),
-    "q04_probe_far"       -> (Relational.q04probeFar _),
-    "q04_probe_fqcq"      -> (Relational.q04probeFqcq _),
-    "q04_probe_divmod"    -> (Relational.q04probeDivmod _),
+    "q04_math_fns_d"      -> (Relational.q04 _),
     "q05_conditional"     -> (Relational.q05 _),
     "q06_inner_join"      -> (Relational.q06 _),
     "q07_multiway_join_b" -> (Relational.q07 _),
@@ -95,24 +86,12 @@ object SparkEntry {
     // exact type the engine emits, and FLOOR(x / 7) replaces DuckDB's
     // `//` so the string parses identically on ANY ANSI engine (the casts
     // are no-ops on DuckDB — same types, same values). ORDER BY totally
-    // orders the output (r5 tie-determinism fix — Relational.q04);
-    // `_c` = disc_price as a plain decimal cast instead of ROUND.
-    "q04_math_fns_b" ->
-      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS p, ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price, ABS(l_discount - 0.05) > 0.01 AS far, CAST(FLOOR(l_quantity) AS DOUBLE) AS fq, CAST(CEIL(l_quantity) AS DOUBLE) AS cq, CAST(FLOOR(l_partkey / 7) AS BIGINT) AS divk, CAST(l_partkey % 7 AS BIGINT) AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber, p, disc_price, far, fq, cq, divk, modk LIMIT 100",
-    "q04_math_fns_c" ->
-      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS p, CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)) AS disc_price, ABS(l_discount - 0.05) > 0.01 AS far, CAST(FLOOR(l_quantity) AS DOUBLE) AS fq, CAST(CEIL(l_quantity) AS DOUBLE) AS cq, CAST(FLOOR(l_partkey / 7) AS BIGINT) AS divk, CAST(l_partkey % 7 AS BIGINT) AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber, p, disc_price, far, fq, cq, divk, modk LIMIT 100",
-    "q04_probe_keys" ->
-      "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
-    "q04_probe_p" ->
-      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS p FROM lineitem ORDER BY l_orderkey, l_linenumber, p LIMIT 100",
-    "q04_probe_disc" ->
-      "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_price LIMIT 100",
-    "q04_probe_far" ->
-      "SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) > 0.01 AS far FROM lineitem ORDER BY l_orderkey, l_linenumber, far LIMIT 100",
-    "q04_probe_fqcq" ->
-      "SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_quantity) AS DOUBLE) AS fq, CAST(CEIL(l_quantity) AS DOUBLE) AS cq FROM lineitem ORDER BY l_orderkey, l_linenumber, fq, cq LIMIT 100",
-    "q04_probe_divmod" ->
-      "SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_partkey / 7) AS BIGINT) AS divk, CAST(l_partkey % 7 AS BIGINT) AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber, divk, modk LIMIT 100",
+    // orders the output (r5 tie-determinism fix); `p` exercises the
+    // double→DECIMAL(18,2) cast but presents it as DOUBLE — declared
+    // decimal outputs are a driver-hash-incompatible class (r6
+    // diagnosis, Relational.q04 scaladoc).
+    "q04_math_fns_d" ->
+      "SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS p, ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price, ABS(l_discount - 0.05) > 0.01 AS far, CAST(FLOOR(l_quantity) AS DOUBLE) AS fq, CAST(CEIL(l_quantity) AS DOUBLE) AS cq, CAST(FLOOR(l_partkey / 7) AS BIGINT) AS divk, CAST(l_partkey % 7 AS BIGINT) AS modk FROM lineitem ORDER BY l_orderkey, l_linenumber, p, disc_price, far, fq, cq, divk, modk LIMIT 100",
     "q05_conditional" ->
       "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket, o_orderstatus IN ('O','F') AS known, o_totalprice BETWEEN 1000 AND 2000 AS band, COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'urgent!') AS pri FROM orders ORDER BY o_orderkey LIMIT 100",
     "q06_inner_join" ->
@@ -147,7 +126,7 @@ object SparkEntry {
     "q19_topk_per_group" ->
       "SELECT * FROM (SELECT c_mktsegment, c_custkey, c_acctbal, ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer) t WHERE rn <= 3 ORDER BY c_mktsegment, rn",
     "q20_global_topk" ->
-      "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS tp FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
+      "SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS tp FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
     "q21_set_ops" ->
       "SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier UNION SELECT n_nationkey FROM nation WHERE n_regionkey = 0 EXCEPT SELECT 999 ORDER BY nk",
     "q22_corr_subquery" ->
@@ -227,10 +206,13 @@ object SparkEntry {
     // As-of join: DuckDB's NATIVE ASOF JOIN is the oracle; the engine
     // composes the same semantics from a tagged union + running window.
     // Both sides compare epoch MICROS (shared ns→µs truncation).
+    // Clicks pre-aggregated to one row per (user_id, tsu) with
+    // MAX(event_id) on BOTH sides (r5 ADVICE): ASOF leaves ties among
+    // equal right timestamps unspecified; dedup makes it deterministic.
     "q37_asof_join" ->
       ("SELECT p.event_id, p.user_id, c.click_id " +
         "FROM (SELECT event_id, user_id, epoch_us(ts) tsu FROM events WHERE event_type = 'purchase') p " +
-        "ASOF LEFT JOIN (SELECT event_id AS click_id, user_id, epoch_us(ts) tsu FROM events WHERE event_type = 'click') c " +
+        "ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) tsu, MAX(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)) c " +
         "ON p.user_id = c.user_id AND p.tsu >= c.tsu " +
         "ORDER BY p.event_id LIMIT 200"),
     // Sessionization: 12 h idle-gap split per user (lag-mark-cumsum);
@@ -247,6 +229,6 @@ object SparkEntry {
     "q39_percentiles" ->
       "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, quantile_cont(l_extendedprice, 0.95) AS p95 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q40_cube" ->
-      "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, CAST(GROUPING(l_returnflag) AS BIGINT) AS g1, CAST(GROUPING(l_linestatus) AS BIGINT) AS g2 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, CAST(GROUPING(l_returnflag) AS BIGINT) AS g1, CAST(GROUPING(l_linestatus) AS BIGINT) AS g2 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g1, g2, cnt",
   )
 }

@@ -169,19 +169,24 @@ object Multimodal {
     val kernel = udf { (bytes: Array[Byte]) =>
       val img = readImage(bytes)
       if (img == null) null
-      else {
-        val w = img.getWidth; val h = img.getHeight
-        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-        val nw = math.max(1, math.round(w * scale).toInt)
-        val nh = math.max(1, math.round(h * scale).toInt)
-        val dst = new java.awt.image.BufferedImage(nw, nh,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g2 = dst.createGraphics()
-        try g2.drawImage(img, 0, 0, nw, nh, null) finally g2.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(dst, "png", bos)
-        ResizedImage(nw, nh, bos.toByteArray)
-      }
+      else
+        // the scale/re-encode path gets the same degraded-payload
+        // contract as decode (r5 ADVICE): a payload that decodes but
+        // fails to re-encode yields the null struct instead of failing
+        // the executor task
+        try {
+          val w = img.getWidth; val h = img.getHeight
+          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+          val nw = math.max(1, math.round(w * scale).toInt)
+          val nh = math.max(1, math.round(h * scale).toInt)
+          val dst = new java.awt.image.BufferedImage(nw, nh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = dst.createGraphics()
+          try g2.drawImage(img, 0, 0, nw, nh, null) finally g2.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          ResizedImage(nw, nh, bos.toByteArray)
+        } catch { case scala.util.control.NonFatal(_) => null }
     }
     val r = kernel(payload(media))
     pack(kind(media), lit("image/png"), r.getField("payload"),

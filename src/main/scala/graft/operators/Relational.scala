@@ -69,20 +69,36 @@ object Relational {
   /** Q4 — math scalar functions incl. the reference's truncating integer
     * division (RawDataIngestion.java:139 — `offset / 60000` on Java ints).
     *
-    * ORDER BY totally orders the OUTPUT (r5 — see q01): the lineitem
-    * keys are non-unique in this fixture, and with only the keys in the
-    * sort the values carried by tied rows depend on each engine's tie
-    * order (Spark's parallel sort does not preserve input order across
-    * partitions). This — not any hasher type-class — is what kept the
-    * q04 family hash-red for 4 rounds while rows/schema passed and
-    * single-engine audits saw "identical values": the driver's Spark
-    * run picks different tie rows than the DuckDB oracle. Reproduced
-    * and fixed locally at sf0.1. */
+    * The 5-round q04 hash-fail was TWO stacked root causes, both now
+    * diagnosed and fixed:
+    *
+    *  1. Tie order (fixed r5): with only the non-unique lineitem keys
+    *     in the ORDER BY, each engine's 100-row prefix carries
+    *     different tied rows. Every prefix query now totally orders its
+    *     own output.
+    *  2. Decimal presentation (diagnosed r6, empirically at sf0.01):
+    *     the residual red was ONLY the DECIMAL(18,2) `p` column.
+    *     Cross-engine the VALUES are identical (all 60k lineitem casts
+    *     compared — zero diffs), but the driver stringifies cells, and
+    *     DuckDB's pandas conversion renders DECIMAL as float64
+    *     ('103580.8') while Spark's parquet decimal stays a scaled
+    *     decimal ('103580.80') — divergent exactly when the cents digit
+    *     is 0 (14 of probe_p's 100 rows; q20's 25 rows had none, which
+    *     is why that "same" class read green). Rule: never DECLARE a
+    *     DECIMAL output column; exercise the cast in the plan, present
+    *     the result as DOUBLE (decimal(18,2)→double is exact at these
+    *     magnitudes, so both engines emit bit-identical doubles).
+    *     TypeClassSpec quarantines the decimal-typed cast itself;
+    *     tools/strict_gate.py now flags declared decimal outputs. The
+    *     r5 bisection probes (probe_keys/p/disc/far/fqcq/divmod) did
+    *     their job — probe_p alone stayed red — and are retired from
+    *     the declared surface. */
   def q04(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice").cast("decimal(18,2)").as("p"),
+        // decimal cast exercised, presented as double (see scaladoc #2)
+        col("l_extendedprice").cast("decimal(18,2)").cast("double").as("p"),
         round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("disc_price"),
         (abs(col("l_discount") - 0.05) > 0.01).as("far"),
         // DuckDB's native FLOOR/CEIL(DOUBLE) → DOUBLE; Spark returns
@@ -94,72 +110,6 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber", "p", "disc_price", "far",
         "fq", "cq", "divk", "modk")
       .limit(100)
-
-  /** Q4 variant C — identical capability, but `disc_price` is a plain
-    * double→DECIMAL(18,2) cast instead of ROUND-on-double. Part of the
-    * round-4 discriminating experiment on the 3-round-old hash-fails:
-    * plain-cast DECIMAL(18,2) is an empirically hash-green output class
-    * (q20 `tp`), ROUND-on-double is only emitted by failing queries.
-    * The double product is never an exact .005 boundary (binary
-    * fractions), so HALF_UP (Spark) and round-to-nearest (DuckDB) agree
-    * on every row. */
-  def q04c(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select(
-        col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice").cast("decimal(18,2)").as("p"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,2)").as("disc_price"),
-        (abs(col("l_discount") - 0.05) > 0.01).as("far"),
-        floor(col("l_quantity")).cast("double").as("fq"),
-        ceil(col("l_quantity")).cast("double").as("cq"),
-        expr("l_partkey div 7").as("divk"),
-        (col("l_partkey") % 7).as("modk"))
-      .orderBy("l_orderkey", "l_linenumber", "p", "disc_price", "far",
-        "fq", "cq", "divk", "modk")
-      .limit(100)
-
-  /** Q4 bisection probes (round 5) — declared while the q04 hash-fail
-    * was still attributed to the driver's hasher; later the same round,
-    * verifying at sf0.1 exposed the ACTUAL root cause (non-unique sort
-    * keys → engine-dependent tie order; see q04's scaladoc), and the
-    * probes were re-declared with a total order like every lineitem-
-    * prefix query. They remain in the suite as the confirmation
-    * harness: each isolates one computed-column class over the same
-    * capability, so CORRECTNESS_r05 either goes green across the family
-    * (root cause confirmed fixed) or points at whichever class still
-    * misbehaves. `probeKeys` is the control: keys only. */
-  private def q04probe(s: SparkSession, d: String, cols: Column*): DataFrame = {
-    val projected = Tables.lineitem(s, d)
-      .select(col("l_orderkey") +: col("l_linenumber") +: cols: _*)
-    // total order over the probe's own output (r5 — see q04): the keys
-    // alone are non-unique, so each probe sorts by keys + its columns
-    // and the 100-row prefix is a deterministic multiset
-    projected
-      .orderBy(projected.columns.map(col).toIndexedSeq: _*)
-      .limit(100)
-  }
-
-  def q04probeKeys(s: SparkSession, d: String): DataFrame = q04probe(s, d)
-
-  def q04probeP(s: SparkSession, d: String): DataFrame =
-    q04probe(s, d, col("l_extendedprice").cast("decimal(18,2)").as("p"))
-
-  def q04probeDisc(s: SparkSession, d: String): DataFrame =
-    q04probe(s, d,
-      round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("disc_price"))
-
-  def q04probeFar(s: SparkSession, d: String): DataFrame =
-    q04probe(s, d, (abs(col("l_discount") - 0.05) > 0.01).as("far"))
-
-  def q04probeFqcq(s: SparkSession, d: String): DataFrame =
-    q04probe(s, d,
-      floor(col("l_quantity")).cast("double").as("fq"),
-      ceil(col("l_quantity")).cast("double").as("cq"))
-
-  def q04probeDivmod(s: SparkSession, d: String): DataFrame =
-    q04probe(s, d,
-      expr("l_partkey div 7").as("divk"),
-      (col("l_partkey") % 7).as("modk"))
 
   /** Q5 — CASE / IN / BETWEEN / COALESCE / NULLIF. */
   def q05(s: SparkSession, d: String): DataFrame =
@@ -389,11 +339,16 @@ object Relational {
   }
 
   /** Q20 — global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject
-    * (partition-local heaps + driver merge, no full sort). */
+    * (partition-local heaps + driver merge, no full sort). `tp` was the
+    * suite's one remaining declared DECIMAL output — green only because
+    * none of its 25 values happened to end in a zero cents digit (the
+    * r6 q04 diagnosis; see Relational.q04) — now presented as DOUBLE
+    * like every other decimal-valued column. */
   def q20(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("tp"))
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("tp"))
       .limit(25)
 
   /** Q21 — set operations: ((A INTERSECT B) UNION C) EXCEPT D with SQL
@@ -473,7 +428,11 @@ object Relational {
 
   /** Q40 — CUBE + GROUPING() under the oracle gate (the grouping-sets
     * family row was ScalaTest-only through r4; ROLLUP is Q15). GROUPING
-    * flags disambiguate "NULL because aggregated" from data NULLs. */
+    * flags disambiguate "NULL because aggregated" from data NULLs —
+    * which is also why g1/g2 (and cnt) are in the ORDER BY (r5 ADVICE):
+    * if the data ever contained NULL grouping values, a data-NULL row
+    * and a cube-aggregate row would tie on the two name columns alone,
+    * breaking the suite's total-order rule. */
   def q40(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .cube("l_returnflag", "l_linestatus")
@@ -482,7 +441,8 @@ object Relational {
         grouping(col("l_returnflag")).cast("bigint").as("g1"),
         grouping(col("l_linestatus")).cast("bigint").as("g2"))
       .orderBy(col("l_returnflag").asc_nulls_first,
-        col("l_linestatus").asc_nulls_first)
+        col("l_linestatus").asc_nulls_first,
+        col("g1"), col("g2"), col("cnt"))
 
   /** Q37 — AS-OF (temporal) join: for each purchase event, the most
     * recent click by the same user at or before the purchase instant.
@@ -497,9 +457,16 @@ object Relational {
     * shared truncation — SURVEY §2.3). */
   def q37(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
+    // Clicks are pre-aggregated to ONE row per (user_id, tsu) with the
+    // max click_id (r5 ADVICE): DuckDB's native ASOF JOIN oracle leaves
+    // the choice among equal right-side timestamps unspecified, so both
+    // the engine and the oracle canonicalize ties the same way before
+    // joining — no behavior change while click timestamps are unique.
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
-        lit(0).as("kind"), col("event_id").as("click_id"),
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("tsu"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("tsu"),
+        lit(0).as("kind"), col("click_id"),
         lit(null).cast("bigint").as("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_micros(col("ts")).as("tsu"),

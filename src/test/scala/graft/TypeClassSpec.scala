@@ -29,6 +29,25 @@ class TypeClassSpec extends SparkSpec {
     }
   }
 
+  test("q04 decimal cast: DECIMAL(18,2)-typed p equals the gated q04_d's DOUBLE p") {
+    // the r6-diagnosed class: a DECLARED decimal column diverges in the
+    // driver's string form whenever the cents digit is 0 (DuckDB side
+    // renders float64 '103580.8', parquet decimal stays '103580.80') —
+    // so the gate presents p as DOUBLE and this test keeps the
+    // decimal-typed cast itself covered, asserting exact value equality
+    val lineitem = graft.sources.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(18,2)").as("pdec"),
+        col("l_extendedprice").cast("decimal(18,2)").cast("double").as("pdbl"))
+      .collect()
+    assert(lineitem.nonEmpty)
+    lineitem.foreach { r =>
+      // decimal(18,2) at price magnitudes → double is exact (< 2^53 cents)
+      assert(r.getDecimal(2).doubleValue() == r.getDouble(3),
+        s"p mismatch at (${r.get(0)},${r.get(1)})")
+    }
+  }
+
   test("q24timestamp: h is TIMESTAMP and equals the gated q24_b's (d, hr) bucket") {
     val ts = Relational.q24timestamp(spark, d)
     assert(ts.schema("h").dataType.typeName.startsWith("timestamp"))

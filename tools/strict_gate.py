@@ -58,6 +58,17 @@ for name, sql in sorted(oracle.items()):
     ef, er = table_sig(etbl)
     of, orows = table_sig(otbl)
     msgs = []
+    # r6 lesson (q04 family / q20): a DECLARED decimal output column is a
+    # driver-hash-incompatible class even when both engines agree exactly:
+    # the driver stringifies cells, and DuckDB's pandas path renders
+    # DECIMAL as float64 ('103580.8') while the engine's parquet decimal
+    # keeps its scale ('103580.80') — divergent whenever the last scale
+    # digit is 0. This strict gate compares arrow-to-arrow and so never
+    # sees that divergence; flag the type itself instead.
+    decs = [n for n, t in ef if t.startswith("decimal")]
+    if decs:
+        msgs.append(f"DECLARED DECIMAL OUTPUT {decs} — driver-hash-incompatible"
+                    " class; present as DOUBLE (see Relational.q04 scaladoc)")
     if ef != of:
         msgs.append(f"ARROW SCHEMA eng={ef} ora={of}")
     if len(er) != len(orows):
