@@ -72,6 +72,15 @@ object SparkEntry {
     "q38_sessionize"       -> (Relational.q38 _),
     "q39_percentiles"      -> (Relational.q39 _),
     "q40_cube"             -> (Relational.q40 _),
+    "q41_lead_lag"         -> (Relational.q41 _),
+    "q42_hash_sample"      -> (Relational.q42 _),
+    "q43_tfidf"            -> (TextOps.q43 _),
+    "q44_range_join"       -> (Relational.q44 _),
+    "q45_pivot"            -> (Relational.q45 _),
+    "q46_grouping_sets"    -> (Relational.q46 _),
+    // rows-only check: simhash has no SQL-expressible oracle (omitted
+    // from oracleSql by design; banding/Hamming contracts in ScalaTest)
+    "q47_simhash_pairs"    -> (TextOps.q47 _),
   )
 
   /** DuckDB-dialect oracle SQL, one per `queries` key. */
@@ -230,5 +239,49 @@ object SparkEntry {
       "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, quantile_cont(l_extendedprice, 0.95) AS p95 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q40_cube" ->
       "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, CAST(GROUPING(l_returnflag) AS BIGINT) AS g1, CAST(GROUPING(l_linestatus) AS BIGINT) AS g2 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g1, g2, cnt",
+    // NTILE is BIGINT in DuckDB (Spark INT → cast wide engine-side);
+    // (o_orderdate, o_orderkey) is unique per customer, so the window
+    // order and the output order are both total.
+    "q41_lead_lag" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "LAG(o_orderkey, 1) OVER w AS prev_order, " +
+        "LEAD(o_orderkey, 1) OVER w AS next_order, " +
+        "FIRST_VALUE(o_orderkey) OVER w AS first_order, " +
+        "NTILE(4) OVER w AS quartile " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey LIMIT 200"),
+    // Content-stable deterministic sample: both engines md5 the SAME
+    // UTF-8 rendering of doc_id; first hex digit in {0,1} ≈ 12.5%.
+    "q42_hash_sample" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') ORDER BY doc_id",
+    "q43_tfidf" ->
+      ("WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents), " +
+        "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w), " +
+        "dfreq AS (SELECT w, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w), " +
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents) " +
+        "SELECT tf.doc_id, tf.w AS word, tf.tf, dfreq.df, " +
+        "ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf " +
+        "FROM tf JOIN dfreq USING (w) CROSS JOIN n " +
+        "ORDER BY tfidf DESC, doc_id, word LIMIT 50"),
+    "q44_range_join" ->
+      ("SELECT p.event_id, p.user_id, COUNT(c.cid) AS n_clicks " +
+        "FROM (SELECT event_id, user_id, epoch_us(ts) tsu FROM events WHERE event_type = 'purchase') p " +
+        "LEFT JOIN (SELECT user_id cu, epoch_us(ts) ctsu, event_id cid FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.cu AND c.ctsu >= p.tsu - 3600000000 AND c.ctsu <= p.tsu " +
+        "GROUP BY p.event_id, p.user_id ORDER BY p.event_id LIMIT 200"),
+    // COUNT(CASE … THEN 1 END) keeps BIGINT (SUM would be HUGEINT).
+    "q45_pivot" ->
+      ("SELECT o_orderstatus AS status, " +
+        "COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent, " +
+        "COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2_high, " +
+        "COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3_medium, " +
+        "COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4_notspec, " +
+        "COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY status"),
+    "q46_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, " +
+        "CAST(GROUPING(l_returnflag) AS BIGINT) AS g1, CAST(GROUPING(l_linestatus) AS BIGINT) AS g2 " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g1, g2, cnt"),
   )
 }

@@ -104,6 +104,28 @@ object TextOps {
       col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id").limit(100)
 
+  /** Q43 — TF-IDF: the training-data-pipeline "which terms typify this
+    * document" scorer. Three aggregations that all reuse the ONE
+    * explode: tf per (doc, term), df per term, corpus size N as a
+    * broadcast scalar (computed distributively — no driver .count()).
+    * At scale tf and df shuffle on different keys by necessity (doc vs
+    * term); df is vocabulary-sized, so the tf⋈df join broadcasts when
+    * the vocabulary fits and shuffles on `w` otherwise — AQE's call.
+    * Score presented ROUND(,6): both engines compute tf·ln(N/df) on
+    * bit-identical double inputs. */
+  def q43(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "w").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w").as("word"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("word"))
+      .limit(50)
+  }
+
   // ---- SimHash (near-dup fingerprint; no SQL-expressible oracle —
   // verified by ScalaTest against the fixture's near-dup groups) ----
 
@@ -148,4 +170,12 @@ object TextOps {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** Q47 — SimHash near-dup pairs as a DECLARED query (rows-only
+    * driver check: simhash has no DuckDB-expressible oracle; the
+    * Hamming/banding contracts live in TextAnalysisSpec). Default
+    * banding: Hamming ≤ 7 with zero false negatives. */
+  def q47(s: SparkSession, d: String): DataFrame =
+    simHashPairs(Tables.documents(s, d))
+      .orderBy("a", "b")
 }

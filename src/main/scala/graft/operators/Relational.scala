@@ -505,6 +505,97 @@ object Relational {
       .orderBy("user_id", "sid")
   }
 
+  /** Q41 — navigation window functions: LAG / LEAD / FIRST_VALUE /
+    * NTILE over each customer's order history. One shuffle on
+    * o_custkey serves all four (same window partitioning); the sort
+    * key (o_orderdate, o_orderkey) is unique per partition so the
+    * RANGE-default frame of first_value has no peer ambiguity.
+    * NTILE→INT in Spark, BIGINT in DuckDB — cast wide. */
+  def q41(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        ntile(4).over(w).cast("bigint").as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(200)
+  }
+
+  /** Q42 — deterministic hash-based sampling (the reproducible analog
+    * of TABLESAMPLE for a training-data pipeline): a doc is in the
+    * sample iff the first hex digit of md5(doc_id) ∈ {0,1} — a fixed
+    * ~12.5% rate that is content-stable across engines, partitionings,
+    * and reruns (unlike rand()-based sampling, which is declared
+    * unverifiable). Narrow: filter pushes to the scan, no shuffle. */
+  def q42(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+        .isin("0", "1"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Q44 — range (interval) join: for each purchase, how many clicks
+    * by the same user in the preceding hour. Equi-key (user_id) +
+    * range predicate: Spark plans ONE shuffle on user_id with the
+    * interval as a join filter — no cross product; per-user row counts
+    * bound the worst case at 100 TB, and a skewed user is AQE's
+    * skew-join case. Epoch-µs comparison as in q37/q38. */
+  def q44(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), unix_micros(col("ts")).as("ctsu"),
+        col("event_id").as("cid"))
+    p.join(c,
+        p("user_id") === c("cu") &&
+          c("ctsu") >= p("tsu") - lit(3600000000L) && c("ctsu") <= p("tsu"),
+        "left")
+      .groupBy(p("event_id"), p("user_id"))
+      .agg(count(col("cid")).as("n_clicks"))
+      .orderBy("event_id")
+      .limit(200)
+  }
+
+  /** Q45 — pivot (long→wide conditional aggregation): order counts per
+    * (status, priority-class) with an explicit pivot value list — the
+    * list keeps the output schema static, which is what makes pivot
+    * sane at scale (no driver-side distinct scan to discover columns;
+    * Spark otherwise runs one). Plans as a single hash aggregate. */
+  def q45(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("status"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnRenamed("1-URGENT", "p1_urgent")
+      .withColumnRenamed("2-HIGH", "p2_high")
+      .withColumnRenamed("3-MEDIUM", "p3_medium")
+      .withColumnRenamed("4-NOT SPECIFIED", "p4_notspec")
+      .withColumnRenamed("5-LOW", "p5_low")
+      .orderBy("status")
+
+  /** Q46 — GROUPING SETS through the SQL entry point (spark.sql over a
+    * registered view — the suite's other queries all use the DataFrame
+    * API; SURVEY §3 lists both as first-class). Explicit sets, not the
+    * CUBE/ROLLUP sugar (those are Q40/Q15). Total order incl. the
+    * grouping flags (see q40). */
+  def q46(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("q46_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g1,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g2
+        |FROM q46_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST,
+        |  g1, g2, cnt""".stripMargin)
+  }
+
   /** QUARANTINED type-class variant (r4 ADVICE): q24 with the hour
     * bucket as a single TIMESTAMP column `h` — the suite's only
     * timestamp output class and a 3-round driver-hash-fail with

@@ -2,6 +2,11 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** S10 custom state (top-level so product encoders resolve). */
+case class UserSessionState(nEvents: Long, startMs: Long, lastMs: Long)
+case class ClosedSession(user_id: Long, n_events: Long, start_ms: Long, end_ms: Long)
 
 /** The declared streaming operator surface S2–S7 (SURVEY.md §2.4) —
   * event-time upgrades of the reference's processing-time-only design.
@@ -86,4 +91,54 @@ object StreamOps {
         col(lKey) === col(rKey) &&
           col(rTs) >= col(lTs) &&
           col(rTs) <= col(lTs) + expr(s"interval $horizon"))
+
+  /** S10 — arbitrary stateful processing via flatMapGroupsWithState
+    * (SURVEY §2.4's custom-state row — the semantics session_window
+    * can't express: a gap-split session that EMITS each closed session
+    * exactly once, with per-key state the operator owns). Per user:
+    * events extend the open session; a gap > `gapMs` closes it and
+    * emits; an event-time timeout (watermark passing last event + gap)
+    * closes an idle session without needing another event for that key.
+    *
+    * Scale posture: state is one fixed-size record per ACTIVE key (not
+    * per event), keyed-partitioned by user — at 1000 executors each
+    * holds |active users|/1000 records; timeouts evict idle keys so
+    * state does not grow with stream age. Output is Append — safe for
+    * any sink. */
+  def statefulSessions(events: DataFrame, gapMs: Long = 30000L,
+      watermark: String = "10 seconds"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[UserSessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get; state.remove()
+            Iterator.single(ClosedSession(uid, st.nEvents, st.startMs, st.lastMs))
+          } else {
+            val times = rows.map(_._2.getTime).toArray.sorted
+            var closed = List.empty[ClosedSession]
+            var st = state.getOption.orNull
+            times.foreach { t =>
+              if (st == null) st = UserSessionState(1, t, t)
+              else if (t - st.lastMs > gapMs) {
+                closed ::= ClosedSession(uid, st.nEvents, st.startMs, st.lastMs)
+                st = UserSessionState(1, t, t)
+              } else
+                st = UserSessionState(st.nEvents + 1, math.min(st.startMs, t), t)
+            }
+            state.update(st)
+            // EventTimeTimeout requires a timestamp beyond the current
+            // watermark; a within-watermark late event could otherwise
+            // compute one behind it
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            closed.reverse.iterator
+          }
+      }.toDF()
+  }
 }

@@ -148,4 +148,32 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows == Set((100L, 101L)))
   }
+
+  test("S10: flatMapGroupsWithState gap-splits sessions and times out idle keys") {
+    val base = 1700000000L // 2023-era (see S9's epoch-0 note)
+    val in = MemoryStream[Ev]
+    val out = StreamOps.statefulSessions(in.toDF(), gapMs = 30000L,
+      watermark = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("s10").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+
+    // batch 1: user 1 opens a session (2 events), user 2 opens one
+    in.addData(ev(base + 0, "a", 1), ev(base + 10, "a", 2),
+      ev(base + 5, "a", 3, user = 2))
+    q.processAllAvailable()
+    // batch 2: user 1's 90 s gap > 30 s closes its first session inline
+    in.addData(ev(base + 100, "a", 4))
+    q.processAllAvailable()
+    // batch 3: watermark (base+100 − 10 s) passes user 2's timeout
+    // (base+5 + 30 s) → idle-key session emits WITHOUT new user-2 data;
+    // user 1's gap closes its second session
+    in.addData(ev(base + 200, "a", 5))
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("s10").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (r.getLong(2) / 1000 - base), (r.getLong(3) / 1000 - base))).toSet
+    // user 1's base+200 session is still open → not emitted (Append)
+    assert(rows == Set((1L, 2L, 0L, 10L), (1L, 1L, 100L, 100L), (2L, 1L, 5L, 5L)))
+  }
 }
