@@ -35,14 +35,18 @@ object Similarity {
   def q27(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val qv = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>").as("qe"))
+      .select(col("embedding").as("qe"))
+    // r6: scored with the NATIVE vec_dot/vec_norm Catalyst expressions
+    // (graft.functions.VectorExpressions) — the whole projection stays
+    // inside WholeStageCodegen reading float ArrayData in place; no
+    // array<double> pre-cast, no per-row UDF boundary copy. Numerics
+    // bit-identical to the UDF tier (VectorExpressionsSpec).
     emb.crossJoin(broadcast(qv))
-      .select(col("vec_id"),
-        col("embedding").cast("array<double>").as("e"), col("qe"))
       .select(
         col("vec_id"),
-        round(dotUdf(col("e"), col("qe")) /
-          (normUdf(col("e")) * normUdf(col("qe"))), 6).as("sim"))
+        round(call_function("vec_dot", col("embedding"), col("qe")) /
+          (call_function("vec_norm", col("embedding")) *
+            call_function("vec_norm", col("qe"))), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -64,13 +68,15 @@ object Similarity {
     */
   def topKBatch(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAggregator(k))
-    corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // native vec_dot/vec_norm expressions (see q27) — scoring fuses into
+    // the scan-side codegen stage; only the k-heap aggregator is a UDAF
+    corpus.select(col("vec_id"), col("embedding").as("e"))
       .crossJoin(broadcast(
-        queries.select(col("vec_id").as("qid"),
-          col("embedding").cast("array<double>").as("qe"))))
+        queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))))
       .select(col("qid"), col("vec_id"),
-        round(dotUdf(col("e"), col("qe")) /
-          (normUdf(col("e")) * normUdf(col("qe"))), 6).as("sim"))
+        round(call_function("vec_dot", col("e"), col("qe")) /
+          (call_function("vec_norm", col("e")) *
+            call_function("vec_norm", col("qe"))), 6).as("sim"))
       .groupBy("qid")
       .agg(topk(col("vec_id"), col("sim")).as("topk"))
       .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "hit")))

@@ -130,10 +130,39 @@ object TextOps {
   // verified by ScalaTest against the fixture's near-dup groups) ----
 
   /** 64-bit SimHash over shingle hashes: bit b of the output is set iff
-    * the majority of shingles have bit b set. Near-identical texts give
-    * near-identical simhashes (small Hamming distance). Pure column
-    * expressions: 64 bounded aggregates over the shingle array. */
-  def simHash(shingles: Column): Column =
+    * the majority of shingles have bit b set (ties → set, matching the
+    * `>= 0` vote of the reference HOF tier below).
+    *
+    * COMPILED kernel (r6): the r5 HOF form ran interpreted at
+    * 64·|shingles| boxed evals per doc — the same CodegenFallback trap
+    * as the r3 minhash (NearDup.minhashSignature's scaladoc); this
+    * while-loop JITs. `simHashHof` is kept as the declarative reference
+    * tier; TextAnalysisSpec asserts bit-identical outputs. */
+  def simHash(shingles: Column): Column = {
+    val kernel = udf { (sh: Array[Long]) =>
+      if (sh == null) null
+      else {
+        var out = 0L
+        var b = 0
+        while (b < 64) {
+          var acc = 0
+          var i = 0
+          while (i < sh.length) {
+            acc += (if (((sh(i) >>> b) & 1L) == 1L) 1 else -1)
+            i += 1
+          }
+          if (acc >= 0) out |= (1L << b)
+          b += 1
+        }
+        java.lang.Long.valueOf(out)
+      }
+    }
+    kernel(shingles)
+  }
+
+  /** Declarative reference tier of [[simHash]] (interpreted HOFs — do
+    * not use in hot paths). */
+  def simHashHof(shingles: Column): Column =
     aggregate(
       transform(sequence(lit(0), lit(63)), b =>
         when(aggregate(shingles, lit(0),

@@ -66,6 +66,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ham(sh(1L), sh(3L)) >= 20, s"distinct dist=${ham(sh(1L), sh(3L))}")
   }
 
+  test("simhash compiled kernel is bit-identical to the declarative HOF tier") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001")).limit(50)
+    val both = docs.select(
+        TextOps.simHash(NearDup.shingleHashes(col("text"))).as("k"),
+        TextOps.simHashHof(NearDup.shingleHashes(col("text"))).as("h"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("simHashPairs: banding is exact to Hamming 7; high recall on fixture groups at sf0.001") {
     val d = sf("sf0.001")
     val docs = graft.sources.Tables.documents(spark, d)
