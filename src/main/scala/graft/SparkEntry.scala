@@ -78,9 +78,13 @@ object SparkEntry {
     "q44_range_join"       -> (Relational.q44 _),
     "q45_pivot"            -> (Relational.q45 _),
     "q46_grouping_sets"    -> (Relational.q46 _),
-    // rows-only check: simhash has no SQL-expressible oracle (omitted
-    // from oracleSql by design; banding/Hamming contracts in ScalaTest)
+    "q48_unpivot"          -> (Relational.q48 _),
+    "q49_rank_dist"        -> (Relational.q49 _),
+    // rows-only checks: simhash banding and winnowing selection have no
+    // SQL-expressible oracle (omitted from oracleSql by design; the
+    // banding/Hamming and substring-match contracts are in ScalaTest)
     "q47_simhash_pairs"    -> (TextOps.q47 _),
+    "q50_winnow_fp"        -> (TextOps.q50 _),
   )
 
   /** DuckDB-dialect oracle SQL, one per `queries` key. */
@@ -283,5 +287,19 @@ object SparkEntry {
         "CAST(GROUPING(l_returnflag) AS BIGINT) AS g1, CAST(GROUPING(l_linestatus) AS BIGINT) AS g2 " +
         "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g1, g2, cnt"),
+    // UNPIVOT expressed as ANSI UNION ALL (DuckDB's UNPIVOT keyword is
+    // dialect-specific; the union form is semantically identical)
+    "q48_unpivot" ->
+      ("SELECT * FROM (" +
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) t " +
+        "ORDER BY l_orderkey, l_linenumber, measure, val LIMIT 200"),
+    "q49_rank_dist" ->
+      ("SELECT c_mktsegment, c_custkey, DENSE_RANK() OVER w AS dr, " +
+        "ROUND(PERCENT_RANK() OVER w, 6) AS pr, ROUND(CUME_DIST() OVER w, 6) AS cd " +
+        "FROM customer " +
+        "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) " +
+        "ORDER BY c_mktsegment, c_custkey LIMIT 200"),
   )
 }

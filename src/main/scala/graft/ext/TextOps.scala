@@ -194,11 +194,87 @@ object TextOps {
       .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bv").as("bv"))
     val l = banded.select(col("band"), col("bv"), col("id").as("a"), col("sh").as("sha"))
     val r = banded.select(col("band"), col("bv"), col("id").as("b"), col("sh").as("shb"))
+    // Hamming filter BEFORE distinct (r6): a band bucket holds |docs|/256
+    // docs on average, so the join emits O(8·|docs|²/256) candidate rows —
+    // the XOR+popcount filter is codegen'd map-side right out of the join,
+    // and only the true near-dup pairs (tiny) reach the distinct's
+    // shuffle. The original plan distinct-ed ALL candidates first: a
+    // multi-million-row exchange doing the dedup work the filter makes
+    // unnecessary (13.2 s → the filter-first plan at sf0.1).
     l.join(r, Seq("band", "bv")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), hammingDistance(col("sha"), col("shb")).as("dist"))
-      .distinct()
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
+
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): Rabin-Karp ROLLING hash over char k-grams of
+    * the whitespace-normalized lowercased text, then per window of `w`
+    * consecutive hashes keep the minimum (rightmost on ties), deduped
+    * by position. Guarantees: any shared substring of length ≥ k+w-1
+    * yields at least one shared fingerprint, and density is ~2/(w+1) —
+    * so matching is local (a shared paragraph is detectable no matter
+    * what surrounds it), unlike q33's whole-document md5. Output:
+    * array<bigint> of selected hashes, ~2·len/(w+1) per doc.
+    *
+    * Scale posture: pure per-row compiled kernel (no shuffle); the
+    * downstream near-dup join is `explode` → equi-join on the hash —
+    * same banded-join shape as minhash/LSH but with substring-match
+    * semantics instead of set-Jaccard. */
+  def winnowFingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val kernel = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val s = t.toLowerCase.replaceAll("\\s+", " ").trim
+        val n = s.length - k + 1
+        if (n <= 0) Array.empty[Long]
+        else {
+          val B = 1000003L
+          var pow = 1L
+          var i = 0
+          while (i < k - 1) { pow *= B; i += 1 }
+          val hs = new Array[Long](n)
+          var h = 0L
+          i = 0
+          while (i < k) { h = h * B + s.charAt(i); i += 1 }
+          hs(0) = h
+          i = 1
+          while (i < n) {
+            h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+            hs(i) = h
+            i += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var lastPos = -1
+          var j = 0
+          val windows = math.max(n - w + 1, 1)
+          val ww = math.min(w, n)
+          while (j < windows) {
+            var minPos = j
+            var p = j + 1
+            while (p < j + ww) { if (hs(p) <= hs(minPos)) minPos = p; p += 1 }
+            if (minPos != lastPos) { out += hs(minPos); lastPos = minPos }
+            j += 1
+          }
+          out.toArray
+        }
+      }
+    }
+    kernel(text)
+  }
+
+  /** Q50 — winnowing fingerprints as a DECLARED query (rows-only
+    * driver check, like q47: the rolling-hash selection has no
+    * DuckDB-expressible oracle; the substring-match guarantee and
+    * density contracts live in TextAnalysisSpec). Presents per-doc
+    * fingerprint count and the min hash — both deterministic. */
+  def q50(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        winnowFingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), size(col("fp")).cast("bigint").as("n_fp"),
+        array_min(col("fp")).as("min_fp"))
+      .orderBy("doc_id")
 
   /** Q47 — SimHash near-dup pairs as a DECLARED query (rows-only
     * driver check: simhash has no DuckDB-expressible oracle; the

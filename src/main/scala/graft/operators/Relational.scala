@@ -596,6 +596,41 @@ object Relational {
         |  g1, g2, cnt""".stripMargin)
   }
 
+  /** Q48 — UNPIVOT (wide→long; the inverse of Q45's pivot) via the
+    * native `Dataset.unpivot` operator: three lineitem measures melt
+    * into (measure, val) rows. Plans as a single `Expand` — one scan,
+    * 3× row multiplication map-side, no shuffle before the final
+    * order; at 100 TB the melt is embarrassingly parallel. Total order
+    * includes `val`: (l_orderkey, l_linenumber) is NOT unique in the
+    * fixture (the q04 lesson), so every output column participates. */
+  def q48(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .orderBy("l_orderkey", "l_linenumber", "measure", "val")
+      .limit(200)
+
+  /** Q49 — distribution window functions (dense_rank / percent_rank /
+    * cume_dist), completing the ranking-window family beyond Q17's
+    * row_number+rank and Q41's navigation set. Window order
+    * (c_acctbal DESC, c_custkey) is total, so the rank values are
+    * deterministic; doubles presented ROUND(...,6) per the q27/q29
+    * precedent; output order is total via the unique c_custkey. */
+  def q49(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .select(
+        col("c_mktsegment"), col("c_custkey"),
+        dense_rank().over(w).cast("bigint").as("dr"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("c_mktsegment", "c_custkey")
+      .limit(200)
+  }
+
   /** QUARANTINED type-class variant (r4 ADVICE): q24 with the hour
     * bucket as a single TIMESTAMP column `h` — the suite's only
     * timestamp output class and a 3-round driver-hash-fail with

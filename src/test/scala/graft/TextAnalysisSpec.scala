@@ -66,6 +66,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ham(sh(1L), sh(3L)) >= 20, s"distinct dist=${ham(sh(1L), sh(3L))}")
   }
 
+  test("winnowing: deterministic, whitespace-invariant, substring guarantee, density bound") {
+    // k=8, w=4: any shared substring of length >= k+w-1 = 11 chars must
+    // yield at least one shared fingerprint (the winnowing guarantee)
+    val shared = "a quick brown fox jumped over the lazy dog near the river bank"
+    val df = spark.createDataFrame(Seq(
+      (1L, s"PREFIX ONE $shared SUFFIX ALPHA"),
+      (2L, s"totally different lead-in $shared and another tail"),
+      (3L, s"PREFIX   ONE  $shared  SUFFIX ALPHA"), // ws-normalized dup of 1
+      (4L, "unrelated content with no overlap whatsoever in this sentence")))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TextOps.winnowFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(3L), "whitespace normalization")
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared substring must share a fingerprint")
+    assert((fps(1L) & fps(4L)).isEmpty, "unrelated texts share nothing")
+    // density: selected fingerprints are a strict subset of the k-gram count,
+    // roughly 2/(w+1) of positions — allow a generous band
+    val n = df.filter(col("doc_id") === 1L).head().getString(1).length
+    assert(fps(1L).size > n / 12 && fps(1L).size < n, s"density out of band: ${fps(1L).size} of $n")
+  }
+
+  test("q50 winnow query: one row per doc, positive counts") {
+    val out = TextOps.q50(spark, sf("sf0.001"))
+    val rows = out.collect()
+    assert(rows.length == spark.read.parquet(sf("sf0.001") + "/documents.parquet").count())
+    assert(rows.forall(r => r.getLong(1) > 0))
+  }
+
   test("simhash compiled kernel is bit-identical to the declarative HOF tier") {
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001")).limit(50)
     val both = docs.select(
