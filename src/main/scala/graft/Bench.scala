@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *    ~20 s in all three consecutive runs, 0.7 s in a pass minutes
   *    later). Passes are minutes apart by construction — a stall window
   *    inflates one pass; the min recovers the intrinsic cost.
-  *  - heavy queries (q28/q29/q34/q35) run AFTER the light set within
+  *  - heavy queries (q28/q29/q34/q35/q47) run AFTER the light set within
   *    each pass, and every persisted RDD is swept between runs: r4's
   *    bench ran lights in a JVM already carrying leaked cache blocks
   *    from heavy warmups — measured here: the same q29 kernel timed
@@ -55,7 +55,7 @@ object Bench {
     }
 
     val heavies = Seq("q28_near_dup_minhash", "q29_embedding_pairs",
-      "q34_ann_topk", "q35_ngram_jaccard")
+      "q34_ann_topk", "q35_ngram_jaccard", "q47_simhash_pairs")
     val names = SparkEntry.queries.keys.toSeq.sorted
     val order = names.filterNot(heavies.contains) ++ heavies.filter(names.contains)
     order.foreach(runOnce) // full warmup pass, results discarded

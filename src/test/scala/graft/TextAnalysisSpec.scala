@@ -139,6 +139,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert((got -- byPrefix).isEmpty, s"spurious ${(got -- byPrefix).take(5)}")
   }
 
+  test("simHashPairs: wider-key banding (maxDist=3 -> 4x16-bit blocks) is exact to Hamming 3") {
+    // the 100 TB operating point: bands = maxDist+1 = 4 blocks of 16
+    // bits — pigeonhole still guarantees zero false negatives at d<=3,
+    // with 2^16 key space instead of 2^8. Verify against brute force.
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val got = TextOps.simHashPairs(docs, maxDist = 3).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select(col("doc_id"),
+      TextOps.simHash(NearDup.shingleHashes(col("text"))).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth3 = (for {
+      (ida, sa) <- sh; (idb, sb) <- sh
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb)).toSet
+    assert(got == truth3,
+      s"banding!=brute-force: missed ${(truth3 -- got).take(5)} spurious ${(got -- truth3).take(5)}")
+  }
+
+  test("simHashPairs: degenerate-bucket guard drops exact-dup floods") {
+    // 30 identical docs -> every band bucket has 30 members -> 435 pairs
+    // without the guard; maxBucket=10 drops the flood entirely (exact
+    // dups belong in exact dedup, not banding).
+    val dup = (1L to 30L).map(i => (i, "the quick brown fox jumps over the lazy dog " +
+      "while the morning light settles across the quiet valley and distant hills"))
+    val docs = spark.createDataFrame(dup).toDF("doc_id", "text")
+    assert(TextOps.simHashPairs(docs, maxBucket = 10).count() == 0)
+    assert(TextOps.simHashPairs(docs).count() == 435) // default cap untouched
+  }
+
   test("q30-q33 run and key invariants hold at sf0.001") {
     val d = sf("sf0.001")
     val q30 = TextOps.q30(spark, d).collect()
