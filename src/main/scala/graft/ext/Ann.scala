@@ -3,7 +3,6 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions._
 import graft.functions.TopKAggregator
 import graft.sources.Tables
 
@@ -37,21 +36,40 @@ object Ann {
         transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
 
   /** Assign every corpus vector to its nearest (max-cosine) centroid.
-    * Centroids are broadcast; rank-1 per vector via a window over the
-    * per-vector candidate list (nCentroids rows per vector — bounded).
-    * Scoring uses the compiled dot/norm kernels (r5 — same reasoning
-    * as Similarity.q27: interpreted HOFs collapse in long-lived JVMs
-    * and sit outside codegen anyway; numerics unchanged). */
+    * Centroids are broadcast; scoring uses the NATIVE `vec_dot`/
+    * `vec_norm` Catalyst expressions (r8 — codegen'd straight over the
+    * unsafe array buffers, no per-row boundary copies; the r5 compiled
+    * UDFs paid an ArrayData→Array[Double] copy per argument per row,
+    * N·nCentroids times here). The arg-max is a `max_by` hash
+    * aggregation on vec_id — map-side partial, so only N rows reach the
+    * shuffle; the old `row_number` window sort-shuffled the full
+    * N·nCentroids candidate set. At 100 TB the assignment pass
+    * dominates index build, so both changes land on the hot path.
+    * Numerics unchanged: (double) of a float is exact, same
+    * left-to-right sums. Ties (equal sim) break to the LOWEST
+    * centroid_id — TopKAggregator's (score DESC, id ASC) order, the
+    * same order the old window declared.
+    *
+    * Why TopKAggregator(1) and not `max_by`: the declarative argmax's
+    * buffer holds a struct (+ the embedding array for `first`), which
+    * HashAggregate's fixed-width UnsafeRow buffer can't store, so
+    * Catalyst falls back to SortAggregate — a per-partition SORT of all
+    * N·nCentroids candidate rows before the partial agg. The typed
+    * aggregator routes to ObjectHashAggregate: hash-based, no sort,
+    * same map-side partials. */
   def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = corpus.select(col("vec_id"), col("embedding"))
+    val top1 = udaf(new TopKAggregator(1))
+    corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
-      .withColumn("e", col("embedding").cast("array<double>"))
-      .withColumn("c", col("centroid").cast("array<double>"))
       .withColumn("sim",
-        dotUdf(col("e"), col("c")) / (normUdf(col("e")) * normUdf(col("c"))))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("centroid_id"), col("vec_id"), col("embedding"))
+        call_function("vec_dot", col("embedding"), col("centroid")) /
+          (call_function("vec_norm", col("embedding")) *
+            call_function("vec_norm", col("centroid"))))
+      .groupBy("vec_id")
+      .agg(top1(col("centroid_id"), col("sim")).as("t1"),
+        first(col("embedding")).as("embedding"))
+      .select(col("t1").getItem(0).getField("id").as("centroid_id"),
+        col("vec_id"), col("embedding"))
   }
 
   /** Build the IVF index: (centroids, assignments).
@@ -99,23 +117,24 @@ object Ann {
       queries: DataFrame,
       k: Int,
       nProbe: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"),
-      col("embedding").cast("array<double>").as("qe"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val cw = Window.partitionBy("qid").orderBy(col("csim").desc, col("centroid_id"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("c", col("centroid").cast("array<double>"))
       .withColumn("csim",
-        dotUdf(col("qe"), col("c")) / (normUdf(col("qe")) * normUdf(col("c"))))
+        call_function("vec_dot", col("qe"), col("centroid")) /
+          (call_function("vec_norm", col("qe")) *
+            call_function("vec_norm", col("centroid"))))
       .withColumn("crn", row_number().over(cw)).filter(col("crn") <= nProbe)
       .select(col("qid"), col("qe"), col("centroid_id"))
     // final top-k via the bounded-heap aggregator (map-side partial),
-    // not a window sort — probed candidates can still be numerous at scale
+    // not a window sort — probed candidates can still be numerous at scale.
+    // Scoring is the native vec_dot/vec_norm expressions (r8, see assign).
     val topk = udaf(new TopKAggregator(k))
     probes.join(assigned, "centroid_id")
-      .withColumn("e", col("embedding").cast("array<double>"))
       .select(col("qid"), col("vec_id"),
-        round(dotUdf(col("e"), col("qe")) /
-          (normUdf(col("e")) * normUdf(col("qe"))), 6).as("sim"))
+        round(call_function("vec_dot", col("embedding"), col("qe")) /
+          (call_function("vec_norm", col("embedding")) *
+            call_function("vec_norm", col("qe"))), 6).as("sim"))
       .groupBy("qid")
       .agg(topk(col("vec_id"), col("sim")).as("topk"))
       .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "hit")))
