@@ -80,6 +80,7 @@ object SparkEntry {
     "q46_grouping_sets"    -> (Relational.q46 _),
     "q48_unpivot"          -> (Relational.q48 _),
     "q49_rank_dist"        -> (Relational.q49 _),
+    "q51_winnow_pairs"     -> (TextOps.q51 _),
     // rows-only checks: simhash banding and winnowing selection have no
     // SQL-expressible oracle (omitted from oracleSql by design; the
     // banding/Hamming and substring-match contracts are in ScalaTest)
@@ -301,5 +302,14 @@ object SparkEntry {
         "FROM customer " +
         "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) " +
         "ORDER BY c_mktsegment, c_custkey LIMIT 200"),
+    // Winnowing near-dup pairs: the engine derives pairs from shared
+    // rolling-hash fingerprints (MOSS) + exact fingerprint-set Jaccard
+    // >= 0.5; the fixture ground truth is the 40-char-prefix pairing —
+    // in-group fingerprint Jaccard >= 0.913, cross-group <= 0.157, so
+    // the two derivations provably agree (q28/q35 argument).
+    "q51_winnow_pairs" ->
+      ("SELECT x.doc_id AS a, y.doc_id AS b FROM documents x JOIN documents y " +
+        "ON SUBSTRING(x.text, 1, 40) = SUBSTRING(y.text, 1, 40) AND x.doc_id < y.doc_id " +
+        "ORDER BY a, b"),
   )
 }

@@ -168,6 +168,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextOps.simHashPairs(docs).count() == 435) // default cap untouched
   }
 
+  test("winnowPairs: fingerprint-set Jaccard pairs equal the fixture prefix groups at sf0.001") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val got = TextOps.winnowPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byPrefix = docs.select(substring(col("text"), 1, 40).as("p"), col("doc_id"))
+      .collect().groupBy(_.getString(0)).values
+      .flatMap(g => g.map(_.getLong(1)).sorted.combinations(2).map(c => (c(0), c(1))))
+      .toSet
+    assert(got == byPrefix,
+      s"missed ${(byPrefix -- got).take(5)} spurious ${(got -- byPrefix).take(5)}")
+  }
+
   test("q30-q33 run and key invariants hold at sf0.001") {
     val d = sf("sf0.001")
     val q30 = TextOps.q30(spark, d).collect()
