@@ -81,11 +81,16 @@ object SparkEntry {
     "q48_unpivot"          -> (Relational.q48 _),
     "q49_rank_dist"        -> (Relational.q49 _),
     "q51_winnow_pairs"     -> (TextOps.q51 _),
-    // rows-only checks: simhash banding and winnowing selection have no
-    // SQL-expressible oracle (omitted from oracleSql by design; the
-    // banding/Hamming and substring-match contracts are in ScalaTest)
+    // rows-only checks: simhash banding, winnowing selection, and the
+    // approx-percentile sketch have no SQL-expressible oracle (omitted
+    // from oracleSql by design; the banding/Hamming, substring-match,
+    // and within-rank-error contracts are in ScalaTest — and the
+    // winnowing MODALITY is oracle-gated via q51, the sketch's exactness
+    // anchor via q39)
     "q47_simhash_pairs"    -> (TextOps.q47 _),
     "q50_winnow_fp"        -> (TextOps.q50 _),
+    "q52_approx_pctile"    -> (Relational.q52 _),
+    "q53_multimodal"       -> (graft.ext.Multimodal.q53 _),
   )
 
   /** DuckDB-dialect oracle SQL, one per `queries` key. */
@@ -311,5 +316,23 @@ object SparkEntry {
       ("SELECT x.doc_id AS a, y.doc_id AS b FROM documents x JOIN documents y " +
         "ON SUBSTRING(x.text, 1, 40) = SUBSTRING(y.text, 1, 40) AND x.doc_id < y.doc_id " +
         "ORDER BY a, b"),
+    // Multimodal metadata oracle: the engine synthesizes PNG/WAV
+    // payloads with real JDK codecs and decodes them back; the oracle
+    // derives the same width/height/mean/rate/frames/rms arithmetically
+    // from doc_id (never touching a codec). See Multimodal.q53's
+    // bit-exactness argument for why the doubles agree.
+    "q53_multimodal" ->
+      ("SELECT doc_id, 'image' AS kind, CAST(8 + doc_id % 8 AS INT) AS width, " +
+        "CAST(4 + doc_id % 4 AS INT) AS height, " +
+        "ROUND((doc_id % 256) / 255.0, 6) AS mean_val, " +
+        "CAST(NULL AS INT) AS sample_rate, CAST(NULL AS BIGINT) AS n_frames, " +
+        "CAST(NULL AS DOUBLE) AS rms " +
+        "FROM documents WHERE doc_id % 2 = 0 AND doc_id < 200 " +
+        "UNION ALL " +
+        "SELECT doc_id, 'audio', CAST(NULL AS INT), CAST(NULL AS INT), " +
+        "CAST(NULL AS DOUBLE), CAST(8000 + (doc_id % 4) * 4000 AS INT), " +
+        "CAST(400 + doc_id % 100 AS BIGINT), CAST(0.5 AS DOUBLE) " +
+        "FROM documents WHERE doc_id % 2 = 1 AND doc_id < 200 " +
+        "ORDER BY doc_id"),
   )
 }

@@ -256,4 +256,94 @@ object Multimodal {
   def writePartitioned(df: DataFrame, mediaCol: String, path: String): Unit =
     df.withColumn("media_kind", kind(col(mediaCol)))
       .write.partitionBy("media_kind").mode("overwrite").parquet(path)
+
+  // ---- deterministic media fixtures (REAL codec roundtrips: the
+  // synthesizers encode with the same JDK codecs the decoders read, so
+  // a query over them exercises the full encode→pack→decode path with
+  // arithmetically predictable outputs — the q53 metadata oracle) ----
+
+  /** Constant-gray PNG of (w × h): every pixel (gray, gray, gray).
+    * PNG is lossless, so decode returns the exact gray level. */
+  val synthPngUdf = udf { (w: Int, h: Int, gray: Int) =>
+    imageIoInit
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Constant-amplitude 16-bit mono little-endian PCM WAV. With
+    * amplitude 16384 every normalized sample is exactly 0.5 (a power
+    * of two), so the decoded RMS is exactly 0.5 — bit-exact through
+    * the sum of squares. */
+  val synthWavUdf = udf { (rate: Int, frames: Int, amplitude: Int) =>
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      data(2 * i) = (amplitude & 0xff).toByte
+      data(2 * i + 1) = ((amplitude >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Q53 — multimodal decode under the ORACLE gate (r6 verdict task 7):
+    * synthesize per-doc media payloads with REAL JDK encoders (PNG via
+    * ImageIO, WAV via javax.sound) whose dimensions/levels are pure
+    * functions of doc_id, run them through the REAL decode path
+    * (decodeImageUdf / decodeWavUdf), and present the decoded values.
+    * DuckDB derives the same values arithmetically from doc_id — the
+    * engine's answer survives an actual encode→pack→decode codec
+    * roundtrip, the oracle's never touches a codec: independent
+    * derivations, equal iff the decoders are correct.
+    *
+    * Bit-exactness argument: PNG is lossless (decoded gray == encoded
+    * gray, so mean = (w·h·g)/(w·h·255.0) — IEEE division of exact
+    * integers — equals g/255.0, the same real number correctly rounded
+    * once); WAV amplitude 16384 → every sample exactly 0.5, sum of
+    * squares n·0.25 exact, RMS √0.25 = 0.5. Even rows are images, odd
+    * rows audio; NULLs fill the other modality's columns. */
+  def q53(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val base = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") < 200)
+    val img = base.filter(col("doc_id") % 2 === 0)
+      .withColumn("media", pack(lit(KindImage), lit("image/png"),
+        synthPngUdf((lit(8) + col("doc_id") % 8).cast("int"),
+          (lit(4) + col("doc_id") % 4).cast("int"),
+          (col("doc_id") % 256).cast("int"))))
+      .withColumn("info", decodeImage(col("media")))
+      .select(col("doc_id"), lit("image").as("kind"),
+        col("info.width").as("width"), col("info.height").as("height"),
+        round(col("info.mean_r"), 6).as("mean_val"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("bigint").as("n_frames"),
+        lit(null).cast("double").as("rms"))
+    val aud = base.filter(col("doc_id") % 2 === 1)
+      .withColumn("media", pack(lit(KindAudio), lit("audio/wav"),
+        synthWavUdf((lit(8000) + (col("doc_id") % 4) * 4000).cast("int"),
+          (lit(400) + col("doc_id") % 100).cast("int"), lit(16384))))
+      .withColumn("w", decodeWav(col("media")))
+      .select(col("doc_id"), lit("audio").as("kind"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("double").as("mean_val"),
+        col("w.sample_rate").as("sample_rate"),
+        col("w.n_frames").as("n_frames"),
+        col("w.rms").as("rms"))
+    img.unionAll(aud).orderBy("doc_id")
+  }
 }

@@ -426,6 +426,26 @@ object Relational {
         expr("percentile(l_extendedprice, 0.95)").as("p95"))
       .orderBy("l_returnflag")
 
+  /** Q52 — the 100 TB percentile path: `approx_percentile` (Greenwald-
+    * Khanna sketch, Spark's built-in). Unlike q39's exact aggregate —
+    * which buffers the full per-group value multiset and is the
+    * suite's slowest oracle-gated light query — the sketch is bounded
+    * memory (O(accuracy) per group) and MERGEABLE, so map-side partials
+    * combine and only sketch buffers cross the shuffle. accuracy=10000
+    * bounds rank error at n/10000 per group. Deterministic for a given
+    * input (GK is deterministic; no RNG), but the sketch's picked value
+    * is engine-specific — no DuckDB-expressible oracle, so this is a
+    * rows-only declared entry; PropertySpec pins the within-ε-of-exact
+    * contract (ε = rank-error bound) at sf0.01, and q39 stays the
+    * exactness anchor. */
+  def q52(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"))
+      .orderBy("l_returnflag")
+
   /** Q40 — CUBE + GROUPING() under the oracle gate (the grouping-sets
     * family row was ScalaTest-only through r4; ROLLUP is Q15). GROUPING
     * flags disambiguate "NULL because aggregated" from data NULLs —

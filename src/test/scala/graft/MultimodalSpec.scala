@@ -151,6 +151,23 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - amp / 32768.0) < 1e-6)
   }
 
+  test("q53 metadata-oracle query: codec roundtrip reproduces the arithmetic ground truth") {
+    val rows = Multimodal.q53(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (r.getString(1) == "image") {
+        assert(r.getInt(2) == 8 + (id % 8).toInt && r.getInt(3) == 4 + (id % 4).toInt)
+        val expected = BigDecimal((id % 256) / 255.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(4) == expected, s"doc $id mean ${r.getDouble(4)} != $expected")
+      } else {
+        assert(r.getInt(5) == 8000 + (id % 4).toInt * 4000)
+        assert(r.getLong(6) == 400 + (id % 100) && r.getDouble(7) == 0.5)
+      }
+    }
+  }
+
   test("real decoders quarantine undecodable payloads as null, not exceptions") {
     val junk = Array.fill[Byte](64)(42)
     val df = spark.createDataFrame(Seq(Tuple1(junk))).toDF("p")

@@ -151,4 +151,25 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, n = 15)
   }
+
+  test("approx_percentile (q52) lands within its rank-error bound of exact (q39) at sf0.01") {
+    // GK sketch contract: at accuracy=10000 the returned value's rank
+    // error is <= n/10000, i.e. the value must lie between the exact
+    // percentiles at p +/- 0.0001. Asserted with a 10x margin
+    // (p +/- 0.001) to absorb the interpolated-vs-actual-value gap at
+    // the rank boundary — still a tight correctness band.
+    val d = sf("sf0.01")
+    val approx = graft.operators.Relational.q52(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val bounds = graft.sources.Tables.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.499, 0.501, 0.949, 0.951))").as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(approx.nonEmpty && approx.keySet == bounds.keySet)
+    approx.foreach { case (flag, (ap50, ap95)) =>
+      val b = bounds(flag)
+      assert(ap50 >= b(0) && ap50 <= b(1), s"$flag p50 $ap50 outside [${b(0)}, ${b(1)}]")
+      assert(ap95 >= b(2) && ap95 <= b(3), s"$flag p95 $ap95 outside [${b(2)}, ${b(3)}]")
+    }
+  }
 }

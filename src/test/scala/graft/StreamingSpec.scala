@@ -176,4 +176,46 @@ class StreamingSpec extends SparkSpec {
     // user 1's base+200 session is still open → not emitted (Append)
     assert(rows == Set((1L, 2L, 0L, 10L), (1L, 1L, 100L, 100L), (2L, 1L, 5L, 5L)))
   }
+
+  test("S10 under the RocksDB state store: identical sessions, provider actually engaged") {
+    // The cluster-scale state backend (StreamOps scaladoc): HDFS-backed
+    // in-memory state holds every key on-heap; RocksDB spills to local
+    // disk with incremental checkpointing — the 100 TB keyed-state
+    // posture. Same scripted input as S10, provider swapped via conf;
+    // results must be bit-identical and the progress metrics must show
+    // RocksDB actually served the state rows.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = 1700000000L
+      val in = MemoryStream[Ev]
+      val out = StreamOps.statefulSessions(in.toDF(), gapMs = 30000L,
+        watermark = "10 seconds")
+      val q = out.writeStream.format("memory").queryName("s10rocks")
+        .outputMode("append")
+        .option("checkpointLocation", tmpDir("ckpt")).start()
+      in.addData(ev(base + 0, "a", 1), ev(base + 10, "a", 2),
+        ev(base + 5, "a", 3, user = 2))
+      q.processAllAvailable()
+      in.addData(ev(base + 100, "a", 4))
+      q.processAllAvailable()
+      in.addData(ev(base + 200, "a", 5))
+      q.processAllAvailable()
+      val usedRocks = Option(q.lastProgress).exists(
+        _.stateOperators.exists(_.customMetrics.containsKey("rocksdbGetCount")))
+      q.stop()
+      val rows = spark.table("s10rocks").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          (r.getLong(2) / 1000 - base), (r.getLong(3) / 1000 - base))).toSet
+      assert(rows == Set((1L, 2L, 0L, 10L), (1L, 1L, 100L, 100L), (2L, 1L, 5L, 5L)))
+      assert(usedRocks, "progress metrics show no RocksDB state store activity")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
