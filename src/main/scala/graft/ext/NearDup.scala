@@ -66,6 +66,47 @@ object NearDup {
         (0 until n).map(j => try_element_at(words, i + j + 1)): _*)))))
   }
 
+  /** COMPILED kernel tier of [[shingleHashes]] — BIT-IDENTICAL output
+    * (NearDupSpec pins it per doc on the fixture), used by every hot
+    * path (q28/q35/q47 run it once per doc over the whole corpus). The
+    * declarative tier's transform/sequence/xxhash64 chain is
+    * CodegenFallback: it evaluates interpreted with per-element boxing
+    * — the same trap as the r3 minhash and r6 simhash HOFs, and the
+    * remaining interpreted stage in the near-dup lineages after those
+    * two were compiled. Identity argument: `split(t, " ", -1)` keeps
+    * trailing empties exactly like Spark's `split`; the hash is
+    * Spark's own XXH64 over the shingle's UTF-8 bytes with the
+    * expression tier's seed 42; TreeSet gives the same
+    * sorted-distinct signed-ascending order as
+    * sort_array∘array_distinct. */
+  def shingleHashesKernel(text: Column, n: Int = 3): Column = {
+    val kernel = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val words = t.split(" ", -1)
+        val m = math.max(words.length - (n - 1), 1)
+        val set = new java.util.TreeSet[java.lang.Long]()
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < m) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n && i + j < words.length) { sb.append(words(i + j)); j += 1 }
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+          set.add(org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L))
+          i += 1
+        }
+        val out = new Array[Long](set.size)
+        var k = 0
+        val it = set.iterator()
+        while (it.hasNext) { out(k) = it.next(); k += 1 }
+        out
+      }
+    }
+    kernel(text)
+  }
+
   /** Compiled exact Jaccard over two SORTED distinct i64 arrays: one
     * linear merge counts the intersection; |union| = |a|+|b|−|inter|.
     * Same value as size(array_intersect)/size(array_union) (exact int
@@ -138,7 +179,7 @@ object NearDup {
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
     Partitioning.ensureParallelism(docs).select(
       col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleN).as("sh"))
+      shingleHashesKernel(col(textCol), shingleN).as("sh"))
 
   /** Candidate pairs (a < b) from LSH buckets on a pre-computed
     * (id, sh) frame. `hashed` is consumed three times (banding + both

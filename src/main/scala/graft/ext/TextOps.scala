@@ -222,7 +222,7 @@ object TextOps {
     val widths = Seq.tabulate(bands)(b => 64 / bands + (if (b < 64 % bands) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _).init
     val sh = docs.select(col(idCol).as("id"),
-      simHash(NearDup.shingleHashes(col(textCol), shingleN)).as("sh"))
+      simHash(NearDup.shingleHashesKernel(col(textCol), shingleN)).as("sh"))
       .persist()
     val bandCols = (0 until bands).map { b =>
       val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1

@@ -46,6 +46,23 @@ class NearDupSpec extends SparkSpec {
     assert(removed == expectRemoved)
   }
 
+  test("compiled shingle-hash kernel is bit-identical to the declarative tier") {
+    // fixture docs + edge shapes: trailing space (split keeps the empty
+    // token), fewer words than n (single whole-text shingle), repeated
+    // shingles (distinct), empty string
+    val edge = spark.createDataFrame(Seq(
+      (9001L, "a b c d e f g "), (9002L, "one two"), (9003L, ""),
+      (9004L, "x y z x y z x y z"))).toDF("doc_id", "text")
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .limit(100).select("doc_id", "text").union(edge)
+    val both = docs.select(
+        NearDup.shingleHashes(col("text")).as("d"),
+        NearDup.shingleHashesKernel(col("text")).as("k"))
+      .collect()
+    assert(both.length == 104)
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("signatures are deterministic across plans (seeded hash, no RNG)") {
     val docs = spark.createDataFrame(Seq((1L, "a b c d e f g h i j"))).toDF("doc_id", "text")
     val sig1 = docs.select(NearDup.minhashSignature(NearDup.shingleHashes(col("text")))).head().getSeq[Long](0)
