@@ -75,4 +75,11 @@ object Tables {
   def jsonLines(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC scan — the second columnar format (built into Spark; same
+    * vectorized reader, predicate pushdown, and column pruning class as
+    * parquet). Schema passed explicitly like every reader here. */
+  def orc(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

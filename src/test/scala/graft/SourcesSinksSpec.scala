@@ -49,6 +49,20 @@ class SourcesSinksSpec extends SparkSpec {
     assert(Tables.csv(spark, csvDir, pq.schema).schema == pq.schema) // explicit, not inferred
   }
 
+  test("ORC roundtrip of lineitem matches the parquet scan, with pushdown") {
+    val pq = Tables.lineitem(spark, sf("sf0.001"))
+    val orcDir = tmpDir("lineitem_orc")
+    pq.write.mode("overwrite").orc(orcDir)
+    val orc = Tables.orc(spark, orcDir, pq.schema)
+    val key = Seq("l_orderkey", "l_linenumber").map(col)
+    assert(orc.orderBy(key: _*).collect().toSeq ==
+      pq.orderBy(key: _*).collect().toSeq)
+    // the ORC reader keeps the parquet reader's posture: vectorized
+    // batch scan + filter pushed to the scan node
+    val plan = orc.filter(col("l_quantity") > 45).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45"), plan)
+  }
+
   test("A8: foreachBatchLimit hands the sink at most 10 rows per batch") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
