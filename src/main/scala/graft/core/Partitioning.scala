@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Parallelism guards for compute-heavy operators.
   *
@@ -27,5 +28,44 @@ object Partitioning {
   def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Salted equi-join for SKEWED keys (the checklist item "skewed keys →
+    * salting or AQE skew-join" as working code, for the cases AQE can't
+    * fix — AQE splits oversized shuffle FILES after the map stage, but a
+    * single hot key still hashes every probe row into one reducer when
+    * the skew is extreme, and broadcast is off the table when the
+    * non-skewed side doesn't fit).
+    *
+    * Mechanics: every big-side row gets a deterministic salt in
+    * [0, salts) hashed from `saltSrc` (a caller-named column that varies
+    * WITHIN the hot key — e.g. the row's unique id; determinism keeps
+    * reruns/retries stable, unlike rand()), the small side is replicated
+    * `salts` times, and the join key becomes (keys…, salt) — a hot
+    * key's rows spread across `salts` reducers. Cost: the SMALL side
+    * shuffles `salts`× — the knob trades its duplication against the
+    * hot key's spread.
+    *
+    * Join-type contract: each big row carries exactly ONE salt, so any
+    * big-side-preserving type (inner / left / left_semi / left_anti) is
+    * exact; right/full would multiply unmatched small rows by `salts`
+    * and are rejected. */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      saltSrc: Column,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, s"salts=$salts must be positive")
+    val ok = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(ok(joinType.toLowerCase),
+      s"saltedJoin supports big-side-preserving join types only, got $joinType")
+    val b = big.withColumn("__salt", pmod(xxhash64(saltSrc), lit(salts)).cast("int"))
+    // sequence over int literals yields array<int>, matching the pmod
+    // cast on the big side (a generator can't be nested in a cast)
+    val s = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    b.join(s, keys :+ "__salt", joinType).drop("__salt")
   }
 }

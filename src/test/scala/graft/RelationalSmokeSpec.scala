@@ -47,4 +47,33 @@ class RelationalSmokeSpec extends SparkSpec {
       assert(fn(spark, d).columns.nonEmpty, name)
     }
   }
+
+  test("saltedJoin equals the plain join on a skewed key, spreading the hot key") {
+    import org.apache.spark.sql.functions._
+    // 20k rows of hot key 1 + a sprinkle of others; 5-key dim
+    val big = spark.range(20000).select(lit(1L).as("k"), col("id"))
+      .union(spark.range(200).select((col("id") % 5).as("k"), (col("id") + 100000).as("id")))
+    val dim = spark.range(5).select(col("id").as("k"),
+      concat(lit("dim"), col("id")).as("name"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "id", "name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val plain = big.join(dim, Seq("k"))
+    val salted = graft.core.Partitioning.saltedJoin(big, dim, Seq("k"), col("id"), salts = 8)
+    assert(canon(salted) == canon(plain))
+    // left join: unmatched big rows (k=1 missing from a 2..4 dim) survive once
+    val dim2 = dim.filter(col("k") >= 2)
+    val plainL = big.join(dim2, Seq("k"), "left")
+    val saltedL = graft.core.Partitioning.saltedJoin(big, dim2, Seq("k"), col("id"), 8, "left")
+    assert(saltedL.count() == plainL.count() &&
+      saltedL.filter(col("name").isNull).count() == plainL.filter(col("name").isNull).count())
+    // the hot key's rows really spread across salts (the point of the exercise)
+    val saltsUsed = big.filter(col("k") === 1)
+      .select(pmod(xxhash64(col("id")), lit(8)).as("s")).distinct().count()
+    assert(saltsUsed == 8)
+    // right/full would duplicate unmatched small rows — rejected
+    intercept[IllegalArgumentException] {
+      graft.core.Partitioning.saltedJoin(big, dim, Seq("k"), col("id"), 8, "full")
+    }
+  }
 }
