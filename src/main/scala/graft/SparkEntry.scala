@@ -81,6 +81,7 @@ object SparkEntry {
     "q48_unpivot"          -> (Relational.q48 _),
     "q49_rank_dist"        -> (Relational.q49 _),
     "q51_winnow_pairs"     -> (TextOps.q51 _),
+    "q54_pipeline"         -> (TextOps.q54 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -316,6 +317,17 @@ object SparkEntry {
       ("SELECT x.doc_id AS a, y.doc_id AS b FROM documents x JOIN documents y " +
         "ON SUBSTRING(x.text, 1, 40) = SUBSTRING(y.text, 1, 40) AND x.doc_id < y.doc_id " +
         "ORDER BY a, b"),
+    // End-to-end pipeline: near-dup dedup keepers (prefix-group min,
+    // the q28 argument) -> q30's quality expressions -> q42's sample
+    // predicate — the engine runs LSH+CC+filters, the oracle rebuilds
+    // the chain relationally.
+    "q54_pipeline" ->
+      ("WITH k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY SUBSTRING(text, 1, 40)) " +
+        "SELECT d.doc_id FROM documents d JOIN k USING (doc_id) " +
+        "WHERE LENGTH(d.text) >= 60 " +
+        "AND ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(d.text, ' '), w -> LIST_CONTAINS(['the','a','of','and','to','in','is'], w))) AS DOUBLE) / LEN(STRING_SPLIT(d.text, ' ')), 4) >= 0.02 " +
+        "AND SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3') " +
+        "ORDER BY doc_id"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

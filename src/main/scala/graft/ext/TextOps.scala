@@ -378,6 +378,27 @@ object TextOps {
     out
   }
 
+  /** Q54 — the training-data pipeline END-TO-END, under the ORACLE
+    * gate: near-dup dedup (MinHash LSH + connected components, keep the
+    * min-id representative per group) → quality filter (length ≥ 60,
+    * stopword ratio ≥ 0.02 — cuts that really drop docs: 440/500
+    * survive at sf0.01) → deterministic 25% hash sample (first md5 hex
+    * digit ∈ {0..3}). Each stage is individually gated (q28, q30, q42);
+    * this entry proves they COMPOSE — the 100 TB corpus-curation job is
+    * exactly this chain, with the dedup shuffle dominating and the
+    * narrow quality/sample filters fused into the post-join projection.
+    * The DuckDB ground truth rebuilds the chain relationally: prefix-
+    * group min for the dedup stage (the q28 fixture argument), the q30
+    * quality expressions, the q42 sample predicate. */
+  def q54(s: SparkSession, d: String): DataFrame =
+    NearDup.dedup(Tables.documents(s, d))
+      .filter(length(col("text")) >= 60)
+      .filter(tokenRatio(col("text"), stopwords) >= 0.02)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1", "2", "3"))
+      .select("doc_id")
+      .orderBy("doc_id")
+
   /** Q51 — winnowing near-dup pairs under the ORACLE gate: the
     * fixture's near-dup groups (shared 40-char prefix, in-group text
     * Jaccard ≥ 0.9) are exactly the fingerprint-Jaccard-≥0.5 pairs —
