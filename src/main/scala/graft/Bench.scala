@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   *    ~20 s in all three consecutive runs, 0.7 s in a pass minutes
   *    later). Passes are minutes apart by construction — a stall window
   *    inflates one pass; the min recovers the intrinsic cost.
-  *  - heavy queries (q28/q29/q34/q35/q47) run AFTER the light set within
+  *  - heavy queries (the `heavies` list below — near-dup/all-pairs/
+  *    pipeline semantics) run AFTER the light set within
   *    each pass, and every persisted RDD is swept between runs: r4's
   *    bench ran lights in a JVM already carrying leaked cache blocks
   *    from heavy warmups — measured here: the same q29 kernel timed
