@@ -82,6 +82,10 @@ object SparkEntry {
     "q49_rank_dist"        -> (Relational.q49 _),
     "q51_winnow_pairs"     -> (TextOps.q51 _),
     "q54_pipeline"         -> (TextOps.q54 _),
+    "q55_ingest"           -> (graft.streaming.Ingest.q55 _),
+    "q56_salted_join"      -> (Relational.q56 _),
+    "q57_stream_tumbling"  -> (graft.streaming.StreamOps.q57 _),
+    "q58_session_window"   -> (graft.streaming.StreamOps.q58 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -328,6 +332,52 @@ object SparkEntry {
         "AND ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(d.text, ' '), w -> LIST_CONTAINS(['the','a','of','and','to','in','is'], w))) AS DOUBLE) / LEN(STRING_SPLIT(d.text, ' ')), 4) >= 0.02 " +
         "AND SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3') " +
         "ORDER BY doc_id"),
+    // The reference's envelope→DataPoint ingestion transform (q55): the
+    // engine builds deterministic envelope JSON from doc_id and runs the
+    // REAL pipeline (from_json PERMISSIVE → explode → derivations); the
+    // oracle rebuilds every output arithmetically — epoch_ms+strftime
+    // for the UTC day, TRUNC for Java's truncate-toward-zero int
+    // division (DuckDB's // floors, so it is NOT used), string concat
+    // for the compact opaque-sample rendering. Malformed envelopes
+    // (doc_id%10==7) surface as one quarantine-count summary row.
+    "q55_ingest" ->
+      ("WITH pts AS (SELECT doc_id, UNNEST(range(0, 1 + doc_id % 3)) AS i " +
+        "FROM documents WHERE doc_id % 10 <> 7) " +
+        "SELECT CAST(doc_id % 50 AS INT) AS datastream_id, " +
+        "strftime(epoch_ms(1700000000000 + doc_id * 100000 + i * 7919), '%Y%m%d') AS day, " +
+        "1700000000000 + doc_id * 100000 + i * 7919 AS dt_ms, " +
+        "CAST(TRUNC(((doc_id % 7 - 3) * 61000 + i * 1000) / 60000.0) AS INT) AS offset_min, " +
+        "'{\"v\":' || (doc_id + i) || '}' AS sample " +
+        "FROM pts " +
+        "UNION ALL " +
+        "SELECT CAST(-1 AS INT), 'quarantine', " +
+        "(SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 7), " +
+        "CAST(NULL AS INT), CAST(NULL AS VARCHAR) " +
+        "ORDER BY dt_ms"),
+    // q56: the engine's salted join must hash-match a PLAIN join — the
+    // oracle enforcing the salting's exactness contract.
+    "q56_salted_join" ->
+      ("SELECT c.c_mktsegment, e.event_type, COUNT(*) AS cnt, " +
+        "CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sv " +
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
+        "GROUP BY c.c_mktsegment, e.event_type " +
+        "ORDER BY c.c_mktsegment, e.event_type"),
+    // q57: streaming tumbling window run as batch — Spark's hour windows
+    // are epoch-aligned, identical to date_trunc('hour').
+    "q57_stream_tumbling" ->
+      ("SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type, COUNT(*) AS cnt " +
+        "FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type"),
+    // q58: native session_window (12 h gap) vs the lag-mark-cumsum
+    // rebuild (q38's construct); session end = last event + gap. The
+    // `> gap` split matches session_window's boundary semantics exactly
+    // (an exact-gap event MERGES; pinned empirically in StreamingSpec).
+    "q58_session_window" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events), " +
+        "m AS (SELECT user_id, tsu, CASE WHEN LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu) IS NULL " +
+        "OR tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu) > 43200000000 THEN 1 ELSE 0 END AS ns FROM e), " +
+        "s AS (SELECT user_id, tsu, SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT user_id, MIN(tsu) AS start_us, MAX(tsu) + 43200000000 AS end_us, COUNT(*) AS n_events " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, start_us"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

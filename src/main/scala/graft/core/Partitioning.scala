@@ -49,7 +49,14 @@ object Partitioning {
     * Join-type contract: each big row carries exactly ONE salt, so any
     * big-side-preserving type (inner / left / left_semi / left_anti) is
     * exact; right/full would multiply unmatched small rows by `salts`
-    * and are rejected. */
+    * and are rejected.
+    *
+    * `saltSrc` contract: must be NON-NULL on every big row. Spark's hash
+    * expressions never return null — `xxhash64(null)` collapses to the
+    * seed constant — so every null-saltSrc row would land in ONE salt
+    * bucket and a null-heavy hot key would silently fail to spread.
+    * Callers with nullable sources should pass
+    * `coalesce(saltSrc, <unique fallback>)`. */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
@@ -62,6 +69,10 @@ object Partitioning {
       "leftsemi", "left_anti", "leftanti")
     require(ok(joinType.toLowerCase),
       s"saltedJoin supports big-side-preserving join types only, got $joinType")
+    // withColumn REPLACES an existing column of the same name — a caller
+    // frame already carrying __salt would be corrupted, not joined.
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin reserves the column name __salt; rename it in the inputs")
     val b = big.withColumn("__salt", pmod(xxhash64(saltSrc), lit(salts)).cast("int"))
     // sequence over int literals yields array<int>, matching the pmod
     // cast on the big side (a generator can't be nested in a cast)

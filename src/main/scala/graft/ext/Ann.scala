@@ -40,15 +40,22 @@ object Ann {
     * `vec_norm` Catalyst expressions (r8 — codegen'd straight over the
     * unsafe array buffers, no per-row boundary copies; the r5 compiled
     * UDFs paid an ArrayData→Array[Double] copy per argument per row,
-    * N·nCentroids times here). The arg-max is a `max_by` hash
-    * aggregation on vec_id — map-side partial, so only N rows reach the
-    * shuffle; the old `row_number` window sort-shuffled the full
-    * N·nCentroids candidate set. At 100 TB the assignment pass
-    * dominates index build, so both changes land on the hot path.
-    * Numerics unchanged: (double) of a float is exact, same
-    * left-to-right sums. Ties (equal sim) break to the LOWEST
-    * centroid_id — TopKAggregator's (score DESC, id ASC) order, the
-    * same order the old window declared.
+    * N·nCentroids times here). The arg-max is a top-1 typed-aggregator
+    * hash aggregation on vec_id (TopKAggregator(1), rationale below) —
+    * map-side partial, so only N rows reach the shuffle; the old
+    * `row_number` window sort-shuffled the full N·nCentroids candidate
+    * set. At 100 TB the assignment pass dominates index build, so both
+    * changes land on the hot path. Numerics unchanged: (double) of a
+    * float is exact, same left-to-right sums. Ties (equal sim) break to
+    * the LOWEST centroid_id — TopKAggregator's (score DESC, id ASC)
+    * order, the same order the old window declared. Degenerate inputs:
+    * a zero-norm vector (or centroid) scores NaN, which the aggregator's
+    * `better()` comparison can neither accept nor displace — a
+    * first-arriving NaN would poison the top-1. `nanvl(sim, -Inf)`
+    * closes that hole: zero-norm vectors score -Inf everywhere and
+    * tie-break deterministically to the LOWEST centroid_id (still in
+    * exactly one cell, still searchable), and a degenerate centroid can
+    * never outscore a real one.
     *
     * Why TopKAggregator(1) and not `max_by`: the declarative argmax's
     * buffer holds a struct (+ the embedding array for `first`), which
@@ -62,9 +69,11 @@ object Ann {
     corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
       .withColumn("sim",
-        call_function("vec_dot", col("embedding"), col("centroid")) /
-          (call_function("vec_norm", col("embedding")) *
-            call_function("vec_norm", col("centroid"))))
+        nanvl(
+          call_function("vec_dot", col("embedding"), col("centroid")) /
+            (call_function("vec_norm", col("embedding")) *
+              call_function("vec_norm", col("centroid"))),
+          lit(Double.NegativeInfinity)))
       .groupBy("vec_id")
       .agg(top1(col("centroid_id"), col("sim")).as("t1"),
         first(col("embedding")).as("embedding"))

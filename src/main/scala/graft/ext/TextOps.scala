@@ -205,7 +205,15 @@ object TextOps {
     *  - degenerate-bucket guard: a block-key bucket of size m yields
     *    m(m−1)/2 candidates per band; buckets beyond `maxBucket` are
     *    exact-dup floods that belong in exact dedup (q25), not banding —
-    *    same windowed-count cap as MinHash LSH.
+    *    same windowed-count cap as MinHash LSH. Dropping is OBSERVABLE:
+    *    the over-cap bucket count is computed eagerly (one cheap agg
+    *    over the cached simhash frame) and logged as a warning when
+    *    non-zero, because the cap has a silent-recall-loss breakeven —
+    *    with random hashes the expected bucket size is n/2^width, so
+    *    once n ≳ maxBucket·2^width (maxDist=7 → width 8 → ~2.6M docs at
+    *    the default cap) EVERY bucket exceeds the cap and the query
+    *    returns zero pairs. At that corpus size tighten maxDist (wider
+    *    blocks) or raise maxBucket; the warning is the tripwire.
     *  - the XOR+popcount Hamming filter runs codegen'd map-side straight
     *    out of the join, BEFORE the distinct, so only true near-dup
     *    pairs reach the distinct's shuffle. */
@@ -231,6 +239,17 @@ object TextOps {
     }
     val banded = sh.select(col("id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    // tripwire for the cap's recall-loss regime (scaladoc above): count
+    // the over-cap buckets eagerly — input is the cached `sh` frame, so
+    // this is one small extra aggregation, not a recompute of the kernels
+    val nDropped = banded.groupBy("band", "bv").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).count()
+    if (nDropped > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"simHashPairs: $nDropped band-key buckets exceed maxBucket=$maxBucket and were " +
+          s"dropped from candidate generation (exact-dup flood or past the n~maxBucket*2^width " +
+          s"breakeven); pairs inside them are NOT reported — run exact dedup first, tighten " +
+          s"maxDist, or raise maxBucket")
     val counted = banded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")))

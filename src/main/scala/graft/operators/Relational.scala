@@ -651,6 +651,34 @@ object Relational {
       .limit(200)
   }
 
+  /** Q56 — `Partitioning.saltedJoin` under the oracle gate (r8 verdict
+    * nit #1: the skew utility was tested but no declared query exercised
+    * it). events⋈customer on user_id with 8 salts, then aggregate: the
+    * salted plan must produce EXACTLY the plain join's answer — that
+    * equivalence is the utility's whole contract, and here the DuckDB
+    * oracle (a plain join) enforces it hash-for-hash. The fixture's
+    * user_id domain (0–149 over 10k/100k events) means every key is
+    * mildly hot (~0.7% of rows); salts=8 spreads each across 8 reducers.
+    * saltSrc = event_id (unique per row, non-null — the documented
+    * contract). The plan shape under the gate: small side exploded 8×
+    * (1,500 → 12,000 rows, still broadcast-range), big side's salt is a
+    * narrow projection, join key (user_id, __salt).
+    *
+    * Presentation: the post-join aggregate groups on (c_mktsegment,
+    * event_type) — unique, total order; decimal-sum presented as DOUBLE
+    * per the `_b` convention. */
+  def q56(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.core.Partitioning
+      .saltedJoin(Tables.events(s, d), cust, Seq("user_id"), col("event_id"), salts = 8)
+      .groupBy("c_mktsegment", "event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sv"))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
   /** QUARANTINED type-class variant (r4 ADVICE): q24 with the hour
     * bucket as a single TIMESTAMP column `h` — the suite's only
     * timestamp output class and a 3-round driver-hash-fail with

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -107,6 +107,46 @@ object StreamOps {
     * holds |active users|/1000 records; timeouts evict idle keys so
     * state does not grow with stream age. Output is Append — safe for
     * any sink. */
+  // ---- batch-analog oracle gates (r8 verdict #7): Structured
+  // Streaming's result-table semantics say a streaming aggregation's
+  // final result equals the same plan run as a batch query over the
+  // full input (SURVEY §2.4). The entries below run the EXACT StreamOps
+  // transforms on the batch events table — `withWatermark` is a no-op in
+  // batch (Catalyst's EliminateEventTimeWatermark) — which puts the
+  // streaming operators themselves (window(), session_window()) under
+  // the driver's DuckDB hash gate, not just under MemoryStream
+  // ScalaTests. ----
+
+  /** Q57 — S2's tumbling event-time window as a batch query: the same
+    * `tumblingCounts` plan (window(ts, 1 hour) → count), hash-checked
+    * against DuckDB `date_trunc('hour')` (Spark's windows are
+    * epoch-aligned, so the hour window start IS the hour truncation).
+    * Window start presented as epoch micros BIGINT — TIMESTAMP output
+    * columns are the driver-hash-incompatible class (q24 history). */
+  def q57(s: SparkSession, d: String): DataFrame =
+    tumblingCounts(graft.sources.Tables.events(s, d), size = "1 hour", watermark = "1 hour")
+      .select(unix_micros(col("ws")).as("ws_us"), col("event_type"), col("cnt"))
+      .orderBy("ws_us", "event_type")
+
+  /** Q58 — S4's session_window as a batch query: gap-based sessions per
+    * user (12 h idle split, the q38 configuration) through the NATIVE
+    * session_window operator, vs a DuckDB lag-mark-cumsum rebuild.
+    * q38 gates the manual composition; this gates the operator. The
+    * session end is last-event + gap by definition, so the oracle adds
+    * the gap to MAX(tsu). Boundary semantics (an event exactly `gap`
+    * after the previous): session_window MERGES it — the split requires
+    * a diff STRICTLY greater than gap (verified empirically, pinned in
+    * StreamingSpec with a synthetic exact-gap pair) — matching the
+    * oracle's `tsu - lag(tsu) > gap` condition; the fixture has no
+    * exact-12h consecutive diffs at any SF (checked r9) either way. */
+  def q58(s: SparkSession, d: String): DataFrame =
+    sessionAgg(graft.sources.Tables.events(s, d), gap = "12 hours", watermark = "12 hours")
+      .select(col("user_id"),
+        unix_micros(col("ss")).as("start_us"),
+        unix_micros(col("se")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
   def statefulSessions(events: DataFrame, gapMs: Long = 30000L,
       watermark: String = "10 seconds"): DataFrame = {
     val s = events.sparkSession

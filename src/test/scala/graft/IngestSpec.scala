@@ -70,6 +70,24 @@ class IngestSpec extends SparkSpec {
     assert(points.map(_.getInt(3)).sorted.toSeq == Seq(-2, -1))
   }
 
+  test("q55 gate fixture: datapoint expansion, quarantine count, trunc division, UTC day split") {
+    val r = Ingest.q55(spark, sf("sf0.001")).collect()
+    // 450 valid docs expand by 1 + doc_id%3 (898 points) + 1 quarantine summary
+    assert(r.length == 899)
+    val q = r.filter(_.getString(1) == "quarantine")
+    assert(q.length == 1 && q.head.getInt(0) == -1 && q.head.getLong(2) == 50L)
+    // doc_id=2 carries offsets -61000/-60000/-59000 ms → -1, -1, 0 minutes
+    // (truncation toward zero; floor would give -1, -1, -1)
+    val d2 = r.filter(x => x.getInt(0) == 2 && !x.isNullAt(3) &&
+      x.getLong(2) >= 1700000200000L && x.getLong(2) < 1700000300000L)
+    assert(d2.map(_.getInt(3)).sorted.toSeq == Seq(-1, -1, 0))
+    // the dateTime spread crosses one UTC midnight
+    assert(r.map(_.getString(1)).distinct.sorted.toSeq ==
+      Seq("20231114", "20231115", "quarantine"))
+    // opaque sample survives as compact JSON text
+    assert(d2.map(_.getString(4)).contains("""{"v":3}"""))
+  }
+
   test("pipeline stays narrow: no shuffle (Exchange) in the physical plan") {
     val (points, _) = Ingest(Seq("""{"datastream_id":1,"data":[]}""").toDF("value"))
     val plan = points.queryExecution.executedPlan.toString

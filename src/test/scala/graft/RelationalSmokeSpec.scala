@@ -75,5 +75,25 @@ class RelationalSmokeSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.core.Partitioning.saltedJoin(big, dim, Seq("k"), col("id"), 8, "full")
     }
+    // __salt is reserved: an input already carrying it would be silently
+    // REPLACED by withColumn (r8 ADVICE) — rejected instead
+    intercept[IllegalArgumentException] {
+      graft.core.Partitioning.saltedJoin(
+        big.withColumn("__salt", lit(0)), dim, Seq("k"), col("id"), 8)
+    }
+  }
+
+  test("q56 salted gate query equals its unsalted plan in-engine") {
+    import org.apache.spark.sql.functions._
+    val salted = SparkEntry.queries("q56_salted_join")(spark, d).collect()
+    val plain = graft.sources.Tables.events(spark, d)
+      .join(graft.sources.Tables.customer(spark, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")), Seq("user_id"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sv"))
+      .orderBy("c_mktsegment", "event_type")
+      .collect()
+    assert(salted.nonEmpty && salted.toSeq == plain.toSeq)
   }
 }

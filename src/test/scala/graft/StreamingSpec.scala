@@ -55,6 +55,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 0L, 2L), (1L, 100L, 1L), (2L, 0L, 1L)))
   }
 
+  test("session_window boundary: an event exactly gap after the previous MERGES (split is strictly > gap)") {
+    // Pins the boundary semantics q58's oracle depends on: session_window
+    // treats the window as [start, last+gap] INCLUSIVE at the boundary —
+    // an event at exactly last+gap extends the session; a split needs
+    // diff STRICTLY greater than gap. This matches the oracle's
+    // `tsu - lag(tsu) > gap` split condition exactly. (The events
+    // fixture never exercises the boundary — no exact-12h consecutive
+    // diffs at any SF, checked r9 — so this synthetic pin is the only
+    // coverage.) Batch mode shares the operator with streaming.
+    val batch = Seq(ev(0, "a", 1), ev(30, "a", 2), ev(45, "a", 3)).toDF()
+    val sessions = StreamOps.sessionAgg(batch) // 30 s gap
+      .orderBy("ss").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getTimestamp(1).getTime / 1000, r.getLong(3)))
+    // t=30 is exactly gap after t=0 → merged; one session [0, 45+30]
+    assert(sessions.toSeq == Seq((0L, 75L, 3L)))
+  }
+
   test("S5: streaming dedup by event_id within watermark") {
     val in = MemoryStream[Ev]
     val out = StreamOps.dedupByKey(in.toDF())
