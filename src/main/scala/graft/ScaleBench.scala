@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Sessions
+import graft.ext.{NearDup, TextOps}
+
+/** Scaling-curve harness for the heavy near-dup operators (r8 verdict
+  * "Next round #2": every 100 TB claim in the scaladocs rested on
+  * parameter math measured only at 5,000 docs — this measures the
+  * actual growth shape at 1×/10×/50× corpus size).
+  *
+  * Corpus synthesis mirrors the documents fixture's structure (word-soup
+  * text, ~5% of docs are near-dup variants of their predecessor sharing
+  * the leading words, variant tail mutated so in-group 3-gram Jaccard
+  * lands ≈0.85–0.9, far above the 0.5 threshold while random pairs sit
+  * ≈0.05) with one deliberate deviation: 20% of tokens are id-derived
+  * rare words whose vocabulary GROWS with corpus size (Heaps-law-ish),
+  * because a fixed 31-word vocabulary at 250k docs makes every shingle a
+  * stopword-class flood — real corpora have long-tail vocab, and the
+  * df-capped candidate generators (winnowing) and LSH key spaces depend
+  * on it. Generation is deterministic (per-id seeded Random), written to
+  * parquet once, and NOT part of the timed region.
+  *
+  * Protocol: sizes ascending; at the smallest size each operator runs
+  * once discarded (codegen/JIT warmup, the Bench lesson), then every
+  * (op, size) point is timed once with a persisted-RDD sweep between
+  * runs. Single-shot timings on this host carry the documented ~5%
+  * bursty-steal noise — the signal is the GROWTH RATIO between sizes,
+  * not any absolute number. `rows` is printed so recall collapse (e.g. a
+  * capped-out bucket guard) is observable, with the expected pair count
+  * for comparison.
+  *
+  * simhash runs at maxDist=3 (Manku's production parametrization,
+  * 4×16-bit block keys) — the declared 100 TB operating point. The
+  * default maxDist=7 (8-bit keys) is past its documented
+  * n ≈ maxBucket·2^width breakeven at 250k docs by design; that regime
+  * belongs to exact-dedup-first, not banding (TextOps.simHashPairs
+  * scaladoc).
+  */
+object ScaleBench {
+
+  private val vocab = Array("a", "agg", "batch", "big", "column",
+    "customer", "data", "dup", "fast", "filter", "group", "hash", "join",
+    "key", "line", "merge", "order", "part", "query", "row", "scan",
+    "slow", "small", "sort", "spark", "stream", "table", "the", "value",
+    "vector", "window")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Deterministic synthetic corpus: (doc_id, text). Every 20th doc is a
+    * near-dup variant of its predecessor (shared prefix, mutated tail). */
+  def corpus(spark: SparkSession, nDocs: Long): DataFrame = {
+    val maxRare = math.max(1000L, nDocs / 5).toInt
+    val gen = udf { (id: Long) =>
+      def words(seed: Long): Array[String] = {
+        val r = new java.util.Random(seed * 0x9E3779B97F4A7C15L + 13)
+        val n = 10 + r.nextInt(90)
+        Array.fill(n) {
+          if (r.nextInt(5) == 0) "w" + r.nextInt(maxRare)
+          else vocab(r.nextInt(vocab.length))
+        }
+      }
+      if (id % 20 == 19) {
+        val base = words(id - 1)
+        val r = new java.util.Random(id * 0x9E3779B97F4A7C15L + 99)
+        // mutate exactly the last 2 words: ≤ 4 changed 3-gram shingles,
+        // in-group Jaccard ≈ 0.85–0.9 (the fixture's regime) — large
+        // enough tail edit to be a real near-dup, small enough that all
+        // four modalities (minhash/ngram/simhash@3/winnow) see the pair
+        val m = 2
+        (0 until m).foreach { j =>
+          base(base.length - 1 - j) = vocab(r.nextInt(vocab.length))
+        }
+        base.mkString(" ")
+      } else words(id).mkString(" ")
+    }
+    spark.range(nDocs).select(col("id").as("doc_id"), gen(col("id")).as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+      else Seq(5000L, 50000L, 250000L)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/target/scale")
+    val spark = Sessions.local(Sessions.envCpus, "graft-scale")
+    spark.sparkContext.setLogLevel("WARN")
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+
+    def ops(docs: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+      "q28_minhash_cc" -> (() =>
+        NearDup.nearDupGroups(docs)
+          .groupBy("group_id")
+          .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_members"))
+          .filter(col("n_members") > 1)),
+      "q35_lsh_pairs" -> (() => NearDup.similarPairs(docs)),
+      "q47_simhash_d3" -> (() => TextOps.simHashPairs(docs, maxDist = 3)),
+      // default cap (df ≤ 10 since r9 — a true pair shares group-unique
+      // fingerprints, df = group size, so a small cap keeps recall)
+      "q51_winnow_df10" -> (() => TextOps.winnowPairs(docs)),
+      // the old cap, kept as the superlinear counterexample this curve
+      // exposed (r9: 2.8→27.9→426 s; the mid-band df 11–100 candidate
+      // mass grows faster than the corpus — see BASELINE.md)
+      "q51_winnow_df100" -> (() => TextOps.winnowPairs(docs, maxDocFreq = 100)),
+      "q54_pipeline" -> (() =>
+        NearDup.dedup(docs)
+          .filter(length(col("text")) >= 60)
+          .filter(TextOps.tokenRatio(col("text"), stopwords) >= 0.02)
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+            .isin("0", "1", "2", "3"))
+          .select("doc_id")))
+
+    // optional comma-separated op filter (rerun a single op's curve
+    // without paying for the whole suite)
+    val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").toSet)
+    def selected(docs: DataFrame) =
+      ops(docs).filter { case (name, _) => opFilter.forall(_.contains(name)) }
+
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val path = s"$dir/docs_$n.parquet"
+      if (!new java.io.File(path).exists())
+        corpus(spark, n).write.mode("overwrite").parquet(path)
+      val docs = spark.read.parquet(path)
+      val expectedPairs = n / 20
+      if (i == 0) { // discarded warmup pass at the smallest size
+        selected(docs).foreach { case (_, f) => f().count(); sweep() }
+      }
+      selected(docs).foreach { case (name, f) =>
+        val t0 = System.nanoTime()
+        val rows = f().count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        sweep()
+        println(f"""{"op":"$name","n_docs":$n,"sec":$dt%.2f,"rows":$rows,"expected_pairs":$expectedPairs}""")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -364,7 +364,20 @@ object TextOps {
     *  - VERIFY is the EXACT set-Jaccard over the FULL fingerprint sets
     *    (compiled sorted-merge kernel, candidates only) — the score
     *    semantics are the true fingerprint Jaccard, unaffected by the
-    *    cap. */
+    *    cap.
+    *
+    * Choosing `maxDocFreq` (r9 scaling measurement, BASELINE.md): the
+    * candidate join emits ≤ Σ_kept df² ≈ instances·E[df|kept] pairs, so
+    * the cap is a LINEAR multiplier on candidate volume — and the df
+    * histogram's mid-band (2..cap) gains mass as the corpus grows, which
+    * made cap=100 superlinear on the 1×/10×/50× curve (2.8→27.9→426 s;
+    * 15× time for the last 5× data). The recall condition above only
+    * needs df ≈ the near-dup GROUP SIZE (a group's distinctive run
+    * appears in exactly its members), so the default is 10 — measured
+    * 2.3→8.1→56 s (near-linear) at 99.6% of the cap=100 pair yield. Raise
+    * it only for corpora with genuinely large duplicate clusters, and
+    * run exact dedup (q25/q33) first so those clusters collapse before
+    * banding — the same answer as SimHash's flood guard. */
   def winnowPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -372,7 +385,7 @@ object TextOps {
       k: Int = 8,
       w: Int = 4,
       threshold: Double = 0.5,
-      maxDocFreq: Int = 100): DataFrame = {
+      maxDocFreq: Int = 10): DataFrame = {
     val wfp = docs.select(col(idCol).as("id"),
       array_sort(array_distinct(winnowFingerprint(col(textCol), k, w))).as("fps"))
       .persist()
