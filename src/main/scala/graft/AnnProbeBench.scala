@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Sessions
+import graft.ext.Ann
+
+/** IVF partial-probe measurement (r8 verdict "Next round #5"): q34
+  * benches the index at FULL probe only — which is the exactness gate,
+  * not the reason IVF exists. This records the pruning win: search time
+  * and recall@10 at nProbe = 4 of 16 centroids vs the exact full probe,
+  * over a larger query load (all 2,000 vectors as queries at sf0.1) so
+  * the probe-pruned scan — not fixed overhead — dominates the timing.
+  *
+  * Methodology mirrors graft.Bench: the index is built once (outside the
+  * timed region — build cost is q34's domain), each search variant runs
+  * a discarded warmup then min of 3 timed runs, same host-noise
+  * rationale. Recall is computed once (deterministic). Output: one JSON
+  * line.
+  */
+object AnnProbeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.local(Sessions.envCpus, "graft-ann-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val queries = emb // every vector queries the index
+    val tBuild0 = System.nanoTime()
+    val (centroids, assigned) = Ann.build(emb, nCentroids = 16, iters = 2)
+    assigned.count()
+    val buildSec = (System.nanoTime() - tBuild0) / 1e9
+
+    def timedSearch(nProbe: Int): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Ann.search(assigned, centroids, queries, k = 10, nProbe = nProbe)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup (codegen for this plan shape)
+      (1 to 3).map(_ => once()).min
+    }
+
+    // exact reference set once (full probe = exact)
+    val exact = Ann.search(assigned, centroids, queries, 10, 16)
+      .select(col("qid"), col("vec_id")).persist()
+    val total = exact.count()
+
+    val points = Seq(2, 4, 8, 16).map { nProbe =>
+      val sec = timedSearch(nProbe)
+      val hits = Ann.search(assigned, centroids, queries, 10, nProbe)
+        .select(col("qid"), col("vec_id"))
+        .join(exact, Seq("qid", "vec_id"), "left_semi").count()
+      f"""{"n_probe":$nProbe,"sec":$sec%.2f,"recall_at_10":${hits.toDouble / total}%.4f}"""
+    }
+    exact.unpersist()
+    centroids.unpersist(); assigned.unpersist()
+
+    println(f"""{"metric":"ann_probe","n_vectors":${queries.count()},"n_centroids":16,"k":10,"build_sec":$buildSec%.2f,"points":[${points.mkString(",")}],"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
