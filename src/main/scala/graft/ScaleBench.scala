@@ -105,7 +105,7 @@ object ScaleBench {
       "q54_pipeline" -> (() =>
         NearDup.dedup(docs)
           .filter(length(col("text")) >= 60)
-          .filter(TextOps.tokenRatio(col("text"), stopwords) >= 0.02)
+          .filter(TextOps.tokenRatioKernel(col("text"), stopwords) >= 0.02)
           .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
             .isin("0", "1", "2", "3"))
           .select("doc_id")))

@@ -86,6 +86,7 @@ object SparkEntry {
     "q56_salted_join"      -> (Relational.q56 _),
     "q57_stream_tumbling"  -> (graft.streaming.StreamOps.q57 _),
     "q58_session_window"   -> (graft.streaming.StreamOps.q58 _),
+    "q59_sliding_window"   -> (graft.streaming.StreamOps.q59 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -378,6 +379,15 @@ object SparkEntry {
         "s AS (SELECT user_id, tsu, SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
         "SELECT user_id, MIN(tsu) AS start_us, MAX(tsu) + 43200000000 AS end_us, COUNT(*) AS n_events " +
         "FROM s GROUP BY user_id, sid ORDER BY user_id, start_us"),
+    // q59: sliding window (1 h / 30 min) — every event is in exactly two
+    // windows, starts on the epoch-aligned 30-min grid; counts only (a
+    // raw double sum is the unhashable class, see StreamOps.q59).
+    "q59_sliding_window" ->
+      ("WITH e AS (SELECT epoch_us(ts) AS tsu, event_type FROM events), " +
+        "w AS (SELECT tsu - tsu % 1800000000 AS ws_us, event_type FROM e " +
+        "UNION ALL SELECT tsu - tsu % 1800000000 - 1800000000, event_type FROM e) " +
+        "SELECT ws_us, ws_us + 3600000000 AS we_us, event_type, COUNT(*) AS cnt " +
+        "FROM w GROUP BY ws_us, event_type ORDER BY ws_us, event_type"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

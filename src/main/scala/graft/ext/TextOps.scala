@@ -49,6 +49,35 @@ object TextOps {
         size(tokens(text)), 4)
   }
 
+  /** Compiled kernel tier of [[tokenRatio]] — same contract as
+    * `NearDup.shingleHashesKernel`: BIT-IDENTICAL output (pinned by
+    * TextAnalysisSpec incl. multi-space/trailing-space/null edges), for
+    * corpus-wide hot paths where the declarative HOF's interpreted
+    * evaluation is the bottleneck (measured r9: the HOF costs ~3.7 s
+    * over 250k docs inside q54's curation chain — once per doc, but at
+    * curation scale "once per doc" IS the hot loop). Replication notes:
+    * Spark `split(str, " ")` is Java `String.split(" ", -1)` (keeps
+    * trailing empties); Spark `round(double, 4)` is
+    * `java.math.BigDecimal.valueOf(x).setScale(4, HALF_UP)`. q30/q31
+    * keep the declarative tier (they run at gate scale and stay
+    * lambda-free); q54 uses this kernel. */
+  def tokenRatioKernel(text: Column, vocab: Seq[String]): Column = {
+    val vset = vocab.toSet
+    val k = udf { (t: String) =>
+      if (t == null) null.asInstanceOf[java.lang.Double]
+      else {
+        val parts = t.split(" ", -1)
+        var m = 0
+        var i = 0
+        while (i < parts.length) { if (vset(parts(i))) m += 1; i += 1 }
+        java.lang.Double.valueOf(
+          java.math.BigDecimal.valueOf(m.toDouble / parts.length)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+      }
+    }
+    k(text)
+  }
+
   /** Mean token length for single-space-separated text:
     * (chars − separators) / tokens. */
   def avgTokenLen(text: Column): Column =
@@ -425,7 +454,7 @@ object TextOps {
   def q54(s: SparkSession, d: String): DataFrame =
     NearDup.dedup(Tables.documents(s, d))
       .filter(length(col("text")) >= 60)
-      .filter(tokenRatio(col("text"), stopwords) >= 0.02)
+      .filter(tokenRatioKernel(col("text"), stopwords) >= 0.02)
       .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
         .isin("0", "1", "2", "3"))
       .select("doc_id")

@@ -147,6 +147,23 @@ object StreamOps {
         col("n_events"))
       .orderBy("user_id", "start_us")
 
+  /** Q59 — S3's sliding window as batch: `slidingAgg` at size 1 h /
+    * slide 30 min, so every event lands in EXACTLY two windows — the
+    * overlap semantics the tumbling q57 can't exercise. The oracle
+    * rebuilds the window set arithmetically (each event's two containing
+    * starts are the 30-min grid points tsu−tsu%30m and that minus 30m;
+    * Spark's window grid is epoch-aligned in multiples of the slide).
+    * Presentation is counts only: slidingAgg's `sv` is a raw
+    * double-`sum(value)`, whose addition order differs between engines —
+    * the known unhashable class; the operator under gate is the window
+    * assignment, which `cnt` pins completely. */
+  def q59(s: SparkSession, d: String): DataFrame =
+    slidingAgg(graft.sources.Tables.events(s, d),
+        size = "1 hour", slide = "30 minutes", watermark = "1 hour")
+      .select(unix_micros(col("ws")).as("ws_us"), unix_micros(col("we")).as("we_us"),
+        col("event_type"), col("cnt"))
+      .orderBy("ws_us", "event_type")
+
   def statefulSessions(events: DataFrame, gapMs: Long = 30000L,
       watermark: String = "10 seconds"): DataFrame = {
     val s = events.sparkSession

@@ -83,6 +83,18 @@ class RelationalSmokeSpec extends SparkSpec {
     }
   }
 
+  test("r9 plan shapes: q56 salts with xxhash64, window aggs run map-side partials") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+    // the deterministic salt expression is really in the executed plan
+    assert(plan("q56_salted_join").contains("xxhash64"))
+    // batch window()/session_window() aggregations keep two-phase
+    // (partial -> final) hash aggregation — the map-side combine that
+    // bounds shuffle volume at scale
+    assert(plan("q57_stream_tumbling").contains("partial_count"))
+    assert(plan("q59_sliding_window").contains("partial_count"))
+  }
+
   test("q56 salted gate query equals its unsalted plan in-engine") {
     import org.apache.spark.sql.functions._
     val salted = SparkEntry.queries("q56_salted_join")(spark, d).collect()

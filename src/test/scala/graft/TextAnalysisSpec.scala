@@ -104,6 +104,28 @@ class TextAnalysisSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("tokenRatio compiled kernel is bit-identical to the declarative HOF tier") {
+    import spark.implicits._
+    val vocab = Seq("the", "a", "of", "and", "to", "in", "is")
+    // fixture docs + adversarial edges: multi-space (empty tokens),
+    // leading/trailing spaces, all-vocab, no-vocab, single token, null
+    val edges = Seq("the  a", " the a ", "the", "zz", "", "a a a a a a the of",
+      null.asInstanceOf[String]).toDF("text")
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select("text").limit(200).union(edges)
+    val both = docs.select(
+        TextOps.tokenRatio(col("text"), vocab).as("hof"),
+        TextOps.tokenRatioKernel(col("text"), vocab).as("k"))
+      .collect()
+    assert(both.length > 200)
+    both.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.toString)
+    }
+  }
+
   test("simHashPairs: banding is exact to Hamming 7; high recall on fixture groups at sf0.001") {
     val d = sf("sf0.001")
     val docs = graft.sources.Tables.documents(spark, d)
