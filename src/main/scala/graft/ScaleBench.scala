@@ -78,12 +78,77 @@ object ScaleBench {
     spark.range(nDocs).select(col("id").as("doc_id"), gen(col("id")).as("text"))
   }
 
+  /** Deterministic synthetic embedding corpus: (vec_id, embedding) —
+    * 64-dim floats around `nClusters` Gaussian centers (cluster
+    * structure is what IVF cells capture; the sf fixture's near-uniform
+    * vectors are the worst case, see AnnProbeBench). */
+  def vecCorpus(spark: SparkSession, n: Long, dim: Int = 64,
+      nClusters: Int = 50): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val rc = new java.util.Random((id % nClusters) * 7919L + 1)
+      val center = Array.fill(dim)(rc.nextGaussian().toFloat)
+      val r = new java.util.Random(id * 0x9E3779B97F4A7C15L + 5)
+      Array.tabulate(dim)(i => center(i) + 0.3f * r.nextGaussian().toFloat)
+    }
+    spark.range(n).select(col("id").as("vec_id"), gen(col("id")).as("embedding"))
+  }
+
+  /** Vector-axis scaling (r9): IVF index build + search cost and the
+    * nProbe=4 pruning win at 1×/10×/50× of the sf0.1 vector count. The
+    * build's assignment pass is the declared 100 TB index cost center
+    * (Ann.assign scaladoc); this curve is its growth evidence. Recall at
+    * nProbe=4 is measured against the full-probe exact result on the
+    * same index (relative recall — the pruning's cost, isolated from
+    * index quality). */
+  private def runVectors(spark: SparkSession, sizes: Seq[Long], dir: String): Unit = {
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val path = s"$dir/vecs_$n.parquet"
+      if (!new java.io.File(path).exists())
+        vecCorpus(spark, n).write.mode("overwrite").parquet(path)
+      val vecs = spark.read.parquet(path)
+      val queries = vecs.filter(col("vec_id") < 100)
+      if (i == 0) { // warmup at the smallest size: build + one search
+        val (c0, a0) = graft.ext.Ann.build(vecs, 16, 2)
+        graft.ext.Ann.search(a0, c0, queries, 10, 16).count()
+        c0.unpersist(); a0.unpersist(); sweep()
+      }
+      val tB = System.nanoTime()
+      val (centroids, assigned) = graft.ext.Ann.build(vecs, 16, 2)
+      assigned.count()
+      val buildSec = (System.nanoTime() - tB) / 1e9
+      def timedSearch(nProbe: Int): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = graft.ext.Ann.search(assigned, centroids, queries, 10, nProbe).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (fullSec, _) = timedSearch(16)
+      val (p4Sec, _) = timedSearch(4)
+      val exact = graft.ext.Ann.search(assigned, centroids, queries, 10, 16)
+        .select(col("qid"), col("vec_id")).persist()
+      val total = exact.count()
+      val hits = graft.ext.Ann.search(assigned, centroids, queries, 10, 4)
+        .select(col("qid"), col("vec_id"))
+        .join(exact, Seq("qid", "vec_id"), "left_semi").count()
+      exact.unpersist(); centroids.unpersist(); assigned.unpersist(); sweep()
+      println(f"""{"op":"ivf","n_vecs":$n,"build_sec":$buildSec%.2f,"search_full_sec":$fullSec%.2f,"search_p4_sec":$p4Sec%.2f,"recall_p4":${hits.toDouble / total}%.4f}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
-      else Seq(5000L, 50000L, 250000L)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/target/scale")
     val spark = Sessions.local(Sessions.envCpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("vectors")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(2000L, 20000L, 100000L)
+      runVectors(spark, sizes, dir)
+      spark.stop()
+      return
+    }
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+      else Seq(5000L, 50000L, 250000L)
     def sweep(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 
