@@ -87,6 +87,8 @@ object SparkEntry {
     "q57_stream_tumbling"  -> (graft.streaming.StreamOps.q57 _),
     "q58_session_window"   -> (graft.streaming.StreamOps.q58 _),
     "q59_sliding_window"   -> (graft.streaming.StreamOps.q59 _),
+    "q60_interval_join"    -> (graft.streaming.StreamOps.q60 _),
+    "q61_bloom_join"       -> (Relational.q61 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -388,6 +390,24 @@ object SparkEntry {
         "UNION ALL SELECT tsu - tsu % 1800000000 - 1800000000, event_type FROM e) " +
         "SELECT ws_us, ws_us + 3600000000 AS we_us, event_type, COUNT(*) AS cnt " +
         "FROM w GROUP BY ws_us, event_type ORDER BY ws_us, event_type"),
+    // q60: S9's stream–stream interval join as batch — clicks within
+    // [view.ts, view.ts + 1 h] per user, pair rows out; the operator's
+    // two-sided bound verbatim in ANSI SQL. Epoch-µs presentation.
+    "q60_interval_join" ->
+      ("SELECT v.view_id, c.click_id, v.vts_us, c.cts_us " +
+        "FROM (SELECT event_id AS view_id, user_id AS vu, epoch_us(ts) AS vts_us FROM events WHERE event_type = 'view') v " +
+        "JOIN (SELECT event_id AS click_id, user_id AS cu, epoch_us(ts) AS cts_us FROM events WHERE event_type = 'click') c " +
+        "ON v.vu = c.cu AND c.cts_us >= v.vts_us AND c.cts_us <= v.vts_us + 3600000000 " +
+        "ORDER BY v.view_id, c.click_id LIMIT 500"),
+    // q61: bloom-prefiltered join must hash-match the PLAIN join — the
+    // oracle enforcing the prefilter's exactness contract (q56's
+    // pattern for the other join-scaling utility).
+    "q61_bloom_join" ->
+      ("SELECT p.p_type, COUNT(*) AS cnt, " +
+        "CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sq " +
+        "FROM lineitem l JOIN (SELECT p_partkey, p_type FROM part WHERE p_size = 1) p " +
+        "ON l.l_partkey = p.p_partkey " +
+        "GROUP BY p.p_type ORDER BY p.p_type"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -79,4 +79,58 @@ object Partitioning {
     val s = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     b.join(s, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Bloom-prefiltered equi-join: build a Bloom filter over the SMALL
+    * side's join keys, drop big-side rows the filter rejects BEFORE the
+    * join's shuffle, then run the exact join. At 100 TB this is the
+    * difference between shuffling the full fact table and shuffling
+    * only the ~match fraction: a definite miss is eliminated at the
+    * scan (the probe sits in the big side's first Filter, fused into
+    * the scan's WholeStageCodegen stage), and false positives —
+    * bounded by `fpp` — are removed by the exact join, so the RESULT
+    * is identical to the plain join by construction (that identity is
+    * the q61 oracle gate).
+    *
+    * Mechanics: `small.stat.bloomFilter` is a distributed aggregation
+    * (per-partition sketches OR-merged at the driver — bit-array bytes,
+    * not rows, move); the merged sketch rides to executors as a task-
+    * closure broadcast and the probe is a compiled closure calling
+    * `mightContainLong` (~two XXH64 probes per row). Build cost is one
+    * pass over the small side — worth it when the big side is shuffled
+    * (sort-merge join) and the expected hit rate is well under 1;
+    * pointless when the small side already broadcasts AND the big side
+    * needs no shuffle, since a broadcast hash join probes a full hash
+    * map at the scan anyway.
+    *
+    * Spark 3.3+ can inject the same thing automatically
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`), but only
+    * when the small side carries a selective non-join predicate and
+    * size/cost thresholds line up; this utility is the explicit form
+    * for when the caller KNOWS the key-overlap is sparse (e.g. a
+    * curated-id table against a raw 100 TB corpus) — the planner can't
+    * know that from stats.
+    *
+    * Keys are probed as LONG (`cast` below): integral join keys only —
+    * the engine's fact-table key class. `expectedItems` sizes the bit
+    * array (n·ln(1/fpp)/ln²2 bits ≈ 9.6 bits/key at fpp 0.01). */
+  def bloomPrefilteredJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01,
+      joinType: String = "inner"): DataFrame = {
+    // match-requiring types only: a big-preserving join (left/full)
+    // must KEEP unmatched big rows — exactly the rows the prefilter
+    // exists to drop
+    val ok = Set("inner", "left_semi", "leftsemi", "semi")
+    require(ok(joinType.toLowerCase),
+      s"bloomPrefilteredJoin drops non-matching big rows pre-join; " +
+        s"only match-requiring join types (inner/left_semi) are exact, got $joinType")
+    val bf = small.stat.bloomFilter(col(key).cast("long"), expectedItems, fpp)
+    // null keys never match an equi-join, so dropping them pre-join is
+    // exact for the permitted types
+    val mightContain = udf((k: java.lang.Long) => k != null && bf.mightContainLong(k))
+    big.filter(mightContain(col(key).cast("long"))).join(small, Seq(key), joinType)
+  }
 }

@@ -679,6 +679,35 @@ object Relational {
       .orderBy("c_mktsegment", "event_type")
   }
 
+  /** Q61 — `Partitioning.bloomPrefilteredJoin` under the oracle gate
+    * (the q56 pattern applied to the other join-scaling utility): the
+    * fact side (lineitem) joins a SELECTIVE dim subset (part at
+    * p_size=1 — 38 of 2,000 keys at sf0.01, ~2% of lineitem matching),
+    * with a Bloom filter over the dim keys dropping definite-miss fact
+    * rows at the scan, before the join. The DuckDB oracle is the PLAIN
+    * join — the prefilter must be invisible in the result, which is the
+    * utility's exactness contract (false positives die in the exact
+    * join; definite misses were never in the answer). The mechanism
+    * itself (probe in the scan-stage Filter, rows actually dropped
+    * pre-join) is asserted in RelationalSmokeSpec.
+    *
+    * Presentation: aggregate per p_type — unique, total order; the
+    * decimal sum presented as DOUBLE per the `_b` convention. */
+  def q61(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"))
+    val p = Tables.part(s, d)
+      .filter(col("p_size") === 1)
+      .select(col("p_partkey").as("l_partkey"), col("p_type"))
+    graft.core.Partitioning
+      .bloomPrefilteredJoin(li, p, "l_partkey", expectedItems = 10000L)
+      .groupBy("p_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")), 2).cast("double").as("sq"))
+      .orderBy("p_type")
+  }
+
   /** QUARANTINED type-class variant (r4 ADVICE): q24 with the hour
     * bucket as a single TIMESTAMP column `h` — the suite's only
     * timestamp output class and a 3-round driver-hash-fail with

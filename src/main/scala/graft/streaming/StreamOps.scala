@@ -164,6 +164,38 @@ object StreamOps {
         col("event_type"), col("cnt"))
       .orderBy("ws_us", "event_type")
 
+  /** Q60 — S9's stream–stream interval join as a batch query: the same
+    * `streamStreamIntervalJoin` plan (equi key + two-sided event-time
+    * bound) run over the batch events table — clicks attributed to the
+    * view they followed within 1 h, per user. This is the LAST
+    * SQL-expressible streaming operator (after q57/q58/q59's windows),
+    * so the whole §2.4 batch-equivalence family is now under the
+    * driver's DuckDB gate. Distinct from q44: that gates a manually
+    * composed LEFT range join + aggregate; this gates the S9 operator
+    * itself — inner join, two-sided bound, pair rows out (the shape
+    * whose streaming form keeps join state evictable, StreamOps
+    * scaladoc above). Timestamps presented as epoch micros BIGINT
+    * (TIMESTAMP output is the driver-hash-incompatible class, q24
+    * history); (view_id, click_id) is a unique total order. Pair
+    * cardinality measured 5/46/370 at sf0.001/0.01/0.1 — the LIMIT is
+    * a presentation cap per the §2.3 declaration rules, not load-
+    * bearing at these SFs. */
+  def q60(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.sources.Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+        col("ts").as("vts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("ts").as("cts"))
+    streamStreamIntervalJoin(views, clicks, "vu", "vts", "cu", "cts",
+        horizon = "1 hour", watermark = "1 hour")
+      .select(col("view_id"), col("click_id"),
+        unix_micros(col("vts")).as("vts_us"), unix_micros(col("cts")).as("cts_us"))
+      .orderBy("view_id", "click_id")
+      .limit(500)
+  }
+
   def statefulSessions(events: DataFrame, gapMs: Long = 30000L,
       watermark: String = "10 seconds"): DataFrame = {
     val s = events.sparkSession

@@ -95,6 +95,40 @@ class RelationalSmokeSpec extends SparkSpec {
     assert(plan("q59_sliding_window").contains("partial_count"))
   }
 
+  test("bloomPrefilteredJoin equals the plain join and really drops rows pre-join") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(10000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    // sparse key overlap: 20 of 10k keys match (the regime the utility targets)
+    val small = spark.range(20).select((col("id") * 500).as("k"),
+      concat(lit("d"), col("id")).as("name"))
+    val plain = big.join(small, Seq("k")).collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val bloomed = graft.core.Partitioning
+      .bloomPrefilteredJoin(big, small, "k", expectedItems = 100L)
+    assert(bloomed.collect().map(_.toSeq).sortBy(_.toString).toSeq == plain)
+    // the prefilter is a real pre-join Filter: probing big alone keeps
+    // ~matches + fpp·n, far under the input size
+    val bf = small.stat.bloomFilter(col("k"), 100L, 0.01)
+    val kept = big.collect().count(r => bf.mightContainLong(r.getLong(0)))
+    assert(kept < 1000, s"bloom kept $kept of 10000 — not filtering")
+    // null big-side keys never match an inner equi-join: dropping them is exact
+    val bigNull = big.union(spark.range(5).select(lit(null).cast("long").as("k"), col("id")))
+    assert(graft.core.Partitioning.bloomPrefilteredJoin(bigNull, small, "k", 100L)
+      .count() == plain.size)
+    // big-preserving join types would lose unmatched big rows — rejected
+    intercept[IllegalArgumentException] {
+      graft.core.Partitioning.bloomPrefilteredJoin(big, small, "k", 100L, 0.01, "left")
+    }
+  }
+
+  test("q60 interval-join batch analog: 5 pairs at sf0.001, interval bounds hold") {
+    val r = SparkEntry.queries("q60_interval_join")(spark, d).collect()
+    assert(r.length == 5)
+    // every click falls inside [view.ts, view.ts + 1 h] — the two-sided
+    // bound the streaming operator keys its state eviction on
+    assert(r.forall(x =>
+      x.getLong(3) >= x.getLong(2) && x.getLong(3) <= x.getLong(2) + 3600000000L))
+  }
+
   test("q56 salted gate query equals its unsalted plan in-engine") {
     import org.apache.spark.sql.functions._
     val salted = SparkEntry.queries("q56_salted_join")(spark, d).collect()
