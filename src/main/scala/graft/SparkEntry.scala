@@ -89,6 +89,9 @@ object SparkEntry {
     "q59_sliding_window"   -> (graft.streaming.StreamOps.q59 _),
     "q60_interval_join"    -> (graft.streaming.StreamOps.q60 _),
     "q61_bloom_join"       -> (Relational.q61 _),
+    "q62_decontaminate"    -> (TextOps.q62 _),
+    "q63_token_shards"     -> (TextOps.q63 _),
+    "q64_stratified_sample"-> (Relational.q64 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -408,6 +411,34 @@ object SparkEntry {
         "FROM lineitem l JOIN (SELECT p_partkey, p_type FROM part WHERE p_size = 1) p " +
         "ON l.l_partkey = p.p_partkey " +
         "GROUP BY p.p_type ORDER BY p.p_type"),
+    // q62: benchmark decontamination — corpus docs sharing any word
+    // 5-gram with the benchmark split (doc_id%10==0); DuckDB rebuilds
+    // the gram sets via string_split + 1-based inclusive list slicing
+    // (w[i+1:i+5] = 5 words starting at 0-based i).
+    "q62_decontaminate" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT doc_id, array_to_string(w[i+1:i+5], ' ') AS gram " +
+        "FROM tok, UNNEST(range(len(w) - 4)) AS t(i)), " +
+        "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0) " +
+        "SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared " +
+        "FROM g JOIN bench USING (gram) WHERE g.doc_id % 10 <> 0 " +
+        "GROUP BY g.doc_id ORDER BY g.doc_id"),
+    // q63: token-budget shard packing — shard = floor(prefix-sum-before
+    // / 5000). The oracle is the naive GLOBAL window; the engine's
+    // two-phase distributed prefix sum must equal it exactly.
+    "q63_token_shards" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(FLOOR((SUM(len(string_split(text, ' '))) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) " +
+        "- len(string_split(text, ' '))) / 5000.0) AS BIGINT) AS shard " +
+        "FROM documents ORDER BY doc_id"),
+    // q64: stratified hash sampling — per-stratum rates via one CASE
+    // over the q42 sampling key (md5 first hex digit).
+    "q64_stratified_sample" ->
+      ("SELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE CASE WHEN lang = 'en' " +
+        "THEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') " +
+        "ELSE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') END " +
+        "ORDER BY doc_id"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

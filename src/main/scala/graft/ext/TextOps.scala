@@ -472,4 +472,116 @@ object TextOps {
   def q51(s: SparkSession, d: String): DataFrame =
     winnowPairs(Tables.documents(s, d))
       .orderBy("a", "b")
+
+  /** Word n-gram STRINGS per document — compiled kernel tier (the
+    * sliding window the interpreted `transform`/`slice` HOF chain would
+    * otherwise run per doc; same doctrine as `tokenRatioKernel`).
+    * Tokenization contract matches Spark `split(text, " ")` / DuckDB
+    * `string_split` exactly: split on single spaces, empties kept.
+    * Documents shorter than n yield no grams. Distinct from
+    * `NearDup.shingleHashesKernel`, which emits 64-bit HASHES (right
+    * for LSH/minhash); decontamination joins corpus grams against an
+    * EXTERNAL benchmark set, where string keys keep the match exact and
+    * engine-independent (a hash join is exact only if both sides agree
+    * on the hash function — an oracle can't). */
+  def wordGramsKernel(text: Column, n: Int): Column = {
+    require(n >= 1, s"n=$n must be >= 1")
+    val k = udf { (t: String) =>
+      if (t == null) Array.empty[String]
+      else {
+        val w = t.split(" ", -1)
+        if (w.length < n) Array.empty[String]
+        else Array.tabulate(w.length - n + 1)(i => w.slice(i, i + n).mkString(" "))
+      }
+    }
+    k(text)
+  }
+
+  /** Benchmark decontamination over the corpus: flag every corpus doc
+    * sharing at least one word 5-gram with a BENCHMARK document, with
+    * the count of distinct shared grams (the GPT-3/PaLM-style n-gram
+    * overlap test; 13-grams in those reports — 5 here because the
+    * fixture's texts are short). The benchmark set is every doc with
+    * doc_id % 10 == 0 (deterministic, in-corpus; a real run points
+    * `bench` at the eval-suite table instead).
+    *
+    * Scale shape: corpus grams are a narrow explode (no shuffle);
+    * benchmark grams collapse through a distinct (one shuffle over the
+    * BENCHMARK's grams only — eval suites are MBs, so this side is
+    * broadcast-sized at 100 TB and the join is map-side; AQE picks that
+    * up from runtime stats here). The count-distinct aggregates on
+    * doc_id — one shuffle of the matched grams, which decontamination
+    * expects to be a tiny fraction of the corpus. */
+  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(wordGramsKernel(col("text"), n)).as("gram"))
+    val benchGrams = bench.select(
+      explode(wordGramsKernel(col("text"), n)).as("gram")).distinct()
+    grams.join(benchGrams, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
+  /** Q62 — decontamination under the ORACLE gate: benchmark =
+    * doc_id % 10 == 0, corpus = the rest; DuckDB rebuilds the 5-gram
+    * sets relationally (string_split + list slicing). Non-trivial at
+    * every SF (8/7/236 contaminated docs at sf0.001/0.01/0.1 — the
+    * fixture's near-dup groups put real overlap across the split). */
+  def q62(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget shard packing: assign docs (in doc_id order) to
+    * consecutive shards of ~`budget` whitespace tokens each — the
+    * "pack the corpus into N-token training shards" step of a data
+    * pipeline. A doc's shard is floor(prefix_sum_BEFORE_it / budget):
+    * deterministic, order-stable, every shard except the last holds
+    * ≥ budget − max_doc and < budget + max_doc tokens.
+    *
+    * Scale shape — the naive form is a GLOBAL window (one reducer sees
+    * every row: the classic scale anti-pattern), so this runs the
+    * standard two-phase distributed prefix sum instead:
+    *   1. range-repartition by doc_id (sorted, disjoint partition
+    *      ranges), per-partition running totals via a window
+    *      PARTITIONED by the range id (parallel, no global sort);
+    *   2. per-partition token totals (one tiny row per partition)
+    *      prefix-summed over the partition-id order — a window over
+    *      #partitions rows, not #docs — and joined back as offsets.
+    * The result is IDENTICAL to the global-window form for any range
+    * boundaries (prefix sums don't care where the cuts fall — the
+    * boundaries Spark samples are not in the answer), which is exactly
+    * what the DuckDB oracle (the naive global-window SQL) enforces. */
+  def packShards(docs: DataFrame, budget: Long, parts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = if (parts > 0) parts
+      else docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .repartitionByRange(p, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = toks.withColumn("run",
+      sum(col("n_tokens")).over(
+        Window.partitionBy("pid").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)))
+    val offsets = local.groupBy("pid")
+      .agg(max(col("run")).as("total"))
+      .withColumn("offset",
+        coalesce(sum(col("total")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), Seq("pid"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor((col("offset") + col("run") - col("n_tokens")) / budget).as("shard"))
+  }
+
+  /** Q63 — shard packing under the ORACLE gate: 5,000-token shards over
+    * the documents table; DuckDB runs the naive global-window SQL the
+    * two-phase plan must equal. (Declared q63; the stratified sample is
+    * q64 — numbering follows declaration order.) */
+  def q63(s: SparkSession, d: String): DataFrame =
+    packShards(Tables.documents(s, d), budget = 5000L)
+      .orderBy("doc_id")
 }

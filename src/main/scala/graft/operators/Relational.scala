@@ -708,6 +708,24 @@ object Relational {
       .orderBy("p_type")
   }
 
+  /** Q64 — stratified deterministic sampling (q42's hash sampling with
+    * PER-STRATUM rates — the "rebalance the language/source mix" step
+    * of corpus curation, e.g. downsample the dominant language): en
+    * keeps first-md5-hex-digit ∈ {0,1} (~12.5%), every other lang
+    * ∈ {0..7} (~50%). Same determinism argument as q42 (content-keyed,
+    * stable across engines/partitionings/reruns — `sampleBy` is the
+    * rand()-based unverifiable analog); still a narrow filter, no
+    * shuffle, rates swap per stratum via one CASE. The sampled ROWS are
+    * under the hash gate, not just the counts. */
+  def q64(s: SparkSession, d: String): DataFrame = {
+    val hd = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    Tables.documents(s, d)
+      .filter(when(col("lang") === "en", hd.isin("0", "1"))
+        .otherwise(hd.isin("0", "1", "2", "3", "4", "5", "6", "7")))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** QUARANTINED type-class variant (r4 ADVICE): q24 with the hour
     * bucket as a single TIMESTAMP column `h` — the suite's only
     * timestamp output class and a 3-round driver-hash-fail with

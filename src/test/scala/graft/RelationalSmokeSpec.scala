@@ -129,6 +129,23 @@ class RelationalSmokeSpec extends SparkSpec {
       x.getLong(3) >= x.getLong(2) && x.getLong(3) <= x.getLong(2) + 3600000000L))
   }
 
+  test("r9 curation trio: q62 finds the measured overlap, q63 covers every doc, q64 rates hold") {
+    import org.apache.spark.sql.functions._
+    // decontamination: 8 contaminated docs at sf0.001 (measured in DuckDB)
+    assert(SparkEntry.queries("q62_decontaminate")(spark, d).count() == 8)
+    // shard packing is total: one row per document, shards start at 0
+    val shards = SparkEntry.queries("q63_token_shards")(spark, d)
+    assert(shards.count() == 500 && shards.agg(min("shard")).head().getLong(0) == 0L)
+    // stratified sample: en rows only from the 12.5% band, others from the 50% band
+    val r = SparkEntry.queries("q64_stratified_sample")(spark, d)
+      .withColumn("hd",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
+    assert(r.count() > 0)
+    assert(r.filter(col("lang") === "en" && !col("hd").isin("0", "1")).count() == 0)
+    assert(r.filter(col("lang") =!= "en" &&
+      !col("hd").isin("0", "1", "2", "3", "4", "5", "6", "7")).count() == 0)
+  }
+
   test("q56 salted gate query equals its unsalted plan in-engine") {
     import org.apache.spark.sql.functions._
     val salted = SparkEntry.queries("q56_salted_join")(spark, d).collect()

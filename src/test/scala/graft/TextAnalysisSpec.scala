@@ -24,6 +24,59 @@ class TextAnalysisSpec extends SparkSpec {
   private def round(x: Double, dp: Int) =
     BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("wordGramsKernel: sliding window, split contract, short/null edges") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b c d e f"),     // 2 5-grams
+      (2L, "a b c d"),         // shorter than n -> none
+      (3L, "a  b c d e"),      // double space -> empty token kept (split contract)
+      (4L, null.asInstanceOf[String]))).toDF("doc_id", "text")
+    val g = df.select(col("doc_id"),
+      TextOps.wordGramsKernel(col("text"), 5).as("g")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(g(1L) == Seq("a b c d e", "b c d e f"))
+    assert(g(2L).isEmpty)
+    assert(g(3L) == Seq("a  b c d", " b c d e"))
+    assert(g(4L).isEmpty)
+  }
+
+  test("decontaminate flags exactly the docs sharing a 5-gram with the benchmark") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "v w x y z unrelated tail here"),          // shares "v w x y z" with bench
+      (2L, "totally different words in this doc"),    // clean
+      (3L, "p q r s t and v w x y z twice v w x y z") // shared gram counted ONCE
+    )).toDF("doc_id", "text")
+    val bench = spark.createDataFrame(Seq(
+      (10L, "leading v w x y z trailing"))).toDF("doc_id", "text")
+    val r = TextOps.decontaminate(docs, bench).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 3L -> 1L))
+  }
+
+  test("packShards equals the naive global prefix sum, invariant to partition count") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      // token counts 1..10 repeating: doc i has (i%10)+1 tokens
+      concat_ws(" ", sequence(lit(0), pmod(col("id"), lit(10)))).as("text"))
+    val naive = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .withColumn("shard", floor(
+        (coalesce(sum(col("n_tokens")).over(
+          Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          / 37L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    for (p <- Seq(1, 3, 16)) {
+      val packed = TextOps.packShards(docs, budget = 37L, parts = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(packed == naive, s"parts=$p")
+    }
+    // shards really pack to ~budget: every non-final shard holds >= budget - max_doc
+    val sizes = TextOps.packShards(docs, 37L, 4).groupBy("shard")
+      .agg(sum("n_tokens").as("tot")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val last = sizes.keys.max
+    assert(sizes.filter(_._1 != last).values.forall(t => t >= 37L - 10 && t < 37L + 10))
+  }
+
   test("regex tokenizer counts letter runs, digit runs, and symbols") {
     val df = spark.createDataFrame(Seq((1L, "abc 123 x!y"))).toDF("doc_id", "text")
     // tokens: abc, 123, x, !, y
