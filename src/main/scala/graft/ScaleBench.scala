@@ -167,6 +167,19 @@ object ScaleBench {
       // exposed (r9: 2.8→27.9→426 s; the mid-band df 11–100 candidate
       // mass grows faster than the corpus — see BASELINE.md)
       "q51_winnow_df100" -> (() => TextOps.winnowPairs(docs, maxDocFreq = 100)),
+      // decontamination (r9): benchmark split = the near-dup BASES
+      // (doc_id%20==18), so every variant doc (%20==19) is PLANTED
+      // contamination — flagged count vs expected_pairs measures recall
+      // while the curve measures growth (gram explode + distinct +
+      // string-equi-join; corpus side never aggregates globally)
+      "q62_decontaminate" -> (() =>
+        TextOps.decontaminate(
+          docs.filter(col("doc_id") % 20 =!= 18),
+          docs.filter(col("doc_id") % 20 === 18))),
+      // shard packing (r9): the two-phase prefix sum — included to show
+      // the global-window-free plan stays linear (the naive form would
+      // single-reduce the whole corpus)
+      "q63_shards" -> (() => TextOps.packShards(docs, 100000L)),
       "q54_pipeline" -> (() =>
         NearDup.dedup(docs)
           .filter(length(col("text")) >= 60)

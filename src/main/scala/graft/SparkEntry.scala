@@ -92,6 +92,7 @@ object SparkEntry {
     "q62_decontaminate"    -> (TextOps.q62 _),
     "q63_token_shards"     -> (TextOps.q63 _),
     "q64_stratified_sample"-> (Relational.q64 _),
+    "q65_repetition"       -> (TextOps.q65 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -439,6 +440,19 @@ object SparkEntry {
         "THEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') " +
         "ELSE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') END " +
         "ORDER BY doc_id"),
+    // q65: repetition/diversity signals — top-2-gram mass fraction and
+    // type-token ratio per doc (the Gopher repetition-filter family).
+    "q65_repetition" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT doc_id, array_to_string(w[i+1:i+2], ' ') AS gram " +
+        "FROM tok, UNNEST(range(len(w) - 1)) AS t(i)), " +
+        "gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram), " +
+        "rep AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams, " +
+        "ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top2_ratio FROM gc GROUP BY doc_id), " +
+        "ttr AS (SELECT doc_id, ROUND(CAST(COUNT(DISTINCT u) AS DOUBLE) / COUNT(*), 6) AS type_token_ratio " +
+        "FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS u FROM documents) GROUP BY doc_id) " +
+        "SELECT rep.doc_id, rep.n_2grams, rep.top2_ratio, ttr.type_token_ratio " +
+        "FROM rep JOIN ttr USING (doc_id) ORDER BY rep.doc_id"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

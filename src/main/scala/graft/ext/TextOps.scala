@@ -535,6 +535,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Q65 — repetition/diversity quality signals (the Gopher/MassiveText
+    * repetition-filter family, re-expressed relationally): per doc, the
+    * top-2-gram mass fraction (a high value = the same bigram dominates
+    * — boilerplate/spam) and the type-token ratio (distinct/total
+    * tokens — low = repetitive vocabulary). Complements q30's
+    * length/stopword signals; a real curation run thresholds these
+    * exactly like q54's quality stage.
+    *
+    * Scale shape: both signals are per-doc aggregations over exploded
+    * tokens/grams — map-side partial aggregation on (doc_id, gram),
+    * then (doc_id); no joins beyond the final doc_id-aligned merge of
+    * the two signal frames (one shuffle each, co-partitioned on
+    * doc_id). ROUND 6 on the double ratios, both engines. */
+  def q65(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val gc = docs.select(col("doc_id"),
+        explode(wordGramsKernel(col("text"), 2)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    val rep = gc.groupBy("doc_id").agg(
+      sum("c").as("n_2grams"),
+      round(max("c").cast("double") / sum("c"), 6).as("top2_ratio"))
+    val ttr = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("u"))
+      .groupBy("doc_id").agg(
+        round(countDistinct(col("u")).cast("double") / count(lit(1)), 6)
+          .as("type_token_ratio"))
+    rep.join(ttr, Seq("doc_id")).orderBy("doc_id")
+  }
+
   /** Token-budget shard packing: assign docs (in doc_id order) to
     * consecutive shards of ~`budget` whitespace tokens each — the
     * "pack the corpus into N-token training shards" step of a data

@@ -77,6 +77,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sizes.filter(_._1 != last).values.forall(t => t >= 37L - 10 && t < 37L + 10))
   }
 
+  test("repetition signals: dominated bigram and low TTR on a literal doc") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "spam spam spam spam ok"),   // 4 bigrams, "spam spam" x3 -> 0.75; ttr 2/5
+      (2L, "all words here differ now") // 4 distinct bigrams -> 0.25; ttr 1.0
+    )).toDF("doc_id", "text")
+    // run the q65 plan on the literal frame (same code path, local input)
+    val gc = docs.select(col("doc_id"),
+        graft.ext.TextOps.wordGramsKernel(col("text"), 2).as("g"))
+      .select(col("doc_id"), explode(col("g")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    val rep = gc.groupBy("doc_id").agg(
+      org.apache.spark.sql.functions.round(
+        max("c").cast("double") / sum("c"), 6).as("r")).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(rep(1L) == 0.75 && rep(2L) == 0.25)
+  }
+
   test("regex tokenizer counts letter runs, digit runs, and symbols") {
     val df = spark.createDataFrame(Seq((1L, "abc 123 x!y"))).toDF("doc_id", "text")
     // tokens: abc, 123, x, !, y
