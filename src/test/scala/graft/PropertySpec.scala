@@ -152,6 +152,45 @@ class PropertySpec extends SparkSpec {
     check(prop, n = 15)
   }
 
+  test("property: bloomPrefilteredJoin equals the plain inner join on random key sets") {
+    import spark.implicits._
+    val genKeys = for {
+      bigKeys <- Gen.listOfN(80, Gen.chooseNum(0L, 200L))
+      smallKeys <- Gen.listOfN(8, Gen.chooseNum(0L, 200L))
+    } yield (bigKeys, smallKeys)
+    val prop = Prop.forAll(genKeys) { case (bigKeys, smallKeys) =>
+      val big = bigKeys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "rowid")
+      val small = smallKeys.distinct.map(k => (k, s"d$k")).toDF("k", "name")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "rowid", "name").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      canon(graft.core.Partitioning.bloomPrefilteredJoin(big, small, "k", 100L)) ==
+        canon(big.join(small, Seq("k")))
+    }
+    check(prop, n = 15)
+  }
+
+  test("property: packShards equals the naive global prefix sum on random docs") {
+    import spark.implicits._
+    val genDoc = Gen.chooseNum(1, 30) // tokens per doc
+    val prop = Prop.forAll(Gen.listOfN(50, genDoc), Gen.chooseNum(10L, 100L)) {
+      (tokCounts, budget) =>
+        val docs = tokCounts.zipWithIndex.map { case (n, i) =>
+          (i.toLong, Seq.fill(n)("w").mkString(" "))
+        }.toDF("doc_id", "text")
+        val got = graft.ext.TextOps.packShards(docs, budget, parts = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+        // naive reference: running total before each doc, floor-divided
+        val expect = tokCounts.zipWithIndex
+          .scanLeft((0L, -1L, 0L)) { case ((cum, _, _), (n, i)) =>
+            (cum + n, i.toLong, cum / budget)
+          }.tail.map { case (_, id, shard) => id -> shard }.toMap
+        got == expect
+    }
+    check(prop, n = 15)
+  }
+
   test("approx_percentile (q52) lands within its rank-error bound of exact (q39) at sf0.01") {
     // GK sketch contract: at accuracy=10000 the returned value's rank
     // error is <= n/10000, i.e. the value must lie between the exact
