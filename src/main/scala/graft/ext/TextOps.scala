@@ -404,9 +404,15 @@ object TextOps {
     * needs df ≈ the near-dup GROUP SIZE (a group's distinctive run
     * appears in exactly its members), so the default is 10 — measured
     * 2.3→8.1→56 s (near-linear) at 99.6% of the cap=100 pair yield. Raise
-    * it only for corpora with genuinely large duplicate clusters, and
-    * run exact dedup (q25/q33) first so those clusters collapse before
-    * banding — the same answer as SimHash's flood guard. */
+    * it for corpora with genuinely large duplicate clusters (and run
+    * exact dedup q25/q33 first so those collapse before banding — the
+    * same answer as SimHash's flood guard), and for LOW-DIVERSITY
+    * corpora: df also carries a CHANCE-share component that scales with
+    * nDocs/vocabulary-diversity, bounded only when vocab grows with the
+    * corpus (Heaps' law — true of real text, not of fixed-vocab
+    * synthetic soup; measured r9: the sf0.1 fixture needs cap 100 for
+    * full recall at 5k docs while the Heaps-law 250k corpus keeps
+    * 99.6% at cap 10 — see q51's scaladoc and BASELINE.md). */
   def winnowPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -468,9 +474,22 @@ object TextOps {
     * The DuckDB ground truth is the prefix-pair query — same answer,
     * independent derivation (the q28/q35 argument, giving the winnowing
     * modality a hash-checked entry; q50 keeps the per-doc fingerprint
-    * surface as a rows-only check). */
+    * surface as a rows-only check).
+    *
+    * maxDocFreq is pinned to 100 HERE (not the library default 10): a
+    * fingerprint's df = group share (bounded by group size, ≤ 4 in the
+    * fixture) + CHANCE share, and chance share scales with
+    * nDocs/vocabulary-diversity. The fixture is fixed-vocab word soup,
+    * so at sf0.1 (5,000 docs) chance df blows past 10 and candidacy
+    * collapses — measured (r9 sf0.1 sweep): cap 10 → 177/256 pairs,
+    * 20 → 245, 100 → 256/256 exact, at 1.7 s. Real corpora grow vocab
+    * with size (Heaps' law), keeping chance df bounded — there the
+    * default 10 holds to 250k docs at 99.6% yield while 100 goes
+    * superlinear (BASELINE.md scaling curve). The declared query serves
+    * the 5k-doc fixed-vocab regime; the default serves the scale
+    * regime. */
   def q51(s: SparkSession, d: String): DataFrame =
-    winnowPairs(Tables.documents(s, d))
+    winnowPairs(Tables.documents(s, d), maxDocFreq = 100)
       .orderBy("a", "b")
 
   /** Word n-gram STRINGS per document — compiled kernel tier (the
