@@ -93,6 +93,7 @@ object SparkEntry {
     "q63_token_shards"     -> (TextOps.q63 _),
     "q64_stratified_sample"-> (Relational.q64 _),
     "q65_repetition"       -> (TextOps.q65 _),
+    "q66_full_pipeline"    -> (TextOps.q66 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -453,6 +454,35 @@ object SparkEntry {
         "FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS u FROM documents) GROUP BY doc_id) " +
         "SELECT rep.doc_id, rep.n_2grams, rep.top2_ratio, ttr.type_token_ratio " +
         "FROM rep JOIN ttr USING (doc_id) ORDER BY rep.doc_id"),
+    // q66: the full curation pipeline — dedup (prefix-group-min, the
+    // q28 fixture argument) → decontaminate (NOT IN the 5-gram-flagged
+    // set) → quality (q54's expressions) → repetition cuts →
+    // stratified sample → 2000-token shard packing (global-window
+    // rebuild of the engine's two-phase prefix sum).
+    "q66_full_pipeline" ->
+      ("WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0), " +
+        "keepers AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY SUBSTRING(text, 1, 40)), " +
+        "tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT doc_id, array_to_string(w[i+1:i+5], ' ') AS gram FROM tok, UNNEST(range(len(w) - 4)) AS t(i)), " +
+        "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0), " +
+        "contaminated AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE g.doc_id % 10 <> 0), " +
+        "g2 AS (SELECT doc_id, array_to_string(w[i+1:i+2], ' ') AS gram FROM tok, UNNEST(range(len(w) - 1)) AS t(i)), " +
+        "rep AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS t2 " +
+        "FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram) GROUP BY doc_id), " +
+        "ttr AS (SELECT doc_id, ROUND(CAST(COUNT(DISTINCT u) AS DOUBLE) / COUNT(*), 6) AS r " +
+        "FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS u FROM documents) GROUP BY doc_id), " +
+        "surv AS (SELECT d.doc_id, d.text FROM corpus d " +
+        "JOIN keepers USING (doc_id) JOIN rep USING (doc_id) JOIN ttr USING (doc_id) " +
+        "WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated) " +
+        "AND LENGTH(d.text) >= 60 " +
+        "AND ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(d.text, ' '), x -> LIST_CONTAINS(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / LEN(STRING_SPLIT(d.text, ' ')), 4) >= 0.02 " +
+        "AND rep.t2 <= 0.08 AND ttr.r >= 0.32 " +
+        "AND CASE WHEN d.lang = 'en' THEN SUBSTRING(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) IN ('0','1') " +
+        "ELSE SUBSTRING(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') END) " +
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(FLOOR((SUM(len(string_split(text, ' '))) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) " +
+        "- len(string_split(text, ' '))) / 2000.0) AS BIGINT) AS shard " +
+        "FROM surv ORDER BY doc_id"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -492,6 +492,56 @@ object TextOps {
     winnowPairs(Tables.documents(s, d), maxDocFreq = 100)
       .orderBy("a", "b")
 
+  /** Q66 — the FULL modern curation pipeline END-TO-END under the
+    * ORACLE gate, extending q54's three-stage chain with every r9
+    * curation operator:
+    *
+    *   near-dup dedup (q28: LSH+CC keepers, corpus = doc_id%10≠0)
+    *   → benchmark decontamination (q62: drop docs sharing a 5-gram
+    *     with the doc_id%10==0 split; left_anti on the flagged set)
+    *   → quality filter (q30 cuts: length ≥ 60, stopword ratio ≥ 0.02)
+    *   → repetition filter (q65 cuts: top-2-gram mass ≤ 0.08,
+    *     type-token ratio ≥ 0.32 — calibrated to drop ~8–9% each at
+    *     sf0.01, real cuts, not no-ops)
+    *   → stratified sample (q64 rates: en 12.5%, others 50%)
+    *   → token-budget shard packing (q63: 2,000-token shards).
+    *
+    * Survivors 132/106/1,071 docs → 4/3/29 shards at sf0.001/0.01/0.1.
+    * Every stage is individually gated; this entry proves the WHOLE
+    * chain composes — one job from raw corpus to packed training
+    * shards, the actual shape of a 100 TB curation run (dedup shuffle
+    * dominates; the per-doc signal aggs are map-side partial; the
+    * narrow filters fuse; packing adds the two-phase prefix sum). The
+    * repetition signals are computed post-dedup (per-doc values are
+    * join-stage-invariant, so computing them on survivors only is both
+    * cheaper and oracle-identical). */
+  def q66(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val keepers = NearDup.dedup(corpus)
+    val clean = keepers.join(
+      decontaminate(corpus, bench).select("doc_id"), Seq("doc_id"), "left_anti")
+    val rep = clean.select(col("doc_id"),
+        explode(wordGramsKernel(col("text"), 2)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max("c").cast("double") / sum("c"), 6).as("t2"))
+    val ttr = clean.select(col("doc_id"), explode(split(col("text"), " ")).as("u"))
+      .groupBy("doc_id")
+      .agg(round(countDistinct(col("u")).cast("double") / count(lit(1)), 6).as("r"))
+    val hd = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    val sampled = clean
+      .filter(length(col("text")) >= 60)
+      .filter(tokenRatioKernel(col("text"), stopwords) >= 0.02)
+      .join(rep, Seq("doc_id")).join(ttr, Seq("doc_id"))
+      .filter(col("t2") <= 0.08 && col("r") >= 0.32)
+      .filter(when(col("lang") === "en", hd.isin("0", "1"))
+        .otherwise(hd.isin("0", "1", "2", "3", "4", "5", "6", "7")))
+    packShards(sampled.select("doc_id", "text"), budget = 2000L)
+      .orderBy("doc_id")
+  }
+
   /** Word n-gram STRINGS per document — compiled kernel tier (the
     * sliding window the interpreted `transform`/`slice` HOF chain would
     * otherwise run per doc; same doctrine as `tokenRatioKernel`).

@@ -146,6 +146,14 @@ class RelationalSmokeSpec extends SparkSpec {
       !col("hd").isin("0", "1", "2", "3", "4", "5", "6", "7")).count() == 0)
   }
 
+  test("q66 full pipeline: 132 survivors in 4 shards at sf0.001, shards consecutive") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q66_full_pipeline")(spark, d)
+    val shards = r.select("shard").distinct().collect().map(_.getLong(0)).sorted
+    assert(r.count() == 132)
+    assert(shards.sameElements(0L to 3L))
+  }
+
   test("q56 salted gate query equals its unsalted plan in-engine") {
     import org.apache.spark.sql.functions._
     val salted = SparkEntry.queries("q56_salted_join")(spark, d).collect()
