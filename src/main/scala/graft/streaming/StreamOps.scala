@@ -81,18 +81,27 @@ object StreamOps {
     *
     * Input frames must carry distinct column names (lKey/lTs vs
     * rKey/rTs) — Structured Streaming's join state keys on the
-    * condition columns. */
+    * condition columns.
+    *
+    * S11 (r9) — `joinType = "left_outer"`: the attribution-with-
+    * no-match case inner can't express (an impression with NO click
+    * inside the horizon must still emit, null-padded). Outer emission
+    * is watermark-driven: an unmatched left row emits only once the
+    * watermark proves no future right row can land in its interval —
+    * same bounded state, emission latency = horizon + watermark. */
   def streamStreamIntervalJoin(
       left: DataFrame, right: DataFrame,
       lKey: String, lTs: String, rKey: String, rTs: String,
       horizon: String = "20 seconds",
-      watermark: String = "10 seconds"): DataFrame =
+      watermark: String = "10 seconds",
+      joinType: String = "inner"): DataFrame =
     left.withWatermark(lTs, watermark)
       .join(
         right.withWatermark(rTs, watermark),
         col(lKey) === col(rKey) &&
           col(rTs) >= col(lTs) &&
-          col(rTs) <= col(lTs) + expr(s"interval $horizon"))
+          col(rTs) <= col(lTs) + expr(s"interval $horizon"),
+        joinType)
 
   /** S10 — arbitrary stateful processing via flatMapGroupsWithState
     * (SURVEY §2.4's custom-state row — the semantics session_window

@@ -166,6 +166,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((100L, 101L)))
   }
 
+  test("S11: left-outer interval join emits unmatched impressions after watermark") {
+    val base = 1700000000L // 2023-era (see S9's epoch-0 note)
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = StreamOps.streamStreamIntervalJoin(
+      imps.toDF().select(col("user_id").as("ad"), col("ts").as("imp_ts"),
+        col("event_id").as("imp_id")),
+      clicks.toDF().select(col("user_id").as("c_ad"), col("ts").as("click_ts"),
+        col("event_id").as("click_id")),
+      lKey = "ad", lTs = "imp_ts", rKey = "c_ad", rTs = "click_ts",
+      horizon = "20 seconds", watermark = "10 seconds",
+      joinType = "left_outer")
+      .select(col("imp_id"), col("click_id"))
+
+    val name = s"s11_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpDir("ckpt")).start()
+    // imp 100 gets a click; imp 200 never does
+    imps.addData(ev(base + 0, "imp", 100, user = 7), ev(base + 0, "imp", 200, user = 8))
+    clicks.addData(ev(base + 5, "click", 101, user = 7))
+    q.processAllAvailable()
+    // matched pair emits promptly; the unmatched imp is still held —
+    // a click could still arrive inside [0, 20 s]
+    val mid = spark.table(name).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(mid == Set((100L, 101L)))
+    // advance BOTH watermarks far past imp_ts + horizon: imp 200 can
+    // no longer match → emits null-padded exactly once
+    imps.addData(ev(base + 100, "imp", 300, user = 9))
+    clicks.addData(ev(base + 100, "click", 999, user = 0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows == Set((100L, 101L), (200L, -1L)))
+  }
+
   test("S10: flatMapGroupsWithState gap-splits sessions and times out idle keys") {
     val base = 1700000000L // 2023-era (see S9's epoch-0 note)
     val in = MemoryStream[Ev]
