@@ -110,9 +110,13 @@ object Partitioning {
     * curated-id table against a raw 100 TB corpus) — the planner can't
     * know that from stats.
     *
-    * Keys are probed as LONG (`cast` below): integral join keys only —
-    * the engine's fact-table key class. `expectedItems` sizes the bit
-    * array (n·ln(1/fpp)/ln²2 bits ≈ 9.6 bits/key at fpp 0.01). */
+    * Key types: integral keys (the fact-table id class) are probed as
+    * LONG; STRING keys (e.g. n-gram/fingerprint joins — the q62
+    * decontamination shape at 100 TB) are probed as strings — build and
+    * probe go through the same BloomFilter put/mightContain pair per
+    * type, which is what keeps the filter's no-false-negative guarantee.
+    * `expectedItems` sizes the bit array (n·ln(1/fpp)/ln²2 bits ≈ 9.6
+    * bits/key at fpp 0.01). */
   def bloomPrefilteredJoin(
       big: DataFrame,
       small: DataFrame,
@@ -127,10 +131,21 @@ object Partitioning {
     require(ok(joinType.toLowerCase),
       s"bloomPrefilteredJoin drops non-matching big rows pre-join; " +
         s"only match-requiring join types (inner/left_semi) are exact, got $joinType")
-    val bf = small.stat.bloomFilter(col(key).cast("long"), expectedItems, fpp)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     // null keys never match an equi-join, so dropping them pre-join is
     // exact for the permitted types
-    val mightContain = udf((k: java.lang.Long) => k != null && bf.mightContainLong(k))
-    big.filter(mightContain(col(key).cast("long"))).join(small, Seq(key), joinType)
+    val probe = big.schema(key).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val bf = small.stat.bloomFilter(col(key).cast("long"), expectedItems, fpp)
+        val f = udf((k: java.lang.Long) => k != null && bf.mightContainLong(k))
+        f(col(key).cast("long"))
+      case StringType =>
+        val bf = small.stat.bloomFilter(col(key), expectedItems, fpp)
+        val f = udf((k: String) => k != null && bf.mightContainString(k))
+        f(col(key))
+      case t => throw new IllegalArgumentException(
+        s"bloomPrefilteredJoin supports integral or string keys, got $t for $key")
+    }
+    big.filter(probe).join(small, Seq(key), joinType)
   }
 }

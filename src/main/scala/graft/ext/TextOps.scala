@@ -580,7 +580,11 @@ object TextOps {
     * broadcast-sized at 100 TB and the join is map-side; AQE picks that
     * up from runtime stats here). The count-distinct aggregates on
     * doc_id — one shuffle of the matched grams, which decontamination
-    * expects to be a tiny fraction of the corpus. */
+    * expects to be a tiny fraction of the corpus. If the benchmark-gram
+    * side ever outgrows broadcast range, wrap the join with
+    * `Partitioning.bloomPrefilteredJoin(grams, benchGrams, "gram")` —
+    * it supports string keys (r9) and drops the ~all-miss corpus grams
+    * before the shuffle with the same exact-result contract. */
   def decontaminate(docs: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
     val grams = docs.select(col("doc_id"),
       explode(wordGramsKernel(col("text"), n)).as("gram"))

@@ -118,6 +118,17 @@ class RelationalSmokeSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.core.Partitioning.bloomPrefilteredJoin(big, small, "k", 100L, 0.01, "left")
     }
+    // string keys (the n-gram/fingerprint join class): same exactness
+    val bigS = big.select(concat(lit("g"), col("k")).as("k"), col("v"))
+    val smallS = small.select(concat(lit("g"), col("k")).as("k"), col("name"))
+    val plainS = bigS.join(smallS, Seq("k")).collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(graft.core.Partitioning.bloomPrefilteredJoin(bigS, smallS, "k", 100L)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == plainS)
+    // unsupported key types are rejected, not silently mis-probed
+    intercept[IllegalArgumentException] {
+      graft.core.Partitioning.bloomPrefilteredJoin(
+        big.select(col("k").cast("double").as("k"), col("v")), small, "k", 100L)
+    }
   }
 
   test("q60 interval-join batch analog: 5 pairs at sf0.001, interval bounds hold") {
