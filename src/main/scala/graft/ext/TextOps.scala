@@ -660,15 +660,24 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val p = if (parts > 0) parts
       else docs.sparkSession.sparkContext.defaultParallelism
+    // persist() is LOAD-BEARING, not an optimization: the running-sum
+    // branch and the per-partition-totals branch below both consume this
+    // frame, and without materialization each would re-execute its own
+    // repartitionByRange — two independent boundary SAMPLES that are not
+    // guaranteed to agree, silently misaligning the pid offsets (caught
+    // by an .explain audit: the unpersisted plan scanned and ranged the
+    // corpus twice). Cached rows are three narrow columns (~24 B/doc).
     val toks = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
       .repartitionByRange(p, col("doc_id"))
       .withColumn("pid", spark_partition_id())
+      .persist()
     val local = toks.withColumn("run",
       sum(col("n_tokens")).over(
         Window.partitionBy("pid").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)))
-    val offsets = local.groupBy("pid")
-      .agg(max(col("run")).as("total"))
+    // totals need no window — a plain hash aggregate over the cached frame
+    val offsets = toks.groupBy("pid")
+      .agg(sum(col("n_tokens")).as("total"))
       .withColumn("offset",
         coalesce(sum(col("total")).over(
           Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
