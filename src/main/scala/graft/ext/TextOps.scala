@@ -520,8 +520,14 @@ object TextOps {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val bench = docs.filter(col("doc_id") % 10 === 0)
     val keepers = NearDup.dedup(corpus)
+    // persist is LOAD-BEARING: `clean` feeds THREE consumers (the rep
+    // and ttr signal branches and the filter chain), and un-cached each
+    // would replay the dedup + decontamination subtree — an .explain
+    // audit counted 24 source scans and zero reused exchanges in the
+    // unpersisted plan. Survivor rows are narrow and ~86% of corpus.
     val clean = keepers.join(
       decontaminate(corpus, bench).select("doc_id"), Seq("doc_id"), "left_anti")
+      .persist()
     val rep = clean.select(col("doc_id"),
         explode(wordGramsKernel(col("text"), 2)).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
