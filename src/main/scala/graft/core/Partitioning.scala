@@ -131,20 +131,32 @@ object Partitioning {
     require(ok(joinType.toLowerCase),
       s"bloomPrefilteredJoin drops non-matching big rows pre-join; " +
         s"only match-requiring join types (inner/left_semi) are exact, got $joinType")
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
+    def integral(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     // null keys never match an equi-join, so dropping them pre-join is
-    // exact for the permitted types
-    val probe = big.schema(key).dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
+    // exact for the permitted types. Dispatch is on the TYPE CLASS OF
+    // BOTH SIDES: a mixed string/integral key pair (which a plain join
+    // would silently coerce) is rejected rather than probed — a bloom
+    // built via putString and probed via mightContainLong (or vice
+    // versa) hashes differently per path, so every probe would miss and
+    // all matches would be silently dropped, breaking the
+    // no-false-negative contract this utility exists to keep.
+    val probe = (big.schema(key).dataType, small.schema(key).dataType) match {
+      case (bt, st) if integral(bt) && integral(st) =>
         val bf = small.stat.bloomFilter(col(key).cast("long"), expectedItems, fpp)
         val f = udf((k: java.lang.Long) => k != null && bf.mightContainLong(k))
         f(col(key).cast("long"))
-      case StringType =>
+      case (StringType, StringType) =>
         val bf = small.stat.bloomFilter(col(key), expectedItems, fpp)
         val f = udf((k: String) => k != null && bf.mightContainString(k))
         f(col(key))
-      case t => throw new IllegalArgumentException(
-        s"bloomPrefilteredJoin supports integral or string keys, got $t for $key")
+      case (bt, st) => throw new IllegalArgumentException(
+        s"bloomPrefilteredJoin needs both sides' $key in the same type class " +
+          s"(both integral or both string); got big=$bt, small=$st — cast one " +
+          "side explicitly so the bloom's put/probe hash paths agree")
     }
     big.filter(probe).join(small, Seq(key), joinType)
   }

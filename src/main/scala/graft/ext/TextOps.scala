@@ -544,8 +544,12 @@ object TextOps {
       .filter(col("t2") <= 0.08 && col("r") >= 0.32)
       .filter(when(col("lang") === "en", hd.isin("0", "1"))
         .otherwise(hd.isin("0", "1", "2", "3", "4", "5", "6", "7")))
-    packShards(sampled.select("doc_id", "text"), budget = 2000L)
-      .orderBy("doc_id")
+    // packShards materializes eagerly (localCheckpoint inside), so by the
+    // time it returns every consumer of `clean` has run — release the
+    // cache here rather than leaking it into the caller's session.
+    val packed = packShards(sampled.select("doc_id", "text"), budget = 2000L)
+    clean.unpersist()
+    packed.orderBy("doc_id")
   }
 
   /** Word n-gram STRINGS per document — compiled kernel tier (the
@@ -688,9 +692,18 @@ object TextOps {
         coalesce(sum(col("total")).over(
           Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("pid", "offset")
-    local.join(broadcast(offsets), Seq("pid"))
+    val packed = local.join(broadcast(offsets), Seq("pid"))
       .select(col("doc_id"), col("n_tokens"),
         floor((col("offset") + col("run") - col("n_tokens")) / budget).as("shard"))
+      // pin-then-release (the q35/q47 lifecycle): the eager
+      // localCheckpoint materializes the result — three narrow columns,
+      // one row per doc, the same size class as the cache it frees — so
+      // `toks` can be unpersisted HERE instead of leaking into the
+      // caller's session (callers before r10 had to sweep
+      // getPersistentRDDs themselves; nothing documented that).
+      .localCheckpoint(true)
+    toks.unpersist()
+    packed
   }
 
   /** Q63 — shard packing under the ORACLE gate: 5,000-token shards over

@@ -129,6 +129,12 @@ class RelationalSmokeSpec extends SparkSpec {
       graft.core.Partitioning.bloomPrefilteredJoin(
         big.select(col("k").cast("double").as("k"), col("v")), small, "k", 100L)
     }
+    // MIXED type classes (string big vs integral small) are rejected:
+    // putLong vs mightContainString hash differently, so the probe would
+    // silently drop every match (r9 advice) — fail loudly instead
+    intercept[IllegalArgumentException] {
+      graft.core.Partitioning.bloomPrefilteredJoin(bigS, small, "k", 100L)
+    }
   }
 
   test("q60 interval-join batch analog: 5 pairs at sf0.001, interval bounds hold") {
@@ -159,10 +165,18 @@ class RelationalSmokeSpec extends SparkSpec {
 
   test("q66 full pipeline: 132 survivors in 4 shards at sf0.001, shards consecutive") {
     import org.apache.spark.sql.functions._
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val r = SparkEntry.queries("q66_full_pipeline")(spark, d)
     val shards = r.select("shard").distinct().collect().map(_.getLong(0)).sorted
     assert(r.count() == 132)
     assert(shards.sameElements(0L to 3L))
+    // lifecycle (r10): every operator-internal persist() is released
+    // before the query returns; only eager localCheckpoint pins (the
+    // q35/q47 pin-then-release convention) may remain in the session
+    val leaked = spark.sparkContext.getPersistentRDDs.values
+      .filterNot(_.isCheckpointed)
+    assert(leaked.isEmpty,
+      s"q66 leaked ${leaked.size} plain cached RDDs into the session")
   }
 
   test("q56 salted gate query equals its unsalted plan in-engine") {

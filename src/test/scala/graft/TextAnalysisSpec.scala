@@ -54,6 +54,7 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("packShards equals the naive global prefix sum, invariant to partition count") {
     import org.apache.spark.sql.expressions.Window
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val docs = spark.range(100).select(col("id").as("doc_id"),
       // token counts 1..10 repeating: doc i has (i%10)+1 tokens
       concat_ws(" ", sequence(lit(0), pmod(col("id"), lit(10)))).as("text"))
@@ -75,6 +76,12 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val last = sizes.keys.max
     assert(sizes.filter(_._1 != last).values.forall(t => t >= 37L - 10 && t < 37L + 10))
+    // lifecycle (r10): the internal toks cache is released before return;
+    // only the eager localCheckpoint pin of the result may remain
+    val leaked = spark.sparkContext.getPersistentRDDs.values
+      .filterNot(_.isCheckpointed)
+    assert(leaked.isEmpty,
+      s"packShards leaked ${leaked.size} plain cached RDDs into the session")
   }
 
   test("repetition signals: dominated bigram and low TTR on a literal doc") {
