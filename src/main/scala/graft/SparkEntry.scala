@@ -94,6 +94,10 @@ object SparkEntry {
     "q64_stratified_sample"-> (Relational.q64 _),
     "q65_repetition"       -> (TextOps.q65 _),
     "q66_full_pipeline"    -> (TextOps.q66 _),
+    "q67_pii_redact"       -> (TextOps.q67 _),
+    "q68_vector_stats"     -> (Similarity.q68 _),
+    "q69_collocations"     -> (TextOps.q69 _),
+    "q70_quantize"         -> (Similarity.q70 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -483,6 +487,57 @@ object SparkEntry {
         "CAST(FLOOR((SUM(len(string_split(text, ' '))) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) " +
         "- len(string_split(text, ' '))) / 2000.0) AS BIGINT) AS shard " +
         "FROM surv ORDER BY doc_id"),
+    // q67: both engines inject the same doc_id-derived PII (printf
+    // formatting + integer mods are engine-independent), then the gate
+    // compares match COUNTS and the REDACTED STRING itself — i.e. the
+    // regex semantics (Java in the engine, RE2-class in DuckDB) over
+    // the shared dialect-portable pattern subclass.
+    "q67_pii_redact" ->
+      ("WITH dirty AS (SELECT doc_id, text || ' contact ' || " +
+        "printf('%02d-%03d-%03d-%04d', doc_id % 97, (doc_id*7) % 997, (doc_id*13) % 997, (doc_id*31) % 9973) || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' alt ' || printf('%02d-%03d-%03d-%04d', doc_id % 89, (doc_id*3) % 883, (doc_id*11) % 883, (doc_id*17) % 8887) ELSE '' END || " +
+        "' mail user' || doc_id || '@example.com' AS dirty FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(dirty, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone, " +
+        "CAST(len(regexp_extract_all(dirty, '[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+')) AS BIGINT) AS n_email, " +
+        "regexp_replace(regexp_replace(dirty, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'), " +
+        "'[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+', '[EMAIL]', 'g') AS red " +
+        "FROM dirty ORDER BY doc_id LIMIT 200"),
+    // q68: independent rebuild of the native vec_norm/vec_dot kernels
+    // via DuckDB list arithmetic over double-cast lists — same doubles,
+    // same left-to-right accumulation.
+    "q68_vector_stats" ->
+      ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id, " +
+        "ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS nrm, " +
+        "ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qe), 6) AS dot, " +
+        "ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qe) / " +
+        "(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(qe, x -> x * x)))), 6) AS cos " +
+        "FROM embeddings, q ORDER BY vec_id LIMIT 200"),
+    // q69: bigrams rebuilt positionally (ws[i+1], ws[i+2] — the q66 g2
+    // pattern); PMI as the identical fixed-association double expression.
+    "q69_collocations" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "toks AS (SELECT doc_id, UNNEST(ws) AS w FROM tok), " +
+        "uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w), " +
+        "bg AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2, COUNT(*) AS c_ab " +
+        "FROM tok, UNNEST(range(len(ws) - 1)) AS t(i) GROUP BY 1, 2), " +
+        "n1 AS (SELECT SUM(c) AS n1 FROM uni), n2 AS (SELECT SUM(c_ab) AS n2 FROM bg) " +
+        "SELECT w1, w2, c_ab, ROUND(LN((CAST(c_ab AS DOUBLE) * n1 * n1) / " +
+        "(CAST(n2 AS DOUBLE) * c_a * c_b)), 6) AS pmi " +
+        "FROM bg JOIN (SELECT w AS w1, c AS c_a FROM uni) u1 USING (w1) " +
+        "JOIN (SELECT w AS w2, c AS c_b FROM uni) u2 USING (w2), n1, n2 " +
+        "WHERE c_ab >= 5 ORDER BY pmi DESC, w1, w2 LIMIT 100"),
+    // q70: identical double expression before FLOOR on both sides, so
+    // the codes agree bit-for-bit; the joined string is the portable
+    // presentation of an int array through the driver's cell renderer.
+    "q70_quantize" ->
+      ("SELECT vec_id, array_to_string(list_transform(embedding, x -> " +
+        "CASE WHEN list_max(embedding) = list_min(embedding) THEN 0 " +
+        "ELSE CAST(FLOOR((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255 / " +
+        "(CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))) AS INT) END), ',') AS qvec " +
+        "FROM embeddings ORDER BY vec_id LIMIT 200"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.VectorFunctions._
@@ -191,4 +191,58 @@ object Similarity {
   def q29(s: SparkSession, d: String): DataFrame =
     cosinePairs(Tables.embeddings(s, d), 0.4)
       .orderBy("a", "b")
+
+  /** Q68 (r10) — per-vector norm/dot/cosine stats under the ORACLE
+    * gate. q27 gates 10 rounded top-k similarities; this gates the raw
+    * NATIVE-EXPRESSION outputs (vec_norm, vec_dot — the codegen kernels
+    * every vector op in the engine rides on) on EVERY row against
+    * DuckDB's independent list arithmetic (list_transform/list_sum/
+    * list_dot_product over a double-cast list). Both sides accumulate
+    * the same doubles in the same left-to-right order, so round(6) is
+    * presentation. Plan shape = q27's: 1-row broadcast query side, the
+    * projection fully inside WholeStageCodegen, no shuffle. */
+  def q68(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val dot = call_function("vec_dot", col("embedding"), col("qe"))
+    val nrm = call_function("vec_norm", col("embedding"))
+    val qn = call_function("vec_norm", col("qe"))
+    emb.crossJoin(broadcast(qv))
+      .select(
+        col("vec_id"),
+        round(nrm, 6).as("nrm"),
+        round(dot, 6).as("dot"),
+        round(dot / (nrm * qn), 6).as("cos"))
+      .orderBy("vec_id").limit(200)
+  }
+
+  /** Scalar (min-max) quantization of an embedding to [0, levels-1]
+    * ints — the memory lever for vector search at 100 TB (a 64-dim
+    * float vector is 256 B; 8-bit codes are 64 B, and IVF+SQ scans
+    * codes, not floats). Per-vector scale: q_i = floor((x_i − min) ·
+    * (levels−1) / (max − min)), constant vectors map to 0. Pure column
+    * expression (zero shuffle); the declarative HOF tier is right here
+    * because quantization is a one-pass cold-path transform (index
+    * build), not a per-query kernel — the hot path reads the CODES. */
+  def quantize(embedding: Column, levels: Int = 256): Column = {
+    val mn = array_min(embedding).cast("double")
+    val mx = array_max(embedding).cast("double")
+    transform(embedding, x =>
+      when(mx === mn, lit(0))
+        .otherwise(floor((x.cast("double") - mn) * (levels - 1) / (mx - mn)))
+        .cast("int"))
+  }
+
+  /** Q70 (r10) — scalar quantization under the ORACLE gate: the int
+    * codes for every vector, digest-compared as a joined string (array
+    * cells render engine-specifically through the driver; the joined
+    * form is the portable presentation). Both engines compute the
+    * identical double expression ((x−mn)·255/(mx−mn), explicit double
+    * casts, same association) before floor, so the codes match
+    * bit-for-bit, not approximately. */
+  def q70(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        array_join(quantize(col("embedding")).cast("array<string>"), ",").as("qvec"))
+      .orderBy("vec_id").limit(200)
 }

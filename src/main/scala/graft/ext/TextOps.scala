@@ -713,4 +713,96 @@ object TextOps {
   def q63(s: SparkSession, d: String): DataFrame =
     packShards(Tables.documents(s, d), budget = 5000L)
       .orderBy("doc_id")
+
+  // ---- PII scrubbing (r10) ----
+
+  /** PII pattern bank. Deliberately restricted to a regex subclass both
+    * Java (Spark codegen'd RegExpReplace) and RE2-style engines compile
+    * identically — character classes, bounded counts, no backrefs or
+    * lookaround — so the SAME pattern string is the cross-engine
+    * contract, not two dialect translations. Phones run before emails:
+    * neither replacement token can create a match for the other
+    * (no '@', no digit-dash runs). */
+  val phonePattern = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val emailPattern = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+
+  /** Redact phone/email occurrences in place. Narrow column expression —
+    * at 100 TB this is a zero-shuffle map fused into whatever projection
+    * carries it (the C4/RefinedWeb scrub stage's cost is the scan). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, phonePattern, "[PHONE]"),
+      emailPattern, "[EMAIL]")
+
+  /** Q67 — PII redaction under the ORACLE gate. The fixture text is
+    * clean word soup, so the query INJECTS deterministic doc_id-derived
+    * PII first (a formatted phone, an email, a second phone on every
+    * doc_id % 3 == 0 — both engines build the identical string from
+    * printf-style formatting and integer mods) and then the engine's
+    * redaction + match-count must agree with DuckDB's RE2 on every row:
+    * counts via regexp-extract-all length, text via the redacted string
+    * itself. That makes the gate about the OPERATOR (regex semantics,
+    * replacement, counting), not about finding PII the fixture doesn't
+    * have. */
+  def q67(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val phone = format_string("%02d-%03d-%03d-%04d",
+      pmod(id, lit(97)), pmod(id * 7, lit(997)),
+      pmod(id * 13, lit(997)), pmod(id * 31, lit(9973)))
+    val alt = when(id % 3 === 0,
+      concat(lit(" alt "), format_string("%02d-%03d-%03d-%04d",
+        pmod(id, lit(89)), pmod(id * 3, lit(883)),
+        pmod(id * 11, lit(883)), pmod(id * 17, lit(8887)))))
+      .otherwise(lit(""))
+    val dirty = concat(col("text"), lit(" contact "), phone, alt,
+      lit(" mail user"), id, lit("@example.com"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("dirty"), lit(phonePattern)).cast("bigint").as("n_phone"),
+        regexp_count(col("dirty"), lit(emailPattern)).cast("bigint").as("n_email"),
+        redactPii(col("dirty")).as("red"))
+      .orderBy("doc_id").limit(200)
+  }
+
+  // ---- Collocation scoring (r10) ----
+
+  /** Q69 — bigram PMI collocations: the corpus-statistics op behind
+    * tokenizer/vocabulary induction (which word pairs cohere more than
+    * chance). PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) = c_ab/N2,
+    * p(·) = c/N1 — computed as one double expression with a FIXED
+    * association, ln((c_ab·N1·N1) / (N2·c_a·c_b)), identical in both
+    * engines (bit-identical integer inputs → identical doubles →
+    * round(6) is presentation, not a fudge; the q43 tf·idf precedent).
+    *
+    * Shape at 100 TB: bigram and unigram counts are the same two-phase
+    * map-side-partial aggregations as q43's tf/df, shuffling on
+    * different keys by necessity (gram vs word); the count-join keys on
+    * words — vocabulary-sized, so AQE broadcasts it when it fits and
+    * shuffles otherwise (not hinted here: vocabulary at corpus scale is
+    * Heaps'-law-sized, the one side a planner SHOULD size at runtime).
+    * The totals are 1-row broadcast scalars, computed distributively —
+    * no driver .count(). c_ab ≥ 5 prunes the hapax tail before the
+    * join, the standard collocation-significance floor. */
+  def q69(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bg = docs.select(explode(wordGramsKernel(col("text"), 2)).as("g"))
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val n1 = uni.agg(sum("c").as("n1"))
+    val n2 = bg.agg(sum("c_ab").as("n2"))
+    bg.filter(col("c_ab") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log((col("c_ab").cast("double") * col("n1") * col("n1")) /
+          (col("n2").cast("double") * col("c_a") * col("c_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
 }

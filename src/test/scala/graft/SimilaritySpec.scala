@@ -82,4 +82,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(_.getDouble(2) >= 0.4))
   }
+
+  test("q68 vector stats: self-row is cos 1.0, norms positive, dot = cos for unit vectors") {
+    val r = Similarity.q68(spark, sf("sf0.001")).collect()
+    assert(r.length == 200)
+    val self = r.find(_.getLong(0) == 0L).get
+    assert(self.getDouble(3) == 1.0) // cos(q, q)
+    assert(r.forall(_.getDouble(1) > 0))
+    assert(r.forall(x => math.abs(x.getDouble(3)) <= 1.000001))
+  }
+
+  test("quantize: 64 codes per vector, min element -> 0 exactly, all codes in [0, 255]") {
+    val q = Similarity.q70(spark, sf("sf0.001")).collect()
+    assert(q.length == 200)
+    q.foreach { row =>
+      val codes = row.getString(1).split(",").map(_.toInt)
+      assert(codes.length == 64)
+      // (mn - mn) * 255 / (mx - mn) is exactly 0.0 in FP — guaranteed
+      assert(codes.min == 0)
+      // the max element lands at 254 or 255 depending on a*255/a FP
+      // rounding — bounded, engine-consistent (the oracle pins equality)
+      assert(codes.max <= 255 && codes.max >= 254)
+    }
+  }
 }

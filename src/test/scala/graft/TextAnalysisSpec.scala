@@ -292,4 +292,35 @@ class TextAnalysisSpec extends SparkSpec {
     val q33 = TextOps.q33(spark, d).collect()
     assert(q33.map(_.getString(1)).distinct.length == 100) // no exact dups
   }
+
+  test("redactPii removes every phone/email match; q67 counts follow the injection rule") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "call 25-989-741-2988 or mail a.b_c@ex.co now"),
+      (2L, "no pii here 123 45-67"))).toDF("doc_id", "text")
+    val red = df.select(col("doc_id"), TextOps.redactPii(col("text")).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(red(1L) == "call [PHONE] or mail [EMAIL] now")
+    assert(red(2L) == "no pii here 123 45-67") // partial shapes untouched
+    val r = TextOps.q67(spark, sf("sf0.001")).collect()
+    r.foreach { row =>
+      val (id, nPhone, nEmail, text) =
+        (row.getLong(0), row.getLong(1), row.getLong(2), row.getString(3))
+      assert(nPhone == (if (id % 3 == 0) 2L else 1L), s"doc $id")
+      assert(nEmail == 1L, s"doc $id")
+      // post-redaction text has zero residual matches
+      assert(!text.matches(s".*${TextOps.phonePattern}.*"), s"doc $id")
+      assert(text.contains("[PHONE]") && text.endsWith("[EMAIL]"))
+    }
+  }
+
+  test("q69 collocations: deterministic PMI ranking, significance floor holds") {
+    val r = TextOps.q69(spark, sf("sf0.001")).collect()
+    assert(r.length == 100)
+    assert(r.forall(_.getLong(2) >= 5)) // c_ab floor
+    val pmis = r.map(_.getDouble(3))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b }) // sorted desc
+    // PMI of independent word soup hovers near 0; top collocations are
+    // positive, the floor row is finite
+    assert(pmis.head > 0 && !pmis.last.isNaN && !pmis.last.isInfinite)
+  }
 }
