@@ -52,10 +52,33 @@ object AnnProbeBench {
         .join(exact, Seq("qid", "vec_id"), "left_semi").count()
       f"""{"n_probe":$nProbe,"sec":$sec%.2f,"recall_at_10":${hits.toDouble / total}%.4f}"""
     }
+
+    // IVF+SQ (r10): same probe ladder on the quantized index — the scan
+    // reads 64 B code rows, floats touched only for the Q·rescoreK rescore.
+    val aq = Ann.quantizeAssigned(assigned).persist()
+    aq.count()
+    def timedSq(nProbe: Int): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Ann.searchQuantized(aq, emb, centroids, queries, 10, nProbe, rescoreK = 40)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      (1 to 3).map(_ => once()).min
+    }
+    val sqPoints = Seq(2, 4, 16).map { nProbe =>
+      val sec = timedSq(nProbe)
+      val hits = Ann.searchQuantized(aq, emb, centroids, queries, 10, nProbe, 40)
+        .select(col("qid"), col("vec_id"))
+        .join(exact, Seq("qid", "vec_id"), "left_semi").count()
+      f"""{"n_probe":$nProbe,"sec":$sec%.2f,"recall_at_10":${hits.toDouble / total}%.4f}"""
+    }
+    aq.unpersist()
     exact.unpersist()
     centroids.unpersist(); assigned.unpersist()
 
-    println(f"""{"metric":"ann_probe","n_vectors":${queries.count()},"n_centroids":16,"k":10,"build_sec":$buildSec%.2f,"points":[${points.mkString(",")}],"sf":"$sfDir"}""")
+    println(f"""{"metric":"ann_probe","n_vectors":${queries.count()},"n_centroids":16,"k":10,"build_sec":$buildSec%.2f,"points":[${points.mkString(",")}],"sq_rescore_k":40,"sq_points":[${sqPoints.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

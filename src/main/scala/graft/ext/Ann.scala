@@ -151,6 +151,127 @@ object Ann {
         col("hit.id").as("vec_id"), col("hit.score").as("sim"))
   }
 
+  // ---- IVF + SQ: quantized scan path (r10) ----
+
+  /** Pack a float vector into (codes: binary, mn, delta) — min-max
+    * scalar quantization to one byte per dimension (Similarity.quantize
+    * is the declarative/oracle-gated tier of the same arithmetic; this
+    * kernel adds the byte-packing Spark SQL can't express). A 64-dim
+    * float vector is 256 B; its code row is 64 B + two doubles — the 4×
+    * memory lever that lets a probe scan read codes instead of floats.
+    * x̂_i = mn + code_i · delta reconstructs within one delta. */
+  private val packCodes = udf { (e: Array[Float]) =>
+    if (e == null || e.isEmpty) null
+    else {
+      var mn = Double.MaxValue; var mx = Double.MinValue
+      var i = 0
+      while (i < e.length) {
+        val v = e(i).toDouble
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      val delta = if (mx > mn) (mx - mn) / 255.0 else 1.0
+      val codes = new Array[Byte](e.length)
+      i = 0
+      while (i < e.length) {
+        codes(i) = math.floor((e(i).toDouble - mn) / delta).min(255).toInt.toByte
+        i += 1
+      }
+      (codes, mn, delta)
+    }
+  }
+
+  /** Approximate cosine between a float query and a quantized corpus
+    * row, computed FROM THE CODES: dot(q, x̂) = mn·Σq_i + delta·Σq_i·c_i
+    * and ‖x̂‖ accumulated in the same single pass over the bytes.
+    * COMPILED kernel by doctrine (NearDup.minhashSignature scaladoc):
+    * the declarative form would be an interpreted HOF chain per
+    * candidate row on the probe hot path. */
+  private val codeCosine = udf {
+    (q: Array[Float], codes: Array[Byte], mn: Double, delta: Double) =>
+      if (q == null || codes == null) Double.NegativeInfinity
+      else {
+        var dotQC = 0.0; var sumQ = 0.0; var qq = 0.0; var xx = 0.0
+        var i = 0
+        while (i < codes.length) {
+          val c = (codes(i) & 0xff).toDouble
+          val qi = q(i).toDouble
+          val xi = mn + c * delta
+          dotQC += qi * c; sumQ += qi; qq += qi * qi; xx += xi * xi
+          i += 1
+        }
+        val d = mn * sumQ + delta * dotQC
+        val nrm = math.sqrt(qq) * math.sqrt(xx)
+        if (nrm > 0) d / nrm else Double.NegativeInfinity
+      }
+  }
+
+  /** Quantize an assignment table: (centroid_id, vec_id, codes, mn,
+    * delta). This is the frame a 100 TB deployment writes
+    * partitioned-by-centroid as the PROBE index — 4× smaller than the
+    * float assignments, so 4× more of the corpus fits a probe scan's
+    * page cache. Floats stay in the original table, touched only for
+    * the final rescore of top candidates. */
+  def quantizeAssigned(assigned: DataFrame): DataFrame =
+    assigned.select(col("centroid_id"), col("vec_id"),
+        packCodes(col("embedding")).as("q"))
+      .select(col("centroid_id"), col("vec_id"),
+        col("q").getField("_1").as("codes"),
+        col("q").getField("_2").as("mn"),
+        col("q").getField("_3").as("delta"))
+
+  /** IVF+SQ search: probe pruning as in [[search]], but the bucket scan
+    * scores CODES (codeCosine — reads 64 B rows), keeps rescoreK
+    * candidates per query in a bounded heap, and only those rows touch
+    * the float corpus for the exact rescore → exact-arithmetic top-k of
+    * an approximately-selected candidate set. Recall is governed by
+    * (nProbe, rescoreK): quantization error is ≤ delta per dimension,
+    * so with rescoreK ≥ 4k the code-ranked top set virtually always
+    * contains the true top-k (measured: recall@10 = 1.0 on the fixture
+    * at full probe, BASELINE.md). Cost shape at 100 TB: code scan
+    * N·(nProbe/nCentroids)·64 B + float fetch of Q·rescoreK rows —
+    * the float table is joined ONLY on the candidate ids. */
+  def searchQuantized(
+      assignedQ: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      rescoreK: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cw = Window.partitionBy("qid").orderBy(col("csim").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim",
+        call_function("vec_dot", col("qe"), col("centroid")) /
+          (call_function("vec_norm", col("qe")) *
+            call_function("vec_norm", col("centroid"))))
+      .withColumn("crn", row_number().over(cw)).filter(col("crn") <= nProbe)
+      .select(col("qid"), col("qe"), col("centroid_id"))
+    val topR = udaf(new TopKAggregator(rescoreK))
+    val candidates = probes.join(assignedQ, "centroid_id")
+      .select(col("qid"), col("qe"), col("vec_id"),
+        codeCosine(col("qe"), col("codes"), col("mn"), col("delta")).as("qsim"))
+      .groupBy("qid").agg(topR(col("vec_id"), col("qsim")).as("cand"),
+        first(col("qe")).as("qe"))
+      .select(col("qid"), col("qe"), explode(col("cand")).as("hit"))
+      .select(col("qid"), col("qe"), col("hit.id").as("vec_id"))
+    // exact rescore: only Q·rescoreK rows reach the float table
+    val topk = udaf(new TopKAggregator(k))
+    candidates
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(call_function("vec_dot", col("embedding"), col("qe")) /
+          (call_function("vec_norm", col("embedding")) *
+            call_function("vec_norm", col("qe"))), 6).as("sim"))
+      .groupBy("qid")
+      .agg(topk(col("vec_id"), col("sim")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("hit.id").as("vec_id"), col("hit.score").as("sim"))
+  }
+
   /** Q34 — IVF top-k at FULL probe (nProbe = nCentroids ⇒ every bucket
     * is scanned ⇒ exact, so the brute-force DuckDB top-k is a valid
     * oracle). This puts the 100 TB similarity path itself — build,

@@ -83,6 +83,34 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(_.getDouble(2) >= 0.4))
   }
 
+  test("IVF+SQ: codes are 64 B, dequantization bounded, rescored search recall 1.0 at full probe") {
+    import graft.ext.Ann
+    val (centroids, assigned) = Ann.build(emb, nCentroids = 16, iters = 2)
+    val aq = Ann.quantizeAssigned(assigned).persist()
+    // the memory lever: 64 one-byte codes vs 64 4-byte floats
+    val rows = aq.collect()
+    assert(rows.forall(_.getAs[Array[Byte]]("codes").length == 64))
+    // reconstruction error ≤ delta per dimension
+    val joined = aq.join(emb, Seq("vec_id")).collect()
+    joined.foreach { r =>
+      val codes = r.getAs[Array[Byte]]("codes")
+      val mn = r.getAs[Double]("mn"); val delta = r.getAs[Double]("delta")
+      val e = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val maxErr = codes.zip(e).map { case (c, x) =>
+        math.abs(mn + (c & 0xff) * delta - x) }.max
+      assert(maxErr <= delta + 1e-12, s"vec ${r.getAs[Long]("vec_id")} err $maxErr > $delta")
+    }
+    // exact top-k recovered from the code scan + rescore at full probe
+    val queries = emb.filter(col("vec_id") < 3)
+    val exact = Ann.search(assigned, centroids, queries, 10, 16)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Ann.searchQuantized(aq, emb, centroids, queries, 10, 16, rescoreK = 40)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact intersect sq).size == exact.size,
+      s"recall ${(exact intersect sq).size}/${exact.size}")
+    aq.unpersist(); centroids.unpersist(); assigned.unpersist()
+  }
+
   test("q68 vector stats: self-row is cos 1.0, norms positive, dot = cos for unit vectors") {
     val r = Similarity.q68(spark, sf("sf0.001")).collect()
     assert(r.length == 200)
