@@ -186,7 +186,27 @@ object ScaleBench {
           .filter(TextOps.tokenRatioKernel(col("text"), stopwords) >= 0.02)
           .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
             .isin("0", "1", "2", "3"))
-          .select("doc_id")))
+          .select("doc_id")),
+      // collocations (r10): the corpus-statistics shape — bigram and
+      // unigram aggregations on different keys + the count-join; the
+      // growth to watch is the gram-key shuffle staying ∝ corpus tokens
+      "q69_collocations" -> (() => {
+        val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val bg = docs.select(explode(TextOps.wordGramsKernel(col("text"), 2)).as("g"))
+          .select(split(col("g"), " ").getItem(0).as("w1"),
+            split(col("g"), " ").getItem(1).as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        val n1 = uni.agg(sum("c").as("n1"))
+        val n2 = bg.agg(sum("c_ab").as("n2"))
+        bg.filter(col("c_ab") >= 5)
+          .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+          .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+          .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+          .select(col("w1"), col("w2"),
+            round(log((col("c_ab").cast("double") * col("n1") * col("n1")) /
+              (col("n2").cast("double") * col("c_a") * col("c_b"))), 6).as("pmi"))
+      }))
 
     // optional comma-separated op filter (rerun a single op's curve
     // without paying for the whole suite)

@@ -80,6 +80,25 @@ object Partitioning {
     b.join(s, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Write `df` as a BUCKETED (+ bucket-sorted) managed table: rows are
+    * hash-distributed into `nBuckets` files per partition BY THE JOIN
+    * KEY at write time, and the bucket spec is recorded in the catalog.
+    * A later equi-join (or aggregation) on `key` between two tables
+    * bucketed the same way needs NO shuffle and — with `sortBy` — no
+    * sort: the scan itself satisfies the join's required distribution
+    * and ordering (BucketingSpec asserts the zero-Exchange plan).
+    *
+    * This is the at-rest co-location lever for 100 TB: a fact table
+    * joined on the same key by many queries pays its shuffle ONCE at
+    * ingest instead of per-query. Tradeoffs a caller owns: nBuckets is
+    * fixed at write time (pick ~ cluster cores at target scale);
+    * joining tables must share the bucket count (or a divisor — Spark
+    * coalesces bucket scans); and bucketing only helps keys you
+    * actually join/group on. */
+  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
+    df.write.bucketBy(nBuckets, key).sortBy(key)
+      .mode("overwrite").format("parquet").saveAsTable(table)
+
   /** Bloom-prefiltered equi-join: build a Bloom filter over the SMALL
     * side's join keys, drop big-side rows the filter rejects BEFORE the
     * join's shuffle, then run the exact join. At 100 TB this is the
