@@ -98,6 +98,8 @@ object SparkEntry {
     "q68_vector_stats"     -> (Similarity.q68 _),
     "q69_collocations"     -> (TextOps.q69 _),
     "q70_quantize"         -> (Similarity.q70 _),
+    "q71_char_decontam"    -> (TextOps.q71 _),
+    "q72_dedup_best"       -> (NearDup.q72 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -538,6 +540,22 @@ object SparkEntry {
         "ELSE CAST(FLOOR((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255 / " +
         "(CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))) AS INT) END), ',') AS qvec " +
         "FROM embeddings ORDER BY vec_id LIMIT 200"),
+    // q71: char-level decontamination — grams rebuilt with substr over
+    // a position range (the char sibling of q62's word-gram slicing).
+    "q71_char_decontam" ->
+      ("WITH g AS (SELECT doc_id, substr(text, i+1, 20) AS gram " +
+        "FROM documents, UNNEST(range(length(text) - 19)) AS t(i)), " +
+        "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0) " +
+        "SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared " +
+        "FROM g JOIN bench USING (gram) WHERE g.doc_id % 10 <> 0 " +
+        "GROUP BY g.doc_id ORDER BY g.doc_id"),
+    // q72: keep-best dedup — the oracle picks the longest doc (ties →
+    // lowest id) per fixture prefix group, the q28/q54 group-equivalence
+    // argument.
+    "q72_dedup_best" ->
+      ("SELECT doc_id FROM (SELECT doc_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY SUBSTRING(text, 1, 40) ORDER BY LENGTH(text) DESC, doc_id) AS rn " +
+        "FROM documents) WHERE rn = 1 ORDER BY doc_id"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -337,6 +337,40 @@ object NearDup {
     docs.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** Dedup keeping the BEST member per near-dup group by a caller-
+    * supplied score (ties → lowest id) — the curation-grade variant of
+    * [[dedup]]: a real pipeline keeps the longest / highest-quality
+    * copy, not the accidentally-lowest id. The per-group argmax is the
+    * same TopKAggregator(1) hash aggregation as Ann.assign (map-side
+    * partial, ObjectHashAggregate — no window sort of the group
+    * members; the max_by struct buffer would fall back to
+    * SortAggregate, Ann.assign scaladoc). The groups frame is one row
+    * per doc, so the score join is doc_id-co-partitioned with the agg
+    * shuffle. */
+  def dedupBest(
+      docs: DataFrame,
+      score: Column,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val top1 = udaf(new graft.functions.TopKAggregator(1))
+    val keepers = nearDupGroups(docs, idCol, textCol)
+      .join(docs.select(col(idCol), score.cast("double").as("__score")), Seq(idCol))
+      .groupBy("group_id")
+      .agg(top1(col(idCol), col("__score")).as("t1"))
+      .select(col("t1").getItem(0).getField("id").as(idCol))
+    docs.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  /** Q72 — keep-best dedup under the ORACLE gate: keep the LONGEST doc
+    * per near-dup group (ties → lowest doc_id). The oracle derives the
+    * same keepers from the fixture's prefix groups (the q28/q54
+    * LSH-groups ≡ prefix-groups argument) with a ROW_NUMBER window
+    * ordered by length DESC, doc_id. */
+  def q72(s: SparkSession, d: String): DataFrame =
+    dedupBest(Tables.documents(s, d), length(col("text")))
+      .select("doc_id")
+      .orderBy("doc_id")
+
   /** Q35 — n-gram (shingle) Jaccard near-dup pairs on `documents`:
     * (a, b, jaccard) for verified pairs at threshold 0.5 — the brief's
     * fourth dedup modality (n-gram Jaccard) as its own oracle-checked

@@ -714,6 +714,55 @@ object TextOps {
     packShards(Tables.documents(s, d), budget = 5000L)
       .orderBy("doc_id")
 
+  // ---- Character-level decontamination (r10) ----
+
+  /** Character n-gram STRINGS per document — compiled kernel, the
+    * char-level sibling of [[wordGramsKernel]] (one gram per character
+    * position; a while-free tabulate is fine, substring dominates). */
+  def charGramsKernel(text: Column, n: Int): Column = {
+    val kernel = udf { (t: String) =>
+      if (t == null || t.length < n) Array.empty[String]
+      else Array.tabulate(t.length - n + 1)(i => t.substring(i, i + n))
+    }
+    kernel(text)
+  }
+
+  /** Character-level benchmark decontamination: flag corpus docs sharing
+    * any length-`n` CHARACTER substring with the benchmark — the
+    * stricter sibling of word-level [[decontaminate]] (catches overlap
+    * that word tokenization splits differently: punctuation, casing
+    * joins, partial-word matches; the PaLM/Llama-style "contiguous
+    * character overlap" test). n_shared counts distinct shared grams.
+    *
+    * Scale shape: same candidates-then-aggregate as word-level — the
+    * benchmark side is distinct'd (benchmark suites are tiny vs corpus,
+    * the join broadcasts), the corpus side never aggregates globally.
+    * Char grams amplify the pre-join explode ~n bytes per character;
+    * at 100 TB join on xxhash64(gram) instead and accept the ~n²/2⁶⁴
+    * collision false-positive rate — flagging tolerates it, the
+    * DECLARED query keeps string keys because the gate demands
+    * engine-independent exactness (the q62 rationale). */
+  def decontaminateChars(docs: DataFrame, bench: DataFrame, n: Int = 20): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(charGramsKernel(col("text"), n)).as("gram"))
+    val benchGrams = bench.select(
+      explode(charGramsKernel(col("text"), n)).as("gram")).distinct()
+    grams.join(benchGrams, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
+  /** Q71 — char-level decontamination under the ORACLE gate: same
+    * benchmark split as q62 (doc_id % 10), 20-char windows; DuckDB
+    * rebuilds the grams with substr over a position range. */
+  def q71(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    decontaminateChars(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0))
+      .orderBy("doc_id")
+  }
+
   // ---- PII scrubbing (r10) ----
 
   /** PII pattern bank. Deliberately restricted to a regex subclass both

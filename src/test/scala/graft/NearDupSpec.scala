@@ -69,4 +69,17 @@ class NearDupSpec extends SparkSpec {
     val sig2 = docs.select(NearDup.minhashSignature(NearDup.shingleHashes(col("text")))).head().getSeq[Long](0)
     assert(sig1 == sig2 && sig1.length == 128)
   }
+
+  test("dedupBest keeps the LONGEST member of every prefix group (ties -> lowest id)") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val kept = NearDup.q72(spark, sf("sf0.001")).collect().map(_.getLong(0)).toSet
+    // per fixture prefix group, the kept member must be the length-argmax
+    val best = docs.select(col("doc_id"), substring(col("text"), 1, 40).as("p"),
+        length(col("text")).as("l")).collect()
+      .groupBy(_.getString(1)).values
+      .map(_.minBy(r => (-r.getInt(2), r.getLong(0))).getLong(0)).toSet
+    assert(kept == best)
+    // same group count as min-id dedup — only the representative differs
+    assert(kept.size == NearDup.dedup(docs).count())
+  }
 }

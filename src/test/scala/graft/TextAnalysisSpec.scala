@@ -313,6 +313,23 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("charGramsKernel windows and decontaminateChars flag exact char overlap") {
+    val g = spark.createDataFrame(Seq((1L, "abcde"), (2L, "abc"), (3L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.charGramsKernel(col("text"), 4).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(g(1L) == Seq("abcd", "bcde"))
+    assert(g(2L).isEmpty && g(3L).isEmpty)
+    val docs = spark.createDataFrame(Seq(
+      (1L, "xxxx the exact twenty chars zz"), // shares a 20-char window
+      (2L, "completely different body here"))).toDF("doc_id", "text")
+    val bench = spark.createDataFrame(Seq(
+      (10L, "yy the exact twenty chars kkk"))).toDF("doc_id", "text")
+    val r = TextOps.decontaminateChars(docs, bench).collect()
+      .map(x => x.getLong(0)).toSet
+    assert(r == Set(1L))
+  }
+
   test("q69 collocations: deterministic PMI ranking, significance floor holds") {
     val r = TextOps.q69(spark, sf("sf0.001")).collect()
     assert(r.length == 100)
