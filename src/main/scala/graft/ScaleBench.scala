@@ -187,6 +187,16 @@ object ScaleBench {
           .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
             .isin("0", "1", "2", "3"))
           .select("doc_id")),
+      // char-level decontamination (r10): ~chars-per-doc gram
+      // amplification — the growth to watch is the explode+join staying
+      // ∝ corpus chars with the benchmark side broadcast
+      "q71_char_decontam" -> (() =>
+        TextOps.decontaminateChars(
+          docs.filter(col("doc_id") % 20 =!= 18),
+          docs.filter(col("doc_id") % 20 === 18))),
+      // keep-best dedup (r10): q28-class group cost + one argmax agg
+      "q72_dedup_best" -> (() =>
+        NearDup.dedupBest(docs, length(col("text"))).select("doc_id")),
       // collocations (r10): the corpus-statistics shape — bigram and
       // unigram aggregations on different keys + the count-join; the
       // growth to watch is the gram-key shuffle staying ∝ corpus tokens

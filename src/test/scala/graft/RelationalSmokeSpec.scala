@@ -95,6 +95,22 @@ class RelationalSmokeSpec extends SparkSpec {
     assert(plan("q59_sliding_window").contains("partial_count"))
   }
 
+  test("r10 plan shapes: native kernels in-plan, zero-shuffle maps take TakeOrderedAndProject") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+    // q68 scores with the NATIVE expressions against a broadcast query row
+    val p68 = plan("q68_vector_stats")
+    assert(p68.contains("vec_dot") && p68.contains("vec_norm"), p68)
+    assert(p68.contains("BroadcastNestedLoopJoin"), p68)
+    // q67/q70 are narrow maps + global top-n: distributed partial heaps
+    // (TakeOrderedAndProject), never a full sort shuffle
+    val p67 = plan("q67_pii_redact"); val p70 = plan("q70_quantize")
+    assert(p67.contains("TakeOrderedAndProject") && !p67.contains("Exchange"), p67)
+    assert(p70.contains("TakeOrderedAndProject") && !p70.contains("Exchange"), p70)
+    // q69's count aggregations run map-side partials before the shuffle
+    assert(plan("q69_collocations").contains("partial_count"), "q69 partials")
+  }
+
   test("bloomPrefilteredJoin equals the plain join and really drops rows pre-join") {
     import org.apache.spark.sql.functions._
     val big = spark.range(10000).select(col("id").as("k"), (col("id") * 2).as("v"))
