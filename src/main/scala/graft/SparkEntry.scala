@@ -100,6 +100,8 @@ object SparkEntry {
     "q70_quantize"         -> (Similarity.q70 _),
     "q71_char_decontam"    -> (TextOps.q71 _),
     "q72_dedup_best"       -> (NearDup.q72 _),
+    "q73_chunking"         -> (TextOps.q73 _),
+    "q74_shard_text"       -> (TextOps.q74 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -556,6 +558,26 @@ object SparkEntry {
       ("SELECT doc_id FROM (SELECT doc_id, ROW_NUMBER() OVER " +
         "(PARTITION BY SUBSTRING(text, 1, 40) ORDER BY LENGTH(text) DESC, doc_id) AS rn " +
         "FROM documents) WHERE rn = 1 ORDER BY doc_id"),
+    // q73: 32-token/stride-24 chunking — windows rebuilt with list
+    // slicing over a chunk-index range; nChunks keeps the partial tail.
+    "q73_chunking" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "n AS (SELECT doc_id, ws, CASE WHEN len(ws) <= 32 THEN 1 " +
+        "ELSE 1 + CAST(CEIL(CAST(len(ws) - 32 AS DOUBLE) / 24) AS INT) END AS nc FROM tok) " +
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, " +
+        "CAST(len(ws[i*24+1:i*24+32]) AS BIGINT) AS n_tokens, " +
+        "array_to_string(ws[i*24+1:i*24+32], ' ') AS chunk " +
+        "FROM n, UNNEST(range(nc)) AS t(i) " +
+        "ORDER BY doc_id, chunk_id LIMIT 300"),
+    // q74: shard content digest — q63's global-window shard rebuild +
+    // ordered string_agg, md5-compared.
+    "q74_shard_text" ->
+      ("WITH t AS (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "sh AS (SELECT doc_id, text, n_tokens, CAST(FLOOR((SUM(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 5000.0) AS BIGINT) AS shard FROM t) " +
+        "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
+        "md5(string_agg(text, chr(10) ORDER BY doc_id)) AS digest " +
+        "FROM sh GROUP BY shard ORDER BY shard"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

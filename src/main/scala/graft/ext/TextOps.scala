@@ -714,6 +714,72 @@ object TextOps {
     packShards(Tables.documents(s, d), budget = 5000L)
       .orderBy("doc_id")
 
+  /** Q74 — shard CONTENT materialization under the ORACLE gate: the
+    * step after q63's assignment that actually EMITS a training file
+    * per shard — member texts concatenated in doc_id order, newline-
+    * separated. Compared by md5 digest (whole-shard text through the
+    * driver's cell renderer proves nothing extra and bloats the dump);
+    * n_docs/n_tokens ride along. Plan shape: collect_list of
+    * (doc_id, text) structs per shard + array_sort + array_join — the
+    * per-shard sort is bounded by shard MEMBERSHIP (budget/min-doc-
+    * tokens docs), not corpus size, so the aggregation stays hash-
+    * shaped with map-side partials; at 100 TB this is exactly the
+    * "write one file per shard" reducer. */
+  def q74(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    packShards(docs, budget = 5000L)
+      .join(docs, Seq("doc_id"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), "\n")).as("digest"))
+      .orderBy("shard")
+  }
+
+  // ---- Token-window chunking (r10) ----
+
+  /** Overlapping token-window chunks per document — the
+    * chunk-for-training/RAG step (fixed window, fixed stride, partial
+    * final window kept so no token is dropped). nChunks =
+    * 1 + ceil((len − size)/stride) for len > size, else 1. Compiled
+    * kernel (sliding-window doctrine, see [[wordGramsKernel]]);
+    * tokenization contract is the suite's `split(text, ' ')`. */
+  def chunkKernel(text: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val kernel = udf { (t: String) =>
+      if (t == null) Array.empty[String]
+      else {
+        val toks = t.split(" ", -1)
+        val n = if (toks.length <= size) 1
+          else 1 + math.ceil((toks.length - size).toDouble / stride).toInt
+        Array.tabulate(n) { i =>
+          toks.slice(i * stride, math.min(i * stride + size, toks.length))
+            .mkString(" ")
+        }
+      }
+    }
+    kernel(text)
+  }
+
+  /** Q73 — chunking under the ORACLE gate: 32-token windows, stride 24
+    * (8-token overlap), chunk_id + per-chunk token count + the chunk
+    * text itself; DuckDB rebuilds the windows with list slicing over a
+    * chunk-index range. Zero-shuffle narrow generator — at 100 TB this
+    * is a flatMap fused into the scan, output ≈ (1 + overlap/stride) ×
+    * corpus tokens. */
+  def q73(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(chunkKernel(col("text"), 32, 24)).as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        size(split(col("chunk"), " ")).cast("bigint").as("n_tokens"),
+        col("chunk"))
+      .orderBy("doc_id", "chunk_id").limit(300)
+
   // ---- Character-level decontamination (r10) ----
 
   /** Character n-gram STRINGS per document — compiled kernel, the

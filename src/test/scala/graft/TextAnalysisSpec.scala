@@ -313,6 +313,43 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("chunkKernel: stride windows, partial tail kept, full token coverage") {
+    val toks = (0 until 80).map(i => s"t$i")
+    val df = spark.createDataFrame(Seq(
+      (1L, toks.mkString(" ")), (2L, "a b c"))).toDF("doc_id", "text")
+    val chunks = df.select(col("doc_id"),
+        TextOps.chunkKernel(col("text"), 32, 24).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // 80 tokens, size 32, stride 24 -> 1 + ceil(48/24) = 3 chunks
+    assert(chunks(1L).length == 3)
+    assert(chunks(1L)(0) == toks.slice(0, 32).mkString(" "))
+    assert(chunks(1L)(1) == toks.slice(24, 56).mkString(" "))
+    assert(chunks(1L)(2) == toks.slice(48, 80).mkString(" ")) // partial tail
+    // coverage: every token appears in at least one chunk
+    assert(chunks(1L).flatMap(_.split(" ")).toSet == toks.toSet)
+    assert(chunks(2L) == Seq("a b c")) // short doc = one whole chunk
+  }
+
+  test("q74 shard digests equal a local recomputation of shard content") {
+    val d = sf("sf0.001")
+    val r = SparkEntry.queries("q74_shard_text")(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(3))).toList
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).sortBy(_._1)
+    val assign = TextOps.packShards(
+      graft.sources.Tables.documents(spark, d), 5000L).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val local = docs.groupBy { case (id, _) => assign(id) }.toList.sortBy(_._1)
+      .map { case (shard, members) =>
+        val content = members.sortBy(_._1).map(_._2).mkString("\n")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (shard, members.size.toLong, md)
+      }
+    assert(r == local)
+  }
+
   test("charGramsKernel windows and decontaminateChars flag exact char overlap") {
     val g = spark.createDataFrame(Seq((1L, "abcde"), (2L, "abc"), (3L, null.asInstanceOf[String])))
       .toDF("doc_id", "text")
