@@ -191,6 +191,46 @@ class PropertySpec extends SparkSpec {
     check(prop, n = 15)
   }
 
+  test("property: chunkKernel covers every token in order, windows obey size/stride") {
+    import spark.implicits._
+    val prop = Prop.forAll(
+      Gen.chooseNum(1, 200), Gen.chooseNum(2, 40)) { (nToks, size) =>
+      val stride = math.max(1, size / 2)
+      val toks = (0 until nToks).map(i => s"t$i")
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = df.select(
+          graft.ext.TextOps.chunkKernel(col("text"), size, stride))
+        .head().getSeq[String](0).map(_.split(" ", -1).toSeq)
+      val n = if (nToks <= size) 1
+        else 1 + math.ceil((nToks - size).toDouble / stride).toInt
+      chunks.length == n &&
+        // window i starts at i*stride, is `size` long except a shorter tail
+        chunks.zipWithIndex.forall { case (c, i) =>
+          c == toks.slice(i * stride, math.min(i * stride + size, nToks)) } &&
+        // reconstruction: stride-aligned prefixes concatenate to the doc
+        chunks.zipWithIndex.flatMap { case (c, i) =>
+          if (i < chunks.length - 1) c.take(stride) else c }.toSeq
+          .take(nToks) == toks
+    }
+    check(prop, n = 20)
+  }
+
+  test("property: quantize codes bounded and dequantization within one delta") {
+    import spark.implicits._
+    val genVec = Gen.listOfN(16, Gen.chooseNum(-100, 100).map(_ / 7.0f))
+    val prop = Prop.forAll(genVec) { vec =>
+      val df = Seq((1L, vec.toArray)).toDF("vec_id", "embedding")
+      val codes = df.select(graft.ext.Similarity.quantize(col("embedding")))
+        .head().getSeq[Int](0)
+      val mn = vec.min.toDouble; val mx = vec.max.toDouble
+      val delta = if (mx > mn) (mx - mn) / 255.0 else 1.0
+      codes.forall(c => c >= 0 && c <= 255) &&
+        codes.zip(vec).forall { case (c, x) =>
+          math.abs(mn + c * delta - x) <= delta + 1e-12 }
+    }
+    check(prop, n = 20)
+  }
+
   test("approx_percentile (q52) lands within its rank-error bound of exact (q39) at sf0.01") {
     // GK sketch contract: at accuracy=10000 the returned value's rank
     // error is <= n/10000, i.e. the value must lie between the exact
