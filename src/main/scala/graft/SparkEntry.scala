@@ -102,6 +102,7 @@ object SparkEntry {
     "q72_dedup_best"       -> (NearDup.q72 _),
     "q73_chunking"         -> (TextOps.q73 _),
     "q74_shard_text"       -> (TextOps.q74 _),
+    "q75_pipeline_v2"      -> (TextOps.q75 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -577,6 +578,31 @@ object SparkEntry {
         "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 5000.0) AS BIGINT) AS shard FROM t) " +
         "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
         "md5(string_agg(text, chr(10) ORDER BY doc_id)) AS digest " +
+        "FROM sh GROUP BY shard ORDER BY shard"),
+    // q75: pipeline v2 — the r10 stages composed; every CTE reuses a
+    // form already green in isolation (q72 keeper window, q71 char
+    // grams, q66 quality expressions, q73 chunk slicing, q63 global-
+    // window shard rebuild, q74 ordered digest).
+    "q75_pipeline_v2" ->
+      ("WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0), " +
+        "keep AS (SELECT doc_id, text FROM (SELECT doc_id, text, ROW_NUMBER() OVER " +
+        "(PARTITION BY SUBSTRING(text, 1, 40) ORDER BY LENGTH(text) DESC, doc_id) AS rn FROM corpus) WHERE rn = 1), " +
+        "cg AS (SELECT doc_id, substr(text, i+1, 20) AS gram FROM documents, UNNEST(range(length(text) - 19)) AS t(i)), " +
+        "benchg AS (SELECT DISTINCT gram FROM cg WHERE doc_id % 10 = 0), " +
+        "contaminated AS (SELECT DISTINCT cg.doc_id FROM cg JOIN benchg USING (gram) WHERE cg.doc_id % 10 <> 0), " +
+        "clean AS (SELECT k.doc_id, k.text FROM keep k " +
+        "WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated) " +
+        "AND LENGTH(k.text) >= 60 " +
+        "AND ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(k.text, ' '), x -> LIST_CONTAINS(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / LEN(STRING_SPLIT(k.text, ' ')), 4) >= 0.02), " +
+        "tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM clean), " +
+        "n AS (SELECT doc_id, ws, CASE WHEN len(ws) <= 32 THEN 1 " +
+        "ELSE 1 + CAST(CEIL(CAST(len(ws) - 32 AS DOUBLE) / 24) AS INT) END AS nc FROM tok), " +
+        "ch AS (SELECT doc_id*1000 + i AS cid, array_to_string(ws[i*24+1:i*24+32], ' ') AS chunk, " +
+        "CAST(len(ws[i*24+1:i*24+32]) AS BIGINT) AS n_tokens FROM n, UNNEST(range(nc)) AS t(i)), " +
+        "sh AS (SELECT cid, chunk, n_tokens, CAST(FLOOR((SUM(n_tokens) OVER " +
+        "(ORDER BY cid ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0) AS BIGINT) AS shard FROM ch) " +
+        "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
+        "md5(string_agg(chunk, chr(10) ORDER BY cid)) AS digest " +
         "FROM sh GROUP BY shard ORDER BY shard"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle

@@ -739,6 +739,57 @@ object TextOps {
       .orderBy("shard")
   }
 
+  /** Q75 — curation pipeline V2 under the ORACLE gate: the r10 stages
+    * composed end-to-end, from raw corpus to digest-verified training
+    * shards of CHUNKS —
+    *   keep-BEST near-dup dedup (q72: longest member per LSH+CC group)
+    *   → char-level decontamination (q71: drop docs sharing a 20-char
+    *     substring with the doc_id%10==0 benchmark split)
+    *   → quality filter (q66's cuts: length ≥ 60, stopword ratio ≥ 0.02)
+    *   → 32/24 token-window chunking (q73)
+    *   → 2,000-token shard packing of the CHUNKS (q63's two-phase
+    *     prefix sum over cid = doc_id·1000 + chunk_id)
+    *   → per-shard ordered content digest (q74).
+    * Complements q66 (which composes the r9 stages); together the two
+    * pipelines put every declared curation stage inside at least one
+    * hash-checked end-to-end chain. Plan notes: `chunks` feeds both
+    * packShards (eager inside) and the digest join, so it is persisted
+    * and released after the digest agg is pinned — the q66 lifecycle.
+    *
+    * Funnel at the fixture: 5/4/2 shards at sf0.001/0.01/0.1 — the
+    * char-decontamination stage dominates (chance 20-char collisions
+    * in the small-vocab word soup grow with corpus size, the q71 /
+    * BASELINE.md caveat; real long-tail corpora don't do this).
+    * Non-degenerate at every SF, and the oracle rebuilds the same
+    * funnel exactly. */
+  def q75(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val clean = NearDup.dedupBest(corpus, length(col("text")))
+      .join(decontaminateChars(corpus, bench).select("doc_id"), Seq("doc_id"), "left_anti")
+      .filter(length(col("text")) >= 60)
+      .filter(tokenRatioKernel(col("text"), stopwords) >= 0.02)
+    val chunks = clean
+      .select(col("doc_id"), posexplode(chunkKernel(col("text"), 32, 24))
+        .as(Seq("chunk_id", "chunk")))
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
+        col("chunk").as("text"))
+      .persist()
+    val packed = packShards(chunks, budget = 2000L) // eager (localCheckpoint inside)
+    val res = packed.join(chunks, Seq("doc_id"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("n_tokens").as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), "\n")).as("digest"))
+      .localCheckpoint(true)
+    chunks.unpersist()
+    res.orderBy("shard")
+  }
+
   // ---- Token-window chunking (r10) ----
 
   /** Overlapping token-window chunks per document — the

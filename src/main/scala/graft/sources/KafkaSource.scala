@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions.col
   * and is impossible here (verified round 5:
   * `org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2` is absent from
   * /opt/spark/jars, absent from the offline coursier cache, and an
-  * `sbt update` against it fails with "Not found"; re-verified round 9
-  * — same result); a connected
+  * `sbt update` against it fails with "Not found"; re-verified rounds
+  * 9 and 10 — same result, and r10 also confirmed zero network egress
+  * to Maven Central); a connected
   * deployment adds the artifact (Provided scope) and this object works
   * unchanged. The wiring is exercised against live Kafka only in such
   * a deployment. Everything

@@ -195,6 +195,19 @@ class RelationalSmokeSpec extends SparkSpec {
       s"q66 leaked ${leaked.size} plain cached RDDs into the session")
   }
 
+  test("q75 pipeline v2: consecutive shards, non-degenerate funnel, no plain-cache leak") {
+    import org.apache.spark.sql.functions._
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val r = SparkEntry.queries("q75_pipeline_v2")(spark, d).collect()
+    assert(r.nonEmpty)
+    assert(r.map(_.getLong(0)).sameElements(r.indices.map(_.toLong))) // 0..n-1
+    // every stage really cut something: chunks < corpus tokens, digest distinct
+    assert(r.map(_.getString(3)).distinct.length == r.length)
+    val leaked = spark.sparkContext.getPersistentRDDs.values
+      .filterNot(_.isCheckpointed)
+    assert(leaked.isEmpty, s"q75 leaked ${leaked.size} plain cached RDDs")
+  }
+
   test("q56 salted gate query equals its unsalted plan in-engine") {
     import org.apache.spark.sql.functions._
     val salted = SparkEntry.queries("q56_salted_join")(spark, d).collect()
