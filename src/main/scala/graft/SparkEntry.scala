@@ -103,6 +103,7 @@ object SparkEntry {
     "q73_chunking"         -> (TextOps.q73 _),
     "q74_shard_text"       -> (TextOps.q74 _),
     "q75_pipeline_v2"      -> (TextOps.q75 _),
+    "q76_semdedup"         -> (Similarity.q76 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -604,6 +605,21 @@ object SparkEntry {
         "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
         "md5(string_agg(chunk, chr(10) ORDER BY cid)) AS digest " +
         "FROM sh GROUP BY shard ORDER BY shard"),
+    // q76: semantic dedup — assignment re-derived with a ROW_NUMBER
+    // argmax over the 6dp-rounded cosine (ties → lowest centroid_id,
+    // the engine's TopKAggregator order), shadow set via NOT EXISTS
+    // on lower-id cluster-mates at the same rounded tau cut.
+    "q76_semdedup" ->
+      ("WITH c AS (SELECT vec_id AS centroid_id, embedding AS centroid FROM embeddings WHERE vec_id < 8), " +
+        "a AS (SELECT vec_id, centroid_id FROM (" +
+        "SELECT e.vec_id, c.centroid_id, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])), 6) DESC, c.centroid_id) AS rn " +
+        "FROM embeddings e CROSS JOIN c) t WHERE rn = 1) " +
+        "SELECT a.vec_id, a.centroid_id FROM a JOIN embeddings e USING (vec_id) " +
+        "WHERE NOT EXISTS (SELECT 1 FROM a a2 JOIN embeddings e2 ON a2.vec_id = e2.vec_id " +
+        "WHERE a2.centroid_id = a.centroid_id AND a2.vec_id < a.vec_id " +
+        "AND ROUND(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) >= 0.4) " +
+        "ORDER BY a.vec_id"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -245,4 +245,70 @@ object Similarity {
       .select(col("vec_id"),
         array_join(quantize(col("embedding")).cast("array<string>"), ",").as("qvec"))
       .orderBy("vec_id").limit(200)
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, then drop every vector that has a
+    * LOWER-id cluster-mate with cosine ≥ tau (pairwise shadowing — the
+    * paper's "keep one per ε-ball" realized as a deterministic
+    * keep-first rule; no iteration, no RNG). Returns the KEPT rows
+    * (vec_id, centroid_id).
+    *
+    * Why clustering at all: the shadowing join is quadratic, and the
+    * cluster partition bounds it at Σ|Cᵢ|² instead of N² — the whole
+    * point of SemDeDup's k-means stage. At 100 TB, k grows with N
+    * (k ≈ N/E[cluster] keeps the per-cluster quadratic constant), the
+    * pair join shuffles on centroid_id only, and both scoring passes
+    * run on the NATIVE vec_dot/vec_norm codegen expressions.
+    *
+    * Determinism/oracle parity: centroids are the k lowest-id vectors
+    * (no Lloyd refinement here — q34's Ann owns that; the oracle must
+    * re-derive assignment relationally, and raw seed centroids keep
+    * that a pure cross-join + argmax). Similarity is rounded to 6dp
+    * BEFORE both the argmax and the tau cut, ties break to the lowest
+    * centroid_id (TopKAggregator's score-DESC/id-ASC order), and
+    * zero-norm vectors score -Inf via nanvl (the q34 NaN guard) so
+    * they land deterministically in centroid 0 and shadow nothing. */
+  def semDedup(emb: DataFrame, k: Int = 8, tau: Double = 0.4): DataFrame = {
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("centroid_id"),
+        col("embedding").as("centroid"))
+    val top1 = udaf(new TopKAggregator(1))
+    val assignSim = round(nanvl(
+      call_function("vec_dot", col("embedding"), col("centroid")) /
+        (call_function("vec_norm", col("embedding")) *
+          call_function("vec_norm", col("centroid"))),
+      lit(Double.NegativeInfinity)), 6)
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", assignSim)
+      .groupBy("vec_id")
+      .agg(top1(col("centroid_id"), col("sim")).as("t1"),
+        first(col("embedding")).as("embedding"))
+      .select(col("t1").getItem(0).getField("id").as("centroid_id"),
+        col("vec_id"), col("embedding"))
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val pairSim = round(nanvl(
+      call_function("vec_dot", col("a_emb"), col("b_emb")) /
+        (call_function("vec_norm", col("a_emb")) *
+          call_function("vec_norm", col("b_emb"))),
+      lit(Double.NegativeInfinity)), 6)
+    val shadowed = a.join(b, Seq("centroid_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(pairSim >= tau)
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+    assigned.select("vec_id", "centroid_id")
+      .join(shadowed, Seq("vec_id"), "left_anti")
+  }
+
+  /** Q76 (r10) — semantic dedup under the ORACLE gate: kept vec_ids +
+    * their cluster, k=8 seed centroids, tau=0.4 (the q29 threshold, so
+    * the fixture provably contains τ-pairs). DuckDB re-derives
+    * assignment with a ROW_NUMBER argmax over the same rounded
+    * list_cosine_similarity and the shadow set with a NOT EXISTS. */
+  def q76(s: SparkSession, d: String): DataFrame =
+    semDedup(Tables.embeddings(s, d)).orderBy("vec_id")
 }

@@ -120,6 +120,43 @@ class SimilaritySpec extends SparkSpec {
     assert(r.forall(x => math.abs(x.getDouble(3)) <= 1.000001))
   }
 
+  test("semDedup: kept set = brute-force shadow filter within brute-force clusters") {
+    import graft.functions.VectorFunctions._
+    val k = 4
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // brute-force assignment: rounded cosine argmax, ties -> lowest cid
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(cosineSimilarity(col("embedding"), col("ce")), 6).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (v, rows) =>
+        v -> rows.minBy(t => (-t._3, t._2))._2
+      }
+    // brute-force shadowing: any lower-id cluster-mate with sim >= tau
+    val vecs = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      BigDecimal(dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expectKept = vecs.keys.toSeq.sorted.filter { v =>
+      !vecs.keys.exists(u => u < v && assigned(u) == assigned(v) &&
+        cos(vecs(u), vecs(v)) >= 0.4)
+    }
+    val got = Similarity.semDedup(emb, k = k, tau = 0.4)
+      .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expectKept)
+    assert(got.length < vecs.size, "fixture must contain at least one shadowed pair")
+  }
+
+  test("semDedup plan: broadcast centroid assign, pair join shuffles on centroid only") {
+    val plan = Similarity.semDedup(emb).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), "pair join must be the centroid equi-join")
+  }
+
   test("quantize: 64 codes per vector, min element -> 0 exactly, all codes in [0, 255]") {
     val q = Similarity.q70(spark, sf("sf0.001")).collect()
     assert(q.length == 200)
