@@ -104,6 +104,8 @@ object SparkEntry {
     "q74_shard_text"       -> (TextOps.q74 _),
     "q75_pipeline_v2"      -> (TextOps.q75 _),
     "q76_semdedup"         -> (Similarity.q76 _),
+    "q77_mix_temperature"  -> (Relational.q77 _),
+    "q78_segment_dedup"    -> (TextOps.q78 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -620,6 +622,31 @@ object SparkEntry {
         "WHERE a2.centroid_id = a.centroid_id AND a2.vec_id < a.vec_id " +
         "AND ROUND(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) >= 0.4) " +
         "ORDER BY a.vec_id"),
+    // q77: temperature mixing — rates recomputed from the lang counts
+    // (MIN + one IEEE divide/sqrt/multiply/floor, bit-identical), keep
+    // test as a 4-hex-digit string compare on the md5 sampling key.
+    "q77_mix_temperature" ->
+      ("WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang), " +
+        "m AS (SELECT MIN(n_docs) AS n_min FROM n), " +
+        "r AS (SELECT lang, n_docs, CAST(FLOOR(SQRT(CAST(m.n_min AS DOUBLE) / n_docs) * 65536) AS BIGINT) AS q_rate FROM n, m) " +
+        "SELECT d.doc_id, d.lang, r.n_docs, r.q_rate FROM documents d JOIN r USING (lang) " +
+        "WHERE r.q_rate >= 65536 OR SUBSTRING(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < lpad(lower(to_hex(r.q_rate)), 4, '0') " +
+        "ORDER BY d.doc_id"),
+    // q78: segment boilerplate dedup — segments via the q73/q75 list
+    // slicing, df = COUNT(DISTINCT doc_id), cleaned text re-joined in
+    // seg_id order (NULL digest when everything was boilerplate).
+    "q78_segment_dedup" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "n AS (SELECT doc_id, w, CASE WHEN len(w) <= 12 THEN 1 " +
+        "ELSE 1 + CAST(CEIL(CAST(len(w) - 12 AS DOUBLE) / 12) AS INT) END AS nc FROM tok), " +
+        "segs AS (SELECT doc_id, i AS seg_id, array_to_string(w[i*12+1:i*12+12], ' ') AS seg " +
+        "FROM n, UNNEST(range(nc)) AS t(i)), " +
+        "boiler AS (SELECT seg FROM (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg) t WHERE df >= 2), " +
+        "kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)), " +
+        "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, " +
+        "md5(string_agg(seg, ' ' ORDER BY seg_id)) AS clean_md5 FROM kept GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(t.nc AS BIGINT) AS n_segs, COALESCE(a.n_kept, 0) AS n_kept, a.clean_md5 " +
+        "FROM n t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -971,4 +971,57 @@ object TextOps {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(100)
   }
+
+  // ---- Segment-level boilerplate dedup (r10) ----
+
+  /** Line-level dedup (CCNet/RefinedWeb boilerplate removal: drop every
+    * line that appears in ≥ dfCap distinct documents — headers, nav
+    * bars, cookie banners), generalized to SEGMENTS because the fixture
+    * text has no newlines: a segment is a non-overlapping segTokens-
+    * token block ([[chunkKernel]] with stride = size; pass a newline
+    * splitter on real corpora). Returns per-doc (n_segs, n_kept,
+    * clean_md5 of the surviving text, NULL when everything was
+    * boilerplate) — doc rows never disappear.
+    *
+    * Scale: one shuffle on the segment string for document frequency
+    * (map-side partial over doc-distinct segments), a left-anti join
+    * back (the df ≥ dfCap side is the SMALL one — boilerplate is by
+    * definition the repeated tail, broadcastable at any corpus size),
+    * one agg on doc_id. Same candidate-side-smallness argument as the
+    * q62 decontamination join. */
+  def segmentDedup(
+      docs: DataFrame,
+      segTokens: Int = 12,
+      dfCap: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val segs = docs.select(col(idCol),
+      posexplode(chunkKernel(col(textCol), segTokens, segTokens))
+        .as(Seq("seg_id", "seg")))
+    val boiler = segs.select(col("seg"), col(idCol)).distinct()
+      .groupBy("seg").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= dfCap)
+      .select("seg")
+    val kept = segs.join(broadcast(boiler), Seq("seg"), "left_anti")
+    val agg = kept.groupBy(idCol).agg(
+      count(lit(1)).as("n_kept"),
+      md5(array_join(
+        transform(array_sort(collect_list(struct(col("seg_id"), col("seg")))),
+          x => x.getField("seg")), " ")).as("clean_md5"))
+    docs.select(col(idCol),
+        size(chunkKernel(col(textCol), segTokens, segTokens)).cast("bigint")
+          .as("n_segs"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_md5"))
+  }
+
+  /** Q78 (r10) — segment boilerplate dedup under the ORACLE gate:
+    * 12-token segments, df ≥ 2 (the "seen in any other document" line-
+    * dedup rule; 96 boilerplate segments at sf0.01 — the fixture's
+    * near-dup prefixes are exactly the repeated-header case). DuckDB
+    * rebuilds segments with list slicing, df with COUNT(DISTINCT
+    * doc_id), and the cleaned text with an ordered string_agg. */
+  def q78(s: SparkSession, d: String): DataFrame =
+    segmentDedup(Tables.documents(s, d)).orderBy("doc_id")
 }

@@ -726,6 +726,54 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** Temperature-flattened corpus mixing (the multilingual-LM sampling
+    * rule, p_s ∝ n_s^α with α = 1/2 — Conneau & Lample 2019, arXiv:
+    * 1901.07291): per-stratum keep-rates are DERIVED FROM the observed
+    * distribution, rate_s = √(n_min/n_s), so the smallest stratum keeps
+    * everything and the sampled counts flatten toward n_s^½. This is
+    * q64's missing half — q64 applies hand-picked per-stratum rates;
+    * here the rates themselves are an aggregation output joined back.
+    *
+    * Determinism (the q42/q64 doctrine, extended to computed rates):
+    * the keep-test key is the first 4 md5 hex chars of the id (16
+    * uniform bits), compared against the rate quantized to 1/65536 as
+    * a 4-hex-digit string — string comparison, no cross-engine float
+    * threshold. The rate math is n_min (order-independent MIN), one
+    * IEEE divide, `sqrt` (correctly rounded by spec — the reason α is
+    * pinned to ½ here; a general pow() is not), one multiply, floor:
+    * bit-identical in any IEEE engine, so DuckDB recomputes the exact
+    * same q_rate. rate = 1 short-circuits the string compare (hex(65536)
+    * is 5 digits and must not reach the 4-char lpad truncation).
+    *
+    * Scale: counts are a map-side-partial agg over the stratum key
+    * (tiny result), rates broadcast back, the keep-test is a narrow
+    * filter fused into the scan — the corpus never shuffles. */
+  def mixTemperature(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      stratCol: String = "lang"): DataFrame = {
+    val counts = docs.groupBy(stratCol).agg(count(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min("n_docs").as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("q_rate",
+        floor(sqrt(col("n_min").cast("double") / col("n_docs")) * 65536)
+          .cast("long"))
+      .select(col(stratCol), col("n_docs"), col("q_rate"))
+    val key = substring(md5(col(idCol).cast("string").cast("binary")), 1, 4)
+    docs.join(broadcast(rates), Seq(stratCol))
+      .filter(col("q_rate") >= 65536 ||
+        key < lpad(lower(hex(col("q_rate"))), 4, "0"))
+      .select(col(idCol), col(stratCol), col("n_docs"), col("q_rate"))
+  }
+
+  /** Q77 (r10) — temperature mixing under the ORACLE gate: the sampled
+    * ROWS (not just counts) over the fixture's skewed `lang` column
+    * (en ≈ 44% → rate √(n_min/n_en) ≈ 0.54; the smallest lang keeps
+    * all), with the derived n_docs/q_rate columns in the hash so the
+    * rate computation itself is gated. */
+  def q77(s: SparkSession, d: String): DataFrame =
+    mixTemperature(Tables.documents(s, d)).orderBy("doc_id")
+
   /** QUARANTINED type-class variant (r4 ADVICE): q24 with the hour
     * bucket as a single TIMESTAMP column `h` — the suite's only
     * timestamp output class and a 3-round driver-hash-fail with

@@ -208,6 +208,30 @@ class RelationalSmokeSpec extends SparkSpec {
     assert(leaked.isEmpty, s"q75 leaked ${leaked.size} plain cached RDDs")
   }
 
+  test("q77 temperature mixing: smallest lang fully kept, mix flattens, rates derived") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, d)
+    val in = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = in.values.min
+    val out = SparkEntry.queries("q77_mix_temperature")(spark, d)
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the smallest stratum keeps every row (rate exactly 1)
+    val smallest = in.minBy(_._2)._1
+    assert(kept(smallest) == in(smallest))
+    // q_rate really is floor(sqrt(nMin/n)*65536) for every stratum
+    val rates = out.select("lang", "n_docs", "q_rate").distinct().collect()
+    rates.foreach { r =>
+      val expect = math.floor(math.sqrt(nMin.toDouble / r.getLong(1)) * 65536).toLong
+      assert(r.getLong(2) == expect, s"lang=${r.getString(0)}")
+    }
+    // flattening: the kept mix is strictly more uniform than the input
+    val inRatio = in.values.max.toDouble / in.values.min
+    val outRatio = kept.values.max.toDouble / kept.values.min
+    assert(outRatio < inRatio, s"in=$inRatio out=$outRatio")
+  }
+
   test("q56 salted gate query equals its unsalted plan in-engine") {
     import org.apache.spark.sql.functions._
     val salted = SparkEntry.queries("q56_salted_join")(spark, d).collect()

@@ -293,6 +293,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q33.map(_.getString(1)).distinct.length == 100) // no exact dups
   }
 
+  test("segmentDedup: untouched docs reconstruct exactly, boilerplate really drops") {
+    val d = sf("sf0.001")
+    val docs = graft.sources.Tables.documents(spark, d)
+    val r = TextOps.q78(spark, d)
+      .join(docs.select(col("doc_id"), md5(col("text")).as("orig_md5")), Seq("doc_id"))
+      .collect()
+    assert(r.length == 500) // total: one row per doc, none disappear
+    // a doc that lost no segments re-joins to exactly its original text
+    val untouched = r.filter(x => x.getLong(2) == x.getLong(1))
+    assert(untouched.nonEmpty)
+    untouched.foreach(x => assert(x.getString(3) == x.getString(4)))
+    // the fixture's near-dup prefix groups ARE repeated segments: some drop
+    val touched = r.filter(x => x.getLong(2) < x.getLong(1))
+    assert(touched.nonEmpty)
+    touched.foreach(x => assert(x.getLong(2) == 0L || x.getString(3) != x.getString(4)))
+  }
+
   test("redactPii removes every phone/email match; q67 counts follow the injection rule") {
     val df = spark.createDataFrame(Seq(
       (1L, "call 25-989-741-2988 or mail a.b_c@ex.co now"),
