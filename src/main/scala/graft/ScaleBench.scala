@@ -133,6 +133,26 @@ object ScaleBench {
         .join(exact, Seq("qid", "vec_id"), "left_semi").count()
       exact.unpersist(); centroids.unpersist(); assigned.unpersist(); sweep()
       println(f"""{"op":"ivf","n_vecs":$n,"build_sec":$buildSec%.2f,"search_full_sec":$fullSec%.2f,"search_p4_sec":$p4Sec%.2f,"recall_p4":${hits.toDouble / total}%.4f}""")
+      // semDedup (r10): k scales with N (E[cluster] ≈ 250 held constant)
+      // so the Σ|C|² pair join stays ∝ N·E[cluster] — the SemDeDup
+      // linearity argument, measured. Assignment is the other term:
+      // N·k rows through the broadcast argmax (the q34 assign shape).
+      val kSem = math.max(8L, n / 250L).toInt
+      val tS = System.nanoTime()
+      val keptRows = graft.ext.Similarity.semDedup(vecs, k = kSem, tau = 0.9).count()
+      val semSec = (System.nanoTime() - tS) / 1e9
+      sweep()
+      println(f"""{"op":"semdedup","n_vecs":$n,"k":$kSem,"sec":$semSec%.2f,"kept":$keptRows}""")
+      // two-level assignment: the O(N·√k) fix for the flat path's
+      // O(N·k) assignment term (k ∝ N makes flat quadratic — measured
+      // above); kept counts differ slightly where boundary vectors
+      // land in a neighboring family's cell (documented approximation)
+      val tH = System.nanoTime()
+      val keptH = graft.ext.Similarity
+        .semDedup(vecs, k = kSem, tau = 0.9, twoLevel = true).count()
+      val semHSec = (System.nanoTime() - tH) / 1e9
+      sweep()
+      println(f"""{"op":"semdedup_2l","n_vecs":$n,"k":$kSem,"sec":$semHSec%.2f,"kept":$keptH}""")
     }
   }
 
@@ -197,6 +217,16 @@ object ScaleBench {
       // keep-best dedup (r10): q28-class group cost + one argmax agg
       "q72_dedup_best" -> (() =>
         NearDup.dedupBest(docs, length(col("text"))).select("doc_id")),
+      // segment boilerplate dedup (r10): the growth to watch is the
+      // segment-df shuffle staying ∝ corpus tokens and the boilerplate
+      // side staying broadcast-small (the synthetic near-dup prefixes
+      // are the planted repeated segments); rows = n (total function).
+      // The always-true digest filter defeats count()'s column pruning
+      // (otherwise the collect_list+md5 agg — the op's real cost —
+      // drops out of the measured plan).
+      "q78_segment_dedup" -> (() => TextOps.segmentDedup(docs)
+        .filter(xxhash64(coalesce(col("clean_md5"), lit("")), col("n_kept"))
+          =!= lit(42L))),
       // collocations (r10): the corpus-statistics shape — bigram and
       // unigram aggregations on different keys + the count-join; the
       // growth to watch is the gram-key shuffle staying ∝ corpus tokens

@@ -246,6 +246,61 @@ object Similarity {
         array_join(quantize(col("embedding")).cast("array<string>"), ",").as("qvec"))
       .orderBy("vec_id").limit(200)
 
+  /** Nearest-centroid assignment, flat or two-level.
+    *
+    * Flat: N·k rows through the broadcast argmax — exact, and the
+    * gated q76 path. But SemDeDup grows k WITH N (constant expected
+    * cluster size), so flat assignment is O(N²/E[cluster]) — the
+    * ScaleBench vector curve measured exactly that (28 s at 100k
+    * vectors / k=400 vs 3.0 s at 20k / k=80: 9.3× time for 5× data).
+    * Two-level restores the linear shape: assign each vector to the
+    * nearest of ceil(√k) SUPER-centroids (the lowest-id centroids —
+    * the seed doctrine again), then argmax only over that super's
+    * centroid family (centroid→family computed by the same rule), so
+    * assignment costs O(N·√k) — the standard hierarchical/IMI layout.
+    * Approximate ONLY in assignment (a boundary vector can land in a
+    * neighboring family's cell; every super's family contains at least
+    * itself since super self-sim = 1); the shadowing semantics stay
+    * exact within whatever partition results — SemDeDup's own trade,
+    * clustering is already heuristic. Determinism unchanged: same
+    * 6dp-rounded sims, same lowest-id tiebreaks at every level. */
+  private def assignNearest(emb: DataFrame, cents: DataFrame, k: Int,
+      twoLevel: Boolean): DataFrame = {
+    val top1 = udaf(new TopKAggregator(1))
+    def sim(a: Column, b: Column): Column = round(nanvl(
+      call_function("vec_dot", a, b) /
+        (call_function("vec_norm", a) * call_function("vec_norm", b)),
+      lit(Double.NegativeInfinity)), 6)
+    def argmax(rows: DataFrame, idCol: String, overCol: String,
+        keep: String): DataFrame =
+      rows.withColumn("sim", sim(col("embedding"), col(overCol)))
+        .groupBy(idCol)
+        .agg(top1(col(keep), col("sim")).as("t1"),
+          first(col("embedding")).as("embedding"))
+        .select(col("t1").getItem(0).getField("id").as(keep),
+          col(idCol), col("embedding"))
+    if (!twoLevel)
+      argmax(emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents)), "vec_id", "centroid", "centroid_id")
+    else {
+      val s = math.ceil(math.sqrt(k.toDouble)).toInt
+      val supers = cents.filter(col("centroid_id") < s)
+        .select(col("centroid_id").as("super_id"), col("centroid").as("sc"))
+      val fam = cents.withColumnRenamed("centroid", "embedding")
+        .crossJoin(broadcast(supers))
+        .withColumn("sim", sim(col("embedding"), col("sc")))
+        .groupBy("centroid_id")
+        .agg(top1(col("super_id"), col("sim")).as("t1"),
+          first(col("embedding")).as("centroid"))
+        .select(col("t1").getItem(0).getField("id").as("super_id"),
+          col("centroid_id"), col("centroid"))
+      val vecSuper = argmax(emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(supers)), "vec_id", "sc", "super_id")
+      argmax(vecSuper.join(broadcast(fam), Seq("super_id")),
+        "vec_id", "centroid", "centroid_id")
+    }
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space, then drop every vector that has a
     * LOWER-id cluster-mate with cosine ≥ tau (pairwise shadowing — the
@@ -258,7 +313,10 @@ object Similarity {
     * point of SemDeDup's k-means stage. At 100 TB, k grows with N
     * (k ≈ N/E[cluster] keeps the per-cluster quadratic constant), the
     * pair join shuffles on centroid_id only, and both scoring passes
-    * run on the NATIVE vec_dot/vec_norm codegen expressions.
+    * run on the NATIVE vec_dot/vec_norm codegen expressions. With k ∝
+    * N the ASSIGNMENT term turns quadratic in flat form — pass
+    * `twoLevel = true` for the O(N·√k) hierarchical assignment (see
+    * [[assignNearest]]; the ScaleBench vector curve measures both).
     *
     * Determinism/oracle parity: centroids are the k lowest-id vectors
     * (no Lloyd refinement here — q34's Ann owns that; the oracle must
@@ -268,24 +326,12 @@ object Similarity {
     * centroid_id (TopKAggregator's score-DESC/id-ASC order), and
     * zero-norm vectors score -Inf via nanvl (the q34 NaN guard) so
     * they land deterministically in centroid 0 and shadow nothing. */
-  def semDedup(emb: DataFrame, k: Int = 8, tau: Double = 0.4): DataFrame = {
+  def semDedup(emb: DataFrame, k: Int = 8, tau: Double = 0.4,
+      twoLevel: Boolean = false): DataFrame = {
     val cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("long").as("centroid_id"),
         col("embedding").as("centroid"))
-    val top1 = udaf(new TopKAggregator(1))
-    val assignSim = round(nanvl(
-      call_function("vec_dot", col("embedding"), col("centroid")) /
-        (call_function("vec_norm", col("embedding")) *
-          call_function("vec_norm", col("centroid"))),
-      lit(Double.NegativeInfinity)), 6)
-    val assigned = emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents))
-      .withColumn("sim", assignSim)
-      .groupBy("vec_id")
-      .agg(top1(col("centroid_id"), col("sim")).as("t1"),
-        first(col("embedding")).as("embedding"))
-      .select(col("t1").getItem(0).getField("id").as("centroid_id"),
-        col("vec_id"), col("embedding"))
+    val assigned = assignNearest(emb, cents, k, twoLevel)
     val a = assigned.select(col("centroid_id"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("b_id"),

@@ -151,6 +151,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length < vecs.size, "fixture must contain at least one shadowed pair")
   }
 
+  test("semDedup two-level: valid partition, deterministic, mostly agrees with flat") {
+    val flat = Similarity.semDedup(emb, k = 8, tau = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = Similarity.semDedup(emb, k = 8, tau = 0.4, twoLevel = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two2 = Similarity.semDedup(emb, k = 8, tau = 0.4, twoLevel = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == two2) // deterministic across runs
+    assert(two.values.forall(c => c >= 0 && c < 8)) // real centroid ids
+    // boundary vectors may hop families, but the two paths must agree
+    // on the vast majority of kept/cluster decisions (fixture-pinned)
+    val common = flat.keySet intersect two.keySet
+    assert(common.size.toDouble >= 0.9 * flat.size,
+      s"kept sets diverged: flat=${flat.size} two=${two.size} common=${common.size}")
+  }
+
   test("semDedup plan: broadcast centroid assign, pair join shuffles on centroid only") {
     val plan = Similarity.semDedup(emb).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"), plan.take(2000))
