@@ -227,6 +227,15 @@ object ScaleBench {
       "q78_segment_dedup" -> (() => TextOps.segmentDedup(docs)
         .filter(xxhash64(coalesce(col("clean_md5"), lit("")), col("n_kept"))
           =!= lit(42L))),
+      // pipeline v2 (r10): the composed flagship chain on the growth
+      // corpora — keep-best dedup + char decontam dominate (their own
+      // rows above isolate each); the localCheckpoint inside pins the
+      // full digest frame, so count() can't prune the agg. 100k-token
+      // shards (q63's scale budget)
+      "q75_pipeline_v2" -> (() => TextOps.pipelineV2(
+        docs.filter(col("doc_id") % 20 =!= 18),
+        docs.filter(col("doc_id") % 20 === 18),
+        budget = 100000L)),
       // collocations (r10): the corpus-statistics shape — bigram and
       // unigram aggregations on different keys + the count-join; the
       // growth to watch is the gram-key shuffle staying ∝ corpus tokens

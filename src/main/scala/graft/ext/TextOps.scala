@@ -764,8 +764,17 @@ object TextOps {
     * funnel exactly. */
   def q75(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    val bench = docs.filter(col("doc_id") % 10 === 0)
+    pipelineV2(docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0)).orderBy("shard")
+  }
+
+  /** The q75 chain over arbitrary corpus/benchmark frames (ScaleBench
+    * runs it on the synthetic growth corpora; q75 is the gated fixture
+    * instantiation). Returns one row per shard with the ordered content
+    * digest; internal `chunks` persist released before return (the q66
+    * lifecycle — the digest agg is pinned by localCheckpoint). */
+  def pipelineV2(corpus: DataFrame, bench: DataFrame,
+      budget: Long = 2000L): DataFrame = {
     val clean = NearDup.dedupBest(corpus, length(col("text")))
       .join(decontaminateChars(corpus, bench).select("doc_id"), Seq("doc_id"), "left_anti")
       .filter(length(col("text")) >= 60)
@@ -776,7 +785,7 @@ object TextOps {
       .select((col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
         col("chunk").as("text"))
       .persist()
-    val packed = packShards(chunks, budget = 2000L) // eager (localCheckpoint inside)
+    val packed = packShards(chunks, budget) // eager (localCheckpoint inside)
     val res = packed.join(chunks, Seq("doc_id"))
       .groupBy("shard")
       .agg(
@@ -787,7 +796,7 @@ object TextOps {
             x => x.getField("text")), "\n")).as("digest"))
       .localCheckpoint(true)
     chunks.unpersist()
-    res.orderBy("shard")
+    res
   }
 
   // ---- Token-window chunking (r10) ----
