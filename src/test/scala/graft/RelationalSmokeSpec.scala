@@ -111,6 +111,28 @@ class RelationalSmokeSpec extends SparkSpec {
     assert(plan("q69_collocations").contains("partial_count"), "q69 partials")
   }
 
+  test("late-r10 plan shapes: q76 broadcasts centroids, q77 never shuffles the corpus, q78 anti-join broadcasts") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+    // q76: centroid assign + shadow pairs are broadcast/equi joins on
+    // the native kernels — no cartesian, ObjectHashAggregate argmax
+    val p76 = plan("q76_semdedup")
+    assert(p76.contains("vec_dot") && p76.contains("ObjectHashAggregate"), p76.take(3000))
+    assert(!p76.contains("CartesianProduct"), "q76 cartesian")
+    // q77: rates come back as broadcast joins; the only Exchanges are
+    // the tiny per-stratum counts agg (and the declared final sort) —
+    // the corpus rows themselves reach the filter scan-shaped
+    val p77 = plan("q77_mix_temperature")
+    assert(p77.contains("BroadcastHashJoin"), p77.take(3000))
+    assert(!p77.contains("SortMergeJoin"), "q77 must not sort-merge the corpus")
+    // q78: boilerplate side is broadcast into the anti-join; the df agg
+    // keeps map-side partials
+    val p78 = plan("q78_segment_dedup")
+    assert(p78.contains("BroadcastHashJoin") &&
+      p78.toLowerCase.contains("leftanti"), p78.take(3000))
+    assert(p78.contains("partial_count"), "q78 df partials")
+  }
+
   test("bloomPrefilteredJoin equals the plain join and really drops rows pre-join") {
     import org.apache.spark.sql.functions._
     val big = spark.range(10000).select(col("id").as("k"), (col("id") * 2).as("v"))
