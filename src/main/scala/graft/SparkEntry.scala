@@ -106,6 +106,7 @@ object SparkEntry {
     "q76_semdedup"         -> (Similarity.q76 _),
     "q77_mix_temperature"  -> (Relational.q77 _),
     "q78_segment_dedup"    -> (TextOps.q78 _),
+    "q79_unigram_lm"       -> (TextOps.q79 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -647,6 +648,20 @@ object SparkEntry {
         "md5(string_agg(seg, ' ' ORDER BY seg_id)) AS clean_md5 FROM kept GROUP BY doc_id) " +
         "SELECT t.doc_id, CAST(t.nc AS BIGINT) AS n_segs, COALESCE(a.n_kept, 0) AS n_kept, a.clean_md5 " +
         "FROM n t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"),
+    // q79: unigram-LM logprob — the one genuine float SUM under the
+    // gate: both engines fold per-doc terms in sorted word order
+    // (list_sum over an ORDER BY w list here, aggregate() over
+    // array_sort in the engine), so the doubles accumulate in the
+    // identical sequence and round(6) is presentation.
+    "q79_unigram_lm" ->
+      ("WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents), " +
+        "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w), " +
+        "uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w), " +
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok) " +
+        "SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens, " +
+        "ROUND(list_sum(list(tf.tf * LN(CAST(uni.c AS DOUBLE) / n.n_tok) ORDER BY tf.w)) / SUM(tf.tf), 6) AS lp_per_tok " +
+        "FROM tf JOIN uni USING (w) CROSS JOIN n " +
+        "GROUP BY tf.doc_id ORDER BY tf.doc_id"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -1025,6 +1025,49 @@ object TextOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_md5"))
   }
 
+  /** Unigram-LM log-probability quality score — the statistical-LM
+    * filter of the CCNet/RedPajama family (Wenzek et al. 2020, arXiv:
+    * 1911.00359, which buckets docs by KenLM perplexity; the unigram
+    * model is its self-contained proxy): score each doc by its mean
+    * token log-probability under the CORPUS'S OWN unigram
+    * distribution. Complements q30 (surface heuristics) and q65
+    * (repetition): low scorers are rare-token soup, high scorers are
+    * stopword soup — the filter cuts both tails in production.
+    *
+    * Determinism doctrine EXTENSION: this is the suite's first genuine
+    * float SUM under the hash gate (q43's tfidf is a single product;
+    * the decimal sums are exact). A distributed double sum is order-
+    * sensitive in the last ulp, so both engines fold the per-doc terms
+    * in sorted word order — Spark: `aggregate()` HOF over
+    * `array_sort(collect_list(struct(w, term)))` (left fold, 0.0 + x₁
+    * = x₁ exactly); DuckDB: `list_sum(list(term ORDER BY w))` — making
+    * round(6) presentation, not tolerance.
+    *
+    * Scale: tf agg on (doc_id, w) and the unigram join on w (the
+    * Heaps-law-sized vocab key — AQE's sizing call, the q69 note);
+    * corpus token total is a 1-row broadcast (no driver count); the
+    * per-doc collect_list is bounded by per-doc VOCAB (≤ doc length),
+    * the same per-group state any per-doc agg carries. */
+  def q79(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c").as("n_tok"))
+    tf.join(uni, Seq("w"))
+      .crossJoin(broadcast(n))
+      .withColumn("term", col("tf") * log(col("c").cast("double") / col("n_tok")))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("w"), col("term")))),
+            x => x.getField("term")),
+          lit(0d), (acc, x) => acc + x).as("sum_lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_lp") / col("n_tokens"), 6).as("lp_per_tok"))
+      .orderBy("doc_id")
+  }
+
   /** Q78 (r10) — segment boilerplate dedup under the ORACLE gate:
     * 12-token segments, df ≥ 2 (the "seen in any other document" line-
     * dedup rule; 96 boilerplate segments at sf0.01 — the fixture's

@@ -293,6 +293,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q33.map(_.getString(1)).distinct.length == 100) // no exact dups
   }
 
+  test("q79 unigram LM: all scores negative, sorted-fold recomputation matches exactly") {
+    val d = sf("sf0.001")
+    val r = TextOps.q79(spark, d).collect()
+    assert(r.length == 500 && r.forall(_.getDouble(2) < 0))
+    // local recomputation, same sorted-word fold, for the first 5 docs
+    val texts = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val uni = texts.values.toSeq.flatMap(_.split(" "))
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val nTok = uni.values.sum
+    (0L to 4L).foreach { id =>
+      val tf = texts(id).split(" ").groupBy(identity)
+        .map { case (w, g) => w -> g.size.toLong }
+      val sumLp = tf.toSeq.sortBy(_._1).foldLeft(0d) { case (acc, (w, t)) =>
+        acc + t * math.log(uni(w).toDouble / nTok)
+      }
+      val expect = BigDecimal(sumLp / tf.values.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val got = r.find(_.getLong(0) == id).get
+      assert(got.getDouble(2) == expect, s"doc $id")
+      assert(got.getLong(1) == tf.values.sum)
+    }
+  }
+
   test("segmentDedup: untouched docs reconstruct exactly, boilerplate really drops") {
     val d = sf("sf0.001")
     val docs = graft.sources.Tables.documents(spark, d)
