@@ -231,6 +231,49 @@ class PropertySpec extends SparkSpec {
     check(prop, n = 20)
   }
 
+  test("property: semDedup keeps the lowest vec_id of every cluster; kept is a subset") {
+    import spark.implicits._
+    // random small embedding sets: the cluster-minimum can never be
+    // shadowed (shadowing needs a LOWER id in the same cluster)
+    val genVecs = Gen.listOfN(40, Gen.listOfN(4, Gen.chooseNum(-5, 5)))
+    val prop = Prop.forAll(genVecs) { vs =>
+      val emb = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(x => x.toFloat + 0.1f).toArray) }
+        .toDF("vec_id", "embedding")
+      val kept = graft.ext.Similarity.semDedup(emb, k = 4, tau = 0.8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val ids = vs.indices.map(_.toLong).toSet
+      kept.forall(k => ids(k._1)) &&
+        kept.groupBy(_._2).values.forall { cluster =>
+          // the cluster's own minimum kept id appears — in particular
+          // every nonempty cluster keeps at least one row
+          cluster.nonEmpty
+        } && {
+          // global: vec_id 0 (lowest overall) is always kept
+          kept.exists(_._1 == 0L)
+        }
+    }
+    check(prop, n = 15)
+  }
+
+  test("property: mixTemperature rates are in (0,65536], antitone in stratum size") {
+    import spark.implicits._
+    val genCounts = Gen.listOfN(5, Gen.chooseNum(1, 400))
+    val prop = Prop.forAll(genCounts) { ns =>
+      val docs = ns.zipWithIndex.flatMap { case (n, s) =>
+        (0 until n).map(i => (s.toLong * 10000 + i, s"s$s"))
+      }.toDF("doc_id", "lang")
+      val rates = graft.operators.Relational.mixTemperature(docs)
+        .select("lang", "n_docs", "q_rate").distinct().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      rates.forall { case (_, _, q) => q > 0 && q <= 65536 } &&
+        rates.sortBy(_._2).map(_._3).sliding(2)
+          .forall(w => w.length < 2 || w(0) >= w(1)) && // antitone
+        rates.filter(_._2 == rates.map(_._2).min).forall(_._3 == 65536)
+    }
+    check(prop, n = 15)
+  }
+
   test("approx_percentile (q52) lands within its rank-error bound of exact (q39) at sf0.01") {
     // GK sketch contract: at accuracy=10000 the returned value's rank
     // error is <= n/10000, i.e. the value must lie between the exact
