@@ -107,6 +107,7 @@ object SparkEntry {
     "q77_mix_temperature"  -> (Relational.q77 _),
     "q78_segment_dedup"    -> (TextOps.q78 _),
     "q79_unigram_lm"       -> (TextOps.q79 _),
+    "q80_pipeline_v3"      -> (TextOps.q80 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -662,6 +663,45 @@ object SparkEntry {
         "ROUND(list_sum(list(tf.tf * LN(CAST(uni.c AS DOUBLE) / n.n_tok) ORDER BY tf.w)) / SUM(tf.tf), 6) AS lp_per_tok " +
         "FROM tf JOIN uni USING (w) CROSS JOIN n " +
         "GROUP BY tf.doc_id ORDER BY tf.doc_id"),
+    // q80: pipeline v3 — the late-r10 stages composed; every CTE reuses
+    // a form already green in isolation (q78 segments/cleaned text, q79
+    // ordered-fold logprob as an UNROUNDED HAVING cut — safe because
+    // the fold is bit-identical, q76 semdedup shadow set, q77 rates
+    // over the surviving mix, q63 prefix sum, q74 ordered digest).
+    "q80_pipeline_v3" ->
+      ("WITH tokseg AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "nseg AS (SELECT doc_id, w, CASE WHEN len(w) <= 12 THEN 1 ELSE 1 + CAST(CEIL(CAST(len(w) - 12 AS DOUBLE) / 12) AS INT) END AS nc FROM tokseg), " +
+        "segs AS (SELECT doc_id, i AS seg_id, array_to_string(w[i*12+1:i*12+12], ' ') AS seg FROM nseg, UNNEST(range(nc)) AS t(i)), " +
+        "boiler AS (SELECT seg FROM (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg) b WHERE df >= 2), " +
+        "cleaned AS (SELECT s.doc_id, string_agg(s.seg, ' ' ORDER BY s.seg_id) AS text FROM segs s WHERE s.seg NOT IN (SELECT seg FROM boiler) GROUP BY s.doc_id), " +
+        "ctok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM cleaned), " +
+        "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM ctok GROUP BY doc_id, w), " +
+        "uni AS (SELECT w, COUNT(*) AS c FROM ctok GROUP BY w), " +
+        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM ctok), " +
+        "lpq AS (SELECT tf.doc_id FROM tf JOIN uni USING (w) CROSS JOIN nt GROUP BY tf.doc_id " +
+        "HAVING list_sum(list(tf.tf * LN(CAST(uni.c AS DOUBLE) / nt.n_tok) ORDER BY tf.w)) / SUM(tf.tf) >= -3.6), " +
+        "c80 AS (SELECT vec_id AS centroid_id, embedding AS centroid FROM embeddings WHERE vec_id < 8), " +
+        "a80 AS (SELECT vec_id, centroid_id FROM (" +
+        "SELECT e.vec_id, c.centroid_id, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])), 6) DESC, c.centroid_id) AS rn " +
+        "FROM embeddings e CROSS JOIN c80 c) t WHERE rn = 1), " +
+        "kept80 AS (SELECT a.vec_id FROM a80 a JOIN embeddings e USING (vec_id) " +
+        "WHERE NOT EXISTS (SELECT 1 FROM a80 a2 JOIN embeddings e2 ON a2.vec_id = e2.vec_id " +
+        "WHERE a2.centroid_id = a.centroid_id AND a2.vec_id < a.vec_id " +
+        "AND ROUND(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) >= 0.4)), " +
+        "shadowed AS (SELECT vec_id AS doc_id FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM kept80)), " +
+        "sem AS (SELECT cl.doc_id, cl.text, d.lang FROM cleaned cl JOIN lpq USING (doc_id) JOIN documents d USING (doc_id) " +
+        "WHERE cl.doc_id NOT IN (SELECT doc_id FROM shadowed)), " +
+        "nn AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM sem GROUP BY lang), " +
+        "mm AS (SELECT MIN(n_docs) AS n_min FROM nn), " +
+        "rr AS (SELECT lang, n_docs, CAST(FLOOR(SQRT(CAST(mm.n_min AS DOUBLE) / n_docs) * 65536) AS BIGINT) AS q_rate FROM nn, mm), " +
+        "mixed AS (SELECT s.doc_id, s.text FROM sem s JOIN rr USING (lang) " +
+        "WHERE rr.q_rate >= 65536 OR SUBSTRING(md5(CAST(s.doc_id AS VARCHAR)), 1, 4) < lpad(lower(to_hex(rr.q_rate)), 4, '0')), " +
+        "sh AS (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM mixed), " +
+        "sh2 AS (SELECT doc_id, text, n_tokens, CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0) AS BIGINT) AS shard FROM sh) " +
+        "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
+        "md5(string_agg(text, chr(10) ORDER BY doc_id)) AS digest " +
+        "FROM sh2 GROUP BY shard ORDER BY shard"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -1003,6 +1003,25 @@ object TextOps {
       segTokens: Int = 12,
       dfCap: Int = 2,
       idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        size(chunkKernel(col(textCol), segTokens, segTokens)).cast("bigint")
+          .as("n_segs"))
+      .join(segmentCleaned(docs, segTokens, dfCap, idCol, textCol)
+        .select(col(idCol), col("n_kept"), md5(col(textCol)).as("clean_md5")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_md5"))
+
+  /** The reassembled CLEANED TEXT behind [[segmentDedup]] — (id,
+    * n_kept, text) for every doc with ≥ 1 surviving segment — so the
+    * cleaning composes into downstream pipelines (q80) instead of only
+    * reporting digests. */
+  def segmentCleaned(
+      docs: DataFrame,
+      segTokens: Int = 12,
+      dfCap: Int = 2,
+      idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val segs = docs.select(col(idCol),
       posexplode(chunkKernel(col(textCol), segTokens, segTokens))
@@ -1011,18 +1030,12 @@ object TextOps {
       .groupBy("seg").agg(count(lit(1)).as("df"))
       .filter(col("df") >= dfCap)
       .select("seg")
-    val kept = segs.join(broadcast(boiler), Seq("seg"), "left_anti")
-    val agg = kept.groupBy(idCol).agg(
-      count(lit(1)).as("n_kept"),
-      md5(array_join(
-        transform(array_sort(collect_list(struct(col("seg_id"), col("seg")))),
-          x => x.getField("seg")), " ")).as("clean_md5"))
-    docs.select(col(idCol),
-        size(chunkKernel(col(textCol), segTokens, segTokens)).cast("bigint")
-          .as("n_segs"))
-      .join(agg, Seq(idCol), "left")
-      .select(col(idCol), col("n_segs"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_md5"))
+    segs.join(broadcast(boiler), Seq("seg"), "left_anti")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg_id"), col("seg")))),
+            x => x.getField("seg")), " ").as(textCol))
   }
 
   /** Unigram-LM log-probability quality score — the statistical-LM
@@ -1066,6 +1079,70 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"),
         round(col("sum_lp") / col("n_tokens"), 6).as("lp_per_tok"))
       .orderBy("doc_id")
+  }
+
+  /** Q80 (r10) — curation pipeline V3: the LATE-r10 multi-signal
+    * stages composed end-to-end, raw corpus to digest-verified shards —
+    *   segment boilerplate dedup (q78: df ≥ 2 twelve-token segments
+    *     removed, docs REWRITTEN to their cleaned text)
+    *   → unigram-LM quality cut on the CLEANED corpus (q79: mean token
+    *     log-prob ≥ −3.6 under the cleaned corpus's own unigram
+    *     distribution — the unrounded doubles are compared, safe
+    *     because the ordered fold makes them bit-identical)
+    *   → semantic dedup where the signal exists (q76: docs whose
+    *     embedding is SHADOWED drop; docs without an embedding pass —
+    *     at sf0.1 only 2,000 of 5,000 docs have vectors)
+    *   → temperature mixing over the SURVIVORS' lang distribution
+    *     (q77: rates re-derived downstream, not from the raw corpus)
+    *   → 2,000-token shard packing + ordered digests (q63/q74).
+    * The third hash-checked pipeline: q66 composes the r9 stages, q75
+    * the early-r10 stages, q80 the late-r10 multi-signal stages —
+    * including the doc↔embedding join no other pipeline exercises.
+    * Plan: every stage's own scale posture (broadcast boilerplate/
+    * rates/centroids, Heaps-law unigram join, two-phase prefix sum);
+    * the oracle rebuilds the chain from the individually-green CTEs. */
+  def q80(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val cleaned = segmentCleaned(docs)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .persist()
+    val tok = cleaned.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c").as("n_tok"))
+    val lp = tf.join(uni, Seq("w"))
+      .crossJoin(broadcast(n))
+      .withColumn("term", col("tf") * log(col("c").cast("double") / col("n_tok")))
+      .groupBy("doc_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("w"), col("term")))),
+          x => x.getField("term")),
+        lit(0d), (acc, x) => acc + x).as("sum_lp"),
+        sum("tf").as("n_toks"))
+      .filter(col("sum_lp") / col("n_toks") >= -3.6)
+      .select("doc_id")
+    val shadowed = emb.select("vec_id")
+      .join(Similarity.semDedup(emb).select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as("doc_id"))
+    val sem = cleaned.join(lp, Seq("doc_id"), "left_semi")
+      .join(shadowed, Seq("doc_id"), "left_anti")
+    val mixed = graft.operators.Relational
+      .mixTemperature(sem.select(col("doc_id"), col("lang")))
+      .select("doc_id")
+      .join(sem.select("doc_id", "text"), Seq("doc_id"))
+    val packed = packShards(mixed, budget = 2000L) // eager inside
+    val res = packed.join(mixed, Seq("doc_id"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), "\n")).as("digest"))
+      .localCheckpoint(true)
+    cleaned.unpersist()
+    res.orderBy("shard")
   }
 
   /** Q78 (r10) — segment boilerplate dedup under the ORACLE gate:

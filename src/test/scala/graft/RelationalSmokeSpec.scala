@@ -254,6 +254,21 @@ class RelationalSmokeSpec extends SparkSpec {
     assert(outRatio < inRatio, s"in=$inRatio out=$outRatio")
   }
 
+  test("q80 pipeline v3: consecutive shards, non-degenerate multi-signal funnel, no cache leak") {
+    import org.apache.spark.sql.functions._
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val r = SparkEntry.queries("q80_pipeline_v3")(spark, d).collect()
+    assert(r.nonEmpty)
+    assert(r.map(_.getLong(0)).sameElements(r.indices.map(_.toLong))) // 0..n-1
+    val nDocs = r.map(_.getLong(1)).sum
+    val nIn = graft.sources.Tables.documents(spark, d).count()
+    assert(nDocs > 0 && nDocs < nIn, s"funnel degenerate: $nDocs of $nIn")
+    assert(r.map(_.getString(3)).distinct.length == r.length) // digests distinct
+    val leaked = spark.sparkContext.getPersistentRDDs.values
+      .filterNot(_.isCheckpointed)
+    assert(leaked.isEmpty, s"q80 leaked ${leaked.size} plain cached RDDs")
+  }
+
   test("q56 salted gate query equals its unsalted plan in-engine") {
     import org.apache.spark.sql.functions._
     val salted = SparkEntry.queries("q56_salted_join")(spark, d).collect()
