@@ -108,6 +108,9 @@ object SparkEntry {
     "q78_segment_dedup"    -> (TextOps.q78 _),
     "q79_unigram_lm"       -> (TextOps.q79 _),
     "q80_pipeline_v3"      -> (TextOps.q80 _),
+    "q81_knn_join"         -> (Similarity.q81 _),
+    "q82_dsir_weights"     -> (TextOps.q82 _),
+    "q83_inverted_index"   -> (TextOps.q83 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -702,6 +705,42 @@ object SparkEntry {
         "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
         "md5(string_agg(text, chr(10) ORDER BY doc_id)) AS digest " +
         "FROM sh2 GROUP BY shard ORDER BY shard"),
+    // q81: exact kNN-join — brute-force self-join + ROW_NUMBER, the
+    // q36 ranking form with the query side = the whole corpus; the
+    // engine's block-grid/bounded-heap path must reproduce it exactly.
+    "q81_knn_join" ->
+      ("SELECT qid, rank, vec_id, sim FROM (" +
+        "SELECT a.vec_id AS qid, b.vec_id AS vec_id, " +
+        "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim, " +
+        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY " +
+        "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) DESC, b.vec_id) AS rank " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t " +
+        "WHERE rank <= 5 ORDER BY qid, rank"),
+    // q82: DSIR importance weights — the q79 ordered-fold doctrine with
+    // a two-LM smoothed ratio; the target count rides the same unigram
+    // CTE as a conditional sum. The trailing `+ 0` normalizes IEEE
+    // signed zero: a tiny-negative ratio rounds to -0.0 in DuckDB but
+    // to +0.0 through Spark's BigDecimal round (no signed zero there);
+    // -0.0 + 0 = +0.0 and every other value is unchanged (sf0.1 sweep
+    // caught one such row; q79's all-negative sums can't hit it).
+    "q82_dsir_weights" ->
+      ("WITH tok AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w FROM documents), " +
+        "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w), " +
+        "uni AS (SELECT w, COUNT(*) AS c, SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct FROM tok GROUP BY w), " +
+        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_c, CAST(SUM(ct) AS BIGINT) AS n_t, CAST(COUNT(*) AS BIGINT) AS v FROM uni) " +
+        "SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens, " +
+        "ROUND(list_sum(list(tf.tf * (LN(CAST(uni.ct + 1 AS DOUBLE) / (tot.n_t + tot.v)) - " +
+        "LN(CAST(uni.c + 1 AS DOUBLE) / (tot.n_c + tot.v))) ORDER BY tf.w)) / SUM(tf.tf), 6) + 0 AS lr_per_tok " +
+        "FROM tf JOIN uni USING (w) CROSS JOIN tot " +
+        "GROUP BY tf.doc_id ORDER BY tf.doc_id"),
+    // q83: inverted index — exact df + the posting list's first-50
+    // head page, rebuilt with an ordered-list slice over the
+    // doc-distinct (w, doc_id) set.
+    "q83_inverted_index" ->
+      ("WITH t AS (SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) " +
+        "SELECT w, CAST(COUNT(*) AS BIGINT) AS df, " +
+        "array_to_string(list_transform(list(doc_id ORDER BY doc_id)[1:50], x -> CAST(x AS VARCHAR)), ',') AS postings " +
+        "FROM t GROUP BY w HAVING COUNT(*) >= 2 ORDER BY w"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

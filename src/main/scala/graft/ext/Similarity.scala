@@ -357,4 +357,137 @@ object Similarity {
     * list_cosine_similarity and the shadow set with a NOT EXISTS. */
   def q76(s: SparkSession, d: String): DataFrame =
     semDedup(Tables.embeddings(s, d)).orderBy("vec_id")
+
+  /** Replicate Spark's `round(_, 6)` on DoubleType inside a compiled
+    * kernel: Catalyst's RoundBase goes through
+    * `BigDecimal(double).setScale(scale, HALF_UP)` (value.toString-based
+    * construction), so local top-k pruning keyed on this value uses the
+    * EXACT total order the post-shuffle rounded column will have. */
+  private def round6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Per-row bounded top-k buffer for the kNN-join kernel: parallel
+    * (id, sim) arrays in (sim DESC, id ASC) order — the same total
+    * order as [[TopKAggregator]], so local pruning is lossless under
+    * the global merge. */
+  private final class KnnBuf(k: Int) {
+    val ids = new Array[Long](k)
+    val sims = new Array[Double](k)
+    var n = 0
+    private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && i1 < i2)
+    def offer(id: Long, sim: Double): Unit = {
+      if (n >= k && !better(sim, id, sims(n - 1), ids(n - 1))) return
+      var pos = n
+      var i = 0
+      var found = false
+      while (i < n && !found) {
+        if (better(sim, id, sims(i), ids(i))) { pos = i; found = true }
+        i += 1
+      }
+      if (pos >= k) return
+      val last = math.min(n, k - 1)
+      var j = last
+      while (j > pos) { ids(j) = ids(j - 1); sims(j) = sims(j - 1); j -= 1 }
+      ids(pos) = id; sims(pos) = sim
+      if (n < k) n += 1
+    }
+  }
+
+  /** Exact k-nearest-neighbor JOIN: the k most cosine-similar OTHER
+    * corpus vectors for EVERY vector — the all-corpus generalization of
+    * [[topKBatch]] (whose broadcast query side cannot be the corpus
+    * itself at scale) and the selection analog of [[cosinePairs]]
+    * (top-k per row instead of a global threshold). kNN-joins feed
+    * semantic-dedup graphs and embedding-diversity scoring in curation
+    * pipelines; this is the declared EXACT baseline — at 100 TB the
+    * IVF-bucketed path (graft.ext.Ann) replaces the full grid, with
+    * this form as its recall oracle.
+    *
+    * Shape: the [[cosinePairs]] block grid (pack into √P-ish blocks,
+    * upper-triangular equi-joined grid, compiled double loop scoring
+    * each unordered pair ONCE — communication stays the inherent
+    * O(N·√P) block replication of exact all-pairs). The kNN delta: the
+    * kernel feeds each scored pair into BOTH endpoints' local
+    * [[KnnBuf]]s and emits only per-row block-local top-k, so the
+    * post-kernel shuffle carries ≤ N·(partner blocks)·k candidate rows
+    * — never the N² scored pairs — and [[TopKAggregator]] merges the
+    * partials map-side. Sims are rounded to 6dp IN the kernel
+    * ([[round6]] = Catalyst's own HALF_UP) so local pruning, the
+    * global merge, and the DuckDB oracle's ROW_NUMBER all rank by the
+    * identical (sim DESC, id ASC) key; NaN (zero-norm) sims are
+    * dropped at the source like semDedup's nanvl guard shadows them. */
+  def knnJoin(emb: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val nBlocks = math.max(2, spark.sparkContext.defaultParallelism)
+    val prepped = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", normUdf(col("e")))
+    val packed = prepped
+      .groupBy(pmod(col("vec_id"), lit(nBlocks)).cast("int").as("blk"))
+      .agg(collect_list(struct(col("vec_id").as("id"), col("e"), col("nrm"))).as("vs"))
+    import spark.implicits._
+    val grid = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
+      .toDF("bi", "bj")
+    val l = packed.select(col("blk").as("bi"), col("vs").as("va"))
+    val r = packed.select(col("blk").as("bj"), col("vs").as("vb"))
+    val kk = k
+    val partials = grid.join(l, "bi").join(r, "bj")
+      .select(col("bi"), col("va"), col("bj"), col("vb"))
+      .as(Encoders.product[BlockPair])
+      .flatMap { bp =>
+        val same = bp.bi == bp.bj
+        val va = bp.va.toArray
+        val vb = bp.vb.toArray
+        val bufA = Array.fill(va.length)(new KnnBuf(kk))
+        val bufB = if (same) bufA else Array.fill(vb.length)(new KnnBuf(kk))
+        var i = 0
+        while (i < va.length) {
+          val x = va(i)
+          var j = if (same) i + 1 else 0
+          while (j < vb.length) {
+            val y = vb(j)
+            val d = x.e; val f = y.e
+            var s = 0.0; var t = 0
+            val n = math.min(d.length, f.length)
+            while (t < n) { s += d(t) * f(t); t += 1 }
+            val sim = round6(s / (x.nrm * y.nrm))
+            if (!sim.isNaN) {
+              bufA(i).offer(y.id, sim)
+              bufB(j).offer(x.id, sim)
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        def drain(rows: Array[PackedVec], bufs: Array[KnnBuf]): Unit = {
+          var a = 0
+          while (a < rows.length) {
+            val b = bufs(a)
+            var c = 0
+            while (c < b.n) { out += ((rows(a).id, b.ids(c), b.sims(c))); c += 1 }
+            a += 1
+          }
+        }
+        drain(va, bufA)
+        if (!same) drain(vb, bufB)
+        out.toSeq
+      }(Encoders.product[(Long, Long, Double)])
+      .toDF("qid", "vec_id", "sim")
+    val topk = udaf(new TopKAggregator(k))
+    partials.groupBy("qid")
+      .agg(topk(col("vec_id"), col("sim")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("hit.id").as("vec_id"), col("hit.score").as("sim"))
+  }
+
+  /** Q81 (r10) — exact kNN-JOIN under the ORACLE gate: every vector's
+    * 5 nearest neighbors by 6dp-rounded cosine. DuckDB rebuilds it as
+    * the brute-force self-join + ROW_NUMBER (the q36 form with the
+    * query side = the whole corpus). */
+  def q81(s: SparkSession, d: String): DataFrame =
+    knnJoin(Tables.embeddings(s, d), 5).orderBy("qid", "rank")
 }

@@ -1125,12 +1125,19 @@ object TextOps {
     val shadowed = emb.select("vec_id")
       .join(Similarity.semDedup(emb).select("vec_id"), Seq("vec_id"), "left_anti")
       .select(col("vec_id").as("doc_id"))
+    // sem feeds mixTemperature 3× (counts agg, min agg, rate join) and
+    // the text join; mixed feeds packShards and the digest join — both
+    // persist for the fan-out or the LM/semDedup chains above recompute
+    // per consumer (first r10-close bench measured the unpersisted form
+    // at 13.3 s vs ~7 s persisted).
     val sem = cleaned.join(lp, Seq("doc_id"), "left_semi")
       .join(shadowed, Seq("doc_id"), "left_anti")
+      .persist()
     val mixed = graft.operators.Relational
       .mixTemperature(sem.select(col("doc_id"), col("lang")))
       .select("doc_id")
       .join(sem.select("doc_id", "text"), Seq("doc_id"))
+      .persist()
     val packed = packShards(mixed, budget = 2000L) // eager inside
     val res = packed.join(mixed, Seq("doc_id"))
       .groupBy("shard")
@@ -1142,6 +1149,8 @@ object TextOps {
             x => x.getField("text")), "\n")).as("digest"))
       .localCheckpoint(true)
     cleaned.unpersist()
+    sem.unpersist()
+    mixed.unpersist()
     res.orderBy("shard")
   }
 
@@ -1153,4 +1162,92 @@ object TextOps {
     * doc_id), and the cleaned text with an ordered string_agg. */
   def q78(s: SparkSession, d: String): DataFrame =
     segmentDedup(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** DSIR-style importance weight (Xie et al. 2023, arXiv:2302.03169 —
+    * Data Selection via Importance Resampling): score every doc by its
+    * mean per-token log-likelihood RATIO between a target unigram LM
+    * (here: the corpus's own English slice, standing in for the
+    * "quality" domain) and the full-corpus LM, with add-one smoothing
+    * over the JOINT vocab so target-unseen words are defined. Docs that
+    * read like the target score high; resampling by exp(weight) is the
+    * DSIR selection step (left to the caller — the weight is the
+    * operator).
+    *
+    * Determinism: same doctrine as q79 — the per-doc double fold runs
+    * in sorted word order on both engines, so the unrounded sums are
+    * bit-identical and round(6) is presentation. The ratio's two logs
+    * subtract exactly (identical operands both sides, q79 established
+    * ln parity), and the smoothed probabilities are single IEEE
+    * divides.
+    *
+    * Scale: one tf agg on (doc_id, w), ONE shared unigram agg
+    * producing both LMs (the target count is a conditional sum inside
+    * the corpus agg — not a second corpus pass), the Heaps-law vocab
+    * join, totals as a 1-row broadcast. Identical shuffle set to q79
+    * (the second LM is free). */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val uni = tok.groupBy("w").agg(
+      count(lit(1)).as("c"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
+    val totals = uni.agg(sum("c").as("n_c"), sum("ct").as("n_t"),
+      count(lit(1)).as("v"))
+    tf.join(uni, Seq("w"))
+      .crossJoin(broadcast(totals))
+      .withColumn("term", col("tf") *
+        (log((col("ct") + lit(1)).cast("double") / (col("n_t") + col("v"))) -
+          log((col("c") + lit(1)).cast("double") / (col("n_c") + col("v")))))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("w"), col("term")))),
+            x => x.getField("term")),
+          lit(0d), (acc, x) => acc + x).as("sum_lr"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_lr") / col("n_tokens"), 6).as("lr_per_tok"))
+  }
+
+  /** Q82 (r10) — DSIR importance weights under the ORACLE gate:
+    * target = the 'en' slice, smoothed log-likelihood ratio per token.
+    * DuckDB rebuilds both LMs and folds the terms ORDER BY w. */
+  def q82(s: SparkSession, d: String): DataFrame =
+    dsirWeights(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Inverted index over the corpus — the IR primitive behind
+    * contamination lookup and term-level audits: for every token with
+    * df ≥ 2 (singletons carry no join value), the exact document
+    * frequency plus the posting list's HEAD PAGE — the first pageSize
+    * doc_ids ascending, comma-joined (string form keeps the gate's
+    * value compare engine-neutral).
+    *
+    * Scale: doc-distinct (w, doc_id) pairs → ONE shuffle on w. The
+    * head page rides [[graft.functions.TopKAggregator]] with
+    * score = −doc_id (score-DESC ≡ doc_id-ASC, ids are unique so the
+    * order is total), so per-term aggregation state is bounded at
+    * pageSize entries and reduces map-side — a stopword with df = N
+    * contributes N·0 list state, not an N-element collect_list that
+    * floods its executor. Full postings at 100 TB are a
+    * partitionBy(doc_id range) sharded WRITE, not a per-group collect;
+    * the head page is the declared gated form. */
+  def invertedIndex(docs: DataFrame, pageSize: Int = 50): DataFrame = {
+    val page = udaf(new graft.functions.TopKAggregator(pageSize))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .groupBy("w")
+      .agg(count(lit(1)).as("df"),
+        page(col("doc_id"), -col("doc_id").cast("double")).as("pg"))
+      .filter(col("df") >= 2)
+      .select(col("w"), col("df"),
+        array_join(
+          transform(col("pg"), x => x.getField("id").cast("string")),
+          ",").as("postings"))
+  }
+
+  /** Q83 (r10) — inverted index under the ORACLE gate: df ≥ 2, head
+    * page of 50. DuckDB rebuilds postings with an ordered-list slice
+    * over the distinct (w, doc_id) set. */
+  def q83(s: SparkSession, d: String): DataFrame =
+    invertedIndex(Tables.documents(s, d)).orderBy("w")
 }

@@ -173,6 +173,31 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "pair join must be the centroid equi-join")
   }
 
+  test("knnJoin equals brute-force orderBy/limit for every row, and the plan is heap-shaped") {
+    val knn = Similarity.knnJoin(emb, 5)
+    val plan = knn.queryExecution.executedPlan.toString
+    // grid is an equi-join fan-out; candidates merge through the
+    // bounded-heap aggregator — never a window sort of all pairs
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.toLowerCase.contains("partial_topkaggregator"), plan.take(2000))
+    val got = knn.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(got.size == 500 && got.values.forall(_.length == 5))
+    // spot-check 10 rows against the q27-shape brute force (self excluded)
+    import graft.functions.VectorFunctions._
+    (0L to 9L).foreach { qid =>
+      val qv = emb.filter(col("vec_id") === qid).select(col("embedding").as("qe"))
+      val expect = emb.filter(col("vec_id") =!= qid).crossJoin(broadcast(qv))
+        .select(col("vec_id"), round(cosineSimilarity(col("embedding"), col("qe")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val actual = got(qid).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(actual == expect, s"qid=$qid")
+    }
+  }
+
   test("quantize: 64 codes per vector, min element -> 0 exactly, all codes in [0, 255]") {
     val q = Similarity.q70(spark, sf("sf0.001")).collect()
     assert(q.length == 200)

@@ -419,4 +419,56 @@ class TextAnalysisSpec extends SparkSpec {
     // positive, the floor row is finite
     assert(pmis.head > 0 && !pmis.last.isNaN && !pmis.last.isInfinite)
   }
+
+  test("q82 DSIR weights: sorted-fold recomputation matches exactly, en docs skew high") {
+    val d = sf("sf0.001")
+    val r = TextOps.q82(spark, d).collect()
+    assert(r.length == 500)
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "lang", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+    val toks = docs.map { case (id, lang, t) => (id, lang, t.split(" ")) }
+    val uniC = toks.flatMap(_._3).groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val uniT = toks.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val nC = uniC.values.sum; val nT = uniT.values.sum; val v = uniC.size
+    (0L to 4L).foreach { id =>
+      val tf = toks.find(_._1 == id).get._3.groupBy(identity)
+        .map { case (w, g) => w -> g.size.toLong }
+      val sumLr = tf.toSeq.sortBy(_._1).foldLeft(0d) { case (acc, (w, t)) =>
+        acc + t * (math.log((uniT.getOrElse(w, 0L) + 1).toDouble / (nT + v)) -
+          math.log((uniC(w) + 1).toDouble / (nC + v)))
+      }
+      val expect = BigDecimal(sumLr / tf.values.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.find(_.getLong(0) == id).get.getDouble(2) == expect, s"doc $id")
+    }
+    // the target slice should score higher than the rest on average
+    val byLang = r.map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    val langOf = docs.map(x => (x._1, x._2)).toMap
+    val en = byLang.collect { case (id, s) if langOf(id) == "en" => s }
+    val rest = byLang.collect { case (id, s) if langOf(id) != "en" => s }
+    assert(en.sum / en.size > rest.sum / rest.size,
+      "target-LM ratio should separate the target slice")
+  }
+
+  test("q83 inverted index: df exact, head page = first 50 sorted doc_ids, state bounded") {
+    val d = sf("sf0.001")
+    val r = TextOps.q83(spark, d).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getString(2)))
+    assert(r.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val postings = docs.flatMap { case (id, t) => t.split(" ").distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sorted.toSeq }
+      .filter(_._2.length >= 2)
+    assert(r.length == postings.size)
+    r.foreach { case (w, df, pg) =>
+      val expect = postings(w)
+      assert(df == expect.length, s"df of $w")
+      assert(pg == expect.take(50).mkString(","), s"head page of $w")
+      assert(pg.split(",").length <= 50)
+    }
+  }
 }
