@@ -111,6 +111,9 @@ object SparkEntry {
     "q81_knn_join"         -> (Similarity.q81 _),
     "q82_dsir_weights"     -> (TextOps.q82 _),
     "q83_inverted_index"   -> (TextOps.q83 _),
+    "q84_bm25"             -> (TextOps.q84 _),
+    "q85_budget_curate"    -> (TextOps.q85 _),
+    "q86_centroid_dist"    -> (Similarity.q86 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -741,6 +744,45 @@ object SparkEntry {
         "SELECT w, CAST(COUNT(*) AS BIGINT) AS df, " +
         "array_to_string(list_transform(list(doc_id ORDER BY doc_id)[1:50], x -> CAST(x AS VARCHAR)), ',') AS postings " +
         "FROM t GROUP BY w HAVING COUNT(*) >= 2 ORDER BY w"),
+    // q84: BM25 — the q79/q82 ordered-fold doctrine over the ≤3 query
+    // terms. All scalar constants are e-notation (DOUBLE) — a bare
+    // `2.2` is DECIMAL in DuckDB and would change every intermediate.
+    "q84_bm25" ->
+      ("WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents), " +
+        "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(len(string_split(text, ' '))) AS avgdl FROM documents), " +
+        "tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents), " +
+        "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok WHERE w IN ('dup', 'hash', 'window') GROUP BY doc_id, w), " +
+        "dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w), " +
+        "sc AS (SELECT tf.doc_id, ROUND(list_sum(list(" +
+        "LN((st.n - dfq.df + 0.5e0) / (dfq.df + 0.5e0) + 1e0) * tf.tf * 2.2e0 / " +
+        "(tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / st.avgdl)) " +
+        "ORDER BY tf.w)), 6) AS score " +
+        "FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN st GROUP BY tf.doc_id) " +
+        "SELECT doc_id, score, rank FROM (" +
+        "SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc) t " +
+        "WHERE rank <= 20 ORDER BY rank"),
+    // q85: token-budget curation — all-integer running sum over the
+    // 4dp-rounded quality key; ROWS frame spelled out on both engines.
+    "q85_budget_curate" ->
+      ("WITH q AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens, " +
+        "ROUND(CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS sr " +
+        "FROM documents) " +
+        "SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY sr, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens " +
+        "FROM q QUALIFY cum_tokens <= 3000 ORDER BY lang, doc_id"),
+    // q86: distance to label centroid — parallel UNNESTs zip, the
+    // centroid's per-dim mean and the distance both fold in declared
+    // order (vec_id, then pos), matching the Spark side's ordered
+    // aggregation + zip_with/aggregate kernel bit for bit.
+    "q86_centroid_dist" ->
+      ("WITH e AS (SELECT vec_id, label, UNNEST(CAST(embedding AS DOUBLE[])) AS v, " +
+        "generate_subscripts(embedding, 1) AS pos FROM embeddings), " +
+        "c AS (SELECT label, pos, list_sum(list(v ORDER BY vec_id)) / COUNT(*) AS cv " +
+        "FROM e GROUP BY label, pos) " +
+        "SELECT e.vec_id, CAST(ANY_VALUE(e.label) AS INT) AS label, " +
+        "ROUND(SQRT(list_sum(list((e.v - c.cv) * (e.v - c.cv) ORDER BY e.pos))), 6) AS dist " +
+        "FROM e JOIN c ON e.label = c.label AND e.pos = c.pos " +
+        "GROUP BY e.vec_id ORDER BY e.vec_id"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -490,4 +490,57 @@ object Similarity {
     * query side = the whole corpus). */
   def q81(s: SparkSession, d: String): DataFrame =
     knnJoin(Tables.embeddings(s, d), 5).orderBy("qid", "rank")
+
+  /** Per-group centroids as assembled arrays: for each value of
+    * `groupCol` over `(id, e)` rows, the element-wise mean vector,
+    * each dimension summed as an ORDERED fold by id — bit-identical to
+    * DuckDB's `list_sum(list(v ORDER BY id)) / COUNT(*)`, which is what
+    * lets centroid CONSUMERS (distance scoring, k-means assignment)
+    * stay on the exact gate. The fold is the gate-exactness price: the
+    * 100 TB path swaps this one aggregation for a partial `sum(v)`
+    * (same value modulo float reassociation, ±1 ulp per dim) and
+    * nothing downstream changes shape. Output: (groupCol, cvec). */
+  private def centroids(rows: DataFrame, groupCol: String): DataFrame = {
+    val e = rows.select(col(groupCol), col("id"),
+      posexplode(col("e")).as(Seq("pos", "v")))
+    e.groupBy(groupCol, "pos")
+      .agg((aggregate(
+        transform(array_sort(collect_list(struct(col("id"), col("v")))),
+          x => x.getField("v")),
+        lit(0d), (a, x) => a + x) / count(lit(1))).as("cv"))
+      .groupBy(groupCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+  }
+
+  /** Squared L2 distance between two double arrays as the SEQUENTIAL
+    * index-order Catalyst fold (zip_with + aggregate — codegen, no
+    * UDF): identical accumulation order to the oracle's
+    * `list_sum(list((v-cv)^2 ORDER BY pos))`. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0d), (acc, x) => acc + x)
+
+  /** Embedding-diversity score: each vector's L2 distance to its own
+    * label-group centroid. Curation pipelines use exactly this signal
+    * to keep tail exemplars and down-weight redundant cluster cores
+    * (the inverse of semDedup's shadowing). Plan: one pos-exploded
+    * aggregation builds the 10×64 centroid table ([[centroids]]), the
+    * assembled arrays BROADCAST back onto the un-exploded corpus, and
+    * the distance is a per-row codegen fold — the corpus is scanned
+    * twice but shuffled only as the 640-row centroid frame. */
+  def centroidDistance(emb: DataFrame): DataFrame = {
+    val rows = emb.select(col("label"), col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("e"))
+    val cent = centroids(rows, "label")
+    rows.join(broadcast(cent), Seq("label"))
+      .select(col("id").as("vec_id"), col("label"),
+        round(sqrt(l2sq(col("e"), col("cvec"))), 6).as("dist"))
+  }
+
+  /** Q86 (r10) — distance-to-label-centroid under the ORACLE gate:
+    * DuckDB rebuilds the centroid with the per-dimension ordered fold
+    * and the distance with the pos-ordered squared-difference fold. */
+  def q86(s: SparkSession, d: String): DataFrame =
+    centroidDistance(Tables.embeddings(s, d)).orderBy("vec_id")
 }

@@ -1250,4 +1250,96 @@ object TextOps {
     * over the distinct (w, doc_id) set. */
   def q83(s: SparkSession, d: String): DataFrame =
     invertedIndex(Tables.documents(s, d)).orderBy("w")
+
+  /** BM25 ranked retrieval (Robertson/Spärck Jones Okapi weighting) —
+    * the scoring consumer of [[invertedIndex]]'s postings: the k
+    * highest-scoring docs for a bag of query terms. This is how a
+    * curation pipeline pulls topical slices ("give me the docs about
+    * X") and how contamination auditors rank suspect documents.
+    *
+    * Determinism doctrine (q79/q82): the per-doc score folds its ≤
+    * |terms| BM25 contributions in sorted term order, so the unrounded
+    * double is bit-identical to DuckDB's ordered list_sum; round(6) is
+    * presentation, and ranking is over the ROUNDED value with doc_id
+    * as total tie-break. Every constant in the term expression is an
+    * IEEE double on both engines (the oracle uses e-notation literals —
+    * DuckDB's bare `2.2` is DECIMAL and would poison the arithmetic),
+    * and `k1 + 1` evaluates to the same double as the SQL's `2.2e0`.
+    *
+    * Scale: tf only materializes (doc, term) pairs for QUERY terms —
+    * the explode is filtered before the aggregation, so the shuffle is
+    * proportional to the posting lists of the query, not the corpus.
+    * df and the corpus stats are 1-row-ish broadcasts; the dl join is
+    * the only corpus-keyed shuffle; final top-k is TakeOrderedAndProject
+    * (per-partition heaps + driver merge of k), never a global sort. */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75, k: Int = 20): DataFrame = {
+    val stats = docs.agg(count(lit(1)).as("n"),
+      avg(size(tokens(col("text")))).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w").isInCollection(terms))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    val perDoc = tf.join(broadcast(dfq), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term",
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("w"), col("term")))),
+          x => x.getField("term")),
+        lit(0d), (acc, x) => acc + x).as("raw"))
+      .select(col("doc_id"), round(col("raw"), 6).as("score"))
+    perDoc.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("bigint"))
+      .select("doc_id", "score", "rank")
+  }
+
+  /** Q84 (r10) — BM25 top-20 for the query {dup, hash, window} (rare /
+    * mid / common df at every fixture scale, so the idf spread is
+    * exercised) under the ORACLE gate: DuckDB rebuilds the ordered
+    * fold + ROW_NUMBER over the rounded score. */
+  def q84(s: SparkSession, d: String): DataFrame =
+    bm25(Tables.documents(s, d), Seq("dup", "hash", "window")).orderBy("rank")
+
+  /** Token-budget curation: per language, admit the best-quality docs
+    * (stopword ratio ascending — the q30 signal; rounded 4dp so the
+    * order key is engine-exact, doc_id total tie-break) until the
+    * cumulative token count exceeds the budget. This is the "fill the
+    * training mix to N tokens per language" selection step that closes
+    * a curation pipeline; the cumulative sum is all-integer, so the
+    * admitted set is exact, not approximate.
+    *
+    * Scale: ONE shuffle on lang, then a per-lang sort for the running
+    * sum. Languages are few → skewed partitions at 100 TB; the scale
+    * path keeps the same semantics by first computing each lang's
+    * admission THRESHOLD on the (sr, doc_id) key from a quantile
+    * sketch over (sr, n_tokens) and filtering, touching the sort only
+    * for the boundary stratum. The window form is the declared exact
+    * gate; [[graft.operators.Relational.mixTemperature]] is the
+    * rate-based sibling (sampled rates vs hard token budget). */
+  def budgetCurate(docs: DataFrame, budget: Long = 3000L): DataFrame = {
+    val q = docs.select(col("doc_id"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      tokenRatio(col("text"), stopwords).as("sr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("sr"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    q.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("lang", "doc_id", "n_tokens", "cum_tokens")
+  }
+
+  /** Q85 (r10) — token-budget curation under the ORACLE gate: 3,000
+    * tokens per language, quality = stopword ratio. DuckDB rebuilds
+    * the running sum with the same ROWS frame and QUALIFY. */
+  def q85(s: SparkSession, d: String): DataFrame =
+    budgetCurate(Tables.documents(s, d)).orderBy("lang", "doc_id")
 }

@@ -198,6 +198,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q86 centroid distance: driver recomputation matches, centroids broadcast, no corpus-keyed shuffle") {
+    val q = Similarity.q86(spark, sf("sf0.001"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val r = q.collect().map(x => (x.getLong(0), x.getInt(1), x.getDouble(2)))
+    assert(r.length == 500)
+    val rows = emb.select("vec_id", "label", "embedding").collect()
+      .map(x => (x.getLong(0), x.getInt(1),
+        x.getSeq[Float](2).map(_.toDouble).toArray))
+    val byLabel = rows.groupBy(_._2)
+    val cents = byLabel.map { case (l, vs) =>
+      val sorted = vs.sortBy(_._1)
+      val dim = sorted.head._3.length
+      l -> Array.tabulate(dim) { p =>
+        sorted.foldLeft(0d)((a, v) => a + v._3(p)) / sorted.length
+      }
+    }
+    r.foreach { case (id, l, dist) =>
+      val v = rows.find(_._1 == id).get._3
+      val c = cents(l)
+      var s = 0d; var i = 0
+      while (i < v.length) { val d0 = v(i) - c(i); s += d0 * d0; i += 1 }
+      val expect = BigDecimal(math.sqrt(s))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(dist == expect, s"vec $id")
+    }
+    // diversity signal sanity: distances are spread, not collapsed
+    val ds = r.map(_._3)
+    assert(ds.max > ds.min + 0.01)
+  }
+
   test("quantize: 64 codes per vector, min element -> 0 exactly, all codes in [0, 255]") {
     val q = Similarity.q70(spark, sf("sf0.001")).collect()
     assert(q.length == 200)

@@ -452,6 +452,67 @@ class TextAnalysisSpec extends SparkSpec {
       "target-LM ratio should separate the target slice")
   }
 
+  test("q84 BM25: brute-force recomputation matches, rank total, top-k plan is heap-shaped") {
+    val d = sf("sf0.001")
+    val q = TextOps.q84(spark, d)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    val r = q.collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(2)))
+    assert(r.length == 20 && r.map(_._3).toSeq == (1L to 20L))
+    // brute force on the driver
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text").collect().map(x => (x.getLong(0), x.getString(1).split(" ")))
+    val terms = Seq("dup", "hash", "window")
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val scored = docs.flatMap { case (id, ws) =>
+      val tfs = terms.sorted.flatMap { t =>
+        val tf = ws.count(_ == t).toLong
+        if (tf == 0) None else Some {
+          math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0) * tf * 2.2 /
+            (tf + 1.2 * (0.25 + 0.75 * ws.length / avgdl))
+        }
+      }
+      if (tfs.isEmpty) None
+      else Some(id -> BigDecimal(tfs.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expect = scored.sortBy { case (id, s) => (-s, id) }.take(20).toSeq
+    assert(r.map(x => (x._1, x._2)).toSeq == expect)
+    // the rare term must out-weigh the common one at equal tf
+    assert(math.log((n - df("dup") + 0.5) / (df("dup") + 0.5) + 1.0) >
+      math.log((n - df("window") + 0.5) / (df("window") + 0.5) + 1.0))
+  }
+
+  test("q85 budget curation: per-lang greedy fill exact, budget tight, next doc would burst") {
+    val d = sf("sf0.001")
+    val r = TextOps.q85(spark, d).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.nonEmpty && r.forall(_._4 <= 3000L))
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "lang", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2).split(" ")))
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    val byLang = docs.groupBy(_._2)
+    byLang.foreach { case (lang, ds) =>
+      val ordered = ds.map { case (id, _, ws) =>
+        val sr = BigDecimal(ws.count(stop).toDouble / ws.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, ws.length.toLong, sr)
+      }.sortBy { case (id, _, sr) => (sr, id) }
+      var cum = 0L
+      val expect = ordered.takeWhile { case (_, nt, _) => { cum += nt; cum <= 3000L } }
+        .map(_._1).toSet
+      val got = r.filter(_._1 == lang).map(_._2).toSet
+      assert(got == expect, s"lang=$lang")
+      // tightness: the admitted set is maximal under the order
+      val admitted = r.filter(_._1 == lang)
+      val tail = ordered.filterNot(x => expect(x._1))
+      if (tail.nonEmpty && admitted.nonEmpty)
+        assert(admitted.map(_._3).sum + tail.head._2 > 3000L, s"lang=$lang not tight")
+    }
+  }
+
   test("q83 inverted index: df exact, head page = first 50 sorted doc_ids, state bounded") {
     val d = sf("sf0.001")
     val r = TextOps.q83(spark, d).collect()
