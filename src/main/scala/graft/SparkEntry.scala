@@ -114,6 +114,7 @@ object SparkEntry {
     "q84_bm25"             -> (TextOps.q84 _),
     "q85_budget_curate"    -> (TextOps.q85 _),
     "q86_centroid_dist"    -> (Similarity.q86 _),
+    "q87_kmeans"           -> (Similarity.q87 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -783,6 +784,24 @@ object SparkEntry {
         "ROUND(SQRT(list_sum(list((e.v - c.cv) * (e.v - c.cv) ORDER BY e.pos))), 6) AS dist " +
         "FROM e JOIN c ON e.label = c.label AND e.pos = c.pos " +
         "GROUP BY e.vec_id ORDER BY e.vec_id"),
+    // q87: deterministic k-means — init = vec_id < 8, assign (argmin
+    // by unrounded bit-identical d2, cid tie-break), ordered-fold
+    // centroid update, assign again; round only in the output.
+    "q87_kmeans" ->
+      ("WITH e AS (SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS v, " +
+        "generate_subscripts(embedding, 1) AS pos FROM embeddings), " +
+        "c0 AS (SELECT CAST(vec_id AS INT) AS cid, pos, v AS cv FROM e WHERE vec_id < 8), " +
+        "d1 AS (SELECT e.vec_id, c0.cid, list_sum(list((e.v - c0.cv) * (e.v - c0.cv) ORDER BY e.pos)) AS d2 " +
+        "FROM e JOIN c0 USING (pos) GROUP BY e.vec_id, c0.cid), " +
+        "a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1) t WHERE rn = 1), " +
+        "c1 AS (SELECT a1.cid, e.pos, list_sum(list(e.v ORDER BY e.vec_id)) / COUNT(*) AS cv " +
+        "FROM e JOIN a1 USING (vec_id) GROUP BY a1.cid, e.pos), " +
+        "dd AS (SELECT e.vec_id, c1.cid, list_sum(list((e.v - c1.cv) * (e.v - c1.cv) ORDER BY e.pos)) AS d2 " +
+        "FROM e JOIN c1 USING (pos) GROUP BY e.vec_id, c1.cid) " +
+        "SELECT vec_id, cid AS cluster, ROUND(SQRT(d2), 6) AS dist FROM (" +
+        "SELECT vec_id, cid, d2, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dd) t " +
+        "WHERE rn = 1 ORDER BY vec_id"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -543,4 +543,47 @@ object Similarity {
     * and the distance with the pos-ordered squared-difference fold. */
   def q86(s: SparkSession, d: String): DataFrame =
     centroidDistance(Tables.embeddings(s, d)).orderBy("vec_id")
+
+  /** Distributed k-means (Lloyd's algorithm), DETERMINISTIC variant:
+    * init = the k lowest-id vectors, `iters` assignment passes with a
+    * centroid update between each — every step exactly reproducible on
+    * both engines (no random init, no convergence-dependent stop), so
+    * the full clustering sits under the hash gate rather than a
+    * quality-metric-only check. k-means over embeddings is the
+    * workhorse of curation at scale (cluster-balanced sampling,
+    * per-cluster dedup, topic discovery); kmeans++ init plugs in by
+    * swapping `init` without touching the iteration shape.
+    *
+    * Per iteration: the k×dim centroid table BROADCASTS onto the
+    * un-exploded corpus (the corpus never shuffles for assignment —
+    * k·N codegen distance folds, [[l2sq]] in index order); argmin is
+    * `min(struct(d2, cid))` — a partial-aggregating hash agg keyed on
+    * id, lexicographic tie-break on cid, identical to the oracle's
+    * ROW_NUMBER(ORDER BY d2, cid) because the unrounded d2 is
+    * bit-identical. The update is [[centroids]]' ordered fold (its
+    * scaladoc records the 100 TB partial-sum swap). */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val rows = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("e"))
+    var cent = rows.filter(col("id") < k)
+      .select(col("id").cast("int").as("cid"), col("e").as("cvec"))
+    var assigned: DataFrame = null
+    for (i <- 1 to iters) {
+      assigned = rows.crossJoin(broadcast(cent))
+        .withColumn("d2", l2sq(col("e"), col("cvec")))
+        .groupBy("id")
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+      if (i < iters)
+        cent = centroids(rows.join(assigned.select("id", "cid"), Seq("id")), "cid")
+    }
+    assigned.select(col("id").as("vec_id"), col("cid").as("cluster"),
+      round(sqrt(col("d2")), 6).as("dist"))
+  }
+
+  /** Q87 (r10) — deterministic k-means (k=8, 2 assignment passes)
+    * under the ORACLE gate: DuckDB replays init → assign → update →
+    * assign with the same ordered folds and tie-breaks. */
+  def q87(s: SparkSession, d: String): DataFrame =
+    kmeans(Tables.embeddings(s, d)).orderBy("vec_id")
 }

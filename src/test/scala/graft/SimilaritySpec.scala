@@ -229,6 +229,44 @@ class SimilaritySpec extends SparkSpec {
     assert(ds.max > ds.min + 0.01)
   }
 
+  test("q87 kmeans: two-pass driver replay matches every assignment, corpus never shuffles for assignment") {
+    val q = Similarity.q87(spark, sf("sf0.001"))
+    val r = q.collect().map(x => (x.getLong(0), x.getInt(1), x.getDouble(2)))
+    assert(r.length == 500)
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(x => (x.getLong(0), x.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0d; var i = 0
+      while (i < a.length) { val d0 = a(i) - b(i); s += d0 * d0; i += 1 }
+      s
+    }
+    def assign(cents: Map[Int, Array[Double]]) = rows.map { case (id, v) =>
+      val best = cents.toSeq.map { case (c, cv) => (d2(v, cv), c) }
+        .minBy(identity)
+      (id, best._2, best._1)
+    }
+    var cents = rows.take(8).map { case (id, v) => id.toInt -> v }.toMap
+    val a1 = assign(cents)
+    cents = a1.groupBy(_._2).map { case (c, as) =>
+      val members = as.map(_._1).sorted.map(id => rows(id.toInt)._2)
+      c -> Array.tabulate(members.head.length) { p =>
+        members.foldLeft(0d)((acc, m) => acc + m(p)) / members.length
+      }
+    }
+    val a2 = assign(cents)
+    val expect = a2.map { case (id, c, dd) =>
+      (id, c, BigDecimal(math.sqrt(dd)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    assert(r.sortBy(_._1).toSeq == expect)
+    assert(r.map(_._2).distinct.length == 8, "all 8 clusters populated")
+    // both assignment passes broadcast the centroid table; the only
+    // corpus-keyed exchange is the update's centroid aggregation
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
+  }
+
   test("quantize: 64 codes per vector, min element -> 0 exactly, all codes in [0, 255]") {
     val q = Similarity.q70(spark, sf("sf0.001")).collect()
     assert(q.length == 200)
