@@ -58,7 +58,8 @@ object Bench {
     val heavies = Seq("q28_near_dup_minhash", "q29_embedding_pairs",
       "q34_ann_topk", "q35_ngram_jaccard", "q47_simhash_pairs",
       "q51_winnow_pairs", "q54_pipeline", "q66_full_pipeline",
-      "q72_dedup_best", "q75_pipeline_v2", "q80_pipeline_v3")
+      "q72_dedup_best", "q75_pipeline_v2", "q80_pipeline_v3",
+      "q81_knn_join")
     val names = SparkEntry.queries.keys.toSeq.sorted
     val order = names.filterNot(heavies.contains) ++ heavies.filter(names.contains)
     order.foreach(runOnce) // full warmup pass, results discarded

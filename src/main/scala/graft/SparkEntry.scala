@@ -115,6 +115,7 @@ object SparkEntry {
     "q85_budget_curate"    -> (TextOps.q85 _),
     "q86_centroid_dist"    -> (Similarity.q86 _),
     "q87_kmeans"           -> (Similarity.q87 _),
+    "q88_pipeline_v4"      -> (TextOps.q88 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -802,6 +803,36 @@ object SparkEntry {
         "SELECT vec_id, cid AS cluster, ROUND(SQRT(d2), 6) AS dist FROM (" +
         "SELECT vec_id, cid, d2, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dd) t " +
         "WHERE rn = 1 ORDER BY vec_id"),
+    // q88: pipeline v4 — the q87 k-means chain, cluster-balanced
+    // top-40 selection on the ROUNDED dist (both engines rank the
+    // rounded value, vec_id tie-break), q85's budget fill at 2,000,
+    // q63/q74's packing tail at 1,000.
+    "q88_pipeline_v4" ->
+      ("WITH e AS (SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS v, " +
+        "generate_subscripts(embedding, 1) AS pos FROM embeddings), " +
+        "c0 AS (SELECT CAST(vec_id AS INT) AS cid, pos, v AS cv FROM e WHERE vec_id < 8), " +
+        "d1 AS (SELECT e.vec_id, c0.cid, list_sum(list((e.v - c0.cv) * (e.v - c0.cv) ORDER BY e.pos)) AS d2 " +
+        "FROM e JOIN c0 USING (pos) GROUP BY e.vec_id, c0.cid), " +
+        "a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1) t WHERE rn = 1), " +
+        "c1 AS (SELECT a1.cid, e.pos, list_sum(list(e.v ORDER BY e.vec_id)) / COUNT(*) AS cv " +
+        "FROM e JOIN a1 USING (vec_id) GROUP BY a1.cid, e.pos), " +
+        "dd AS (SELECT e.vec_id, c1.cid, list_sum(list((e.v - c1.cv) * (e.v - c1.cv) ORDER BY e.pos)) AS d2 " +
+        "FROM e JOIN c1 USING (pos) GROUP BY e.vec_id, c1.cid), " +
+        "a2 AS (SELECT vec_id, cid, ROUND(SQRT(d2), 6) AS dist FROM (" +
+        "SELECT vec_id, cid, d2, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dd) t WHERE rn = 1), " +
+        "sel AS (SELECT vec_id AS doc_id FROM (SELECT vec_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rn FROM a2) t WHERE rn <= 40), " +
+        "sd AS (SELECT d.doc_id, d.lang, d.text, len(string_split(d.text, ' ')) AS n_tokens, " +
+        "ROUND(CAST(len(list_filter(string_split(d.text, ' '), w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE) / len(string_split(d.text, ' ')), 4) AS sr " +
+        "FROM documents d JOIN sel USING (doc_id)), " +
+        "fill AS (SELECT doc_id, text, n_tokens FROM (SELECT doc_id, text, n_tokens, " +
+        "SUM(n_tokens) OVER (PARTITION BY lang ORDER BY sr, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM sd) t WHERE cum <= 2000), " +
+        "sh2 AS (SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 1000.0) AS BIGINT) AS shard FROM fill) " +
+        "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
+        "md5(string_agg(text, chr(10) ORDER BY doc_id)) AS digest " +
+        "FROM sh2 GROUP BY shard ORDER BY shard"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

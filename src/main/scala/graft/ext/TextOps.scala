@@ -1342,4 +1342,42 @@ object TextOps {
     * the running sum with the same ROWS frame and QUALIFY. */
   def q85(s: SparkSession, d: String): DataFrame =
     budgetCurate(Tables.documents(s, d)).orderBy("lang", "doc_id")
+
+  /** Q88 (r10) — curation pipeline V4, the EMBEDDING-led chain (v1–v3
+    * are text-led): deterministic k-means over the vector corpus
+    * (q87) → cluster-balanced core selection (top-40 per cluster by
+    * distance-to-centroid — TopKAggregator on −dist, so the per-cluster
+    * state is bounded and ties break (dist, vec_id) exactly like the
+    * oracle's ROW_NUMBER; no window sort) → docs joined on the
+    * selected ids → per-language token-budget fill (q85, 2,000) →
+    * 1,000-token shard packing + ordered digests (q63/q74). The fourth
+    * hash-checked pipeline, and the first whose FIRST stage is the
+    * embedding table — the doc table joins in halfway. Both fan-out
+    * frames persist across their two consumers (the q80 lesson:
+    * unpersisted, each consumer replays the upstream clustering). */
+  def q88(s: SparkSession, d: String): DataFrame = {
+    val km = graft.ext.Similarity.kmeans(Tables.embeddings(s, d), k = 8, iters = 2)
+    val topc = udaf(new graft.functions.TopKAggregator(40))
+    val sel = km.groupBy("cluster")
+      .agg(topc(col("vec_id"), -col("dist")).as("core"))
+      .select(explode(col("core")).as("hit"))
+      .select(col("hit.id").as("doc_id"))
+    val docs = Tables.documents(s, d).join(sel, Seq("doc_id")).persist()
+    val kept = budgetCurate(docs, budget = 2000L).select("doc_id")
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      .persist()
+    val res = packShards(kept, budget = 1000L)
+      .join(kept, Seq("doc_id"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), "\n")).as("digest"))
+      .localCheckpoint(true)
+    docs.unpersist()
+    kept.unpersist()
+    res.orderBy("shard")
+  }
 }

@@ -513,6 +513,33 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("q88 pipeline v4: shards respect the budget, selection is heap-shaped and bounded") {
+    val q = TextOps.q88(spark, sf("sf0.001"))
+    // the result frame is post-localCheckpoint (its plan is a scan), so
+    // the selection stage's shape is asserted on the stage itself:
+    // cluster-core selection merges through the bounded-heap aggregator,
+    // never a per-cluster window sort
+    val selPlan = {
+      val km = graft.ext.Similarity.kmeans(
+        graft.sources.Tables.embeddings(spark, sf("sf0.001")), 8, 2)
+      val topc = org.apache.spark.sql.functions.udaf(new graft.functions.TopKAggregator(40))
+      km.groupBy("cluster").agg(topc(col("vec_id"), -col("dist")).as("core"))
+        .queryExecution.executedPlan.toString
+    }
+    assert(selPlan.toLowerCase.contains("partial_topkaggregator"), selPlan.take(2000))
+    val r = q.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r.nonEmpty)
+    // every selected doc fits 8 clusters x 40 cores, post-fill
+    assert(r.map(_._2).sum <= 320)
+    // shard budget: every shard's START respects the 1,000-token cut
+    // (a shard may overflow by at most its last doc)
+    val cum = r.sortBy(_._1).map(_._3).scanLeft(0L)(_ + _)
+    r.sortBy(_._1).zip(cum).foreach { case ((sid, _, _, _), before) =>
+      assert(before / 1000L == sid, s"shard $sid starts at token $before")
+    }
+    assert(r.map(_._4).distinct.length == r.length, "shard digests distinct")
+  }
+
   test("q83 inverted index: df exact, head page = first 50 sorted doc_ids, state bounded") {
     val d = sf("sf0.001")
     val r = TextOps.q83(spark, d).collect()
