@@ -156,10 +156,48 @@ object ScaleBench {
     }
   }
 
+  /** kNN-join / k-means scaling (r10): the exact all-pairs kNN's cost
+    * is the block grid's N²·d compute with only N·√P·k candidate
+    * communication — this curve is the "why the IVF path exists"
+    * quadratic evidence for q81, next to the linear k-means assignment
+    * (k·N broadcast folds, no corpus shuffle) of q87. */
+  private def runKnn(spark: SparkSession, sizes: Seq[Long], dir: String): Unit = {
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val path = s"$dir/vecs_$n.parquet"
+      if (!new java.io.File(path).exists())
+        vecCorpus(spark, n).write.mode("overwrite").parquet(path)
+      val vecs = spark.read.parquet(path)
+      if (i == 0) { // warmup the kernels at the smallest size
+        graft.ext.Similarity.knnJoin(vecs, 5).count()
+        graft.ext.Similarity.kmeans(vecs).count()
+        sweep()
+      }
+      val t0 = System.nanoTime()
+      val knnRows = graft.ext.Similarity.knnJoin(vecs, 5).count()
+      val knnSec = (System.nanoTime() - t0) / 1e9
+      sweep()
+      println(f"""{"op":"knn_exact","n_vecs":$n,"sec":$knnSec%.2f,"rows":$knnRows}""")
+      val t1 = System.nanoTime()
+      val kmRows = graft.ext.Similarity.kmeans(vecs).count()
+      val kmSec = (System.nanoTime() - t1) / 1e9
+      sweep()
+      println(f"""{"op":"kmeans_k8i2","n_vecs":$n,"sec":$kmSec%.2f,"rows":$kmRows}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/target/scale")
     val spark = Sessions.local(Sessions.envCpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("knn")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(2000L, 10000L, 30000L)
+      runKnn(spark, sizes, dir)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("vectors")) {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(2000L, 20000L, 100000L)
