@@ -116,6 +116,8 @@ object SparkEntry {
     "q86_centroid_dist"    -> (Similarity.q86 _),
     "q87_kmeans"           -> (Similarity.q87 _),
     "q88_pipeline_v4"      -> (TextOps.q88 _),
+    "q89_sample_exact_n"   -> (Relational.q89 _),
+    "q90_contam_ratio"     -> (TextOps.q90 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -833,6 +835,27 @@ object SparkEntry {
         "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
         "md5(string_agg(text, chr(10) ORDER BY doc_id)) AS digest " +
         "FROM sh2 GROUP BY shard ORDER BY shard"),
+    // q89: exact-n stratified sample — the 48-bit md5 prefix is exact
+    // in a double, so the engine's TopKAggregator(-prefix) pick ranks
+    // identically to this ROW_NUMBER over (hex prefix, doc_id).
+    "q89_sample_exact_n" ->
+      ("SELECT lang, doc_id FROM (" +
+        "SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang " +
+        "ORDER BY SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 12), doc_id) AS rn " +
+        "FROM documents) t WHERE rn <= 25 ORDER BY lang, doc_id"),
+    // q90: graded contamination — doc-distinct 5-grams LEFT-join the
+    // benchmark gram set with a hit marker; one aggregation yields
+    // both counts, the ratio is a single integer/integer divide.
+    "q90_contam_ratio" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+5], ' ') AS gram " +
+        "FROM tok, UNNEST(range(len(w) - 4)) AS t(i)), " +
+        "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0), " +
+        "m AS (SELECT g.doc_id, CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END AS hit " +
+        "FROM g LEFT JOIN bench b ON g.gram = b.gram WHERE g.doc_id % 10 <> 0) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, CAST(SUM(hit) AS BIGINT) AS n_shared, " +
+        "ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS contam_ratio " +
+        "FROM m GROUP BY doc_id ORDER BY doc_id"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

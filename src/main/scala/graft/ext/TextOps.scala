@@ -605,6 +605,42 @@ object TextOps {
       .agg(countDistinct(col("gram")).as("n_shared"))
   }
 
+  /** Graded contamination score — the REPORT form of [[decontaminate]]
+    * (which only surfaces contaminated docs with absolute counts): for
+    * EVERY corpus doc, the fraction of its distinct n-grams that appear
+    * in the benchmark split. Auditors threshold this ratio (Llama-style
+    * "dirty if > x% overlap") rather than binary-flagging; zero-overlap
+    * docs stay in the output (total function, like q78's doctrine).
+    *
+    * Single-pass shape: doc-distinct grams LEFT-join the benchmark
+    * gram set carrying a hit marker, then ONE doc_id aggregation
+    * produces both the denominator (count) and numerator (sum of
+    * hits) — no second corpus pass, no fan-out persist. The ratio is
+    * one integer-by-integer IEEE divide, exact on both engines. */
+  def contaminationScore(docs: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(wordGramsKernel(col("text"), n)).as("gram")).distinct()
+    val benchGrams = bench.select(
+      explode(wordGramsKernel(col("text"), n)).as("gram")).distinct()
+    grams.join(benchGrams.withColumn("hit", lit(1L)), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum("hit"), lit(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams"), 6).as("contam_ratio"))
+  }
+
+  /** Q90 (r10) — graded contamination ratio under the ORACLE gate:
+    * q62's split (benchmark = doc_id % 10 == 0), 5-grams; DuckDB
+    * rebuilds the marked left join and both counts per doc. */
+  def q90(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    contaminationScore(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0))
+      .orderBy("doc_id")
+  }
+
   /** Q62 — decontamination under the ORACLE gate: benchmark =
     * doc_id % 10 == 0, corpus = the rest; DuckDB rebuilds the 5-gram
     * sets relationally (string_split + list slicing). Non-trivial at

@@ -726,6 +726,36 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** EXACT-n stratified sampling: precisely `n` rows per stratum (or
+    * all of a smaller stratum), chosen by the content-keyed md5 order —
+    * the "give me exactly 25 eval docs per language" complement of
+    * q64's rate sampling (which only hits rates in expectation) and
+    * q85's budget fill (token-weighted). The pick is the n SMALLEST
+    * 12-hex-digit md5 prefixes (48 bits — exact in a double, so the
+    * TopKAggregator score −prefix ranks identically to the hex string,
+    * and doc_id breaks the astronomically-unlikely prefix tie exactly
+    * like the oracle's ROW_NUMBER).
+    *
+    * Scale: ONE hash aggregation with per-stratum state bounded at n
+    * (map-side-combining TopKAggregator — q19's window form sorts
+    * every stratum; this touches each row once and keeps n). The
+    * deliberate contrast pair for SURVEY Table B's top-k row. */
+  def sampleExactN(docs: DataFrame, strataCol: String, n: Int): DataFrame = {
+    val key = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12),
+      16, 10).cast("double")
+    val topn = udaf(new graft.functions.TopKAggregator(n))
+    docs.groupBy(strataCol)
+      .agg(topn(col("doc_id"), -key).as("pick"))
+      .select(col(strataCol), explode(col("pick")).as("hit"))
+      .select(col(strataCol), col("hit.id").as("doc_id"))
+  }
+
+  /** Q89 (r10) — exact-n stratified sample under the ORACLE gate: 25
+    * docs per language by md5-prefix order; DuckDB rebuilds the pick
+    * with ROW_NUMBER over (12-hex md5 prefix, doc_id). */
+  def q89(s: SparkSession, d: String): DataFrame =
+    sampleExactN(Tables.documents(s, d), "lang", 25).orderBy("lang", "doc_id")
+
   /** Temperature-flattened corpus mixing (the multilingual-LM sampling
     * rule, p_s ∝ n_s^α with α = 1/2 — Conneau & Lample 2019, arXiv:
     * 1901.07291): per-stratum keep-rates are DERIVED FROM the observed

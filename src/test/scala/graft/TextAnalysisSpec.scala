@@ -540,6 +540,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.map(_._4).distinct.length == r.length, "shard digests distinct")
   }
 
+  test("q89 exact-n sample: exactly min(n, stratum) per lang, md5-order pick, heap-shaped plan") {
+    val d = sf("sf0.001")
+    val q = graft.operators.Relational.q89(spark, d)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial_topkaggregator"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    val r = q.collect().map(x => (x.getString(0), x.getLong(1)))
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "lang").collect().map(x => (x.getLong(0), x.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex12(id: Long): String = md.synchronized {
+      md.reset()
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    }
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      val expect = ds.map(_._1).sortBy(id => (hex12(id), id)).take(25).toSet
+      val got = r.filter(_._1 == lang).map(_._2).toSet
+      assert(got.size == math.min(25, ds.length), s"lang=$lang size")
+      assert(got == expect, s"lang=$lang pick")
+    }
+  }
+
+  test("q90 contamination ratio: total function, exact counts, flagged set == q62's docs") {
+    val d = sf("sf0.001")
+    val r = TextOps.q90(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text").collect().map(x => (x.getLong(0), x.getString(1)))
+    val train = docs.filter(_._1 % 10 != 0)
+    // total over every train doc with >= 5 tokens
+    assert(r.length == train.count(_._2.split(" ").length >= 5))
+    val benchGrams = docs.filter(_._1 % 10 == 0)
+      .flatMap { case (_, t) => t.split(" ").sliding(5).map(_.mkString(" ")) }.toSet
+    (r.take(10) ++ r.filter(_._3 > 0).take(10)).foreach { case (id, ng, ns, ratio) =>
+      val grams = train.find(_._1 == id).get._2.split(" ").sliding(5).map(_.mkString(" ")).toSet
+      assert(ng == grams.size, s"doc $id n_grams")
+      assert(ns == grams.count(benchGrams), s"doc $id n_shared")
+      val expect = BigDecimal(ns.toDouble / ng)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ratio == expect, s"doc $id ratio")
+    }
+    // the binary flag (q62) is exactly the ratio > 0 slice
+    val flagged = TextOps.q62(spark, d).collect().map(_.getLong(0)).toSet
+    assert(r.filter(_._3 > 0).map(_._1).toSet == flagged)
+  }
+
   test("q83 inverted index: df exact, head page = first 50 sorted doc_ids, state bounded") {
     val d = sf("sf0.001")
     val r = TextOps.q83(spark, d).collect()
