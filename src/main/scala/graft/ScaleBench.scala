@@ -293,7 +293,29 @@ object ScaleBench {
           .select(col("w1"), col("w2"),
             round(log((col("c_ab").cast("double") * col("n1") * col("n1")) /
               (col("n2").cast("double") * col("c_a") * col("c_b"))), 6).as("pmi"))
-      }))
+      }),
+      // DSIR weights (r10): q79's shuffle set (tf + shared two-LM
+      // unigram agg + Heaps-law vocab join) — the growth to watch is
+      // the w-key join staying ∝ corpus tokens; lang synthesized
+      // deterministically (25% target slice)
+      "q82_dsir" -> (() => TextOps.dsirWeights(
+        docs.withColumn("lang",
+          when(col("doc_id") % 4 === 0, "en").otherwise("other")))),
+      // inverted index (r10): the bounded-state claim on the growth
+      // corpora — per-term agg state stays at the page size while df
+      // grows with the corpus (the vocab's stopword head is exactly
+      // the flooding case the TopKAggregator form avoids)
+      "q83_inverted_index" -> (() => TextOps.invertedIndex(docs)),
+      // BM25 (r10): the query-term posting-list claim — tf filters
+      // before aggregating, so the measured cost should track the
+      // three terms' posting mass, not the corpus token count
+      "q84_bm25" -> (() => TextOps.bm25(docs, Seq("dup", "hash", "window"))),
+      // graded contamination (r10): q62's join shape with the marked
+      // left join + single aggregation — growth ∝ corpus grams with
+      // the benchmark side broadcast-small
+      "q90_contam_ratio" -> (() => TextOps.contaminationScore(
+        docs.filter(col("doc_id") % 20 =!= 18),
+        docs.filter(col("doc_id") % 20 === 18))))
 
     // optional comma-separated op filter (rerun a single op's curve
     // without paying for the whole suite)
