@@ -55,6 +55,33 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** S12 — streaming curation stage (r10): the ingestion-side front of
+    * the batch curation chain, run INSIDE the reference's streaming
+    * topology so downstream batch curation starts from a pre-deduped,
+    * pre-scored corpus. Takes a document stream (ts: timestamp,
+    * doc_id, text) and applies
+    *   - content-fingerprint EXACT dedup within the watermark horizon
+    *     (md5 over whitespace-normalized text — q33's fingerprint;
+    *     `dropDuplicatesWithinWatermark` keys one fixed-size state
+    *     record per distinct doc, evicted as the watermark passes, so
+    *     state is bounded by the horizon's distinct-doc count, not
+    *     stream age — S5's doctrine on a content key),
+    *   - narrow quality scoring + cuts (q30's n_chars / stopword-ratio
+    *     signals via the COMPILED tokenRatio kernel — zero state, the
+    *     q54 pipeline's cut thresholds).
+    * Append-mode safe; the only shuffle is the dedup's key partition.
+    * The cut rows can be fanned to a quarantine sink by the caller
+    * (Sinks.fanOut) exactly like Ingest.quarantine's malformed rows. */
+  def curateDocStream(docs: DataFrame, watermark: String = "10 seconds",
+      minChars: Int = 60, minStopRatio: Double = 0.02): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .withColumn("fp", md5(regexp_replace(col("text"), "\\s+", " ")))
+      .dropDuplicatesWithinWatermark("fp")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .withColumn("stop_ratio", graft.ext.TextOps.tokenRatioKernel(col("text"),
+        Seq("the", "a", "of", "and", "to", "in", "is")))
+      .filter(col("n_chars") >= minChars && col("stop_ratio") >= minStopRatio)
+
   /** S6 — stream–static join: enrich the stream against a static
     * dimension (broadcast-sized dims stay map-side; no stream state). */
   def streamStaticJoin(events: DataFrame, dim: DataFrame, streamKey: String,

@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.{Ingest, Sinks, StreamOps}
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double, event_id: Long)
+case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
 /** S2–S8 streaming tests (SURVEY.md §2.4): scripted MemoryStream input,
   * processAllAvailable, assert exact state of the memory/parquet sink. */
@@ -83,6 +84,32 @@ class StreamingSpec extends SparkSpec {
     in.addData(ev(4, "a", 2), ev(5, "a", 3)) // id=2 is a cross-batch dup
     q.processAllAvailable(); q.stop()
     assert(spark.table(name).select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("S12: streaming curation dedups by content fingerprint and applies quality cuts") {
+    val good1 = "the fast a query of and to in is " * 3 + "tail one"  // stopword-rich, long
+    val good2 = "a scan the merge of and to in is " * 3 + "tail two"
+    val lowQ  = "scan merge join filter window sort hash batch value " * 3 // no stopwords
+    val short = "the a of"                                                 // < 60 chars
+    val in = MemoryStream[Doc]
+    val out = StreamOps.curateDocStream(in.toDF())
+    val name = s"curate${qn + 200}"
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    in.addData(
+      Doc(new Timestamp(1000), 1L, good1),
+      Doc(new Timestamp(2000), 2L, good1.replace(" ", "  ")), // whitespace-variant dup of 1
+      Doc(new Timestamp(3000), 3L, lowQ),
+      Doc(new Timestamp(4000), 4L, short),
+      Doc(new Timestamp(5000), 5L, good2))
+    q.processAllAvailable()
+    in.addData(Doc(new Timestamp(6000), 6L, good1)) // cross-batch exact dup of 1
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table(name).select("doc_id", "stop_ratio").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    // doc 1 survives; 2 (dup), 3 (quality), 4 (length), 6 (cross-batch dup) cut
+    assert(rows.map(_._1).toSeq == Seq(1L, 5L))
+    assert(rows.forall(_._2 >= 0.02))
   }
 
   test("S6: stream-static broadcast join enriches events") {
