@@ -545,7 +545,9 @@ object Similarity {
     centroidDistance(Tables.embeddings(s, d)).orderBy("vec_id")
 
   /** Distributed k-means (Lloyd's algorithm), DETERMINISTIC variant:
-    * init = the k lowest-id vectors, `iters` assignment passes with a
+    * init = the vectors with id < k (≡ the k lowest ids on the dense
+    * 0-based ids every fixture and ScaleBench corpus has; for sparse
+    * id spaces swap the init filter), `iters` assignment passes with a
     * centroid update between each — every step exactly reproducible on
     * both engines (no random init, no convergence-dependent stop), so
     * the full clustering sits under the hash gate rather than a
