@@ -420,7 +420,13 @@ object Similarity {
     * dropped at the source like semDedup's nanvl guard shadows them. */
   def knnJoin(emb: DataFrame, k: Int): DataFrame = {
     val spark = emb.sparkSession
-    val nBlocks = math.max(2, spark.sparkContext.defaultParallelism)
+    // B ≈ √(2P) blocks → B(B+1)/2 ≈ P grid cells and B ≈ √(2P)-fold
+    // block replication — the O(N·√P) communication the scaladoc
+    // claims (B = P, the r10 first cut, shipped every block to P
+    // partners: N·P replication and P²/2 tasks whose scheduling
+    // overhead dominated the measured curve through 30k vectors).
+    val nBlocks = math.max(2, math.ceil(
+      math.sqrt(2.0 * spark.sparkContext.defaultParallelism)).toInt)
     val prepped = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", normUdf(col("e")))
@@ -439,7 +445,15 @@ object Similarity {
       .flatMap { bp =>
         val same = bp.bi == bp.bj
         val va = bp.va.toArray
-        val vb = bp.vb.toArray
+        // On the diagonal cell the two join sides are INDEPENDENT
+        // evaluations of the packed aggregate, and collect_list order
+        // is not stable across evaluations under cluster shuffle-fetch
+        // order — positional `j = i + 1` pairing over bp.vb would then
+        // score self-pairs and double-count/miss true pairs (local
+        // runs mask it; cosinePairs defends with its id-orientation
+        // check). Reusing va for both sides restores the invariant
+        // the triangular iteration needs.
+        val vb = if (same) va else bp.vb.toArray
         val bufA = Array.fill(va.length)(new KnnBuf(kk))
         val bufB = if (same) bufA else Array.fill(vb.length)(new KnnBuf(kk))
         var i = 0

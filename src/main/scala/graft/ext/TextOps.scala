@@ -607,10 +607,13 @@ object TextOps {
 
   /** Graded contamination score — the REPORT form of [[decontaminate]]
     * (which only surfaces contaminated docs with absolute counts): for
-    * EVERY corpus doc, the fraction of its distinct n-grams that appear
-    * in the benchmark split. Auditors threshold this ratio (Llama-style
-    * "dirty if > x% overlap") rather than binary-flagging; zero-overlap
-    * docs stay in the output (total function, like q78's doctrine).
+    * every corpus doc WITH AT LEAST n TOKENS, the fraction of its
+    * distinct n-grams found in the benchmark split. Auditors threshold
+    * this ratio (Llama-style "dirty if > x% overlap") rather than
+    * binary-flagging; zero-OVERLAP docs stay in the output with ratio
+    * 0. Docs shorter than n tokens carry no gram evidence and are out
+    * of the function's domain on both engines (q71's char grams cover
+    * them from 20 chars up); the spec pins the domain exactly.
     *
     * Single-pass shape: doc-distinct grams LEFT-join the benchmark
     * gram set carrying a hit marker, then ONE doc_id aggregation
@@ -1310,13 +1313,15 @@ object TextOps {
     * (per-partition heaps + driver merge of k), never a global sort. */
   def bm25(docs: DataFrame, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75, k: Int = 20): DataFrame = {
-    val stats = docs.agg(count(lit(1)).as("n"),
-      avg(size(tokens(col("text")))).as("avgdl"))
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(col("w").isInCollection(terms))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    // stats aggregate the dl frame, not the raw corpus: avg over the
+    // same integer token counts is bit-identical (exact long sum, one
+    // divide), and the doc-length definition now lives in ONE place.
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
     val perDoc = tf.join(broadcast(dfq), Seq("w"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
