@@ -418,15 +418,28 @@ object Similarity {
     * global merge, and the DuckDB oracle's ROW_NUMBER all rank by the
     * identical (sim DESC, id ASC) key; NaN (zero-norm) sims are
     * dropped at the source like semDedup's nanvl guard shadows them. */
-  def knnJoin(emb: DataFrame, k: Int): DataFrame = {
+  def knnJoin(emb: DataFrame, k: Int, targetBlockRows: Int = 1024): DataFrame = {
     val spark = emb.sparkSession
-    // B ≈ √(2P) blocks → B(B+1)/2 ≈ P grid cells and B ≈ √(2P)-fold
-    // block replication — the O(N·√P) communication the scaladoc
-    // claims (B = P, the r10 first cut, shipped every block to P
-    // partners: N·P replication and P²/2 tasks whose scheduling
-    // overhead dominated the measured curve through 30k vectors).
-    val nBlocks = math.max(2, math.ceil(
-      math.sqrt(2.0 * spark.sparkContext.defaultParallelism)).toInt)
+    // Block count balances three forces (measured at 30k×64f,
+    // local[32]):
+    //  - CACHE: the kernel streams the vb block through va's inner
+    //    loop, so a block must fit L2 — ~1024 rows × 64 doubles ≈
+    //    0.5 MB. Oversized blocks thrash: B=8 (3.8k rows/block, 2 MB)
+    //    and B=16 both ran 43.5–43.7 s where row-capped grids run
+    //    ~21 s. This is blocked-GEMM sizing, tied to the cache, NOT
+    //    to cluster parallelism.
+    //  - BALANCE: B(B+1)/2 cells must be ≥ a few waves of P so the
+    //    half-sized diagonal cells even out → B ≥ √(8P).
+    //  - COMMUNICATION: replication is B-fold, so B is a floor+cap,
+    //    not defaultParallelism (the r10 first cut, B = P, would ship
+    //    a 1000-executor cluster's corpus 1000×; √(8P) + the row cap
+    //    keeps traffic O(N·√P) until the corpus outgrows P·1024 rows
+    //    — the regime where exact all-pairs is the wrong tool and the
+    //    IVF path (Ann) takes over anyway).
+    val n = emb.count() // one cheap scan next to the O(N²·d) kernel
+    val nBlocks = math.max(
+      math.max(2, math.ceil(math.sqrt(8.0 * spark.sparkContext.defaultParallelism)).toInt),
+      math.ceil(n.toDouble / targetBlockRows).toInt)
     val prepped = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", normUdf(col("e")))
