@@ -274,6 +274,42 @@ class PropertySpec extends SparkSpec {
     check(prop, n = 15)
   }
 
+  test("kmeans: Lloyd objective is non-increasing across assignment passes") {
+    // J(iters+1) <= J(iters): each assignment step picks the argmin
+    // centroid per vector and each update step is the within-cluster
+    // mean (the L2 minimizer), so the summed squared distance cannot
+    // rise — the invariant that makes Lloyd's converge. Verified on
+    // the real fixture across three depths.
+    val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val js = (1 to 3).map { it =>
+      graft.ext.Similarity.kmeans(emb, k = 8, iters = it)
+        .select(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.pow(org.apache.spark.sql.functions.col("dist"), 2)))
+        .collect()(0).getDouble(0)
+    }
+    assert(js(1) <= js(0) + 1e-6, s"J2 ${js(1)} > J1 ${js(0)}")
+    assert(js(2) <= js(1) + 1e-6, s"J3 ${js(2)} > J2 ${js(1)}")
+    // and the first update must strictly help on real data
+    assert(js(1) < js(0), "update step changed nothing — degenerate clustering")
+  }
+
+  test("knnJoin: top-3 is a prefix of top-5 for every query (heap-merge consistency)") {
+    // A correct bounded-heap top-k has the prefix property: shrinking k
+    // only truncates, never reorders or substitutes — any block-local
+    // pruning bug (dropping a candidate that belongs in the global
+    // top-3 but not the local top-5) breaks this before it breaks
+    // aggregate checks.
+    val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    def ranked(k: Int) = graft.ext.Similarity.knnJoin(emb, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    val k3 = ranked(3); val k5 = ranked(5)
+    assert(k3.keySet == k5.keySet && k3.nonEmpty)
+    k3.foreach { case (qid, top3) =>
+      assert(top3 == k5(qid).take(3), s"qid=$qid prefix violated")
+    }
+  }
+
   test("approx_percentile (q52) lands within its rank-error bound of exact (q39) at sf0.01") {
     // GK sketch contract: at accuracy=10000 the returned value's rank
     // error is <= n/10000, i.e. the value must lie between the exact

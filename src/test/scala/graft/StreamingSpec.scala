@@ -257,6 +257,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, 2L, 0L, 10L), (1L, 1L, 100L, 100L), (2L, 1L, 5L, 5L)))
   }
 
+  test("S12 under the RocksDB state store: identical curation output, provider engaged") {
+    // S12's dedup state (one record per distinct fingerprint in the
+    // horizon) is the op that actually grows with corpus rate at
+    // 100 TB/day — the RocksDB posture matters most here.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val good1 = "the fast a query of and to in is " * 3 + "tail one"
+      val good2 = "a scan the merge of and to in is " * 3 + "tail two"
+      val in = MemoryStream[Doc]
+      val q = StreamOps.curateDocStream(in.toDF())
+        .writeStream.format("memory").queryName("s12rocks").outputMode("append")
+        .option("checkpointLocation", tmpDir("ckpt")).start()
+      in.addData(
+        Doc(new Timestamp(1000), 1L, good1),
+        Doc(new Timestamp(2000), 2L, good1.replace(" ", "  ")),
+        Doc(new Timestamp(5000), 5L, good2))
+      q.processAllAvailable()
+      in.addData(Doc(new Timestamp(6000), 6L, good1)) // cross-batch dup
+      q.processAllAvailable()
+      val usedRocks = Option(q.lastProgress).exists(
+        _.stateOperators.exists(_.customMetrics.containsKey("rocksdbGetCount")))
+      q.stop()
+      val ids = spark.table("s12rocks").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 5L), "same survivors as the default-provider S12 run")
+      assert(usedRocks, "progress metrics show no RocksDB state store activity")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("S10 under the RocksDB state store: identical sessions, provider actually engaged") {
     // The cluster-scale state backend (StreamOps scaladoc): HDFS-backed
     // in-memory state holds every key on-heap; RocksDB spills to local
