@@ -198,6 +198,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF full-probe equals exact kNN-join: q81 is the recall oracle it claims to be") {
+    // SURVEY/BASELINE declare knnJoin the recall oracle for the ANN
+    // path. Back the claim: at nProbe = nCentroids the IVF search is
+    // exhaustive, and with queries = the corpus itself its rank 2..6
+    // (rank 1 = self, sim 1.0) must equal knnJoin's top-5 EXACTLY —
+    // both round to 6dp and rank (sim DESC, id ASC), and both kernels
+    // accumulate doubles left-to-right over the same widened floats.
+    val (centroids, assigned) = Ann.build(emb, nCentroids = 16, iters = 2)
+    val ivf = Ann.search(assigned, centroids, emb, k = 6, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val knn = Similarity.knnJoin(emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(ivf.keySet == knn.keySet && knn.size == 500)
+    ivf.foreach { case (qid, hits) =>
+      val sorted = hits.sortBy(_._2)
+      assert(sorted.head._3 == qid && sorted.head._4 == 1.0, s"qid=$qid rank1 not self")
+      val tail = sorted.tail.map(t => (t._3, t._4)).toSeq
+      val expect = knn(qid).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(tail == expect, s"qid=$qid IVF tail != exact kNN")
+    }
+    centroids.unpersist(); assigned.unpersist()
+  }
+
   test("q86 centroid distance: driver recomputation matches, centroids broadcast, no corpus-keyed shuffle") {
     val q = Similarity.q86(spark, sf("sf0.001"))
     val plan = q.queryExecution.executedPlan.toString
