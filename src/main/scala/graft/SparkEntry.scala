@@ -118,6 +118,7 @@ object SparkEntry {
     "q88_pipeline_v4"      -> (TextOps.q88 _),
     "q89_sample_exact_n"   -> (Relational.q89 _),
     "q90_contam_ratio"     -> (TextOps.q90 _),
+    "q91_dedup_incremental"-> (NearDup.q91 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -856,6 +857,24 @@ object SparkEntry {
         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, CAST(SUM(hit) AS BIGINT) AS n_shared, " +
         "ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS contam_ratio " +
         "FROM m GROUP BY doc_id ORDER BY doc_id"),
+    // q91: incremental near-dup — exact incoming×history Jaccard over
+    // q35's shingle sets (banding is recall-lossless at the fixture
+    // regime); best match ranks on the UNROUNDED bit-identical raw.
+    "q91_dedup_incremental" ->
+      ("WITH ws AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(string_split(text,' ')) - 2, 1)), " +
+        "i -> concat_ws('', string_split(text,' ')[i+1], string_split(text,' ')[i+2], string_split(text,' ')[i+3]))) AS sh FROM documents), " +
+        "n AS (SELECT doc_id, len(sh) AS n FROM ws), " +
+        "ex AS (SELECT doc_id, UNNEST(sh) AS s FROM ws), " +
+        "inter AS (SELECT i.doc_id AS did, h.doc_id AS hid, COUNT(*) AS i " +
+        "FROM ex i JOIN ex h ON i.s = h.s AND i.doc_id % 5 = 0 AND h.doc_id % 5 <> 0 GROUP BY 1, 2), " +
+        "j AS (SELECT did, hid, CAST(i AS DOUBLE) / (ni.n + nh.n - i) AS raw " +
+        "FROM inter JOIN n ni ON ni.doc_id = did JOIN n nh ON nh.doc_id = hid " +
+        "WHERE CAST(i AS DOUBLE) / (ni.n + nh.n - i) >= 0.5), " +
+        "sel AS (SELECT did, hid, raw, ROW_NUMBER() OVER (PARTITION BY did ORDER BY raw DESC, hid) AS rn FROM j), " +
+        "agg AS (SELECT did, COUNT(*) AS nm FROM j GROUP BY did) " +
+        "SELECT a.did AS doc_id, CAST(a.nm AS BIGINT) AS n_matches, s.hid AS best_match, " +
+        "ROUND(s.raw, 6) AS best_jaccard " +
+        "FROM agg a JOIN sel s ON s.did = a.did AND s.rn = 1 ORDER BY doc_id"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

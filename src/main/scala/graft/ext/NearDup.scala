@@ -241,6 +241,74 @@ object NearDup {
     similarPairsFrom(hashed, numPerm, bands, threshold, maxBucket)
   }
 
+  /** INCREMENTAL near-dup screening: flag each INCOMING doc that
+    * near-dups any HISTORY doc — the production daily-increment shape.
+    * A steady-state corpus never re-clusters itself per batch: history's
+    * shingle/band frames are sunk cost from prior runs (at 100 TB they
+    * live as bucketed tables on (band, bsig) — Partitioning's
+    * co-location — so this join shuffles ONLY the increment), and the
+    * candidate join is increment-bands ⋈ history-bands, never
+    * history × history. Per-side degenerate-bucket guards (the
+    * similarPairsFrom rationale) cap flood buckets before the join.
+    *
+    * Output per flagged incoming doc: (doc_id, n_matches, best_match =
+    * the history doc with the highest verified Jaccard — (j DESC,
+    * hid ASC) tie-break via TopKAggregator(1), ranking on the
+    * UNROUNDED Jaccard, which is bit-identical across engines
+    * (integer-count arithmetic + one divide) — and best_jaccard at
+    * 6dp). Candidate recall above the threshold is the q28/q35
+    * banding-parameter argument; the shingle frames persist with
+    * [[similarPairs]]'s ContextCleaner lifecycle. */
+  def dedupIncremental(
+      history: DataFrame,
+      incoming: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numPerm: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
+    require(numPerm % bands == 0, s"numPerm=$numPerm not divisible by bands=$bands")
+    val rowsPerBand = numPerm / bands
+    val hh = hashedShingles(history, idCol, textCol, shingleN).persist()
+    val hi = hashedShingles(incoming, idCol, textCol, shingleN).persist()
+    def bandsOf(h: DataFrame, name: String): DataFrame = h
+      .select(col("id").as(name),
+        explode(bandHashes(minhashSignature(col("sh"), numPerm), bands, rowsPerBand)).as("bh"))
+      .select(col(name), col("bh.band").as("band"), col("bh.bsig").as("bsig"))
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bsig")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val cand = bandsOf(hi, "id").join(bandsOf(hh, "hid"), Seq("band", "bsig"))
+      .select("id", "hid").distinct()
+    val top1 = udaf(new graft.functions.TopKAggregator(1))
+    cand
+      .join(hi.select(col("id"), col("sh").as("sh_i")), Seq("id"))
+      .join(hh.select(col("id").as("hid"), col("sh").as("sh_h")), Seq("hid"))
+      .select(col("id"), col("hid"), jaccardSortedUdf(col("sh_i"), col("sh_h")).as("j"))
+      .filter(col("j") >= threshold)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_matches"), top1(col("hid"), col("j")).as("best"))
+      .select(col("id").as("doc_id"), col("n_matches"),
+        col("best")(0).getField("id").as("best_match"),
+        round(col("best")(0).getField("score"), 6).as("best_jaccard"))
+  }
+
+  /** Q91 (r10) — incremental near-dup screening under the ORACLE gate:
+    * incoming = doc_id % 5 == 0, history = the rest; DuckDB rebuilds
+    * the EXACT incoming×history Jaccard matches (banding is recall-
+    * lossless at the fixture regime, the q35 argument) with the same
+    * best-match tie-break. */
+  def q91(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(s, d)
+    dedupIncremental(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over the similar-pair graph: every doc gets a
     * group_id = min doc id reachable from it. Docs with no near-dup are
     * their own group. Iterative min-label propagation, bounded by

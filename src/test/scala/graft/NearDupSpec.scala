@@ -82,4 +82,29 @@ class NearDupSpec extends SparkSpec {
     // same group count as min-id dedup — only the representative differs
     assert(kept.size == NearDup.dedup(docs).count())
   }
+
+  test("q91 incremental screening: agrees with similarPairs restricted to the split, never history x history") {
+    val d = sf("sf0.001")
+    val r = NearDup.q91(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.nonEmpty)
+    // incoming ids only; best_match always from history
+    assert(r.forall(_._1 % 5 == 0) && r.forall(_._3 % 5 != 0))
+    // cross-check against the full-corpus pair list restricted to the split
+    val docs = graft.sources.Tables.documents(spark, d)
+    val pairs = NearDup.similarPairs(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    val cross = pairs.flatMap { case (a, b, j) =>
+      Seq((a, b, j), (b, a, j)) }.filter { case (i, h, _) => i % 5 == 0 && h % 5 != 0 }
+      .groupBy(_._1)
+    assert(r.map(_._1).toSet == cross.keySet)
+    r.foreach { case (id, nm, best, bj) =>
+      val ms = cross(id)
+      assert(nm == ms.length, s"doc $id n_matches")
+      val expectBest = ms.map { case (_, h, j) => (-j, h) }.min
+      assert(best == expectBest._2, s"doc $id best_match")
+      assert(bj == BigDecimal(-expectBest._1)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"doc $id best_jaccard")
+    }
+  }
 }
