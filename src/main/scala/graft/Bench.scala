@@ -108,7 +108,19 @@ object Bench {
     val errs = results.collect { case (k, Left(m)) => s"\"$k\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"s1_ingest_rows_per_sec":${s1RowsPerSec.round},"sf":"$sfDir"}""")
+    // Full-precision, full-name record first (for humans / the repo log)…
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"s1_ingest_rows_per_sec":${s1RowsPerSec.round},"sf":"$sfDir"}""")
+    // …then the machine-read line LAST, compacted to fit the harness's
+    // bounded stdout-tail capture (r8/r9 showed the full-name line
+    // exceeds the tail window once the suite passes ~60 queries, so the
+    // capture clips its head and the line never parses). Keys are the
+    // qNN prefix (unique by construction), values rounded to ms.
+    def ms(v: Double) = math.round(v * 1000) / 1000.0
+    val qsShort = results.collect { case (k, Right(v)) => s"\"${k.take(3)}\":${ms(v)}" }
+      .mkString("{", ",", "}")
+    val errsShort = results.collect { case (k, Left(m)) => s"\"${k.take(3)}\":\"${esc(m.take(40))}\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"errors":$errsShort,"s1_ingest_rows_per_sec":${s1RowsPerSec.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
