@@ -33,6 +33,7 @@ import org.apache.spark.sql.functions._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    graft.sources.DriftCheck.run(sfDir) // testdata-drift tripwire (fail fast)
     val spark = Sessions.local(Sessions.envCpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -99,28 +100,51 @@ object Bench {
       raw.unpersist()
       rps
     }
+    // Escape for JSON: quote/backslash, control chars, and EVERYTHING
+    // past ASCII (incl. lone surrogates — a pre-escape truncation could
+    // split a pair, and an unescaped lone surrogate is malformed JSON).
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
+      case c => c.toString
     }
     val qs = results.collect { case (k, Right(v)) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(m)) => s"\"$k\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    // Full-precision, full-name record first (for humans / the repo log)…
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"s1_ingest_rows_per_sec":${s1RowsPerSec.round},"sf":"$sfDir"}""")
-    // …then the machine-read line LAST, compacted to fit the harness's
-    // bounded stdout-tail capture (r8/r9 showed the full-name line
-    // exceeds the tail window once the suite passes ~60 queries, so the
-    // capture clips its head and the line never parses). Keys are the
-    // qNN prefix (unique by construction), values rounded to ms.
+    // Full-precision, full-name record goes to a FILE (not stdout): r10
+    // showed that printing it before the compact line defeats the whole
+    // point — the harness's bounded stdout tail captured this line's
+    // clipped remnant plus the compact line and parsed neither.
+    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"s1_ingest_rows_per_sec":${s1RowsPerSec.round},"sf":"$sfDir"}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    System.err.println(detail) // and to stderr for the round log
+    // stdout carries EXACTLY ONE JSON line — the machine-read record,
+    // compacted to fit the harness's bounded stdout-tail capture (r8/r9
+    // showed the full-name line exceeds the tail window past ~60
+    // queries). Keys are the query-id prefix before the first '_'
+    // (digit-count-agnostic, uniqueness asserted), values ms-rounded.
+    // "schema":"compact-v2" marks the truncated-key schema for any
+    // cross-round tooling (metric name stays "total" — the driver keys
+    // on it).
     def ms(v: Double) = math.round(v * 1000) / 1000.0
-    val qsShort = results.collect { case (k, Right(v)) => s"\"${k.take(3)}\":${ms(v)}" }
+    def short(k: String) = k.takeWhile(_ != '_')
+    val shortKeys = results.map { case (k, _) => short(k) }
+    require(shortKeys.distinct.size == shortKeys.size,
+      s"duplicate compact query ids: ${shortKeys.diff(shortKeys.distinct).distinct.mkString(",")}")
+    // Truncate on a char boundary (drop a trailing high surrogate), then esc.
+    def clip(m: String, n: Int) = {
+      val t = m.take(n)
+      if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
+    }
+    val qsShort = results.collect { case (k, Right(v)) => s"\"${short(k)}\":${ms(v)}" }
       .mkString("{", ",", "}")
-    val errsShort = results.collect { case (k, Left(m)) => s"\"${k.take(3)}\":\"${esc(m.take(40))}\"" }
+    val errsShort = results.collect { case (k, Left(m)) => s"\"${short(k)}\":\"${esc(clip(m, 40))}\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"errors":$errsShort,"s1_ingest_rows_per_sec":${s1RowsPerSec.round},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","schema":"compact-v2","queries":$qsShort,"errors":$errsShort,"s1_ingest_rows_per_sec":${s1RowsPerSec.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -6,6 +6,7 @@ import graft.core.Sessions
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    graft.sources.DriftCheck.run(sfDir) // testdata-drift tripwire (fail fast)
     val spark = Sessions.local(Sessions.envCpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -9,13 +9,18 @@ import org.apache.spark.sql.functions._
   * All tables are plain parquet scans — Catalyst pushes filters and prunes
   * columns into the scan, so query code should never pre-select here.
   *
-  * `events` needs special handling: its `ts` column is INT64
-  * TIMESTAMP(NANOS,false), which Spark 4.x refuses to read natively
-  * ([PARQUET_TYPE_ILLEGAL]). We read it with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (ts arrives as LongType
-  * nanoseconds) and convert to a microsecond timestamp. Truncation
-  * ns→us is exact for this data (values are ms-granular) and matches
-  * what the DuckDB oracle sees after any date_trunc/aggregation.
+  * `events` needs special handling: the driver has shipped its `ts`
+  * column in two physical shapes across rounds — INT64
+  * TIMESTAMP(NANOS,false) (which Spark 4.x refuses natively,
+  * [PARQUET_TYPE_ILLEGAL], so with `nanosAsLong=true` it arrives as
+  * LongType nanoseconds) and, since 2026-08-13, plain INT64
+  * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). `events` sniffs the
+  * loaded schema and normalizes both to a session-zone TimestampType
+  * in microseconds — the type every downstream query was verified
+  * against. Under the UTC session zone (graft.core.Sessions) the
+  * NTZ→LTZ cast is value-identity, and ns→us truncation is exact for
+  * this data (values are ms-granular), matching what the DuckDB
+  * oracle sees after any date_trunc/aggregation.
   */
 object Tables {
 
@@ -40,15 +45,21 @@ object Tables {
   def embeddings(spark: SparkSession, d: String): DataFrame = apply(spark, d, "embeddings")
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    // Requires spark.sql.legacy.parquet.nanosAsLong=true, set once at
-    // session build time (graft.core.Sessions) — a table accessor must
-    // not mutate session conf as a side effect.
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet has INT64 TIMESTAMP(NANOS) columns; build the session " +
-        "via graft.core.Sessions (sets spark.sql.legacy.parquet.nanosAsLong=true)")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Sessions sets spark.sql.legacy.parquet.nanosAsLong=true at build
+    // time (harmless for micros-era data; required for nanos-era) — a
+    // table accessor must not mutate session conf as a side effect.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>          // nanos-era testdata read via nanosAsLong
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>  // micros-era testdata (TIMESTAMP_NTZ)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected INT64 nanos, " +
+          "TIMESTAMP_NTZ micros, or TIMESTAMP)")
+    }
   }
 
   /** Register every table as a temp view (SQL-surface entry point). */
