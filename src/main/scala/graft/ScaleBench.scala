@@ -187,10 +187,57 @@ object ScaleBench {
     }
   }
 
+  /** Incremental-screen scaling (r11, VERDICT r10 item 6): fixed 5,000-doc
+    * increment against history growing 5k→50k→250k, with the history-index
+    * build (the production SUNK cost — bucketed band/shingle tables
+    * refreshed per corpus release, not per batch) timed SEPARATELY from
+    * the per-batch screen. The claim under test: screen cost is driven by
+    * the increment plus the band-join probe — near-flat in history size —
+    * while prep grows linearly; history × history never happens. One
+    * corpus file at 255k docs is sliced for every point, so the increment
+    * [250k, 255k) is identical across points and history at size n is
+    * bit-identical to the doc-op suite's corpus at n. */
+  private def runIncremental(spark: SparkSession, histSizes: Seq[Long], dir: String): Unit = {
+    import graft.ext.NearDup
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val incN = 5000L
+    val totalN = histSizes.max + incN
+    val path = s"$dir/docs_inc_$totalN.parquet"
+    if (!new java.io.File(path).exists())
+      corpus(spark, totalN).write.mode("overwrite").parquet(path)
+    val all = spark.read.parquet(path)
+    val incoming = all.filter(col("doc_id") >= histSizes.max)
+    histSizes.zipWithIndex.foreach { case (n, i) =>
+      val history = all.filter(col("doc_id") < n)
+      if (i == 0) { // warmup: kernels + join shapes at the smallest size
+        val idx0 = NearDup.historyIndex(history).persist()
+        NearDup.screenIncrement(idx0, incoming).count()
+        idx0.unpersist(); sweep()
+      }
+      val tP = System.nanoTime()
+      val idx = NearDup.historyIndex(history).persist()
+      val bandRows = idx.bands.count(); idx.shingles.count()
+      val prepSec = (System.nanoTime() - tP) / 1e9
+      val tS = System.nanoTime()
+      val flagged = NearDup.screenIncrement(idx, incoming).count()
+      val screenSec = (System.nanoTime() - tS) / 1e9
+      idx.unpersist(); sweep()
+      println(f"""{"op":"q91_incremental","n_history":$n,"n_increment":$incN,"prep_sec":$prepSec%.2f,"screen_sec":$screenSec%.2f,"history_band_rows":$bandRows,"flagged":$flagged}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/target/scale")
     val spark = Sessions.local(Sessions.envCpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("incremental")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(5000L, 50000L, 250000L)
+      runIncremental(spark, sizes, dir)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("knn")) {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(2000L, 10000L, 30000L)

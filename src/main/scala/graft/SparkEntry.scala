@@ -119,6 +119,7 @@ object SparkEntry {
     "q89_sample_exact_n"   -> (Relational.q89 _),
     "q90_contam_ratio"     -> (TextOps.q90 _),
     "q91_dedup_incremental"-> (NearDup.q91 _),
+    "q92_ann_sq_topk"      -> (graft.ext.Ann.q92 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -875,6 +876,17 @@ object SparkEntry {
         "SELECT a.did AS doc_id, CAST(a.nm AS BIGINT) AS n_matches, s.hid AS best_match, " +
         "ROUND(s.raw, 6) AS best_jaccard " +
         "FROM agg a JOIN sel s ON s.did = a.did AND s.rn = 1 ORDER BY doc_id"),
+    // q92: the IVF+SQ quantized path at full probe with rescoreK >> k —
+    // bucket pruning lossless, exact float rescore of a code-ranked
+    // candidate superset => brute-force top-k, so q34's oracle applies
+    // verbatim (same queries, same k, same rounded tie-break).
+    "q92_ann_sq_topk" ->
+      ("SELECT qid, rank, vec_id, sim FROM (" +
+        "SELECT q.vec_id AS qid, e.vec_id AS vec_id, " +
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rank " +
+        "FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q" +
+        ") t WHERE rank <= 10 ORDER BY qid, rank"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -294,4 +294,28 @@ object Ann {
     centroids.unpersist(); assigned.unpersist()
     res.orderBy("qid", "rank")
   }
+
+  /** Q92 (r11) — the IVF+SQ QUANTIZED search path under the ORACLE gate
+    * (r10 VERDICT item 7: searchQuantized had recall contracts in
+    * ScalaTest/AnnProbeBench but no end-to-end hash gate). Same protocol
+    * as q34 — full probe (nProbe = nCentroids) makes bucket pruning
+    * lossless, and rescoreK = 50 ≫ k = 10 makes the code-ranked
+    * candidate set provably contain the true top-k at this fixture's
+    * quantization error (recall@10 = 1.0 measured across the nProbe
+    * ladder, BASELINE.md) — so the exact float rescore reproduces the
+    * brute-force DuckDB top-k bit-for-bit: the whole 64 B-code scan →
+    * bounded-heap candidate cut → float rescore chain is hash-checked,
+    * not just its recall. */
+  def q92(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val (centroids, assigned) = build(emb, nCentroids = 16, iters = 2)
+    val aq = quantizeAssigned(assigned).persist()
+    val res = searchQuantized(aq, emb, centroids, emb.filter(col("vec_id") < 5),
+        k = 10, nProbe = 16, rescoreK = 50)
+      .select(col("qid"), col("rank").cast("bigint").as("rank"),
+        col("vec_id"), col("sim"))
+      .localCheckpoint(true)
+    aq.unpersist(); centroids.unpersist(); assigned.unpersist()
+    res.orderBy("qid", "rank")
+  }
 }

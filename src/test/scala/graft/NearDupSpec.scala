@@ -107,4 +107,20 @@ class NearDupSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"doc $id best_jaccard")
     }
   }
+
+  test("screenIncrement over a prebuilt HistoryIndex == dedupIncremental (r11 split)") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val history = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaIndex = {
+      val idx = NearDup.historyIndex(history).persist()
+      val r = key(NearDup.screenIncrement(idx, incoming).collect())
+      idx.unpersist(); r
+    }
+    val direct = key(NearDup.dedupIncremental(history, incoming).collect())
+    assert(viaIndex == direct)
+    assert(viaIndex.nonEmpty)
+  }
 }

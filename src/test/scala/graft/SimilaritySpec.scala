@@ -305,4 +305,15 @@ class SimilaritySpec extends SparkSpec {
       assert(codes.max <= 255 && codes.max >= 254)
     }
   }
+
+  test("q92 quantized full-probe top-k == q34 float full-probe top-k (r11 gate)") {
+    import graft.ext.Ann
+    val d = sf("sf0.001")
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val sq = key(Ann.q92(spark, d).collect())
+    val fl = key(Ann.q34(spark, d).collect())
+    assert(sq == fl)
+    assert(sq.size == 50) // 5 queries x k=10, ranks intact
+  }
 }
