@@ -75,10 +75,38 @@ object AnnProbeBench {
       f"""{"n_probe":$nProbe,"sec":$sec%.2f,"recall_at_10":${hits.toDouble / total}%.4f}"""
     }
     aq.unpersist()
+
+    // IVF+PQ (r11): the 8 B-code tier on the same ladder — codebooks
+    // trained on the <512-id sample (q93's protocol), rescoreK = 100
+    // (coarser codes want a deeper exact rescore than SQ's 40).
+    val sample = emb.filter(col("vec_id") < 512).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val cb = Ann.pqTrain(sample)
+    val apq = Ann.pqQuantizeAssigned(assigned, cb).persist()
+    apq.count()
+    def timedPq(nProbe: Int): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Ann.searchPq(apq, emb, centroids, queries, cb, 10, nProbe, rescoreK = 100)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      (1 to 3).map(_ => once()).min
+    }
+    val pqPoints = Seq(2, 4, 16).map { nProbe =>
+      val sec = timedPq(nProbe)
+      val hits = Ann.searchPq(apq, emb, centroids, queries, cb, 10, nProbe, 100)
+        .select(col("qid"), col("vec_id"))
+        .join(exact, Seq("qid", "vec_id"), "left_semi").count()
+      f"""{"n_probe":$nProbe,"sec":$sec%.2f,"recall_at_10":${hits.toDouble / total}%.4f}"""
+    }
+    apq.unpersist()
     exact.unpersist()
     centroids.unpersist(); assigned.unpersist()
 
-    println(f"""{"metric":"ann_probe","n_vectors":${queries.count()},"n_centroids":16,"k":10,"build_sec":$buildSec%.2f,"points":[${points.mkString(",")}],"sq_rescore_k":40,"sq_points":[${sqPoints.mkString(",")}],"sf":"$sfDir"}""")
+    println(f"""{"metric":"ann_probe","n_vectors":${queries.count()},"n_centroids":16,"k":10,"build_sec":$buildSec%.2f,"points":[${points.mkString(",")}],"sq_rescore_k":40,"sq_points":[${sqPoints.mkString(",")}],"pq_rescore_k":100,"pq_points":[${pqPoints.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -62,7 +62,12 @@ object Bench {
       "q72_dedup_best", "q75_pipeline_v2", "q80_pipeline_v3",
       "q81_knn_join", "q88_pipeline_v4", "q91_dedup_incremental")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val order = names.filterNot(heavies.contains) ++ heavies.filter(names.contains)
+    // optional comma-separated query filter (floor re-measurement of a
+    // subset under the full warmup+3-pass protocol without paying for
+    // the whole suite; the driver never sets it — default unchanged)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(names)(f => names.filter(f.contains))
+    val order = selected.filterNot(heavies.contains) ++ heavies.filter(selected.contains)
     order.foreach(runOnce) // full warmup pass, results discarded
     val passes = (1 to 3).map(_ => order.map(n => n -> runOnce(n)).toMap)
     val results = order.map { n =>

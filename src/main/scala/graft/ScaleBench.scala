@@ -48,32 +48,36 @@ object ScaleBench {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Base word-soup text for one seed (rare-word vocab capped at
+    * maxRare — the Heaps-law knob from the object scaladoc). */
+  private def baseWords(maxRare: Int, seed: Long): Array[String] = {
+    val r = new java.util.Random(seed * 0x9E3779B97F4A7C15L + 13)
+    val n = 10 + r.nextInt(90)
+    Array.fill(n) {
+      if (r.nextInt(5) == 0) "w" + r.nextInt(maxRare)
+      else vocab(r.nextInt(vocab.length))
+    }
+  }
+
+  /** Mutate exactly the last 2 words of `base` (seeded by mutSeed):
+    * ≤ 4 changed 3-gram shingles, Jaccard ≈ 0.85–0.9 vs the base — large
+    * enough tail edit to be a real near-dup, small enough that all four
+    * modalities (minhash/ngram/simhash@3/winnow) see the pair. */
+  private def variantOf(base: Array[String], mutSeed: Long): String = {
+    val r = new java.util.Random(mutSeed * 0x9E3779B97F4A7C15L + 99)
+    (0 until 2).foreach { j =>
+      base(base.length - 1 - j) = vocab(r.nextInt(vocab.length))
+    }
+    base.mkString(" ")
+  }
+
   /** Deterministic synthetic corpus: (doc_id, text). Every 20th doc is a
     * near-dup variant of its predecessor (shared prefix, mutated tail). */
   def corpus(spark: SparkSession, nDocs: Long): DataFrame = {
     val maxRare = math.max(1000L, nDocs / 5).toInt
     val gen = udf { (id: Long) =>
-      def words(seed: Long): Array[String] = {
-        val r = new java.util.Random(seed * 0x9E3779B97F4A7C15L + 13)
-        val n = 10 + r.nextInt(90)
-        Array.fill(n) {
-          if (r.nextInt(5) == 0) "w" + r.nextInt(maxRare)
-          else vocab(r.nextInt(vocab.length))
-        }
-      }
-      if (id % 20 == 19) {
-        val base = words(id - 1)
-        val r = new java.util.Random(id * 0x9E3779B97F4A7C15L + 99)
-        // mutate exactly the last 2 words: ≤ 4 changed 3-gram shingles,
-        // in-group Jaccard ≈ 0.85–0.9 (the fixture's regime) — large
-        // enough tail edit to be a real near-dup, small enough that all
-        // four modalities (minhash/ngram/simhash@3/winnow) see the pair
-        val m = 2
-        (0 until m).foreach { j =>
-          base(base.length - 1 - j) = vocab(r.nextInt(vocab.length))
-        }
-        base.mkString(" ")
-      } else words(id).mkString(" ")
+      if (id % 20 == 19) variantOf(baseWords(maxRare, id - 1), id)
+      else baseWords(maxRare, id).mkString(" ")
     }
     spark.range(nDocs).select(col("id").as("doc_id"), gen(col("id")).as("text"))
   }
@@ -193,10 +197,14 @@ object ScaleBench {
     * refreshed per corpus release, not per batch) timed SEPARATELY from
     * the per-batch screen. The claim under test: screen cost is driven by
     * the increment plus the band-join probe — near-flat in history size —
-    * while prep grows linearly; history × history never happens. One
-    * corpus file at 255k docs is sliced for every point, so the increment
-    * [250k, 255k) is identical across points and history at size n is
-    * bit-identical to the doc-op suite's corpus at n. */
+    * while prep grows linearly; history × history never happens.
+    *
+    * One corpus file at max+5k docs is sliced for every history point, so
+    * history at size n is a prefix of history at 10n. Every ODD increment
+    * doc is a planted near-dup variant of history doc (id % 5000) —
+    * present in the SMALLEST history, so the flagged count (~2,500) and
+    * the verify-join work are CONSTANT across points and screen-time
+    * growth isolates the band-probe term alone. */
   private def runIncremental(spark: SparkSession, histSizes: Seq[Long], dir: String): Unit = {
     import graft.ext.NearDup
     def sweep(): Unit =
@@ -207,7 +215,13 @@ object ScaleBench {
     if (!new java.io.File(path).exists())
       corpus(spark, totalN).write.mode("overwrite").parquet(path)
     val all = spark.read.parquet(path)
-    val incoming = all.filter(col("doc_id") >= histSizes.max)
+    val maxRare = math.max(1000L, totalN / 5).toInt
+    val incGen = udf { (id: Long) =>
+      if (id % 2 == 1) variantOf(baseWords(maxRare, id % 5000), 7777L + id)
+      else baseWords(maxRare, 3_000_000_000L + id).mkString(" ")
+    }
+    val incoming = spark.range(incN)
+      .select((col("id") + 1_000_000_000L).as("doc_id"), incGen(col("id")).as("text"))
     histSizes.zipWithIndex.foreach { case (n, i) =>
       val history = all.filter(col("doc_id") < n)
       if (i == 0) { // warmup: kernels + join shapes at the smallest size
@@ -362,7 +376,12 @@ object ScaleBench {
       // the benchmark side broadcast-small
       "q90_contam_ratio" -> (() => TextOps.contaminationScore(
         docs.filter(col("doc_id") % 20 =!= 18),
-        docs.filter(col("doc_id") % 20 === 18))))
+        docs.filter(col("doc_id") % 20 === 18))),
+      // novelty (r11): the q43 shuffle class (distinct + gram-key df agg
+      // + join-back) — growth ∝ corpus tokens; on this synthetic corpus
+      // the df=1 share shrinks as the fixed-vocab gram space saturates,
+      // so rows stay = n while novelty drops (observable, expected)
+      "q95_novelty" -> (() => TextOps.novelty(docs)))
 
     // optional comma-separated op filter (rerun a single op's curve
     // without paying for the whole suite)

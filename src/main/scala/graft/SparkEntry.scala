@@ -120,6 +120,10 @@ object SparkEntry {
     "q90_contam_ratio"     -> (TextOps.q90 _),
     "q91_dedup_incremental"-> (NearDup.q91 _),
     "q92_ann_sq_topk"      -> (graft.ext.Ann.q92 _),
+    "q93_ann_pq_topk"      -> (graft.ext.Ann.q93 _),
+    "q94_split_leakage"    -> (Relational.q94 _),
+    "q95_novelty"          -> (TextOps.q95 _),
+    "q96_format_roundtrip" -> (graft.sources.Formats.q96 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -887,6 +891,47 @@ object SparkEntry {
         "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rank " +
         "FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q" +
         ") t WHERE rank <= 10 ORDER BY qid, rank"),
+    // q93: IVF+PQ — q92's argument one tier down (8 B ADC codes, exact
+    // rescore of a code-ranked superset at full probe) => brute force.
+    "q93_ann_pq_topk" ->
+      ("SELECT qid, rank, vec_id, sim FROM (" +
+        "SELECT q.vec_id AS qid, e.vec_id AS vec_id, " +
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rank " +
+        "FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q" +
+        ") t WHERE rank <= 10 ORDER BY qid, rank"),
+    // q94: leakage-safe split — split = f(md5(source)), the q42 md5
+    // arithmetic on the SOURCE key so one origin lands in one split.
+    "q94_split_leakage" ->
+      ("SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM (" +
+        "SELECT lang, n_chars, CASE " +
+        "WHEN SUBSTRING(md5(source), 1, 1) IN ('c','d') THEN 'val' " +
+        "WHEN SUBSTRING(md5(source), 1, 1) IN ('e','f') THEN 'test' " +
+        "ELSE 'train' END AS split FROM documents) t " +
+        "GROUP BY split, lang ORDER BY split, lang"),
+    // q95: n-gram novelty — q90's gram construction at n=3, df=1 share.
+    "q95_novelty" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS gram " +
+        "FROM tok, UNNEST(range(len(w) - 2)) AS t(i)), " +
+        "dfreq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram) " +
+        "SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, " +
+        "CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "ROUND(CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty " +
+        "FROM g JOIN dfreq ON g.gram = dfreq.gram GROUP BY g.doc_id ORDER BY doc_id"),
+    // q96: format round-trip — the oracle aggregates the SAME slice of
+    // the parquet table once per format label; the engine must read its
+    // own ORC/CSV writes back to identical aggregates.
+    "q96_format_roundtrip" ->
+      ("WITH s AS (SELECT l_returnflag, l_quantity, l_extendedprice, " +
+        "CAST(l_shipdate AS DATE) AS ship_date FROM lineitem WHERE l_orderkey % 100 = 0), " +
+        "a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty, " +
+        "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price, " +
+        "MAX(ship_date) AS max_ship FROM s GROUP BY l_returnflag) " +
+        "SELECT 'orc' AS format, * FROM a UNION ALL SELECT 'csv', * FROM a " +
+        "ORDER BY format, l_returnflag"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

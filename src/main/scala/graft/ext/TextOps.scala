@@ -1421,4 +1421,35 @@ object TextOps {
     kept.unpersist()
     res.orderBy("shard")
   }
+
+  /** N-gram novelty score: the fraction of a document's DISTINCT word
+    * n-grams that appear in NO other document (corpus df = 1) — the
+    * inverse of the boilerplate/repetition signals (q65/q78): high
+    * novelty marks original long-tail content worth up-weighting, near
+    * zero marks template/mirror text. Documents with fewer than n
+    * tokens (no grams) are excluded — novelty is undefined for them.
+    *
+    * Scale shape: one distinct over (doc_id, gram) + one df aggregation
+    * on the gram key + the join back — all ∝ corpus tokens, the q43
+    * TF-IDF shuffle class. The df frame is gram-keyed (Heaps-law
+    * growth); at 100 TB the df ≥ 2 side is the small one (most grams
+    * are singletons) so the novelty join can be driven from a
+    * broadcast/bloom of the NON-novel gram set instead — same result,
+    * ~10× smaller build side (the q62 bloomPrefilteredJoin escape
+    * hatch applies unchanged). */
+  def novelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val g = docs.select(col("doc_id"),
+      explode(wordGramsKernel(col("text"), n)).as("gram")).distinct()
+    val dfreq = g.groupBy("gram").agg(count(lit(1)).as("df"))
+    g.join(dfreq, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
+  /** Q95 — novelty report over the documents table, oracle-gated. */
+  def q95(s: SparkSession, d: String): DataFrame =
+    novelty(graft.sources.Tables.documents(s, d)).orderBy("doc_id")
 }

@@ -817,4 +817,33 @@ object Relational {
         count(lit(1)).as("cnt"),
         round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sv"))
       .orderBy("h", "event_type")
+
+  /** Leakage-safe train/val/test split: the split is a deterministic
+    * hash of the SOURCE key, not the document id, so every document
+    * from one origin lands in ONE split — the eval-integrity
+    * discipline for training-data curation (near-duplicates and
+    * derivative documents overwhelmingly share their origin; an
+    * id-hash split leaks them across train and test, inflating eval).
+    * md5-first-hex-char buckets: c/d → val (2/16), e/f → test (2/16),
+    * rest → train (12/16) — the same portable md5 arithmetic as q42,
+    * exactly reproducible by any engine. Scale shape: one narrow map
+    * (no shuffle to assign) — the split column can be written as a
+    * partition key so downstream readers partition-prune a split. */
+  def splitLeakageSafe(docs: DataFrame, sourceCol: String = "source"): DataFrame = {
+    val b = substring(md5(col(sourceCol).cast("binary")), 1, 1)
+    docs.withColumn("split",
+      when(b.isin("c", "d"), "val")
+        .when(b.isin("e", "f"), "test")
+        .otherwise("train"))
+  }
+
+  /** Q94 — leakage-safe split REPORT under the oracle gate: per
+    * (split, lang) document and char totals. The co-assignment
+    * property (one source → one split) is asserted structurally in
+    * RelationalSmokeSpec. */
+  def q94(s: SparkSession, d: String): DataFrame =
+    splitLeakageSafe(Tables.documents(s, d))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("split", "lang")
 }

