@@ -124,6 +124,9 @@ object SparkEntry {
     "q94_split_leakage"    -> (Relational.q94 _),
     "q95_novelty"          -> (TextOps.q95 _),
     "q96_format_roundtrip" -> (graft.sources.Formats.q96 _),
+    "q97_zorder_key"       -> (Relational.q97 _),
+    "q98_profile"          -> (Relational.q98 _),
+    "q99_heavy_keys"       -> (Relational.q99 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -932,6 +935,44 @@ object SparkEntry {
         "MAX(ship_date) AS max_ship FROM s GROUP BY l_returnflag) " +
         "SELECT 'orc' AS format, * FROM a UNION ALL SELECT 'csv', * FROM a " +
         "ORDER BY format, l_returnflag"),
+    // q97: Morton/Z-order key — the oracle reproduces the exact
+    // bit-interleave sum ((x>>i)&1)·4^i + ((y>>i)&1)·2·4^i, i<10,
+    // generated term-by-term below so both engines run the same
+    // arithmetic rather than a hand-transcribed (and typo-prone) 20-term
+    // expression.
+    "q97_zorder_key" -> {
+      val terms = (0 until 10).flatMap(i => Seq(
+        s"((x >> $i) & 1) * ${1L << (2 * i)}",
+        s"((y >> $i) & 1) * ${1L << (2 * i + 1)}")).mkString(" + ")
+      "WITH e AS (SELECT event_id, user_id % 1024 AS x, " +
+        "CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) % 1024 AS y " +
+        "FROM events) " +
+        s"SELECT event_id, x, y, CAST($terms AS BIGINT) AS zkey FROM e " +
+        "ORDER BY event_id LIMIT 1000"
+    },
+    // q98: profiler — one report row per column; min/max rendered as
+    // VARCHAR so a single row type covers every column type.
+    "q98_profile" -> {
+      def row(c: String) =
+        s"SELECT '$c' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+          s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+          s"CAST(MIN($c) AS VARCHAR) AS min_value, CAST(MAX($c) AS VARCHAR) AS max_value " +
+          "FROM documents"
+      Seq("doc_id", "lang", "source", "n_chars").map(row)
+        .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY \"column\"")
+    },
+    // q99: heavy keys — top-10 by count per column, (cnt DESC, value)
+    // tie-break; values rendered as VARCHAR for the shared row type.
+    "q99_heavy_keys" -> {
+      def row(c: String) =
+        s"SELECT '$c' AS column, rank, value, cnt FROM (" +
+          s"SELECT CAST($c AS VARCHAR) AS value, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+          "ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, CAST($c AS VARCHAR)) AS rank ".replace("$c", c) +
+          s"FROM events GROUP BY CAST($c AS VARCHAR)) s WHERE rank <= 10"
+      Seq("event_type", "user_id").map(row)
+        .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY \"column\", rank")
+    },
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

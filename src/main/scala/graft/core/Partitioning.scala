@@ -179,4 +179,44 @@ object Partitioning {
     }
     big.filter(probe).join(small, Seq(key), joinType)
   }
+
+  /** Z-order (Morton) key for two non-negative integer dimensions:
+    * interleave the low `bits` bits of x and y (x in the even result
+    * positions, y in the odd). Sorting by this key clusters rows that
+    * are close in BOTH dimensions, so a range-partitioned,
+    * sorted-within-partitions write gives every parquet file a TIGHT
+    * min/max envelope on BOTH columns — the data-skipping layout: a
+    * scan filtered on either (or both) dimensions prunes most files
+    * from their footer statistics alone, where a single-column sort
+    * bounds only its own column and leaves the other's per-file range
+    * at full width. Pure bit arithmetic (deterministic, portable — the
+    * oracle reproduces it in SQL); values must fit `bits` bits,
+    * enforced with a runtime check rather than silent truncation. */
+  def zorderKey(x: Column, y: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of range [1,31]")
+    val limit = 1L << bits
+    val guard = (c: Column) =>
+      when(c < 0 || c >= limit, raise_error(
+        concat(lit(s"zorderKey: value out of [0, $limit): "), c.cast("string"))))
+        .otherwise(c.cast("long"))
+    val gx = guard(x); val gy = guard(y)
+    (0 until bits).map { i =>
+      (shiftright(gx, i) % 2) * lit(1L << (2 * i)) +
+        (shiftright(gy, i) % 2) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` in Z-order layout over two integer dimensions: range
+    * partition by the Morton key (contiguous key blocks per file) and
+    * sort within partitions, so parquet row-group/file min-max
+    * statistics are tight on both dims. `nFiles` sizes the layout —
+    * at 100 TB this is total_bytes / target_file_size, and the write
+    * doubles as the compaction pass. */
+  def layoutZOrder(df: DataFrame, xCol: String, yCol: String,
+      nFiles: Int, bits: Int = 21): DataFrame = {
+    val keyed = df.withColumn("_zkey", zorderKey(col(xCol), col(yCol), bits))
+    keyed.repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+  }
 }

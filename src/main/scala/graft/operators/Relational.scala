@@ -846,4 +846,76 @@ object Relational {
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("split", "lang")
+
+  /** Q97 — the Z-order (Morton) key under the oracle gate: the exact
+    * bit-interleave arithmetic `Partitioning.zorderKey` sorts by when
+    * `layoutZOrder` writes a data-skipping layout (both-dims-tight
+    * per-file min/max — the layout property itself is pinned against
+    * parquet footers in PartitioningSpec; the KEY is what an oracle can
+    * reproduce). Dimensions: user_id and epoch-day of ts, both folded
+    * into 10 bits. */
+  def q97(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(1024)).as("x"),
+        pmod(datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long"), lit(1024)).as("y"))
+      .withColumn("zkey",
+        graft.core.Partitioning.zorderKey(col("x"), col("y"), bits = 10))
+      .orderBy("event_id")
+      .limit(1000)
+
+  /** Data-profiling report — the pre-training data audit: per column,
+    * row/null/distinct counts and min/max (rendered as strings so one
+    * report row type covers every column type). One pass per column
+    * over a columnar scan is cheap (pruned to that column); at 100 TB
+    * the same shape runs as ONE pass with multi-column agg if the
+    * scan dominates. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+        .withColumn("column", lit(c))
+        .select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+    }.reduce(_.union(_))
+
+  /** Q98 — profiler over the documents table, oracle-gated. */
+  def q98(s: SparkSession, d: String): DataFrame =
+    profile(Tables.documents(s, d), Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy("column")
+
+  /** Heavy-key report — the skew diagnostic that decides between plain,
+    * AQE-skew and salted joins (saltedJoin's scaladoc): top-k values by
+    * frequency per key column, (count DESC, value ASC) tie-break.
+    * EXACT at any cardinality without a global sort: after the count
+    * aggregation, each partition keeps its local top-k (every global
+    * top-k row lives in some partition, so it survives the local cut)
+    * and the final window ranks only the ≤ partitions·k survivors —
+    * the distinct-value frame is never globally sorted, so a
+    * billion-user column costs one count shuffle plus a k-row-per-
+    * partition tail. */
+  def heavyKeys(df: DataFrame, cols: Seq[String], k: Int = 10): DataFrame =
+    cols.map { c =>
+      val counted = df.groupBy(col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as("cnt"))
+      val local = Window.partitionBy(spark_partition_id())
+        .orderBy(col("cnt").desc, col("value"))
+      val survivors = counted
+        .withColumn("lrn", row_number().over(local))
+        .filter(col("lrn") <= k).drop("lrn")
+      val w = Window.orderBy(col("cnt").desc, col("value"))
+      survivors.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= k)
+        .withColumn("column", lit(c))
+        .select("column", "rank", "value", "cnt")
+    }.reduce(_.union(_))
+
+  /** Q99 — heavy keys over events (user_id, event_type), oracle-gated. */
+  def q99(s: SparkSession, d: String): DataFrame =
+    heavyKeys(Tables.events(s, d), Seq("event_type", "user_id"))
+      .orderBy("column", "rank")
 }
