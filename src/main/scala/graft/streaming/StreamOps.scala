@@ -82,6 +82,32 @@ object StreamOps {
         Seq("the", "a", "of", "and", "to", "in", "is")))
       .filter(col("n_chars") >= minChars && col("stop_ratio") >= minStopRatio)
 
+  /** S13 (r11) — streaming incremental near-dup screen: each
+    * micro-batch of incoming documents is screened against a STATIC
+    * pre-built [[graft.ext.NearDup.HistoryIndex]] via `foreachBatch` —
+    * the streaming face of the q91 daily-increment shape (history is
+    * sunk cost; only the batch's shingle/band frames are computed per
+    * trigger, and the candidate join probes the persisted index —
+    * never history × history, never batch state across triggers).
+    * `onBatch` receives (flagged-frame, batchId); a deployment writes
+    * the flagged ids to its quarantine sink there. foreachBatch (not a
+    * stateful operator) is the right tool: the screen is a per-batch
+    * BATCH computation against static state — no cross-batch streaming
+    * state to manage, so exactly-once comes from the sink's batchId
+    * idempotence as in Sinks.parquetPartitioned. */
+  def screenStream(
+      incoming: DataFrame,
+      index: graft.ext.NearDup.HistoryIndex,
+      onBatch: (DataFrame, Long) => Unit,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.ext.NearDup.screenIncrement(index, batch), batchId)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** S6 — stream–static join: enrich the stream against a static
     * dimension (broadcast-sized dims stay map-side; no stream state). */
   def streamStaticJoin(events: DataFrame, dim: DataFrame, streamKey: String,

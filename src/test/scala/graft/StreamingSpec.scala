@@ -112,6 +112,51 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(_._2 >= 0.02))
   }
 
+  test("S13: streaming incremental screen flags batch docs against a static history index") {
+    import graft.ext.NearDup
+    val d = sf("sf0.001")
+    val docs = graft.sources.Tables.documents(spark, d)
+    val history = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    val expected = NearDup.screenIncrement(
+      NearDup.historyIndex(history).persist(), incoming).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(expected.nonEmpty)
+    // stream the SAME incoming docs through two micro-batches
+    val idx = NearDup.historyIndex(history).persist()
+    val incRows = incoming.select("doc_id", "text").collect()
+      .map(r => Doc(new Timestamp(1000), r.getLong(0), r.getString(1)))
+    val (b1, b2) = incRows.splitAt(incRows.length / 2)
+    val in = MemoryStream[Doc]
+    val got = scala.collection.mutable.Set[(Long, Long, Long, Double)]()
+    val batchIds = scala.collection.mutable.ArrayBuffer[Long]()
+    in.addData(b1.toSeq)
+    val q = StreamOps.screenStream(
+      in.toDF().select("doc_id", "text"), idx,
+      (flagged, id) => {
+        batchIds += id
+        got ++= flagged.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      },
+      tmpDir("ckpt"))
+    q.awaitTermination() // AvailableNow: drains b1 then stops
+    in.addData(b2.toSeq)
+    val q2 = StreamOps.screenStream(
+      in.toDF().select("doc_id", "text"), idx,
+      (flagged, id) => {
+        batchIds += id
+        got ++= flagged.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      },
+      tmpDir("ckpt"))
+    q2.awaitTermination()
+    idx.unpersist()
+    // union of per-batch screens == the one-shot batch screen (screening
+    // is per-doc against static history, so batch boundaries are invisible)
+    assert(got.toSet == expected)
+    assert(batchIds.nonEmpty)
+  }
+
   test("S6: stream-static broadcast join enriches events") {
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
     val in = MemoryStream[Ev]
