@@ -127,6 +127,10 @@ object SparkEntry {
     "q97_zorder_key"       -> (Relational.q97 _),
     "q98_profile"          -> (Relational.q98 _),
     "q99_heavy_keys"       -> (Relational.q99 _),
+    "q100_fuzzy_join"      -> (graft.ext.Entity.q100 _),
+    "q101_funnel"          -> (Relational.q101 _),
+    "q102_retention"       -> (Relational.q102 _),
+    "q103_outliers"        -> (Relational.q103 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -973,6 +977,60 @@ object SparkEntry {
       Seq("event_type", "user_id").map(row)
         .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY \"column\", rank")
     },
+    // q100: fuzzy entity-resolution join — the oracle rebuilds the full
+    // per-brand levenshtein pair set (no blocking), so a hash match
+    // proves the engine's length-band blocking is lossless. Orientation:
+    // longer name (or lexically larger at equal length) is side a.
+    "q100_fuzzy_join" ->
+      ("WITH p AS (SELECT p_partkey, p_brand, p_name, LENGTH(p_name) AS len FROM part) " +
+        "SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.p_brand AS brand, " +
+        "a.p_name AS name_a, b.p_name AS name_b, " +
+        "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist " +
+        "FROM p a JOIN p b ON a.p_brand = b.p_brand " +
+        "AND (a.len > b.len OR (a.len = b.len AND a.p_name < b.p_name)) " +
+        "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2 " +
+        "ORDER BY key_a, key_b"),
+    // q101: funnel — greedy-earliest chain as three CTE min-aggs;
+    // epoch-micros comparisons (the q37 convention).
+    "q101_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events), " +
+        "v AS (SELECT user_id, MIN(tsu) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, MIN(tsu) AS t2 FROM e JOIN v USING (user_id) " +
+        "WHERE event_type = 'click' AND tsu > t1 AND tsu <= t1 + 3600000000 GROUP BY e.user_id), " +
+        "pu AS (SELECT e.user_id, MIN(tsu) AS t3 FROM e JOIN c USING (user_id) " +
+        "WHERE event_type = 'purchase' AND tsu > t2 AND tsu <= t2 + 86400000000 GROUP BY e.user_id) " +
+        "SELECT step_no, step, n_users, " +
+        "ROUND(CAST(n_users AS DOUBLE) / (SELECT COUNT(*) FROM v), 6) AS rate FROM (" +
+        "SELECT CAST(1 AS INT) AS step_no, 'view' AS step, (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_users " +
+        "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c) " +
+        "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM pu)) t " +
+        "ORDER BY step_no"),
+    // q102: retention cohorts — day-granular first-activity cohorts,
+    // conditional distinct counts at fixed offsets.
+    "q102_retention" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT user_id, day FROM e) " +
+        "SELECT cohort_day, CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users, " +
+        "CAST(COUNT(DISTINCT CASE WHEN day = cohort_day + 1 THEN f.user_id END) AS BIGINT) AS d1, " +
+        "CAST(COUNT(DISTINCT CASE WHEN day = cohort_day + 7 THEN f.user_id END) AS BIGINT) AS d7, " +
+        "CAST(COUNT(DISTINCT CASE WHEN day = cohort_day + 14 THEN f.user_id END) AS BIGINT) AS d14 " +
+        "FROM f JOIN a ON f.user_id = a.user_id " +
+        "GROUP BY cohort_day ORDER BY cohort_day"),
+    // q103: z-score outliers — moments as EXACT decimal sums (order-
+    // free), then one identical IEEE expression on both engines; see
+    // Relational.zScoreOutliers' determinism note.
+    "q103_outliers" ->
+      ("WITH e AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS v FROM events), " +
+        "s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS sv, SUM(v * v) AS sq " +
+        "FROM e GROUP BY event_type) " +
+        "SELECT event_id, e.event_type, CAST(v AS DOUBLE) AS value, " +
+        "ROUND((CAST(v AS DOUBLE) - CAST(sv AS DOUBLE) / n) / " +
+        "sqrt((CAST(sq AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / (n - 1)), 6) AS z " +
+        "FROM e JOIN s ON e.event_type = s.event_type " +
+        "WHERE ABS((CAST(v AS DOUBLE) - CAST(sv AS DOUBLE) / n) / " +
+        "sqrt((CAST(sq AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / (n - 1))) > 2.5 " +
+        "ORDER BY event_id"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -918,4 +918,135 @@ object Relational {
   def q99(s: SparkSession, d: String): DataFrame =
     heavyKeys(Tables.events(s, d), Seq("event_type", "user_id"))
       .orderBy("column", "rank")
+
+  /** Ordered-step funnel with per-step deadlines — the product-analytics
+    * sequence query (view → click within 1 h → purchase within 24 h),
+    * greedy-earliest semantics: a user completes step k at the EARLIEST
+    * event of that type strictly after their step-(k−1) completion and
+    * within that step's window. Greedy-earliest is the standard funnel
+    * contract and makes each step a pure `min` aggregation — which is
+    * what keeps the plan scale-safe: per step, one filtered scan, one
+    * equi-join against the (users-sized, shrinking) previous-step
+    * frame, one map-side-combined min. No per-user event sorting, no
+    * window over the raw stream, no pattern-automaton state. Steps
+    * chain left-to-right, so k steps cost k filtered passes (each
+    * pushed to the scan as an event_type filter) — at 100 TB each pass
+    * reads one type's partition slice if events are written partitioned
+    * by type/day (layoutZOrder territory).
+    *
+    * Timestamps compared as epoch micros (the q37/q38 convention).
+    * Returns per-user completion times: (user_id, t1..tk). */
+  def funnelUsers(ev: DataFrame, steps: Seq[(String, Long)]): DataFrame = {
+    val typed = ev.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tsu"))
+    val entry = typed.filter(col("event_type") === steps.head._1)
+      .groupBy("user_id").agg(min("tsu").as("t1"))
+    steps.tail.zipWithIndex.foldLeft(entry) {
+      case (prev, ((etype, windowUs), i)) =>
+        val k = i + 2
+        val comp = typed.filter(col("event_type") === etype)
+          .join(prev.select(col("user_id"), col(s"t${k - 1}")), "user_id")
+          .filter(col("tsu") > col(s"t${k - 1}") &&
+            col("tsu") <= col(s"t${k - 1}") + lit(windowUs))
+          .groupBy("user_id").agg(min("tsu").as(s"t$k"))
+        prev.join(comp, Seq("user_id"), "left")
+    }
+  }
+
+  /** Q101 — funnel report under the ORACLE gate: step counts and
+    * conversion-vs-entry rates for view → click (1 h) → purchase
+    * (24 h) over the events table. DuckDB rebuilds the same greedy
+    * chain as three CTE min-aggregations. The per-step counts reduce
+    * to ONE count-non-null aggregation row (a single action); the
+    * 3-row report frame is assembled on the driver from those scalars
+    * — report-sized, not data-sized. */
+  def q101(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val steps = Seq(("view", 0L), ("click", 3600L * 1000000),
+      ("purchase", 86400L * 1000000))
+    val users = funnelUsers(ev, steps)
+    val row = users.agg(
+      count(col("t1")).as("c1"), count(col("t2")).as("c2"),
+      count(col("t3")).as("c3")).head()
+    val counts = steps.zipWithIndex.map { case ((etype, _), i) =>
+      (i + 1, etype, row.getLong(i))
+    }
+    val entry = counts.head._3.toDouble
+    val spark = s
+    import spark.implicits._
+    counts.toDF("step_no", "step", "n_users")
+      .withColumn("step_no", col("step_no").cast("int"))
+      .withColumn("rate", round(col("n_users") / lit(entry), 6))
+      .orderBy("step_no")
+  }
+
+  /** Cohort retention — users grouped by first-active day, re-activity
+    * measured at fixed day offsets. Two aggregations over ONE base
+    * projection: first-day per user (map-side-combined min), distinct
+    * (user, day) activity, equi-join on user_id, then a conditional
+    * count-distinct per cohort. The events stream never self-joins;
+    * the joined frame is |distinct user-days|, orders of magnitude
+    * below raw events at 100 TB (and the countDistinct is over user_id
+    * within cohort — bounded by cohort size, Spark expands it to an
+    * extra aggregate pass, not a memory-resident set). */
+  def retention(ev: DataFrame, offsets: Seq[Int]): DataFrame = {
+    val days = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val act = days.distinct()
+    val aggs = countDistinct(col("user_id")).as("n_users") +:
+      offsets.map(o => countDistinct(
+        when(datediff(col("day"), col("cohort_day")) === o, col("user_id")))
+        .as(s"d$o"))
+    first.join(act, "user_id")
+      .groupBy("cohort_day")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Q102 — retention report under the ORACLE gate: per cohort day,
+    * cohort size and day-1/7/14 retained-user counts. */
+  def q102(s: SparkSession, d: String): DataFrame =
+    retention(Tables.events(s, d), Seq(1, 7, 14))
+      .orderBy("cohort_day")
+
+  /** Per-group z-score outlier flagging — the numeric-column anomaly
+    * audit (the events-stream cousin of the text quality cuts). The
+    * cross-engine determinism problem is the MOMENTS: a raw double
+    * `avg`/`stddev` sums in partition order, so two engines (or two
+    * runs) disagree in the last ulp and a knife-edge row flips the
+    * filter. Doctrine (q24's decimal trick extended to second moments):
+    * quantize the input once to DECIMAL(18,6) — deterministic per
+    * value — then Σv and Σv² are EXACT decimal sums (order-free);
+    * mean/variance/z are computed from those two scalars with an
+    * identical IEEE expression on both engines, so every double bit
+    * matches. Variance via the two-pass-free identity
+    * (Σv² − (Σv)²/n)/(n−1) — numerically safe here because the exact
+    * decimal sums absorb what catastrophic cancellation would lose in
+    * floating partial sums. Scale: one map-side-combined agg per group
+    * (3 scalars), broadcast back, narrow filter — the stream never
+    * shuffles. */
+  def zScoreOutliers(
+      ev: DataFrame, groupCol: String, valueCol: String,
+      threshold: Double): DataFrame = {
+    val base = ev.withColumn("v", col(valueCol).cast("decimal(18,6)"))
+    val stats = base.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).as("sv"),
+      sum(col("v") * col("v")).as("sq"))
+    val svd = col("sv").cast("double"); val sqd = col("sq").cast("double")
+    base.join(broadcast(stats), groupCol)
+      .withColumn("mean", svd / col("n"))
+      .withColumn("varr", (sqd - svd * svd / col("n")) / (col("n") - 1))
+      .withColumn("z", (col("v").cast("double") - col("mean")) / sqrt(col("varr")))
+      .filter(abs(col("z")) > threshold)
+  }
+
+  /** Q103 — z-score outliers under the ORACLE gate: events whose value
+    * sits beyond 2.5σ of their event_type's distribution (the fixture's
+    * value column is exponential-ish, so ~1.5% of rows flag). DuckDB
+    * recomputes the identical decimal moments and IEEE expression. */
+  def q103(s: SparkSession, d: String): DataFrame =
+    zScoreOutliers(Tables.events(s, d), "event_type", "value", 2.5)
+      .select(col("event_id"), col("event_type"),
+        col("v").cast("double").as("value"), round(col("z"), 6).as("z"))
+      .orderBy("event_id")
 }

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Contracts for the r11 analytics batch: fuzzy entity resolution
+  * (q100), funnel (q101), retention (q102), z-score outliers (q103).
+  * The DuckDB hash gate proves fixture equivalence; these pin the
+  * SEMANTIC contracts on handcrafted frames where the expected answer
+  * is enumerable by eye. */
+class EntityAnalyticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- q100 fuzzy join ----
+
+  private def recs(rows: (Long, String, String)*) =
+    rows.toDF("p_partkey", "p_brand", "p_name")
+
+  test("fuzzy blocking is lossless across length bands, each pair once") {
+    // dist("ab","abcd")=2 spans a 2-length band; dist("ab","abc")=1;
+    // dist("abc","abd")=1 equal-length; "zz" is blocked off by brand.
+    val df = recs(
+      (1, "B1", "ab"), (2, "B1", "abc"), (3, "B1", "abcd"),
+      (4, "B1", "abd"), (5, "B2", "zz"))
+    val pairs = graft.ext.Entity
+      .fuzzyNamePairs(df, "p_brand", "p_name", maxDist = 2)
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // every unordered pair within dist 2, oriented longer-first
+    // (lexically-SMALLER-first at equal length, matching the oracle),
+    // exactly once
+    assert(pairs == Set(
+      ("abc", "ab"), ("abcd", "abc"), ("abd", "ab"),
+      ("abc", "abd"),          // equal length, "abc" < "abd"
+      ("abcd", "abd"),         // dist 1 (insert "c")
+      ("abcd", "ab")))         // dist 2, 2-length band
+  }
+
+  test("fuzzy join fans name pairs out to record level within the block") {
+    val df = recs(
+      (1, "B1", "red gear"), (2, "B1", "red gear"),
+      (3, "B1", "red bear"), (4, "B2", "red bear"))
+    val out = graft.ext.Entity
+      .fuzzyJoin(df, "p_brand", "p_name", "p_partkey", maxDist = 2)
+      .select("key_a", "key_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // "red bear" < "red gear" at equal length -> side a is "red bear"
+    // (record 3); records {1,2} carry "red gear" on side b. The
+    // identical-name pair (1,2) is exact-dup territory, excluded;
+    // record 4 is in another block.
+    assert(out == Set((3L, 1L), (3L, 2L)))
+  }
+
+  // ---- q101 funnel ----
+
+  private def ev(rows: (Long, String, Long)*) =
+    rows.toDF("user_id", "event_type", "sec")
+      .select(col("user_id"), col("event_type"),
+        timestamp_seconds(col("sec")).as("ts"),
+        lit(0.0).as("value"), monotonically_increasing_id().as("event_id"))
+
+  test("funnel is greedy-earliest with per-step deadlines") {
+    val h = 3600L
+    val steps = Seq(("view", 0L), ("click", h * 1000000),
+      ("purchase", 24 * h * 1000000))
+    val events = ev(
+      // u1 completes: view@0, click@100 (≤1h), purchase@200 (≤24h)
+      (1, "view", 0), (1, "click", 100), (1, "purchase", 200),
+      // u2: click BEFORE first view — not a step-2 completion; the
+      // later click is past the 1 h deadline
+      (2, "click", 50), (2, "view", 60), (2, "click", 60 + h + 1),
+      // u3: view then click at deadline boundary (exactly 1h: counts),
+      // purchase 25h after click: too late
+      (3, "view", 0), (3, "click", h), (3, "purchase", h + 25 * h),
+      // u4: purchase only — never enters
+      (4, "purchase", 10))
+    val u = graft.operators.Relational.funnelUsers(events, steps)
+      .orderBy("user_id").collect()
+    assert(u.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byU = u.map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(byU(1L) == (Some(0L), Some(100000000L), Some(200000000L)))
+    assert(byU(2L)._2.isEmpty && byU(2L)._3.isEmpty)
+    assert(byU(3L)._2.contains(h * 1000000) && byU(3L)._3.isEmpty)
+  }
+
+  // ---- q102 retention ----
+
+  test("retention counts exact-offset activity only") {
+    val day = 86400L
+    val events = ev(
+      // u1 first on day 0, active day 1 and day 7
+      (1, "view", 0), (1, "view", day + 5), (1, "view", 7 * day + 5),
+      // u2 first on day 0, active day 2 (counts for nothing)
+      (2, "view", 10), (2, "view", 2 * day),
+      // u3 first on day 1, active day 8 (= its day 7)
+      (3, "view", day + 1), (3, "view", 8 * day))
+    val r = graft.operators.Relational.retention(events, Seq(1, 7, 14))
+      .orderBy("cohort_day").collect()
+    assert(r.length == 2)
+    // cohort day0: 2 users, d1 = {u1}, d7 = {u1}, d14 = {}
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+      == ((2L, 1L, 1L, 0L)))
+    // cohort day1: 1 user, d7 = {u3}
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3), r(1).getLong(4))
+      == ((1L, 0L, 1L, 0L)))
+  }
+
+  // ---- q103 outliers ----
+
+  test("z-score outliers flag exactly the planted spike, z exact") {
+    // group of 11: ten 10.0s and one 100.0 -> mean ≈ 18.18, the spike
+    // sits at z ≈ 3.02, the 10.0s at z ≈ -0.30
+    val df = ((1 to 10).map(i => (i.toLong, "a", 10.0)) :+ ((11L, "a", 100.0)))
+      .toDF("event_id", "event_type", "value")
+    val out = graft.operators.Relational
+      .zScoreOutliers(df, "event_type", "value", 2.5)
+      .select("event_id", "z").collect()
+    assert(out.length == 1 && out.head.getLong(0) == 11L)
+    // exact arithmetic over the decimal moments: n=11, S=200, Q=11000
+    val n = 11.0; val sv = 200.0; val sq = 11000.0
+    val mean = sv / n
+    val varr = (sq - sv * sv / n) / (n - 1)
+    assert(out.head.getDouble(1) == (100.0 - mean) / math.sqrt(varr))
+  }
+}
