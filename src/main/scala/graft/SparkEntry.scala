@@ -131,6 +131,7 @@ object SparkEntry {
     "q101_funnel"          -> (Relational.q101 _),
     "q102_retention"       -> (Relational.q102 _),
     "q103_outliers"        -> (Relational.q103 _),
+    "q104_normalize"       -> (TextOps.q104 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1031,6 +1032,18 @@ object SparkEntry {
         "WHERE ABS((CAST(v AS DOUBLE) - CAST(sv AS DOUBLE) / n) / " +
         "sqrt((CAST(sq AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / (n - 1))) > 2.5 " +
         "ORDER BY event_id"),
+    // q104: normalization — DuckDB's own UAX#15 nfc_normalize + RE2
+    // chain rebuilds the normalized text and fingerprint (explicit
+    // whitespace classes, not \s — Java/RE2 disagree on U+000B).
+    "q104_normalize" ->
+      ("WITH n AS (SELECT doc_id, text, " +
+        "trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)), " +
+        "'[^a-z0-9 \\t\\n\\r\\f]', '', 'g'), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS norm " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_raw, " +
+        "CAST(LENGTH(norm) AS BIGINT) AS n_norm, " +
+        "substring(norm, 1, 24) AS prefix, md5(norm) AS fp " +
+        "FROM n ORDER BY doc_id"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -35,13 +35,14 @@ object Sessions {
       .config("spark.ui.enabled", "false")
 
   /** Local session for the CLI mains and tests. Installs the graft
-    * extensions (native `vec_dot`/`vec_norm` Catalyst expressions);
-    * external deployments get the same via
+    * extensions (native `vec_dot`/`vec_norm`/`nfc_normalize` Catalyst
+    * expressions); external deployments get the same via
     * `spark.sql.extensions=graft.functions.GraftExtensions`. */
   def local(cpus: Int, appName: String = "graft"): SparkSession =
     configure(
       SparkSession.builder().master(s"local[$cpus]").appName(appName)
-        .withExtensions(graft.functions.VectorExpressions.install),
+        .withExtensions(graft.functions.VectorExpressions.install)
+        .withExtensions(graft.functions.TextExpressions.install),
       cpus).getOrCreate()
 
   /** Cores requested via env (driver contract), default 4. */

@@ -1452,4 +1452,44 @@ object TextOps {
   /** Q95 — novelty report over the documents table, oracle-gated. */
   def q95(s: SparkSession, d: String): DataFrame =
     novelty(graft.sources.Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Canonical text normalization — step ZERO of every dedup pipeline:
+    * Unicode NFC composition (the native `nfc_normalize` Catalyst
+    * expression, [[graft.functions.TextExpressions]] — "café" with a
+    * combining accent and precomposed "café" must fingerprint
+    * identically or q25/q33-class exact dedup silently splits equal
+    * texts), then lowercase, strip everything outside [a-z0-9
+    * whitespace], collapse whitespace runs, trim. Character classes
+    * are written out explicitly (`[ \t\n\r\f]`) instead of `\s` — Java
+    * regex and DuckDB's RE2 disagree on `\s` membership (U+000B), the
+    * q67 portable-regex doctrine.
+    *
+    * Scale: a narrow map fused into the scan — no shuffle, no UDF; the
+    * NFC fast path (`isNormalized` pre-check) makes already-ASCII rows
+    * allocation-free. Emits the normalized text plus its md5
+    * fingerprint (the 16-byte dedup shuffle key, q33's contract). */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = trim(
+      regexp_replace(
+        regexp_replace(
+          lower(call_function("nfc_normalize", col(textCol))),
+          "[^a-z0-9 \\t\\n\\r\\f]", ""),
+        "[ \\t\\n\\r\\f]+", " "))
+    docs.withColumn("norm", norm)
+      .withColumn("fp", md5(col("norm").cast("binary")))
+  }
+
+  /** Q104 — normalization under the ORACLE gate: per-doc raw/normalized
+    * lengths, a 24-char normalized prefix, and the md5 fingerprint,
+    * DuckDB recomputing all four through its own `nfc_normalize` +
+    * RE2 chain (the fingerprint crosses the two NFC implementations;
+    * real composition work is pinned on non-ASCII frames in
+    * TextAnalysisSpec — the fixture corpus is ASCII, where NFC is
+    * identity by fast path). */
+  def q104(s: SparkSession, d: String): DataFrame =
+    normalizeText(Tables.documents(s, d))
+      .select(col("doc_id"), length(col("text")).cast("bigint").as("n_raw"),
+        length(col("norm")).cast("bigint").as("n_norm"),
+        substring(col("norm"), 1, 24).as("prefix"), col("fp"))
+      .orderBy("doc_id")
 }

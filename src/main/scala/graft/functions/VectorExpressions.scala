@@ -152,6 +152,8 @@ object VectorExpressions {
 
 /** `spark.sql.extensions`-compatible entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     VectorExpressions.install(e)
+    TextExpressions.install(e)
+  }
 }

@@ -605,4 +605,32 @@ class TextAnalysisSpec extends SparkSpec {
       assert(pg.split(",").length <= 50)
     }
   }
+
+  test("nfc_normalize composes combining marks (q104 expression contract)") {
+    // decomposed: e + COMBINING ACUTE (U+0065 U+0301); precomposed: U+00E9
+    val decomposed = "cafe\u0301 au lait"
+    val precomposed = "caf\u00e9 au lait"
+    assert(decomposed != precomposed) // byte-different inputs...
+    import spark.implicits._
+    val out = Seq(Tuple1(decomposed), Tuple1(precomposed)).toDF("s")
+      .selectExpr("nfc_normalize(s) AS n").collect()
+    assert(out(0).getString(0) == precomposed) // ...compose to NFC
+    assert(out(1).getString(0) == precomposed) // already-NFC is identity
+  }
+
+  test("normalizeText fingerprints NFC-equal texts identically") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "cafe\u0301 du \t monde"), // decomposed + whitespace run
+      (2L, "Caf\u00e9 du monde!"),     // precomposed + case + punct
+      (3L, "tea house"))                // distinct content
+      .toDF("doc_id", "text")
+    val r = TextOps.normalizeText(df).select("doc_id", "norm", "fp")
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getString(2))).toMap
+    // e\u0301 composes to \u00e9, which is outside [a-z0-9 ] and is
+    // stripped — both spellings normalize to the same bytes, hence ONE
+    // fingerprint for byte-different inputs
+    assert(r(1L)._1 == "caf du monde" && r(1L) == r(2L))
+    assert(r(3L)._2 != r(1L)._2)
+  }
 }
