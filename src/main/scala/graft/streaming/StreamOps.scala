@@ -8,6 +8,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class UserSessionState(nEvents: Long, startMs: Long, lastMs: Long)
 case class ClosedSession(user_id: Long, n_events: Long, start_ms: Long, end_ms: Long)
 
+/** S14 funnel state: per-user step completion times (ms; -1 = open). */
+case class FunnelProgress(times: Array[Long])
+case class FunnelHit(user_id: Long, step_no: Int, step: String, ts_ms: Long)
+
 /** The declared streaming operator surface S2–S7 (SURVEY.md §2.4) —
   * event-time upgrades of the reference's processing-time-only design.
   * Each takes a (streaming or batch) DataFrame with the events schema
@@ -256,6 +260,67 @@ object StreamOps {
         unix_micros(col("vts")).as("vts_us"), unix_micros(col("cts")).as("cts_us"))
       .orderBy("view_id", "click_id")
       .limit(500)
+  }
+
+  /** S14 (r11) — streaming funnel: the real-time form of the batch
+    * q101 (`Relational.funnelUsers`) — per user, detect completion of
+    * an ordered step sequence (view → click ≤ w₂ → purchase ≤ w₃ …)
+    * and EMIT each step completion exactly once, as it happens. This
+    * is conversion tracking as a stream: the thing the batch form
+    * answers tomorrow, this answers while the session is live.
+    *
+    * Semantics: greedy-earliest, matching the batch contract — step k
+    * completes at the first event of its type STRICTLY after step k−1's
+    * completion and within that step's window (same-timestamp events
+    * resolve in step order, the batch `tsu > t` strictness). Each
+    * micro-batch's rows are sorted by event time first, so intra-batch
+    * disorder is invisible; CROSS-batch late data is the documented
+    * streaming tradeoff: state holds completion times only (k longs),
+    * never an event buffer, so an event older than an already-recorded
+    * completion cannot retroactively improve it — under in-order
+    * per-user delivery (Kafka key-partitioning by user gives exactly
+    * this) the stream result EQUALS the batch result, pinned in
+    * StreamingSpec's parity test.
+    *
+    * Scale posture: state is k longs per user with a funnel still open
+    * — keyed-partitioned, fixed-size per key, Append output; idle-key
+    * eviction past the last step's deadline is an EventTimeTimeout
+    * add-on (the S10 pattern) when user cardinality demands it. */
+  def funnelStream(
+      events: DataFrame,
+      steps: Seq[(String, Long)],
+      watermark: String = "10 seconds"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val stepIdx = steps.map(_._1).zipWithIndex.toMap
+    val windowsMs = steps.map(_._2).toArray
+    val k = steps.length
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[FunnelProgress]) =>
+          val t = state.getOption.map(_.times.clone())
+            .getOrElse(Array.fill(k)(-1L))
+          val evs = rows.collect {
+            case (_, et, ts) if stepIdx.contains(et) => (ts.getTime, stepIdx(et))
+          }.toArray.sortBy(identity)
+          var emitted = List.empty[FunnelHit]
+          evs.foreach { case (tm, i) =>
+            if (t(i) < 0) {
+              val ok = i == 0 ||
+                (t(i - 1) >= 0 && tm > t(i - 1) && tm <= t(i - 1) + windowsMs(i))
+              if (ok) {
+                t(i) = tm
+                emitted ::= FunnelHit(uid, i + 1, steps(i)._1, tm)
+              }
+            }
+          }
+          state.update(FunnelProgress(t))
+          emitted.reverse.iterator
+      }.toDF()
   }
 
   def statefulSessions(events: DataFrame, gapMs: Long = 30000L,

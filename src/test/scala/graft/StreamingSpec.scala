@@ -157,6 +157,43 @@ class StreamingSpec extends SparkSpec {
     assert(batchIds.nonEmpty)
   }
 
+  test("S14: streaming funnel emits each completion once, equals batch funnel in-order") {
+    val steps = Seq(("view", 0L), ("click", 3600L * 1000), ("purchase", 24 * 3600L * 1000))
+    val in = MemoryStream[Ev]
+    // batch 1 — u1: view@10, click@20; u2: click@5 (pre-view: no credit)
+    in.addData(ev(10, "view", 1), ev(20, "click", 2), ev(5, "click", 3, user = 2))
+    val out = StreamOps.funnelStream(in.toDF(), steps)
+    val q = out.writeStream.format("memory").queryName("s14").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    q.processAllAvailable()
+    val afterB1 = spark.table("s14").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet
+    assert(afterB1 == Set((1L, 1, 10000L), (1L, 2, 20000L))) // u2 blocked
+    // batch 2 — u1: purchase@30 completes; u2: intra-batch disorder
+    // (click@40 arrives before view@50 in the SAME batch → event-time
+    // sort refuses it; click@55 after the view qualifies)
+    in.addData(ev(30, "purchase", 4), ev(50, "view", 5, user = 2),
+      ev(40, "click", 6, user = 2), ev(55, "click", 7, user = 2))
+    q.processAllAvailable(); q.stop()
+    val hits = spark.table("s14").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(hits == Set(
+      (1L, 1, "view", 10000L), (1L, 2, "click", 20000L), (1L, 3, "purchase", 30000L),
+      (2L, 1, "view", 50000L), (2L, 2, "click", 55000L)))
+    // batch parity: the same rows through Relational.funnelUsers (micros)
+    // produce exactly the streamed completion times
+    val allRows = Seq(ev(10, "view", 1), ev(20, "click", 2), ev(5, "click", 3, user = 2),
+      ev(30, "purchase", 4), ev(50, "view", 5, user = 2),
+      ev(40, "click", 6, user = 2), ev(55, "click", 7, user = 2))
+    val batchSteps = steps.map { case (n, w) => (n, w * 1000) } // ms → us
+    val batch = graft.operators.Relational
+      .funnelUsers(allRows.toDF(), batchSteps).collect()
+      .flatMap(r => (1 to 3).flatMap(i =>
+        if (r.isNullAt(i)) None else Some((r.getLong(0), i, r.getLong(i)))))
+      .toSet
+    assert(batch == hits.map(h => (h._1, h._2, h._4 * 1000)))
+  }
+
   test("S6: stream-static broadcast join enriches events") {
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
     val in = MemoryStream[Ev]
