@@ -132,6 +132,10 @@ object SparkEntry {
     "q102_retention"       -> (Relational.q102 _),
     "q103_outliers"        -> (Relational.q103 _),
     "q104_normalize"       -> (TextOps.q104 _),
+    "q105_entity_clusters" -> (graft.operators.Graph.q105 _),
+    "q106_pivot"           -> (Relational.q106 _),
+    "q107_gap_fill"        -> (Relational.q107 _),
+    "q108_concurrency"     -> (Relational.q108 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1044,6 +1048,65 @@ object SparkEntry {
         "CAST(LENGTH(norm) AS BIGINT) AS n_norm, " +
         "substring(norm, 1, 24) AS prefix, md5(norm) AS fp " +
         "FROM n ORDER BY doc_id"),
+    // q105: entity clusters — reachability via recursive CTE: base
+    // labels every node with itself, the step flows labels across
+    // edges (both directions enumerated by the symmetric a<>b join),
+    // UNION dedups states so the fixpoint is finite; MIN per node is
+    // the component id. Hash-matching the engine's iterative min-label
+    // propagation proves both compute the same transitive closure.
+    "q105_entity_clusters" ->
+      ("WITH RECURSIVE pv AS (SELECT DISTINCT p_brand, p_name FROM part), " +
+        "nodes AS (SELECT p_brand, p_name, p_brand || '|' || p_name AS id FROM pv), " +
+        "e0 AS (SELECT a.p_brand || '|' || a.p_name AS src, " +
+        "a.p_brand || '|' || b.p_name AS dst " +
+        "FROM pv a JOIN pv b ON a.p_brand = b.p_brand AND a.p_name <> b.p_name " +
+        "WHERE levenshtein(a.p_name, b.p_name) <= 2), " +
+        "reach(id, label) AS (" +
+        "SELECT id, id FROM nodes " +
+        "UNION " +
+        "SELECT e0.dst, r.label FROM reach r JOIN e0 ON e0.src = r.id) " +
+        "SELECT n.p_brand AS brand, n.p_name AS name, MIN(r.label) AS cluster " +
+        "FROM nodes n JOIN reach r ON n.id = r.id " +
+        "GROUP BY n.p_brand, n.p_name ORDER BY brand, name"),
+    // q106: pivot — the wide matrix as portable conditional aggregation.
+    "q106_pivot" ->
+      ("SELECT user_id, " +
+        Seq("click", "error", "purchase", "signup", "view").map(t =>
+          s"CAST(COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS $t")
+          .mkString(", ") +
+        " FROM events GROUP BY user_id ORDER BY user_id"),
+    // q107: gap-fill — generate_series spine × distinct groups, LEFT
+    // join facts, zero-coalesce.
+    "q107_gap_fill" ->
+      ("WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events WHERE value > 300), " +
+        "c AS (SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY day, event_type), " +
+        "span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e), " +
+        "spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span), " +
+        "g AS (SELECT DISTINCT event_type FROM e) " +
+        "SELECT spine.day AS day, g.event_type, COALESCE(c.cnt, 0) AS cnt " +
+        "FROM spine CROSS JOIN g " +
+        "LEFT JOIN c ON c.day = spine.day AND c.event_type = g.event_type " +
+        "ORDER BY spine.day, g.event_type"),
+    // q108: interval concurrency — q38's sessions swept with ONE
+    // ordered window (the oracle may globally sort; the engine must
+    // not). [start, close) semantics via the (t, delta) sort, -1 first.
+    "q108_concurrency" ->
+      ("WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu FROM events), " +
+        "m AS (SELECT user_id, tsu, CASE WHEN LAG(tsu) OVER w IS NULL " +
+        "OR tsu - LAG(tsu) OVER w > 43200000000 THEN 1 ELSE 0 END AS ns " +
+        "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsu)), " +
+        "sid AS (SELECT user_id, tsu, SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM m), " +
+        "sess AS (SELECT user_id, sid, MIN(tsu) AS start_us, " +
+        "MAX(tsu) + 43200000000 AS close_us FROM sid GROUP BY user_id, sid), " +
+        "d AS (SELECT start_us AS t, 1 AS delta FROM sess " +
+        "UNION ALL SELECT close_us, -1 FROM sess), " +
+        "r AS (SELECT t, delta, SUM(delta) OVER (ORDER BY t, delta " +
+        "ROWS UNBOUNDED PRECEDING) AS live FROM d) " +
+        "SELECT CAST(MAX(live) AS BIGINT) AS max_concurrent, " +
+        "MIN(CASE WHEN delta = 1 THEN t END) AS first_start, " +
+        "CAST(COUNT(CASE WHEN delta = 1 THEN 1 END) AS BIGINT) AS n_intervals " +
+        "FROM r"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

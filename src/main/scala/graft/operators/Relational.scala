@@ -1049,4 +1049,108 @@ object Relational {
       .select(col("event_id"), col("event_type"),
         col("v").cast("double").as("value"), round(col("z"), 6).as("z"))
       .orderBy("event_id")
+
+  /** Q106 — PIVOT under the ORACLE gate: the long→wide reshape
+    * (per-user event-type count matrix) through Spark's native
+    * `RelationalGroupedDataset.pivot`. The value list is passed
+    * EXPLICITLY — with it, pivot is a single aggregation pass whose
+    * output columns are fixed at plan time; without it Spark runs an
+    * extra distinct-collect job to discover them and the plan depends
+    * on data order (the documented pivot scale trap — never omit the
+    * values at 100 TB). DuckDB rebuilds the same matrix as portable
+    * conditional aggregation. Missing cells are 0 (coalesce — a count
+    * of nothing, not null). */
+  def q106(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(s, d)
+      .groupBy("user_id").pivot("event_type", types).count()
+    types.foldLeft(wide)((df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy("user_id")
+  }
+
+  /** Time-series densification (gap-fill): complete a sparse per-day
+    * per-group count table over the FULL day span — missing (day,
+    * group) cells become explicit zeros. The warehouse shape every
+    * dashboard/forecast needs (a gap in a time series is data, not
+    * absence). Spine = sequence(min_day, max_day) exploded (one row
+    * per day, built from a 1-row aggregate — no generator table scan)
+    * crossed with the distinct group values: the cross join is
+    * declared-small × small (days × groups; both sides broadcast
+    * tier), then one LEFT join against the aggregated facts — the
+    * fact stream itself never re-shuffles beyond its one count agg. */
+  def gapFill(ev: DataFrame, groupCol: String): DataFrame = {
+    val days = ev.select(to_date(col("ts")).as("day"), col(groupCol))
+    val counts = days.groupBy("day", groupCol).agg(count(lit(1)).as("cnt"))
+    val span = days.agg(min("day").as("d0"), max("day").as("d1"))
+    val spine = span.select(
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val groups = days.select(groupCol).distinct()
+    spine.crossJoin(broadcast(groups))
+      .join(counts, Seq("day", groupCol), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+  }
+
+  /** Q107 — gap-fill under the ORACLE gate, over a SPARSE slice (events
+    * with value > 300 — ~30 rows at sf0.01, so most (day, type) cells
+    * are genuinely zero and the spine does real work; the unfiltered
+    * table would fill every cell and gate nothing). DuckDB rebuilds
+    * the spine with generate_series. */
+  def q107(s: SparkSession, d: String): DataFrame =
+    gapFill(Tables.events(s, d).filter(col("value") > 300), "event_type")
+      .orderBy("day", "event_type")
+
+  /** Interval concurrency — the sweep-line maximum-overlap query (how
+    * many sessions are open at once, the capacity-planning number).
+    * Each interval becomes a +1 delta at start and a −1 at end
+    * ([start, end) semantics: at an exact end==start instant the end
+    * applies first — deltas sort (t, delta) with −1 < +1, identically
+    * in both engines); the running delta sum is the live-interval
+    * count and its max over the sweep is the answer.
+    *
+    * Scale: the naive form is ONE global ordered window — a
+    * single-partition sort, the anti-pattern this repo's plan audit
+    * flags. Here the running sum is two-phase (the q63 distributed
+    * prefix-sum doctrine): range-repartition deltas by time, compute
+    * per-partition running sums and per-partition totals, broadcast
+    * the (≤ parallelism)-row totals as offsets, add. Each partition's
+    * max of (offset + local running) is a partial; the global row is
+    * the max of ≤ P partials — no global sort ever happens. */
+  def maxConcurrency(intervals: DataFrame, startCol: String,
+      endCol: String): DataFrame = {
+    val deltas = intervals
+      .select(col(startCol).as("t"), lit(1L).as("delta"))
+      .union(intervals.select(col(endCol).as("t"), lit(-1L).as("delta")))
+      .repartitionByRange(col("t"), col("delta"))
+      .sortWithinPartitions("t", "delta")
+      .withColumn("pid", spark_partition_id())
+    val local = Window.partitionBy("pid").orderBy("t", "delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runLocal = deltas
+      .withColumn("run_local", sum("delta").over(local))
+    val offsets = runLocal.groupBy("pid")
+      .agg(sum("delta").as("ptot"))
+      .withColumn("offset",
+        coalesce(sum("ptot").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "offset")
+    runLocal.join(broadcast(offsets), "pid")
+      .withColumn("live", col("run_local") + col("offset"))
+      .agg(max("live").as("max_concurrent"),
+        min(when(col("delta") === 1, col("t"))).as("first_start"),
+        count(when(col("delta") === 1, lit(1))).as("n_intervals"))
+  }
+
+  /** Q108 — concurrency under the ORACLE gate: maximum simultaneously-
+    * open q38 sessions (12 h gap splits) across the fixture month,
+    * with epoch-micros interval endpoints ([start, last_event + gap) —
+    * a session is live until its gap would have closed it). DuckDB
+    * sweeps the same deltas with one ordered window. */
+  def q108(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 12L * 3600 * 1000000
+    val sessions = q38(s, d)
+      .select(col("start_us"), (col("end_us") + gapUs).as("close_us"))
+    maxConcurrency(sessions, "start_us", "close_us")
+  }
 }

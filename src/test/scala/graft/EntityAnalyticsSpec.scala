@@ -106,6 +106,75 @@ class EntityAnalyticsSpec extends SparkSpec {
       == ((1L, 0L, 1L, 0L)))
   }
 
+  // ---- q105 connected components ----
+
+  test("connectedComponents: chains, separate components, deep path convergence") {
+    // component 1: a-b-c-d (a 3-edge PATH — min label must walk the
+    // diameter, exercising >1 iteration); component 2: x-y
+    val edges = Seq(("b", "a"), ("b", "c"), ("c", "d"), ("x", "y"))
+      .toDF("src", "dst")
+    val cc = graft.operators.Graph.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
+  test("q105 clusters are transitive closures of q100 pairs, singletons intact") {
+    val d = sf("sf0.001")
+    val rows = SparkEntry.queries("q105_entity_clusters")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // every (brand,name) appears exactly once
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+    // the cluster id is a member of its own cluster (closure is rooted)
+    val byCluster = rows.groupBy(t => (t._1, t._3))
+    byCluster.foreach { case ((brand, cl), members) =>
+      assert(cl == s"$brand|${cl.stripPrefix(s"$brand|")}")
+      assert(members.exists(m => s"$brand|${m._2}" == cl),
+        s"cluster id $cl not among its members")
+      // min-label: the id is the smallest member composite
+      assert(members.map(m => s"$brand|${m._2}").min == cl)
+    }
+    // fuzzy pairs land in one cluster: every q100 name pair co-clusters
+    val pairs = graft.ext.Entity.fuzzyNamePairs(
+      graft.sources.Tables.part(spark, d), "p_brand", "p_name", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val clusterOf = rows.map(t => (t._1, t._2) -> t._3).toMap
+    pairs.foreach { case (brand, a, b) =>
+      assert(clusterOf((brand, a)) == clusterOf((brand, b)),
+        s"pair ($a, $b) in brand $brand split across clusters")
+    }
+    assert(pairs.nonEmpty)
+  }
+
+  // ---- q107 gap-fill ----
+
+  test("gapFill emits explicit zeros for missing (day, group) cells") {
+    val events = ev(
+      (1, "view", 0), (1, "click", 10),          // day 0: view+click
+      (1, "view", 2 * 86400L))                   // day 2: view only; day 1 empty
+    val r = graft.operators.Relational.gapFill(events, "event_type")
+      .collect()
+      .map(x => (x.getDate(0).toString, x.getString(1), x.getLong(2))).toSet
+    assert(r == Set(
+      ("1970-01-01", "view", 1L), ("1970-01-01", "click", 1L),
+      ("1970-01-02", "view", 0L), ("1970-01-02", "click", 0L),
+      ("1970-01-03", "view", 1L), ("1970-01-03", "click", 0L)))
+  }
+
+  // ---- q108 concurrency sweep ----
+
+  test("maxConcurrency: overlap count exact, end==start does not double-count") {
+    // [0,10) [5,15) [10,20): at t=5..10 two live; at t=10 the first
+    // CLOSES before the third opens ([start,end)) -> max stays 2
+    val iv = Seq((0L, 10L), (5L, 15L), (10L, 20L)).toDF("s", "e")
+    val r = graft.operators.Relational.maxConcurrency(iv, "s", "e").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.getLong(2) == 3L)
+    // full triple overlap when the third starts inside both
+    val iv2 = Seq((0L, 10L), (5L, 15L), (9L, 20L)).toDF("s", "e")
+    assert(graft.operators.Relational.maxConcurrency(iv2, "s", "e")
+      .head().getLong(0) == 3L)
+  }
+
   // ---- q103 outliers ----
 
   test("z-score outliers flag exactly the planted spike, z exact") {
