@@ -60,7 +60,8 @@ object Bench {
       "q34_ann_topk", "q35_ngram_jaccard", "q47_simhash_pairs",
       "q51_winnow_pairs", "q54_pipeline", "q66_full_pipeline",
       "q72_dedup_best", "q75_pipeline_v2", "q80_pipeline_v3",
-      "q81_knn_join", "q88_pipeline_v4", "q91_dedup_incremental")
+      "q81_knn_join", "q88_pipeline_v4", "q91_dedup_incremental",
+      "q105_entity_clusters")
     val names = SparkEntry.queries.keys.toSeq.sorted
     // optional comma-separated query filter (floor re-measurement of a
     // subset under the full warmup+3-pass protocol without paying for
