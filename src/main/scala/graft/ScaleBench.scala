@@ -241,10 +241,77 @@ object ScaleBench {
     }
   }
 
+  /** Entity-resolution growth (r11): fuzzy join cost must be driven by
+    * the NAME VOCABULARY (deduped before the banded verify), not the
+    * record count — records only pay two equi-joins. The synthetic
+    * corpus grows both: n records over a vocabulary of n/100 names
+    * (8–12 random lowercase letters, id-seeded), every 5-group's
+    * second entry a planted 1-substitution variant of its base (same
+    * brand by construction, brand = (vid/5) % 50), so true pairs grow
+    * ∝ vocab and accidental ≤2-edit pairs among random 8+-letter
+    * strings are ≈0. Watch: pairs_sec growth tracks vocab (sublinear
+    * in records), join_sec tracks records, cc_sec tracks pairs with
+    * the flat per-round job overhead measured by the q105 floor. */
+  private def runEntity(spark: SparkSession, sizes: Seq[Long], dir: String): Unit = {
+    import graft.ext.Entity
+    import graft.operators.Graph
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    def mkName(seed: Long): String = {
+      val r = new java.util.Random(seed * 0x9E3779B97F4A7C15L + 7)
+      val len = 8 + r.nextInt(5)
+      val sb = new StringBuilder
+      (0 until len).foreach(_ => sb.append(('a' + r.nextInt(26)).toChar))
+      sb.toString
+    }
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val v = math.max(200L, n / 100)
+      val nameGen = udf { (vid: Long) =>
+        if (vid % 5 == 1) {
+          val s = mkName(vid - 1).toCharArray
+          s(2) = if (s(2) == 'z') 'q' else 'z'
+          new String(s)
+        } else mkName(vid)
+      }
+      val recs = spark.range(n).select(
+        col("id").as("p_partkey"),
+        concat(lit("B"), pmod(floor((col("id") % v) / 5), lit(50)))
+          .as("p_brand"),
+        nameGen(col("id") % v).as("p_name"))
+        .persist()
+      recs.count() // materialize: generation is not part of the timed region
+      if (i == 0) { // warmup at the smallest size
+        Entity.fuzzyJoin(recs, "p_brand", "p_name", "p_partkey", 2).count()
+        sweep()
+      }
+      val tP = System.nanoTime()
+      val pairs = Entity.fuzzyNamePairs(recs, "p_brand", "p_name", 2).persist()
+      val nPairs = pairs.count()
+      val pairsSec = (System.nanoTime() - tP) / 1e9
+      val tJ = System.nanoTime()
+      val nLinks = Entity.fuzzyJoin(recs, "p_brand", "p_name", "p_partkey", 2).count()
+      val joinSec = (System.nanoTime() - tJ) / 1e9
+      val tC = System.nanoTime()
+      val nNodes = Graph.connectedComponents(
+        pairs.select(concat_ws("|", col("p_brand"), col("name_a")).as("src"),
+          concat_ws("|", col("p_brand"), col("name_b")).as("dst"))).count()
+      val ccSec = (System.nanoTime() - tC) / 1e9
+      pairs.unpersist(); recs.unpersist(); sweep()
+      println(f"""{"op":"q100_entity","n":$n,"vocab":$v,"pairs_sec":$pairsSec%.2f,"join_sec":$joinSec%.2f,"cc_sec":$ccSec%.2f,"name_pairs":$nPairs,"record_links":$nLinks,"cc_nodes":$nNodes,"expected_pairs":${v / 5}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/target/scale")
     val spark = Sessions.local(Sessions.envCpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("entity")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(20000L, 100000L, 400000L)
+      runEntity(spark, sizes, dir)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("incremental")) {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(5000L, 50000L, 250000L)
