@@ -194,6 +194,39 @@ class StreamingSpec extends SparkSpec {
     assert(batch == hits.map(h => (h._1, h._2, h._4 * 1000)))
   }
 
+  test("S15: streaming anomalies are prequential — scored against PRIOR batches only") {
+    val in = MemoryStream[Ev]
+    // batch 1: 31 warm-up events (values 1..31) — below nothing, just
+    // builds moments; nothing can be scored yet (state starts empty)
+    in.addData((1 to 31).map(i => ev(i, "a", i, v = i.toDouble)): _*)
+    val out = StreamOps.anomalyStream(in.toDF(), threshold = 2.5, minCount = 30)
+    val q = out.writeStream.format("memory").queryName("s15").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    q.processAllAvailable()
+    assert(spark.table("s15").count() == 0)
+    // batch 2: a spike and a dead-center value, scored against batch 1
+    in.addData(ev(40, "a", 101, v = 100.0), ev(41, "a", 102, v = 16.0))
+    q.processAllAvailable()
+    val b2 = spark.table("s15").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val (n1, s1v, q1v) = (31L, (1 to 31).map(_.toDouble).sum,
+      (1 to 31).map(i => i.toDouble * i).sum)
+    val sd1 = math.sqrt((q1v - s1v * s1v / n1) / (n1 - 1))
+    assert(b2.toSeq == Seq((101L, 100.0, (100.0 - s1v / n1) / sd1))) // id 102: z = 0
+    // batch 3: the same spike value again — judged against moments that
+    // now INCLUDE batch 2 (variance inflated by the first spike), so its
+    // z is smaller but still flagged; exact prequential arithmetic
+    in.addData(ev(50, "a", 103, v = 100.0))
+    q.processAllAvailable(); q.stop()
+    val (n2, s2v, q2v) = (n1 + 2, s1v + 100.0 + 16.0, q1v + 10000.0 + 256.0)
+    val sd2 = math.sqrt((q2v - s2v * s2v / n2) / (n2 - 1))
+    val b3 = spark.table("s15").collect()
+      .map(r => (r.getLong(1), r.getDouble(3))).sortBy(_._1)
+    val zExpected = (100.0 - s2v / n2) / sd2
+    assert(b3.toSeq == Seq((101L, (100.0 - s1v / n1) / sd1), (103L, zExpected)))
+    assert(zExpected < (100.0 - s1v / n1) / sd1 && zExpected > 2.5)
+  }
+
   test("S6: stream-static broadcast join enriches events") {
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
     val in = MemoryStream[Ev]
