@@ -136,6 +136,8 @@ object SparkEntry {
     "q106_pivot"           -> (Relational.q106 _),
     "q107_gap_fill"        -> (Relational.q107 _),
     "q108_concurrency"     -> (Relational.q108 _),
+    "q109_histogram"       -> (Relational.q109 _),
+    "q110_moving_avg"      -> (Relational.q110 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1107,6 +1109,34 @@ object SparkEntry {
         "MIN(CASE WHEN delta = 1 THEN t END) AS first_start, " +
         "CAST(COUNT(CASE WHEN delta = 1 THEN 1 END) AS BIGINT) AS n_intervals " +
         "FROM r"),
+    // q109: histogram — min/max are order-free, width and the bin
+    // decision are single identical IEEE expressions; empty bins from
+    // the generate_series spine.
+    "q109_histogram" ->
+      ("WITH mm AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo, CAST(MAX(value) AS DOUBLE) AS hi FROM events), " +
+        "b AS (SELECT CAST(LEAST(FLOOR((CAST(value AS DOUBLE) - lo) / ((hi - lo) / 20)), 19) AS BIGINT) AS bin " +
+        "FROM events, mm), " +
+        "c AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bin), " +
+        "spine AS (SELECT unnest(generate_series(0, 19)) AS bin, lo, hi FROM mm) " +
+        "SELECT CAST(spine.bin AS BIGINT) AS bin, " +
+        "ROUND(lo + spine.bin * ((hi - lo) / 20), 6) AS bin_lo, " +
+        "COALESCE(c.cnt, 0) AS cnt " +
+        "FROM spine LEFT JOIN c ON c.bin = spine.bin ORDER BY bin"),
+    // q110: moving average over the gap-filled grid — q107's spine CTEs
+    // reused, then one 7-row trailing window per type.
+    "q110_moving_avg" ->
+      ("WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events), " +
+        "c AS (SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY day, event_type), " +
+        "span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e), " +
+        "spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span), " +
+        "g AS (SELECT DISTINCT event_type FROM e), " +
+        "filled AS (SELECT spine.day AS day, g.event_type, COALESCE(c.cnt, 0) AS cnt " +
+        "FROM spine CROSS JOIN g " +
+        "LEFT JOIN c ON c.day = spine.day AND c.event_type = g.event_type) " +
+        "SELECT day, event_type, cnt, " +
+        "ROUND(AVG(cnt) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7 " +
+        "FROM filled ORDER BY day, event_type"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -1153,4 +1153,64 @@ object Relational {
       .select(col("start_us"), (col("end_us") + gapUs).as("close_us"))
     maxConcurrency(sessions, "start_us", "close_us")
   }
+
+  /** Equi-width histogram — the profiler's (q98) missing distribution
+    * view: nBins equal-width buckets over [min, max], explicit empty
+    * bins (a histogram with silent holes misleads), the top edge
+    * closed (max lands in the last bin, the `least` clamp).
+    *
+    * Cross-engine determinism: min/max over doubles are order-free
+    * (comparisons, not sums); width = (max−min)/nBins is ONE IEEE op;
+    * bin = clamp(floor((v−min)/width)) is the same expression both
+    * sides — every boundary decision is bit-reproducible, no decimal
+    * quantization needed (the q103 moments doctrine only applies to
+    * SUMS). Scale: one 2-scalar agg, broadcast back, one count agg on
+    * a ≤nBins key — the column never shuffles; the bin spine comes
+    * from the same 1-row aggregate (sequence-exploded, q107's trick). */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    val mm = df.agg(min(col(valueCol)).cast("double").as("lo"),
+      max(col(valueCol)).cast("double").as("hi"))
+    val width = (col("hi") - col("lo")) / nBins
+    val binned = df.select(col(valueCol).cast("double").as("v"))
+      .crossJoin(broadcast(mm))
+      .select(least(floor((col("v") - col("lo")) / width), lit(nBins - 1))
+        .cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val spine = mm.select(
+      explode(sequence(lit(0L), lit((nBins - 1).toLong))).as("bin"),
+      col("lo"), col("hi"))
+    spine.join(binned, Seq("bin"), "left")
+      .select(col("bin"),
+        (col("lo") + col("bin") * ((col("hi") - col("lo")) / nBins)).as("bin_lo"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Q109 — histogram under the ORACLE gate: 20 bins over the events
+    * value column (exponential-ish, so tail bins are genuinely empty
+    * or near-empty and the explicit-zero spine is load-bearing). */
+  def q109(s: SparkSession, d: String): DataFrame =
+    histogram(Tables.events(s, d), "value", 20)
+      .select(col("bin"), round(col("bin_lo"), 6).as("bin_lo"), col("cnt"))
+      .orderBy("bin")
+
+  /** Trailing moving average — the time-series smoother over the
+    * gap-filled daily grid (q107's spine is load-bearing here too: a
+    * moving average over a SPARSE series silently shortens its window
+    * across gaps; densify first, then the 7-row frame always spans 7
+    * days). AVG over BIGINT counts is exact in any order (integer sums
+    * below 2^53), so the double division is cross-engine safe without
+    * decimal quantization. One window shuffle on the group key. */
+  def movingAvg(daily: DataFrame, groupCol: String, days: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy("day")
+      .rowsBetween(-(days - 1), Window.currentRow)
+    daily.withColumn("ma", avg(col("cnt")).over(w))
+  }
+
+  /** Q110 — 7-day trailing average of daily per-type event counts over
+    * the gap-filled grid, oracle-gated. */
+  def q110(s: SparkSession, d: String): DataFrame =
+    movingAvg(gapFill(Tables.events(s, d), "event_type"), "event_type", 7)
+      .select(col("day"), col("event_type"), col("cnt"),
+        round(col("ma"), 6).as("ma7"))
+      .orderBy("day", "event_type")
 }

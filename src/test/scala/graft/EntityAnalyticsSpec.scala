@@ -175,6 +175,33 @@ class EntityAnalyticsSpec extends SparkSpec {
       .head().getLong(0) == 3L)
   }
 
+  // ---- q109 histogram ----
+
+  test("histogram: exact edges, max clamped into the last bin, empty bins explicit") {
+    val df = Seq(0.0, 1.0, 2.5, 9.99, 10.0).toDF("v") // range [0,10], 4 bins of 2.5
+    val h = graft.operators.Relational.histogram(df, "v", 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // bin 0 [0,2.5): {0,1}; bin 1 [2.5,5): {2.5}; bin 2 [5,7.5): empty;
+    // bin 3 [7.5,10]: {9.99, 10 (clamped)}
+    assert(h.toSeq == Seq((0L, 0.0, 2L), (1L, 2.5, 1L), (2L, 5.0, 0L), (3L, 7.5, 2L)))
+  }
+
+  // ---- q110 moving average ----
+
+  test("movingAvg over the dense grid spans exactly `days` rows") {
+    val events = ev(
+      (1, "view", 0), (1, "view", 10),          // day 0: 2 views
+      (1, "view", 2 * 86400L))                  // day 2: 1; day 1 = 0 (filled)
+    val grid = graft.operators.Relational.gapFill(events, "event_type")
+    val ma = graft.operators.Relational.movingAvg(grid, "event_type", 2)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(2), r.getDouble(3)))
+    // trailing window of 2 days: (2), (2,0)->1.0, (0,1)->0.5
+    assert(ma.toSeq == Seq(
+      ("1970-01-01", 2L, 2.0), ("1970-01-02", 0L, 1.0), ("1970-01-03", 1L, 0.5)))
+  }
+
   // ---- q103 outliers ----
 
   test("z-score outliers flag exactly the planted spike, z exact") {
