@@ -138,6 +138,9 @@ object SparkEntry {
     "q108_concurrency"     -> (Relational.q108 _),
     "q109_histogram"       -> (Relational.q109 _),
     "q110_moving_avg"      -> (Relational.q110 _),
+    "q111_correlation"     -> (Relational.q111 _),
+    "q112_rolling_distinct"-> (Relational.q112 _),
+    "q113_cooccurrence"    -> (Relational.q113 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1137,6 +1140,56 @@ object SparkEntry {
         "ROUND(AVG(cnt) OVER (PARTITION BY event_type ORDER BY day " +
         "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7 " +
         "FROM filled ORDER BY day, event_type"),
+    // q111: correlation matrix — the moment CTE and the 6 per-pair r
+    // expressions are GENERATED from the same column list the engine
+    // uses (the q97 builder doctrine: both engines run the same
+    // arithmetic, not a hand-transcribed copy).
+    "q111_correlation" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      // products take a DECIMAL(19,6) LEFT operand: DuckDB multiplies
+      // two int64-backed DECIMAL(18)s in 64-bit and overflows; width 19
+      // forces the int128 path (19+18 = 37 ≤ 38, still exact). The
+      // VALUE-defining quantization stays DECIMAL(18,6), same as Spark.
+      val moments =
+        cs.map(c => s"SUM(q_$c) AS s_$c") ++
+        cs.map(c => s"SUM(CAST(q_$c AS DECIMAL(19,6)) * q_$c) AS ss_$c") ++
+        (for { i <- cs.indices; j <- cs.indices if i < j }
+          yield s"SUM(CAST(q_${cs(i)} AS DECIMAL(19,6)) * q_${cs(j)}) AS sp_${cs(i)}_${cs(j)}") ++
+        Seq("CAST(COUNT(*) AS BIGINT) AS n")
+      val pairSelects = for { i <- cs.indices; j <- cs.indices if i < j } yield {
+        val (a, b) = (cs(i), cs(j))
+        s"SELECT '$a' AS col_x, '$b' AS col_y, n, " +
+          s"ROUND((n * CAST(sp_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) / " +
+          s"sqrt((n * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) * " +
+          s"(n * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6) AS r FROM m"
+      }
+      s"WITH q AS (SELECT ${cs.map(c => s"CAST($c AS DECIMAL(18,6)) AS q_$c").mkString(", ")} FROM lineitem), " +
+        s"m AS (SELECT ${moments.mkString(", ")} FROM q) " +
+        pairSelects.mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY col_x, col_y")
+    },
+    // q112: rolling distinct — each activity day fans out to the 7
+    // window-ends it falls inside; COUNT(DISTINCT) per window end.
+    "q112_rolling_distinct" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE value > 250), " +
+        "span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud), " +
+        "c AS (SELECT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP), " +
+        "CAST(day + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS wend FROM ud) " +
+        "SELECT wend AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u7 " +
+        "FROM c CROSS JOIN span WHERE wend BETWEEN d0 AND d1 " +
+        "GROUP BY wend ORDER BY day"),
+    // q113: co-occurrence — distinct (basket, item) self-join, exact
+    // BIGINT supports, one IEEE divide for lift.
+    "q113_cooccurrence" ->
+      ("WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type AS item FROM events), " +
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM b) t), " +
+        "s AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS supp FROM b GROUP BY item), " +
+        "p AS (SELECT a.item AS item_a, b2.item AS item_b, CAST(COUNT(*) AS BIGINT) AS support " +
+        "FROM b a JOIN b b2 ON a.user_id = b2.user_id AND a.day = b2.day AND a.item < b2.item " +
+        "GROUP BY a.item, b2.item) " +
+        "SELECT item_a, item_b, support, " +
+        "ROUND(CAST(support AS DOUBLE) * n_baskets / (sa.supp * sb.supp), 6) AS lift " +
+        "FROM p JOIN s sa ON sa.item = p.item_a JOIN s sb ON sb.item = p.item_b " +
+        "CROSS JOIN n ORDER BY item_a, item_b"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

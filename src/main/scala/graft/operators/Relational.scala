@@ -1213,4 +1213,113 @@ object Relational {
       .select(col("day"), col("event_type"), col("cnt"),
         round(col("ma"), 6).as("ma7"))
       .orderBy("day", "event_type")
+
+  /** Pairwise Pearson correlation matrix — the profiler's (q98/q109)
+    * relationship view over a table's numeric columns. ONE aggregation
+    * pass produces every moment (Σx, Σx², Σxy per pair) as EXACT
+    * decimal sums over DECIMAL(18,6)-quantized inputs (the q103
+    * doctrine — never race double partial sums across engines), then
+    * r = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)) is one
+    * identical IEEE expression per pair, computed from the single
+    * 1-row moment frame. k columns cost k + k(k+1)/2 sums in one scan
+    * — the matrix never re-reads the table. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val q = cols.map(c => c -> col(c).cast("decimal(18,6)").as(s"q_$c"))
+    val base = df.select(q.map(_._2): _*)
+    val sums =
+      cols.map(c => sum(col(s"q_$c")).as(s"s_$c")) ++
+      cols.map(c => sum(col(s"q_$c") * col(s"q_$c")).as(s"ss_$c")) ++
+      (for { i <- cols.indices; j <- cols.indices if i < j }
+        yield sum(col(s"q_${cols(i)}") * col(s"q_${cols(j)}"))
+          .as(s"sp_${cols(i)}_${cols(j)}")) ++
+      Seq(count(lit(1)).as("n"))
+    val m = base.agg(sums.head, sums.tail: _*)
+    val pairFrames = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield {
+        val (a, b) = (cols(i), cols(j))
+        def dbl(c: String) = col(c).cast("double")
+        val num = col("n") * dbl(s"sp_${a}_$b") - dbl(s"s_$a") * dbl(s"s_$b")
+        val den = sqrt((col("n") * dbl(s"ss_$a") - dbl(s"s_$a") * dbl(s"s_$a")) *
+          (col("n") * dbl(s"ss_$b") - dbl(s"s_$b") * dbl(s"s_$b")))
+        m.select(lit(a).as("col_x"), lit(b).as("col_y"), col("n"),
+          round(num / den, 6).as("r"))
+      }
+    pairFrames.reduce(_.unionByName(_))
+  }
+
+  /** Q111 — correlation matrix under the ORACLE gate: the 6 pairs over
+    * lineitem's numeric columns (price correlates with quantity by
+    * construction; discount/tax are independent draws — the matrix
+    * shows both regimes). */
+  def q111(s: SparkSession, d: String): DataFrame =
+    correlationMatrix(Tables.lineitem(s, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_x", "col_y")
+
+  /** Rolling distinct counts — exact k-day sliding DISTINCT users, the
+    * metric a moving SUM of daily distincts gets WRONG (a user active
+    * twice in the window must count once). Exact distributed form:
+    * each (user, day) activity row contributes to the k window-ends it
+    * falls inside (a k-row explode — bounded fan-out, then ONE
+    * count-distinct aggregation keyed by window end; the re-aggregation
+    * is map-side-combinable). At 100 TB the same shape holds (fan-out
+    * ∝ k·|user-days|); when exactness can be traded, per-day HLL
+    * sketches merged across the window (`approx_count_distinct`
+    * partials) drop the fan-out to ×1 — the declared approximate tier.
+    * Window ends outside the observed span are cut (no partial windows
+    * hallucinated past the data). */
+  def rollingDistinct(ev: DataFrame, days: Int): DataFrame = {
+    val ud = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val span = ud.agg(min("day").as("d0"), max("day").as("d1"))
+    ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), days - 1),
+          expr("interval 1 day"))).as("wend"))
+      .crossJoin(broadcast(span))
+      .filter(col("wend").between(col("d0"), col("d1")))
+      .groupBy(col("wend").as("day"))
+      .agg(countDistinct("user_id").as(s"u$days"))
+  }
+
+  /** Q112 — rolling 7-day distinct users under the ORACLE gate, over
+    * the sparse value > 250 slice (the full fixture has every user in
+    * every window — the slice makes the distinct arithmetic visible). */
+  def q112(s: SparkSession, d: String): DataFrame =
+    rollingDistinct(Tables.events(s, d).filter(col("value") > 250), 7)
+      .orderBy("day")
+
+  /** Basket co-occurrence with lift — which event types happen
+    * TOGETHER (per user-day basket): support counts from one
+    * self-equi-join on the basket key over the DISTINCT (basket, item)
+    * frame (≤ items²/2 pairs per basket, never events²), lift =
+    * support·N / (supp_a·supp_b) from exact BIGINT counts (one IEEE
+    * divide per pair — cross-engine safe). The item vocabulary is
+    * small by construction (event types); a large item space would
+    * first cut to top-k items (q99's heavy-keys) — the classic
+    * market-basket discipline. */
+  def coOccurrence(ev: DataFrame, itemCol: String): DataFrame = {
+    val baskets = ev.select(col("user_id"), to_date(col("ts")).as("day"),
+      col(itemCol).as("item")).distinct()
+    val n = baskets.select("user_id", "day").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val singles = baskets.groupBy("item").agg(count(lit(1)).as("supp"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"), Seq("user_id", "day"))
+      .filter(col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+    pairs
+      .join(broadcast(singles.select(col("item").as("item_a"), col("supp").as("supp_a"))), "item_a")
+      .join(broadcast(singles.select(col("item").as("item_b"), col("supp").as("supp_b"))), "item_b")
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("support"),
+        round(col("support").cast("double") * col("n_baskets") /
+          (col("supp_a") * col("supp_b")), 6).as("lift"))
+  }
+
+  /** Q113 — event-type co-occurrence under the ORACLE gate (10 pairs
+    * over 5 types; the fixture's ~2 events per user-day leave most
+    * baskets partial, so supports and lifts genuinely vary). */
+  def q113(s: SparkSession, d: String): DataFrame =
+    coOccurrence(Tables.events(s, d), "event_type")
+      .orderBy("item_a", "item_b")
 }

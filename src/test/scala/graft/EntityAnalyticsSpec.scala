@@ -202,6 +202,20 @@ class EntityAnalyticsSpec extends SparkSpec {
       ("1970-01-01", 2L, 2.0), ("1970-01-02", 0L, 1.0), ("1970-01-03", 1L, 0.5)))
   }
 
+  // ---- q111 correlation ----
+
+  test("correlationMatrix: perfect positive and negative correlation exact") {
+    val df = (1 to 50).map(i => (i.toDouble, 2.0 * i, -i.toDouble, i.toDouble % 7))
+      .toDF("x", "y", "z", "w")
+    val r = graft.operators.Relational
+      .correlationMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(row => (row.getString(0), row.getString(1)) -> row.getDouble(3)).toMap
+    assert(r(("x", "y")) == 1.0)   // y = 2x
+    assert(r(("x", "z")) == -1.0)  // z = -x
+    assert(math.abs(r(("x", "w"))) < 0.2) // near-independent
+    assert(r.size == 6)
+  }
+
   // ---- q103 outliers ----
 
   test("z-score outliers flag exactly the planted spike, z exact") {
