@@ -141,6 +141,7 @@ object SparkEntry {
     "q111_correlation"     -> (Relational.q111 _),
     "q112_rolling_distinct"-> (Relational.q112 _),
     "q113_cooccurrence"    -> (Relational.q113 _),
+    "q114_funnel_timing"   -> (Relational.q114 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1190,6 +1191,25 @@ object SparkEntry {
         "ROUND(CAST(support AS DOUBLE) * n_baskets / (sa.supp * sb.supp), 6) AS lift " +
         "FROM p JOIN s sa ON sa.item = p.item_a JOIN s sb ON sb.item = p.item_b " +
         "CROSS JOIN n ORDER BY item_a, item_b"),
+    // q114: funnel timing — q101's greedy chain, then exact integer lag
+    // moments per transition (sum/n/1e6 in that exact order).
+    "q114_funnel_timing" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events), " +
+        "v AS (SELECT user_id, MIN(tsu) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, MIN(tsu) AS t2 FROM e JOIN v USING (user_id) " +
+        "WHERE event_type = 'click' AND tsu > t1 AND tsu <= t1 + 3600000000 GROUP BY e.user_id), " +
+        "pu AS (SELECT e.user_id, MIN(tsu) AS t3 FROM e JOIN c USING (user_id) " +
+        "WHERE event_type = 'purchase' AND tsu > t2 AND tsu <= t2 + 86400000000 GROUP BY e.user_id) " +
+        "SELECT * FROM (" +
+        "SELECT '1_view_to_click' AS transition, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "MIN(t2 - t1) AS min_us, MAX(t2 - t1) AS max_us, " +
+        "ROUND(CAST(SUM(t2 - t1) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_s " +
+        "FROM c JOIN v USING (user_id) " +
+        "UNION ALL " +
+        "SELECT '2_click_to_purchase', CAST(COUNT(*) AS BIGINT), " +
+        "MIN(t3 - t2), MAX(t3 - t2), " +
+        "ROUND(CAST(SUM(t3 - t2) AS DOUBLE) / COUNT(*) / 1000000.0, 6) " +
+        "FROM pu JOIN c USING (user_id)) t ORDER BY transition"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -1322,4 +1322,29 @@ object Relational {
   def q113(s: SparkSession, d: String): DataFrame =
     coOccurrence(Tables.events(s, d), "event_type")
       .orderBy("item_a", "item_b")
+
+  /** Q114 — funnel step timing under the ORACLE gate: per transition of
+    * the q101 funnel, how long converters took (n, min/max, mean
+    * seconds). Lags are BIGINT micros (exact), the mean is one exact
+    * long sum and one double divide (`sum/n/1e6` in that order, both
+    * engines — never `avg()` over anything fractional, the q103
+    * doctrine's cheap integer case). Completes the funnel pair: q101
+    * says how many convert, this says how fast. */
+  def q114(s: SparkSession, d: String): DataFrame = {
+    val steps = Seq(("view", 0L), ("click", 3600L * 1000000),
+      ("purchase", 86400L * 1000000))
+    val users = funnelUsers(Tables.events(s, d), steps)
+    def transition(name: String, from: String, to: String) =
+      users.filter(col(to).isNotNull)
+        .select((col(to) - col(from)).as("lag"))
+        .agg(count(lit(1)).as("n"),
+          min("lag").as("min_us"), max("lag").as("max_us"),
+          round(sum(col("lag")).cast("double") / count(lit(1)) / lit(1e6), 6)
+            .as("mean_s"))
+        .select(lit(name).as("transition"), col("n"), col("min_us"),
+          col("max_us"), col("mean_s"))
+    transition("1_view_to_click", "t1", "t2")
+      .unionByName(transition("2_click_to_purchase", "t2", "t3"))
+      .orderBy("transition")
+  }
 }

@@ -16,6 +16,11 @@ case class FunnelHit(user_id: Long, step_no: Int, step: String, ts_ms: Long)
 case class MomentState(n: Long, s: Double, q: Double)
 case class Anomaly(group: String, event_id: Long, value: Double, z: Double)
 
+/** S16 heavy-hitter state: Misra–Gries counters (≤ k entries). */
+case class MgState(ids: Array[Long], counts: Array[Long], n: Long)
+case class MgSummary(group: String, n: Long, ids: Array[Long],
+  lower_bounds: Array[Long])
+
 /** The declared streaming operator surface S2–S7 (SURVEY.md §2.4) —
   * event-time upgrades of the reference's processing-time-only design.
   * Each takes a (streaming or batch) DataFrame with the events schema
@@ -383,6 +388,64 @@ object StreamOps {
           }
           state.update(folded)
           out.result().iterator
+      }.toDF()
+  }
+
+  /** S16 (r11) — streaming heavy hitters: the real-time form of the
+    * batch q99 skew report, under a HARD memory bound. Misra–Gries
+    * with k counters per group: every key with true frequency
+    * > n/(k+1) is GUARANTEED present (no false negatives), and each
+    * surviving counter is a lower bound on its key's true count with
+    * error ≤ (n − Σcounters)/(k+1) ≤ n/(k+1). That inequality is the
+    * whole point: q99 needs a full count aggregation over the stream
+    * history; this holds k longs per group FOREVER, at any stream
+    * length — the sketch class (with count-min / space-saving) that
+    * makes "top users right now" answerable in-stream at 100 TB/day.
+    *
+    * Emission: one summary row per group per micro-batch (the updated
+    * sketch after folding the batch) — Append with the batch's rows
+    * self-contained, sorted by (count desc, id) for determinism.
+    * Decrement ties are resolved deterministically (all counters
+    * decrement together — the classic algorithm has no tie choice).
+    * Merging shard sketches (the multi-executor read path) is counter
+    * addition + the same decrement, documented on the batch side.
+    *
+    * StreamingSpec pins the no-false-negative guarantee, the exact
+    * lower-bound arithmetic on a scripted stream, and cross-batch
+    * state carry. */
+  def heavyHittersStream(
+      events: DataFrame,
+      k: Int = 8,
+      watermark: String = "10 seconds"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("event_type"), col("user_id").cast("long"), col("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[MgState]) =>
+          val m = scala.collection.mutable.LongMap[Long]()
+          val st = state.getOption.getOrElse(MgState(Array.empty, Array.empty, 0L))
+          st.ids.zip(st.counts).foreach { case (id, c) => m(id) = c }
+          var n = st.n
+          // deterministic fold order (event time, then key)
+          rows.toArray.sortBy(r => (r._3.getTime, r._2)).foreach { case (_, id, _) =>
+            n += 1
+            if (m.contains(id)) m(id) += 1
+            else if (m.size < k) m(id) = 1
+            else {
+              // decrement ALL counters; drop the zeroed ones
+              m.keys.toArray.foreach { kk =>
+                val c = m(kk) - 1
+                if (c == 0) m.remove(kk) else m(kk) = c
+              }
+            }
+          }
+          val sorted = m.toArray.sortBy { case (id, c) => (-c, id) }
+          state.update(MgState(sorted.map(_._1), sorted.map(_._2), n))
+          Iterator.single(MgSummary(grp, n, sorted.map(_._1), sorted.map(_._2)))
       }.toDF()
   }
 

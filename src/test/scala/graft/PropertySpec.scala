@@ -330,4 +330,39 @@ class PropertySpec extends SparkSpec {
       assert(ap95 >= b(2) && ap95 <= b(3), s"$flag p95 $ap95 outside [${b(2)}, ${b(3)}]")
     }
   }
+
+  // ---- (f) fuzzy-join blocking losslessness (r11, q100) ----
+
+  test("property: length-band blocking finds EXACTLY the brute-force levenshtein pairs") {
+    import spark.implicits._
+    // short random strings over a 3-letter alphabet: dense edit-space,
+    // so every blocking mistake (a missed band, a broken orientation)
+    // surfaces as a set difference against brute force
+    val nameGen = for {
+      len <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val vocabGen = Gen.listOfN(12, nameGen).map(_.distinct)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+        j => if (i == 0) j else if (j == 0) i else 0
+      })
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    check(Prop.forAll(vocabGen) { names =>
+      val df = names.zipWithIndex
+        .map { case (n, i) => (i.toLong, "B", n) }
+        .toDF("p_partkey", "p_brand", "p_name")
+      val got = graft.ext.Entity.fuzzyNamePairs(df, "p_brand", "p_name", 2)
+        .collect().map(r => Set(r.getString(1), r.getString(2))).toSet
+      val want = (for {
+        a <- names; b <- names
+        if a < b && lev(a, b) >= 1 && lev(a, b) <= 2
+      } yield Set(a, b)).toSet
+      got == want
+    }, n = 15)
+  }
 }

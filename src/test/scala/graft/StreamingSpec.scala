@@ -227,6 +227,34 @@ class StreamingSpec extends SparkSpec {
     assert(zExpected < (100.0 - s1v / n1) / sd1 && zExpected > 2.5)
   }
 
+  test("S16: streaming heavy hitters — Misra-Gries bounds exact on a scripted stream") {
+    val in = MemoryStream[Ev]
+    // k=2, group "a". batch 1 items (by user_id): 1,1,1,2,3
+    // fold: {1:3}, +2 -> {1:3,2:1}, +3 full -> decrement-all -> {1:2}
+    in.addData(ev(1, "a", 10, user = 1), ev(2, "a", 11, user = 1),
+      ev(3, "a", 12, user = 1), ev(4, "a", 13, user = 2), ev(5, "a", 14, user = 3))
+    val out = StreamOps.heavyHittersStream(in.toDF(), k = 2)
+    val q = out.writeStream.format("memory").queryName("s16").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    q.processAllAvailable()
+    val b1 = spark.table("s16").collect().map(r =>
+      (r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3)))
+    assert(b1.toSeq == Seq((5L, Seq(1L), Seq(2L))))
+    // guarantee: any key with freq > n/(k+1) = 5/3 must be present — id 1 (freq 3) is
+    // batch 2: 3,3,2 -> {1:2,3:2} then +2 full -> decrement-all -> {1:1,3:1}
+    in.addData(ev(6, "a", 15, user = 3), ev(7, "a", 16, user = 3),
+      ev(8, "a", 17, user = 2))
+    q.processAllAvailable(); q.stop()
+    val b2 = spark.table("s16").collect().map(r =>
+      (r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3))).maxBy(_._1)
+    assert(b2 == ((8L, Seq(1L, 3L), Seq(1L, 1L))))
+    // lower bounds: counter <= true count, slack <= n/(k+1)
+    val truth = Map(1L -> 3L, 2L -> 2L, 3L -> 3L)
+    b2._2.zip(b2._3).foreach { case (id, c) =>
+      assert(c <= truth(id) && truth(id) - c <= b2._1 / (2 + 1) + 1)
+    }
+  }
+
   test("S6: stream-static broadcast join enriches events") {
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
     val in = MemoryStream[Ev]
