@@ -51,9 +51,24 @@ object Graph {
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val adjWide = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    adj.count() // materialize; iterations must not recompute the input
+    val nEdges = adjWide.count() // materialize; iterations must not recompute
+    // Pre-partition the LOOP-INVARIANT adjacency by its join key, sized
+    // ~100k edge rows/partition (capped at the session parallelism):
+    // every round joins adj("dst") = labels("id"), and a frame already
+    // hash-partitioned on dst satisfies that Exchange requirement — so
+    // the O(|E|) side is shuffled ONCE here and only the O(|V|) label
+    // frame moves per round. At toy sizes this also collapses the loop
+    // to single-task stages. (Wall-clock at q105's 64-node graph is
+    // job-round-trip-bound either way — ~5.5-7 s at local[32], flat in
+    // data; the win is the big-graph shuffle-volume asymptote.)
+    val loopParts = math.max(1, math.min(
+      edges.sparkSession.sessionState.conf.numShufflePartitions,
+      (nEdges / 100000L).toInt + 1))
+    val adj = adjWide.repartition(loopParts, col("dst")).persist()
+    adj.count()
+    adjWide.unpersist()
     var cached = adj.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component")).persist()
     var labels = cached
