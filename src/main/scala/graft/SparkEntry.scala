@@ -142,6 +142,9 @@ object SparkEntry {
     "q112_rolling_distinct"-> (Relational.q112 _),
     "q113_cooccurrence"    -> (Relational.q113 _),
     "q114_funnel_timing"   -> (Relational.q114 _),
+    "q115_trend"           -> (Relational.q115 _),
+    "q116_seasonality"     -> (Relational.q116 _),
+    "q117_largest_jump"    -> (Relational.q117 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1210,6 +1213,56 @@ object SparkEntry {
         "MIN(t3 - t2), MAX(t3 - t2), " +
         "ROUND(CAST(SUM(t3 - t2) AS DOUBLE) / COUNT(*) / 1000000.0, 6) " +
         "FROM pu JOIN c USING (user_id)) t ORDER BY transition"),
+    // q115/q117 share q110's gap-filled grid CTEs; the regression
+    // moments are pure BIGINT sums (x = day index, y = daily count —
+    // exact, no decimal quantization needed) and slope/intercept/R²
+    // mirror the engine's IEEE expressions term for term.
+    "q115_trend" -> {
+      val grid =
+        "WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events), " +
+        "c AS (SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY day, event_type), " +
+        "span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e), " +
+        "spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span), " +
+        "g AS (SELECT DISTINCT event_type FROM e), " +
+        "filled AS (SELECT spine.day AS day, g.event_type, COALESCE(c.cnt, 0) AS cnt " +
+        "FROM spine CROSS JOIN g LEFT JOIN c ON c.day = spine.day AND c.event_type = g.event_type) "
+      val slope = "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+        "(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+      grid +
+        ", xy AS (SELECT event_type, CAST(date_diff('day', (SELECT d0 FROM span), day) AS BIGINT) AS x, cnt AS y FROM filled), " +
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy, " +
+        "SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy FROM xy GROUP BY event_type) " +
+        s"SELECT event_type, n, ROUND($slope, 6) AS slope, " +
+        s"ROUND((CAST(sy AS DOUBLE) - ($slope) * CAST(sx AS DOUBLE)) / n, 6) AS intercept, " +
+        "ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * " +
+        "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+        "((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+        "(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2 " +
+        "FROM m ORDER BY event_type"
+    },
+    // q116: portable day-of-week — (epoch_day + 4) % 7, 0 = Sunday;
+    // Spark (Sunday=1) and DuckDB (Sunday=0) built-ins disagree.
+    "q116_seasonality" ->
+      ("SELECT event_type, " +
+        "CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS BIGINT) AS dow, " +
+        "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM events GROUP BY event_type, dow, hour " +
+        "ORDER BY event_type, dow, hour"),
+    "q117_largest_jump" ->
+      ("WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events), " +
+        "c AS (SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY day, event_type), " +
+        "span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e), " +
+        "spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span), " +
+        "g AS (SELECT DISTINCT event_type FROM e), " +
+        "filled AS (SELECT spine.day AS day, g.event_type, COALESCE(c.cnt, 0) AS cnt " +
+        "FROM spine CROSS JOIN g LEFT JOIN c ON c.day = spine.day AND c.event_type = g.event_type), " +
+        "dd AS (SELECT event_type, day, cnt, " +
+        "cnt - LAG(cnt) OVER (PARTITION BY event_type ORDER BY day) AS delta FROM filled), " +
+        "rk AS (SELECT event_type, day, cnt, delta, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(delta) DESC, day) AS rk " +
+        "FROM dd WHERE delta IS NOT NULL) " +
+        "SELECT event_type, day, cnt, delta FROM rk WHERE rk = 1 ORDER BY event_type"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -1347,4 +1347,76 @@ object Relational {
       .unionByName(transition("2_click_to_purchase", "t2", "t3"))
       .orderBy("transition")
   }
+
+  /** Per-group least-squares trend — daily-count slope/intercept/R² per
+    * key over the GAP-FILLED grid (q110's densify-first rule: a trend
+    * fit on a sparse series treats missing days as absent instead of
+    * zero and biases the slope up). The regression moments
+    * (n, Σx, Σy, Σx², Σy², Σxy) are pure BIGINT sums — x is the
+    * day index from the span start, y the daily count, both small
+    * integers, so every sum is EXACT in 64 bits with no decimal
+    * quantization needed — and slope/intercept/R² are single identical
+    * IEEE expressions over those exact scalars (the q111 discipline,
+    * integer case). One aggregation per group key; the grid never
+    * re-shuffles. */
+  def trendPerGroup(grid: DataFrame, groupCol: String): DataFrame = {
+    val d0 = grid.agg(min("day").as("d0"))
+    val xy = grid.crossJoin(broadcast(d0))
+      .select(col(groupCol),
+        datediff(col("day"), col("d0")).cast("long").as("x"),
+        col("cnt").as("y"))
+    val m = xy.groupBy(groupCol).agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    def dbl(c: String) = col(c).cast("double")
+    val varX = col("n") * dbl("sxx") - dbl("sx") * dbl("sx")
+    val varY = col("n") * dbl("syy") - dbl("sy") * dbl("sy")
+    val cov = col("n") * dbl("sxy") - dbl("sx") * dbl("sy")
+    val slope = cov / varX
+    m.select(col(groupCol), col("n"),
+      round(slope, 6).as("slope"),
+      round((dbl("sy") - slope * dbl("sx")) / col("n"), 6).as("intercept"),
+      round(cov * cov / (varX * varY), 6).as("r2"))
+  }
+
+  /** Q115 — daily-count trend per event type under the ORACLE gate. */
+  def q115(s: SparkSession, d: String): DataFrame =
+    trendPerGroup(gapFill(Tables.events(s, d), "event_type"), "event_type")
+      .orderBy("event_type")
+
+  /** Q116 — seasonality profile under the ORACLE gate: the
+    * (day-of-week × hour-of-day) count matrix per event type — the
+    * load-shape audit behind capacity planning and anomaly baselines.
+    * Day-of-week is computed PORTABLY as (epoch_day + 4) mod 7
+    * (1970-01-01 was a Thursday; 0 = Sunday) — Spark's `dayofweek`
+    * (Sunday = 1) and DuckDB's `dayofweek` (Sunday = 0) disagree, and
+    * integer arithmetic on the epoch day sidesteps both conventions. */
+  def q116(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        pmod(datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long") + 4, lit(7)).as("dow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .groupBy("event_type", "dow", "hour")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type", "dow", "hour")
+
+  /** Q117 — largest day-over-day jump per group (the poor-man's
+    * changepoint detector): over the dense grid, Δ = cnt − lag(cnt),
+    * keep each group's max |Δ| row, ties to the earliest day. One
+    * window per group key over the (bounded, days-sized) grid. */
+  def q117(s: SparkSession, d: String): DataFrame = {
+    val grid = gapFill(Tables.events(s, d), "event_type")
+    val wo = Window.partitionBy("event_type").orderBy("day")
+    grid.withColumn("delta", col("cnt") - lag("cnt", 1).over(wo))
+      .filter(col("delta").isNotNull)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(abs(col("delta")).desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day"), col("cnt"), col("delta"))
+      .orderBy("event_type")
+  }
 }

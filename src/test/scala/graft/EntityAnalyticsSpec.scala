@@ -216,6 +216,18 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(r.size == 6)
   }
 
+  // ---- q115 trend ----
+
+  test("trendPerGroup recovers a planted exact linear series") {
+    // y = 3x + 2 on days 0..9: slope 3, intercept 2, r2 = 1
+    val grid = (0 to 9).map(i =>
+      (java.sql.Date.valueOf(s"2024-01-${10 + i}"), "a", (3L * i + 2)))
+      .toDF("day", "event_type", "cnt")
+    val r = graft.operators.Relational.trendPerGroup(grid, "event_type").head()
+    assert(r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 2.0 && r.getDouble(4) == 1.0)
+  }
+
   // ---- q103 outliers ----
 
   test("z-score outliers flag exactly the planted spike, z exact") {
