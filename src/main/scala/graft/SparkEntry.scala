@@ -145,6 +145,7 @@ object SparkEntry {
     "q115_trend"           -> (Relational.q115 _),
     "q116_seasonality"     -> (Relational.q116 _),
     "q117_largest_jump"    -> (Relational.q117 _),
+    "q118_dq_report"       -> (Relational.q118 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1263,6 +1264,33 @@ object SparkEntry {
         "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(delta) DESC, day) AS rk " +
         "FROM dd WHERE delta IS NOT NULL) " +
         "SELECT event_type, day, cnt, delta FROM rk WHERE rk = 1 ORDER BY event_type"),
+    // q118: data-quality report — each rule one aggregate row, FK rules
+    // as left-join null-parent counts, extremes as the metric column.
+    "q118_dq_report" ->
+      ("SELECT * FROM (" +
+        "SELECT 'fk_lineitem_orders' AS rule, 'lineitem' AS table_name, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_checked, " +
+        "CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, " +
+        "CAST(NULL AS DOUBLE) AS metric " +
+        "FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l_orderkey = o_orderkey " +
+        "UNION ALL " +
+        "SELECT 'fk_orders_customer', 'orders', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), CAST(NULL AS DOUBLE) " +
+        "FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o_custkey = c_custkey " +
+        "UNION ALL " +
+        "SELECT 'nonneg_event_value', 'events', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT), ROUND(MIN(value), 6) FROM events " +
+        "UNION ALL " +
+        "SELECT 'nonneg_quantity', 'lineitem', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT), ROUND(MIN(l_quantity), 6) FROM lineitem " +
+        "UNION ALL " +
+        "SELECT 'pk_customer_unique', 'customer', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT), CAST(NULL AS DOUBLE) FROM customer " +
+        "UNION ALL " +
+        "SELECT 'range_discount_0_1', 'lineitem', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT), " +
+        "ROUND(MAX(l_discount), 6) FROM lineitem" +
+        ") t ORDER BY rule"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

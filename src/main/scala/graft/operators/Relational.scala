@@ -1419,4 +1419,60 @@ object Relational {
       .select(col("event_type"), col("day"), col("cnt"), col("delta"))
       .orderBy("event_type")
   }
+
+  // ---- data-quality rules (q118) ----
+
+  /** One predicate rule → one report row: violations counted in the
+    * same scan that sizes the check; `metric` carries the rule's
+    * summary statistic (an extreme — order-free, cross-engine exact)
+    * or null for pure-count rules. */
+  def dqRule(name: String, table: String, df: DataFrame,
+      violation: Column, metric: Column): DataFrame =
+    df.agg(count(lit(1)).as("n_checked"),
+        sum(when(violation, 1L).otherwise(0L)).as("n_violations"),
+        round(metric, 6).as("metric"))
+      .select(lit(name).as("rule"), lit(table).as("table_name"),
+        col("n_checked"), col("n_violations"), col("metric"))
+
+  /** Referential-integrity rule: child keys with no parent. Expressed
+    * as a LEFT join + null-parent indicator so it fits the same
+    * one-scan report row (the anti-join count, join-shaped — at scale
+    * this is the q61 bloom-prefilter family's territory). */
+  def dqFkRule(name: String, table: String, child: DataFrame,
+      childKey: String, parent: DataFrame, parentKey: String): DataFrame =
+    dqRule(name, table,
+      child.select(col(childKey))
+        .join(parent.select(col(parentKey)).distinct(),
+          col(childKey) === col(parentKey), "left"),
+      col(parentKey).isNull, lit(null).cast("double"))
+
+  /** Q118 — data-quality rules report under the ORACLE gate: the
+    * dbt-test-style audit (referential integrity, key uniqueness,
+    * range and sign rules) as one engine query. The fixture is clean —
+    * every rule reads zero violations — which is exactly what the gate
+    * should certify (the checked counts and extremes differ per rule,
+    * so the hash is not trivially zero); the rules FIRING is pinned on
+    * planted-violation frames in EntityAnalyticsSpec. */
+  def q118(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d); val e = Tables.events(s, d)
+    val pkUnique = c.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("c_custkey"))).as("n_violations"),
+        lit(null).cast("double").as("metric"))
+      .select(lit("pk_customer_unique").as("rule"),
+        lit("customer").as("table_name"),
+        col("n_checked"), col("n_violations"), col("metric"))
+    Seq(
+      dqFkRule("fk_lineitem_orders", "lineitem", l, "l_orderkey", o, "o_orderkey"),
+      dqFkRule("fk_orders_customer", "orders", o, "o_custkey", c, "c_custkey"),
+      dqRule("nonneg_event_value", "events", e,
+        col("value") < 0, min(col("value"))),
+      dqRule("nonneg_quantity", "lineitem", l,
+        col("l_quantity") <= 0, min(col("l_quantity"))),
+      pkUnique,
+      dqRule("range_discount_0_1", "lineitem", l,
+        col("l_discount") < 0 || col("l_discount") > 1,
+        max(col("l_discount")))
+    ).reduce(_.unionByName(_)).orderBy("rule")
+  }
 }

@@ -228,6 +228,20 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 2.0 && r.getDouble(4) == 1.0)
   }
 
+  // ---- q118 data-quality rules ----
+
+  test("dq rules FIRE on planted violations (the fixture gate reads clean)") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(1L, 1L, 2L, 99L, 98L).toDF("fk") // two orphans
+    val fk = graft.operators.Relational
+      .dqFkRule("fk", "child", child, "fk", parent, "pk").head()
+    assert(fk.getLong(2) == 5L && fk.getLong(3) == 2L)
+    val vals = Seq(-1.0, 0.5, 2.0).toDF("v") // one below 0, one above 1
+    val rng = graft.operators.Relational.dqRule("rng", "t", vals,
+      col("v") < 0 || col("v") > 1, max(col("v"))).head()
+    assert(rng.getLong(2) == 3L && rng.getLong(3) == 2L && rng.getDouble(4) == 2.0)
+  }
+
   // ---- q103 outliers ----
 
   test("z-score outliers flag exactly the planted spike, z exact") {
