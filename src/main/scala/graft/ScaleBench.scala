@@ -301,10 +301,60 @@ object ScaleBench {
     }
   }
 
+  /** Sweep-line growth (r11): maxConcurrency's two-phase prefix sum vs
+    * the NAIVE single-global-window form it replaces — the
+    * counterexample row (the q51_winnow_df100 pattern: keep the
+    * anti-plan measurable so the design choice stays evidence, not
+    * lore). Intervals are synthetic sessions (uniform starts over a
+    * year, 1–4 h lengths). Watch: two_phase_sec grows ∝ n with ~32-way
+    * parallel windows; global_sec funnels ALL deltas through ONE
+    * partition's sort+window — same asymptotic n·log n but constant-
+    * factor serial, and its gap to two_phase widens with n on a
+    * multi-core executor. */
+  private def runSweep(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val start = pmod(col("id") * 2654435761L, lit(31536000L)) * 1000000L
+      val iv = spark.range(n).select(
+        start.as("s"),
+        (start + (lit(3600L) + pmod(col("id"), lit(10800L))) * 1000000L).as("e"))
+        .persist()
+      iv.count()
+      if (i == 0) {
+        graft.operators.Relational.maxConcurrency(iv, "s", "e").count(); sweep()
+      }
+      val t1 = System.nanoTime()
+      val twoPhase = graft.operators.Relational.maxConcurrency(iv, "s", "e")
+        .head().getLong(0)
+      val twoPhaseSec = (System.nanoTime() - t1) / 1e9
+      sweep()
+      val t2 = System.nanoTime()
+      val deltas = iv.select(col("s").as("t"), lit(1L).as("delta"))
+        .union(iv.select(col("e").as("t"), lit(-1L).as("delta")))
+      val naive = deltas
+        .withColumn("live", sum("delta").over(
+          Window.orderBy("t", "delta")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .agg(max("live")).head().getLong(0)
+      val globalSec = (System.nanoTime() - t2) / 1e9
+      iv.unpersist(); sweep()
+      println(f"""{"op":"q108_sweep","n_intervals":$n,"two_phase_sec":$twoPhaseSec%.2f,"global_window_sec":$globalSec%.2f,"max_concurrent":$twoPhase,"agree":${twoPhase == naive}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/target/scale")
     val spark = Sessions.local(Sessions.envCpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("sweepline")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(1000000L, 5000000L, 20000000L)
+      runSweep(spark, sizes)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("entity")) {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(20000L, 100000L, 400000L)

@@ -1118,12 +1118,26 @@ object Relational {
     * the max of ≤ P partials — no global sort ever happens. */
   def maxConcurrency(intervals: DataFrame, startCol: String,
       endCol: String): DataFrame = {
+    // The pid-stamped range partitioning MUST be materialized before it
+    // fans out to the offsets job and the final join: RangePartitioner
+    // samples its boundaries with an RDD-id-derived seed, so two
+    // separate jobs recomputing this frame can draw DIFFERENT
+    // boundaries — offsets keyed under one partitioning joined against
+    // rows stamped under another silently corrupts the running sum.
+    // (Caught by ScaleBench `sweepline` at 1M synthetic intervals:
+    // agree=false vs the naive global window; the small oracle fixture
+    // never split a boundary. The persist freezes one partitioning for
+    // both consumers; the result is pinned by localCheckpoint before
+    // release so the returned frame cannot recompute through the
+    // unpersisted lineage.)
     val deltas = intervals
       .select(col(startCol).as("t"), lit(1L).as("delta"))
       .union(intervals.select(col(endCol).as("t"), lit(-1L).as("delta")))
       .repartitionByRange(col("t"), col("delta"))
       .sortWithinPartitions("t", "delta")
       .withColumn("pid", spark_partition_id())
+      .persist()
+    deltas.count()
     val local = Window.partitionBy("pid").orderBy("t", "delta")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val runLocal = deltas
@@ -1135,11 +1149,14 @@ object Relational {
           Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select("pid", "offset")
-    runLocal.join(broadcast(offsets), "pid")
+    val res = runLocal.join(broadcast(offsets), "pid")
       .withColumn("live", col("run_local") + col("offset"))
       .agg(max("live").as("max_concurrent"),
         min(when(col("delta") === 1, col("t"))).as("first_start"),
         count(when(col("delta") === 1, lit(1))).as("n_intervals"))
+      .localCheckpoint(true)
+    deltas.unpersist()
+    res
   }
 
   /** Q108 — concurrency under the ORACLE gate: maximum simultaneously-

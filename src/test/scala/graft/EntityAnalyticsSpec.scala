@@ -163,6 +163,26 @@ class EntityAnalyticsSpec extends SparkSpec {
 
   // ---- q108 concurrency sweep ----
 
+  test("maxConcurrency agrees with the naive global window on 100k random intervals") {
+    // regression for the RangePartitioner-seed bug (ScaleBench sweepline,
+    // r11): two jobs re-sampling the range boundaries saw different pid
+    // assignments and corrupted the offset join; only visible once
+    // duplicates/boundary splits appear at scale
+    import org.apache.spark.sql.expressions.Window
+    val start = pmod(col("id") * 2654435761L, lit(500000L))
+    val iv = spark.range(100000).select(start.as("s"),
+      (start + 100L + pmod(col("id"), lit(5000L))).as("e"))
+    val fast = graft.operators.Relational.maxConcurrency(iv, "s", "e")
+      .head().getLong(0)
+    val deltas = iv.select(col("s").as("t"), lit(1L).as("delta"))
+      .union(iv.select(col("e").as("t"), lit(-1L).as("delta")))
+    val naive = deltas.withColumn("live", sum("delta").over(
+        Window.orderBy("t", "delta")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .agg(max("live")).head().getLong(0)
+    assert(fast == naive)
+  }
+
   test("maxConcurrency: overlap count exact, end==start does not double-count") {
     // [0,10) [5,15) [10,20): at t=5..10 two live; at t=10 the first
     // CLOSES before the third opens ([start,end)) -> max stays 2
