@@ -8,9 +8,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class UserSessionState(nEvents: Long, startMs: Long, lastMs: Long)
 case class ClosedSession(user_id: Long, n_events: Long, start_ms: Long, end_ms: Long)
 
-/** S14 funnel state: per-user step completion times (ms; -1 = open). */
+/** S14 funnel state: per-user step completion times (µs; -1 = open). */
 case class FunnelProgress(times: Array[Long])
-case class FunnelHit(user_id: Long, step_no: Int, step: String, ts_ms: Long)
+case class FunnelHit(user_id: Long, step_no: Int, step: String, ts_us: Long)
 
 /** S15 anomaly state: running moments per group (n, Σv, Σv²). */
 case class MomentState(n: Long, s: Double, q: Double)
@@ -302,33 +302,69 @@ object StreamOps {
     val s = events.sparkSession
     import s.implicits._
     val stepIdx = steps.map(_._1).zipWithIndex.toMap
-    val windowsMs = steps.map(_._2).toArray
+    val windowsUs = steps.map(_._2).toArray
     val k = steps.length
+    // Times are epoch MICROS end to end (java.sql.Timestamp.getTime is
+    // ms — the sub-ms digits live in getNanos), so step windows take
+    // the SAME micro units as the batch funnelUsers and the strict
+    // tm > t comparisons agree with the batch chain at full precision
+    // (the fixture's events are µs-distinct; an ms truncation diverged
+    // on exactly that, caught by the parity test).
+    // State EVICTION (r11 hardening): a funnel that completed, or whose
+    // remaining deadlines have all passed, can never change — its state
+    // is dead weight that would otherwise grow with lifetime user
+    // cardinality. Every open funnel's last possible completion is
+    // t1 + Σwindows (each step's deadline chains off the previous
+    // completion, and completions are monotone), so an event-time
+    // timeout at that horizon — clamped past the current watermark, the
+    // S10 rule — lets the store drop the key with no correctness loss:
+    // any later event fails the window filter anyway. Never-entered
+    // users evict one horizon past the watermark.
+    val totalWindowUs = windowsUs.sum
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
     events.withWatermark("ts", watermark)
       .select(col("user_id").cast("long"), col("event_type"), col("ts"))
       .as[(Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
          state: GroupState[FunnelProgress]) =>
-          val t = state.getOption.map(_.times.clone())
-            .getOrElse(Array.fill(k)(-1L))
-          val evs = rows.collect {
-            case (_, et, ts) if stepIdx.contains(et) => (ts.getTime, stepIdx(et))
-          }.toArray.sortBy(identity)
-          var emitted = List.empty[FunnelHit]
-          evs.foreach { case (tm, i) =>
-            if (t(i) < 0) {
-              val ok = i == 0 ||
-                (t(i - 1) >= 0 && tm > t(i - 1) && tm <= t(i - 1) + windowsMs(i))
-              if (ok) {
-                t(i) = tm
-                emitted ::= FunnelHit(uid, i + 1, steps(i)._1, tm)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val t = state.getOption.map(_.times.clone())
+              .getOrElse(Array.fill(k)(-1L))
+            val evs = rows.collect {
+              case (_, et, ts) if stepIdx.contains(et) => (micros(ts), stepIdx(et))
+            }.toArray.sortBy(identity)
+            var emitted = List.empty[FunnelHit]
+            evs.foreach { case (tm, i) =>
+              if (t(i) < 0) {
+                val ok = i == 0 ||
+                  (t(i - 1) >= 0 && tm > t(i - 1) && tm <= t(i - 1) + windowsUs(i))
+                if (ok) {
+                  t(i) = tm
+                  emitted ::= FunnelHit(uid, i + 1, steps(i)._1, tm)
+                }
               }
             }
+            // Completed funnels keep their state until the SAME horizon
+            // (not removed eagerly): a late duplicate entry event must
+            // not re-open an instance inside the original window. After
+            // the horizon, a fresh entry starts a new funnel instance —
+            // the recurring-funnel semantics; batch parity (q101's one
+            // global instance) holds for streams whose events fall
+            // within one horizon, which the parity test pins.
+            state.update(FunnelProgress(t))
+            val horizonMs =
+              if (t(0) >= 0) t(0) / 1000 + totalWindowUs / 1000
+              else state.getCurrentWatermarkMs() + totalWindowUs / 1000
+            state.setTimeoutTimestamp(
+              math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
+            emitted.reverse.iterator
           }
-          state.update(FunnelProgress(t))
-          emitted.reverse.iterator
       }.toDF()
   }
 

@@ -158,7 +158,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("S14: streaming funnel emits each completion once, equals batch funnel in-order") {
-    val steps = Seq(("view", 0L), ("click", 3600L * 1000), ("purchase", 24 * 3600L * 1000))
+    val steps = Seq(("view", 0L), ("click", 3600L * 1000000), ("purchase", 24 * 3600L * 1000000))
     val in = MemoryStream[Ev]
     // batch 1 — u1: view@10, click@20; u2: click@5 (pre-view: no credit)
     in.addData(ev(10, "view", 1), ev(20, "click", 2), ev(5, "click", 3, user = 2))
@@ -168,7 +168,7 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     val afterB1 = spark.table("s14").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet
-    assert(afterB1 == Set((1L, 1, 10000L), (1L, 2, 20000L))) // u2 blocked
+    assert(afterB1 == Set((1L, 1, 10000000L), (1L, 2, 20000000L))) // u2 blocked
     // batch 2 — u1: purchase@30 completes; u2: intra-batch disorder
     // (click@40 arrives before view@50 in the SAME batch → event-time
     // sort refuses it; click@55 after the view qualifies)
@@ -178,20 +178,20 @@ class StreamingSpec extends SparkSpec {
     val hits = spark.table("s14").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
     assert(hits == Set(
-      (1L, 1, "view", 10000L), (1L, 2, "click", 20000L), (1L, 3, "purchase", 30000L),
-      (2L, 1, "view", 50000L), (2L, 2, "click", 55000L)))
+      (1L, 1, "view", 10000000L), (1L, 2, "click", 20000000L),
+      (1L, 3, "purchase", 30000000L),
+      (2L, 1, "view", 50000000L), (2L, 2, "click", 55000000L)))
     // batch parity: the same rows through Relational.funnelUsers (micros)
     // produce exactly the streamed completion times
     val allRows = Seq(ev(10, "view", 1), ev(20, "click", 2), ev(5, "click", 3, user = 2),
       ev(30, "purchase", 4), ev(50, "view", 5, user = 2),
       ev(40, "click", 6, user = 2), ev(55, "click", 7, user = 2))
-    val batchSteps = steps.map { case (n, w) => (n, w * 1000) } // ms → us
     val batch = graft.operators.Relational
-      .funnelUsers(allRows.toDF(), batchSteps).collect()
+      .funnelUsers(allRows.toDF(), steps).collect()
       .flatMap(r => (1 to 3).flatMap(i =>
         if (r.isNullAt(i)) None else Some((r.getLong(0), i, r.getLong(i)))))
       .toSet
-    assert(batch == hits.map(h => (h._1, h._2, h._4 * 1000)))
+    assert(batch == hits.map(h => (h._1, h._2, h._4)))
   }
 
   test("S15: streaming anomalies are prequential — scored against PRIOR batches only") {
@@ -225,6 +225,59 @@ class StreamingSpec extends SparkSpec {
     val zExpected = (100.0 - s2v / n2) / sd2
     assert(b3.toSeq == Seq((101L, (100.0 - s1v / n1) / sd1), (103L, zExpected)))
     assert(zExpected < (100.0 - s1v / n1) / sd1 && zExpected > 2.5)
+  }
+
+  test("S14 eviction: funnel state drops once the completion horizon passes the watermark") {
+    val h = 3600L
+    val steps = Seq(("view", 0L), ("click", h * 1000000), ("purchase", h * 1000000))
+    val in = MemoryStream[Ev]
+    // u1 enters at t=100s; horizon = 100s + 2h
+    in.addData(ev(100, "view", 1))
+    val out = StreamOps.funnelStream(in.toDF(), steps, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("s14ev").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    q.processAllAvailable()
+    def stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(stateRows == 1L) // u1 tracked
+    // u2 far in the future pushes the watermark past u1's horizon;
+    // the timeout fires on the NEXT trigger after the watermark moves
+    in.addData(ev(1000000, "view", 2, user = 2))
+    q.processAllAvailable()
+    in.addData(ev(1000001, "view", 3, user = 3))
+    q.processAllAvailable()
+    q.stop()
+    // u1 evicted; u2/u3 still inside their horizons
+    assert(stateRows == 2L)
+    // eviction emitted nothing (timeouts close silently)
+    assert(spark.table("s14ev").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("S14 parity on the REAL fixture: streamed funnel equals batch q101 chain") {
+    // windows wide enough that every user's funnel instance spans the
+    // whole fixture month -> single instance per user -> exact parity
+    val steps = Seq(("view", 0L), ("click", 86400L * 1000000),
+      ("purchase", 40L * 86400 * 1000000))
+    val d = sf("sf0.001")
+    val ev0 = graft.sources.Tables.events(spark, d)
+      .select("ts", "user_id", "event_type", "value", "event_id")
+      .orderBy("ts").collect()
+    val rows = ev0.map(r => Ev(r.getTimestamp(0), r.getLong(1), r.getString(2),
+      r.getDouble(3), r.getLong(4)))
+    val in = MemoryStream[Ev]
+    val out = StreamOps.funnelStream(in.toDF(), steps, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("s14par").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    rows.grouped(400).foreach { batch =>        // time-ordered batches:
+      in.addData(batch.toSeq); q.processAllAvailable() // per-user in-order
+    }
+    q.stop()
+    val streamed = spark.table("s14par").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet
+    val batch = graft.operators.Relational
+      .funnelUsers(graft.sources.Tables.events(spark, d), steps)
+      .collect().flatMap(r => (1 to 3).flatMap(i =>
+        if (r.isNullAt(i)) None else Some((r.getLong(0), i, r.getLong(i))))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
   }
 
   test("S16: streaming heavy hitters — Misra-Gries bounds exact on a scripted stream") {
