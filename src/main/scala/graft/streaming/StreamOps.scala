@@ -407,8 +407,10 @@ object StreamOps {
         (grp: String, rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
          state: GroupState[MomentState]) =>
           val st = state.getOption.getOrElse(MomentState(0L, 0.0, 0.0))
-          // sort by event time: deterministic fold order within a batch
-          val batch = rows.toArray.sortBy(r => (r._4.getTime, r._2))
+          // sort by event time (micros — ms ties of µs-distinct events
+          // would fall to the id tie-break): deterministic fold order
+          val batch = rows.toArray.sortBy(r =>
+            (r._4.getTime * 1000L + (r._4.getNanos / 1000L) % 1000L, r._2))
           val out = List.newBuilder[Anomaly]
           if (st.n >= minCount) {
             val mean = st.s / st.n
@@ -466,8 +468,10 @@ object StreamOps {
           val st = state.getOption.getOrElse(MgState(Array.empty, Array.empty, 0L))
           st.ids.zip(st.counts).foreach { case (id, c) => m(id) = c }
           var n = st.n
-          // deterministic fold order (event time, then key)
-          rows.toArray.sortBy(r => (r._3.getTime, r._2)).foreach { case (_, id, _) =>
+          // deterministic fold order (event time in micros, then key)
+          rows.toArray.sortBy(r =>
+            (r._3.getTime * 1000L + (r._3.getNanos / 1000L) % 1000L, r._2))
+            .foreach { case (_, id, _) =>
             n += 1
             if (m.contains(id)) m(id) += 1
             else if (m.size < k) m(id) = 1
