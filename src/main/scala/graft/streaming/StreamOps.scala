@@ -21,6 +21,12 @@ case class MgState(ids: Array[Long], counts: Array[Long], n: Long)
 case class MgSummary(group: String, n: Long, ids: Array[Long],
   lower_bounds: Array[Long])
 
+/** S17 trend state: running regression moments per group. x0 anchors
+  * the time axis at the group's first event so x stays small. */
+case class TrendState(n: Long, x0: Long, sx: Double, sy: Double,
+  sxx: Double, syy: Double, sxy: Double)
+case class TrendFit(group: String, n: Long, slope: Double, intercept: Double)
+
 /** The declared streaming operator surface S2–S7 (SURVEY.md §2.4) —
   * event-time upgrades of the reference's processing-time-only design.
   * Each takes a (streaming or batch) DataFrame with the events schema
@@ -486,6 +492,58 @@ object StreamOps {
           val sorted = m.toArray.sortBy { case (id, c) => (-c, id) }
           state.update(MgState(sorted.map(_._1), sorted.map(_._2), n))
           Iterator.single(MgSummary(grp, n, sorted.map(_._1), sorted.map(_._2)))
+      }.toDF()
+  }
+
+  /** S17 (r11) — streaming trend fit: the real-time form of the batch
+    * q115 regression — per group, maintain running least-squares
+    * moments (n, Σx, Σy, Σx², Σy², Σxy: seven numbers of state) and
+    * emit the updated slope/intercept after each micro-batch. x is
+    * seconds since the group's FIRST event (anchoring keeps x² small
+    * and the fit translation-invariant); y is the event value. The
+    * moment update is associative and the batch fold is sorted by
+    * (event-time micros, id), so results are deterministic for a given
+    * batch partitioning of the stream; fits only emit once n ≥ 2 and
+    * x has spread (vertical data has no slope).
+    *
+    * This is drift DETECTION wiring: a deployment alarms on slope sign
+    * flips or magnitude jumps between consecutive emissions. State is
+    * seven numbers per group — the S15 class; an exponential-decay
+    * variant (multiply all moments by λ per batch) handles regime
+    * changes, same state, documented not implemented. */
+  def trendStream(
+      events: DataFrame,
+      watermark: String = "10 seconds"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("event_type"), col("event_id").cast("long"),
+        col("value").cast("double"), col("ts"))
+      .as[(String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[TrendState]) =>
+          def micros(ts: java.sql.Timestamp): Long =
+            ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+          val batch = rows.toArray.sortBy(r => (micros(r._4), r._2))
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val st0 = state.getOption.getOrElse(
+              TrendState(0L, micros(batch.head._4) / 1000000L, 0, 0, 0, 0, 0))
+            val st = batch.foldLeft(st0) { case (m, (_, _, v, ts)) =>
+              val x = (micros(ts) / 1000000L - m.x0).toDouble
+              TrendState(m.n + 1, m.x0, m.sx + x, m.sy + v,
+                m.sxx + x * x, m.syy + v * v, m.sxy + x * v)
+            }
+            state.update(st)
+            val varX = st.n * st.sxx - st.sx * st.sx
+            if (st.n >= 2 && varX > 0) {
+              val slope = (st.n * st.sxy - st.sx * st.sy) / varX
+              Iterator.single(TrendFit(grp, st.n, slope,
+                (st.sy - slope * st.sx) / st.n))
+            } else Iterator.empty
+          }
       }.toDF()
   }
 

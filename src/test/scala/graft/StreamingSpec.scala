@@ -280,6 +280,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("S17: streaming trend recovers a planted linear drift exactly, refined across batches") {
+    val in = MemoryStream[Ev]
+    // group "a": v = 2t + 5 (t in seconds) — integers, so the moment
+    // arithmetic is exact in doubles and the fit is exactly (2, 5)
+    in.addData((0 to 4).map(t => ev(t, "a", t + 1, v = 2.0 * t + 5)): _*)
+    val out = StreamOps.trendStream(in.toDF())
+    val q = out.writeStream.format("memory").queryName("s17").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    q.processAllAvailable()
+    val b1 = spark.table("s17").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(b1.toSeq == Seq((5L, 2.0, 5.0)))
+    // batch 2 continues the same line: fit refines, stays exact
+    in.addData((5 to 9).map(t => ev(t, "a", t + 1, v = 2.0 * t + 5)): _*)
+    q.processAllAvailable()
+    // batch 3 breaks the line: slope must move off 2.0
+    in.addData(ev(10, "a", 11, v = 1000.0))
+    q.processAllAvailable(); q.stop()
+    val fits = spark.table("s17").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(fits.length == 3)
+    assert(fits(1) == ((10L, 2.0, 5.0)))
+    assert(fits(2)._1 == 11L && fits(2)._2 > 10.0) // the outlier bends the fit
+  }
+
   test("S16: streaming heavy hitters — Misra-Gries bounds exact on a scripted stream") {
     val in = MemoryStream[Ev]
     // k=2, group "a". batch 1 items (by user_id): 1,1,1,2,3
