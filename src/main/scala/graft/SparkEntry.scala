@@ -146,6 +146,7 @@ object SparkEntry {
     "q116_seasonality"     -> (Relational.q116 _),
     "q117_largest_jump"    -> (Relational.q117 _),
     "q118_dq_report"       -> (Relational.q118 _),
+    "q119_range_frame"     -> (Relational.q119 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1291,6 +1292,17 @@ object SparkEntry {
         "CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT), " +
         "ROUND(MAX(l_discount), 6) FROM lineitem" +
         ") t ORDER BY rule"),
+    // q119: RANGE frame — trailing 24 value-hours per user on epoch
+    // micros; decimal-exact frame sums.
+    "q119_range_frame" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, " +
+        "CAST(value AS DECIMAL(18,6)) AS v FROM events) " +
+        "SELECT event_id, user_id, tsu, " +
+        "CAST(COUNT(*) OVER w AS BIGINT) AS n_24h, " +
+        "ROUND(CAST(SUM(v) OVER w AS DOUBLE), 6) AS v_24h " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu " +
+        "RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id LIMIT 2000"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -1463,6 +1463,27 @@ object Relational {
           col(childKey) === col(parentKey), "left"),
       col(parentKey).isNull, lit(null).cast("double"))
 
+  /** Q119 — RANGE window frames under the ORACLE gate: per event, the
+    * count and value-sum of the same user's events in the trailing 24
+    * VALUE-hours (`rangeBetween` on epoch micros — a frame defined by
+    * the ORDER value, not row offsets: the rate-limiting/velocity
+    * query a ROWS frame cannot express when event spacing varies).
+    * The suite's row-frame windows (q17–q19/q41) leave RANGE frames
+    * ungated until here. Sum in exact decimal (q24 doctrine), one
+    * shuffle on user_id. */
+  def q119(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsu")
+      .rangeBetween(-86400000000L, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("v_24h", round(sum(col("v")).over(w).cast("double"), 6))
+      .select(col("event_id"), col("user_id"), col("tsu"), col("n_24h"), col("v_24h"))
+      .orderBy("event_id")
+      .limit(2000)
+  }
+
   /** Q118 — data-quality rules report under the ORACLE gate: the
     * dbt-test-style audit (referential integrity, key uniqueness,
     * range and sign rules) as one engine query. The fixture is clean —
