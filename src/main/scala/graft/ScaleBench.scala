@@ -344,10 +344,60 @@ object ScaleBench {
     }
   }
 
+  /** Events-analytics growth (r11): the q101/q102/q112 family's scale
+    * claims measured — funnel (k filtered scans + min aggs, ∝ n),
+    * retention (two aggs over distinct user-days, ∝ user-days), and
+    * rolling distinct (×7 fan-out + count-distinct, ∝ 7·user-days).
+    * Synthetic stream: n events over n/200 users across 60 days,
+    * type ∈ {view, click, purchase} by id hash — every stage has real
+    * work at every size (users convert, cohorts span days). */
+  private def runAnalytics(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val steps = Seq(("view", 0L), ("click", 3600L * 1000000),
+      ("purchase", 86400L * 1000000))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val users = math.max(100L, n / 200)
+      val ev = spark.range(n).select(
+        timestamp_micros(pmod(col("id") * 2654435761L, lit(60L * 86400))
+          * 1000000L + pmod(col("id"), lit(997)) * 1000L).as("ts"),
+        pmod(col("id") * 40503L, lit(users)).as("user_id"),
+        element_at(array(lit("view"), lit("click"), lit("purchase")),
+          (pmod(col("id") * 69069L, lit(3)) + 1).cast("int")).as("event_type"),
+        lit(1.0).as("value"), col("id").as("event_id"))
+        .persist()
+      ev.count()
+      if (i == 0) {
+        graft.operators.Relational.funnelUsers(ev, steps).count()
+        graft.operators.Relational.retention(ev, Seq(1, 7, 14)).count()
+        graft.operators.Relational.rollingDistinct(ev, 7).count()
+        sweep(); ev.count()
+      }
+      val t1 = System.nanoTime()
+      val funnelRows = graft.operators.Relational.funnelUsers(ev, steps).count()
+      val funnelSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val retRows = graft.operators.Relational.retention(ev, Seq(1, 7, 14)).count()
+      val retSec = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val rdRows = graft.operators.Relational.rollingDistinct(ev, 7).count()
+      val rdSec = (System.nanoTime() - t3) / 1e9
+      ev.unpersist(); sweep()
+      println(f"""{"op":"analytics","n_events":$n,"n_users":$users,"funnel_sec":$funnelSec%.2f,"retention_sec":$retSec%.2f,"rolling_distinct_sec":$rdSec%.2f,"funnel_users":$funnelRows,"cohorts":$retRows,"window_days":$rdRows}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/target/scale")
     val spark = Sessions.local(Sessions.envCpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("analytics")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(1000000L, 5000000L, 20000000L)
+      runAnalytics(spark, sizes)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("sweepline")) {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(1000000L, 5000000L, 20000000L)
