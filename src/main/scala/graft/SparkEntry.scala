@@ -147,6 +147,12 @@ object SparkEntry {
     "q117_largest_jump"    -> (Relational.q117 _),
     "q118_dq_report"       -> (Relational.q118 _),
     "q119_range_frame"     -> (Relational.q119 _),
+    "q120_triangles"       -> (graft.operators.Graph.q120 _),
+    "q121_item_neighbors"  -> (Relational.q121 _),
+    "q122_acf"             -> (Relational.q122 _),
+    "q123_transitions"     -> (Relational.q123 _),
+    "q124_attribution"     -> (Relational.q124 _),
+    "q125_ab_test"         -> (Relational.q125 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1303,6 +1309,101 @@ object SparkEntry {
         "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu " +
         "RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) " +
         "ORDER BY event_id LIMIT 2000"),
+    // q120: triangle counting — id-oriented wedge join + closure probe,
+    // each triangle once as (a<b<c); per-node counts explode corners.
+    "q120_triangles" ->
+      ("WITH small AS (SELECT p_partkey FROM part WHERE p_size <= 10), " +
+        "it AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey " +
+        "FROM lineitem JOIN small ON l_partkey = p_partkey), " +
+        "e AS (SELECT x.pkey AS src, y.pkey AS dst FROM it x JOIN it y " +
+        "ON x.okey = y.okey AND x.pkey < y.pkey GROUP BY 1, 2 HAVING COUNT(*) >= 1), " +
+        "w AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c " +
+        "FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst), " +
+        "t AS (SELECT a, b, c FROM w JOIN e ON w.b = e.src AND w.c = e.dst), " +
+        "n AS (SELECT unnest([a, b, c]) AS node FROM t) " +
+        "SELECT node AS part, CAST(COUNT(*) AS BIGINT) AS n_triangles " +
+        "FROM n GROUP BY node ORDER BY part"),
+    // q121: item-item cosine neighbors — exact BIGINT supports, sim as
+    // one IEEE divide+sqrt, rank over (rounded sim DESC, neighbor).
+    "q121_item_neighbors" ->
+      ("WITH b AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS item " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY item), " +
+        "co AS (SELECT x.item AS item, y.item AS neighbor, CAST(COUNT(*) AS BIGINT) AS co " +
+        "FROM b x JOIN b y ON x.cust = y.cust AND x.item <> y.item GROUP BY 1, 2), " +
+        "s AS (SELECT co.item, neighbor, co, " +
+        "ROUND(CAST(co AS DOUBLE) / sqrt(CAST(da.n * db.n AS DOUBLE)), 6) AS sim " +
+        "FROM co JOIN deg da ON da.item = co.item JOIN deg db ON db.item = co.neighbor), " +
+        "r AS (SELECT item, neighbor, co, sim, " +
+        "ROW_NUMBER() OVER (PARTITION BY item ORDER BY sim DESC, neighbor) AS rk FROM s) " +
+        "SELECT item, neighbor, co, sim, CAST(rk AS BIGINT) AS rk " +
+        "FROM r WHERE rk <= 5 ORDER BY item, rk"),
+    // q122: ACF over the q115 gap-filled grid — every aggregate an
+    // exact BIGINT sum, r_k one IEEE expression mirrored term for term.
+    "q122_acf" ->
+      ("WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events), " +
+        "c AS (SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY day, event_type), " +
+        "span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e), " +
+        "spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span), " +
+        "g AS (SELECT DISTINCT event_type FROM e), " +
+        "filled AS (SELECT spine.day AS day, g.event_type, COALESCE(c.cnt, 0) AS cnt " +
+        "FROM spine CROSS JOIN g LEFT JOIN c ON c.day = spine.day AND c.event_type = g.event_type), " +
+        "xy AS (SELECT event_type, CAST(date_diff('day', (SELECT d0 FROM span), day) AS BIGINT) AS x, cnt AS y FROM filled), " +
+        "base AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS syy FROM xy GROUP BY event_type), " +
+        "lags AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS k), " +
+        "lagm AS (SELECT t.event_type, k, CAST(SUM(t.y * u.y) AS BIGINT) AS sxy, " +
+        "CAST(SUM(t.y) AS BIGINT) AS sh, CAST(SUM(u.y) AS BIGINT) AS st " +
+        "FROM xy t CROSS JOIN lags JOIN xy u ON u.event_type = t.event_type AND u.x = t.x + k " +
+        "GROUP BY t.event_type, k) " +
+        "SELECT event_type, CAST(k AS BIGINT) AS k, " +
+        "ROUND((CAST(sxy AS DOUBLE) - (CAST(sy AS DOUBLE) / n) * (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE)) + " +
+        "(n - k) * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) / " +
+        "(CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE) / n) * CAST(sy AS DOUBLE)), 6) AS r " +
+        "FROM lagm JOIN base USING (event_type) ORDER BY event_type, k"),
+    // q123: Markov transitions — LEAD over the per-user total order
+    // (tsu, event_id), exact counts, one IEEE divide for p.
+    "q123_transitions" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events), " +
+        "s AS (SELECT user_id, event_type, " +
+        "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS to_type FROM e), " +
+        "c AS (SELECT event_type AS from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS tot FROM c GROUP BY from_type) " +
+        "SELECT from_type, to_type, cnt, ROUND(CAST(cnt AS DOUBLE) / tot, 6) AS p " +
+        "FROM c JOIN t USING (from_type) ORDER BY from_type, to_type"),
+    // q124: last-touch attribution — as-of pick by (tt DESC, tid DESC)
+    // per conversion, 7-day lookback, no-touch purchases -> 'direct'.
+    "q124_attribution" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events), " +
+        "conv AS (SELECT user_id, tsu AS ct, event_id AS cid FROM e WHERE event_type = 'purchase'), " +
+        "touch AS (SELECT user_id, event_type AS channel, tsu AS tt, event_id AS tid " +
+        "FROM e WHERE event_type <> 'purchase'), " +
+        "j AS (SELECT cid, channel, tt, tid FROM conv LEFT JOIN touch " +
+        "ON conv.user_id = touch.user_id AND tt < ct AND tt >= ct - 604800000000), " +
+        "r AS (SELECT cid, COALESCE(channel, 'direct') AS channel, " +
+        "ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tt DESC NULLS LAST, tid DESC NULLS LAST) AS rk FROM j), " +
+        "bc AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS conversions FROM r WHERE rk = 1 GROUP BY channel), " +
+        "t AS (SELECT CAST(SUM(conversions) AS BIGINT) AS tot FROM bc) " +
+        "SELECT channel, conversions, ROUND(CAST(conversions AS DOUBLE) / tot, 6) AS share " +
+        "FROM bc CROSS JOIN t ORDER BY channel"),
+    // q125: two-proportion z — exact per-variant counts, pooled
+    // variance, one IEEE expression mirrored term for term.
+    "q125_ab_test" ->
+      ("WITH pu AS (SELECT user_id, MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted " +
+        "FROM events GROUP BY user_id), " +
+        "v AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant, converted FROM pu), " +
+        "m AS (SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS c_a, " +
+        "CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS c_b FROM v) " +
+        "SELECT n_a, c_a, n_b, c_b, " +
+        "ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS p_a, " +
+        "ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS p_b, " +
+        "ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) / " +
+        "sqrt((CAST(c_a AS DOUBLE) + c_b) / (n_a + n_b) * " +
+        "(1.0 - (CAST(c_a AS DOUBLE) + c_b) / (n_a + n_b)) * " +
+        "(1.0 / n_a + 1.0 / n_b)), 6) AS z FROM m"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

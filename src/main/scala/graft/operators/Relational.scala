@@ -1513,4 +1513,199 @@ object Relational {
         max(col("l_discount")))
     ).reduce(_.unionByName(_)).orderBy("rule")
   }
+
+  /** Item-item collaborative similarity — "customers who bought A also
+    * bought B", ranked: cosine over binary customer×part purchase
+    * vectors, sim(a,b) = co / sqrt(n_a·n_b) from exact BIGINT supports
+    * (one IEEE divide+sqrt, identical text both engines), top-k
+    * neighbors per item by (sim DESC, neighbor id) — a total order
+    * because sim is computed bit-identically and the neighbor id is
+    * unique within a group.
+    *
+    * Shape: one distinct on (cust, part), one self-equi-join on the
+    * customer key (pairs per customer = basket², never corpus²), one
+    * hash agg, one bounded window. 100 TB: the production levers are a
+    * minimum co-support cut before the window and a heavy-customer cap
+    * (a customer with a million items contributes a million² pairs —
+    * q56's salting territory; cutting baskets at the 99.9th percentile
+    * is the standard recsys hygiene), both applied before anything
+    * quadratic materializes. */
+  def itemNeighbors(baskets: DataFrame, k: Int): DataFrame = {
+    val b = baskets.toDF("cust", "item").distinct()
+    val deg = b.groupBy("item").agg(count(lit(1)).as("n"))
+    val co = b.as("x").join(b.as("y"),
+        col("x.cust") === col("y.cust") && col("x.item") =!= col("y.item"))
+      .groupBy(col("x.item").as("item"), col("y.item").as("neighbor"))
+      .agg(count(lit(1)).as("co"))
+    val sim = co
+      .join(broadcast(deg.select(col("item"), col("n").as("n_a"))), "item")
+      .join(broadcast(deg.select(col("item").as("neighbor"), col("n").as("n_b"))),
+        "neighbor")
+      .withColumn("sim", round(col("co").cast("double") /
+        sqrt((col("n_a") * col("n_b")).cast("double")), 6))
+    sim.withColumn("rk", row_number().over(
+        Window.partitionBy("item").orderBy(col("sim").desc, col("neighbor"))))
+      .filter(col("rk") <= k)
+      .select(col("item"), col("neighbor"), col("co"), col("sim"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Q121 — item-item neighbors under the ORACLE gate: top-5 co-purchase
+    * neighbors per part over (o_custkey, l_partkey) baskets. */
+  def q121(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    itemNeighbors(baskets, 5).orderBy("item", "rk")
+  }
+
+  /** Autocorrelation function — r_k for lags 1..maxLag per group over
+    * the GAP-FILLED daily series (q110's densify-first rule: ACF on a
+    * sparse series silently compares non-adjacent days). The estimator
+    * r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)² is expanded so every
+    * aggregate is an exact BIGINT sum — sxy_k = Σ y_t·y_{t+k} plus the
+    * head/tail sums over the overlap — and r_k is ONE IEEE expression
+    * over those exact scalars (the q111/q115 moment discipline):
+    * r_k = (sxy_k − ȳ(sh_k + st_k) + (n−k)ȳ²) / (syy − ȳ·sy), ȳ = sy/n.
+    *
+    * Shape: one agg for the base moments, one self-join of the grid on
+    * (group, x+k) fanned across the lags frame for the lag moments —
+    * both shuffles on the group key; the grid is days-sized, never
+    * events-sized. */
+  def acf(grid: DataFrame, groupCol: String, maxLag: Int): DataFrame = {
+    val d0 = grid.agg(min("day").as("d0"))
+    val xy = grid.crossJoin(broadcast(d0))
+      .select(col(groupCol),
+        datediff(col("day"), col("d0")).cast("long").as("x"),
+        col("cnt").as("y"))
+    val base = xy.groupBy(groupCol).agg(
+      count(lit(1)).as("n"), sum("y").as("sy"),
+      sum(col("y") * col("y")).as("syy"))
+    val lags = grid.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("k"))
+    val lagm = xy.as("t").crossJoin(broadcast(lags))
+      .join(xy.as("u"),
+        col(s"t.$groupCol") === col(s"u.$groupCol") &&
+          col("u.x") === col("t.x") + col("k"))
+      .groupBy(col(s"t.$groupCol").as(groupCol), col("k"))
+      .agg(sum(col("t.y") * col("u.y")).as("sxy"),
+        sum(col("t.y")).as("sh"), sum(col("u.y")).as("st"))
+    def dbl(c: String) = col(c).cast("double")
+    val ybar = dbl("sy") / col("n")
+    lagm.join(broadcast(base), Seq(groupCol))
+      .select(col(groupCol), col("k").cast("long").as("k"),
+        round((dbl("sxy") - ybar * (dbl("sh") + dbl("st")) +
+          (col("n") - col("k")) * ybar * ybar) /
+          (dbl("syy") - ybar * dbl("sy")), 6).as("r"))
+  }
+
+  /** Q122 — ACF under the ORACLE gate: lags 1..7 of the daily count
+    * series per event type. */
+  def q122(s: SparkSession, d: String): DataFrame =
+    acf(gapFill(Tables.events(s, d), "event_type"), "event_type", 7)
+      .orderBy("event_type", "k")
+
+  /** Markov transition matrix — P(next event type | current) per user
+    * journey: one LEAD over the per-user total order (tsu, event_id —
+    * unique, so tie order is engine-independent), one hash agg on the
+    * (from, to) pair, row-probabilities as one IEEE divide over exact
+    * BIGINT counts. The "what do users do next" query behind journey
+    * maps and next-action models; one shuffle on user_id, one on the
+    * 25-cell pair key. */
+  def transitions(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val seq = ev.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val cnt = seq.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy("from_type").agg(sum("cnt").as("tot"))
+    cnt.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        round(col("cnt").cast("double") / col("tot"), 6).as("p"))
+  }
+
+  /** Q123 — Markov transitions under the ORACLE gate. */
+  def q123(s: SparkSession, d: String): DataFrame =
+    transitions(Tables.events(s, d)).orderBy("from_type", "to_type")
+
+  /** Last-touch attribution — each purchase credits the LATEST
+    * preceding non-purchase event by the same user inside the lookback
+    * horizon; purchases with no touch in the horizon credit "direct".
+    * The credited touch is picked by row_number over (tsu DESC,
+    * event_id DESC) — a total order, so the per-conversion choice is
+    * deterministic in both engines. Output: conversions and share per
+    * channel (share = one IEEE divide over exact BIGINT counts).
+    *
+    * Shape: an as-of-join (q37's family) on user_id bounded by the
+    * horizon, then two hash aggs. 100 TB: the horizon bound is the
+    * state cap — the join's per-user window is at most lookback-days
+    * of events, and a bucketed-by-user layout makes it shuffle-free. */
+  def lastTouch(ev: DataFrame, horizonUs: Long): DataFrame = {
+    val e = ev.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tsu"), col("event_id"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu").as("ct"), col("event_id").as("cid"))
+    val touch = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("tsu").as("tt"), col("event_id").as("tid"))
+    val joined = conv.join(touch,
+        conv("user_id") === touch("user_id") &&
+          col("tt") < col("ct") && col("tt") >= col("ct") - horizonUs,
+        "left")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cid").orderBy(col("tt").desc_nulls_last,
+          col("tid").desc_nulls_last)))
+      .filter(col("rk") === 1)
+      .select(col("cid"), coalesce(col("channel"), lit("direct")).as("channel"))
+    val byChannel = joined.groupBy("channel").agg(count(lit(1)).as("conversions"))
+    val total = byChannel.agg(sum("conversions").as("tot"))
+    byChannel.crossJoin(broadcast(total))
+      .select(col("channel"), col("conversions"),
+        round(col("conversions").cast("double") / col("tot"), 6).as("share"))
+  }
+
+  /** Q124 — last-touch attribution under the ORACLE gate: 7-day
+    * lookback over the events stream. */
+  def q124(s: SparkSession, d: String): DataFrame =
+    lastTouch(Tables.events(s, d), 7L * 86400000000L).orderBy("channel")
+
+  /** A/B conversion test — the two-proportion z statistic from exact
+    * per-variant BIGINT counts (users, converters), pooled variance:
+    * z = (p_a − p_b) / sqrt(p(1−p)(1/n_a + 1/n_b)), p pooled — ONE
+    * IEEE expression both engines evaluate on identical exact inputs.
+    * Variant assignment is deterministic (user_id mod 2 here; a
+    * production experiment hashes a salt + user key, q42's family).
+    * The conversion metric is a QUALIFIED purchase (value > 150) — the
+    * fixture's users all have some purchase, so the unqualified metric
+    * degenerates to p = 1 and the pooled variance to 0 (and ANSI mode
+    * correctly refuses the divide).
+    * Shape: one distinct-per-user agg, one 2-row pivot — the whole
+    * report is two scans collapsed to scalars, nothing retained. */
+  def abTest(ev: DataFrame): DataFrame = {
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+    val m = perUser.groupBy()
+      .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "A", col("converted")).otherwise(0L)).as("c_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === "B", col("converted")).otherwise(0L)).as("c_b"))
+    def dbl(c: String) = col(c).cast("double")
+    val pa = dbl("c_a") / col("n_a")
+    val pb = dbl("c_b") / col("n_b")
+    val pp = (dbl("c_a") + col("c_b")) / (col("n_a") + col("n_b"))
+    m.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round((pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z"))
+  }
+
+  /** Q125 — A/B two-proportion z under the ORACLE gate. */
+  def q125(s: SparkSession, d: String): DataFrame =
+    abTest(Tables.events(s, d))
 }

@@ -279,4 +279,111 @@ class EntityAnalyticsSpec extends SparkSpec {
     val varr = (sq - sv * sv / n) / (n - 1)
     assert(out.head.getDouble(1) == (100.0 - mean) / math.sqrt(varr))
   }
+
+  // ---- q120 triangles ----
+
+  test("triangle counting finds each triangle once, per-node counts") {
+    // K4 on {1,2,3,4} = 4 triangles, each node in 3; node 5 hangs off
+    // an edge (no triangle); edges id-oriented src < dst.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("src", "dst")
+    val out = graft.operators.Graph.triangleCounts(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("co-order edges apply the support threshold, oriented once") {
+    // parts (1,2) co-occur in orders 10 and 20; (1,3) only in 10.
+    val li = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+    val e2 = graft.operators.Graph.coOrderEdges(li, minSupport = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e2 == Set((1L, 2L)))
+  }
+
+  // ---- q121 item neighbors ----
+
+  test("item neighbors rank by cosine then id, capped at k") {
+    // c1 buys {A,B,C}; c2 buys {A,B}; c3 buys {B,D}.
+    // deg: A=2 B=3 C=1 D=1. co(A,B)=2 -> sim 2/sqrt(6)=0.816497;
+    // co(A,C)=1 -> 1/sqrt(2)=0.707107; co(B,C)=1 -> 1/sqrt(3)=0.57735.
+    val baskets = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (3L, "B"), (3L, "D")).toDF("cust", "item")
+    val out = graft.operators.Relational.itemNeighbors(baskets, 2)
+      .collect().map(r => (r.getString(0), r.getLong(4)) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("A", 1L)) == (("B", 2L, 0.816497)))
+    assert(out(("A", 2L)) == (("C", 1L, 0.707107)))
+    // B's top-2 of three neighbors: A (0.816497) then tie 0.57735
+    // between C and D broken by id -> C
+    assert(out(("B", 1L))._1 == "A")
+    assert(out(("B", 2L))._1 == "C")
+    assert(!out.contains(("B", 3L))) // k = 2 cap
+  }
+
+  // ---- q122 ACF ----
+
+  test("ACF sign pattern and exact value on a periodic series") {
+    // y alternates 1,3,1,3,... over 8 days: negative at lag 1,
+    // positive at lag 2; the expanded estimator at n=8, k=2 gives
+    // exactly 6/8 = 0.75 (finite-n attenuation of the full cycle).
+    import java.sql.Date
+    val grid = (0 until 8).map(i =>
+        (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+          "g", if (i % 2 == 0) 1L else 3L))
+      .toDF("day", "g", "cnt")
+    val r = graft.operators.Relational.acf(grid, "g", 2)
+      .collect().map(x => x.getLong(1) -> x.getDouble(2)).toMap
+    assert(r(1L) < 0 && r(2L) > 0)
+    assert(math.abs(r(2L) - 0.75) < 1e-9)
+  }
+
+  // ---- q123 transitions ----
+
+  test("transition matrix counts ordered next-events per user") {
+    val events = ev(
+      (1, "view", 0), (1, "click", 10), (1, "view", 20),
+      (2, "view", 5), (2, "click", 15))
+    val out = graft.operators.Relational.transitions(events)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // from view: ->click twice of 2 transitions; from click: ->view once
+    assert(out(("view", "click")) == ((2L, 1.0)))
+    assert(out(("click", "view")) == ((1L, 1.0)))
+    assert(out.size == 2)
+  }
+
+  // ---- q124 attribution ----
+
+  test("last-touch picks the latest in-horizon touch, else direct") {
+    val h = 1000L * 1000000 // 1000 s horizon in micros
+    val events = ev(
+      // purchase@500: touches view@100, click@400 -> click wins (latest)
+      (1, "view", 100), (1, "click", 400), (1, "purchase", 500),
+      // purchase@5000: only touch is @100, outside 1000 s -> direct
+      (2, "view", 100), (2, "purchase", 5000),
+      // touch at the exact purchase instant does NOT count (tt < ct)
+      (3, "click", 700), (3, "purchase", 700))
+    val out = graft.operators.Relational.lastTouch(events, h)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("click" -> 1L, "direct" -> 2L))
+  }
+
+  // ---- q125 A/B ----
+
+  test("two-proportion z matches the hand-computed statistic") {
+    // even users = A: u2 converts, u4 doesn't; odd = B: u1, u3 don't.
+    val events = ev(
+      (2, "purchase", 0), (4, "view", 0), (1, "view", 0), (3, "view", 0))
+      .withColumn("value", lit(200.0)) // qualified purchases
+    val r = graft.operators.Relational.abTest(events).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 2L, 0L)))
+    // pa=0.5 pb=0 pp=0.25: z = 0.5/sqrt(0.25*0.75*(1/2+1/2)) = 1.154701
+    assert(math.abs(r.getDouble(6) - 1.154701) < 1e-6)
+  }
 }
