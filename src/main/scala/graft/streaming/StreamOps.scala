@@ -27,6 +27,12 @@ case class TrendState(n: Long, x0: Long, sx: Double, sy: Double,
   sxx: Double, syy: Double, sxy: Double)
 case class TrendFit(group: String, n: Long, slope: Double, intercept: Double)
 
+/** S18 transition state: the per-user anchor — last event in the
+  * (tsu, event_id) total order. One fixed-size record per live user. */
+case class TransitionAnchor(tsu: Long, eventId: Long, eventType: String)
+case class Transition(user_id: Long, from_type: String, to_type: String,
+  from_us: Long, to_us: Long)
+
 /** The declared streaming operator surface S2–S7 (SURVEY.md §2.4) —
   * event-time upgrades of the reference's processing-time-only design.
   * Each takes a (streaming or batch) DataFrame with the events schema
@@ -543,6 +549,68 @@ object StreamOps {
               Iterator.single(TrendFit(grp, st.n, slope,
                 (st.sy - slope * st.sx) / st.n))
             } else Iterator.empty
+          }
+      }.toDF()
+  }
+
+  /** S18 (r11) — streaming journey transitions: the real-time form of
+    * the batch q123 (`Relational.transitions`) — emit each per-user
+    * (from → to) event transition as it happens; the live transition
+    * matrix is then one ordinary streaming aggregation downstream.
+    *
+    * Semantics: the state is the per-user ANCHOR — the last event in
+    * the (tsu, event_id) total order, the same order the batch LEAD
+    * chain uses. Each micro-batch's rows sort by that order first, so
+    * intra-batch disorder is invisible; under per-user in-order
+    * delivery across batches (Kafka key-partitioning) the emitted
+    * multiset EQUALS the batch matrix, pinned by the real-fixture
+    * parity test. A cross-batch regression (an event older than the
+    * anchor) cannot retro-edit an emitted transition — state holds no
+    * event buffer — so it is dropped, the documented at-once tradeoff
+    * (the S14 class).
+    *
+    * Scale posture: state is ONE fixed-size record per live user,
+    * evicted by EventTimeTimeout once the user has been idle past
+    * `idleGapUs` behind the watermark; after eviction a returning user
+    * starts a new chain (no synthetic transition across the gap —
+    * exactly how a session boundary should read). */
+  def transitionStream(
+      events: DataFrame,
+      watermark: String = "10 seconds",
+      idleGapUs: Long = 3600L * 1000000): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("event_id").cast("long"), col("ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[TransitionAnchor]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            def micros(ts: java.sql.Timestamp): Long =
+              ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+            val batch = rows.toArray
+              .map(r => (micros(r._4), r._3, r._2))
+              .sortBy(r => (r._1, r._2))
+            var anchor = state.getOption.orNull
+            val out = Vector.newBuilder[Transition]
+            batch.foreach { case (tsu, eid, et) =>
+              if (anchor != null &&
+                  (tsu > anchor.tsu || (tsu == anchor.tsu && eid > anchor.eventId)))
+                out += Transition(uid, anchor.eventType, et, anchor.tsu, tsu)
+              if (anchor == null || tsu > anchor.tsu ||
+                  (tsu == anchor.tsu && eid > anchor.eventId))
+                anchor = TransitionAnchor(tsu, eid, et)
+            }
+            state.update(anchor)
+            state.setTimeoutTimestamp(math.max(anchor.tsu / 1000 + idleGapUs / 1000,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
           }
       }.toDF()
   }

@@ -280,6 +280,80 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("S18: streaming transitions — intra-batch sort, cross-batch anchor, stale-event drop") {
+    val in = MemoryStream[Ev]
+    // batch 1 — u1: view@10 -> click@20; u2: lone view@5 (no emission)
+    in.addData(ev(10, "view", 1), ev(20, "click", 2), ev(5, "view", 3, user = 2))
+    val out = StreamOps.transitionStream(in.toDF())
+    val q = out.writeStream.format("memory").queryName("s18").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    q.processAllAvailable()
+    val b1 = spark.table("s18").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(b1 == Set((1L, "view", "click")))
+    // batch 2 — u1: purchase@40 chains off the batch-1 anchor, then a
+    // STALE event @15 (older than the anchor) is dropped, not chained;
+    // u2: intra-batch disorder (click@30 added before error@25) must
+    // sort to view@5 -> error@25 -> click@30
+    in.addData(ev(40, "purchase", 5), ev(15, "signup", 7),
+      ev(30, "click", 4, user = 2), ev(25, "error", 6, user = 2))
+    q.processAllAvailable(); q.stop()
+    val all = spark.table("s18").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    assert(all == Set(
+      (1L, "view", "click", 10000000L, 20000000L),
+      (1L, "click", "purchase", 20000000L, 40000000L),
+      (2L, "view", "error", 5000000L, 25000000L),
+      (2L, "error", "click", 25000000L, 30000000L)))
+  }
+
+  test("S18 eviction: an idle-gap timeout starts a NEW chain, no synthetic transition") {
+    val in = MemoryStream[Ev]
+    in.addData(ev(10, "view", 1))
+    // 1 s idle gap, 0 s watermark: u1's anchor evicts once the
+    // watermark (next batch's max event time) passes 10 s + 1 s
+    val out = StreamOps.transitionStream(in.toDF(), watermark = "0 seconds",
+      idleGapUs = 1000000L)
+    val q = out.writeStream.format("memory").queryName("s18ev").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    q.processAllAvailable()
+    // push the watermark far past the horizon with another user's event
+    in.addData(ev(1000, "view", 2, user = 9))
+    q.processAllAvailable()
+    // u1 returns: anchor is gone -> no view->click transition emitted
+    in.addData(ev(2000, "click", 3))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s18ev").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set.empty[(Long, String, String)])
+  }
+
+  test("S18 parity on the REAL fixture: streamed transitions equal batch q123 counts") {
+    val d = sf("sf0.001")
+    val ev0 = graft.sources.Tables.events(spark, d)
+      .select("ts", "user_id", "event_type", "value", "event_id")
+      .orderBy("ts").collect()
+    val rows = ev0.map(r => Ev(r.getTimestamp(0), r.getLong(1), r.getString(2),
+      r.getDouble(3), r.getLong(4)))
+    val in = MemoryStream[Ev]
+    // idle gap wider than the fixture span: no eviction, single chain
+    val out = StreamOps.transitionStream(in.toDF(), watermark = "0 seconds",
+      idleGapUs = 400L * 86400 * 1000000)
+    val q = out.writeStream.format("memory").queryName("s18par").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    rows.grouped(400).foreach { batch =>        // time-ordered batches:
+      in.addData(batch.toSeq); q.processAllAvailable() // per-user in-order
+    }
+    q.stop()
+    val streamed = spark.table("s18par").collect()
+      .groupBy(r => (r.getString(1), r.getString(2)))
+      .map { case (k, v) => (k._1, k._2, v.length.toLong) }.toSet
+    val batch = graft.operators.Relational
+      .transitions(graft.sources.Tables.events(spark, d))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("S17: streaming trend recovers a planted linear drift exactly, refined across batches") {
     val in = MemoryStream[Ev]
     // group "a": v = 2t + 5 (t in seconds) — integers, so the moment
