@@ -387,10 +387,56 @@ object ScaleBench {
     }
   }
 
+  /** graph mode: co-occurrence graph construction + triangle counting
+    * and item-item neighbor growth over synthetic basket frames —
+    * n basket-item rows, 4 items per basket, item vocabulary n/100
+    * (Heaps-ish: a fixed vocabulary at 20 M rows would make every item
+    * a stopword-class hub and the curve would measure the hairball,
+    * not the operator). The signal is the growth RATIO: edge building
+    * and the neighbor self-join are basket-quadratic (bounded — 4²
+    * per basket), the wedge join is degree-quadratic (bounded by the
+    * support threshold), so both should track n near-linearly. */
+  private def runGraph(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val vocab = math.max(1000L, n / 100)
+      val baskets = spark.range(n).select(
+        (col("id") / 4).cast("long").as("cust"),
+        pmod(col("id") * 2654435761L, lit(vocab)).as("item"))
+        .persist()
+      baskets.count()
+      val asLineitem = baskets.select(col("cust").as("l_orderkey"),
+        col("item").as("l_partkey"))
+      if (i == 0) {
+        graft.operators.Graph.triangleCounts(
+          graft.operators.Graph.coOrderEdges(asLineitem, 2)).count()
+        graft.operators.Relational.itemNeighbors(baskets, 5).count()
+        sweep(); baskets.count()
+      }
+      val t1 = System.nanoTime()
+      val edges = graft.operators.Graph.coOrderEdges(asLineitem, 2)
+      val triRows = graft.operators.Graph.triangleCounts(edges).count()
+      val triSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val nbrRows = graft.operators.Relational.itemNeighbors(baskets, 5).count()
+      val nbrSec = (System.nanoTime() - t2) / 1e9
+      baskets.unpersist(); sweep()
+      println(f"""{"op":"graph","n_rows":$n,"vocab":$vocab,"triangles_sec":$triSec%.2f,"neighbors_sec":$nbrSec%.2f,"tri_nodes":$triRows,"neighbor_rows":$nbrRows}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/target/scale")
     val spark = Sessions.local(Sessions.envCpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("graph")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(1000000L, 5000000L, 20000000L)
+      runGraph(spark, sizes)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("analytics")) {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(1000000L, 5000000L, 20000000L)

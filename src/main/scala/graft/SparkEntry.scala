@@ -153,6 +153,8 @@ object SparkEntry {
     "q123_transitions"     -> (Relational.q123 _),
     "q124_attribution"     -> (Relational.q124 _),
     "q125_ab_test"         -> (Relational.q125 _),
+    "q126_ewma"            -> (Relational.q126 _),
+    "q127_session_paths"   -> (Relational.q127 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1404,6 +1406,41 @@ object SparkEntry {
         "sqrt((CAST(c_a AS DOUBLE) + c_b) / (n_a + n_b) * " +
         "(1.0 - (CAST(c_a AS DOUBLE) + c_b) / (n_a + n_b)) * " +
         "(1.0 / n_a + 1.0 / n_b)), 6) AS z FROM m"),
+    // q126: EWMA with DYADIC decay (w = 1/2): every term cnt·2^-k is
+    // exact in a double, so the float SUM is order-free — the one case
+    // where cross-engine double summation is bit-deterministic.
+    "q126_ewma" ->
+      ("WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events), " +
+        "c AS (SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY day, event_type), " +
+        "span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e), " +
+        "spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span), " +
+        "g AS (SELECT DISTINCT event_type FROM e), " +
+        "filled AS (SELECT spine.day AS day, g.event_type, COALESCE(c.cnt, 0) AS cnt " +
+        "FROM spine CROSS JOIN g LEFT JOIN c ON c.day = spine.day AND c.event_type = g.event_type), " +
+        "xy AS (SELECT event_type, CAST(date_diff('day', (SELECT d0 FROM span), day) AS BIGINT) AS x, cnt FROM filled), " +
+        "mx AS (SELECT CAST(date_diff('day', d0, d1) AS BIGINT) AS xmax FROM span), " +
+        "contrib AS (SELECT event_type, cnt, x, CAST(unnest(generate_series(x, LEAST(x + 13, xmax))) AS BIGINT) AS t " +
+        "FROM xy CROSS JOIN mx) " +
+        "SELECT event_type, t, " +
+        "ROUND(SUM(cnt * pow(0.5, CAST(t - x AS DOUBLE))) / SUM(pow(0.5, CAST(t - x AS DOUBLE))), 6) AS ewma " +
+        "FROM contrib GROUP BY event_type, t ORDER BY event_type, t"),
+    // q127: session paths — 12 h-gap sessionization, path = event types
+    // in the (tsu, event_id) total order capped at 8 steps, top-20 by
+    // (count DESC, path).
+    "q127_session_paths" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events), " +
+        "s1 AS (SELECT user_id, event_type, tsu, event_id, " +
+        "LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM e), " +
+        "s2 AS (SELECT user_id, event_type, tsu, event_id, " +
+        "CASE WHEN prev IS NULL OR tsu - prev > 43200000000 THEN 1 ELSE 0 END AS ns FROM s1), " +
+        "s3 AS (SELECT user_id, event_type, tsu, event_id, " +
+        "CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM s2), " +
+        "p AS (SELECT user_id, sid, " +
+        "array_to_string(list_slice(list(event_type ORDER BY tsu, event_id), 1, 8), '>') AS path " +
+        "FROM s3 GROUP BY user_id, sid), " +
+        "c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p GROUP BY path), " +
+        "r AS (SELECT path, n_sessions, ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rk FROM c) " +
+        "SELECT path, n_sessions, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20 ORDER BY rk"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

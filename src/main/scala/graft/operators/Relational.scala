@@ -1708,4 +1708,89 @@ object Relational {
   /** Q125 — A/B two-proportion z under the ORACLE gate. */
   def q125(s: SparkSession, d: String): DataFrame =
     abTest(Tables.events(s, d))
+
+  /** Exponentially weighted moving average over the gap-filled daily
+    * grid — EWMA with DYADIC decay w = 1/2 over a bounded trailing
+    * window of `span` days. The decay choice is load-bearing for
+    * cross-engine exactness: every term y_i · 2^−k is an exact dyadic
+    * rational (y is an integer count, k ≤ span ≤ 30), all partial sums
+    * stay exactly representable in a double, so the float SUM is
+    * ORDER-FREE — the one situation where summing doubles across a
+    * shuffle is bit-deterministic. An arbitrary α would need the q111
+    * decimal-moment treatment instead; the scaladoc records that as
+    * the general-α path.
+    *
+    * Shape: the q112 bounded ×span fan-out (each day contributes to at
+    * most `span` window ends) then one agg — no ordered window, no
+    * recursion, scale-parallel. */
+  def ewma(grid: DataFrame, groupCol: String, span: Int): DataFrame = {
+    val d0 = grid.agg(min("day").as("d0"), max("day").as("d1"))
+    val contrib = grid.crossJoin(broadcast(d0))
+      .select(col(groupCol), col("cnt"),
+        datediff(col("day"), col("d0")).cast("long").as("x"),
+        datediff(col("d1"), col("d0")).cast("long").as("xmax"))
+      .select(col(groupCol), col("cnt"), col("xmax"),
+        explode(sequence(col("x"), least(col("x") + (span - 1), col("xmax"))))
+          .as("t"),
+        col("x"))
+    contrib
+      .withColumn("w", pow(lit(0.5), (col("t") - col("x")).cast("double")))
+      .groupBy(col(groupCol), col("t"))
+      .agg(sum(col("cnt") * col("w")).as("num"), sum("w").as("den"))
+      .select(col(groupCol), col("t"),
+        round(col("num") / col("den"), 6).as("ewma"))
+  }
+
+  /** Q126 — EWMA under the ORACLE gate: half-decay 14-day smoothing of
+    * the daily count series per event type. */
+  def q126(s: SparkSession, d: String): DataFrame =
+    ewma(gapFill(Tables.events(s, d), "event_type"), "event_type", 14)
+      .orderBy("event_type", "t")
+
+  /** Session path analysis — the top journey shapes: per q38-style
+    * session (12 h inactivity gap), the ordered event-type path
+    * string, counted across sessions. The path is assembled from the
+    * (tsu, event_id) TOTAL order (array_sort on a struct whose leading
+    * fields are that key ↔ the oracle's string_agg ORDER BY), so both
+    * engines build identical strings. Top-k paths by (count DESC,
+    * path) — deterministic. The "what do users actually do" query
+    * behind UX funnels; one shuffle on user_id for the session window,
+    * one path agg, one bounded top-k.
+    *
+    * 100 TB: paths are capped at `maxLen` events (long sessions emit
+    * their prefix — the standard path-analysis truncation that keeps
+    * the value space and per-row state bounded). */
+  def sessionPaths(ev: DataFrame, gapUs: Long, maxLen: Int, k: Int): DataFrame = {
+    val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val sess = ev
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .withColumn("prev", lag(col("tsu"), 1).over(wo))
+      .withColumn("ns",
+        when(col("prev").isNull || col("tsu") - col("prev") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("sid",
+        sum(col("ns")).over(wo.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("bigint"))
+    val paths = sess.groupBy("user_id", "sid")
+      .agg(array_join(
+        slice(transform(
+          array_sort(collect_list(struct(col("tsu"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), 1, maxLen), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))))
+      .filter(col("rk") <= k)
+      .select(col("path"), col("n_sessions"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Q127 — session paths under the ORACLE gate: top-20 paths of the
+    * 12 h-gap sessions, paths capped at 8 steps. The final top-k
+    * window is a single-partition sort over the (bounded) distinct
+    * path vocabulary — fine here; at corpus scale the q99 per-partition
+    * pre-cut applies first. */
+  def q127(s: SparkSession, d: String): DataFrame =
+    sessionPaths(Tables.events(s, d), 12L * 3600 * 1000000, 8, 20)
+      .orderBy("rk")
 }

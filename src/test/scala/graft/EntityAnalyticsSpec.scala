@@ -386,4 +386,36 @@ class EntityAnalyticsSpec extends SparkSpec {
     // pa=0.5 pb=0 pp=0.25: z = 0.5/sqrt(0.25*0.75*(1/2+1/2)) = 1.154701
     assert(math.abs(r.getDouble(6) - 1.154701) < 1e-6)
   }
+
+  // ---- q126 EWMA ----
+
+  test("EWMA halves weights day by day and normalizes partial windows") {
+    import java.sql.Date
+    // counts 8, 4, 2 on days 0..2: at t=2 num = 2 + 4/2 + 8/4 = 6,
+    // den = 1 + 1/2 + 1/4 = 1.75 -> 3.428571; at t=0 ewma = 8 exactly.
+    val grid = Seq((0, 8L), (1, 4L), (2, 2L)).map { case (i, c) =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), "g", c)
+    }.toDF("day", "g", "cnt")
+    val out = graft.operators.Relational.ewma(grid, "g", 14)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out(0L) == 8.0)
+    assert(math.abs(out(2L) - 3.428571) < 1e-6)
+  }
+
+  // ---- q127 session paths ----
+
+  test("session paths follow the event order, split on the gap, cap length") {
+    // user 1: three events in one session (out of construction order),
+    // then a 2 h gap opens a second session; maxLen = 2 truncates.
+    val h = 3600L
+    val events = ev(
+      (1, "click", 10), (1, "view", 5), (1, "purchase", 20),
+      (1, "view", 20 + 2 * h), (1, "click", 20 + 2 * h + 1))
+    val out = graft.operators.Relational
+      .sessionPaths(events, gapUs = h * 1000000, maxLen = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // session 1 path view>click (purchase truncated by maxLen=2),
+    // session 2 path view>click -> ONE path with 2 sessions
+    assert(out == Set(("view>click", 2L)))
+  }
 }
