@@ -33,6 +33,12 @@ case class TransitionAnchor(tsu: Long, eventId: Long, eventType: String)
 case class Transition(user_id: Long, from_type: String, to_type: String,
   from_us: Long, to_us: Long)
 
+/** S19 attribution state: the per-user last TOUCH (non-conversion
+  * event) in the total order. One fixed-size record per live user. */
+case class TouchAnchor(tsu: Long, eventId: Long, channel: String)
+case class Credit(user_id: Long, channel: String, conv_us: Long,
+  conv_id: Long)
+
 /** The declared streaming operator surface S2–S7 (SURVEY.md §2.4) —
   * event-time upgrades of the reference's processing-time-only design.
   * Each takes a (streaming or batch) DataFrame with the events schema
@@ -609,6 +615,78 @@ object StreamOps {
             }
             state.update(anchor)
             state.setTimeoutTimestamp(math.max(anchor.tsu / 1000 + idleGapUs / 1000,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }.toDF()
+  }
+
+  /** S19 (r11) — streaming last-touch attribution: the real-time form
+    * of the batch q124 (`Relational.lastTouch`) — each conversion
+    * event emits its channel credit AS IT HAPPENS: the latest
+    * preceding touch by the same user inside the lookback horizon, or
+    * 'direct' if none. The live credit report is one ordinary
+    * streaming aggregation downstream.
+    *
+    * Semantics: state is the per-user last TOUCH in the (tsu,
+    * event_id) total order — under in-order per-user delivery the
+    * anchor IS the batch row_number pick, so the emitted multiset
+    * EQUALS q124's per-conversion credits (real-fixture parity test).
+    * Intra-batch rows sort by event time first; a conversion and touch
+    * at the same instant resolve exactly like batch (tt < ct strict).
+    * Stale cross-batch events are dropped (the S18 tradeoff).
+    *
+    * Scale posture: ONE fixed-size record per live user; idle users
+    * evict once the lookback horizon passes the watermark — a touch
+    * older than the horizon can never be credited, so eviction is
+    * lossless (a conversion after it reads 'direct' either way). */
+  def attributionStream(
+      events: DataFrame,
+      conversionType: String = "purchase",
+      lookbackUs: Long = 7L * 86400000000L,
+      watermark: String = "10 seconds"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("event_id").cast("long"), col("ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[TouchAnchor]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            def micros(ts: java.sql.Timestamp): Long =
+              ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+            val batch = rows.toArray
+              .map(r => (micros(r._4), r._3, r._2))
+              .sortBy(r => (r._1, r._2))
+            var anchor = state.getOption.orNull
+            var lastTsu = anchor match { case null => Long.MinValue; case a => a.tsu }
+            val out = Vector.newBuilder[Credit]
+            batch.foreach { case (tsu, eid, et) =>
+              if (et == conversionType) {
+                val ch =
+                  if (anchor != null && anchor.tsu < tsu &&
+                      anchor.tsu >= tsu - lookbackUs) anchor.channel
+                  else "direct"
+                out += Credit(uid, ch, tsu, eid)
+                if (tsu > lastTsu) lastTsu = tsu
+              } else if (tsu > lastTsu ||
+                  (anchor != null && tsu == anchor.tsu && eid > anchor.eventId)) {
+                // a touch advances the anchor only forward in the total
+                // order; stale (older-than-seen) events are dropped
+                anchor = TouchAnchor(tsu, eid, et)
+                lastTsu = tsu
+              }
+            }
+            if (anchor != null) state.update(anchor)
+            val horizonBase = if (anchor != null) anchor.tsu / 1000
+              else state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(horizonBase + lookbackUs / 1000,
               state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }

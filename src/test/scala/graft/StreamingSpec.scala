@@ -354,6 +354,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("S19: streaming attribution credits the in-horizon anchor, else direct") {
+    val in = MemoryStream[Ev]
+    // batch 1 — touches only, no credits
+    in.addData(ev(100, "view", 1), ev(400, "click", 2), ev(100, "view", 3, user = 2))
+    val out = StreamOps.attributionStream(in.toDF(), lookbackUs = 1000L * 1000000)
+    val q = out.writeStream.format("memory").queryName("s19").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    q.processAllAvailable()
+    assert(spark.table("s19").count() == 0)
+    // batch 2 — u1 purchase@500: click@400 in horizon; u2 purchase@5000:
+    // view@100 outside the 1000 s lookback -> direct; u3 same-instant
+    // click+purchase@700: strict tt < ct refuses the touch -> direct
+    in.addData(ev(500, "purchase", 5), ev(5000, "purchase", 6, user = 2),
+      ev(700, "click", 7, user = 3), ev(700, "purchase", 8, user = 3))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s19").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, "click", 500000000L),
+      (2L, "direct", 5000000000L),
+      (3L, "direct", 700000000L)))
+  }
+
+  test("S19 parity on the REAL fixture: streamed credits equal batch q124 channels") {
+    val d = sf("sf0.001")
+    val ev0 = graft.sources.Tables.events(spark, d)
+      .select("ts", "user_id", "event_type", "value", "event_id")
+      .orderBy("ts").collect()
+    val rows = ev0.map(r => Ev(r.getTimestamp(0), r.getLong(1), r.getString(2),
+      r.getDouble(3), r.getLong(4)))
+    val in = MemoryStream[Ev]
+    val out = StreamOps.attributionStream(in.toDF(), watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("s19par").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    rows.grouped(400).foreach { batch =>
+      in.addData(batch.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("s19par").collect()
+      .groupBy(_.getString(1)).map { case (ch, v) => (ch, v.length.toLong) }.toSet
+    val batch = graft.operators.Relational
+      .lastTouch(graft.sources.Tables.events(spark, d), 7L * 86400000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("S17: streaming trend recovers a planted linear drift exactly, refined across batches") {
     val in = MemoryStream[Ev]
     // group "a": v = 2t + 5 (t in seconds) — integers, so the moment
