@@ -155,6 +155,7 @@ object SparkEntry {
     "q125_ab_test"         -> (Relational.q125 _),
     "q126_ewma"            -> (Relational.q126 _),
     "q127_session_paths"   -> (Relational.q127 _),
+    "q128_sorted_neighborhood" -> (graft.ext.Entity.q128 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -165,6 +166,12 @@ object SparkEntry {
     "q50_winnow_fp"        -> (TextOps.q50 _),
     "q52_approx_pctile"    -> (Relational.q52 _),
     "q53_multimodal"       -> (graft.ext.Multimodal.q53 _),
+    // q129 joins the rows-only class: fixed-iteration PageRank sums
+    // floating-point contributions across a shuffle, and float addition
+    // order differs between engines — a hash gate on the doubles would
+    // pin an accident. Numeric contracts (uniform fixpoint, reference-
+    // iteration equality, Σrank = 1) live in EntityAnalyticsSpec.
+    "q129_pagerank"        -> (graft.operators.Graph.q129 _),
   )
 
   /** DuckDB-dialect oracle SQL, one per `queries` key. */
@@ -1441,6 +1448,17 @@ object SparkEntry {
         "c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p GROUP BY path), " +
         "r AS (SELECT path, n_sessions, ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rk FROM c) " +
         "SELECT path, n_sessions, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20 ORDER BY rk"),
+    // q128: sorted-neighborhood ER — identical ranked window + verify
+    // in both engines; certifies the lossy blocking's SEMANTICS (q100's
+    // gate already certifies full-recall linkage).
+    "q128_sorted_neighborhood" ->
+      ("WITH v AS (SELECT DISTINCT p_brand AS brand, p_name AS name FROM part), " +
+        "r AS (SELECT brand, name, ROW_NUMBER() OVER (PARTITION BY brand ORDER BY name) AS rnk FROM v), " +
+        "p AS (SELECT a.brand, a.name AS name_a, b.name AS name_b, " +
+        "levenshtein(a.name, b.name) AS d FROM r a JOIN r b " +
+        "ON a.brand = b.brand AND b.rnk BETWEEN a.rnk + 1 AND a.rnk + 5) " +
+        "SELECT brand, name_a, name_b, CAST(d AS BIGINT) AS dist FROM p " +
+        "WHERE d BETWEEN 1 AND 2 ORDER BY brand, name_a, name_b"),
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

@@ -105,4 +105,51 @@ object Entity {
     fuzzyJoin(Tables.part(s, d), "p_brand", "p_name", "p_partkey", maxDist = 2)
       .withColumnRenamed("p_brand", "brand")
       .orderBy("key_a", "key_b")
+
+  /** Sorted-neighborhood blocking — the OTHER classic ER candidate
+    * generator (Hernández & Stolfo 1995): rank the distinct name
+    * vocabulary by its sort key within each block and take candidate
+    * pairs within a rank window w, then verify with the codegen'd
+    * `levenshtein`. Deliberately LOSSY by design — a true pair sorted
+    * > w apart is missed — in exchange for a candidate count that is
+    * exactly |V|·w per block regardless of how names distribute over
+    * lengths; the production complement to q100's lossless length
+    * banding (multi-pass with rotated sort keys is the standard recall
+    * fix, documented here, one extra pass each). The window join is an
+    * EQUI-join on (block, rank) via a w-way offset fan-out — shuffled,
+    * partition-parallel, no range join anywhere.
+    *
+    * Orientation for free: rank_a < rank_b ⇒ name_a < name_b (the rank
+    * IS the sort), so each unordered pair appears exactly once. */
+  def sortedNeighborhoodPairs(
+      records: DataFrame,
+      blockCol: String,
+      nameCol: String,
+      window: Int,
+      maxDist: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(blockCol).orderBy(nameCol)
+    val ranked = records.select(col(blockCol), col(nameCol)).distinct()
+      .withColumn("rnk", row_number().over(w))
+    val probe = ranked.select(col(blockCol), col(nameCol).as("name_a"),
+      explode(sequence(col("rnk") + 1, col("rnk") + window)).as("rnk_b"))
+    val build = ranked.select(col(blockCol), col(nameCol).as("name_b"),
+      col("rnk").as("rnk_b"))
+    probe.join(build, Seq(blockCol, "rnk_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist").between(1, maxDist))
+      .select(col(blockCol), col("name_a"), col("name_b"), col("dist"))
+  }
+
+  /** Q128 — sorted-neighborhood ER under the ORACLE gate: per-brand
+    * name pairs within a 5-rank window at edit distance ≤ 2. DuckDB
+    * rebuilds the identical ranked window + verify, so the gate
+    * certifies the blocking SEMANTICS (which pairs the window admits),
+    * while the q100 gate already certifies full-recall linkage —
+    * together they measure exactly what the lossy pass trades. */
+  def q128(s: SparkSession, d: String): DataFrame =
+    sortedNeighborhoodPairs(Tables.part(s, d), "p_brand", "p_name",
+      window = 5, maxDist = 2)
+      .withColumnRenamed("p_brand", "brand")
+      .orderBy("brand", "name_a", "name_b")
 }

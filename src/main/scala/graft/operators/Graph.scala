@@ -162,6 +162,99 @@ object Graph {
       .orderBy("part")
   }
 
+  /** PageRank — fixed-iteration power method over an undirected edge
+    * frame (both directions added; degree = undirected degree). Each
+    * round is one equi-join of the rank frame against the
+    * loop-invariant adjacency plus one hash agg — the CC loop's
+    * shuffle discipline (adjacency pre-partitioned once on its join
+    * key, per-round frames persisted, previous round released, O(1)
+    * lineage). The symmetrized graph has no dangling nodes by
+    * construction (every node appearing in an edge has outdegree ≥ 1),
+    * so ranks sum to 1 without a dangling-mass correction; a directed
+    * variant would add the standard uniform redistribution term.
+    *
+    * NO DuckDB oracle by documented impossibility: each round sums
+    * floating-point contributions across a shuffle, and float addition
+    * order differs between engines (and between partitionings), so a
+    * hash gate on the doubles would pin an accident. Correctness is
+    * pinned in ScalaTest against an in-test reference iteration
+    * (identical arithmetic, driver-side) and closed-form fixpoints
+    * (uniform on regular graphs) — the q47/q50/q52 rows-only class.
+    *
+    * 100 TB: per-round cost is O(|E|) shuffled bytes for the rank
+    * frame only (adjacency stays put); iteration count is fixed (the
+    * production norm: 10–20 rounds or an L1-delta stop); hub skew in
+    * the contribution agg is partial-aggregated map-side by Spark's
+    * hash agg, the classic combiner win. */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85, materializeEvery: Int = 5): DataFrame = {
+    val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val adjWide = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nEdges = adjWide.count()
+    val loopParts = math.max(1, math.min(
+      edges.sparkSession.sessionState.conf.numShufflePartitions,
+      (nEdges / 100000L).toInt + 1))
+    // Degree folds into the adjacency ONCE (loop-invariant, like the
+    // CC pre-partition): each round is then a single equi-join + one
+    // hash agg + one left join, nothing recomputed.
+    val deg = adjWide.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = adjWide.join(deg, "src")
+      .repartition(loopParts, col("src")).persist()
+    adj.count()
+    val nodes = adj.select(col("src").as("id")).distinct()
+      .repartition(loopParts, col("id")).persist()
+    val n = nodes.count()
+    var cached = nodes.select(col("id"), lit(1.0 / n).as("rank")).persist()
+    cached.count()
+    var ranks = cached
+    // Rounds COMPOSE lazily and materialize every `materializeEvery`
+    // iterations: a persist+count barrier per round makes a toy-scale
+    // loop driver-round-trip-bound (measured: 5.6 s/round on an 80k-
+    // edge graph where the actual work is milliseconds), while pure
+    // lazy composition grows lineage unboundedly (the r4 doctrine).
+    // Bounded-interval checkpointing is the production middle: lineage
+    // depth ≤ materializeEvery, round-trips ∝ iterations/interval.
+    (1 to iterations).foreach { i =>
+      val contribs = adj.join(ranks, adj("src") === ranks("id"))
+        .select(col("dst").as("nid"), (col("rank") / col("deg")).as("share"))
+        .groupBy("nid").agg(sum("share").as("recv"))
+      val next = nodes
+        .join(contribs, nodes("id") === contribs("nid"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("recv"), lit(0.0))).as("rank"))
+      if (i % materializeEvery == 0 || i == iterations) {
+        val mat = next.persist()
+        mat.count()
+        cached.unpersist()
+        cached = mat
+        ranks = mat
+      } else ranks = next
+    }
+    adj.unpersist()
+    nodes.unpersist()
+    val out = ranks.localCheckpoint(true)
+    cached.unpersist()
+    out
+  }
+
+  /** Q129 — PageRank over the q120 co-order graph (rows-only driver
+    * check; see pageRank's no-oracle rationale — cross-engine float
+    * summation order. The numeric contracts live in
+    * EntityAnalyticsSpec: uniform fixpoint on a cycle, reference-
+    * iteration equality on an asymmetric graph, Σrank = 1). */
+  def q129(s: SparkSession, d: String): DataFrame = {
+    val small = Tables.part(s, d).filter(col("p_size") <= 10)
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(small), col("l_partkey") === col("p_partkey"), "left_semi")
+    pageRank(coOrderEdges(li, minSupport = 1), iterations = 10)
+      .select(col("id").as("part"), round(col("rank"), 9).as("rank"))
+      .orderBy("part")
+  }
+
   /** Q105 — entity clusters under the ORACLE gate: q100's fuzzy name
     * pairs become an undirected graph, connected components give each
     * (brand, name) its cluster id = the lexicographically smallest

@@ -387,6 +387,53 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - 1.154701) < 1e-6)
   }
 
+  // ---- q128 sorted-neighborhood ----
+
+  test("sorted-neighborhood admits only window-adjacent verified pairs") {
+    // sorted: ab, abc, abd, zz. Window 1: (ab,abc) d1 keep; (abc,abd)
+    // d1 keep; (abd,zz) d3 cut. The (ab,abd) d1 TRUE pair is 2 ranks
+    // apart -> missed at w=1 (the documented lossy trade), admitted at
+    // w=2.
+    val df = Seq((1L, "B1", "ab"), (2L, "B1", "abc"), (3L, "B1", "abd"),
+      (4L, "B1", "zz")).toDF("p_partkey", "p_brand", "p_name")
+    def pairs(w: Int) = graft.ext.Entity
+      .sortedNeighborhoodPairs(df, "p_brand", "p_name", w, maxDist = 2)
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs(1) == Set(("ab", "abc"), ("abc", "abd")))
+    assert(pairs(2) == Set(("ab", "abc"), ("abc", "abd"), ("ab", "abd")))
+  }
+
+  // ---- q129 PageRank ----
+
+  test("PageRank: uniform fixpoint on a cycle, reference iteration on an asymmetric graph") {
+    import graft.operators.Graph
+    // 4-cycle: regular graph -> uniform 1/4 is the exact fixpoint
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    val cr = Graph.pageRank(cycle, iterations = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cr.values.foreach(v => assert(math.abs(v - 0.25) < 1e-12))
+    // path graph 1-2-3: driver-side reference iteration with identical
+    // arithmetic must agree to float tolerance, ranks sum to 1, and
+    // the degree-2 center must outrank the leaves
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val pr = Graph.pageRank(path, iterations = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val d = 0.85; val n = 3
+    var ref = Map(1L -> 1.0 / n, 2L -> 1.0 / n, 3L -> 1.0 / n)
+    val deg = Map(1L -> 1, 2L -> 2, 3L -> 1)
+    val nbrs = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    (1 to 10).foreach { _ =>
+      ref = (1L to 3L).map { v =>
+        v -> ((1.0 - d) / n +
+          d * nbrs(v).map(u => ref(u) / deg(u)).sum)
+      }.toMap
+    }
+    (1L to 3L).foreach(v => assert(math.abs(pr(v) - ref(v)) < 1e-9))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    assert(pr(2L) > pr(1L) && pr(2L) > pr(3L))
+  }
+
   // ---- q126 EWMA ----
 
   test("EWMA halves weights day by day and normalizes partial windows") {
