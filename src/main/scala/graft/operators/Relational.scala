@@ -1785,6 +1785,49 @@ object Relational {
       .select(col("path"), col("n_sessions"), col("rk").cast("long").as("rk"))
   }
 
+  /** Item-based recommendation — the end-to-end "customers who bought
+    * X also bought" scorer on top of itemNeighbors: each candidate
+    * item's score for a customer is the SUM of similarities of the
+    * customer's owned items that list it as a neighbor, owned items
+    * excluded (anti-join), top-n per customer. The score sums the
+    * ROUNDED 6-dp sims as DECIMAL(18,6) — exact and order-free across
+    * the shuffle (the q24 decimal doctrine; a float sum here would be
+    * partition-order-dependent) — and only converts to double for
+    * presentation. Ranking is (score DESC, item), a total order.
+    *
+    * Shape: one neighbor-list equi-join fan-out (|owned|·k rows), one
+    * hash agg, one anti-join, one bounded per-customer window — the
+    * standard item-CF serving precompute, all shuffles on customer or
+    * item keys. */
+  def recommendItems(baskets: DataFrame, k: Int, topn: Int): DataFrame = {
+    val owned = baskets.toDF("cust", "item").distinct()
+    val nbrs = itemNeighbors(baskets, k)
+      .select(col("item"), col("neighbor"),
+        col("sim").cast("decimal(18,6)").as("simd"))
+    val scores = owned.join(nbrs, "item")
+      .groupBy(col("cust"), col("neighbor").as("rec_item"))
+      .agg(sum("simd").as("score_d"), count(lit(1)).as("n_shared"))
+    val unowned = scores.join(owned,
+      scores("cust") === owned("cust") && scores("rec_item") === owned("item"),
+      "left_anti")
+    unowned
+      .withColumn("score", round(col("score_d").cast("double"), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cust").orderBy(col("score").desc, col("rec_item"))))
+      .filter(col("rk") <= topn)
+      .select(col("cust"), col("rec_item"), col("n_shared"), col("score"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Q130 — item-CF recommendations under the ORACLE gate: top-3
+    * unowned parts per customer from the q121 neighbor lists. */
+  def q130(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    recommendItems(baskets, k = 5, topn = 3).orderBy("cust", "rk")
+  }
+
   /** Q127 — session paths under the ORACLE gate: top-20 paths of the
     * 12 h-gap sessions, paths capped at 8 steps. The final top-k
     * window is a single-partition sort over the (bounded) distinct

@@ -434,6 +434,25 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(pr(2L) > pr(1L) && pr(2L) > pr(3L))
   }
 
+  // ---- q130 recommendations ----
+
+  test("item-CF recommends unowned neighbors by exact decimal score sum") {
+    // same fixture as the neighbor test: c1 {A,B,C}, c2 {A,B}, c3 {B,D}
+    val baskets = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (3L, "B"), (3L, "D")).toDF("cust", "item")
+    val out = graft.operators.Relational.recommendItems(baskets, k = 2, topn = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(4)) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    // c2 owns A,B -> C scored from both lists: 0.707107 + 0.577350
+    // summed as DECIMAL = 1.284457 exactly, n_shared 2
+    assert(out((2L, 1L)) == (("C", 2L, 1.284457)))
+    // c3 owns B,D -> A (0.816497) then C (0.57735) from B's list;
+    // B itself is owned and anti-joined away
+    assert(out((3L, 1L))._1 == "A" && out((3L, 2L))._1 == "C")
+    assert(!out.exists { case ((c, _), (item, _, _)) => c == 3L && item == "B" })
+  }
+
   // ---- q126 EWMA ----
 
   test("EWMA halves weights day by day and normalizes partial windows") {
