@@ -371,6 +371,10 @@ object ScaleBench {
         graft.operators.Relational.funnelUsers(ev, steps).count()
         graft.operators.Relational.retention(ev, Seq(1, 7, 14)).count()
         graft.operators.Relational.rollingDistinct(ev, 7).count()
+        graft.operators.Relational.transitions(ev).count()
+        graft.operators.Relational.lastTouch(ev, 7L * 86400000000L).count()
+        graft.operators.Relational
+          .sessionPaths(ev, 12L * 3600 * 1000000, 8, 20).count()
         sweep(); ev.count()
       }
       val t1 = System.nanoTime()
@@ -382,8 +386,19 @@ object ScaleBench {
       val t3 = System.nanoTime()
       val rdRows = graft.operators.Relational.rollingDistinct(ev, 7).count()
       val rdSec = (System.nanoTime() - t3) / 1e9
+      val t4 = System.nanoTime()
+      val trRows = graft.operators.Relational.transitions(ev).count()
+      val trSec = (System.nanoTime() - t4) / 1e9
+      val t5 = System.nanoTime()
+      val atRows = graft.operators.Relational
+        .lastTouch(ev, 7L * 86400000000L).count()
+      val atSec = (System.nanoTime() - t5) / 1e9
+      val t6 = System.nanoTime()
+      val spRows = graft.operators.Relational
+        .sessionPaths(ev, 12L * 3600 * 1000000, 8, 20).count()
+      val spSec = (System.nanoTime() - t6) / 1e9
       ev.unpersist(); sweep()
-      println(f"""{"op":"analytics","n_events":$n,"n_users":$users,"funnel_sec":$funnelSec%.2f,"retention_sec":$retSec%.2f,"rolling_distinct_sec":$rdSec%.2f,"funnel_users":$funnelRows,"cohorts":$retRows,"window_days":$rdRows}""")
+      println(f"""{"op":"analytics","n_events":$n,"n_users":$users,"funnel_sec":$funnelSec%.2f,"retention_sec":$retSec%.2f,"rolling_distinct_sec":$rdSec%.2f,"transitions_sec":$trSec%.2f,"attribution_sec":$atSec%.2f,"paths_sec":$spSec%.2f,"funnel_users":$funnelRows,"cohorts":$retRows,"window_days":$rdRows,"transition_cells":$trRows,"channels":$atRows,"top_paths":$spRows}""")
     }
   }
 
