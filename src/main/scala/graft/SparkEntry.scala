@@ -157,6 +157,12 @@ object SparkEntry {
     "q127_session_paths"   -> (Relational.q127 _),
     "q128_sorted_neighborhood" -> (graft.ext.Entity.q128 _),
     "q130_recommend"       -> (Relational.q130 _),
+    "q131_scd2"            -> (graft.operators.Warehouse.q131 _),
+    "q132_snapshot_diff"   -> (graft.operators.Warehouse.q132 _),
+    "q133_rfm"             -> (Relational.q133 _),
+    "q134_mad_outliers"    -> (Relational.q134 _),
+    "q135_equidepth_bins"  -> (Relational.q135 _),
+    "q136_weighted_sample" -> (Relational.q136 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1502,5 +1508,98 @@ object SparkEntry {
         "CAST(400 + doc_id % 100 AS BIGINT), CAST(0.5 AS DOUBLE) " +
         "FROM documents WHERE doc_id % 2 = 1 AND doc_id < 200 " +
         "ORDER BY doc_id"),
+    // q131: SCD2 apply — the oracle rebuilds the same history algebra
+    // as three unions (pass-through / closed / opened; every update row
+    // is a genuine change by construction). +100.0 is CAST AS DOUBLE so
+    // DuckDB's decimal literal doesn't change the IEEE add (q04/line-798
+    // doctrine).
+    "q131_scd2" ->
+      ("WITH cur AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal FROM customer), " +
+        "upd AS (SELECT c_custkey AS k, c_mktsegment AS seg, " +
+        "c_acctbal + CAST(100.0 AS DOUBLE) AS bal FROM customer WHERE c_custkey % 10 = 3) " +
+        "SELECT k, seg, bal, DATE '2026-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to, TRUE AS is_current " +
+        "FROM cur WHERE k NOT IN (SELECT k FROM upd) " +
+        "UNION ALL SELECT k, seg, bal, DATE '2026-01-01', DATE '2026-06-01', FALSE " +
+        "FROM cur WHERE k IN (SELECT k FROM upd) " +
+        "UNION ALL SELECT k, seg, bal, DATE '2026-06-01', CAST(NULL AS DATE), TRUE FROM upd " +
+        "ORDER BY k, valid_from"),
+    // q132: snapshot diff — full-outer classification; unchanged rows
+    // must be absent. IS DISTINCT FROM mirrors the engine's null-safe
+    // <=> negation.
+    "q132_snapshot_diff" ->
+      ("WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 5 <> 1), " +
+        "n AS (SELECT o_orderkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + CAST(10.0 AS DOUBLE) ELSE o_totalprice END AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 5 <> 2), " +
+        "j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN o.o_orderkey IS NULL THEN 'insert' WHEN n.o_orderkey IS NULL THEN 'delete' " +
+        "WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus " +
+        "OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'update' END AS change_type, " +
+        "o.o_orderstatus AS old_o_orderstatus, n.o_orderstatus AS new_o_orderstatus, " +
+        "o.o_totalprice AS old_o_totalprice, n.o_totalprice AS new_o_totalprice " +
+        "FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey) " +
+        "SELECT * FROM j WHERE change_type IS NOT NULL ORDER BY o_orderkey"),
+    // q133: RFM — quartile BOUNDARIES via ANSI percentile_disc (an
+    // element of the multiset: integer/decimal comparisons only, no
+    // float in any score), scores by identical strict-> expressions
+    // both sides.
+    "q133_rfm" ->
+      ("WITH pc AS (SELECT o_custkey AS cust, " +
+        "CAST(date_diff('day', CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE), DATE '1998-12-31') AS BIGINT) AS r_days, " +
+        "COUNT(*) AS f_orders, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m_rev_d FROM orders GROUP BY 1), " +
+        "b AS (SELECT " +
+        "percentile_disc(0.25) WITHIN GROUP (ORDER BY r_days) AS r1, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY r_days) AS r2, " +
+        "percentile_disc(0.75) WITHIN GROUP (ORDER BY r_days) AS r3, " +
+        "percentile_disc(0.25) WITHIN GROUP (ORDER BY f_orders) AS f1, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY f_orders) AS f2, " +
+        "percentile_disc(0.75) WITHIN GROUP (ORDER BY f_orders) AS f3, " +
+        "percentile_disc(0.25) WITHIN GROUP (ORDER BY m_rev_d) AS m1, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY m_rev_d) AS m2, " +
+        "percentile_disc(0.75) WITHIN GROUP (ORDER BY m_rev_d) AS m3 FROM pc), " +
+        "s AS (SELECT cust, r_days, f_orders, CAST(m_rev_d AS DOUBLE) AS m_rev, " +
+        "CAST(4 - ((CASE WHEN r_days > r1 THEN 1 ELSE 0 END) + (CASE WHEN r_days > r2 THEN 1 ELSE 0 END) + (CASE WHEN r_days > r3 THEN 1 ELSE 0 END)) AS BIGINT) AS r_score, " +
+        "CAST(1 + ((CASE WHEN f_orders > f1 THEN 1 ELSE 0 END) + (CASE WHEN f_orders > f2 THEN 1 ELSE 0 END) + (CASE WHEN f_orders > f3 THEN 1 ELSE 0 END)) AS BIGINT) AS f_score, " +
+        "CAST(1 + ((CASE WHEN m_rev_d > m1 THEN 1 ELSE 0 END) + (CASE WHEN m_rev_d > m2 THEN 1 ELSE 0 END) + (CASE WHEN m_rev_d > m3 THEN 1 ELSE 0 END)) AS BIGINT) AS m_score " +
+        "FROM pc CROSS JOIN b) " +
+        "SELECT cust, r_days, f_orders, m_rev, r_score, f_score, m_score, " +
+        "CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment " +
+        "FROM s ORDER BY cust"),
+    // q134: MAD outliers — both medians are percentile_disc ELEMENTS,
+    // x−med and 3·mad single IEEE ops on identical operands; no float
+    // sum, no rounding needed.
+    "q134_mad_outliers" ->
+      ("WITH med AS (SELECT event_type, percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med " +
+        "FROM events GROUP BY 1), " +
+        "dev AS (SELECT event_id, e.event_type, value, med, ABS(value - med) AS abs_dev " +
+        "FROM events e JOIN med ON e.event_type = med.event_type), " +
+        "mad AS (SELECT event_type, percentile_disc(0.5) WITHIN GROUP (ORDER BY abs_dev) AS mad " +
+        "FROM dev GROUP BY 1) " +
+        "SELECT event_id, dev.event_type, value, med, mad.mad AS mad, abs_dev " +
+        "FROM dev JOIN mad ON dev.event_type = mad.event_type " +
+        "WHERE abs_dev > CAST(3.0 AS DOUBLE) * mad.mad ORDER BY event_id"),
+    // q135: equi-depth deciles — boundaries are multiset elements,
+    // assignment strict->, lo/hi order-free min/max.
+    "q135_equidepth_bins" ->
+      ("WITH b AS (SELECT c_mktsegment, " +
+        (1 until 10).map(i =>
+          s"percentile_disc(0.${i}) WITHIN GROUP (ORDER BY c_acctbal) AS b${i - 1}").mkString(", ") +
+        " FROM customer GROUP BY 1), " +
+        "a AS (SELECT c.c_mktsegment, c_acctbal, CAST(1 + " +
+        (0 until 9).map(i =>
+          s"(CASE WHEN c_acctbal > b${i} THEN 1 ELSE 0 END)").mkString(" + ") +
+        " AS BIGINT) AS bin FROM customer c JOIN b ON c.c_mktsegment = b.c_mktsegment) " +
+        "SELECT c_mktsegment, bin, COUNT(*) AS n, MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi " +
+        "FROM a GROUP BY 1, 2 ORDER BY c_mktsegment, bin"),
+    // q136: Efraimidis–Spirakis weighted sample — u from 13 md5 hex
+    // digits (52 bits: BIGINT→DOUBLE cast exact), one power-of-two
+    // divide, pow rounded to 12 before ranking so a last-ulp libm
+    // difference cannot reorder the top-n cut.
+    "q136_weighted_sample" ->
+      ("SELECT p_partkey, p_retailprice, es_key FROM (" +
+        "SELECT p_partkey, p_retailprice, " +
+        "ROUND(pow((CAST(CAST(CONCAT('0x', substr(md5(CAST(p_partkey AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(4503599627370496.0 AS DOUBLE), " +
+        "CAST(1.0 AS DOUBLE) / p_retailprice), 12) AS es_key FROM part " +
+        "ORDER BY es_key DESC, p_partkey LIMIT 200) t ORDER BY p_partkey"),
   )
 }

@@ -1836,4 +1836,180 @@ object Relational {
   def q127(s: SparkSession, d: String): DataFrame =
     sessionPaths(Tables.events(s, d), 12L * 3600 * 1000000, 8, 20)
       .orderBy("rk")
+
+  /** RFM segmentation — recency/frequency/monetary customer scoring,
+    * the classic lifecycle-marketing cut (Hughes 1994; same family as
+    * the cohort analysis in q102). Per customer: R = days from last
+    * order to the anchor date, F = order count, M = exact-decimal
+    * revenue; each scored 1–4 against the population's quartile
+    * BOUNDARIES (percentile_disc — an element of the multiset, so
+    * integer/decimal comparisons only, zero float risk), segment =
+    * R·100 + F·10 + M with 444 the best cell.
+    *
+    * Why boundaries and not ntile: a global NTILE is an unpartitioned
+    * window over every customer — the anti-pattern this repo bans (q99
+    * doctrine). Quartile boundaries are ONE 3-value aggregate
+    * (broadcast back), and scoring is a narrow map. The exact
+    * percentile here is the q39-class declared form; at 100 TB the
+    * boundary agg swaps to approx_percentile's mergeable sketch (q52)
+    * and scoring is unchanged — scores shift only where a customer sits
+    * within one sketch-error band of a boundary.
+    *
+    * Tie convention (both engines, identical expressions): R scores
+    * with strict `>` against ascending-days quartiles (fewer days =
+    * more recent = higher score); F/M score with strict `>` so a value
+    * exactly on a boundary stays in the lower band. */
+  def rfm(orders: DataFrame, anchor: String): DataFrame = {
+    val perCust = orders
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(
+        datediff(lit(anchor).cast("date"), max(col("o_orderdate").cast("date")))
+          .cast("long").as("r_days"),
+        count(lit(1)).as("f_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("m_rev_d"))
+    val bounds = perCust.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY r_days)").as("r1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r_days)").as("r2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY r_days)").as("r3"),
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY f_orders)").as("f1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY f_orders)").as("f2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY f_orders)").as("f3"),
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY m_rev_d)").as("m1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY m_rev_d)").as("m2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY m_rev_d)").as("m3"))
+    def above(x: Column, qs: Seq[Column]): Column =
+      qs.map(q => when(x > q, 1L).otherwise(0L)).reduce(_ + _)
+    perCust.crossJoin(broadcast(bounds))
+      .withColumn("r_score",
+        lit(4L) - above(col("r_days"), Seq(col("r1"), col("r2"), col("r3"))))
+      .withColumn("f_score",
+        lit(1L) + above(col("f_orders"), Seq(col("f1"), col("f2"), col("f3"))))
+      .withColumn("m_score",
+        lit(1L) + above(col("m_rev_d"), Seq(col("m1"), col("m2"), col("m3"))))
+      .select(col("cust"), col("r_days"), col("f_orders"),
+        col("m_rev_d").cast("double").as("m_rev"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("segment"))
+  }
+
+  /** Q133 — RFM over orders, anchored at 1998-12-31 (just past the
+    * TPC-H date horizon so every recency is positive). */
+  def q133(s: SparkSession, d: String): DataFrame =
+    rfm(Tables.orders(s, d), "1998-12-31").orderBy("cust")
+
+  /** MAD robust outliers — median/median-absolute-deviation flagging,
+    * the heavy-tail-safe complement to q103's moment-based z-score (one
+    * extreme value drags a mean+stddev fence toward itself; the median
+    * fence doesn't move). Determinism: percentile_disc picks ELEMENTS
+    * of the multiset (ANSI cume_dist ≥ p, verified identical in both
+    * engines), `x − med` and `3·mad` are single IEEE ops on identical
+    * operands — no distributed float sum anywhere, so the gate is
+    * exact without rounding.
+    *
+    * Scale: two grouped aggregates on the same key and two broadcast
+    * joins of the tiny per-group stats frame back to the stream —
+    * never a window over the fact table. Exact percentiles carry the
+    * full per-group multiset (q39's declared form); the 100 TB tier
+    * swaps both to approx_percentile's mergeable sketch (q52) and the
+    * fence moves only within sketch error. */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+      k: Double): DataFrame = {
+    val med = df.groupBy(groupCol).agg(
+      expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $valCol)").as("med"))
+    val withDev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("abs_dev", abs(col(valCol) - col("med")))
+    val mad = withDev.groupBy(groupCol).agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs_dev)").as("mad"))
+    withDev.join(broadcast(mad), Seq(groupCol))
+      .filter(col("abs_dev") > lit(k) * col("mad"))
+  }
+
+  /** Q134 — MAD outliers on events.value per event_type (k = 3). */
+  def q134(s: SparkSession, d: String): DataFrame =
+    madOutliers(
+      Tables.events(s, d).select("event_id", "event_type", "value"),
+      "event_type", "value", 3.0d)
+      .select("event_id", "event_type", "value", "med", "mad", "abs_dev")
+      .orderBy("event_id")
+
+  /** Equi-depth binning — the RangePartitioner computation as a
+    * first-class report: per group, decile BOUNDARIES from the value
+    * distribution (percentile_disc at 0.1..0.9), every row assigned
+    * bin = 1 + Σ(x > bᵢ), then per-bin count/lo/hi. Where q109 is
+    * equi-WIDTH (fixed edges, skew piles into one bin), this is
+    * equi-DEPTH — the shape Spark's sort-shuffle boundaries, skew-aware
+    * range partitioning, and histogram-equalized feature bucketing all
+    * need. Bin populations are equal only up to value TIES (a value
+    * spanning a boundary keeps all its rows in the lower bin —
+    * deterministic, both engines).
+    *
+    * Determinism: boundaries are multiset elements; assignment is
+    * strict-> comparisons of identical doubles; lo/hi are order-free
+    * min/max; n is integer. No float arithmetic at all.
+    *
+    * Scale: one exact-percentile agg (q39-class declared form;
+    * approx_percentile is the 100 TB tier — which is EXACTLY how
+    * RangePartitioner itself samples) broadcast to a narrow map, one
+    * grouped count. */
+  def equiDepthBins(df: DataFrame, groupCol: String, valCol: String,
+      nBins: Int): DataFrame = {
+    val ps = (1 until nBins).map(i => i.toDouble / nBins)
+    val bexprs = ps.zipWithIndex.map { case (p, i) =>
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $valCol)").as(s"b$i")
+    }
+    val bounds = df.groupBy(groupCol).agg(bexprs.head, bexprs.tail: _*)
+    val assigned = df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("bin",
+        lit(1L) + ps.indices.map(i =>
+          when(col(valCol) > col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _))
+    assigned.groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(valCol).as("lo"), max(valCol).as("hi"))
+  }
+
+  /** Q135 — acctbal deciles per market segment. */
+  def q135(s: SparkSession, d: String): DataFrame =
+    equiDepthBins(
+      Tables.customer(s, d).select("c_mktsegment", "c_acctbal"),
+      "c_mktsegment", "c_acctbal", 10)
+      .orderBy("c_mktsegment", "bin")
+
+  /** Weighted sampling without replacement — Efraimidis–Spirakis
+    * (IPL 2006): key each item with u^(1/w) for a uniform u and keep
+    * the global top-n; the selection distribution is exactly
+    * probability-proportional-to-weight without replacement. The
+    * training-data use: sample a corpus proportional to quality weights
+    * in ONE distributed pass — no sequential draws, no rejection loop.
+    *
+    * Determinism: u derives from md5(id) — 13 hex digits = 52 bits, so
+    * the BIGINT→DOUBLE cast is EXACT (no rounding divergence), and
+    * (h + 0.5)/2^52 is one exact power-of-two divide. The only libm
+    * call is pow(u, 1/w), where Java and a C runtime may differ in the
+    * final ulp — so ranking uses round(key, 12): a 1-ulp wobble at
+    * magnitude ≤ 1 is ~1e-16, three orders below the quantum, and ties
+    * break by id. ScalaTest pins the statistical contract (weight-
+    * monotone selection rates); the oracle pins the exact row set.
+    *
+    * Scale: narrow map + global top-n (TakeOrderedAndProject — per-
+    * partition heaps, driver merges n·P rows). Nothing shuffles the
+    * corpus. */
+  def weightedSample(df: DataFrame, idCol: String, wCol: String,
+      n: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 13),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5d)) / lit(4503599627370496.0d) // 2^52
+    df.withColumn("es_key",
+        round(pow(u, lit(1.0d) / col(wCol).cast("double")), 12))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(n)
+  }
+
+  /** Q136 — weighted part sample: 200 parts ∝ retail price. */
+  def q136(s: SparkSession, d: String): DataFrame =
+    weightedSample(
+      Tables.part(s, d).select("p_partkey", "p_retailprice"),
+      "p_partkey", "p_retailprice", 200)
+      .select("p_partkey", "p_retailprice", "es_key")
+      .orderBy("p_partkey")
 }

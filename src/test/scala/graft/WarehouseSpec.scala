@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Contracts for the warehouse/robust-stats batch: SCD2 apply (q131),
+  * snapshot diff (q132), RFM (q133), MAD outliers (q134), equi-depth
+  * bins (q135), weighted sampling (q136). The DuckDB hash gates prove
+  * fixture equivalence; these pin the semantics on frames where the
+  * expected answer is enumerable by eye. */
+class WarehouseSpec extends SparkSpec {
+
+  import spark.implicits._
+  import graft.operators.{Relational, Warehouse}
+
+  // ---- q131 SCD2 ----
+
+  private def dim(rows: (Long, String, Double)*) =
+    rows.toDF("k", "seg", "bal")
+      .withColumn("valid_from", lit("2026-01-01").cast("date"))
+
+  private def upd(rows: (Long, String, Double)*) =
+    rows.toDF("k", "seg", "bal")
+      .withColumn("eff", lit("2026-06-01").cast("date"))
+
+  test("scd2 closes the old version and opens the new on a real change") {
+    val out = Warehouse.scd2Apply(
+      dim((1L, "A", 10.0)), upd((1L, "A", 20.0)), Seq("k"), Seq("seg", "bal"))
+      .orderBy("valid_from").collect()
+    assert(out.length == 2)
+    val Array(closed, opened) = out
+    assert(closed.getAs[Double]("bal") == 10.0 &&
+      !closed.getAs[Boolean]("is_current") &&
+      closed.getAs[java.sql.Date]("valid_to").toString == "2026-06-01")
+    assert(opened.getAs[Double]("bal") == 20.0 &&
+      opened.getAs[Boolean]("is_current") &&
+      opened.getAs[java.sql.Date]("valid_from").toString == "2026-06-01" &&
+      opened.isNullAt(opened.fieldIndex("valid_to")))
+  }
+
+  test("scd2 drops no-op updates (idempotent redelivery) and passes through untouched keys") {
+    val out = Warehouse.scd2Apply(
+      dim((1L, "A", 10.0), (2L, "B", 5.0)),
+      upd((1L, "A", 10.0)), // identical redelivery — must NOT grow history
+      Seq("k"), Seq("seg", "bal")).collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getAs[Boolean]("is_current") &&
+      r.getAs[java.sql.Date]("valid_from").toString == "2026-01-01"))
+  }
+
+  test("scd2 inserts brand-new keys as current from eff") {
+    val out = Warehouse.scd2Apply(
+      dim((1L, "A", 10.0)), upd((9L, "Z", 1.0)), Seq("k"), Seq("seg", "bal"))
+      .filter(col("k") === 9).collect()
+    assert(out.length == 1 && out.head.getAs[Boolean]("is_current") &&
+      out.head.getAs[java.sql.Date]("valid_from").toString == "2026-06-01")
+  }
+
+  // ---- q132 snapshot diff ----
+
+  test("snapshot diff classifies insert/delete/update and drops unchanged") {
+    val oldS = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "s", "v")
+    val newS = Seq((1L, "a", 1.0), (2L, "b", 9.0), (4L, "d", 4.0))
+      .toDF("k", "s", "v")
+    val got = Warehouse.snapshotDiff(oldS, newS, Seq("k"), Seq("s", "v"))
+      .select("k", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "update"), (3L, "delete"), (4L, "insert")))
+  }
+
+  test("snapshot diff treats null→value as an update (null-safe compare)") {
+    val oldS = Seq((1L, Option.empty[String])).toDF("k", "s")
+    val newS = Seq((1L, Option("x"))).toDF("k", "s")
+    val got = Warehouse.snapshotDiff(oldS, newS, Seq("k"), Seq("s")).collect()
+    assert(got.length == 1 && got.head.getAs[String]("change_type") == "update")
+  }
+
+  // ---- percentile_disc parity (the q133/q134/q135 foundation) ----
+
+  test("Spark percentile_disc matches ANSI/DuckDB element selection") {
+    // DuckDB (probed): 1..10 → (3,5,8); 1..4 → (1,2,3). ANSI: smallest
+    // value with cume_dist ≥ p. A drift here would break three gates.
+    // (Spark returns the element as DOUBLE; the VALUE is what must
+    // agree — boundaries are never emitted, only compared.)
+    val ten = spark.range(1, 11).toDF("x")
+    val r10 = ten.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY x)"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY x)")).collect().head
+    assert((r10.getDouble(0), r10.getDouble(1), r10.getDouble(2)) == ((3.0, 5.0, 8.0)))
+    val four = spark.range(1, 5).toDF("x")
+    val r4 = four.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY x)"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY x)")).collect().head
+    assert((r4.getDouble(0), r4.getDouble(1), r4.getDouble(2)) == ((1.0, 2.0, 3.0)))
+  }
+
+  // ---- q134 MAD ----
+
+  test("MAD fence survives an extreme value that wrecks a z-score fence") {
+    // 9 values at 10±2 plus one at 1e6: the mean/stddev fence swallows
+    // everything (stddev ≈ 3e5), the median fence still flags only the
+    // spike.
+    val df = (Seq.tabulate(9)(i => 8.0 + (i % 5)) :+ 1e6).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("event_id", "event_type", "value")
+    val out = Relational.madOutliers(df, "event_type", "value", 3.0)
+      .select("event_id").as[Long].collect().toSet
+    assert(out == Set(9L))
+  }
+
+  // ---- q135 equi-depth ----
+
+  test("equi-depth bins partition all rows with near-equal depth on distinct values") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val bins = Relational.equiDepthBins(df, "grp", "v", 10)
+      .orderBy("bin").collect()
+    assert(bins.map(_.getAs[Long]("n")).sum == 100)
+    assert(bins.forall(_.getAs[Long]("n") == 10)) // no ties → exact depth
+    // lo/hi envelopes are disjoint and ordered
+    val his = bins.map(_.getAs[Double]("hi"))
+    assert(his.sameElements(his.sorted))
+  }
+
+  test("equi-depth keeps a tied value entirely in its lower bin") {
+    val df = (Seq.fill(50)(1.0) ++ Seq.fill(50)(2.0)).map(("g", _)).toDF("grp", "v")
+    val bins = Relational.equiDepthBins(df, "grp", "v", 4)
+      .orderBy("bin").collect()
+    // boundaries are elements (1.0 or 2.0); strict > keeps each tied
+    // mass in one bin → exactly two populated bins of 50
+    assert(bins.map(_.getAs[Long]("n")).toSeq == Seq(50, 50))
+  }
+
+  // ---- q136 weighted sampling ----
+
+  test("Efraimidis–Spirakis selection rate is weight-monotone") {
+    // 1000 items, weight 1 vs weight 9 (alternating): the top-200 cut
+    // must be dominated by the heavy class far beyond chance.
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) 9.0 else 1.0))
+      .toDF("id", "w")
+    val picked = Relational.weightedSample(df, "id", "w", 200)
+      .select("id").as[Long].collect()
+    val heavy = picked.count(_ % 2 == 0)
+    assert(picked.length == 200)
+    assert(heavy > 150, s"heavy-weight picks $heavy of 200 — not monotone")
+  }
+}
