@@ -163,6 +163,8 @@ object SparkEntry {
     "q134_mad_outliers"    -> (Relational.q134 _),
     "q135_equidepth_bins"  -> (Relational.q135 _),
     "q136_weighted_sample" -> (Relational.q136 _),
+    "q137_clustering_coef" -> (graft.operators.Graph.q137 _),
+    "q138_skipgrams"       -> (Relational.q138 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1601,5 +1603,35 @@ object SparkEntry {
         "ROUND(pow((CAST(CAST(CONCAT('0x', substr(md5(CAST(p_partkey AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(4503599627370496.0 AS DOUBLE), " +
         "CAST(1.0 AS DOUBLE) / p_retailprice), 12) AS es_key FROM part " +
         "ORDER BY es_key DESC, p_partkey LIMIT 200) t ORDER BY p_partkey"),
+    // q137: local clustering coefficient — q120's wedge/closure CTEs
+    // plus a degree CTE; cc is one mirrored IEEE divide of exact
+    // BIGINTs, round(6).
+    "q137_clustering_coef" ->
+      ("WITH small AS (SELECT p_partkey FROM part WHERE p_size <= 10), " +
+        "it AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey " +
+        "FROM lineitem JOIN small ON l_partkey = p_partkey), " +
+        "e AS (SELECT x.pkey AS src, y.pkey AS dst FROM it x JOIN it y " +
+        "ON x.okey = y.okey AND x.pkey < y.pkey GROUP BY 1, 2 HAVING COUNT(*) >= 1), " +
+        "d AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM " +
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e) GROUP BY 1), " +
+        "w AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c " +
+        "FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst), " +
+        "t AS (SELECT a, b, c FROM w JOIN e ON w.b = e.src AND w.c = e.dst), " +
+        "tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM " +
+        "(SELECT unnest([a, b, c]) AS node FROM t) GROUP BY node) " +
+        "SELECT d.node AS part, degree, COALESCE(n_triangles, 0) AS n_triangles, " +
+        "CASE WHEN degree >= 2 THEN ROUND(CAST(2.0 AS DOUBLE) * COALESCE(n_triangles, 0) / (degree * (degree - 1)), 6) " +
+        "ELSE CAST(0.0 AS DOUBLE) END AS cc " +
+        "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY part"),
+    // q138: skip-gram pairs — per-user ROW_NUMBER band self-join,
+    // exact integer counts.
+    "q138_skipgrams" ->
+      ("WITH pos AS (SELECT user_id, event_type, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) " +
+        "SELECT a.event_type AS a_type, b.event_type AS b_type, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users " +
+        "FROM pos a JOIN pos b ON a.user_id = b.user_id " +
+        "AND b.rn > a.rn AND b.rn <= a.rn + 3 " +
+        "GROUP BY 1, 2 ORDER BY a_type, b_type"),
   )
 }

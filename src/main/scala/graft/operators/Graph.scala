@@ -283,4 +283,41 @@ object Graph {
         coalesce(col("component"), col("id")).as("cluster"))
       .orderBy("brand", "name")
   }
+
+  /** Local clustering coefficient — per node, the fraction of its
+    * neighbor pairs that are themselves connected: cc = 2·T(v) /
+    * (deg(v)·(deg(v)−1)), 0 for degree < 2 (Watts & Strogatz 1998).
+    * The node-level cohesion signal on top of q120's raw triangle
+    * counts: a hub with cc→0 is a broker, cc→1 a clique member.
+    *
+    * Determinism: T and deg are exact BIGINTs; 2·T and deg·(deg−1) are
+    * exact in double far past any real degree; cc is ONE mirrored IEEE
+    * divide, round(6) presentation. Scale rides q120's wedge-join
+    * analysis (support-thresholded edges; degree-ordered orientation is
+    * the declared hub-skew cap) plus one degree agg — the degree frame
+    * is vocabulary-sized, broadcast back. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(e), Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("cc", when(col("degree") >= 2,
+          round(lit(2.0d) * col("n_triangles") /
+            (col("degree") * (col("degree") - 1)), 6))
+        .otherwise(lit(0.0d)))
+  }
+
+  /** Q137 — clustering coefficient over the q120 co-order graph. */
+  def q137(s: SparkSession, d: String): DataFrame = {
+    val small = Tables.part(s, d).filter(col("p_size") <= 10)
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(small), col("l_partkey") === col("p_partkey"), "left_semi")
+    clusteringCoefficient(coOrderEdges(li, minSupport = 1))
+      .select(col("node").as("part"), col("degree"),
+        col("n_triangles"), col("cc"))
+      .orderBy("part")
+  }
 }

@@ -2012,4 +2012,40 @@ object Relational {
       "p_partkey", "p_retailprice", 200)
       .select("p_partkey", "p_retailprice", "es_key")
       .orderBy("p_partkey")
+
+  /** Windowed skip-gram co-occurrence — directional event-type pairs
+    * within the next `maxSkip` events of the same user, the sequence-
+    * mining generalization of q123's adjacent-only transitions (a
+    * "view → purchase" association with one click in between is
+    * invisible to a Markov matrix; it is this operator's bread and
+    * butter — and the same shape trains word2vec-style embeddings over
+    * token streams). Counts both raw pair occurrences and distinct
+    * users exhibiting the pair.
+    *
+    * Plan: ONE per-user window for positions (per-user frames, never
+    * global), then a self-join on (user, rank band 1..maxSkip) — a
+    * bounded ×maxSkip fan-out on the user key, the q112 fan-out
+    * doctrine; all outputs exact BIGINTs. A power user with millions
+    * of events is AQE's skew-join case; capping per-user sequence
+    * length upstream is the declared production lever. */
+  def skipGramPairs(events: DataFrame, maxSkip: Int): DataFrame = {
+    val pos = events.select(col("user_id"), col("event_type"),
+      row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+        .as("rn"))
+    val a = pos.select(col("user_id"), col("event_type").as("a_type"),
+      col("rn").as("ra"))
+    val b = pos.select(col("user_id").as("ub"),
+      col("event_type").as("b_type"), col("rn").as("rb"))
+    a.join(b, col("user_id") === col("ub") &&
+        col("rb") > col("ra") && col("rb") <= col("ra") + maxSkip)
+      .groupBy("a_type", "b_type")
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("user_id")).as("n_users"))
+  }
+
+  /** Q138 — skip-grams over events, window 3. */
+  def q138(s: SparkSession, d: String): DataFrame =
+    skipGramPairs(Tables.events(s, d), maxSkip = 3)
+      .orderBy("a_type", "b_type")
 }

@@ -484,4 +484,38 @@ class EntityAnalyticsSpec extends SparkSpec {
     // session 2 path view>click -> ONE path with 2 sessions
     assert(out == Set(("view>click", 2L)))
   }
+
+  // ---- q137 clustering coefficient ----
+
+  test("clustering coefficient: clique nodes 1.0, broker below, leaves 0") {
+    // triangle {1,2,3} plus pendant 3–4: nodes 1,2 have cc=1 (their
+    // only neighbor pair is connected); node 3 has deg 3, one closed
+    // pair of three → 1/3; node 4 deg 1 → 0.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = graft.operators.Graph.clusteringCoefficient(edges)
+      .collect().map(r => (r.getAs[Long]("node"),
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          r.getAs[Double]("cc")))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 0.333333)))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+  }
+
+  // ---- q138 skip-grams ----
+
+  test("skip-grams count pairs within the rank band only, per user") {
+    // user 1: a b c d with maxSkip=2 → ab ac bc bd cd (NOT ad: skip 3);
+    // user 2: a b → ab. n_users(ab)=2.
+    val events = ev(
+      (1, "a", 10), (1, "b", 20), (1, "c", 30), (1, "d", 40),
+      (2, "a", 10), (2, "b", 20))
+    val got = graft.operators.Relational.skipGramPairs(events, maxSkip = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n"), r.getAs[Long]("n_users")))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 2L)), ("a", "c") -> ((1L, 1L)),
+      ("b", "c") -> ((1L, 1L)), ("b", "d") -> ((1L, 1L)),
+      ("c", "d") -> ((1L, 1L))))
+  }
 }
