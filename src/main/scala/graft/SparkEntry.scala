@@ -181,6 +181,15 @@ object SparkEntry {
     // pin an accident. Numeric contracts (uniform fixpoint, reference-
     // iteration equality, Σrank = 1) live in EntityAnalyticsSpec.
     "q129_pagerank"        -> (graft.operators.Graph.q129 _),
+    // q139/q140 join the rows-only class: BPE training is a sequential
+    // chain of data-dependent argmax decisions (each merge reshapes the
+    // pair statistics the next round aggregates — a recursive CTE
+    // cannot re-aggregate per level) and application replays that
+    // chain, so no SQL oracle exists. The paper's golden merge
+    // sequence, tie-breaks, rank-priority application, and exact
+    // integer token statistics are pinned in BpeSpec.
+    "q139_bpe_train"       -> (graft.ext.Bpe.q139 _),
+    "q140_bpe_tokens"      -> (graft.ext.Bpe.q140 _),
   )
 
   /** DuckDB-dialect oracle SQL, one per `queries` key. */

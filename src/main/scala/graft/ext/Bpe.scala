@@ -1,0 +1,184 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Byte-pair-encoding tokenizer induction and application — the vocab-
+  * building step of every modern LLM data pipeline (Sennrich et al.
+  * 2016, arXiv:1508.07909; the GPT-2/RoBERTa tokenizer family). Two
+  * operators:
+  *
+  *  - `train`: learn a merge table from a corpus. The distributed
+  *    shape follows the original algorithm's observation that BPE
+  *    statistics live on the WORD-FREQUENCY table, not the corpus: one
+  *    corpus-sized aggregation builds (word, freq), and every merge
+  *    round after that is a pair-count aggregation + rewrite over the
+  *    Heaps-law-bounded vocabulary (≈10⁷ rows for a 100 TB English
+  *    corpus — thousands of times smaller than the corpus itself).
+  *    Each round ships exactly ONE row (the argmax pair) to the
+  *    driver; the vocab table never leaves the cluster. Rounds are
+  *    persisted and lineage-cut every `checkpointEvery` merges (the
+  *    connectedComponents doctrine — without it round r's plan nests r
+  *    UDF applications deep).
+  *
+  *  - `tokenCounts`: apply a learned merge table (rank-priority,
+  *    lowest-rank pair first — the exact GPT-2 `bpe()` loop) to a
+  *    corpus and report per-document subword counts. The merge table
+  *    broadcasts (a vocab of merges is KBs); application is a narrow
+  *    map — zero shuffles beyond the final per-doc agg.
+  *
+  * No SQL-expressible oracle exists for either: training is a
+  * sequential chain of data-dependent argmax decisions (each merge
+  * changes the pair statistics the next round aggregates — a recursive
+  * CTE cannot re-aggregate per level), and application replays that
+  * chain per word. Both are therefore rows-only driver checks, with
+  * the classic-literature golden cases (the {low, lower, newest,
+  * widest} corpus of the BPE paper) and determinism/fixpoint contracts
+  * pinned in BpeSpec — and every count they emit is an exact integer,
+  * so the golden cases pin bit-exact output.
+  *
+  * Word pre-tokenization: whitespace split + the `</w>` end-of-word
+  * terminal symbol of the original paper, so merges can learn word-
+  * final units ("est</w>") distinct from word-internal ones ("est").
+  */
+object Bpe {
+
+  /** Rewrite one word's symbol sequence, merging every non-overlapping
+    * adjacent (a, b) left-to-right — the single-merge-round kernel. */
+  private[graft] def mergeOnce(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  private val mergeOnceUdf = udf { (syms: Seq[String], a: String, b: String) =>
+    mergeOnce(syms, a, b)
+  }
+
+  /** GPT-2-style application: repeatedly merge the present pair with
+    * the LOWEST rank until no ranked pair remains. Returns the subword
+    * count (the statistic q140 reports; the tokens themselves are an
+    * intermediate). */
+  private[graft] def applyMerges(syms: Seq[String],
+      ranks: Map[(String, String), Int]): Seq[String] = {
+    var cur = syms
+    var done = false
+    while (!done && cur.length > 1) {
+      var bestRank = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < cur.length - 1) {
+        val r = ranks.getOrElse((cur(i), cur(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else cur = mergeOnce(cur, cur(bi), cur(bi + 1))
+    }
+    cur
+  }
+
+  /** Split a word into BPE start symbols: chars + `</w>` terminal.
+    * (Spark's split(_, "") keeps a trailing empty element — Java split
+    * with limit −1 — so empties are filtered; the Scala-side kernel's
+    * String.split("") drops them already.) */
+  private def toSymbols(word: org.apache.spark.sql.Column) =
+    concat(filter(split(word, ""), x => length(x) > 0), array(lit("</w>")))
+
+  /** Train `nMerges` BPE merges over `textCol`. Returns the merge
+    * table: (rank, left, right, merged, pair_count), rank 1 = first
+    * merge learned. Stops early when no pair reaches `minCount`.
+    * Tie-break: count DESC, then (left, right) lexicographic — fully
+    * deterministic for a fixed corpus. */
+  def train(docs: DataFrame, nMerges: Int, minCount: Long = 2L,
+      textCol: String = "text", checkpointEvery: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(toSymbols(col("word")).as("syms"), col("freq"))
+      .persist()
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val best = vocab
+        .select(posexplode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as(Seq("p", "pair")),
+          col("freq"))
+        .groupBy(col("pair.a").as("a"), col("pair.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getAs[Long]("cnt") < minCount) exhausted = true
+      else {
+        val (a, b, cnt) = (best.head.getAs[String]("a"),
+          best.head.getAs[String]("b"), best.head.getAs[Long]("cnt"))
+        merges += ((rank, a, b, a + b, cnt))
+        val next = vocab.withColumn("syms",
+          mergeOnceUdf(col("syms"), lit(a), lit(b)))
+        val cached =
+          (if (rank % checkpointEvery == 0) next.localCheckpoint(true)
+           else next.persist())
+        if (rank % checkpointEvery != 0) cached.count()
+        vocab.unpersist()
+        vocab = cached
+        rank += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+      .select(col("rank").cast("long").as("rank"), col("left"),
+        col("right"), col("merged"), col("pair_count"))
+  }
+
+  /** Apply a merge table to a corpus: per-doc word count, subword
+    * count, and chars-per-subword compression (one IEEE divide of
+    * exact integers, round(6)). `mergeTable` must carry (rank, left,
+    * right); it is collected and broadcast — merges are KBs. */
+  def tokenCounts(docs: DataFrame, mergeTable: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val ranks = mergeTable.select("left", "right", "rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")) ->
+        r.getAs[Long]("rank").toInt).toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val countUdf = udf { (word: String) =>
+      applyMerges(word.split("").toSeq :+ "</w>", bc.value).length
+    }
+    docs.select(col(idCol),
+        explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("n_sub", countUdf(col("word")))
+      .withColumn("n_chars", length(col("word")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_subwords"),
+        sum("n_chars").as("n_word_chars"))
+      .withColumn("chars_per_subword",
+        round(col("n_word_chars").cast("double") / col("n_subwords"), 6))
+  }
+
+  /** Q139 — BPE training over the documents corpus: 40 merges,
+    * minCount 2 (rows-only driver check; golden contracts in BpeSpec). */
+  def q139(s: SparkSession, d: String): DataFrame =
+    train(Tables.documents(s, d), nMerges = 40).orderBy("rank")
+
+  /** Q140 — subword statistics of the corpus under its own q139
+    * tokenizer (rows-only driver check; golden contracts in BpeSpec). */
+  def q140(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    tokenCounts(docs, train(docs, nMerges = 40)).orderBy("doc_id")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Contracts for BPE tokenizer induction (q139) and application
+  * (q140). No SQL oracle exists (sequential data-dependent argmax
+  * chain — see Bpe scaladoc), so these golden cases carry the
+  * correctness burden: the {low, lower, newest, widest} corpus of
+  * Sennrich et al. 2016 with the merge sequence derived by hand,
+  * including the count-then-lexicographic tie-breaks. */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+  import graft.ext.Bpe
+
+  // the paper's corpus: low×5 lower×2 newest×6 widest×3
+  private def paperDocs = Seq(
+    (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    .toDF("text")
+
+  test("training reproduces the paper's merge sequence with deterministic tie-breaks") {
+    // hand-derived with the </w> terminal:
+    //  r1 (e,s)=9 over (s,t),(t,</w>) ties lexicographically
+    //  r2 (es,t)=9 over (t,</w>)
+    //  r3 (est,</w>)=9 alone
+    //  r4 (l,o)=7 over (o,w)
+    //  r5 (lo,w)=7
+    val got = Bpe.train(paperDocs, nMerges = 5).orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count"))).toSeq
+    assert(got == Seq(
+      (1L, "e", "s", "es", 9L),
+      (2L, "es", "t", "est", 9L),
+      (3L, "est", "</w>", "est</w>", 9L),
+      (4L, "l", "o", "lo", 7L),
+      (5L, "lo", "w", "low", 7L)))
+  }
+
+  test("training stops when no pair reaches minCount") {
+    val out = Bpe.train(Seq(("a b")).toDF("text"), nMerges = 10)
+    assert(out.count() == 0)
+  }
+
+  test("merge kernel is left-to-right non-overlapping") {
+    assert(Bpe.mergeOnce(Seq("a", "a", "a", "</w>"), "a", "a") ==
+      Seq("aa", "a", "</w>"))
+  }
+
+  test("application follows rank priority (GPT-2 bpe loop)") {
+    // with the 5 paper merges, 'lowest' → low + est</w>
+    val ranks = Map(("e", "s") -> 1, ("es", "t") -> 2,
+      ("est", "</w>") -> 3, ("l", "o") -> 4, ("lo", "w") -> 5)
+    assert(Bpe.applyMerges("lowest".split("").toSeq :+ "</w>", ranks) ==
+      Seq("low", "est</w>"))
+    // an unknown word falls through to chars + terminal
+    assert(Bpe.applyMerges("zz".split("").toSeq :+ "</w>", ranks) ==
+      Seq("z", "z", "</w>"))
+  }
+
+  test("tokenCounts reports exact integer subword statistics per doc") {
+    val merges = Bpe.train(paperDocs, nMerges = 5)
+    val docs = Seq((1L, "lowest newest"), (2L, "low low")).toDF("doc_id", "text")
+    val got = Bpe.tokenCounts(docs, merges).orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_subwords"), r.getAs[Double]("chars_per_subword"))).toSeq
+    // lowest → low|est</w> (2); newest → n|e|w|est</w> (4): 6 subwords,
+    // 12 chars → 2.0. low → low|</w>? no: 'low' = l,o,w,</w> → lo w? r4
+    // merges (l,o), r5 (lo,w) → low, then (low,</w>) unranked → 2 each.
+    assert(got == Seq((1L, 2L, 6L, 2.0), (2L, 2L, 4L, 1.5)))
+  }
+}
