@@ -39,6 +39,15 @@ case class TouchAnchor(tsu: Long, eventId: Long, channel: String)
 case class Credit(user_id: Long, channel: String, conv_us: Long,
   conv_id: Long)
 
+/** S20 retention state: the user's cohort (first-seen) epoch day plus
+  * the active days already emitted inside the out-of-order horizon —
+  * seen days more than `reorderDays` behind the max collapse into
+  * `floorDay` (≤ which everything is known emitted), so the record
+  * stays fixed-size no matter the stream age. */
+case class RetentionState(cohortDay: Int, floorDay: Int, recent: Array[Int])
+case class Activity(user_id: Long, cohort_day_ed: Int, active_day_ed: Int,
+  offset_days: Int)
+
 /** The declared streaming operator surface S2–S7 (SURVEY.md §2.4) —
   * event-time upgrades of the reference's processing-time-only design.
   * Each takes a (streaming or batch) DataFrame with the events schema
@@ -728,5 +737,75 @@ object StreamOps {
             closed.reverse.iterator
           }
       }.toDF()
+  }
+
+  /** S20 (r11) — streaming cohort retention: the real-time form of the
+    * batch q102 (`Relational.retention`) — each user emits one row per
+    * NEW active day: (cohort_day, active_day, offset). The live cohort
+    * curve (q102's countDistinct per cohort × offset) is one ordinary
+    * streaming aggregation downstream, because rows are already
+    * distinct per (user, day).
+    *
+    * Semantics: cohort = the user's first day in arrival order (under
+    * per-user in-order delivery, the batch min — real-fixture parity
+    * test). A day already emitted never re-emits (the batch DISTINCT
+    * user-day); a cross-batch stale day earlier than the cohort day
+    * cannot re-cohort and is dropped (the S18/S19 stale tradeoff);
+    * offsets beyond `horizonDays` are dropped — the curve is declared
+    * to end there.
+    *
+    * Scale posture: per-user state is cohortDay + a floor + the seen
+    * days within `reorderDays` of the max — FIXED size regardless of
+    * stream age or user lifetime (a raw seen-set would grow by one int
+    * per active day forever — the leak this encoding exists to avoid).
+    * Idle users evict once the watermark passes their horizon; past-
+    * horizon rows are dropped anyway, so eviction is lossless — the
+    * S19 argument. */
+  def retentionStream(
+      events: DataFrame,
+      horizonDays: Int = 30,
+      reorderDays: Int = 7,
+      watermark: String = "10 seconds"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[RetentionState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val days = rows.map(r => (r._2.getTime / 86400000L).toInt)
+              .toArray.sorted
+            var st = state.getOption.getOrElse {
+              val c = days.head // first arrival defines the cohort
+              RetentionState(c, c - 1, Array.empty)
+            }
+            val out = Vector.newBuilder[Activity]
+            days.foreach { d =>
+              val fresh = d > st.floorDay && !st.recent.contains(d)
+              val off = d - st.cohortDay
+              if (fresh && off >= 0 && off <= horizonDays) {
+                out += Activity(uid, st.cohortDay, d, off)
+                val rec = (st.recent :+ d).sorted
+                val floor = math.max(st.floorDay, rec.last - reorderDays)
+                // collapse everything ≤ floor into the floor marker
+                st = RetentionState(st.cohortDay, floor, rec.filter(_ > floor))
+              }
+            }
+            state.update(st)
+            val lastMs = (st.floorDay.toLong + reorderDays) * 86400000L
+            state.setTimeoutTimestamp(math.max(
+              lastMs + horizonDays.toLong * 86400000L,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }.toDF()
+      .select(col("user_id"),
+        date_add(lit("1970-01-01").cast("date"), col("cohort_day_ed")).as("cohort_day"),
+        date_add(lit("1970-01-01").cast("date"), col("active_day_ed")).as("active_day"),
+        col("offset_days").cast("long").as("offset_days"))
   }
 }
