@@ -165,6 +165,10 @@ object SparkEntry {
     "q136_weighted_sample" -> (Relational.q136 _),
     "q137_clustering_coef" -> (graft.operators.Graph.q137 _),
     "q138_skipgrams"       -> (Relational.q138 _),
+    "q142_reconcile"       -> (Relational.q142 _),
+    "q143_trimmed_mean"    -> (Relational.q143 _),
+    "q144_contribution"    -> (Relational.q144 _),
+    "q145_covariance"      -> (graft.ext.Similarity.q145 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -190,6 +194,11 @@ object SparkEntry {
     // integer token statistics are pinned in BpeSpec.
     "q139_bpe_train"       -> (graft.ext.Bpe.q139 _),
     "q140_bpe_tokens"      -> (graft.ext.Bpe.q140 _),
+    // q141 rows-only: the HLL estimate is algorithm-defined, not
+    // query-defined — no second engine computes the same bytes. Its
+    // EXACT counterpart is q112's oracle gate; byte-exact merge,
+    // duplicate absorption, and 3σ error contracts live in SketchesSpec.
+    "q141_hll_rolling"     -> (graft.ext.Sketches.q141 _),
   )
 
   /** DuckDB-dialect oracle SQL, one per `queries` key. */
@@ -1642,5 +1651,51 @@ object SparkEntry {
         "FROM pos a JOIN pos b ON a.user_id = b.user_id " +
         "AND b.rn > a.rn AND b.rn <= a.rn + 3 " +
         "GROUP BY 1, 2 ORDER BY a_type, b_type"),
+    // q142: reconciliation fingerprints — DuckDB recomputing the
+    // checksums IS the operator's cross-engine use case. 40-bit md5
+    // prefix sum (BIGINT-exact to ~8M rows/group), canonical renders
+    // via the q24/q131 cast doctrines.
+    "q142_reconcile" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(CONCAT('0x', substr(md5(CONCAT_WS('|', " +
+        "CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), " +
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR), " +
+        "CAST(CAST(l_shipdate AS DATE) AS VARCHAR))), 1, 10)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+    // q143: trimmed mean — percentile_disc bounds (elements), exact
+    // decimal sum of the kept band, one IEEE divide.
+    "q143_trimmed_mean" ->
+      ("WITH b AS (SELECT event_type, " +
+        "percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS lo, " +
+        "percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS hi " +
+        "FROM events GROUP BY 1) " +
+        "SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_kept, " +
+        "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS trimmed_mean " +
+        "FROM events e JOIN b ON e.event_type = b.event_type " +
+        "WHERE value >= lo AND value <= hi GROUP BY 1 ORDER BY 1"),
+    // q144: contribution — exact decimal revenue, share as one IEEE
+    // divide, rank over the bounded nation frame.
+    "q144_contribution" ->
+      ("WITH per AS (SELECT n_name, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_d, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1), " +
+        "t AS (SELECT SUM(rev_d) AS tot_d FROM per) " +
+        "SELECT n_name, n, CAST(rev_d AS DOUBLE) AS revenue, " +
+        "ROUND(CAST(rev_d AS DOUBLE) / CAST(tot_d AS DOUBLE), 6) AS share, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY ROUND(CAST(rev_d AS DOUBLE) / CAST(tot_d AS DOUBLE), 6) DESC, n_name) AS BIGINT) AS rk " +
+        "FROM per CROSS JOIN t ORDER BY rk"),
+    // q145: covariance — parallel unnest rebuilds the exploded frame;
+    // quantize once to DECIMAL(12,6), exact cross-moment sums, cov as
+    // one mirrored IEEE expression (q103 identity).
+    "q145_covariance" ->
+      ("WITH x AS (SELECT vec_id, unnest(range(0, len(embedding))) AS i, " +
+        "CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,6)) AS x FROM embeddings) " +
+        "SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "ROUND((CAST(SUM(a.x * b.x) AS DOUBLE) - CAST(SUM(a.x) AS DOUBLE) * CAST(SUM(b.x) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1), 9) AS cov " +
+        "FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i " +
+        "GROUP BY a.i, b.i ORDER BY i, j"),
   )
 }

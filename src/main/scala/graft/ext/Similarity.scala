@@ -615,4 +615,47 @@ object Similarity {
     * assign with the same ordered folds and tie-breaks. */
   def q87(s: SparkSession, d: String): DataFrame =
     kmeans(Tables.embeddings(s, d)).orderBy("vec_id")
+
+  /** Embedding covariance matrix — the d×d second-moment structure of
+    * the corpus's embedding distribution (the input to PCA whitening,
+    * OOD detection by Mahalanobis distance, and the rotation step some
+    * ANN quantizers train). Upper triangle only (symmetric).
+    *
+    * Determinism doctrine (q103's variance identity extended to CROSS
+    * moments): elements quantize once float→double→DECIMAL(12,6)
+    * (deterministic per value, both engines); Σx, Σy, Σxy are then
+    * EXACT decimal sums — order-free across any partitioning — and
+    * cov = (Σxy − Σx·Σy/n)/(n−1) is ONE mirrored IEEE expression of
+    * those exact scalars, round(9) presentation. Products fit
+    * DECIMAL(25,12), sums DECIMAL(38,12): headroom to ~10¹³ rows.
+    *
+    * Scale: the exploded (vec_id, dim, x) frame self-joins on vec_id
+    * (row-local pairing — each vector meets only itself, never a
+    * cross-vector pair), so the shuffle carries N·d rows and the agg
+    * state is d² cells regardless of N; the result is KBs. The top-k
+    * eigenvectors of the 64×64 output are a driver-side eigensolve —
+    * the distributed work IS this moment aggregation. */
+  def covarianceMatrix(embeddings: DataFrame): DataFrame = {
+    val x = embeddings.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), col("i"),
+        col("xf").cast("double").cast("decimal(12,6)").as("x"))
+    val y = x.select(col("vec_id").as("vid2"), col("i").as("j"),
+      col("x").as("y"))
+    x.join(y, col("vec_id") === col("vid2") && col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"),
+        round((col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double") / col("n")) /
+          (col("n") - 1), 9).as("cov"))
+  }
+
+  /** Q145 — embedding covariance under the ORACLE gate (parallel
+    * unnest in DuckDB rebuilds the same exploded frame). */
+  def q145(s: SparkSession, d: String): DataFrame =
+    covarianceMatrix(Tables.embeddings(s, d)).orderBy("i", "j")
 }

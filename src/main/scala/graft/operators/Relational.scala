@@ -2048,4 +2048,105 @@ object Relational {
   def q138(s: SparkSession, d: String): DataFrame =
     skipGramPairs(Tables.events(s, d), maxSkip = 3)
       .orderBy("a_type", "b_type")
+
+  /** Table reconciliation fingerprint — order-free per-group content
+    * checksums for comparing two copies of a table WITHOUT moving
+    * either (the Merkle-style integrity check a 100 TB migration or a
+    * cross-engine port runs: ship the KB-sized fingerprint table, not
+    * the data; drill into only the groups whose checksums differ).
+    * Per group: row count + SUM of a 40-bit md5 prefix over a
+    * canonical '|'-joined row rendering.
+    *
+    * Why 40 bits: the BIGINT sum stays exact to ~8×10⁶ rows per group
+    * per engine pair (2⁶³/2⁴⁰); past that, swap the sum to
+    * DECIMAL(38,0) — same plan, documented tier. Why SUM (not XOR):
+    * commutative+associative like XOR (order-free across partitions)
+    * but ALSO detects an even number of duplicated rows, XOR's blind
+    * spot. Canonical rendering: ints/strings as-is, doubles through
+    * DECIMAL(18,2) (fixed-scale text), timestamps through DATE — every
+    * piece pinned cross-engine by the q131/q24 cast doctrines.
+    *
+    * The oracle gate here is the OPERATOR'S OWN use case: DuckDB
+    * recomputing the identical checksums from the same parquet IS a
+    * cross-engine reconciliation run, passing. */
+  def reconcileFingerprint(df: DataFrame, groupCols: Seq[String],
+      rendered: Seq[Column]): DataFrame = {
+    val h = conv(substring(md5(
+      concat_ws("|", rendered: _*).cast("binary")), 1, 10), 16, 10)
+      .cast("long")
+    df.withColumn("rh", h)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum("rh").as("checksum"))
+  }
+
+  /** Q142 — reconciliation fingerprints of lineitem by flag/status. */
+  def q142(s: SparkSession, d: String): DataFrame =
+    reconcileFingerprint(Tables.lineitem(s, d),
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"),
+        col("l_quantity").cast("decimal(18,2)").cast("string"),
+        col("l_shipdate").cast("date").cast("string")))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Trimmed mean — the robust-location aggregate: drop everything
+    * outside the [pLo, pHi] percentile-disc bounds, then an EXACT
+    * decimal mean of the kept mass (q24 doctrine; one IEEE divide at
+    * presentation). Complements q134's MAD fences: MAD flags the
+    * outliers, the trimmed mean reports location as if they weren't
+    * there. Bounds are multiset elements (q133 doctrine), keep is an
+    * inclusive band — both engines identical comparisons. Scale: one
+    * exact-percentile agg (approx_percentile is the 100 TB tier) +
+    * broadcast + one grouped decimal agg. */
+  def trimmedMean(df: DataFrame, groupCol: String, valCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    val bounds = df.groupBy(groupCol).agg(
+      expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY $valCol)").as("lo"),
+      expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY $valCol)").as("hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .filter(col(valCol) >= col("lo") && col(valCol) <= col("hi"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col(valCol).cast("decimal(18,6)")).as("s"))
+      .withColumn("trimmed_mean",
+        round(col("s").cast("double") / col("n_kept"), 6))
+      .drop("s")
+  }
+
+  /** Q143 — 5%-trimmed mean of events.value per event_type. */
+  def q143(s: SparkSession, d: String): DataFrame =
+    trimmedMean(Tables.events(s, d), "event_type", "value", 0.05, 0.95)
+      .orderBy("event_type")
+
+  /** Contribution analysis (RATIO_TO_REPORT) — each group's share of
+    * the total: exact decimal revenue per group, the total as a 1-row
+    * broadcast (never a window over the groups), share = one IEEE
+    * divide of the two exact sums, rank over the group-cardinality
+    * frame (bounded — 25 nations; q99's pre-cut applies to unbounded
+    * group keys). */
+  def contribution(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val per = df.groupBy(groupCol)
+      .agg(sum(col(valCol).cast("decimal(18,2)")).as("rev_d"),
+        count(lit(1)).as("n"))
+    val tot = per.agg(sum("rev_d").as("tot_d"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("revenue", col("rev_d").cast("double"))
+      .withColumn("share",
+        round(col("rev_d").cast("double") / col("tot_d").cast("double"), 6))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("share").desc, col(groupCol))))
+      .select(col(groupCol), col("n"), col("revenue"), col("share"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Q144 — national revenue contribution over the 4-table join. */
+  def q144(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("l_extendedprice"))
+    contribution(rev, "n_name", "l_extendedprice").orderBy("rk")
+  }
 }

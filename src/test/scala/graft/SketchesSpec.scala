@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Contracts for the mergeable HLL sketch tier (q141). No SQL oracle
+  * exists (the estimate is algorithm-defined), so these carry the
+  * correctness burden: byte-exact mergeability (the property that
+  * makes layered sketch aggregation SOUND), duplicate absorption,
+  * and measured error against exact cardinalities. */
+class SketchesSpec extends SparkSpec {
+
+  import spark.implicits._
+  import graft.ext.Sketches
+
+  private def buildSketch(ids: Seq[Long]): Array[Byte] = {
+    val b = udaf(new Sketches.HllBuild)
+    ids.toDF("id").select(xxhash64(col("id")).as("h"))
+      .agg(b(col("h"))).collect().head.getAs[Array[Byte]](0)
+  }
+
+  test("build(A ∪ B) equals merge(build(A), build(B)) byte-for-byte") {
+    val a = (1L to 5000L)
+    val b = (4000L to 9000L) // overlapping
+    val m = udaf(new Sketches.HllMerge)
+    val merged = Seq(buildSketch(a), buildSketch(b)).toDF("s")
+      .agg(m(col("s"))).collect().head.getAs[Array[Byte]](0)
+    val direct = buildSketch((a ++ b).distinct)
+    assert(java.util.Arrays.equals(merged, direct))
+  }
+
+  test("duplicates are absorbed: sketch of multiset equals sketch of set") {
+    val once = buildSketch(1L to 1000L)
+    val thrice = buildSketch(Seq.fill(3)(1L to 1000L).flatten)
+    assert(java.util.Arrays.equals(once, thrice))
+  }
+
+  test("estimate error is within the 4096-register band") {
+    for (n <- Seq(100, 5000, 50000)) {
+      val est = Sketches.estimate(buildSketch(1L to n.toLong))
+      val err = math.abs(est - n) / n.toDouble
+      assert(err < 0.05, s"n=$n est=$est err=$err") // 3σ ≈ 4.9%
+    }
+  }
+
+  test("rolling HLL tracks the exact rolling distinct within the band") {
+    // 3 days × overlapping user sets; k=2 → complete windows at day 2,3
+    val day = 86400L
+    val ev = (1 to 3).flatMap { d =>
+      (1L to 2000L).map(u => ((d - 1) * day + u, u * d)) // users u*d day d
+    }.toDF("sec", "user_id")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("user_id"))
+    val got = Sketches.rollingDistinctHll(ev, "user_id", 2)
+      .orderBy("day").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got.keySet == Set("1970-01-02", "1970-01-03"))
+    // exact unions: d1∪d2 = {1..2000}∪{2,4..4000} = 3000 distinct;
+    // d2∪d3 = {2,4..4000}∪{3,6..6000} = 2000+2000-667(multiples of 6)
+    val ex12 = ((1L to 2000L) ++ (1L to 2000L).map(_ * 2)).distinct.size
+    val ex23 = ((1L to 2000L).map(_ * 2) ++ (1L to 2000L).map(_ * 3)).distinct.size
+    assert(math.abs(got("1970-01-02") - ex12) / ex12.toDouble < 0.05)
+    assert(math.abs(got("1970-01-03") - ex23) / ex23.toDouble < 0.05)
+  }
+}

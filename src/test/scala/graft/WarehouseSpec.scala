@@ -131,6 +131,30 @@ class WarehouseSpec extends SparkSpec {
     assert(bins.map(_.getAs[Long]("n")).toSeq == Seq(50, 50))
   }
 
+  // ---- q142 reconciliation fingerprints ----
+
+  test("reconcile checksum is partition/order-invariant but flips on any row edit") {
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("k", "g", "v")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Relational.reconcileFingerprint(df, Seq("g"),
+        Seq(col("k").cast("string"), col("v").cast("string")))
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("checksum"))).toMap
+    val a = fp(base)
+    val b = fp(base.orderBy(col("k").desc).repartition(7)) // reshuffled copy
+    assert(a == b)
+    val edited = fp(Seq((1L, "a", 10L), (2L, "a", 21L), (3L, "b", 30L))
+      .toDF("k", "g", "v"))
+    assert(edited("b") == a("b") && edited("a") != a("a"),
+      "an edit must flip exactly its group's checksum")
+    // an even number of duplicated rows still changes the SUM (XOR's
+    // blind spot)
+    val duped = fp(base.unionAll(base.filter(col("k") === 1))
+      .unionAll(base.filter(col("k") === 1)))
+    assert(duped("a") != a("a"))
+  }
+
   // ---- q136 weighted sampling ----
 
   test("Efraimidis–Spirakis selection rate is weight-monotone") {
