@@ -169,6 +169,7 @@ object SparkEntry {
     "q143_trimmed_mean"    -> (Relational.q143 _),
     "q144_contribution"    -> (Relational.q144 _),
     "q145_covariance"      -> (graft.ext.Similarity.q145 _),
+    "q146_kcore"           -> (graft.operators.Graph.q146 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1697,5 +1698,33 @@ object SparkEntry {
         "ROUND((CAST(SUM(a.x * b.x) AS DOUBLE) - CAST(SUM(a.x) AS DOUBLE) * CAST(SUM(b.x) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1), 9) AS cov " +
         "FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i " +
         "GROUP BY a.i, b.i ORDER BY i, j"),
+    // q146: 16-core — UNROLLED peel waves with exactly the engine's
+    // wave semantics (all under-k nodes out per wave, degrees counted
+    // against the full removed-so-far set). 12 waves ≥ the 9-wave
+    // sf0.01 fixpoint; post-fixpoint waves are no-ops. A recursive-CTE
+    // peel was probed and REJECTED: the working-table reference
+    // flickers old removals back in and truncates deep cascades at the
+    // recursion cap (317-node "core" vs the true 291).
+    "q146_kcore" -> {
+      val waves = 12
+      val base = "WITH small AS (SELECT p_partkey FROM part WHERE p_size <= 10), " +
+        "it AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey " +
+        "FROM lineitem JOIN small ON l_partkey = p_partkey), " +
+        "e AS (SELECT x.pkey AS src, y.pkey AS dst FROM it x JOIN it y " +
+        "ON x.okey = y.okey AND x.pkey < y.pkey GROUP BY 1, 2 HAVING COUNT(*) >= 1), " +
+        "und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e), " +
+        "x0 AS MATERIALIZED (SELECT a FROM und GROUP BY a HAVING COUNT(*) < 16)"
+      val layers = (1 until waves).map { i =>
+        s", x$i AS MATERIALIZED (SELECT a FROM x${i - 1} UNION " +
+          s"SELECT u.a FROM und u LEFT JOIN x${i - 1} ra ON u.a = ra.a " +
+          s"LEFT JOIN x${i - 1} rb ON u.b = rb.a WHERE ra.a IS NULL " +
+          "GROUP BY u.a HAVING COUNT(CASE WHEN rb.a IS NULL THEN 1 END) < 16)"
+      }.mkString
+      val last = s"x${waves - 1}"
+      base + layers +
+        s" SELECT u.a AS part, CAST(COUNT(*) AS BIGINT) AS core_deg FROM und u " +
+        s"LEFT JOIN $last ra ON u.a = ra.a LEFT JOIN $last rb ON u.b = rb.a " +
+        "WHERE ra.a IS NULL AND rb.a IS NULL GROUP BY u.a ORDER BY part"
+    },
   )
 }

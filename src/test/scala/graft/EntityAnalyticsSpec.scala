@@ -502,6 +502,20 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(got(4L) == ((1L, 0L, 0.0)))
   }
 
+  // ---- q146 k-core ----
+
+  test("k-core peels cascades to the fixpoint and reports within-core degree") {
+    // triangle {1,2,3} + pendant chain 3-4-5-6: the 2-core must peel
+    // 6, then 5, then 4 (three waves) and keep the triangle at deg 2.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = graft.operators.Graph.kCore(edges, k = 2)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("core_deg"))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max degree empties the graph
+    assert(graft.operators.Graph.kCore(edges, k = 4).count() == 0)
+  }
+
   // ---- q138 skip-grams ----
 
   test("skip-grams count pairs within the rank band only, per user") {
