@@ -62,7 +62,8 @@ object Bench {
       "q72_dedup_best", "q75_pipeline_v2", "q80_pipeline_v3",
       "q81_knn_join", "q88_pipeline_v4", "q91_dedup_incremental",
       "q105_entity_clusters", "q121_item_neighbors", "q129_pagerank",
-      "q130_recommend")
+      "q130_recommend", "q139_bpe_train", "q140_bpe_tokens",
+      "q145_covariance")
     val names = SparkEntry.queries.keys.toSeq.sorted
     // optional comma-separated query filter (floor re-measurement of a
     // subset under the full warmup+3-pass protocol without paying for
