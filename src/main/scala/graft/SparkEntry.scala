@@ -170,6 +170,10 @@ object SparkEntry {
     "q144_contribution"    -> (Relational.q144 _),
     "q145_covariance"      -> (graft.ext.Similarity.q145 _),
     "q146_kcore"           -> (graft.operators.Graph.q146 _),
+    "q148_source_overlap"  -> (TextOps.q148 _),
+    "q149_dict_encode"     -> (Relational.q149 _),
+    "q150_feature_hash"    -> (TextOps.q150 _),
+    "q151_unpivot"         -> (Relational.q151 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -200,6 +204,11 @@ object SparkEntry {
     // EXACT counterpart is q112's oracle gate; byte-exact merge,
     // duplicate absorption, and 3σ error contracts live in SketchesSpec.
     "q141_hll_rolling"     -> (graft.ext.Sketches.q141 _),
+    // q147 rows-only: bloom bit patterns are algorithm-defined like
+    // q141's registers. The zero-false-negative guarantee (vs an exact
+    // semi-join, incl. on the real fixture), FPR bound, and byte-exact
+    // shard-merge contracts live in SketchesSpec.
+    "q147_bloom_screen"    -> (graft.ext.Sketches.q147 _),
   )
 
   /** DuckDB-dialect oracle SQL, one per `queries` key. */
@@ -1726,5 +1735,38 @@ object SparkEntry {
         s"LEFT JOIN $last ra ON u.a = ra.a LEFT JOIN $last rb ON u.b = rb.a " +
         "WHERE ra.a IS NULL AND rb.a IS NULL GROUP BY u.a ORDER BY part"
     },
+    // q148: source vocabulary overlap — distinct (source, token) sets,
+    // token-key intersection join, Jaccard one IEEE divide of BIGINTs.
+    "q148_source_overlap" ->
+      ("WITH t AS (SELECT DISTINCT source AS src, w FROM (SELECT source, " +
+        "unnest(string_split_regex(text, '\\s+')) AS w FROM documents) WHERE LENGTH(w) > 0), " +
+        "s AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1), " +
+        "i AS (SELECT a.src AS src_a, b.src AS src_b, CAST(COUNT(*) AS BIGINT) AS inter " +
+        "FROM t a JOIN t b ON a.w = b.w AND a.src < b.src GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, inter, " +
+        "ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard " +
+        "FROM i JOIN s sa ON i.src_a = sa.src JOIN s sb ON i.src_b = sb.src " +
+        "ORDER BY src_a, src_b"),
+    // q149: dictionary encoding — ids are a pure function of the
+    // sorted value set (DENSE_RANK over facts ≡ ROW_NUMBER over the
+    // distinct vocabulary).
+    "q149_dict_encode" ->
+      ("SELECT p_partkey, p_brand, " +
+        "CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS BIGINT) AS brand_id, " +
+        "p_type, CAST(DENSE_RANK() OVER (ORDER BY p_type) AS BIGINT) AS type_id " +
+        "FROM part ORDER BY p_partkey"),
+    // q150: feature hashing — identical md5-derived bucket arithmetic.
+    "q150_feature_hash" ->
+      ("SELECT doc_id, CAST(CAST(CONCAT('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 AS BIGINT) AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, " +
+        "unnest(string_split_regex(text, '\\s+')) AS w FROM documents WHERE doc_id % 10 = 0) " +
+        "WHERE LENGTH(w) > 0 GROUP BY 1, 2 ORDER BY doc_id, bucket"),
+    // q151: unpivot — the explicit union form (DuckDB's UNPIVOT would
+    // also work; the union pins column names/types plainly).
+    "q151_unpivot" ->
+      ("SELECT c_custkey, metric, value FROM (" +
+        "SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value FROM customer " +
+        "UNION ALL SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE) FROM customer) " +
+        "ORDER BY c_custkey, metric"),
   )
 }

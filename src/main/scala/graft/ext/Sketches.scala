@@ -138,4 +138,109 @@ object Sketches {
     * SketchesSpec, and the EXACT form it approximates is q112's gate). */
   def q141(s: SparkSession, d: String): DataFrame =
     rollingDistinctHll(Tables.events(s, d), "user_id", 7).orderBy("day")
+
+  // ---------------------------------------------------------------
+  // Bloom filter — the membership sketch (Bloom 1970)
+  // ---------------------------------------------------------------
+
+  val BloomBits = 1 << 21  // 2 Mbit = 256 KB
+  private val BloomBytes = BloomBits / 8
+  val BloomHashes = 5
+
+  /** The NH bit positions of one 64-bit hash (Kirsch–Mitzenmacher
+    * 2006: two halves combine as h1 + i·h2 with no loss of FPR
+    * guarantee — one xxhash64 per key, not NH). */
+  @inline private def bloomBits(h: Long): Array[Int] = {
+    val h1 = (h & 0xffffffffL).toInt
+    val h2 = (h >>> 32).toInt
+    Array.tabulate(BloomHashes) { i =>
+      val x = h1 + i * h2
+      ((x % BloomBits) + BloomBits) % BloomBits
+    }
+  }
+
+  private def setBit(regs: Array[Byte], bit: Int): Unit =
+    regs(bit >>> 3) = (regs(bit >>> 3) | (1 << (bit & 7))).toByte
+
+  private def getBit(regs: Array[Byte], bit: Int): Boolean =
+    (regs(bit >>> 3) & (1 << (bit & 7))) != 0
+
+  private def orRegs(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new Array[Byte](BloomBytes)
+    var i = 0
+    while (i < BloomBytes) { out(i) = (a(i) | b(i)).toByte; i += 1 }
+    out
+  }
+
+  /** xxhash64 column → Bloom filter bytes. Like the HLL build, bit-OR
+    * is associative/commutative/idempotent, so build(A ∪ B) ==
+    * merge(build(A), build(B)) byte-for-byte and per-shard filters
+    * union into one. */
+  class BloomBuild extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = Array.empty
+    override def reduce(buf: Array[Byte], h: Long): Array[Byte] = {
+      val regs = if (buf.isEmpty) new Array[Byte](BloomBytes) else buf
+      val bits = bloomBits(h)
+      var i = 0
+      while (i < bits.length) { setBit(regs, bits(i)); i += 1 }
+      regs
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = orRegs(a, b)
+    override def finish(buf: Array[Byte]): Array[Byte] =
+      if (buf.isEmpty) new Array[Byte](BloomBytes) else buf
+    override def bufferEncoder: Encoder[Array[Byte]] = ExpressionEncoder[Array[Byte]]()
+    override def outputEncoder: Encoder[Array[Byte]] = ExpressionEncoder[Array[Byte]]()
+  }
+
+  /** Screen an increment against a HISTORY membership bloom — the
+    * fast-reject front tier of incremental dedup: a 256 KB filter
+    * broadcast to the increment answers "definitely new" with ZERO
+    * false negatives (a true duplicate can never slip through; the
+    * guarantee the SketchesSpec contract pins), so only the small
+    * maybe-seen set pays q91's exact banded screening. At 100 TB the
+    * filter builds once per history release (one map-side-combined agg
+    * over history KEYS, 256 KB buffers merging) and every daily batch
+    * reuses it — the cost profile q91's prep/screen split measures,
+    * with the probe side now a narrow broadcast filter instead of a
+    * band join. FPR at the default sizing: (1−e^(−kn/m))^k ≈ 0.6% at
+    * n = 10⁵ keys; size BloomBits to the history tier. */
+  def bloomScreen(history: DataFrame, increment: DataFrame,
+      keyCol: String): DataFrame = {
+    val build = udaf(new BloomBuild)
+    val filterRow = history
+      .select(xxhash64(col(keyCol)).as("h"))
+      .agg(build(col("h")).as("bloom"))
+    val bc = increment.sparkSession.sparkContext
+      .broadcast(filterRow.collect().head.getAs[Array[Byte]]("bloom"))
+    val contains = udf { (h: Long) =>
+      val regs = bc.value
+      val bits = bloomBits(h)
+      var i = 0
+      var all = true
+      while (all && i < bits.length) { all = getBit(regs, bits(i)); i += 1 }
+      all
+    }
+    increment.withColumn("maybe_seen", contains(xxhash64(col(keyCol))))
+  }
+
+  /** Q147 — bloom-screen the %20 ∈ {18,19} document slice against the
+    * %20 < 18 history by exact content fingerprint (rows-only driver
+    * check: bit patterns are algorithm-defined; the zero-false-negative
+    * guarantee vs an exact semi-join, FPR bound, and byte-exact merge
+    * contracts live in SketchesSpec). */
+  def q147(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("fp", md5(regexp_replace(col("text"), "\\s+", " ")))
+    val history = docs.filter(col("doc_id") % 20 < 18).select("fp")
+    // increment = the genuinely-new %20 ∈ {18,19} slice PLUS the %20 = 0
+    // history slice re-presented (guaranteed duplicates), so the gated
+    // output exercises both verdicts: re-presented rows MUST flag true
+    // (zero false negatives), fresh rows flag false up to the FPR.
+    val inc = docs.filter(col("doc_id") % 20 >= 18 || col("doc_id") % 20 === 0)
+      .select("doc_id", "fp")
+    bloomScreen(history, inc, "fp")
+      .select("doc_id", "maybe_seen").orderBy("doc_id")
+  }
 }

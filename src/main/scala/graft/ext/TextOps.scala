@@ -1492,4 +1492,67 @@ object TextOps {
         length(col("norm")).cast("bigint").as("n_norm"),
         substring(col("norm"), 1, 24).as("prefix"), col("fp"))
       .orderBy("doc_id")
+
+  /** Source vocabulary-overlap matrix — pairwise Jaccard between the
+    * token SETS of each corpus source: the provenance audit run before
+    * mixing sources into a training set (two crawls of the same site
+    * jump out at J → 1; a source whose vocabulary barely intersects
+    * anything is a different language or format). Doc-level near-dup
+    * (q28) can't see this — it compares documents, not collections.
+    *
+    * Plan: distinct (source, token) → sizes per source + a token-key
+    * equi-join for intersections. The join's fan-out per token is
+    * bounded by |sources|² (a stopword shared by every source yields
+    * ≤ S² pairs, NOT doc² — the frame is source-level), so the shuffle
+    * is vocab-sized. Jaccard = one IEEE divide of exact BIGINTs,
+    * round(6). Output is the S² matrix — KBs. */
+  def sourceOverlap(docs: DataFrame, keyCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(keyCol).as("src"),
+        explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val sizes = toks.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = toks.as("a")
+      .join(toks.withColumnRenamed("src", "src_b").as("b"),
+        col("a.w") === col("b.w") && col("a.src") < col("b.src_b"))
+      .groupBy(col("a.src").as("src_a"), col("b.src_b").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("src").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("n").as("n_b")), "src_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")), 6))
+      .select("src_a", "src_b", "n_a", "n_b", "inter", "jaccard")
+  }
+
+  /** Q148 — source overlap over the documents corpus. */
+  def q148(s: SparkSession, d: String): DataFrame =
+    sourceOverlap(Tables.documents(s, d)).orderBy("src_a", "src_b")
+
+  /** Feature hashing (the hashing trick; Weinberger et al. 2009) —
+    * project token counts into a FIXED-dimension sparse space with a
+    * portable hash, the vectorizer that needs no vocabulary pass, no
+    * dictionary broadcast, and no vocab drift between training runs:
+    * bucket = md5-derived 32-bit value mod dim. One narrow map + one
+    * (doc, bucket) count agg; output is the sparse COO frame. Unlike
+    * q43's TF-IDF (exact vocab keys) the dimensionality is chosen up
+    * front — collisions are the accepted tradeoff the dim parameter
+    * tunes, and the md5 base makes every engine and every run land
+    * tokens in the same bucket (the reproducibility property this
+    * variant exists for). */
+  def featureHash(docs: DataFrame, dim: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(dim.toLong)))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Q150 — 256-dim hashed features for the doc_id % 10 = 0 slice. */
+  def q150(s: SparkSession, d: String): DataFrame =
+    featureHash(Tables.documents(s, d).filter(col("doc_id") % 10 === 0), 256)
+      .orderBy("doc_id", "bucket")
 }

@@ -2149,4 +2149,42 @@ object Relational {
       .select(col("n_name"), col("l_extendedprice"))
     contribution(rev, "n_name", "l_extendedprice").orderBy("rk")
   }
+
+  /** Dictionary (label) encoding — dense integer ids for a categorical
+    * column, the feature-pipeline step every tree/embedding model
+    * needs and the dimension-key assignment a star schema needs. Ids
+    * are assigned by SORTED value order, so the mapping is a pure
+    * function of the value SET — stable across runs, partitionings,
+    * and engines (an arbitrary-order assignment would differ per
+    * shuffle). The ranking window runs over the DISTINCT vocabulary
+    * (Heaps-law bounded — the q99 bounded-frame class), never the
+    * facts; facts take the mapping back by broadcast join. */
+  def dictionaryEncode(df: DataFrame, valueCol: String,
+      idName: String): DataFrame = {
+    val vocab = df.select(col(valueCol)).distinct()
+      .withColumn(idName, row_number().over(Window.orderBy(col(valueCol)))
+        .cast("long"))
+    df.join(broadcast(vocab), Seq(valueCol))
+  }
+
+  /** Q149 — brand + type dictionary encoding over part. */
+  def q149(s: SparkSession, d: String): DataFrame =
+    dictionaryEncode(
+      dictionaryEncode(Tables.part(s, d)
+        .select("p_partkey", "p_brand", "p_type"), "p_brand", "brand_id"),
+      "p_type", "type_id")
+      .select("p_partkey", "p_brand", "brand_id", "p_type", "type_id")
+      .orderBy("p_partkey")
+
+  /** Q151 — UNPIVOT (melt): wide → long reshape, the inverse of
+    * q106's pivot. Native `Dataset.unpivot` — one narrow generator
+    * (each row fans to |metrics| rows, zero shuffle), not a union of
+    * per-column scans (which would read the table M times). */
+  def q151(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_nationkey").cast("double").as("c_nationkey"))
+      .unpivot(Array(col("c_custkey")),
+        Array(col("c_acctbal"), col("c_nationkey")), "metric", "value")
+      .orderBy("c_custkey", "metric")
 }

@@ -48,6 +48,13 @@ case class RetentionState(cohortDay: Int, floorDay: Int, recent: Array[Int])
 case class Activity(user_id: Long, cohort_day_ed: Int, active_day_ed: Int,
   offset_days: Int)
 
+/** S21 skip-gram state: the per-user ring of the last `maxSkip` events
+  * in the total order — fixed size k, the whole window the band
+  * semantics ever needs. */
+case class SkipRing(tsus: Array[Long], eids: Array[Long], types: Array[String])
+case class SkipPair(user_id: Long, a_type: String, b_type: String,
+  b_tsu: Long, b_id: Long)
+
 /** The declared streaming operator surface S2–S7 (SURVEY.md §2.4) —
   * event-time upgrades of the reference's processing-time-only design.
   * Each takes a (streaming or batch) DataFrame with the events schema
@@ -807,5 +814,77 @@ object StreamOps {
         date_add(lit("1970-01-01").cast("date"), col("cohort_day_ed")).as("cohort_day"),
         date_add(lit("1970-01-01").cast("date"), col("active_day_ed")).as("active_day"),
         col("offset_days").cast("long").as("offset_days"))
+  }
+
+  /** S21 (r11) — streaming skip-gram co-occurrence: the real-time form
+    * of the batch q138 (`Relational.skipGramPairs`) — each arriving
+    * event emits one (a_type → b_type) pair per predecessor among the
+    * user's last `maxSkip` events in the (tsu, event_id) total order.
+    * The live co-occurrence matrix (q138's counts) is one ordinary
+    * downstream aggregation.
+    *
+    * Semantics: state is a per-user RING of exactly the last maxSkip
+    * events — the entire window the band definition needs, so under
+    * per-user in-order delivery the emitted pair multiset EQUALS the
+    * batch band join's (real-fixture parity test). Intra-batch rows
+    * sort by (tsu, event_id) first; a cross-batch stale event (older
+    * than the ring head) is dropped, the S18/S19 tradeoff.
+    *
+    * Scale posture: k strings + 2k longs per live user — fixed; idle
+    * users evict via EventTimeTimeout after `idleGapUs` (a returning
+    * user starts a fresh window — same session-boundary semantics as
+    * S18's eviction, and exactly what the batch form computes if its
+    * input is date-partitioned). */
+  def skipGramStream(
+      events: DataFrame,
+      maxSkip: Int = 3,
+      idleGapUs: Long = 7L * 86400000000L,
+      watermark: String = "10 seconds"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("event_id").cast("long"), col("ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[SkipRing]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            def micros(ts: java.sql.Timestamp): Long =
+              ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+            val batch = rows.toArray
+              .map(r => (micros(r._4), r._3, r._2))
+              .sortBy(r => (r._1, r._2))
+            var ring = state.getOption.getOrElse(
+              SkipRing(Array.empty, Array.empty, Array.empty))
+            val out = Vector.newBuilder[SkipPair]
+            batch.foreach { case (tsu, eid, et) =>
+              val stale = ring.tsus.nonEmpty && {
+                val lastT = ring.tsus.last; val lastE = ring.eids.last
+                tsu < lastT || (tsu == lastT && eid <= lastE)
+              }
+              if (!stale) {
+                var i = 0
+                while (i < ring.types.length) {
+                  out += SkipPair(uid, ring.types(i), et, tsu, eid)
+                  i += 1
+                }
+                val from = math.max(0, ring.tsus.length - (maxSkip - 1))
+                ring = SkipRing(
+                  ring.tsus.drop(from) :+ tsu,
+                  ring.eids.drop(from) :+ eid,
+                  ring.types.drop(from) :+ et)
+              }
+            }
+            state.update(ring)
+            val lastMs = if (ring.tsus.isEmpty) state.getCurrentWatermarkMs()
+              else ring.tsus.last / 1000
+            state.setTimeoutTimestamp(math.max(lastMs + idleGapUs / 1000,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }.toDF()
   }
 }

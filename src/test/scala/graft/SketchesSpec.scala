@@ -60,4 +60,47 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(got("1970-01-02") - ex12) / ex12.toDouble < 0.05)
     assert(math.abs(got("1970-01-03") - ex23) / ex23.toDouble < 0.05)
   }
+
+  // ---- q147 bloom screening ----
+
+  private def buildBloom(ids: Seq[Long]): Array[Byte] = {
+    val b = udaf(new Sketches.BloomBuild)
+    ids.toDF("id").select(xxhash64(col("id")).as("h"))
+      .agg(b(col("h"))).collect().head.getAs[Array[Byte]](0)
+  }
+
+  test("bloom build(A ∪ B) equals merge of shard filters byte-for-byte") {
+    val a = (1L to 3000L); val b = (2000L to 6000L)
+    val merged = new Sketches.BloomBuild().merge(buildBloom(a), buildBloom(b))
+    assert(java.util.Arrays.equals(merged, buildBloom((a ++ b).distinct)))
+  }
+
+  test("bloom screening has ZERO false negatives and bounded FPR") {
+    val history = (1L to 10000L).map(i => (i, s"key$i")).toDF("id", "k")
+    // increment: 2000 true members + 20000 fresh keys
+    val inc = ((1L to 2000L).map(i => (i, s"key$i")) ++
+      (1L to 20000L).map(i => (100000L + i, s"fresh$i"))).toDF("id", "k")
+    val got = Sketches.bloomScreen(history.select("k"), inc, "k")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("maybe_seen")).toMap
+    // guarantee: every true member flags
+    assert((1L to 2000L).forall(got(_)), "false negative — the one impossible outcome")
+    // FPR on the fresh set stays near the design point (~0.1% at n=10k,
+    // m=2Mbit, k=5); 1% is a generous 10x margin
+    val fp = (1L to 20000L).count(i => got(100000L + i))
+    assert(fp < 200, s"FPR ${fp / 20000.0} exceeds bound")
+  }
+
+  test("bloom screen on the REAL fixture agrees with the exact semi-join on members") {
+    val d = sf("sf0.001")
+    val docs = graft.sources.Tables.documents(spark, d)
+      .withColumn("fp", md5(regexp_replace(col("text"), "\\s+", " ")))
+    val history = docs.filter(col("doc_id") % 20 < 18).select("fp")
+    val inc = docs.filter(col("doc_id") % 20 >= 18).select("doc_id", "fp")
+    val flagged = Sketches.bloomScreen(history, inc, "fp")
+      .filter(col("maybe_seen")).select("doc_id").as[Long].collect().toSet
+    val exact = inc.join(history, Seq("fp"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.subsetOf(flagged),
+      s"false negatives: ${exact.diff(flagged)}")
+  }
 }

@@ -735,4 +735,47 @@ class StreamingSpec extends SparkSpec {
       assert(curve(14).getOrElse(c, 0L) == d14, s"d14 cohort $c")
     }
   }
+
+  test("S21: skip-gram ring emits band pairs only, drops stale, caps window") {
+    val in = MemoryStream[Ev]
+    // a b c d with maxSkip=2 → ab, ac, bc, bd, cd (no ad)
+    in.addData(ev(10, "a", 1), ev(20, "b", 2), ev(30, "c", 3))
+    val out = StreamOps.skipGramStream(in.toDF(), maxSkip = 2)
+    val q = out.writeStream.format("memory").queryName("s21").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    q.processAllAvailable()
+    // cross-batch: d at 40 pairs with b,c from state; stale event at 15
+    // (older than ring head) is dropped
+    in.addData(ev(40, "d", 4), ev(15, "x", 5))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s21").collect()
+      .map(r => (r.getString(1), r.getString(2))).toList.sorted
+    assert(got == List(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")))
+  }
+
+  test("S21 parity on the REAL fixture: streamed pairs equal batch q138 counts") {
+    val d = sf("sf0.001")
+    val ev0 = graft.sources.Tables.events(spark, d)
+      .select("ts", "user_id", "event_type", "value", "event_id")
+      .orderBy("ts").collect()
+    val rows = ev0.map(r => Ev(r.getTimestamp(0), r.getLong(1), r.getString(2),
+      r.getDouble(3), r.getLong(4)))
+    val in = MemoryStream[Ev]
+    val out = StreamOps.skipGramStream(in.toDF(), maxSkip = 3,
+      watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("s21par")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    rows.grouped(500).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("s21par").collect()
+      .groupBy(r => (r.getString(1), r.getString(2)))
+      .map { case (k, v) => k -> (v.length.toLong,
+        v.map(_.getLong(0)).distinct.length.toLong) }
+    val batch = graft.operators.Relational
+      .skipGramPairs(graft.sources.Tables.events(spark, d), maxSkip = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_users"))).toMap
+    assert(batch.nonEmpty && streamed.toMap == batch)
+  }
 }
