@@ -441,10 +441,96 @@ object ScaleBench {
     }
   }
 
+  /** Tokenizer-induction growth (r11): BPE train (fixed 40 merges) and
+    * apply over the synthetic corpus at 1×/10×/50×. The claim under
+    * test: train cost is ONE corpus-sized word-count agg plus rounds
+    * over the Heaps-law-bounded word-frequency table, so growth tracks
+    * the initial agg (≈ corpus tokens), NOT nMerges × corpus; apply is
+    * a narrow map whose cost tracks corpus tokens. Vocab size is
+    * printed so the bounded-vocab claim is observable. */
+  private def runTokenizer(spark: SparkSession, sizes: Seq[Long], dir: String): Unit = {
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val path = s"$dir/docs_inc_$n.parquet"
+      if (!new java.io.File(path).exists)
+        corpus(spark, n).write.mode("overwrite").parquet(path)
+      val docs = spark.read.parquet(path)
+      val vocabSize = docs
+        .select(explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0).distinct().count()
+      if (i == 0) { // warmup at the smallest size (Bench doctrine)
+        val m = graft.ext.Bpe.train(docs, nMerges = 10)
+        graft.ext.Bpe.tokenCounts(docs, m).count()
+        sweep()
+      }
+      val t1 = System.nanoTime()
+      val merges = graft.ext.Bpe.train(docs, nMerges = 40)
+      merges.count()
+      val trainSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val rows = graft.ext.Bpe.tokenCounts(docs, merges).count()
+      val applySec = (System.nanoTime() - t2) / 1e9
+      sweep()
+      println(f"""{"op":"tokenizer","n_docs":$n,"vocab":$vocabSize,"train_sec":$trainSec%.2f,"apply_sec":$applySec%.2f,"doc_rows":$rows}""")
+    }
+  }
+
+  /** Sketch-tier growth (r11): HLL daily-build + 7-day rolling merge
+    * and Bloom build + screen at 1×/5×/20× event volumes. The claims:
+    * HLL build tracks the event scan (map-side combine, 4 KB buffers);
+    * the rolling merge cost tracks DAYS × k sketch rows — flat in
+    * events; Bloom build tracks the key scan and screen is a narrow
+    * broadcast filter. */
+  private def runSketch(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val users = math.max(1000L, n / 200)
+      val ev = spark.range(n).select(
+        timestamp_seconds(lit(1700000000L) + (col("id") % 5184000L)).as("ts"),
+        pmod(col("id") * 2654435761L, lit(users)).as("user_id"))
+        .persist()
+      ev.count()
+      if (i == 0) {
+        graft.ext.Sketches.rollingDistinctHll(ev, "user_id", 7).count()
+        graft.ext.Sketches.bloomScreen(
+          ev.select(col("user_id").as("k")).limit(100000),
+          ev.select(col("user_id").as("k")).limit(100000), "k").count()
+        sweep(); ev.count()
+      }
+      val t1 = System.nanoTime()
+      val hllRows = graft.ext.Sketches.rollingDistinctHll(ev, "user_id", 7).count()
+      val hllSec = (System.nanoTime() - t1) / 1e9
+      val history = ev.select((col("user_id") * 2L).as("k"))
+      val inc = ev.select(col("user_id").as("k")).limit(1000000)
+      val t2 = System.nanoTime()
+      val flagged = graft.ext.Sketches.bloomScreen(history, inc, "k")
+        .filter(col("maybe_seen")).count()
+      val bloomSec = (System.nanoTime() - t2) / 1e9
+      ev.unpersist(); sweep()
+      println(f"""{"op":"sketch","n_events":$n,"users":$users,"hll_rolling_sec":$hllSec%.2f,"hll_windows":$hllRows,"bloom_sec":$bloomSec%.2f,"bloom_flagged":$flagged}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/target/scale")
     val spark = Sessions.local(Sessions.envCpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("tokenizer")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(5000L, 50000L, 250000L)
+      runTokenizer(spark, sizes, dir)
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("sketch")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(1000000L, 5000000L, 20000000L)
+      runSketch(spark, sizes)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("graph")) {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(1000000L, 5000000L, 20000000L)

@@ -174,6 +174,8 @@ object SparkEntry {
     "q149_dict_encode"     -> (Relational.q149 _),
     "q150_feature_hash"    -> (TextOps.q150 _),
     "q151_unpivot"         -> (Relational.q151 _),
+    "q152_psi_drift"       -> (Relational.q152 _),
+    "q153_chi_square"      -> (Relational.q153 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1768,5 +1770,49 @@ object SparkEntry {
         "SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value FROM customer " +
         "UNION ALL SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE) FROM customer) " +
         "ORDER BY c_custkey, metric"),
+    // q152: PSI drift — reference-decile bins (elements, strict->),
+    // Laplace-smoothed proportions, the ONE float sum folded in bin
+    // order (q79's list_sum doctrine).
+    "q152_psi_drift" -> {
+      val bs = (1 until 10).map(i =>
+        s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY value) AS b${i - 1}")
+        .mkString(", ")
+      val binExpr = "CAST(1 + " + (0 until 9).map(i =>
+        s"(CASE WHEN value > b$i THEN 1 ELSE 0 END)").mkString(" + ") +
+        " AS BIGINT)"
+      "WITH r AS (SELECT event_type, value FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15'), " +
+        s"b AS (SELECT event_type, $bs FROM r GROUP BY 1), " +
+        "a AS (SELECT e.event_type, " +
+        "CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 'ref' ELSE 'cur' END AS side, " +
+        s"$binExpr AS bin FROM events e JOIN b ON e.event_type = b.event_type), " +
+        "c AS (SELECT event_type, bin, " +
+        "CAST(SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+        "CAST(SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cb " +
+        "FROM a GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM c GROUP BY 1), " +
+        "s AS (SELECT c.event_type, bin, na, nb, " +
+        "(CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 5.0) AS pa, " +
+        "(CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 5.0) AS pb " +
+        "FROM c JOIN t ON c.event_type = t.event_type) " +
+        "SELECT event_type, na AS n_ref, nb AS n_cur, " +
+        "ROUND(list_sum(list((pa - pb) * LN(pa / pb) ORDER BY bin)), 6) AS psi " +
+        "FROM s GROUP BY event_type, na, nb ORDER BY event_type"
+    },
+    // q153: chi-square — exact observed counts, mirrored (o−e)²/e
+    // cells folded in (row, col) order; dow via epoch-day arithmetic.
+    "q153_chi_square" ->
+      ("WITH x AS (SELECT event_type, " +
+        "CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS BIGINT) AS dow7 FROM events), " +
+        "o AS (SELECT event_type, dow7, CAST(COUNT(*) AS BIGINT) AS o FROM x GROUP BY 1, 2), " +
+        "rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM o GROUP BY 1), " +
+        "ct AS (SELECT dow7, CAST(SUM(o) AS BIGINT) AS ct FROM o GROUP BY 1), " +
+        "n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o), " +
+        "cells AS (SELECT o.event_type, o.dow7, o.o, " +
+        "CAST(rt AS DOUBLE) * ct / n AS e, rt, ct, n.n " +
+        "FROM o JOIN rt ON o.event_type = rt.event_type " +
+        "JOIN ct ON o.dow7 = ct.dow7 CROSS JOIN n) " +
+        "SELECT ROUND(list_sum(list((o - e) * (o - e) / e ORDER BY event_type, dow7)), 6) AS chi2, " +
+        "CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow7) - 1) AS BIGINT) AS dof, " +
+        "CAST(MAX(n) AS BIGINT) AS n FROM cells"),
   )
 }

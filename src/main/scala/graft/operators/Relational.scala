@@ -2187,4 +2187,96 @@ object Relational {
       .unpivot(Array(col("c_custkey")),
         Array(col("c_acctbal"), col("c_nationkey")), "metric", "value")
       .orderBy("c_custkey", "metric")
+
+  /** PSI distribution drift — the Population Stability Index, the
+    * industry-standard monitor for "has this feature's distribution
+    * moved since the reference window" (banking scorecard lineage;
+    * PSI < 0.1 stable, > 0.25 action). Bins come from the REFERENCE
+    * side's percentile_disc deciles (q135's equi-depth doctrine —
+    * multiset elements, strict-> assignment, zero float in binning);
+    * proportions carry +0.5/bin Laplace smoothing so an empty bin
+    * can't produce ±∞; PSI = Σ (pa−pb)·ln(pa/pb) folded in bin order
+    * (the q79 ordered-fold doctrine — the ONE float sum, over ≤ nBins
+    * terms). Scale: one exact-percentile agg on the reference (sketch
+    * tier at 100 TB, q52), one broadcast, one (group, bin, side)
+    * count agg — the stream never sorts. */
+  def psiDrift(df: DataFrame, groupCol: String, valCol: String,
+      isRef: Column, nBins: Int): DataFrame = {
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val bexprs = ps.zipWithIndex.map { case (p, i) =>
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $valCol)").as(s"b$i")
+    }
+    val bounds = df.filter(isRef).groupBy(groupCol)
+      .agg(bexprs.head, bexprs.tail: _*)
+    val assigned = df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("bin",
+        lit(1L) + ps.indices.map(i =>
+          when(col(valCol) > col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("side", when(isRef, lit("ref")).otherwise(lit("cur")))
+    val cnts = assigned.groupBy(col(groupCol), col("bin")).agg(
+      sum(when(col("side") === "ref", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("side") === "cur", 1L).otherwise(0L)).as("cb"))
+    val tot = cnts.groupBy(groupCol)
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    cnts.join(broadcast(tot), Seq(groupCol))
+      .withColumn("pa", (col("ca").cast("double") + lit(0.5d)) /
+        (col("na").cast("double") + lit(0.5d * nBins)))
+      .withColumn("pb", (col("cb").cast("double") + lit(0.5d)) /
+        (col("nb").cast("double") + lit(0.5d * nBins)))
+      .withColumn("term", (col("pa") - col("pb")) * log(col("pa") / col("pb")))
+      .groupBy(groupCol)
+      .agg(first("na").as("n_ref"), first("nb").as("n_cur"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("bin"), col("term")))),
+            x => x.getField("term")),
+          lit(0d), (acc, x) => acc + x).as("psi_raw"))
+      .select(col(groupCol), col("n_ref"), col("n_cur"),
+        round(col("psi_raw"), 6).as("psi"))
+  }
+
+  /** Q152 — value-distribution drift per event_type: first half of
+    * January 2024 as reference vs the rest. */
+  def q152(s: SparkSession, d: String): DataFrame =
+    psiDrift(Tables.events(s, d), "event_type", "value",
+      col("ts").cast("date") <= lit("2024-01-15").cast("date"), 10)
+      .orderBy("event_type")
+
+  /** Chi-square independence / categorical drift — the contingency
+    * test between two categorical columns (is event mix independent of
+    * weekday?). Observed counts are exact; expected = row·col/n, each
+    * cell term (o−e)²/e one mirrored IEEE expression; χ² folds the
+    * ≤ R·C cell terms in (row, col) order (q79 doctrine — the frame is
+    * category-bounded, never data-sized). Day-of-week by epoch-day
+    * arithmetic (q116's convention-free form — no engine dow()
+    * disagreement). */
+  def chiSquare(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val o = df.groupBy(rowCol, colCol).agg(count(lit(1)).as("o"))
+    val rt = o.groupBy(rowCol).agg(sum("o").as("rt"))
+    val ct = o.groupBy(colCol).agg(sum("o").as("ct"))
+    val n = o.agg(sum("o").as("n"))
+    o.join(broadcast(rt), Seq(rowCol)).join(broadcast(ct), Seq(colCol))
+      .crossJoin(broadcast(n))
+      .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+      .withColumn("term",
+        (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(
+            struct(col(rowCol), col(colCol), col("term")))),
+            x => x.getField("term")),
+          lit(0d), (acc, x) => acc + x).as("chi2_raw"),
+        count_distinct(col(rowCol)).as("r"),
+        count_distinct(col(colCol)).as("c"),
+        first(col("n")).as("n"))
+      .select(round(col("chi2_raw"), 6).as("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"), col("n"))
+  }
+
+  /** Q153 — event-type × weekday independence over events. */
+  def q153(s: SparkSession, d: String): DataFrame =
+    chiSquare(
+      Tables.events(s, d).select(col("event_type"),
+        pmod(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")), lit(7))
+          .cast("long").as("dow7")),
+      "event_type", "dow7")
 }

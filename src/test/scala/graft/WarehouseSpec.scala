@@ -155,6 +155,37 @@ class WarehouseSpec extends SparkSpec {
     assert(duped("a") != a("a"))
   }
 
+  // ---- q152 PSI drift ----
+
+  test("PSI is near zero for identical distributions, large for a planted shift") {
+    // group "stable": identical ref/cur; group "shifted": cur moved up
+    // by 100 (all mass leaves the reference deciles' lower bins)
+    val rows =
+      (1 to 1000).map(i => ("stable", true, i.toDouble % 97)) ++
+      (1 to 1000).map(i => ("stable", false, i.toDouble % 97)) ++
+      (1 to 1000).map(i => ("shifted", true, i.toDouble % 97)) ++
+      (1 to 1000).map(i => ("shifted", false, 100.0 + i % 97))
+    val df = rows.toDF("grp", "ref", "v")
+    val got = graft.operators.Relational
+      .psiDrift(df, "grp", "v", col("ref"), 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("psi")).toMap
+    assert(math.abs(got("stable")) < 0.01, s"stable PSI ${got("stable")}")
+    assert(got("shifted") > 1.0, s"shifted PSI ${got("shifted")}")
+  }
+
+  // ---- q153 chi-square ----
+
+  test("chi-square matches the hand-computed 2x2 contingency value") {
+    // o = [[10,20],[30,40]] → e = [[12,18],[28,42]],
+    // χ² = 4/12 + 4/18 + 4/28 + 4/42 = 0.793651 (round 6), dof 1
+    val rows = Seq.fill(10)(("a", 0L)) ++ Seq.fill(20)(("a", 1L)) ++
+      Seq.fill(30)(("b", 0L)) ++ Seq.fill(40)(("b", 1L))
+    val out = graft.operators.Relational
+      .chiSquare(rows.toDF("r", "c"), "r", "c").collect().head
+    assert(out.getAs[Double]("chi2") == 0.793651)
+    assert(out.getAs[Long]("dof") == 1L && out.getAs[Long]("n") == 100L)
+  }
+
   // ---- q136 weighted sampling ----
 
   test("Efraimidis–Spirakis selection rate is weight-monotone") {
