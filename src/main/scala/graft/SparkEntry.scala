@@ -176,6 +176,9 @@ object SparkEntry {
     "q151_unpivot"         -> (Relational.q151 _),
     "q152_psi_drift"       -> (Relational.q152 _),
     "q153_chi_square"      -> (Relational.q153 _),
+    "q154_robust_scale"    -> (Relational.q154 _),
+    "q155_multi_touch"     -> (Relational.q155 _),
+    "q156_keywords"        -> (TextOps.q156 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1814,5 +1817,50 @@ object SparkEntry {
         "SELECT ROUND(list_sum(list((o - e) * (o - e) / e ORDER BY event_type, dow7)), 6) AS chi2, " +
         "CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow7) - 1) AS BIGINT) AS dof, " +
         "CAST(MAX(n) AS BIGINT) AS n FROM cells"),
+    // q154: robust scaling — percentile_disc elements, mirrored
+    // subtract/divide, explicit null for zero-IQR groups.
+    "q154_robust_scale" ->
+      ("WITH s AS (SELECT event_type, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med, " +
+        "percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS q1, " +
+        "percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS q3 " +
+        "FROM events GROUP BY 1) " +
+        "SELECT event_id, e.event_type, value, med, q3 - q1 AS iqr, " +
+        "CASE WHEN q3 - q1 <> 0 THEN ROUND((value - med) / (q3 - q1), 6) END AS scaled " +
+        "FROM events e JOIN s ON e.event_type = s.event_type ORDER BY event_id"),
+    // q155: time-decay attribution — q44's equi-key+range pairing,
+    // mirrored pow weights, both folds ordered by (ttu, touch_id).
+    "q155_multi_touch" ->
+      ("WITH conv AS (SELECT event_id AS conv_id, user_id, epoch_us(ts) AS ctu " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "t AS (SELECT user_id AS tu, event_type AS channel, event_id AS touch_id, " +
+        "epoch_us(ts) AS ttu FROM events WHERE event_type <> 'purchase'), " +
+        "p AS (SELECT conv_id, user_id, ctu, channel, touch_id, ttu, " +
+        "CASE WHEN touch_id IS NOT NULL THEN pow(CAST(0.5 AS DOUBLE), " +
+        "CAST(ctu - ttu AS DOUBLE) / CAST(86400000000.0 AS DOUBLE)) END AS w " +
+        "FROM conv LEFT JOIN t ON user_id = tu AND ttu < ctu AND ttu >= ctu - 604800000000), " +
+        "tot AS (SELECT conv_id, list_sum(list(w ORDER BY ttu, touch_id)) AS w_tot " +
+        "FROM p WHERE w IS NOT NULL GROUP BY 1), " +
+        "ch AS (SELECT conv_id, user_id, COALESCE(channel, 'direct') AS channel, " +
+        "CAST(COUNT(touch_id) AS BIGINT) AS n_touches, " +
+        "list_sum(list(w ORDER BY ttu, touch_id)) AS w_ch FROM p GROUP BY 1, 2, 3) " +
+        "SELECT ch.conv_id, user_id, channel, n_touches, " +
+        "CASE WHEN n_touches = 0 THEN CAST(1.0 AS DOUBLE) ELSE ROUND(w_ch / w_tot, 6) END AS share " +
+        "FROM ch LEFT JOIN tot ON ch.conv_id = tot.conv_id ORDER BY ch.conv_id, channel"),
+    // q156: keywords — q43's rounded tfidf ranked per doc, term
+    // tie-break; ranking on the ROUNDED score so ln() ulp can't flip
+    // the cut.
+    "q156_keywords" ->
+      ("WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents), " +
+        "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w), " +
+        "dfreq AS (SELECT w, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w), " +
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        "sc AS (SELECT tf.doc_id, tf.w, tf.tf, dfreq.df, " +
+        "ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf " +
+        "FROM tf JOIN dfreq USING (w) CROSS JOIN n), " +
+        "r AS (SELECT doc_id, w, tf, df, tfidf, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS BIGINT) AS rk FROM sc) " +
+        "SELECT doc_id, rk, w AS word, tf, df, tfidf FROM r WHERE rk <= 3 " +
+        "ORDER BY doc_id, rk"),
   )
 }

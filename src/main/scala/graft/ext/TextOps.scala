@@ -1555,4 +1555,31 @@ object TextOps {
   def q150(s: SparkSession, d: String): DataFrame =
     featureHash(Tables.documents(s, d).filter(col("doc_id") % 10 === 0), 256)
       .orderBy("doc_id", "bucket")
+
+  /** Keyword extraction — top-k terms per document by TF-IDF, the
+    * doc-tagging/labeling step of a curation pipeline (q43 exposes the
+    * raw scores; this is the per-doc selection a consumer actually
+    * wants). Ranking runs on the ROUNDED score (q43's presentation
+    * form) with the term as tie-break, so a last-ulp ln() difference
+    * can never reorder the cut; the rank window partitions per doc —
+    * frames bounded by per-doc vocabulary, never corpus-sized. */
+  def keywords(docs: DataFrame, k: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "w").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("w"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("w").as("word"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Q156 — top-3 keywords per document. */
+  def q156(s: SparkSession, d: String): DataFrame =
+    keywords(Tables.documents(s, d), 3).orderBy("doc_id", "rk")
 }

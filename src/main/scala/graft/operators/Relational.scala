@@ -2279,4 +2279,92 @@ object Relational {
         pmod(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")), lit(7))
           .cast("long").as("dow7")),
       "event_type", "dow7")
+
+  /** Robust scaling — the RobustScaler feature transform: (x − median)
+    * / IQR per group, the outlier-immune standardization ML pipelines
+    * prefer over z-scaling on heavy-tailed features (one extreme value
+    * moves a mean/std scaler's output for EVERY row; the median/IQR
+    * fence doesn't move — q134's argument applied to scaling instead
+    * of flagging). Determinism: median and quartiles are
+    * percentile_disc ELEMENTS; x − med and the divide are single
+    * mirrored IEEE ops; round(6) presentation. Zero-IQR groups
+    * (constant features) emit null — the undefined case made explicit
+    * rather than ±∞. Scale: one exact-percentile agg (sketch tier at
+    * 100 TB) + broadcast + narrow map. */
+  def robustScale(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val stats = df.groupBy(groupCol).agg(
+      expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $valCol)").as("med"),
+      expr(s"percentile_disc(0.25) WITHIN GROUP (ORDER BY $valCol)").as("q1"),
+      expr(s"percentile_disc(0.75) WITHIN GROUP (ORDER BY $valCol)").as("q3"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("scaled",
+        when(col("iqr") =!= 0.0d,
+          round((col(valCol) - col("med")) / col("iqr"), 6)))
+      .drop("q1", "q3")
+  }
+
+  /** Q154 — robust-scaled events.value per event_type. */
+  def q154(s: SparkSession, d: String): DataFrame =
+    robustScale(
+      Tables.events(s, d).select("event_id", "event_type", "value"),
+      "event_type", "value")
+      .select("event_id", "event_type", "value", "med", "iqr", "scaled")
+      .orderBy("event_id")
+
+  /** Time-decay multi-touch attribution — the fractional-credit
+    * upgrade of q124's last-touch: every touch inside the lookback
+    * horizon shares the conversion's credit, weighted by
+    * 0.5^(age_days / halfLifeDays) and normalized per conversion.
+    * Touchless conversions credit 'direct' with share 1.
+    *
+    * Determinism: the weights are mirrored pow() calls on identical
+    * operands; both the per-conversion normalizer and the per-channel
+    * numerator fold their (bounded-per-conversion) terms in (touch_ts,
+    * touch_id) order — the q79 doctrine applied twice; share rounds at
+    * presentation. Scale: the touch⋈conversion pairing is q44's
+    * equi-key + range-predicate join (one shuffle on user_id, interval
+    * as join filter — never a cross product); per-conversion touch
+    * counts bound the fold state. */
+  def timeDecayAttribution(ev: DataFrame, conversionType: String,
+      lookbackUs: Long, halfLifeDays: Double): DataFrame = {
+    val conv = ev.filter(col("event_type") === conversionType)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        unix_micros(col("ts")).as("ctu"))
+    val touch = ev.filter(col("event_type") =!= conversionType)
+      .select(col("user_id").as("tu"), col("event_type").as("channel"),
+        col("event_id").as("touch_id"), unix_micros(col("ts")).as("ttu"))
+    val pairs = conv.join(touch,
+        col("user_id") === col("tu") && col("ttu") < col("ctu") &&
+          col("ttu") >= col("ctu") - lookbackUs, "left")
+      .withColumn("w", when(col("touch_id").isNotNull,
+        pow(lit(0.5d),
+          (col("ctu") - col("ttu")).cast("double") /
+            lit(86400000000.0d * halfLifeDays))))
+    def orderedSum(c: String) = aggregate(
+      transform(array_sort(collect_list(
+        struct(col("ttu"), col("touch_id"), col(c)))),
+        x => x.getField(c)),
+      lit(0d), (acc, x) => acc + x)
+    val tot = pairs.filter(col("w").isNotNull)
+      .groupBy("conv_id").agg(orderedSum("w").as("w_tot"))
+    pairs
+      .withColumn("channel", coalesce(col("channel"), lit("direct")))
+      .groupBy(col("conv_id"), col("user_id"), col("ctu"), col("channel"))
+      .agg(count(col("touch_id")).as("n_touches"),
+        orderedSum("w").as("w_ch"))
+      .join(broadcast(tot), Seq("conv_id"), "left")
+      .withColumn("share",
+        when(col("n_touches") === 0, lit(1.0d))
+          .otherwise(round(col("w_ch") / col("w_tot"), 6)))
+      .select(col("conv_id"), col("user_id"), col("channel"),
+        col("n_touches"), col("share"))
+  }
+
+  /** Q155 — time-decay attribution: purchases, 7-day lookback,
+    * 1-day half-life. */
+  def q155(s: SparkSession, d: String): DataFrame =
+    timeDecayAttribution(Tables.events(s, d), "purchase",
+      7L * 86400000000L, 1.0)
+      .orderBy("conv_id", "channel")
 }

@@ -502,6 +502,41 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(got(4L) == ((1L, 0L, 0.0)))
   }
 
+  // ---- q154 robust scaling ----
+
+  test("robust scaling emits null for a constant group, exact scores otherwise") {
+    val df = (Seq.tabulate(5)(i => ("v", 0L, (i + 1).toDouble)) ++
+      Seq.tabulate(3)(i => ("k", 10L + i, 7.0)))
+      .toDF("event_type", "event_id", "value")
+    val got = graft.operators.Relational.robustScale(df, "event_type", "value")
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value")) ->
+        Option(r.getAs[Any]("scaled"))).toMap
+    // group v: med=3, q1=2, q3=4, iqr=2 → value 5 scales to 1.0
+    assert(got(("v", 5.0)).contains(1.0))
+    // constant group k: iqr=0 → null, not ±∞
+    assert(got(("k", 7.0)).isEmpty)
+  }
+
+  // ---- q155 time-decay attribution ----
+
+  test("time-decay attribution splits credit by half-life and falls back to direct") {
+    val day = 86400L
+    // u1: click 1 day before, view 2 days before conversion →
+    // w = 0.5, 0.25 → shares 2/3, 1/3; u2: bare purchase → direct 1.0
+    val events = ev(
+      (1, "click", 2 * day), (1, "view", day), (1, "purchase", 3 * day),
+      (2, "purchase", 3 * day))
+    val got = graft.operators.Relational
+      .timeDecayAttribution(events, "purchase", 7L * 86400000000L, 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(2)) ->
+        (r.getAs[Long]("n_touches"), r.getAs[Double]("share"))).toMap
+    val convU1 = got.keys.find(k => got(k)._1 == 1 && k._2 == "click").get._1
+    assert(got((convU1, "click")) == ((1L, 0.666667)))
+    assert(got((convU1, "view")) == ((1L, 0.333333)))
+    val direct = got.keys.find(_._2 == "direct").get
+    assert(got(direct) == ((0L, 1.0)))
+  }
+
   // ---- q146 k-core ----
 
   test("k-core peels cascades to the fixpoint and reports within-core degree") {
