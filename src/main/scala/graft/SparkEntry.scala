@@ -1720,7 +1720,9 @@ object SparkEntry {
     // flickers old removals back in and truncates deep cascades at the
     // recursion cap (317-node "core" vs the true 291).
     "q146_kcore" -> {
-      val waves = 12
+      val waves = 18 // sf0.01 fixpoint 9 waves, sf0.1 fixpoint 15 (a
+      // 12-wave unroll truncated sf0.1 at 3,239 nodes vs the true
+      // 3,230 — caught by the r11 sf0.1 sweep); 18 ≥ both + slack
       val base = "WITH small AS (SELECT p_partkey FROM part WHERE p_size <= 10), " +
         "it AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey " +
         "FROM lineitem JOIN small ON l_partkey = p_partkey), " +

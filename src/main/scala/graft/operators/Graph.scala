@@ -390,9 +390,11 @@ object Graph {
     * removed-so-far set. (A recursive-CTE formulation was probed and
     * rejected: DuckDB's working-table reference re-admits old removals
     * into the flicker and truncates deep cascades at the recursion cap
-    * — it reported a 317-node "core" for the true 291.) 12 unrolled
-    * waves ≥ the 9-wave fixpoint, and post-fixpoint waves are no-ops,
-    * so both engines land on the identical core. */
+    * — it reported a 317-node "core" for the true 291.) 18 unrolled
+    * waves ≥ the fixpoint at both gate SFs (9 at sf0.01, 15 at sf0.1 —
+    * a 12-wave unroll truncated the sf0.1 cascade, caught by the round
+    * sweep), and post-fixpoint waves are no-ops, so both engines land
+    * on the identical core. */
   def q146(s: SparkSession, d: String): DataFrame = {
     val small = Tables.part(s, d).filter(col("p_size") <= 10)
       .select(col("p_partkey"))
