@@ -179,6 +179,8 @@ object SparkEntry {
     "q154_robust_scale"    -> (Relational.q154 _),
     "q155_multi_touch"     -> (Relational.q155 _),
     "q156_keywords"        -> (TextOps.q156 _),
+    "q157_benford"         -> (Relational.q157 _),
+    "q158_scd_integrity"   -> (Relational.q158 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1864,5 +1866,40 @@ object SparkEntry {
         "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS BIGINT) AS rk FROM sc) " +
         "SELECT doc_id, rk, w AS word, tf, df, tfidf FROM r WHERE rk <= 3 " +
         "ORDER BY doc_id, rk"),
+    // q157: Benford — mirrored log10/pow digit extraction, exact
+    // counts, mirrored expected/χ² cells.
+    "q157_benford" ->
+      ("WITH d AS (SELECT CAST(FLOOR(o_totalprice / pow(CAST(10.0 AS DOUBLE), FLOOR(log10(o_totalprice)))) AS BIGINT) AS digit " +
+        "FROM orders WHERE o_totalprice > 0), " +
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d) " +
+        "SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed, n.n, " +
+        "ROUND(CAST(COUNT(*) AS DOUBLE) / n.n, 6) AS p_obs, " +
+        "ROUND(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit), 6) AS p_benford, " +
+        "ROUND(pow(COUNT(*) - n.n * log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit), 2) / " +
+        "(n.n * log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit)), 6) AS chi2_term " +
+        "FROM d CROSS JOIN n GROUP BY digit, n.n ORDER BY digit"),
+    // q158: SCD2 integrity — the oracle rebuilds q131's history and
+    // recomputes the three-rule audit; all zeros certifies the apply.
+    "q158_scd_integrity" ->
+      ("WITH cur AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal FROM customer), " +
+        "upd AS (SELECT c_custkey AS k, c_mktsegment AS seg, " +
+        "c_acctbal + CAST(100.0 AS DOUBLE) AS bal FROM customer WHERE c_custkey % 10 = 3), " +
+        "hist AS (" +
+        "SELECT k, DATE '2026-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to, TRUE AS is_current " +
+        "FROM cur WHERE k NOT IN (SELECT k FROM upd) " +
+        "UNION ALL SELECT k, DATE '2026-01-01', DATE '2026-06-01', FALSE FROM cur WHERE k IN (SELECT k FROM upd) " +
+        "UNION ALL SELECT k, DATE '2026-06-01', CAST(NULL AS DATE), TRUE FROM upd), " +
+        "perkey AS (SELECT k, SUM(CASE WHEN is_current THEN 1 ELSE 0 END) AS n_current, " +
+        "SUM(CASE WHEN valid_to IS NOT NULL AND valid_to <= valid_from THEN 1 ELSE 0 END) AS n_inverted " +
+        "FROM hist GROUP BY k), " +
+        "o AS (SELECT COUNT(*) AS v FROM hist a JOIN hist b ON a.k = b.k " +
+        "AND (a.valid_from < b.valid_from OR (a.valid_from = b.valid_from " +
+        "AND COALESCE(a.valid_to, DATE '9999-12-31') < COALESCE(b.valid_to, DATE '9999-12-31'))) " +
+        "AND b.valid_from < COALESCE(a.valid_to, DATE '9999-12-31')) " +
+        "SELECT rule, violations FROM (" +
+        "SELECT 'no_overlapping_windows' AS rule, CAST(v AS BIGINT) AS violations FROM o " +
+        "UNION ALL SELECT 'one_current_per_key', CAST(SUM(CASE WHEN n_current <> 1 THEN 1 ELSE 0 END) AS BIGINT) FROM perkey " +
+        "UNION ALL SELECT 'valid_to_after_valid_from', CAST(SUM(n_inverted) AS BIGINT) FROM perkey) " +
+        "ORDER BY rule"),
   )
 }

@@ -2367,4 +2367,84 @@ object Relational {
     timeDecayAttribution(Tables.events(s, d), "purchase",
       7L * 86400000000L, 1.0)
       .orderBy("conv_id", "channel")
+
+  /** Benford first-digit audit — compare a positive amount column's
+    * leading-digit distribution to Benford's law (Newcomb 1881;
+    * Benford 1938): natural multi-scale amounts follow
+    * P(d) = log10(1 + 1/d), and fabricated or truncated data doesn't —
+    * the classic forensic-accounting screen, here as a per-digit
+    * report with observed/expected proportions and each digit's
+    * chi-square contribution.
+    *
+    * Determinism: the leading digit is floor(x / 10^floor(log10 x)) —
+    * log10/pow on identical doubles both engines (the q79 libm class;
+    * a last-ulp wobble only matters for x within one ulp of a power of
+    * ten, absent from this data and round-tripped through identical
+    * expressions anyway); expected P(d) and the χ² cells are mirrored
+    * IEEE expressions of exact counts, round(6). One narrow map + one
+    * 9-cell agg — nothing but the scan touches the data. */
+  def benford(df: DataFrame, valCol: String): DataFrame = {
+    val x = df.filter(col(valCol) > 0)
+      .withColumn("digit",
+        floor(col(valCol) / pow(lit(10.0d), floor(log10(col(valCol)))))
+          .cast("long"))
+    val n = x.agg(count(lit(1)).as("n"))
+    x.groupBy("digit").agg(count(lit(1)).as("observed"))
+      .crossJoin(broadcast(n))
+      .withColumn("p_obs",
+        round(col("observed").cast("double") / col("n"), 6))
+      .withColumn("p_benford",
+        round(log10(lit(1.0d) + lit(1.0d) / col("digit")), 6))
+      .withColumn("chi2_term",
+        round(pow(col("observed") - col("n") * log10(lit(1.0d) + lit(1.0d) / col("digit")), 2) /
+          (col("n") * log10(lit(1.0d) + lit(1.0d) / col("digit"))), 6))
+      .select("digit", "observed", "n", "p_obs", "p_benford", "chi2_term")
+  }
+
+  /** Q157 — Benford audit of order totals. */
+  def q157(s: SparkSession, d: String): DataFrame =
+    benford(Tables.orders(s, d), "o_totalprice").orderBy("digit")
+
+  /** SCD2 history integrity — the temporal-table data-quality audit
+    * (q118's rule framework applied to q131's output contract): per
+    * key, exactly one open current row; closed rows strictly ordered
+    * (valid_to > valid_from); no two version windows overlap. Run
+    * after every SCD2 apply — a merge bug shows up here before any
+    * consumer reads wrong history. One grouped agg for the per-key
+    * rules + one self-join on key for pairwise overlap (broadcast-safe
+    * per key: version counts per key are small by construction).
+    * Output is one row per rule with violation count — empty-violation
+    * certification on the engine's own q131 history, firing pinned on
+    * planted corruption in WarehouseSpec. */
+  def scdIntegrity(hist: DataFrame, keyCol: String): DataFrame = {
+    val perKey = hist.groupBy(keyCol).agg(
+      sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+      sum(when(col("valid_to").isNotNull &&
+        col("valid_to") <= col("valid_from"), 1L).otherwise(0L)).as("n_inverted"))
+    val r1 = perKey.agg(
+      sum(when(col("n_current") =!= 1L, 1L).otherwise(0L)).as("violations"))
+      .select(lit("one_current_per_key").as("rule"), col("violations"))
+    val r2 = perKey.agg(sum(col("n_inverted")).as("violations"))
+      .select(lit("valid_to_after_valid_from").as("rule"), col("violations"))
+    val a = hist.select(col(keyCol).as("k"),
+      col("valid_from").as("f1"), coalesce(col("valid_to"),
+        lit("9999-12-31").cast("date")).as("t1"))
+    val b = hist.select(col(keyCol).as("k2"),
+      col("valid_from").as("f2"), coalesce(col("valid_to"),
+        lit("9999-12-31").cast("date")).as("t2"))
+    val overlaps = a.join(b,
+        col("k") === col("k2") &&
+          (col("f1") < col("f2") || (col("f1") === col("f2") && col("t1") < col("t2"))) &&
+          col("f2") < col("t1"))
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("no_overlapping_windows").as("rule"), col("violations"))
+    r1.unionByName(r2).unionByName(overlaps)
+  }
+
+  /** Q158 — integrity certification of the q131 SCD2 history (all
+    * three rules read zero on a correct apply — the oracle recomputes
+    * the same audit over the same rebuilt history). */
+  def q158(s: SparkSession, d: String): DataFrame =
+    scdIntegrity(graft.operators.Warehouse.q131(s, d), "k")
+      .orderBy("rule")
 }

@@ -816,6 +816,87 @@ object StreamOps {
         col("offset_days").cast("long").as("offset_days"))
   }
 
+  /** Reference statistics for S22: per-group decile bounds + smoothed
+    * reference proportions, computed once on a (batch) reference frame
+    * and collected to the driver — groups × bins rows, KBs. The
+    * smoothing matches `Relational.psiDrift` exactly so the streamed
+    * PSI is the same statistic. */
+  def psiReference(ref: DataFrame, groupCol: String, valCol: String,
+      nBins: Int = 10): Map[String, (Array[Double], Array[Double])] = {
+    val rows = ref.select(col(groupCol).cast("string").as("g"),
+      col(valCol).cast("double").as("v")).collect()
+      .groupBy(_.getString(0))
+    rows.map { case (g, rs) =>
+      val vs = rs.map(_.getDouble(1)).sorted
+      val bounds = (1 until nBins).map { i =>
+        // ANSI percentile_disc: smallest v with cume_dist ≥ p
+        val p = i.toDouble / nBins
+        vs(math.max(0, math.ceil(p * vs.length).toInt - 1))
+      }.toArray
+      val counts = new Array[Long](nBins)
+      vs.foreach { v =>
+        val bin = bounds.count(v > _) // strict >, the q135 doctrine
+        counts(bin) += 1
+      }
+      val n = vs.length.toDouble
+      val props = counts.map(c => (c + 0.5) / (n + 0.5 * nBins))
+      g -> (bounds, props)
+    }
+  }
+
+  /** S22 (r11) — streaming PSI drift: the real-time form of the batch
+    * q152 (`Relational.psiDrift`) — per tumbling event-time window and
+    * group, the Population Stability Index of the window's value
+    * distribution against fixed reference statistics (from
+    * `psiReference`, broadcast as plan literals). The alert predicate
+    * (psi > 0.25 → page someone) is one filter downstream.
+    *
+    * Shape: ONE windowed aggregation whose state is nBins conditional
+    * counters per (window, group) — no custom state store, no second
+    * stateful operator (the PSI fold runs over the nBins agg OUTPUTS
+    * as an explicit left-to-right column chain, stateless and
+    * deterministic, so chained-stateful-agg restrictions never
+    * apply). Works identically on a batch frame (the golden test pins
+    * streamed == `Relational.psiDrift` on the same split). */
+  def psiStream(events: DataFrame, groupCol: String, valCol: String,
+      ref: Map[String, (Array[Double], Array[Double])],
+      size: String = "1 day", watermark: String = "10 seconds",
+      nBins: Int = 10): DataFrame = {
+    val groups = ref.keys.toSeq.sorted
+    def binOf(g: String): org.apache.spark.sql.Column = {
+      val (bounds, _) = ref(g)
+      bounds.map(b => when(col(valCol) > b, 1).otherwise(0))
+        .reduce(_ + _) + 1
+    }
+    val binCol = groups.tail.foldLeft(
+      when(col(groupCol) === groups.head, binOf(groups.head))) {
+      (acc, g) => acc.when(col(groupCol) === g, binOf(g))
+    }
+    val base = (if (events.isStreaming) events.withWatermark("ts", watermark)
+                else events)
+      .withColumn("bin", binCol)
+      .filter(col("bin").isNotNull) // groups absent from the reference
+    val aggs = (1 to nBins).map(i =>
+      sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val counts = base
+      .groupBy(window(col("ts"), size), col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val n = (1 to nBins).map(i => col(s"c$i")).reduce(_ + _)
+    def paOf(i: Int): org.apache.spark.sql.Column = groups.tail.foldLeft(
+      when(col(groupCol) === groups.head, lit(ref(groups.head)._2(i - 1)))) {
+      (acc, g) => acc.when(col(groupCol) === g, lit(ref(g)._2(i - 1)))
+    }
+    val psi = (1 to nBins).map { i =>
+      val pa = paOf(i)
+      val pb = (col(s"c$i").cast("double") + lit(0.5d)) /
+        (n.cast("double") + lit(0.5d * nBins))
+      (pa - pb) * log(pa / pb)
+    }.reduce(_ + _) // explicit left chain — deterministic fold order
+    counts
+      .select(col("window.start").as("ws"), col(groupCol),
+        n.as("n_window"), round(psi, 6).as("psi"))
+  }
+
   /** S21 (r11) — streaming skip-gram co-occurrence: the real-time form
     * of the batch q138 (`Relational.skipGramPairs`) — each arriving
     * event emits one (a_type → b_type) pair per predecessor among the

@@ -736,6 +736,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S22 golden: batch-mode windowed PSI equals Relational.psiDrift exactly") {
+    // ref: two groups with distinct continuous-ish distributions;
+    // cur: group "a" stable, group "b" shifted
+    val ref = ((1 to 997).map(i => ("a", (i * 7 % 997).toDouble)) ++
+      (1 to 997).map(i => ("b", (i * 13 % 997).toDouble))).toDF("grp", "v")
+    val cur = ((1 to 800).map(i => ("a", (i * 11 % 997).toDouble)) ++
+      (1 to 800).map(i => ("b", 500.0 + (i * 17 % 997)))).toDF("grp", "v")
+    val stats = StreamOps.psiReference(ref, "grp", "v")
+    val curTs = cur.withColumn("ts", timestamp_seconds(lit(1000)))
+    val streamed = StreamOps
+      .psiStream(curTs, "grp", "v", stats, size = "3650 days")
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Double]("psi")).toMap
+    val batch = graft.operators.Relational.psiDrift(
+      ref.withColumn("isRef", lit(true))
+        .unionByName(cur.withColumn("isRef", lit(false))),
+      "grp", "v", col("isRef"), 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("psi")).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed("b") > 1.0 && math.abs(streamed("a")) < 0.05)
+  }
+
+  test("S22 streaming: per-window PSI rows emit with the reference broadcast") {
+    val ref = (1 to 500).map(i => ("a", (i % 97).toDouble)).toDF("grp", "v")
+    val stats = StreamOps.psiReference(ref, "grp", "v")
+    val in = MemoryStream[Ev]
+    val evs = in.toDF().select(col("ts"), col("event_type").as("grp"),
+      col("value").as("v"))
+    val out = StreamOps.psiStream(evs, "grp", "v", stats, size = "60 seconds")
+    val q = out.writeStream.format("memory").queryName("s22").outputMode("update")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    in.addData((1 to 200).map(i => ev(i % 60, "a", i, v = (i % 97).toDouble + 300)): _*)
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("s22").collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Double]("psi") > 1.0),
+      "a fully-shifted window must read as drifted")
+  }
+
   test("S21: skip-gram ring emits band pairs only, drops stale, caps window") {
     val in = MemoryStream[Ev]
     // a b c d with maxSkip=2 → ab, ac, bc, bd, cd (no ad)

@@ -155,6 +155,51 @@ class WarehouseSpec extends SparkSpec {
     assert(duped("a") != a("a"))
   }
 
+  // ---- q157 Benford ----
+
+  test("Benford digit extraction spans magnitudes; conforming data scores low") {
+    val df = Seq(123.45, 0.0042, 987.0, 1.0, 55.5, -3.0, 0.0)
+      .toDF("v")
+    val got = graft.operators.Relational.benford(df, "v")
+      .collect().map(r => r.getAs[Long]("digit") -> r.getAs[Long]("observed")).toMap
+    // -3 and 0 excluded; digits: 1(123.45), 4(0.0042), 9(987), 1(1.0), 5(55.5)
+    assert(got == Map(1L -> 2L, 4L -> 1L, 5L -> 1L, 9L -> 1L))
+    // a geometric series is Benford-conforming: every χ² cell stays small
+    val geo = (0 until 2000).map(k => math.pow(1.0171, k)).toDF("v")
+    val cells = graft.operators.Relational.benford(geo, "v")
+      .collect().map(_.getAs[Double]("chi2_term"))
+    assert(cells.length == 9 && cells.sum < 17.0, s"chi2=${cells.sum}") // p>0.05 band
+  }
+
+  // ---- q158 SCD integrity ----
+
+  test("SCD integrity fires on planted corruption and reads zero on clean history") {
+    def hist(rows: (Long, String, String, Boolean)*) =
+      rows.toDF("k", "f", "t", "is_current")
+        .select(col("k"), col("f").cast("date").as("valid_from"),
+          when(col("t") =!= "", col("t").cast("date")).as("valid_to"),
+          col("is_current"))
+    val clean = hist(
+      (1L, "2026-01-01", "2026-06-01", false),
+      (1L, "2026-06-01", "", true),
+      (2L, "2026-01-01", "", true))
+    val g1 = graft.operators.Relational.scdIntegrity(clean, "k")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("violations")).toMap
+    assert(g1.values.forall(_ == 0L), g1.toString)
+    val dirty = hist(
+      (1L, "2026-01-01", "2026-07-01", false), // overlaps the next window
+      (1L, "2026-06-01", "", true),
+      (2L, "2026-01-01", "", true),
+      (2L, "2026-02-01", "", true),            // two currents
+      (3L, "2026-05-01", "2026-05-01", false), // inverted window
+      (3L, "2026-05-01", "", true))
+    val g2 = graft.operators.Relational.scdIntegrity(dirty, "k")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("violations")).toMap
+    assert(g2("one_current_per_key") == 1L)      // key 2
+    assert(g2("valid_to_after_valid_from") == 1L) // key 3
+    assert(g2("no_overlapping_windows") >= 1L)   // key 1
+  }
+
   // ---- q152 PSI drift ----
 
   test("PSI is near zero for identical distributions, large for a planted shift") {
