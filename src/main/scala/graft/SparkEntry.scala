@@ -181,6 +181,9 @@ object SparkEntry {
     "q156_keywords"        -> (TextOps.q156 _),
     "q157_benford"         -> (Relational.q157 _),
     "q158_scd_integrity"   -> (Relational.q158 _),
+    "q159_hierarchy"       -> (graft.operators.Graph.q159 _),
+    "q160_subtree_rollup"  -> (graft.operators.Graph.q160 _),
+    "q161_moving_median"   -> (Relational.q161 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1901,5 +1904,38 @@ object SparkEntry {
         "UNION ALL SELECT 'one_current_per_key', CAST(SUM(CASE WHEN n_current <> 1 THEN 1 ELSE 0 END) AS BIGINT) FROM perkey " +
         "UNION ALL SELECT 'valid_to_after_valid_from', CAST(SUM(n_inverted) AS BIGINT) FROM perkey) " +
         "ORDER BY rule"),
+    // q159/q160: hierarchy closure — the oracle is a genuine RECURSIVE
+    // CTE (no aggregates in the recursive term, so DuckDB's
+    // working-table semantics are exactly the frontier iteration);
+    // bound mirrors the engine's maxDepth.
+    "q159_hierarchy" ->
+      ("WITH RECURSIVE e AS (SELECT CAST(p_partkey // 4 AS BIGINT) AS parent, p_partkey AS child " +
+        "FROM part WHERE p_partkey // 4 >= 1), " +
+        "c(anc, node, depth) AS (" +
+        "SELECT parent, child, CAST(1 AS BIGINT) FROM e " +
+        "UNION ALL SELECT c.anc, e.child, depth + 1 FROM c JOIN e ON c.node = e.parent WHERE depth < 20) " +
+        "SELECT anc, CAST(COUNT(*) AS BIGINT) AS n_desc, CAST(MAX(depth) AS BIGINT) AS max_depth " +
+        "FROM c GROUP BY anc ORDER BY anc"),
+    "q160_subtree_rollup" ->
+      ("WITH RECURSIVE e AS (SELECT CAST(p_partkey // 4 AS BIGINT) AS parent, p_partkey AS child " +
+        "FROM part WHERE p_partkey // 4 >= 1), " +
+        "c(anc, node) AS (" +
+        "SELECT parent, child FROM e " +
+        "UNION SELECT c.anc, e.child FROM c JOIN e ON c.node = e.parent), " +
+        "allp AS (SELECT anc, node FROM c UNION ALL SELECT p_partkey, p_partkey FROM part) " +
+        "SELECT anc, CAST(COUNT(*) AS BIGINT) AS n_nodes, " +
+        "CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS subtree_value " +
+        "FROM allp JOIN part ON allp.node = p_partkey " +
+        "GROUP BY anc ORDER BY anc"),
+    // q161: moving median — ×k day fan-out + per-window
+    // percentile_disc element; complete windows only.
+    "q161_moving_median" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, value AS v FROM events), " +
+        "f AS (SELECT event_type, v, day, day + CAST(o AS INT) AS win_end " +
+        "FROM daily CROSS JOIN (SELECT unnest(range(0, 7)) AS o)) " +
+        "SELECT event_type, win_end, CAST(COUNT(*) AS BIGINT) AS n_values, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS med " +
+        "FROM f GROUP BY 1, 2 HAVING COUNT(DISTINCT day) = 7 " +
+        "ORDER BY event_type, win_end"),
   )
 }

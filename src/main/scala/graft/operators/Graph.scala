@@ -405,6 +405,85 @@ object Graph {
       .orderBy("part")
   }
 
+  /** Hierarchy expansion — the RECURSIVE-QUERY capability as a
+    * first-class operator: the (ancestor, descendant, depth)
+    * transitive closure of a parent→child edge frame (org charts,
+    * bill-of-materials, category trees — the queries a warehouse
+    * answers with RECURSIVE CTEs, which Spark SQL lacks; this is the
+    * DataFrame-loop equivalent, and the DuckDB oracle IS a recursive
+    * CTE, so the gate proves the loop computes exactly the closure).
+    *
+    * Shape: frontier iteration — round r joins the depth-r pairs
+    * against the edge frame (hash join on the child key), unioning
+    * each round; rounds persist with the bounded-interval lineage
+    * discipline (CC/PageRank/kCore doctrine) and stop at an empty
+    * frontier or `maxDepth` (mirrored by the oracle's recursion
+    * bound). Closure size is Σ depth(v) — for a b-ary tree ≈ n·log_b n
+    * rows, the well-known materialization cost of ancestor paths;
+    * per-LEVEL aggregation pushes into the loop when only rollups are
+    * needed (q160's shape could; it gates the general closure
+    * instead). */
+  def descendants(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
+    val e = edges.toDF("parent", "child").persist()
+    e.count()
+    var frontier = e.select(col("parent").as("anc"), col("child").as("node"),
+      lit(1L).as("depth")).persist()
+    var acc = frontier
+    var depth = 1
+    var done = frontier.isEmpty
+    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    while (!done && depth < maxDepth) {
+      val next = frontier.join(e, col("node") === col("parent"))
+        .select(col("anc"), col("child").as("node"),
+          (col("depth") + 1).as("depth"))
+        .persist()
+      if (next.isEmpty) { next.unpersist(); done = true }
+      else {
+        rounds += next
+        acc = acc.unionByName(next)
+        frontier = next
+        depth += 1
+      }
+    }
+    val out = acc.localCheckpoint(true)
+    rounds.foreach(_.unpersist())
+    e.unpersist()
+    out
+  }
+
+  /** The deterministic part hierarchy: parent(k) = k div 4 (a 4-ary
+    * tree over the part keys; edges only where the parent is itself a
+    * part key). */
+  private def partTree(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select((col("p_partkey") / 4).cast("long").as("parent"),
+        col("p_partkey").as("child"))
+      .filter(col("parent") >= 1)
+
+  /** Q159 — hierarchy structure report: per ancestor, descendant count
+    * and subtree depth (ORACLE: DuckDB recursive CTE closure). */
+  def q159(s: SparkSession, d: String): DataFrame =
+    descendants(partTree(s, d))
+      .groupBy(col("anc"))
+      .agg(count(lit(1)).as("n_desc"), max("depth").as("max_depth"))
+      .orderBy("anc")
+
+  /** Q160 — subtree rollup: per ancestor, exact-decimal retail value
+    * of its descendants PLUS itself (the BOM-cost / category-revenue
+    * query). */
+  def q160(s: SparkSession, d: String): DataFrame = {
+    val price = Tables.part(s, d).select(col("p_partkey").as("node"),
+      col("p_retailprice").cast("decimal(18,2)").as("pd"))
+    val selfPairs = price.select(col("node").as("anc"), col("node"))
+    val all = descendants(partTree(s, d)).select("anc", "node")
+      .unionByName(selfPairs)
+    all.join(price, "node")
+      .groupBy("anc")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum("pd").cast("double").as("subtree_value"))
+      .orderBy("anc")
+  }
+
   /** Q137 — clustering coefficient over the q120 co-order graph. */
   def q137(s: SparkSession, d: String): DataFrame = {
     val small = Tables.part(s, d).filter(col("p_size") <= 10)

@@ -2447,4 +2447,34 @@ object Relational {
   def q158(s: SparkSession, d: String): DataFrame =
     scdIntegrity(graft.operators.Warehouse.q131(s, d), "k")
       .orderBy("rule")
+
+  /** Moving median — trailing k-day ROBUST smoother per group: the
+    * q110 moving average's heavy-tail-safe sibling (one spike day
+    * drags a mean for the whole window; the median doesn't — q134's
+    * fence argument on the time axis). Each day's values fan to the k
+    * windows they serve (q112's bounded ×k doctrine — never a global
+    * sort) and each window takes percentile_disc(0.5) of its pooled
+    * multiset (an element — zero float); complete windows only, q112
+    * parity. The exact per-window multiset is the declared form;
+    * approx_percentile's mergeable sketch is the 100 TB tier (q52). */
+  def movingMedian(ev: DataFrame, groupCol: String, valCol: String,
+      k: Int): DataFrame = {
+    val daily = ev.select(col(groupCol), to_date(col("ts")).as("day"),
+      col(valCol).as("v"))
+    daily
+      .select(col(groupCol), col("v"),
+        explode(sequence(lit(0), lit(k - 1))).as("off"), col("day"))
+      .withColumn("win_end", date_add(col("day"), col("off")))
+      .groupBy(col(groupCol), col("win_end"))
+      .agg(count_distinct(col("day")).as("n_days"),
+        count(lit(1)).as("n_values"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("med"))
+      .filter(col("n_days") === k)
+      .drop("n_days")
+  }
+
+  /** Q161 — 7-day moving median of events.value per event_type. */
+  def q161(s: SparkSession, d: String): DataFrame =
+    movingMedian(Tables.events(s, d), "event_type", "value", 7)
+      .orderBy("event_type", "win_end")
 }

@@ -502,6 +502,43 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(got(4L) == ((1L, 0L, 0.0)))
   }
 
+  // ---- q159/q160 hierarchy ----
+
+  test("hierarchy closure carries exact depths and subtree rollups") {
+    //        1
+    //      2   3
+    //    4       5
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 5L)).toDF("parent", "child")
+    val c = graft.operators.Graph.descendants(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(c == Map(
+      (1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 4L) -> 1L, (3L, 5L) -> 1L,
+      (1L, 4L) -> 2L, (1L, 5L) -> 2L))
+    // maxDepth truncates the frontier, not the earlier levels
+    val c1 = graft.operators.Graph.descendants(edges, maxDepth = 1)
+    assert(c1.count() == 4 && c1.agg(max("depth")).collect().head.getLong(0) == 1L)
+  }
+
+  // ---- q161 moving median ----
+
+  test("moving median resists a spike day that wrecks the moving average") {
+    val day = 86400L
+    // group g: 7 days of value 10, except day 4 spikes to 1e6 —
+    // the 7-day median at the first complete window stays 10
+    val events = (0 until 7).map { di =>
+      (1L, "g", di.toLong * day + 10, if (di == 3) 1e6 else 10.0)
+    }.toDF("user_id", "event_type", "sec", "value")
+      .select(col("user_id"), col("event_type"),
+        timestamp_seconds(col("sec")).as("ts"), col("value"),
+        monotonically_increasing_id().as("event_id"))
+    val got = graft.operators.Relational
+      .movingMedian(events, "event_type", "value", 7)
+      .collect()
+    assert(got.length == 1) // only one complete window
+    assert(got.head.getAs[Double]("med") == 10.0)
+    assert(got.head.getAs[Long]("n_values") == 7L)
+  }
+
   // ---- q154 robust scaling ----
 
   test("robust scaling emits null for a constant group, exact scores otherwise") {
