@@ -184,6 +184,9 @@ object SparkEntry {
     "q159_hierarchy"       -> (graft.operators.Graph.q159 _),
     "q160_subtree_rollup"  -> (graft.operators.Graph.q160 _),
     "q161_moving_median"   -> (Relational.q161 _),
+    "q162_time_travel"     -> (graft.operators.Warehouse.q162 _),
+    "q163_incremental_agg" -> (graft.operators.Warehouse.q163 _),
+    "q164_jaro_winkler"    -> (graft.ext.Entity.q164 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1937,5 +1940,36 @@ object SparkEntry {
         "percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS med " +
         "FROM f GROUP BY 1, 2 HAVING COUNT(DISTINCT day) = 7 " +
         "ORDER BY event_type, win_end"),
+    // q162: AS-OF time travel — the oracle derives both snapshots
+    // INDEPENDENTLY from the base table; a hash match proves the
+    // history reconstruction.
+    "q162_time_travel" ->
+      ("SELECT 'before' AS at, c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal FROM customer " +
+        "UNION ALL SELECT 'after', c_custkey, c_mktsegment, " +
+        "CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + CAST(100.0 AS DOUBLE) ELSE c_acctbal END FROM customer " +
+        "ORDER BY at, k"),
+    // q163: incremental view maintenance — the engine maintains the
+    // aggregate from base + CDC delta; the oracle recomputes from the
+    // new snapshot. Equality proves the retraction algebra.
+    "q163_incremental_agg" ->
+      ("WITH n AS (SELECT o_orderstatus, o_orderpriority, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + CAST(10.0 AS DOUBLE) ELSE o_totalprice END AS p " +
+        "FROM orders WHERE o_orderkey % 5 <> 2) " +
+        "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM n GROUP BY 1, 2 ORDER BY 1, 2"),
+    // q164: Jaro–Winkler — DuckDB's native jaro_winkler_similarity vs
+    // the engine's textbook kernel, cut on the ROUNDED score.
+    "q164_jaro_winkler" ->
+      ("WITH ranked AS (SELECT p_brand, p_name, " +
+        "ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_name) AS rnk " +
+        "FROM (SELECT DISTINCT p_brand, p_name FROM part)), " +
+        "probe AS (SELECT p_brand, p_name AS name_a, rnk + o AS rnk_b " +
+        "FROM ranked CROSS JOIN (SELECT unnest(range(1, 11)) AS o)), " +
+        "j AS (SELECT p.p_brand, name_a, r.p_name AS name_b, " +
+        "ROUND(jaro_winkler_similarity(name_a, r.p_name), 6) AS jw " +
+        "FROM probe p JOIN ranked r ON p.p_brand = r.p_brand AND p.rnk_b = r.rnk) " +
+        "SELECT p_brand, name_a, name_b, jw FROM j WHERE jw >= 0.9 " +
+        "ORDER BY p_brand, name_a, name_b"),
   )
 }

@@ -147,6 +147,81 @@ object Entity {
     * certifies the blocking SEMANTICS (which pairs the window admits),
     * while the q100 gate already certifies full-recall linkage —
     * together they measure exactly what the lossy pass trades. */
+  /** Textbook Jaro–Winkler similarity (Winkler 1990): jaro = (m/|a| +
+    * m/|b| + (m−t)/m)/3 over half-window matches, jw = jaro +
+    * min(4, common-prefix)·0.1·(1−jaro). Implemented to the letter so
+    * the score agrees with other engines' implementations (DuckDB's
+    * jaro_winkler_similarity matches at round(6) — the q164 gate); a
+    * compiled kernel (the minhash-UDF precedent — string window scans
+    * don't express in Catalyst). */
+  private[graft] def jaroWinkler(a: String, b: String): Double = {
+    if (a == b) return 1.0
+    val (la, lb) = (a.length, b.length)
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val matchedA = new Array[Boolean](la)
+    val matchedB = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (!found && j <= hi) {
+        if (!matchedB(j) && a.charAt(i) == b.charAt(j)) {
+          matchedA(i) = true; matchedB(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (matchedA(i)) {
+        while (!matchedB(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val jaro = (m.toDouble / la + m.toDouble / lb +
+      (m - t / 2).toDouble / m) / 3.0
+    var l = 0
+    while (l < math.min(4, math.min(la, lb)) &&
+      a.charAt(l) == b.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+
+  private val jwUdf = udf { (a: String, b: String) => jaroWinkler(a, b) }
+
+  /** Q164 — Jaro–Winkler scoring of the q128 sorted-neighborhood
+    * candidates: the prefix-weighted similarity record linkage prefers
+    * for person/product names (typos cluster at the tail; Winkler's
+    * prefix bonus rewards shared heads), as the lossy-complement
+    * scorer next to q100's edit-distance verify. Cut at rounded
+    * jw ≥ 0.9 so a last-ulp implementation difference can't flip the
+    * threshold row set. */
+  def q164(s: SparkSession, d: String): DataFrame = {
+    val parts = graft.sources.Tables.part(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_brand").orderBy("p_name")
+    val ranked = parts.select(col("p_brand"), col("p_name")).distinct()
+      .withColumn("rnk", row_number().over(w))
+    val probe = ranked.select(col("p_brand"), col("p_name").as("name_a"),
+      explode(sequence(col("rnk") + 1, col("rnk") + 10)).as("rnk_b"))
+    val build = ranked.select(col("p_brand"), col("p_name").as("name_b"),
+      col("rnk").as("rnk_b"))
+    probe.join(build, Seq("p_brand", "rnk_b"))
+      .withColumn("jw", round(jwUdf(col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= 0.9)
+      .select(col("p_brand"), col("name_a"), col("name_b"), col("jw"))
+      .orderBy("p_brand", "name_a", "name_b")
+  }
+
   def q128(s: SparkSession, d: String): DataFrame =
     sortedNeighborhoodPairs(Tables.part(s, d), "p_brand", "p_name",
       window = 5, maxDist = 2)

@@ -155,4 +155,95 @@ object Warehouse {
       Seq("o_orderstatus", "o_totalprice"))
       .orderBy("o_orderkey")
   }
+
+  /** AS-OF (time travel) read over an SCD2 history: the version row
+    * visible at instant `d` is the one with valid_from ≤ d < valid_to
+    * (open rows read as +∞) — ONE partition-prunable filter, no join,
+    * no window; this is the entire point of keeping SCD2 history. */
+  def asOf(hist: DataFrame, d: String): DataFrame =
+    hist.filter(col("valid_from") <= lit(d).cast("date") &&
+      (col("valid_to").isNull || col("valid_to") > lit(d).cast("date")))
+
+  /** Q162 — time travel certification: snapshot the q131 history at
+    * 2026-03-01 (before the update batch) and 2026-07-01 (after),
+    * tagged and unioned. The oracle derives both snapshots
+    * INDEPENDENTLY from the base table (before = original values;
+    * after = original with the %10=3 slice bumped) — a hash match
+    * proves AS-OF reconstruction returns exactly the state that was
+    * current at each instant. */
+  def q162(s: SparkSession, d: String): DataFrame = {
+    val hist = q131(s, d)
+    asOf(hist, "2026-03-01").select(lit("before").as("at"),
+        col("k"), col("seg"), col("bal"))
+      .unionByName(asOf(hist, "2026-07-01").select(lit("after").as("at"),
+        col("k"), col("seg"), col("bal")))
+      .orderBy("at", "k")
+  }
+
+  /** Incremental aggregate maintenance — keep a grouped aggregate
+    * (materialized view) current by applying a CDC delta instead of
+    * recomputing from the new snapshot: deletes and update-pre-images
+    * RETRACT their contribution (negative count, negated decimal sum),
+    * inserts and update-post-images add theirs; one outer merge of
+    * base aggregate × group-level deltas, groups whose count reaches
+    * zero drop out. Exact-decimal measures make retraction lossless
+    * (float sums would drift per maintenance cycle — the reason
+    * streaming engines restrict retractive aggs to invertible exact
+    * types).
+    *
+    * At 100 TB this is THE reason to capture CDC (q132): the delta is
+    * orders of magnitude smaller than the table, so maintenance cost
+    * tracks change volume, not data volume. The q163 gate PROVES the
+    * algebra: the engine maintains incrementally; the oracle
+    * recomputes the aggregate from the new snapshot directly — a hash
+    * match means maintained ≡ recomputed. */
+  def incrementalAgg(baseAgg: DataFrame, diff: DataFrame,
+      groupFromOld: Seq[Column], groupFromNew: Seq[Column],
+      oldMeasure: Column, newMeasure: Column,
+      groupNames: Seq[String]): DataFrame = {
+    val retract = diff.filter(col("change_type").isin("delete", "update"))
+      .select(groupFromOld.zip(groupNames).map { case (c, n) => c.as(n) } :+
+        lit(-1L).as("dn") :+ (-oldMeasure).as("ds"): _*)
+    val add = diff.filter(col("change_type").isin("insert", "update"))
+      .select(groupFromNew.zip(groupNames).map { case (c, n) => c.as(n) } :+
+        lit(1L).as("dn") :+ newMeasure.as("ds"): _*)
+    val deltas = retract.unionByName(add)
+      .groupBy(groupNames.map(col): _*)
+      .agg(sum("dn").as("dn"), sum("ds").as("ds"))
+    baseAgg.join(deltas, groupNames, "full_outer")
+      .select(groupNames.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)"))
+          + coalesce(col("ds"), lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
+          .as("s")): _*)
+      .filter(col("n") > 0)
+  }
+
+  /** Q163 — maintained revenue view by (status, priority): base
+    * aggregate from the OLD snapshot + q132's diff, never touching the
+    * new snapshot; the oracle aggregates the new snapshot directly. */
+  def q163(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val oldSnap = orders.filter(col("o_orderkey") % 5 =!= 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice"))
+    val newSnap = orders.filter(col("o_orderkey") % 5 =!= 2)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0d)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    val baseAgg = oldSnap.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
+    val diff = snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+      Seq("o_orderstatus", "o_orderpriority", "o_totalprice"))
+    incrementalAgg(baseAgg, diff,
+      groupFromOld = Seq(col("old_o_orderstatus"), col("old_o_orderpriority")),
+      groupFromNew = Seq(col("new_o_orderstatus"), col("new_o_orderpriority")),
+      oldMeasure = col("old_o_totalprice").cast("decimal(18,2)"),
+      newMeasure = col("new_o_totalprice").cast("decimal(18,2)"),
+      groupNames = Seq("o_orderstatus", "o_orderpriority"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+        col("s").cast("double").as("revenue"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
 }

@@ -155,6 +155,66 @@ class WarehouseSpec extends SparkSpec {
     assert(duped("a") != a("a"))
   }
 
+  // ---- q162 time travel ----
+
+  test("asOf bounds are inclusive-from, exclusive-to") {
+    val hist = Seq(
+      (1L, "2026-01-01", Option("2026-06-01"), false),
+      (1L, "2026-06-01", Option.empty[String], true))
+      .toDF("k", "f", "t", "is_current")
+      .select(col("k"), col("f").cast("date").as("valid_from"),
+        col("t").cast("date").as("valid_to"), col("is_current"))
+    def at(d: String) = Warehouse.asOf(hist, d)
+      .select("valid_from").collect().map(_.getDate(0).toString).toSeq
+    assert(at("2026-01-01") == Seq("2026-01-01")) // from inclusive
+    assert(at("2026-05-31") == Seq("2026-01-01"))
+    assert(at("2026-06-01") == Seq("2026-06-01")) // to exclusive, next opens
+    assert(at("2025-12-31").isEmpty)              // before history
+  }
+
+  // ---- q163 incremental maintenance ----
+
+  test("incremental aggregate maintenance equals recompute and drops emptied groups") {
+    val oldS = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))
+      .toDF("k", "g", "v")
+    // new: k1 moves a→b with v 12, k3 deleted, k4 inserted in a
+    val newS = Seq((1L, "b", 12.0), (2L, "a", 20.0), (4L, "a", 7.0))
+      .toDF("k", "g", "v")
+    val base = oldS.groupBy("g").agg(count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(18,2)")).as("s"))
+    val diff = Warehouse.snapshotDiff(oldS, newS, Seq("k"), Seq("g", "v"))
+    val got = Warehouse.incrementalAgg(base, diff,
+      Seq(col("old_g")), Seq(col("new_g")),
+      col("old_v").cast("decimal(18,2)"), col("new_v").cast("decimal(18,2)"),
+      Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("s").doubleValue)).toMap
+    val want = newS.groupBy("g").agg(count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(18,2)")).as("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("s").doubleValue)).toMap
+    assert(got == want, s"got=$got want=$want")
+    // a group whose rows all vanish must not linger at n=0
+    val del = Warehouse.snapshotDiff(oldS, oldS.filter(col("g") =!= "b"),
+      Seq("k"), Seq("g", "v"))
+    val g2 = Warehouse.incrementalAgg(base, del,
+      Seq(col("old_g")), Seq(col("new_g")),
+      col("old_v").cast("decimal(18,2)"), col("new_v").cast("decimal(18,2)"),
+      Seq("g")).select("g").as[String].collect().toSet
+    assert(g2 == Set("a"))
+  }
+
+  // ---- q164 Jaro–Winkler ----
+
+  test("Jaro–Winkler kernel reproduces the literature values") {
+    import graft.ext.Entity.jaroWinkler
+    assert(math.abs(jaroWinkler("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jaroWinkler("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(jaroWinkler("abc", "abc") == 1.0)
+    assert(jaroWinkler("abc", "xyz") == 0.0)
+    assert(jaroWinkler("", "abc") == 0.0)
+  }
+
   // ---- q157 Benford ----
 
   test("Benford digit extraction spans magnitudes; conforming data scores low") {
