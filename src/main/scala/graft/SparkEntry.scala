@@ -187,6 +187,7 @@ object SparkEntry {
     "q162_time_travel"     -> (graft.operators.Warehouse.q162 _),
     "q163_incremental_agg" -> (graft.operators.Warehouse.q163 _),
     "q164_jaro_winkler"    -> (graft.ext.Entity.q164 _),
+    "q166_pipeline_v5"     -> (graft.ext.Sketches.q166 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -222,6 +223,10 @@ object SparkEntry {
     // semi-join, incl. on the real fixture), FPR bound, and byte-exact
     // shard-merge contracts live in SketchesSpec.
     "q147_bloom_screen"    -> (graft.ext.Sketches.q147 _),
+    // q165 rows-only: the KMV Jaccard estimate is algorithm-defined
+    // (q141's class); the EXACT anchor is q148's gate, and byte-exact
+    // shard merging + error-vs-exact contracts live in SketchesSpec.
+    "q165_kmv_overlap"     -> (graft.ext.Sketches.q165 _),
   )
 
   /** DuckDB-dialect oracle SQL, one per `queries` key. */
@@ -1971,5 +1976,30 @@ object SparkEntry {
         "FROM probe p JOIN ranked r ON p.p_brand = r.p_brand AND p.rnk_b = r.rnk) " +
         "SELECT p_brand, name_a, name_b, jw FROM j WHERE jw >= 0.9 " +
         "ORDER BY p_brand, name_a, name_b"),
+    // q166: incremental-corpus pipeline — the oracle replays the EXACT
+    // semantics with no bloom at all (the filter's zero-false-negative
+    // guarantee makes bloom→exact ≡ exact alone; that equivalence is
+    // what makes a sketch-bearing pipeline end-to-end gateable).
+    "q166_pipeline_v5" ->
+      ("WITH docs AS (SELECT doc_id, lang, n_chars, " +
+        "md5(regexp_replace(text, '\\s+', ' ', 'g')) AS fp FROM documents), " +
+        "h AS (SELECT * FROM docs WHERE doc_id % 20 < 18), " +
+        "i AS (SELECT * FROM docs WHERE doc_id % 20 >= 18 OR doc_id % 20 = 0), " +
+        "newd AS (SELECT i.* FROM i WHERE fp NOT IN (SELECT fp FROM h)), " +
+        "adm AS (SELECT * FROM newd WHERE n_chars >= 60), " +
+        "hn AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_history FROM h GROUP BY 1), " +
+        "inn AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_increment FROM i GROUP BY 1), " +
+        "nn AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_new FROM newd GROUP BY 1), " +
+        "an AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_admitted FROM adm GROUP BY 1) " +
+        "SELECT COALESCE(hn.lang, inn.lang, nn.lang, an.lang) AS lang, " +
+        "COALESCE(n_history, 0) AS n_history, COALESCE(n_increment, 0) AS n_increment, " +
+        "COALESCE(n_increment, 0) - COALESCE(n_new, 0) AS n_dup, " +
+        "COALESCE(n_new, 0) - COALESCE(n_admitted, 0) AS n_lowq, " +
+        "COALESCE(n_admitted, 0) AS n_admitted, " +
+        "COALESCE(n_history, 0) + COALESCE(n_admitted, 0) AS n_corpus_after " +
+        "FROM hn FULL OUTER JOIN inn ON hn.lang = inn.lang " +
+        "FULL OUTER JOIN nn ON COALESCE(hn.lang, inn.lang) = nn.lang " +
+        "FULL OUTER JOIN an ON COALESCE(hn.lang, inn.lang, nn.lang) = an.lang " +
+        "ORDER BY lang"),
   )
 }

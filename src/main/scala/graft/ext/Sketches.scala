@@ -225,6 +225,94 @@ object Sketches {
     increment.withColumn("maybe_seen", contains(xxhash64(col(keyCol))))
   }
 
+  // ---------------------------------------------------------------
+  // KMV (k-minimum-values) — the set-similarity sketch
+  // ---------------------------------------------------------------
+
+  val KmvK = 512
+
+  /** Bottom-k distinct hash values per group — the KMV/theta sketch
+    * (Bar-Yossef et al. 2002; Beyer et al. 2007): union-mergeable
+    * (merge = bottom-k of the concatenation — associative,
+    * commutative, idempotent, so shard sketches combine byte-exactly
+    * like the HLL/Bloom builds), 4 KB per group, and any pairwise
+    * Jaccard estimates from two sketches alone — the q148 exact
+    * overlap matrix at 100 TB without re-touching tokens. */
+  class KmvBuild extends Aggregator[Long, Array[Long], Array[Long]] {
+    private def insert(buf: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos >= 0) return buf // distinct-only
+      val ins = -pos - 1
+      if (buf.length >= KmvK && ins >= KmvK) return buf
+      val n = math.min(buf.length + 1, KmvK)
+      val out = new Array[Long](n)
+      System.arraycopy(buf, 0, out, 0, ins)
+      out(ins) = h
+      System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+      out
+    }
+    override def zero: Array[Long] = Array.empty
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = insert(buf, h)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // merge two sorted distinct runs, keep bottom k
+      val out = new Array[Long](math.min(a.length + b.length, KmvK))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val take =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) { i += 1; a(i - 1) }
+          else { j += 1; b(j - 1) }
+        if (o == 0 || out(o - 1) != take) { out(o) = take; o += 1 }
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** KMV Jaccard estimate: over the bottom-k of the UNION of two
+    * sketches, the fraction present in both (exact arithmetic on the
+    * sketch — the estimator's randomness is all in the hash). */
+  private[graft] def kmvJaccard(a: Array[Long], b: Array[Long]): Double = {
+    val k = math.min(KmvK, a.length + b.length)
+    var i = 0; var j = 0; var taken = 0; var inBoth = 0
+    while (taken < k && (i < a.length || j < b.length)) {
+      if (j >= b.length || (i < a.length && a(i) < b(j))) { i += 1; taken += 1 }
+      else if (i >= a.length || b(j) < a(i)) { j += 1; taken += 1 }
+      else { inBoth += 1; i += 1; j += 1; taken += 1 }
+    }
+    if (taken == 0) 0.0 else inBoth.toDouble / taken
+  }
+
+  private val kmvJaccardUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    kmvJaccard(a.toArray, b.toArray)
+  }
+
+  /** Per-group token KMV sketches → pairwise Jaccard estimates (the
+    * q148 matrix from KB sketch rows; |sources|² pairs of k-long
+    * arrays — never a token join). */
+  def kmvOverlap(docs: DataFrame, keyCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val build = udaf(new KmvBuild)
+    val sk = docs.select(col(keyCol).as("src"),
+        explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("src"), xxhash64(col("w")).as("h"))
+      .groupBy("src").agg(build(col("h")).as("sk"))
+    sk.as("a").join(sk.withColumnRenamed("src", "src_b")
+        .withColumnRenamed("sk", "sk_b").as("b"),
+        col("a.src") < col("b.src_b"))
+      .select(col("a.src").as("src_a"), col("src_b"),
+        round(kmvJaccardUdf(col("a.sk"), col("sk_b")), 6).as("est_jaccard"))
+  }
+
+  /** Q165 — source-overlap estimates via KMV sketches (rows-only: the
+    * estimate is algorithm-defined like q141/q147; the EXACT anchor is
+    * q148's oracle gate, and SketchesSpec pins byte-exact shard
+    * merging plus estimate error against the exact Jaccard). */
+  def q165(s: SparkSession, d: String): DataFrame =
+    kmvOverlap(Tables.documents(s, d)).orderBy("src_a", "src_b")
+
   /** Q147 — bloom-screen the %20 ∈ {18,19} document slice against the
     * %20 < 18 history by exact content fingerprint (rows-only driver
     * check: bit patterns are algorithm-defined; the zero-false-negative
@@ -242,5 +330,57 @@ object Sketches {
       .select("doc_id", "fp")
     bloomScreen(history, inc, "fp")
       .select("doc_id", "maybe_seen").orderBy("doc_id")
+  }
+
+  /** Q166 — curation pipeline V5: INCREMENTAL corpus refresh, the
+    * daily-production shape every earlier pipeline (q66/q75/q80/q88)
+    * lacks — those rebuild from a full corpus; this one folds an
+    * increment into an EXISTING corpus:
+    *
+    *   bloom fast-reject (q147: rows the 256 KB filter proves new skip
+    *   the screen entirely — at production ratios that is most of the
+    *   batch) → exact fingerprint screen of only the maybe-seen rows
+    *   (q25's dedup key; the bloom's zero-false-negative guarantee
+    *   makes bloom→exact ≡ exact alone, which is EXACTLY what lets the
+    *   DuckDB oracle gate this pipeline end-to-end: it replays the
+    *   exact semantics with no bloom at all) → q30-class quality cut →
+    *   per-language admission report with maintained corpus counts
+    *   (q163's maintenance posture: new totals = history + admitted,
+    *   never a recount of history content).
+    *
+    * Scale: the filter builds once per corpus release (one agg over
+    * history KEYS); the per-batch cost is the increment's narrow maps
+    * + one broadcast probe + the (tiny) maybe-seen anti-join. */
+  def q166(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("fp", md5(regexp_replace(col("text"), "\\s+", " ")))
+    val history = docs.filter(col("doc_id") % 20 < 18)
+    val inc = docs.filter(col("doc_id") % 20 >= 18 || col("doc_id") % 20 === 0)
+    val screened = bloomScreen(history.select("fp"),
+      inc.select("doc_id", "lang", "n_chars", "fp"), "fp")
+    val fastNew = screened.filter(!col("maybe_seen"))
+    val confirmedNew = screened.filter(col("maybe_seen"))
+      .join(history.select("fp"), Seq("fp"), "left_anti")
+    val newDocs = fastNew.drop("maybe_seen")
+      .unionByName(confirmedNew.drop("maybe_seen"))
+    val admitted = newDocs.filter(col("n_chars") >= 60)
+    val histN = history.groupBy("lang").agg(count(lit(1)).as("n_history"))
+    val incN = inc.groupBy("lang").agg(count(lit(1)).as("n_increment"))
+    val newN = newDocs.groupBy("lang").agg(count(lit(1)).as("n_new"))
+    val admN = admitted.groupBy("lang").agg(count(lit(1)).as("n_admitted"))
+    histN.join(incN, Seq("lang"), "full_outer")
+      .join(newN, Seq("lang"), "full_outer")
+      .join(admN, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("n_history"), lit(0L)).as("n_history"),
+        coalesce(col("n_increment"), lit(0L)).as("n_increment"),
+        (coalesce(col("n_increment"), lit(0L)) - coalesce(col("n_new"), lit(0L)))
+          .as("n_dup"),
+        (coalesce(col("n_new"), lit(0L)) - coalesce(col("n_admitted"), lit(0L)))
+          .as("n_lowq"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        (coalesce(col("n_history"), lit(0L)) + coalesce(col("n_admitted"), lit(0L)))
+          .as("n_corpus_after"))
+      .orderBy("lang")
   }
 }

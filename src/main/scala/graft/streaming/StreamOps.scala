@@ -897,6 +897,30 @@ object StreamOps {
         n.as("n_window"), round(psi, 6).as("psi"))
   }
 
+  /** S23 (r11) — streaming integrity checksums: per tumbling window
+    * and group, q142's order-free reconciliation fingerprint (row
+    * count + 40-bit md5-prefix SUM over a canonical render) as an
+    * ordinary windowed aggregation. Run the SAME op over a rewritten
+    * pipeline's stream (or its batch backfill — the op is
+    * batch/stream-agnostic, and the parity test pins streamed ≡ batch
+    * on identical input) and diff the KB-sized checksum rows to catch
+    * divergence window-by-window, the streaming face of q142's
+    * migration audit. Sum is commutative/associative → partial-agg
+    * and out-of-order safe; state per (window, group) is two longs. */
+  def checksumStream(events: DataFrame, groupCol: String,
+      rendered: Seq[org.apache.spark.sql.Column],
+      size: String = "1 day", watermark: String = "10 seconds"): DataFrame = {
+    val h = conv(substring(md5(
+      concat_ws("|", rendered: _*).cast("binary")), 1, 10), 16, 10)
+      .cast("long")
+    (if (events.isStreaming) events.withWatermark("ts", watermark) else events)
+      .withColumn("rh", h)
+      .groupBy(window(col("ts"), size), col(groupCol))
+      .agg(count(lit(1)).as("n"), sum("rh").as("checksum"))
+      .select(col("window.start").as("ws"), col(groupCol),
+        col("n"), col("checksum"))
+  }
+
   /** S21 (r11) — streaming skip-gram co-occurrence: the real-time form
     * of the batch q138 (`Relational.skipGramPairs`) — each arriving
     * event emits one (a_type → b_type) pair per predecessor among the

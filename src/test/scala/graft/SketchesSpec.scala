@@ -90,6 +90,43 @@ class SketchesSpec extends SparkSpec {
     assert(fp < 200, s"FPR ${fp / 20000.0} exceeds bound")
   }
 
+  // ---- q165 KMV ----
+
+  private def buildKmv(ids: Seq[Long]): Array[Long] = {
+    val b = udaf(new Sketches.KmvBuild)
+    ids.toDF("id").select(xxhash64(col("id")).as("h"))
+      .agg(b(col("h"))).collect().head.getAs[Seq[Long]](0).toArray
+  }
+
+  test("KMV build(A ∪ B) equals merge of shard sketches byte-for-byte") {
+    val a = (1L to 3000L); val b = (2000L to 6000L)
+    val merged = new Sketches.KmvBuild().merge(buildKmv(a), buildKmv(b))
+    assert(java.util.Arrays.equals(merged, buildKmv((a ++ b).distinct)))
+    assert(merged.length == Sketches.KmvK)
+    assert(merged.sameElements(merged.sorted))
+  }
+
+  test("KMV Jaccard estimate tracks the true overlap") {
+    val a = buildKmv(1L to 10000L)
+    val b = buildKmv(5001L to 15000L) // true J = 5000/15000 = 1/3
+    val est = Sketches.kmvJaccard(a, b)
+    assert(math.abs(est - 1.0 / 3) < 0.07, s"est=$est")
+    assert(Sketches.kmvJaccard(a, a) == 1.0)
+    assert(Sketches.kmvJaccard(a, buildKmv(90001L to 95000L)) < 0.02)
+  }
+
+  test("KMV overlap on the REAL fixture tracks q148's exact Jaccard") {
+    val d = sf("sf0.001")
+    val docs = graft.sources.Tables.documents(spark, d)
+    val est = Sketches.kmvOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val exact = graft.ext.TextOps.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    val worst = exact.map { case (k, j) => math.abs(est(k) - j) }.max
+    assert(worst < 0.1, s"worst KMV error $worst")
+  }
+
   test("bloom screen on the REAL fixture agrees with the exact semi-join on members") {
     val d = sf("sf0.001")
     val docs = graft.sources.Tables.documents(spark, d)

@@ -773,6 +773,33 @@ class StreamingSpec extends SparkSpec {
       "a fully-shifted window must read as drifted")
   }
 
+  test("S23 parity: streamed windowed checksums equal the batch run on identical input") {
+    val d = sf("sf0.001")
+    val rendered = Seq(col("event_id").cast("string"),
+      col("value").cast("decimal(18,2)").cast("string"))
+    val batch = StreamOps.checksumStream(
+      graft.sources.Tables.events(spark, d), "event_type", rendered)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("checksum"))).toMap
+    val ev0 = graft.sources.Tables.events(spark, d)
+      .select("ts", "user_id", "event_type", "value", "event_id")
+      .orderBy("ts").collect()
+    val rows = ev0.map(r => Ev(r.getTimestamp(0), r.getLong(1), r.getString(2),
+      r.getDouble(3), r.getLong(4)))
+    val in = MemoryStream[Ev]
+    val out = StreamOps.checksumStream(in.toDF(), "event_type", rendered,
+      watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("s23")
+      .outputMode("complete") // all windows visible without watermark games
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    rows.grouped(1000).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s23").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("checksum"))).toMap
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("S21: skip-gram ring emits band pairs only, drops stale, caps window") {
     val in = MemoryStream[Ev]
     // a b c d with maxSkip=2 → ab, ac, bc, bd, cd (no ad)
