@@ -513,10 +513,72 @@ object ScaleBench {
     }
   }
 
+  /** Warehouse-maintenance growth (r11): SCD2 apply + snapshot diff +
+    * incremental aggregate maintenance over an n-row dimension with a
+    * FIXED-SIZE (50k-row) update batch. The claims: scd2Apply and
+    * snapshotDiff pay one pass over the dimension (linear — the
+    * unavoidable read); incrementalAgg's maintenance pays the DELTA
+    * (flat in n — the entire reason to capture CDC). */
+  private def runWarehouse(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    import graft.operators.Warehouse
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val batchN = 50000L
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val dim = spark.range(n).select(col("id").as("k"),
+        concat(lit("seg"), pmod(col("id"), lit(7L))).as("seg"),
+        (pmod(col("id") * 2654435761L, lit(100000L)) / 100.0).as("bal"),
+        lit("2026-01-01").cast("date").as("valid_from")).persist()
+      dim.count()
+      val upd = spark.range(batchN).select((col("id") * (n / batchN)).as("k"),
+        concat(lit("seg"), pmod(col("id"), lit(7L))).as("seg"),
+        (pmod(col("id") * 1099511627791L, lit(100000L)) / 100.0 + 1.0).as("bal"),
+        lit("2026-06-01").cast("date").as("eff")).persist()
+      upd.count()
+      val oldSnap = dim.select(col("k"), col("seg"), col("bal"))
+      val newSnap = oldSnap.join(
+          upd.select(col("k"), col("bal").as("nb")), Seq("k"), "left")
+        .select(col("k"), col("seg"), coalesce(col("nb"), col("bal")).as("bal"))
+      if (i == 0) {
+        Warehouse.scd2Apply(dim, upd, Seq("k"), Seq("seg", "bal")).write
+          .format("noop").mode("overwrite").save()
+        sweep(); dim.count(); upd.count()
+      }
+      val t1 = System.nanoTime()
+      Warehouse.scd2Apply(dim, upd, Seq("k"), Seq("seg", "bal")).write
+        .format("noop").mode("overwrite").save()
+      val scdSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val diff = Warehouse.snapshotDiff(oldSnap, newSnap, Seq("k"),
+        Seq("seg", "bal")).persist()
+      val nDiff = diff.count()
+      val diffSec = (System.nanoTime() - t2) / 1e9
+      val baseAgg = oldSnap.groupBy("seg").agg(count(lit(1)).as("n"),
+        sum(col("bal").cast("decimal(18,2)")).as("s")).persist()
+      baseAgg.count()
+      val t3 = System.nanoTime()
+      val maintained = Warehouse.incrementalAgg(baseAgg, diff,
+        Seq(col("old_seg")), Seq(col("new_seg")),
+        col("old_bal").cast("decimal(18,2)"), col("new_bal").cast("decimal(18,2)"),
+        Seq("seg"))
+      val rows = maintained.count()
+      val maintSec = (System.nanoTime() - t3) / 1e9
+      diff.unpersist(); baseAgg.unpersist(); dim.unpersist(); upd.unpersist(); sweep()
+      println(f"""{"op":"warehouse","n_dim":$n,"n_batch":$batchN,"scd2_sec":$scdSec%.2f,"diff_sec":$diffSec%.2f,"diff_rows":$nDiff,"maintain_sec":$maintSec%.2f,"agg_rows":$rows}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/target/scale")
     val spark = Sessions.local(Sessions.envCpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("warehouse")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(1000000L, 5000000L, 20000000L)
+      runWarehouse(spark, sizes)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("tokenizer")) {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(5000L, 50000L, 250000L)
