@@ -227,6 +227,10 @@ object SparkEntry {
     // (q141's class); the EXACT anchor is q148's gate, and byte-exact
     // shard merging + error-vs-exact contracts live in SketchesSpec.
     "q165_kmv_overlap"     -> (graft.ext.Sketches.q165 _),
+    // q167 rows-only: aHash bits are codec+algorithm-defined (q53's
+    // metadata is the multimodal family's oracle anchor); identical/
+    // near-dup/distinct Hamming contracts live in MultimodalSpec.
+    "q167_image_dedup"     -> (graft.ext.Multimodal.q167 _),
   )
 
   /** DuckDB-dialect oracle SQL, one per `queries` key. */

@@ -317,6 +317,116 @@ object Multimodal {
     * once); WAV amplitude 16384 → every sample exactly 0.5, sum of
     * squares n·0.25 exact, RMS √0.25 = 0.5. Even rows are images, odd
     * rows audio; NULLs fill the other modality's columns. */
+  /** Gradient PNG of (w × h): pixel gray = (x·xs + y·ys + phase) mod
+    * 256 — structured content for perceptual hashing (the constant-
+    * gray fixture is degenerate there: every aHash bit ties). Optional
+    * `noise` flips the low bits of a few pixels, the "same photo,
+    * re-encoded/touched-up" near-duplicate class. Lossless PNG, so the
+    * decoded grid is exact. */
+  val synthGradientPngUdf = udf { (w: Int, h: Int, xs: Int, ys: Int,
+      phase: Int, noise: Int) =>
+    imageIoInit
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // slope + curvature terms: patterns differ in direction AND
+        // frequency, so distinct parameter tuples land far in hash
+        // space (pure linear gradients with equal slopes are aHash-
+        // identical regardless of phase)
+        var g = (x * xs + y * ys + (x * x + y * y) * ((xs + ys) % 5 + 1) / 4 + phase) % 256
+        // saturating perturbation: a mod-wrap would turn +8 into −248
+        // at bright pixels and kick the variant out of the near-dup
+        // band — the exact opposite of the "touch-up" class it models
+        if (noise > 0 && (x * 31 + y * 17) % 97 < noise) g = math.min(g + 8, 255)
+        val rgb = (g << 16) | (g << 8) | g
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual average-hash (aHash): REAL decode → 8×8 block-mean
+    * grid → 64 bits (block mean > global mean). Tolerant of small
+    * pixel-level edits and re-encodes — the image analog of q47's
+    * simhash, and the standard cheap tier before pHash/embedding
+    * dedup. Null for undecodable payloads (quarantine policy). */
+  val aHashUdf = udf { (bytes: Array[Byte]) =>
+    val img = readImage(bytes)
+    if (img == null) null
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val cell = math.min(7, y * 8 / h) * 8 + math.min(7, x * 8 / w)
+          sums(cell) += img.getRGB(x, y) & 0xff
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val means = Array.tabulate(64)(i =>
+        if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))
+      val global = means.sum / 64
+      var bits = 0L
+      var i = 0
+      while (i < 64) { if (means(i) > global) bits |= (1L << i); i += 1 }
+      java.lang.Long.valueOf(bits)
+    }
+  }
+
+  /** Q167 — perceptual image dedup over real PNG decode (rows-only:
+    * hash bits are codec+algorithm-defined; MultimodalSpec pins
+    * identical→0, near-dup→small, distinct→large Hamming contracts).
+    * Corpus: one 32×32 gradient per doc_id < 120; every %4 = 0 doc
+    * also ships a noise-perturbed variant (the planted near-dup
+    * class). Pairs via the q47 simhash discipline — 4×16-bit band
+    * keys (no false negatives to Hamming ≤ 3), Hamming-verified. */
+  def q167(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val base = graft.sources.Tables.documents(s, d)
+      .filter(col("doc_id") < 120)
+      .select(col("doc_id"),
+        (col("doc_id") % 29 + 1).cast("int").as("xs"),
+        (col("doc_id") * 7 % 31 + 1).cast("int").as("ys"),
+        (col("doc_id") % 251).cast("int").as("phase"))
+    val imgs = base.select((col("doc_id") * 2).as("img_id"),
+        synthGradientPngUdf(lit(32), lit(32), col("xs"), col("ys"),
+          col("phase"), lit(0)).as("png"))
+      .unionByName(base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") * 2 + 1).as("img_id"),
+          synthGradientPngUdf(lit(32), lit(32), col("xs"), col("ys"),
+            col("phase"), lit(2)).as("png")))
+    val hashed = imgs.select(col("img_id"), aHashUdf(col("png")).as("ah"))
+      .filter(col("ah").isNotNull)
+    val banded = hashed.select(col("img_id"), col("ah"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ah"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
+        .as("bk"))
+      .select(col("img_id"), col("ah"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val pairs = banded.as("a").join(
+        banded.select(col("img_id").as("id_b"), col("ah").as("ah_b"),
+          col("band"), col("key")).as("b"),
+        Seq("band", "key"))
+      .filter(col("img_id") < col("id_b"))
+      .select(col("img_id").as("img_a"), col("id_b").as("img_b"),
+        bit_count(col("ah").bitwiseXOR(col("ah_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+    pairs.orderBy("img_a", "img_b")
+  }
+
   def q53(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val base = graft.sources.Tables.documents(s, d)
       .select(col("doc_id")).filter(col("doc_id") < 200)

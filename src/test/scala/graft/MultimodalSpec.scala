@@ -168,6 +168,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aHash: identical images hash equal, noise variants land near, distinct images far") {
+    import org.apache.spark.sql.functions._
+    def hash(xs: Int, ys: Int, phase: Int, noise: Int): Long =
+      spark.range(1).select(Multimodal.aHashUdf(
+        Multimodal.synthGradientPngUdf(lit(32), lit(32), lit(xs), lit(ys),
+          lit(phase), lit(noise)))).head().getLong(0)
+    val a = hash(2, 3, 10, 0)
+    assert(a == hash(2, 3, 10, 0)) // deterministic through the real codec
+    val near = java.lang.Long.bitCount(a ^ hash(2, 3, 10, 3))
+    assert(near <= 3, s"noise variant hamming $near")
+    val far = java.lang.Long.bitCount(a ^ hash(5, 1, 200, 0))
+    assert(far > 10, s"distinct image hamming $far")
+  }
+
+  test("q167 recovers every planted base↔variant pair; all pairs obey the cut") {
+    val rows = Multimodal.q167(spark, sf("sf0.001")).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted: every doc_id % 4 == 0 under 120 ships (2·id, 2·id+1) —
+    // ZERO false negatives is the guarantee (banding covers Hamming ≤ 3)
+    val planted = (0L until 120L).filter(_ % 4 == 0).map(id => (2 * id, 2 * id + 1)).toSet
+    assert(planted.subsetOf(got), s"missing ${planted.diff(got)}")
+    assert(rows.forall(_.getAs[Long]("hamming") <= 3))
+    // cross-doc collisions are a property of the synthetic low-entropy
+    // corpus (the q71 caveat class), but must stay a small minority
+    val extras = got.diff(planted).size
+    assert(extras < planted.size, s"$extras accidental pairs vs ${planted.size} planted")
+  }
+
   test("real decoders quarantine undecodable payloads as null, not exceptions") {
     val junk = Array.fill[Byte](64)(42)
     val df = spark.createDataFrame(Seq(Tuple1(junk))).toDF("p")
