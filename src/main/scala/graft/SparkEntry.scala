@@ -188,6 +188,9 @@ object SparkEntry {
     "q163_incremental_agg" -> (graft.operators.Warehouse.q163 _),
     "q164_jaro_winkler"    -> (graft.ext.Entity.q164 _),
     "q166_pipeline_v5"     -> (graft.ext.Sketches.q166 _),
+    "q168_ols2"            -> (Relational.q168 _),
+    "q169_entropy"         -> (Relational.q169 _),
+    "q170_hhi"             -> (Relational.q170 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2005,5 +2008,63 @@ object SparkEntry {
         "FULL OUTER JOIN nn ON COALESCE(hn.lang, inn.lang) = nn.lang " +
         "FULL OUTER JOIN an ON COALESCE(hn.lang, inn.lang, nn.lang) = an.lang " +
         "ORDER BY lang"),
+    // q168: multivariate OLS — 9 EXACT moments (BIGINT feature sums,
+    // DECIMAL(18,6) target cross-moments), Cramer's rule as mirrored
+    // IEEE polynomials term for term; singular dets explicit null.
+    "q168_ols2" ->
+      ("WITH b AS (SELECT event_type, " +
+        "CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS x1, " +
+        "CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x2, " +
+        "CAST(value AS DECIMAL(18,6)) AS y FROM events), " +
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2, " +
+        "CAST(SUM(x1 * x1) AS BIGINT) AS s11, CAST(SUM(x2 * x2) AS BIGINT) AS s22, " +
+        "CAST(SUM(x1 * x2) AS BIGINT) AS s12, " +
+        "SUM(y) AS sy, SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y " +
+        "FROM b GROUP BY 1), " +
+        "dets AS (SELECT event_type, n, " +
+        "CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) - " +
+        "CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE)) + " +
+        "CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)) AS det, " +
+        "CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) - " +
+        "CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE)) + " +
+        "CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)) AS det0, " +
+        "CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE)) - " +
+        "CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE)) + " +
+        "CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)) AS det1, " +
+        "CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE)) - " +
+        "CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)) + " +
+        "CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)) AS det2 " +
+        "FROM m) " +
+        "SELECT event_type, n, " +
+        "CASE WHEN det <> 0 THEN ROUND(det0 / det, 6) END AS b0, " +
+        "CASE WHEN det <> 0 THEN ROUND(det1 / det, 6) END AS b1, " +
+        "CASE WHEN det <> 0 THEN ROUND(det2 / det, 6) END AS b2 " +
+        "FROM dets ORDER BY event_type"),
+    // q169: entropy — exact counts, −Σ p·ln p folded in category
+    // order (q79's list_sum), one mirrored normalizing divide.
+    "q169_entropy" ->
+      ("WITH c AS (SELECT source, lang AS cat, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM documents GROUP BY 1, 2), " +
+        "t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k FROM c GROUP BY 1), " +
+        "s AS (SELECT c.source, cat, n, k, CAST(c AS DOUBLE) / n AS p FROM c JOIN t ON c.source = t.source) " +
+        "SELECT source, n, k, " +
+        "ROUND(list_sum(list(-p * LN(p) ORDER BY cat)), 6) AS entropy, " +
+        "CASE WHEN k > 1 THEN ROUND(list_sum(list(-p * LN(p) ORDER BY cat)) / LN(CAST(k AS DOUBLE)), 6) " +
+        "ELSE CAST(0.0 AS DOUBLE) END AS entropy_norm " +
+        "FROM s GROUP BY source, n, k ORDER BY source"),
+    // q170: HHI — exact decimal revenue shares, share² terms folded in
+    // member order.
+    "q170_hhi" ->
+      ("WITH per AS (SELECT c_mktsegment, l_suppkey AS member, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS v " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+        "t AS (SELECT c_mktsegment, SUM(v) AS tt, CAST(COUNT(*) AS BIGINT) AS k FROM per GROUP BY 1), " +
+        "s AS (SELECT per.c_mktsegment, member, k, " +
+        "CAST(v AS DOUBLE) / CAST(tt AS DOUBLE) AS sh " +
+        "FROM per JOIN t ON per.c_mktsegment = t.c_mktsegment) " +
+        "SELECT c_mktsegment, k, ROUND(list_sum(list(sh * sh ORDER BY member)), 6) AS hhi " +
+        "FROM s GROUP BY c_mktsegment, k ORDER BY c_mktsegment"),
   )
 }

@@ -2477,4 +2477,124 @@ object Relational {
   def q161(s: SparkSession, d: String): DataFrame =
     movingMedian(Tables.events(s, d), "event_type", "value", 7)
       .orderBy("event_type", "win_end")
+
+  /** Shannon entropy of a categorical distribution per group — the
+    * label-balance / diversity audit a training-data pipeline runs
+    * before sampling (a language or source column collapsing toward
+    * one value shows up as entropy → 0; uniform mixing as entropy →
+    * log k). Normalized form (entropy / ln k) reported alongside.
+    * Exact category counts; −Σ p·ln p folds the ≤ k category terms in
+    * value order (q79 doctrine over a bounded frame); one mirrored
+    * normalizing divide. */
+  def entropy(df: DataFrame, groupCol: String, catCol: String): DataFrame = {
+    val cnt = df.groupBy(col(groupCol), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(groupCol)
+      .agg(sum("c").as("n"), count(lit(1)).as("k"))
+    cnt.join(broadcast(tot), Seq(groupCol))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .withColumn("term", -col("p") * log(col("p")))
+      .groupBy(col(groupCol))
+      .agg(first("n").as("n"), first("k").as("k"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("cat"), col("term")))),
+            x => x.getField("term")),
+          lit(0d), (acc, x) => acc + x).as("h_raw"))
+      .select(col(groupCol), col("n"), col("k"),
+        round(col("h_raw"), 6).as("entropy"),
+        when(col("k") > 1, round(col("h_raw") / log(col("k").cast("double")), 6))
+          .otherwise(lit(0.0d)).as("entropy_norm"))
+  }
+
+  /** Q169 — language-mix entropy per source over documents. */
+  def q169(s: SparkSession, d: String): DataFrame =
+    entropy(Tables.documents(s, d), "source", "lang").orderBy("source")
+
+  /** Herfindahl–Hirschman concentration index per group — Σ share²
+    * over exact decimal revenue shares: the market-concentration /
+    * vendor-dependency audit (HHI → 1 one supplier owns the segment,
+    * → 1/k perfectly split). No sort, no window: one grouped decimal
+    * agg + a bounded ordered fold of share² terms (q79 doctrine). */
+  def hhi(df: DataFrame, groupCol: String, memberCol: String,
+      valCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol), col(memberCol).as("member"))
+      .agg(sum(col(valCol).cast("decimal(18,2)")).as("v"))
+    val tot = per.groupBy(groupCol)
+      .agg(sum("v").as("t"), count(lit(1)).as("k"))
+    per.join(broadcast(tot), Seq(groupCol))
+      .withColumn("sh", col("v").cast("double") / col("t").cast("double"))
+      .withColumn("term", col("sh") * col("sh"))
+      .groupBy(col(groupCol))
+      .agg(first("k").as("k"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("member"), col("term")))),
+            x => x.getField("term")),
+          lit(0d), (acc, x) => acc + x).as("hhi_raw"))
+      .select(col(groupCol), col("k"), round(col("hhi_raw"), 6).as("hhi"))
+  }
+
+  /** Q170 — supplier revenue concentration per market segment (which
+    * segments are one-supplier-dependent). */
+  def q170(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("l_suppkey"), col("l_extendedprice"))
+    hhi(rev, "c_mktsegment", "l_suppkey", "l_extendedprice")
+      .orderBy("c_mktsegment")
+  }
+
+  /** Multivariate OLS (two features + intercept) per group via NORMAL
+    * EQUATIONS — the one-pass distributed shape for regression at
+    * scale: aggregate the 9 sufficient moments exactly (integer
+    * features → BIGINT sums; target quantized once to DECIMAL(18,6) →
+    * exact decimal cross-moments, the q103/q115 doctrine extended to a
+    * 3×3 system), then solve by Cramer's rule as mirrored IEEE
+    * polynomials of the exact moments. No per-row iteration, no
+    * gradient passes — the data is touched ONCE; the solve is O(k³)
+    * per group on k+1-wide moment rows. Singular systems (det = 0)
+    * yield null coefficients explicitly. */
+  def olsNormal2(df: DataFrame, groupCol: String,
+      x1Col: String, x2Col: String, yCol: String): DataFrame = {
+    val base = df.select(col(groupCol),
+      col(x1Col).cast("long").as("x1"), col(x2Col).cast("long").as("x2"),
+      col(yCol).cast("decimal(18,6)").as("y"))
+    val m = base.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum("x1").as("s1"), sum("x2").as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum("y").as("sy"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"))
+    def d(c: String) = col(c).cast("double")
+    val det = d("n") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("s1") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+      d("s2") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    val det0 = d("sy") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("s1") * (d("s1y") * d("s22") - d("s12") * d("s2y")) +
+      d("s2") * (d("s1y") * d("s12") - d("s11") * d("s2y"))
+    val det1 = d("n") * (d("s1y") * d("s22") - d("s12") * d("s2y")) -
+      d("sy") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+      d("s2") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+    val det2 = d("n") * (d("s11") * d("s2y") - d("s1y") * d("s12")) -
+      d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2")) +
+      d("sy") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    m.withColumn("det", det)
+      .select(col(groupCol), col("n"),
+        when(col("det") =!= 0.0d, round(det0 / col("det"), 6)).as("b0"),
+        when(col("det") =!= 0.0d, round(det1 / col("det"), 6)).as("b1"),
+        when(col("det") =!= 0.0d, round(det2 / col("det"), 6)).as("b2"))
+  }
+
+  /** Q168 — value ~ hour-of-day + day-offset per event_type. */
+  def q168(s: SparkSession, d: String): DataFrame =
+    olsNormal2(
+      Tables.events(s, d).select(col("event_type"),
+        hour(col("ts")).as("hr"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("dd"),
+        col("value")),
+      "event_type", "hr", "dd", "value")
+      .orderBy("event_type")
 }

@@ -502,6 +502,43 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(got(4L) == ((1L, 0L, 0.0)))
   }
 
+  // ---- q168 multivariate OLS ----
+
+  test("normal-equation OLS recovers a planted plane exactly") {
+    // y = 3 + 2·x1 − x2 over a non-degenerate integer grid
+    val rows = for (x1 <- 0 to 9; x2 <- 0 to 9)
+      yield ("g", x1.toLong, x2.toLong, 3.0 + 2.0 * x1 - x2)
+    val got = graft.operators.Relational
+      .olsNormal2(rows.toDF("g", "x1", "x2", "y"), "g", "x1", "x2", "y")
+      .collect().head
+    assert(got.getAs[Double]("b0") == 3.0)
+    assert(got.getAs[Double]("b1") == 2.0)
+    assert(got.getAs[Double]("b2") == -1.0)
+    // collinear features → singular system → explicit nulls
+    val sing = (0 to 9).map(i => ("g", i.toLong, (2 * i).toLong, i.toDouble))
+    val s = graft.operators.Relational
+      .olsNormal2(sing.toDF("g", "x1", "x2", "y"), "g", "x1", "x2", "y")
+      .collect().head
+    assert(s.isNullAt(s.fieldIndex("b0")) && s.isNullAt(s.fieldIndex("b1")))
+  }
+
+  // ---- q169 entropy / q170 HHI ----
+
+  test("entropy reads ln k for uniform, 0 for degenerate; HHI 1 for monopoly, 1/k for split") {
+    val uni = (1 to 40).map(i => ("u", s"c${i % 4}")) ++ Seq.fill(10)(("d", "only"))
+    val e = graft.operators.Relational
+      .entropy(uni.toDF("g", "cat"), "g", "cat")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("entropy"), r.getAs[Double]("entropy_norm"))).toMap
+    assert(math.abs(e("u")._1 - math.log(4.0)) < 1e-5 && e("u")._2 == 1.0)
+    assert(e("d") == ((0.0, 0.0)))
+    val rev = Seq(("m", 1L, 100.0), ("s", 1L, 50.0), ("s", 2L, 50.0))
+    val h = graft.operators.Relational
+      .hhi(rev.toDF("g", "mem", "v"), "g", "mem", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("hhi")).toMap
+    assert(h("m") == 1.0 && h("s") == 0.5)
+  }
+
   // ---- q159/q160 hierarchy ----
 
   test("hierarchy closure carries exact depths and subtree rollups") {
