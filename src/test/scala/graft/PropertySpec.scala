@@ -365,4 +365,43 @@ class PropertySpec extends SparkSpec {
       got == want
     }, n = 15)
   }
+
+  test("property: Jaro–Winkler is symmetric, bounded, and 1 iff equal") {
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(12).mkString)
+    check(Prop.forAll(word, word) { (a, b) =>
+      val jw = graft.ext.Entity.jaroWinkler(a, b)
+      val sym = graft.ext.Entity.jaroWinkler(b, a)
+      jw == sym && jw >= 0.0 && jw <= 1.0 && ((jw == 1.0) == (a == b))
+    }, n = 60)
+  }
+
+  test("property: BPE mergeOnce never lengthens, preserves non-pair symbols, is idempotent on merged output") {
+    val sym = Gen.oneOf("a", "b", "c", "ab")
+    val seqs = Gen.listOfN(10, sym)
+    check(Prop.forAll(seqs) { xs =>
+      val out = graft.ext.Bpe.mergeOnce(xs, "a", "b")
+      val again = graft.ext.Bpe.mergeOnce(out, "a", "b")
+      // one pass leaves no adjacent (a, b), so a second pass is identity;
+      // symbols other than the pair's constituents survive untouched
+      out.length <= xs.length &&
+        again == out &&
+        !out.sliding(2).exists(p => p.length == 2 && p(0) == "a" && p(1) == "b") &&
+        out.count(_ == "c") == xs.count(_ == "c")
+    }, n = 60)
+  }
+
+  test("property: KMV merge is commutative, idempotent, and order-insensitive") {
+    val ids = Gen.listOfN(200, Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))
+    check(Prop.forAll(ids, ids) { (a0, b0) =>
+      val agg = new graft.ext.Sketches.KmvBuild
+      def build(xs: Seq[Long]): Array[Long] =
+        xs.foldLeft(agg.zero)((buf, h) => agg.reduce(buf, h))
+      val (sa, sb) = (build(a0), build(b0))
+      val ab = agg.merge(sa, sb); val ba = agg.merge(sb, sa)
+      java.util.Arrays.equals(ab, ba) &&
+        java.util.Arrays.equals(agg.merge(sa, sa), sa) &&
+        java.util.Arrays.equals(build(scala.util.Random.javaRandomToRandom(
+          new java.util.Random(1)).shuffle(a0)), sa)
+    }, n = 30)
+  }
 }
