@@ -191,6 +191,8 @@ object SparkEntry {
     "q168_ols2"            -> (Relational.q168 _),
     "q169_entropy"         -> (Relational.q169 _),
     "q170_hhi"             -> (Relational.q170 _),
+    "q171_pctile_bands"    -> (Relational.q171 _),
+    "q172_cross_corr"      -> (Relational.q172 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2066,5 +2068,37 @@ object SparkEntry {
         "FROM per JOIN t ON per.c_mktsegment = t.c_mktsegment) " +
         "SELECT c_mktsegment, k, ROUND(list_sum(list(sh * sh ORDER BY member)), 6) AS hhi " +
         "FROM s GROUP BY c_mktsegment, k ORDER BY c_mktsegment"),
+    // q171: daily percentile bands — exact per-day percentile_disc
+    // elements.
+    "q171_pctile_bands" ->
+      ("SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50, " +
+        "percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95, " +
+        "percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99 " +
+        "FROM events GROUP BY 1, 2 ORDER BY event_type, day"),
+    // q172: cross-correlation lead-lag — dense shared spine, daily
+    // sums RE-QUANTIZED to DECIMAL(18,6) (a (28,6)² product would
+    // overflow precision 38 where engines round differently), exact
+    // lag moments, r one mirrored IEEE expression.
+    "q172_cross_corr" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "SUM(CAST(value AS DECIMAL(18,6))) AS s FROM events " +
+        "WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2), " +
+        "sp AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day " +
+        "FROM (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily)), " +
+        "a AS (SELECT sp.day, CAST(COALESCE(c.s, 0) AS DECIMAL(18,6)) AS va " +
+        "FROM sp LEFT JOIN (SELECT day, s FROM daily WHERE event_type = 'click') c ON sp.day = c.day), " +
+        "b AS (SELECT sp.day, CAST(COALESCE(p.s, 0) AS DECIMAL(18,6)) AS vb " +
+        "FROM sp LEFT JOIN (SELECT day, s FROM daily WHERE event_type = 'purchase') p ON sp.day = p.day), " +
+        "l AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS lag), " +
+        "j AS (SELECT lag, va, vb FROM a CROSS JOIN l JOIN b ON b.day = a.day + lag), " +
+        "m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n, SUM(va) AS sa, SUM(vb) AS sb, " +
+        "SUM(CAST(va AS DECIMAL(19,6)) * CAST(va AS DECIMAL(19,6))) AS saa, " +
+        "SUM(CAST(vb AS DECIMAL(19,6)) * CAST(vb AS DECIMAL(19,6))) AS sbb, " +
+        "SUM(CAST(va AS DECIMAL(19,6)) * CAST(vb AS DECIMAL(19,6))) AS sab FROM j GROUP BY 1) " +
+        "SELECT lag, n, ROUND((CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / n) / " +
+        "sqrt((CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / n) * " +
+        "(CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / n)), 6) AS r " +
+        "FROM m ORDER BY lag"),
   )
 }

@@ -2597,4 +2597,79 @@ object Relational {
         col("value")),
       "event_type", "hr", "dd", "value")
       .orderBy("event_type")
+
+  /** Daily percentile bands — the latency-SLO observability report:
+    * per (group, day), exact p50/p95/p99 of the value distribution
+    * (percentile_disc elements — q39's declared exact form per
+    * bounded day-slice; the sketch is the 100 TB tier). One grouped
+    * agg; no window, no fan-out. */
+  def percentileBands(ev: DataFrame, groupCol: String,
+      valCol: String): DataFrame =
+    ev.select(col(groupCol), to_date(col("ts")).as("day"), col(valCol).as("v"))
+      .groupBy(col(groupCol), col("day"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY v)").as("p95"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY v)").as("p99"))
+
+  /** Q171 — daily value percentile bands per event_type. */
+  def q171(s: SparkSession, d: String): DataFrame =
+    percentileBands(Tables.events(s, d), "event_type", "value")
+      .orderBy("event_type", "day")
+
+  /** Cross-correlation at lags — the lead-lag discovery between TWO
+    * daily series (does series A's volume lead series B's by k days?):
+    * r_k = corr(A_t, B_{t+k}) over the gap-filled shared day grid,
+    * from EXACT BIGINT/decimal moments per lag (q122's expanded-
+    * estimator doctrine applied across two series); r_k is one
+    * mirrored IEEE expression. The grid is dense (q107's spine) so a
+    * sparse day reads as zero rather than silently shrinking the
+    * overlap. Lags fan the k-row-bounded grid ×(maxLag+1) — days ×
+    * lags rows total, never event-sized. */
+  def crossCorrelation(ev: DataFrame, typeA: String, typeB: String,
+      maxLag: Int): DataFrame = {
+    val daily = ev.select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy("event_type", "day").agg(sum("v").as("s"))
+    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val spine = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    // re-quantize the daily sum to DECIMAL(18,6): its aggregate type is
+    // (28,6) and a (28,6)² product would overflow precision 38, where
+    // engines round differently; (18,6)² = (37,12) stays exact
+    def series(t: String, as: String) = spine
+      .join(daily.filter(col("event_type") === t).select(col("day"), col("s")),
+        Seq("day"), "left")
+      .select(col("day"), coalesce(col("s"),
+        lit(java.math.BigDecimal.ZERO)).cast("decimal(18,6)").as(as))
+    val a = series(typeA, "va")
+    val b = series(typeB, "vb")
+    val lags = a.crossJoin(broadcast(
+        spark_sequence_df(ev, maxLag)))
+      .withColumn("day_b", date_add(col("day"), col("lag")))
+      .join(b.select(col("day").as("day_b"), col("vb")), Seq("day_b"))
+    lags.groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum("va").as("sa"), sum("vb").as("sb"),
+        sum(col("va") * col("va")).as("saa"),
+        sum(col("vb") * col("vb")).as("sbb"),
+        sum(col("va") * col("vb")).as("sab"))
+      .select(col("lag"), col("n"),
+        round(((col("sab").cast("double") -
+          col("sa").cast("double") * col("sb").cast("double") / col("n")) /
+          sqrt((col("saa").cast("double") -
+            col("sa").cast("double") * col("sa").cast("double") / col("n")) *
+            (col("sbb").cast("double") -
+              col("sb").cast("double") * col("sb").cast("double") / col("n")))), 6)
+          .as("r"))
+  }
+
+  private def spark_sequence_df(ev: DataFrame, maxLag: Int): DataFrame =
+    ev.sparkSession.range(0, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+
+  /** Q172 — click-volume vs purchase-volume lead-lag, lags 0..7. */
+  def q172(s: SparkSession, d: String): DataFrame =
+    crossCorrelation(Tables.events(s, d), "click", "purchase", 7)
+      .orderBy("lag")
 }

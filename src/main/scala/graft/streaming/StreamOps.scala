@@ -897,6 +897,40 @@ object StreamOps {
         n.as("n_window"), round(psi, 6).as("psi"))
   }
 
+  /** S24 (r11) — streaming label-balance monitor: per tumbling window,
+    * the Shannon entropy of a categorical column against a FIXED
+    * category list (from the reference corpus — the q169 audit on the
+    * stream): a window whose entropy collapses means one label is
+    * swamping the feed (a crawler stuck on one site, a language filter
+    * gone wrong). Same shape as S22: ONE windowed aggregation with k
+    * conditional counters, the −Σ p·ln p fold an explicit stateless
+    * column chain in category-list order (pass the list sorted to
+    * match the batch operator's value-order fold — the parity test
+    * does). Categories outside the list are dropped (they belong in a
+    * schema-drift alert, not a silent bucket). */
+  def entropyStream(events: DataFrame, catCol: String,
+      categories: Seq[String], size: String = "1 day",
+      watermark: String = "10 seconds"): DataFrame = {
+    val k = categories.length
+    require(k > 1, "entropy needs ≥ 2 categories")
+    val base = (if (events.isStreaming) events.withWatermark("ts", watermark)
+                else events)
+      .filter(col(catCol).isin(categories: _*))
+    val aggs = categories.zipWithIndex.map { case (c, i) =>
+      sum(when(col(catCol) === c, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val counts = base.groupBy(window(col("ts"), size))
+      .agg(aggs.head, aggs.tail: _*)
+    val n = (0 until k).map(i => col(s"c$i")).reduce(_ + _)
+    val h = (0 until k).map { i =>
+      val p = col(s"c$i").cast("double") / n
+      when(col(s"c$i") > 0, -p * log(p)).otherwise(lit(0.0d))
+    }.reduce(_ + _)
+    counts.select(col("window.start").as("ws"), n.as("n_window"),
+      round(h, 6).as("entropy"),
+      round(h / math.log(k.toDouble), 6).as("entropy_norm"))
+  }
+
   /** S23 (r11) — streaming integrity checksums: per tumbling window
     * and group, q142's order-free reconciliation fingerprint (row
     * count + 40-bit md5-prefix SUM over a canonical render) as an

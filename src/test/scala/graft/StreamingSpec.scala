@@ -773,6 +773,32 @@ class StreamingSpec extends SparkSpec {
       "a fully-shifted window must read as drifted")
   }
 
+  test("S24 parity: batch-mode windowed entropy equals Relational.entropy; collapse alerts") {
+    val d = sf("sf0.001")
+    val ev0 = graft.sources.Tables.events(spark, d)
+    val cats = ev0.select("event_type").distinct()
+      .as[String].collect().sorted.toSeq
+    // one huge window over the whole fixture ≡ the batch audit with a
+    // constant group (all categories present → same k normalization)
+    val streamed = StreamOps.entropyStream(ev0, "event_type", cats,
+      size = "3650 days").collect().head
+    val batch = graft.operators.Relational
+      .entropy(ev0.withColumn("g", lit("all")), "g", "event_type")
+      .collect().head
+    assert(streamed.getAs[Double]("entropy") == batch.getAs[Double]("entropy"))
+    assert(streamed.getAs[Double]("entropy_norm") == batch.getAs[Double]("entropy_norm"))
+    // streaming: a window fed a single label must read entropy 0
+    val in = MemoryStream[Ev]
+    val out = StreamOps.entropyStream(in.toDF(), "event_type",
+      Seq("click", "view"), size = "60 seconds")
+    val q = out.writeStream.format("memory").queryName("s24").outputMode("update")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    in.addData((1 to 50).map(i => ev(i % 60, "click", i)): _*)
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("s24").collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Double]("entropy") == 0.0))
+  }
+
   test("S23 parity: streamed windowed checksums equal the batch run on identical input") {
     val d = sf("sf0.001")
     val rendered = Seq(col("event_id").cast("string"),
