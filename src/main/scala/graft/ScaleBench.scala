@@ -568,10 +568,59 @@ object ScaleBench {
     }
   }
 
+  /** Stats/drift growth (r11): PSI drift, normal-equation OLS, and
+    * entropy at 1×/5×/20× event volumes. The claims: all three are
+    * single-pass grouped aggregations (PSI adds one broadcast of the
+    * reference deciles) — growth tracks the scan, no sort or window
+    * anywhere. */
+  private def runDrift(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    import graft.operators.Relational
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val ev = spark.range(n).select(
+        timestamp_seconds(lit(1700000000L) + (col("id") % 5184000L)).as("ts"),
+        concat(lit("t"), pmod(col("id"), lit(5L))).as("event_type"),
+        (pmod(col("id") * 2654435761L, lit(100000L)) / 100.0 +
+          when(col("id") % 2 === 0, 0.0).otherwise(100.0)).as("value"))
+        .persist()
+      ev.count()
+      val isRef = col("ts") < timestamp_seconds(lit(1700000000L + 2592000L))
+      if (i == 0) {
+        Relational.psiDrift(ev, "event_type", "value", isRef, 10).count()
+        Relational.entropy(ev, "event_type", "event_type").count()
+        sweep(); ev.count()
+      }
+      val t1 = System.nanoTime()
+      Relational.psiDrift(ev, "event_type", "value", isRef, 10).count()
+      val psiSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      Relational.olsNormal2(
+        ev.select(col("event_type"), hour(col("ts")).as("x1"),
+          dayofmonth(col("ts")).as("x2"), col("value")),
+        "event_type", "x1", "x2", "value").count()
+      val olsSec = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      Relational.entropy(
+        ev.select(col("event_type"), (col("value") > 100.0).as("cat")),
+        "event_type", "cat").count()
+      val entSec = (System.nanoTime() - t3) / 1e9
+      ev.unpersist(); sweep()
+      println(f"""{"op":"drift","n_events":$n,"psi_sec":$psiSec%.2f,"ols_sec":$olsSec%.2f,"entropy_sec":$entSec%.2f}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/target/scale")
     val spark = Sessions.local(Sessions.envCpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("drift")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(1000000L, 5000000L, 20000000L)
+      runDrift(spark, sizes)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("warehouse")) {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(1000000L, 5000000L, 20000000L)

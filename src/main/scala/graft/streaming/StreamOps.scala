@@ -897,6 +897,28 @@ object StreamOps {
         n.as("n_window"), round(psi, 6).as("psi"))
   }
 
+  /** S25 (r11) — streaming latency/SLO percentile bands: per tumbling
+    * window and group, approximate p50/p95/p99 via `approx_percentile`
+    * — Spark's Greenwald–Khanna-class MERGEABLE sketch, the correct
+    * streaming tier (an exact percentile needs the window's full value
+    * multiset in state; the sketch keeps bounded state per (window,
+    * group) and merges across partial aggregations — q52's 100 TB
+    * argument applied to stream state). Accuracy knob: within
+    * 1/accuracy rank error (q52's contract); the batch q171 is the
+    * exact anchor, and the parity test bounds the sketch's rank error
+    * against it on identical input. */
+  def percentileBandStream(events: DataFrame, groupCol: String,
+      valCol: String, size: String = "1 day",
+      watermark: String = "10 seconds", accuracy: Int = 10000): DataFrame =
+    (if (events.isStreaming) events.withWatermark("ts", watermark) else events)
+      .groupBy(window(col("ts"), size), col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        expr(s"approx_percentile($valCol, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile($valCol, 0.95, $accuracy)").as("p95"),
+        expr(s"approx_percentile($valCol, 0.99, $accuracy)").as("p99"))
+      .select(col("window.start").as("ws"), col(groupCol),
+        col("n"), col("p50"), col("p95"), col("p99"))
+
   /** S24 (r11) — streaming label-balance monitor: per tumbling window,
     * the Shannon entropy of a categorical column against a FIXED
     * category list (from the reference corpus — the q169 audit on the

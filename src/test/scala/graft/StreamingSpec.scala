@@ -773,6 +773,42 @@ class StreamingSpec extends SparkSpec {
       "a fully-shifted window must read as drifted")
   }
 
+  test("S25: streamed sketch percentile bands stay within rank error of the exact q171 bands") {
+    val d = sf("sf0.001")
+    val ev0 = graft.sources.Tables.events(spark, d)
+    // stream the fixture through the sketch op in true streaming mode
+    val rows0 = ev0.select("ts", "user_id", "event_type", "value", "event_id")
+      .orderBy("ts").collect()
+    val rows = rows0.map(r => Ev(r.getTimestamp(0), r.getLong(1), r.getString(2),
+      r.getDouble(3), r.getLong(4)))
+    val in = MemoryStream[Ev]
+    val out = StreamOps.percentileBandStream(in.toDF(), "event_type", "value",
+      watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("s25")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    rows.grouped(1500).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val sk = spark.table("s25").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getString(1)) ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    val exact = graft.operators.Relational
+      .percentileBands(ev0, "event_type", "value")
+      .collect().map(r => (r.getDate(1).toString, r.getString(0)) ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"), r.getAs[Long]("n"))).toMap
+    assert(sk.nonEmpty && sk.keySet == exact.keySet)
+    // per-cell value tolerance: the sketch at accuracy 10000 on
+    // <10k-row windows is exact-to-near-exact; allow a whisker for
+    // rank-1 ties
+    exact.foreach { case (k, (p50, p95, n)) =>
+      val (s50, s95) = sk(k)
+      assert(math.abs(s50 - p50) <= math.max(1.0, 0.05 * math.abs(p50) + 1e-9),
+        s"$k p50 sketch $s50 vs exact $p50 (n=$n)")
+      assert(math.abs(s95 - p95) <= math.max(1.0, 0.05 * math.abs(p95) + 1e-9),
+        s"$k p95 sketch $s95 vs exact $p95 (n=$n)")
+    }
+  }
+
   test("S24 parity: batch-mode windowed entropy equals Relational.entropy; collapse alerts") {
     val d = sf("sf0.001")
     val ev0 = graft.sources.Tables.events(spark, d)
