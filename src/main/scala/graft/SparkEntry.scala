@@ -193,6 +193,7 @@ object SparkEntry {
     "q170_hhi"             -> (Relational.q170 _),
     "q171_pctile_bands"    -> (Relational.q171 _),
     "q172_cross_corr"      -> (Relational.q172 _),
+    "q173_asof_enrich"     -> (graft.operators.Warehouse.q173 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2100,5 +2101,19 @@ object SparkEntry {
         "sqrt((CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / n) * " +
         "(CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / n)), 6) AS r " +
         "FROM m ORDER BY lag"),
+    // q173: AS-OF enrichment — the oracle derives each event's
+    // effective version directly from the base table and the update
+    // rule (no history table at all): a hash match proves the temporal
+    // join picks exactly the version in effect at event time.
+    "q173_asof_enrich" ->
+      ("SELECT event_id, user_id + 1 AS ck, " +
+        "CASE WHEN (user_id + 1) % 10 = 3 AND CAST(ts AS DATE) >= DATE '2024-01-15' " +
+        "THEN c_acctbal + CAST(100.0 AS DOUBLE) ELSE c_acctbal END AS bal, " +
+        "CASE WHEN (user_id + 1) % 10 = 3 AND CAST(ts AS DATE) >= DATE '2024-01-15' " +
+        "THEN DATE '2024-01-15' ELSE DATE '2024-01-01' END AS valid_from, " +
+        "CASE WHEN (user_id + 1) % 10 = 3 AND CAST(ts AS DATE) < DATE '2024-01-15' " +
+        "THEN FALSE ELSE TRUE END AS is_current " +
+        "FROM events JOIN customer ON c_custkey = user_id + 1 " +
+        "ORDER BY event_id"),
   )
 }

@@ -219,6 +219,47 @@ object Warehouse {
       .filter(col("n") > 0)
   }
 
+  /** AS-OF enrichment — the temporal dimension lookup: join a fact
+    * stream against an SCD2 history picking the version in effect AT
+    * EACH ROW'S OWN event time (valid_from ≤ ts < valid_to). The
+    * correctness half of late/replayed data: enriching yesterday's
+    * replayed events against TODAY'S dimension silently rewrites
+    * history — this join can't. Works batch and stream-static (the
+    * history is the static side; Structured Streaming plans it as a
+    * per-micro-batch join, S26's test). One equi-key join with the
+    * interval as a join filter (q44's shape — never a cross product);
+    * at 100 TB the dimension bucket-partitions by key and versions per
+    * key are few. */
+  def asOfEnrich(facts: DataFrame, hist: DataFrame, factKey: String,
+      histKey: String, tsCol: String = "ts"): DataFrame =
+    facts.join(hist,
+      facts(factKey) === hist(histKey) &&
+        hist("valid_from") <= facts(tsCol).cast("date") &&
+        (hist("valid_to").isNull || hist("valid_to") > facts(tsCol).cast("date")),
+      "left")
+
+  /** Q173 — events enriched with the customer balance in effect at
+    * each event's time, against a 2024-era SCD2 history (baseline
+    * 2024-01-01, the %10 = 3 bump effective 2024-01-15 — mid-fixture,
+    * so both versions are exercised). user→customer key: user_id + 1
+    * (the fixture's users 0..149 land on real custkeys). */
+  def q173(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val current = cust.select(
+      col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+      lit("2024-01-01").cast("date").as("valid_from"))
+    val updates = cust.filter(col("c_custkey") % 10 === 3).select(
+      col("c_custkey").as("k"), (col("c_acctbal") + 100.0d).as("bal"),
+      lit("2024-01-15").cast("date").as("eff"))
+    val hist = scd2Apply(current, updates, Seq("k"), Seq("bal"))
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), (col("user_id") + 1).as("ck"))
+    asOfEnrich(ev, hist, "ck", "k")
+      .select(col("event_id"), col("ck"), col("bal"),
+        col("valid_from"), col("is_current"))
+      .orderBy("event_id")
+  }
+
   /** Q163 — maintained revenue view by (status, priority): base
     * aggregate from the OLD snapshot + q132's diff, never touching the
     * new snapshot; the oracle aggregates the new snapshot directly. */

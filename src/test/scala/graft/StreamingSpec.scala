@@ -773,6 +773,34 @@ class StreamingSpec extends SparkSpec {
       "a fully-shifted window must read as drifted")
   }
 
+  test("S26: stream-static AS-OF enrichment picks each event's effective dimension version") {
+    import graft.operators.Warehouse
+    val hist = Seq(
+      (1L, 10.0, "2024-01-01", Option("2024-01-15"), false),
+      (1L, 20.0, "2024-01-15", Option.empty[String], true),
+      (2L, 5.0, "2024-01-01", Option.empty[String], true))
+      .toDF("k", "bal", "f", "t", "is_current")
+      .select(col("k"), col("bal"), col("f").cast("date").as("valid_from"),
+        col("t").cast("date").as("valid_to"), col("is_current"))
+    val day0 = java.sql.Timestamp.valueOf("2024-01-05 00:00:00").getTime / 1000
+    val day20 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00").getTime / 1000
+    val in = MemoryStream[Ev]
+    val facts = in.toDF().select(col("event_id"), col("ts"),
+      col("user_id").as("ck"))
+    val out = Warehouse.asOfEnrich(facts, hist, "ck", "k")
+      .select(col("event_id"), col("bal"))
+    val q = out.writeStream.format("memory").queryName("s26").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    in.addData(
+      ev(day0, "x", 1, user = 1),   // before the update → 10.0
+      ev(day20, "x", 2, user = 1),  // after → 20.0
+      ev(day0, "x", 3, user = 2))   // single-version key → 5.0
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s26").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("bal")).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 20.0, 3L -> 5.0))
+  }
+
   test("S25: streamed sketch percentile bands stay within rank error of the exact q171 bands") {
     val d = sf("sf0.001")
     val ev0 = graft.sources.Tables.events(spark, d)
