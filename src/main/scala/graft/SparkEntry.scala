@@ -194,6 +194,7 @@ object SparkEntry {
     "q171_pctile_bands"    -> (Relational.q171 _),
     "q172_cross_corr"      -> (Relational.q172 _),
     "q173_asof_enrich"     -> (graft.operators.Warehouse.q173 _),
+    "q174_listagg"         -> (Relational.q174 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2115,5 +2116,14 @@ object SparkEntry {
         "THEN FALSE ELSE TRUE END AS is_current " +
         "FROM events JOIN customer ON c_custkey = user_id + 1 " +
         "ORDER BY event_id"),
+    // q174: LISTAGG — the ORDER is part of the operator (an unordered
+    // string_agg is partition-order-dependent, the classic cross-
+    // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.
+    "q174_listagg" ->
+      ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers, " +
+        "CAST(COUNT(DISTINCT n_name) AS BIGINT) AS n_nations, " +
+        "string_agg(DISTINCT n_name, '|' ORDER BY n_name) AS nations " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY 1 ORDER BY 1"),
   )
 }

@@ -2672,4 +2672,22 @@ object Relational {
   def q172(s: SparkSession, d: String): DataFrame =
     crossCorrelation(Tables.events(s, d), "click", "purchase", 7)
       .orderBy("lag")
+
+  /** Q174 — ordered string aggregation (LISTAGG): the report-surface
+    * staple. An unordered string_agg is partition-order-dependent —
+    * the classic cross-engine hash-fail — so the engine's form is
+    * array_sort(collect_list) → array_join: the ORDER is part of the
+    * operator, exactly like every fold in this repo. Per market
+    * segment: the distinct nations of its customers, sorted and
+    * '|'-joined, plus counts. The aggregated list is vocabulary-
+    * bounded (distinct values), never row-bounded. */
+  def q174(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        count_distinct(col("n_name")).as("n_nations"),
+        array_join(array_sort(collect_set(col("n_name"))), "|").as("nations"))
+      .orderBy("c_mktsegment")
 }
