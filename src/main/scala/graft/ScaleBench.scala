@@ -594,6 +594,13 @@ object ScaleBench {
       val t1 = System.nanoTime()
       Relational.psiDrift(ev, "event_type", "value", isRef, 10).count()
       val psiSec = (System.nanoTime() - t1) / 1e9
+      val t1b = System.nanoTime()
+      Relational.psiDriftApprox(ev, "event_type", "value", isRef, 10).count()
+      val psiApproxSec = (System.nanoTime() - t1b) / 1e9
+      val t1c = System.nanoTime()
+      graft.streaming.StreamOps.psiReference(
+        ev.filter(isRef), "event_type", "value")
+      val psiRefSec = (System.nanoTime() - t1c) / 1e9
       val t2 = System.nanoTime()
       Relational.olsNormal2(
         ev.select(col("event_type"), hour(col("ts")).as("x1"),
@@ -606,7 +613,7 @@ object ScaleBench {
         "event_type", "cat").count()
       val entSec = (System.nanoTime() - t3) / 1e9
       ev.unpersist(); sweep()
-      println(f"""{"op":"drift","n_events":$n,"psi_sec":$psiSec%.2f,"ols_sec":$olsSec%.2f,"entropy_sec":$entSec%.2f}""")
+      println(f"""{"op":"drift","n_events":$n,"psi_sec":$psiSec%.2f,"psi_approx_sec":$psiApproxSec%.2f,"psi_ref_sec":$psiRefSec%.2f,"ols_sec":$olsSec%.2f,"entropy_sec":$entSec%.2f}""")
     }
   }
 

@@ -2208,6 +2208,37 @@ object Relational {
     }
     val bounds = df.filter(isRef).groupBy(groupCol)
       .agg(bexprs.head, bexprs.tail: _*)
+    psiFromBounds(df, groupCol, valCol, isRef, nBins, bounds)
+  }
+
+  /** PSI with the 100 TB-tier bound builder: `approx_percentile`
+    * (Greenwald–Khanna-class MERGEABLE sketch, q52's doctrine) replaces
+    * the exact sort-based `percentile_disc` on the reference side —
+    * the ONLY growth term in the drift ScaleBench curve. Rank error is
+    * ≤ 1/accuracy, so decile boundaries land within that rank band of
+    * the exact ones; everything downstream (strict-> binning, Laplace
+    * smoothing, ordered fold) is byte-identical to `psiDrift`, and the
+    * spec bounds the PSI delta between tiers on identical input. */
+  def psiDriftApprox(df: DataFrame, groupCol: String, valCol: String,
+      isRef: Column, nBins: Int, accuracy: Int = 10000): DataFrame = {
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val bexprs = ps.zipWithIndex.map { case (p, i) =>
+      expr(s"approx_percentile($valCol, $p, $accuracy)")
+        .cast("double").as(s"b$i")
+    }
+    val bounds = df.filter(isRef).groupBy(groupCol)
+      .agg(bexprs.head, bexprs.tail: _*)
+    psiFromBounds(df, groupCol, valCol, isRef, nBins, bounds)
+  }
+
+  /** Shared PSI tail: broadcast bounds → strict-> bin assignment →
+    * (group, bin, side) counts → smoothed proportions → ordered fold.
+    * A bin with zero rows on both sides never reaches the count frame,
+    * so its term is absent from the fold (the contract `psiStream`
+    * mirrors). */
+  private def psiFromBounds(df: DataFrame, groupCol: String, valCol: String,
+      isRef: Column, nBins: Int, bounds: DataFrame): DataFrame = {
+    val ps = (1 until nBins).map(_.toDouble / nBins)
     val assigned = df.join(broadcast(bounds), Seq(groupCol))
       .withColumn("bin",
         lit(1L) + ps.indices.map(i =>

@@ -816,32 +816,44 @@ object StreamOps {
         col("offset_days").cast("long").as("offset_days"))
   }
 
-  /** Reference statistics for S22: per-group decile bounds + smoothed
-    * reference proportions, computed once on a (batch) reference frame
-    * and collected to the driver — groups × bins rows, KBs. The
-    * smoothing matches `Relational.psiDrift` exactly so the streamed
-    * PSI is the same statistic. */
+  /** Reference statistics for S22: per-group decile bounds, smoothed
+    * reference proportions and RAW per-bin counts. Bounds come from the
+    * same grouped `percentile_disc` aggregation `Relational.psiDrift`
+    * uses (ANSI: smallest v with cume_dist ≥ p) and bin counts from one
+    * conditional-sum aggregation over the broadcast bounds — the
+    * reference frame is never collected; only the groups × bins stats
+    * frame (KBs) reaches the driver, so a 100 TB reference window is a
+    * two-agg Spark job, not a driver OOM. The smoothing matches
+    * `psiDrift` exactly so the streamed PSI is the same statistic; the
+    * raw counts let `psiStream` skip bins empty on BOTH sides, exactly
+    * as the batch (group, bin) count frame omits them. */
   def psiReference(ref: DataFrame, groupCol: String, valCol: String,
-      nBins: Int = 10): Map[String, (Array[Double], Array[Double])] = {
-    val rows = ref.select(col(groupCol).cast("string").as("g"),
-      col(valCol).cast("double").as("v")).collect()
-      .groupBy(_.getString(0))
-    rows.map { case (g, rs) =>
-      val vs = rs.map(_.getDouble(1)).sorted
-      val bounds = (1 until nBins).map { i =>
-        // ANSI percentile_disc: smallest v with cume_dist ≥ p
-        val p = i.toDouble / nBins
-        vs(math.max(0, math.ceil(p * vs.length).toInt - 1))
-      }.toArray
-      val counts = new Array[Long](nBins)
-      vs.foreach { v =>
-        val bin = bounds.count(v > _) // strict >, the q135 doctrine
-        counts(bin) += 1
-      }
-      val n = vs.length.toDouble
-      val props = counts.map(c => (c + 0.5) / (n + 0.5 * nBins))
-      g -> (bounds, props)
+      nBins: Int = 10): Map[String, (Array[Double], Array[Double], Array[Long])] = {
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val base = ref.select(col(groupCol).cast("string").as("g"),
+      col(valCol).cast("double").as("v"))
+    val bexprs = ps.zipWithIndex.map { case (p, i) =>
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY v)").as(s"b$i")
     }
+    val bounds = base.groupBy("g").agg(bexprs.head, bexprs.tail: _*)
+    val binCol = ps.indices.map(i =>
+      when(col("v") > col(s"b$i"), 1).otherwise(0)) // strict >, q135 doctrine
+      .reduce(_ + _)
+    val cexprs = (0 until nBins).map(i =>
+      sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"c$i"))
+    base.join(broadcast(bounds), Seq("g"))
+      .withColumn("bin", binCol)
+      .groupBy("g")
+      .agg(cexprs.head, cexprs.tail: _*)
+      .join(broadcast(bounds), Seq("g"))
+      .collect() // groups × (bins + bounds) rows only — KBs
+      .map { r =>
+        val counts = (0 until nBins).map(i => r.getAs[Long](s"c$i")).toArray
+        val bnds = ps.indices.map(i => r.getAs[Double](s"b$i")).toArray
+        val n = counts.sum.toDouble
+        val props = counts.map(c => (c + 0.5) / (n + 0.5 * nBins))
+        r.getAs[String]("g") -> ((bnds, props, counts))
+      }.toMap
   }
 
   /** S22 (r11) — streaming PSI drift: the real-time form of the batch
@@ -859,12 +871,12 @@ object StreamOps {
     * apply). Works identically on a batch frame (the golden test pins
     * streamed == `Relational.psiDrift` on the same split). */
   def psiStream(events: DataFrame, groupCol: String, valCol: String,
-      ref: Map[String, (Array[Double], Array[Double])],
+      ref: Map[String, (Array[Double], Array[Double], Array[Long])],
       size: String = "1 day", watermark: String = "10 seconds",
       nBins: Int = 10): DataFrame = {
     val groups = ref.keys.toSeq.sorted
     def binOf(g: String): org.apache.spark.sql.Column = {
-      val (bounds, _) = ref(g)
+      val (bounds, _, _) = ref(g)
       bounds.map(b => when(col(valCol) > b, 1).otherwise(0))
         .reduce(_ + _) + 1
     }
@@ -886,11 +898,20 @@ object StreamOps {
       when(col(groupCol) === groups.head, lit(ref(groups.head)._2(i - 1)))) {
       (acc, g) => acc.when(col(groupCol) === g, lit(ref(g)._2(i - 1)))
     }
+    // a bin empty on BOTH sides never appears in psiDrift's (group,
+    // bin) count frame, so its term is absent from the batch fold —
+    // mirror that by contributing an exact 0.0 (x + 0.0 == x) when the
+    // reference count AND the window count are both zero
+    def refZeroOf(i: Int): org.apache.spark.sql.Column = groups.tail.foldLeft(
+      when(col(groupCol) === groups.head, lit(ref(groups.head)._3(i - 1) == 0L))) {
+      (acc, g) => acc.when(col(groupCol) === g, lit(ref(g)._3(i - 1) == 0L))
+    }
     val psi = (1 to nBins).map { i =>
       val pa = paOf(i)
       val pb = (col(s"c$i").cast("double") + lit(0.5d)) /
         (n.cast("double") + lit(0.5d * nBins))
-      (pa - pb) * log(pa / pb)
+      when(refZeroOf(i) && col(s"c$i") === lit(0L), lit(0d))
+        .otherwise((pa - pb) * log(pa / pb))
     }.reduce(_ + _) // explicit left chain — deterministic fold order
     counts
       .select(col("window.start").as("ws"), col(groupCol),

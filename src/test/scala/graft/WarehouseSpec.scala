@@ -278,6 +278,28 @@ class WarehouseSpec extends SparkSpec {
     assert(got("shifted") > 1.0, s"shifted PSI ${got("shifted")}")
   }
 
+  test("psiDriftApprox tracks the exact tier within the sketch's rank-error band") {
+    // at accuracy=10000 on 2k rows/group the GK sketch is exact-rank,
+    // so decile bounds coincide and the PSI delta collapses to ~0;
+    // assert a conservative band PLUS the qualitative verdicts agree
+    val rows =
+      (1 to 2000).map(i => ("stable", true, (i * 7 % 997).toDouble)) ++
+      (1 to 2000).map(i => ("stable", false, (i * 11 % 997).toDouble)) ++
+      (1 to 2000).map(i => ("shifted", true, (i * 7 % 997).toDouble)) ++
+      (1 to 2000).map(i => ("shifted", false, 500.0 + (i * 13 % 997)))
+    val df = rows.toDF("grp", "ref", "v")
+    val exact = graft.operators.Relational
+      .psiDrift(df, "grp", "v", col("ref"), 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("psi")).toMap
+    val approx = graft.operators.Relational
+      .psiDriftApprox(df, "grp", "v", col("ref"), 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("psi")).toMap
+    exact.foreach { case (g, e) =>
+      assert(math.abs(approx(g) - e) < 0.05, s"$g exact=$e approx=${approx(g)}")
+    }
+    assert(math.abs(approx("stable")) < 0.05 && approx("shifted") > 1.0)
+  }
+
   // ---- q153 chi-square ----
 
   test("chi-square matches the hand-computed 2x2 contingency value") {
