@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the box has 125 GiB and local[32] runs 32 concurrent
+  // task threads — at 8g the heavy pair/sort queries (q121/q130 class)
+  // showed 3-5× wall-clock outliers from full-GC pressure; 24g keeps
+  // execution memory per task sane while leaving >100 GiB to the OS
+  // page cache (SPARK_DRIVER_MEM still overrides).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // pre-size the heap: growth from the 2g initial to Xmx under load
+  // showed up as 2-5× stalls on the first heavy queries of a JVM
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

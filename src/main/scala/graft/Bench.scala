@@ -152,7 +152,19 @@ object Bench {
       .mkString("{", ",", "}")
     val errsShort = results.collect { case (k, Left(m)) => s"\"${short(k)}\":\"${esc(clip(m, 40))}\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","schema":"compact-v2","queries":$qsShort,"errors":$errsShort,"s1_ingest_rows_per_sec":${s1RowsPerSec.round},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":${ms(total)},"unit":"sec","schema":"compact-v2","queries":$qsShort,"errors":$errsShort,"s1_ingest_rows_per_sec":${s1RowsPerSec.round},"sf":"$sfDir"}""")
+    // The harness captures only the LAST ~2000 chars of stdout, and the
+    // compact line above outgrew that at 173 queries (r11: its head —
+    // the metric key — was clipped, so `parsed` came back null). The
+    // FINAL stdout line is therefore a short, guaranteed-inside-the-
+    // tail record: totals + the 10 heaviest queries; the full per-query
+    // map lives one line up and in the detail file.
+    val heaviest = results.collect { case (k, Right(v)) => (short(k), v) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"$k\":${ms(v)}" }.mkString("{", ",", "}")
+    val nOk = results.count(_._2.isRight)
+    val nErr = results.count(_._2.isLeft)
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$heaviest,"n_queries":$nOk,"n_errors":$nErr,"s1_ingest_rows_per_sec":${s1RowsPerSec.round},"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 }

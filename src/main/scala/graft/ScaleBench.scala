@@ -402,6 +402,51 @@ object ScaleBench {
     }
   }
 
+  /** recsys mode: itemNeighbors with a PLANTED WHALE basket —
+    * n normal basket-item rows (4 items/customer) plus ONE customer
+    * owning `whale` distinct items. Uncapped, the whale alone
+    * contributes whale² co-pairs (quadratic straggler task); with
+    * maxBasket the whale is cut to a deterministic subset and the
+    * curve should track n, not whale². The printed pair counts make
+    * the bounded-vs-quadratic gap auditable. */
+  private def runRecsys(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val whale = 20000L
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val items = math.max(1000L, n / 100)
+      // cust = id mod n/4 (4 rows each); item = hash(cust)+position so
+      // customers hashing to the same anchor share their whole basket —
+      // pair support ≈ (n/4)/items ≈ 25, real survivors at minSupport=2
+      val normal = spark.range(n).select(
+        (pmod(col("id"), lit(n / 4)) + lit(10L)).as("cust"),
+        pmod(pmod(col("id"), lit(n / 4)) * 2654435761L +
+          floor(col("id") / lit(n / 4)), lit(items)).as("item"))
+      val ev = normal.unionAll(
+        spark.range(whale).select(lit(1L).as("cust"), col("id").as("item")))
+        .persist()
+      ev.count()
+      if (i == 0) {
+        graft.operators.Relational
+          .itemNeighbors(ev, 10, minSupport = 2, maxBasket = 100).count()
+        sweep(); ev.count()
+      }
+      val t1 = System.nanoTime()
+      val cappedRows = graft.operators.Relational
+        .itemNeighbors(ev, 10, minSupport = 2, maxBasket = 100).count()
+      val cappedSec = (System.nanoTime() - t1) / 1e9
+      // uncapped only at the smallest size — the whale makes it
+      // whale²-dominated by construction; one point shows the gap
+      val (uncappedSec, uncappedRows) = if (i == 0) {
+        val t2 = System.nanoTime()
+        val r = graft.operators.Relational.itemNeighbors(ev, 10).count()
+        ((System.nanoTime() - t2) / 1e9, r)
+      } else (-1.0, -1L)
+      ev.unpersist(); sweep()
+      println(f"""{"op":"recsys","n_rows":$n,"whale_items":$whale,"capped_sec":$cappedSec%.2f,"uncapped_sec":$uncappedSec%.2f,"capped_out":$cappedRows,"uncapped_out":$uncappedRows}""")
+    }
+  }
+
   /** graph mode: co-occurrence graph construction + triangle counting
     * and item-item neighbor growth over synthetic basket frames —
     * n basket-item rows, 4 items per basket, item vocabulary n/100
@@ -646,6 +691,13 @@ object ScaleBench {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(1000000L, 5000000L, 20000000L)
       runSketch(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("recsys")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(1000000L, 5000000L, 20000000L)
+      runRecsys(spark, sizes)
       spark.stop()
       return
     }

@@ -238,6 +238,11 @@ object SparkEntry {
     // metadata is the multimodal family's oracle anchor); identical/
     // near-dup/distinct Hamming contracts live in MultimodalSpec.
     "q167_image_dedup"     -> (graft.ext.Multimodal.q167 _),
+    // q175 rows-only: MP4/ISO-BMFF container metadata — DuckDB has no
+    // box parser to oracle the bits against; byte-exact golden
+    // contracts (synth → parse round-trip, v0/v1 offsets, truncation
+    // quarantine) live in MultimodalSpec.
+    "q175_video_meta"      -> (graft.ext.Multimodal.q175 _),
   )
 
   /** DuckDB-dialect oracle SQL, one per `queries` key. */
@@ -1761,10 +1766,18 @@ object SparkEntry {
           "GROUP BY u.a HAVING COUNT(CASE WHEN rb.a IS NULL THEN 1 END) < 16)"
       }.mkString
       val last = s"x${waves - 1}"
+      // fixpoint guard: the removed-set is monotone, so equal counts in
+      // the last two waves ⟺ converged; if a deeper cascade ever
+      // outruns the unroll, the sentinel row makes the gate fail LOUDLY
+      // (hash mismatch on a (-1,-1) row) instead of silently truncating
+      val guard = s" UNION ALL SELECT CAST(-1 AS BIGINT) AS part, " +
+        s"CAST(-1 AS BIGINT) AS core_deg WHERE " +
+        s"(SELECT COUNT(*) FROM $last) <> (SELECT COUNT(*) FROM x${waves - 2})"
       base + layers +
         s" SELECT u.a AS part, CAST(COUNT(*) AS BIGINT) AS core_deg FROM und u " +
         s"LEFT JOIN $last ra ON u.a = ra.a LEFT JOIN $last rb ON u.b = rb.a " +
-        "WHERE ra.a IS NULL AND rb.a IS NULL GROUP BY u.a ORDER BY part"
+        "WHERE ra.a IS NULL AND rb.a IS NULL GROUP BY u.a" + guard +
+        " ORDER BY part"
     },
     // q148: source vocabulary overlap — distinct (source, token) sets,
     // token-key intersection join, Jaccard one IEEE divide of BIGINTs.
@@ -2105,16 +2118,24 @@ object SparkEntry {
     // q173: AS-OF enrichment — the oracle derives each event's
     // effective version directly from the base table and the update
     // rule (no history table at all): a hash match proves the temporal
-    // join picks exactly the version in effect at event time.
+    // join picks exactly the version in effect at event time. LEFT
+    // JOIN + the NULL branch mirror the engine's left-join semantics
+    // exactly: an event whose key has no customer row, or whose ts
+    // predates the 2024-01-01 baseline (no version yet in effect),
+    // carries NULL bal/valid_from/is_current on BOTH sides — the gate
+    // does not depend on the fixture exercising neither case.
     "q173_asof_enrich" ->
       ("SELECT event_id, user_id + 1 AS ck, " +
-        "CASE WHEN (user_id + 1) % 10 = 3 AND CAST(ts AS DATE) >= DATE '2024-01-15' " +
+        "CASE WHEN c_custkey IS NULL OR CAST(ts AS DATE) < DATE '2024-01-01' THEN NULL " +
+        "WHEN (user_id + 1) % 10 = 3 AND CAST(ts AS DATE) >= DATE '2024-01-15' " +
         "THEN c_acctbal + CAST(100.0 AS DOUBLE) ELSE c_acctbal END AS bal, " +
-        "CASE WHEN (user_id + 1) % 10 = 3 AND CAST(ts AS DATE) >= DATE '2024-01-15' " +
+        "CASE WHEN c_custkey IS NULL OR CAST(ts AS DATE) < DATE '2024-01-01' THEN NULL " +
+        "WHEN (user_id + 1) % 10 = 3 AND CAST(ts AS DATE) >= DATE '2024-01-15' " +
         "THEN DATE '2024-01-15' ELSE DATE '2024-01-01' END AS valid_from, " +
-        "CASE WHEN (user_id + 1) % 10 = 3 AND CAST(ts AS DATE) < DATE '2024-01-15' " +
+        "CASE WHEN c_custkey IS NULL OR CAST(ts AS DATE) < DATE '2024-01-01' THEN NULL " +
+        "WHEN (user_id + 1) % 10 = 3 AND CAST(ts AS DATE) < DATE '2024-01-15' " +
         "THEN FALSE ELSE TRUE END AS is_current " +
-        "FROM events JOIN customer ON c_custkey = user_id + 1 " +
+        "FROM events LEFT JOIN customer ON c_custkey = user_id + 1 " +
         "ORDER BY event_id"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-

@@ -427,6 +427,182 @@ object Multimodal {
     pairs.orderBy("img_a", "img_b")
   }
 
+  // ---- VIDEO metadata: pure-JVM ISO-BMFF (MP4) box parse ----
+  // The JDK ships no video CODEC, so frame decode stays impossible in
+  // this offline environment (decodeFeaturesStub's note) — but the MP4
+  // CONTAINER is plain length-prefixed boxes, parseable without any
+  // codec: moov/mvhd carries timescale+duration, trak/tkhd the display
+  // dims (16.16 fixed point), mdia/hdlr marks the video track, and
+  // stbl/stsd + stts carry the codec fourcc and the sample (frame)
+  // count. That closes the honest half of the video stub: everything a
+  // catalog/filter/pruning pass needs, with undecodable payloads
+  // quarantined as null exactly like the image path.
+
+  /** Parsed MP4 container metadata (no codec needed). */
+  case class VideoMeta(timescale: Long, duration_s: Double,
+      width: Int, height: Int, codec: String, n_frames: Long)
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def fourccAt(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "ISO-8859-1")
+
+  /** Iterate child boxes in [start, end): (type, payloadStart, payloadEnd). */
+  private def boxes(b: Array[Byte], start: Int, end: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var o = start
+      def hasNext: Boolean = o + 8 <= end
+      def next(): (String, Int, Int) = {
+        val size32 = be32(b, o)
+        val typ = fourccAt(b, o + 4)
+        val (hdr, size) =
+          if (size32 == 1L && o + 16 <= end) (16, be64(b, o + 8))
+          else if (size32 == 0L) (8, (end - o).toLong)
+          else (8, size32)
+        if (size < hdr || o + size > end) { o = end; ("", end, end) }
+        else { val r = (typ, o + hdr, o + size.toInt); o += size.toInt; r }
+      }
+    }
+
+  private def findBox(b: Array[Byte], start: Int, end: Int,
+      typ: String): Option[(Int, Int)] =
+    boxes(b, start, end).collectFirst { case (t, s, e) if t == typ => (s, e) }
+
+  /** Parse MP4/ISO-BMFF container metadata; null (quarantine) for
+    * anything malformed, truncated, or not ISO-BMFF at all. */
+  def parseVideoMeta(bytes: Array[Byte]): VideoMeta =
+    try {
+      if (bytes == null || bytes.length < 16) return null
+      val (moovS, moovE) = findBox(bytes, 0, bytes.length, "moov").orNull match {
+        case null => return null
+        case r    => r
+      }
+      val (ts, dur) = findBox(bytes, moovS, moovE, "mvhd") match {
+        case Some((s, _)) =>
+          val v = bytes(s) & 0xff
+          if (v == 1) (be32(bytes, s + 20), be64(bytes, s + 24))
+          else (be32(bytes, s + 12), be32(bytes, s + 16))
+        case None => return null
+      }
+      // first trak whose hdlr is 'vide'; fall back to the first trak
+      val traks = boxes(bytes, moovS, moovE).filter(_._1 == "trak").toSeq
+      if (traks.isEmpty) return null
+      def handler(tS: Int, tE: Int): String =
+        (for {
+          (mS, mE) <- findBox(bytes, tS, tE, "mdia")
+          (hS, _)  <- findBox(bytes, mS, mE, "hdlr")
+        } yield fourccAt(bytes, hS + 8)).getOrElse("")
+      val (tkS, tkE) = traks.find { case (_, s, e) => handler(s, e) == "vide" }
+        .map { case (_, s, e) => (s, e) }
+        .getOrElse((traks.head._2, traks.head._3))
+      val (w, h) = findBox(bytes, tkS, tkE, "tkhd") match {
+        case Some((s, _)) =>
+          val v = bytes(s) & 0xff
+          // duration offset: v/f(4) + creation + modification + track(4)
+          // + reserved(4); creation/modification are 8 B each in v1
+          val mo = if (v == 1) s + 28 else s + 20
+          val dimO = mo + (if (v == 1) 8 else 4) + 8 + 2 + 2 + 2 + 2 + 36
+          ((be32(bytes, dimO) >> 16).toInt, (be32(bytes, dimO + 4) >> 16).toInt)
+        case None => (0, 0)
+      }
+      val stbl = for {
+        (mS, mE)   <- findBox(bytes, tkS, tkE, "mdia")
+        (miS, miE) <- findBox(bytes, mS, mE, "minf")
+        (sbS, sbE) <- findBox(bytes, miS, miE, "stbl")
+      } yield (sbS, sbE)
+      val codec = stbl.flatMap { case (s, e) =>
+        findBox(bytes, s, e, "stsd").map { case (sS, _) =>
+          fourccAt(bytes, sS + 8 + 4) // v/f + entry_count, entry: size then fourcc
+        }
+      }.getOrElse("")
+      val nFrames = stbl.flatMap { case (s, e) =>
+        findBox(bytes, s, e, "stts").map { case (sS, _) =>
+          val n = be32(bytes, sS + 4).toInt
+          (0 until n).map(i => be32(bytes, sS + 8 + i * 8)).sum
+        }
+      }.getOrElse(0L)
+      if (ts <= 0) return null
+      VideoMeta(ts, dur.toDouble / ts, w, h, codec, nFrames)
+    } catch { case _: Exception => null }
+
+  val videoMetaUdf = udf { (bytes: Array[Byte]) => parseVideoMeta(bytes) }
+
+  /** `videoMeta(media)` — struct<timescale, duration_s, width, height,
+    * codec, n_frames> or null for quarantined payloads. */
+  def videoMeta(media: Column): Column = videoMetaUdf(payload(media))
+
+  /** Synthesize a minimal valid MP4 (ftyp + moov(mvhd, trak(tkhd,
+    * mdia(mdhd, hdlr'vide', minf(stbl(stsd fourcc, stts))))) + mdat) —
+    * deterministic, for fixtures and the q175 rows-only gate. */
+  def synthMp4(timescale: Long, duration: Long, w: Int, h: Int,
+      nFrames: Long, fourcc: String): Array[Byte] = {
+    def be(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+    def bx(typ: String, payload: Array[Byte]): Array[Byte] =
+      be(payload.length + 8L, 4) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val matrix = be(0x10000L, 4) ++ be(0, 4) ++ be(0, 4) ++
+      be(0, 4) ++ be(0x10000L, 4) ++ be(0, 4) ++
+      be(0, 4) ++ be(0, 4) ++ be(0x40000000L, 4)
+    val mvhd = bx("mvhd", be(0, 4) ++ be(0, 4) ++ be(0, 4) ++
+      be(timescale, 4) ++ be(duration, 4) ++ be(0x10000L, 4) ++
+      be(0x0100, 2) ++ be(0, 2) ++ be(0, 8) ++ matrix ++
+      Array.fill[Byte](24)(0) ++ be(2, 4))
+    val tkhd = bx("tkhd", be(7, 4) ++ be(0, 4) ++ be(0, 4) ++ be(1, 4) ++
+      be(0, 4) ++ be(duration, 4) ++ be(0, 8) ++ be(0, 2) ++ be(0, 2) ++
+      be(0, 2) ++ be(0, 2) ++ matrix ++
+      be(w.toLong << 16, 4) ++ be(h.toLong << 16, 4))
+    val mdhd = bx("mdhd", be(0, 4) ++ be(0, 4) ++ be(0, 4) ++
+      be(timescale, 4) ++ be(duration, 4) ++ be(0x55c4, 2) ++ be(0, 2))
+    val hdlr = bx("hdlr", be(0, 4) ++ be(0, 4) ++
+      "vide".getBytes("ISO-8859-1") ++ Array.fill[Byte](12)(0) ++ Array[Byte](0))
+    val sampleEntry = be(16, 4) ++ fourcc.getBytes("ISO-8859-1") ++
+      Array.fill[Byte](6)(0) ++ be(1, 2)
+    val stsd = bx("stsd", be(0, 4) ++ be(1, 4) ++ sampleEntry)
+    val stts = bx("stts", be(0, 4) ++ be(1, 4) ++ be(nFrames, 4) ++ be(1, 4))
+    val stbl = bx("stbl", stsd ++ stts)
+    val minf = bx("minf", stbl)
+    val mdia = bx("mdia", mdhd ++ hdlr ++ minf)
+    val trak = bx("trak", tkhd ++ mdia)
+    val moov = bx("moov", mvhd ++ trak)
+    val ftyp = bx("ftyp", "isom".getBytes("ISO-8859-1") ++ be(0x200, 4) ++
+      "isom".getBytes("ISO-8859-1"))
+    ftyp ++ moov ++ bx("mdat", Array[Byte](0, 1, 2, 3))
+  }
+
+  val synthMp4Udf = udf { (ts: Long, dur: Long, w: Int, h: Int, nf: Long) =>
+    synthMp4(ts, dur, w, h, nf, "avc1")
+  }
+
+  /** Q175 — video container metadata over synthesized MP4 payloads
+    * (rows-only: DuckDB has no ISO-BMFF parser to oracle the bits
+    * against; the byte-exact golden contracts live in MultimodalSpec).
+    * Every third payload is corrupted and must quarantine to null
+    * metadata — counted, never dropped. */
+  def q175(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val base = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") < 300)
+    val media = base.withColumn("payload0",
+        synthMp4Udf(lit(600L), (lit(600L) * (lit(1) + col("doc_id") % 30)),
+          (lit(320) + (col("doc_id") % 4) * 320).cast("int"),
+          (lit(240) + (col("doc_id") % 4) * 180).cast("int"),
+          (lit(24L) * (lit(1) + col("doc_id") % 30))))
+      .withColumn("media", pack(lit(KindVideo), lit("video/mp4"),
+        when(col("doc_id") % 3 === 2,
+          substring(col("payload0"), 1, 20)) // truncated → quarantine
+          .otherwise(col("payload0"))))
+    media.withColumn("vm", videoMeta(col("media")))
+      .select(col("doc_id"),
+        col("vm").isNull.as("quarantined"),
+        col("vm.timescale").as("timescale"),
+        round(col("vm.duration_s"), 6).as("duration_s"),
+        col("vm.width").as("width"), col("vm.height").as("height"),
+        col("vm.codec").as("codec"), col("vm.n_frames").as("n_frames"))
+      .orderBy("doc_id")
+  }
+
   def q53(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val base = graft.sources.Tables.documents(s, d)
       .select(col("doc_id")).filter(col("doc_id") < 200)

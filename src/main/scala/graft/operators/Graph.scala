@@ -325,7 +325,7 @@ object Graph {
     * the declared safety cap, mirrored exactly by the oracle's
     * recursion bound so both engines compute the same fixpoint. */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 50,
-      frontierLimit: Int = 5000000): DataFrame = {
+      frontierLimit: Int = 500000): DataFrame = {
     val e0 = edges.toDF("src", "dst")
     val spark = edges.sparkSession
     val sym = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))

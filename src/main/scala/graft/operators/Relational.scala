@@ -1524,19 +1524,67 @@ object Relational {
     *
     * Shape: one distinct on (cust, part), one self-equi-join on the
     * customer key (pairs per customer = basket², never corpus²), one
-    * hash agg, one bounded window. 100 TB: the production levers are a
-    * minimum co-support cut before the window and a heavy-customer cap
-    * (a customer with a million items contributes a million² pairs —
-    * q56's salting territory; cutting baskets at the 99.9th percentile
-    * is the standard recsys hygiene), both applied before anything
-    * quadratic materializes. */
-  def itemNeighbors(baskets: DataFrame, k: Int): DataFrame = {
-    val b = baskets.toDF("cust", "item").distinct()
+    * hash agg, one bounded window. 100 TB: the production levers are
+    * REAL parameters, both applied before anything quadratic
+    * materializes — `maxBasket` caps each customer at a deterministic
+    * hash-ordered subset (a customer with a million items contributes
+    * a million² pairs — q56's salting territory; cutting baskets at
+    * the 99.9th percentile is the standard recsys hygiene; degrees are
+    * recomputed AFTER the cap so sim stays an exact cosine over the
+    * capped matrix), and `minSupport` drops sub-support pairs right
+    * after the co agg, before the degree joins and the window.
+    * Defaults (no cap, support 1) add zero plan nodes — the gated
+    * q121/q130 plans and hashes are byte-identical. */
+  def itemNeighbors(baskets: DataFrame, k: Int,
+      minSupport: Long = 1L, maxBasket: Int = Int.MaxValue): DataFrame =
+    neighborsOn(prepBaskets(baskets), k, minSupport, maxBasket)
+
+  /** The shared basket prep: distinct once, MATERIALIZED — before r12
+    * the lazy frame was recomputed four times per query (self-join x/y
+    * sides + both degree joins each re-ran the scan and the distinct
+    * shuffle; the r11 plan audit counted 4 lineitem scans in q121).
+    * `localCheckpoint`, NOT `persist`: the columnar-cache path was
+    * measured 2.5× SLOWER here — InMemoryTableScan drops out of
+    * whole-stage codegen and its row-count stats bait the planner into
+    * broadcasting the whole basket frame at the self-join; the
+    * checkpointed RDD keeps codegen and default (large) stats, so the
+    * pair join stays a partitioned sort-merge. Two narrow columns per
+    * basket row; freed when the frame is GC'd. */
+  private def prepBaskets(baskets: DataFrame): DataFrame =
+    baskets.toDF("cust", "item").distinct()
+      .repartition(col("cust"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+  /** Neighbor plan over a PREPARED basket frame (distinct, cust-
+    * partitioned — `prepBaskets` or a cust-bucketed table scan). */
+  private def neighborsOn(b0: DataFrame, k: Int,
+      minSupport: Long, maxBasket: Int): DataFrame = {
+    val b = if (maxBasket == Int.MaxValue) b0
+      else b0.withColumn("brk", row_number().over(
+          Window.partitionBy("cust")
+            .orderBy(xxhash64(col("cust"), col("item")), col("item"))))
+        .filter(col("brk") <= maxBasket).drop("brk")
     val deg = b.groupBy("item").agg(count(lit(1)).as("n"))
-    val co = b.as("x").join(b.as("y"),
-        col("x.cust") === col("y.cust") && col("x.item") =!= col("y.item"))
+    // HALVED pair-gen: co-support is symmetric, so count each unordered
+    // pair once (item < neighbor) — half the self-join output and half
+    // the groups through the pair hash-agg (the query's biggest frame:
+    // 25 M distinct pairs at sf0.1; the full-fan agg was the measured
+    // hot spot). The mirror back to both directions is a NARROW
+    // explode — two struct rows per half-pair — so the half frame is
+    // computed exactly once with no materialization.
+    val half0 = b.as("x").join(b.as("y"),
+        col("x.cust") === col("y.cust") && col("x.item") < col("y.item"))
       .groupBy(col("x.item").as("item"), col("y.item").as("neighbor"))
       .agg(count(lit(1)).as("co"))
+    val half = if (minSupport <= 1L) half0
+               else half0.filter(col("co") >= minSupport)
+    val co = half
+      .select(explode(array(
+        struct(col("item"), col("neighbor"), col("co")),
+        struct(col("neighbor").as("item"), col("item").as("neighbor"),
+          col("co")))).as("s"))
+      .select(col("s.item").as("item"), col("s.neighbor").as("neighbor"),
+        col("s.co").as("co"))
     val sim = co
       .join(broadcast(deg.select(col("item"), col("n").as("n_a"))), "item")
       .join(broadcast(deg.select(col("item").as("neighbor"), col("n").as("n_b"))),
@@ -1548,6 +1596,22 @@ object Relational {
       .filter(col("rk") <= k)
       .select(col("item"), col("neighbor"), col("co"), col("sim"),
         col("rk").cast("long").as("rk"))
+  }
+
+  /** At-rest co-location variant: the distinct basket frame is written
+    * ONCE as a cust-bucketed (+ bucket-sorted) table, so the pair
+    * self-join — and any later query joining or grouping on cust —
+    * reads bucket files that already satisfy the join's distribution:
+    * zero Exchange on either side (BucketingSpec asserts it). This is
+    * the q121/q130 shape a 100 TB pipeline runs nightly: pay the
+    * basket shuffle once at write, amortize it across every serving
+    * query. */
+  def itemNeighborsBucketed(baskets: DataFrame, k: Int,
+      table: String = "graft_baskets_bucketed", nBuckets: Int = 32,
+      minSupport: Long = 1L, maxBasket: Int = Int.MaxValue): DataFrame = {
+    graft.core.Partitioning.writeBucketed(
+      baskets.toDF("cust", "item").distinct(), table, "cust", nBuckets)
+    neighborsOn(baskets.sparkSession.table(table), k, minSupport, maxBasket)
   }
 
   /** Q121 — item-item neighbors under the ORACLE gate: top-5 co-purchase
@@ -1778,7 +1842,17 @@ object Relational {
           array_sort(collect_list(struct(col("tsu"), col("event_id"),
             col("event_type")))),
           x => x.getField("event_type")), 1, maxLen), ">").as("path"))
-    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+    val counted = paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+    // q99 per-partition pre-cut: each partition of the path-count frame
+    // keeps its local top-k (every global top-k row lives in SOME
+    // partition, so it survives), and the final total-order window
+    // ranks only the ≤ partitions·k survivors — the path vocabulary is
+    // never globally sorted, so an unbounded path space costs one agg
+    // shuffle plus a k-row-per-partition tail
+    val local = Window.partitionBy(spark_partition_id())
+      .orderBy(col("n_sessions").desc, col("path"))
+    counted.withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k).drop("lrn")
       .withColumn("rk", row_number().over(
         Window.orderBy(col("n_sessions").desc, col("path"))))
       .filter(col("rk") <= k)
@@ -1799,9 +1873,16 @@ object Relational {
     * hash agg, one anti-join, one bounded per-customer window — the
     * standard item-CF serving precompute, all shuffles on customer or
     * item keys. */
-  def recommendItems(baskets: DataFrame, k: Int, topn: Int): DataFrame = {
-    val owned = baskets.toDF("cust", "item").distinct()
-    val nbrs = itemNeighbors(baskets, k)
+  def recommendItems(baskets: DataFrame, k: Int, topn: Int,
+      minSupport: Long = 1L, maxBasket: Int = Int.MaxValue): DataFrame = {
+    // ONE prepared basket frame backs everything: the neighbor pair-gen
+    // AND the ownership joins (before r12 `owned` re-ran its own scan +
+    // distinct on top of itemNeighbors' four). `owned` stays UNCAPPED:
+    // the cap bounds the quadratic pair-gen, not the ownership
+    // exclusion — a whale customer must still never be recommended an
+    // item they already own.
+    val owned = prepBaskets(baskets)
+    val nbrs = neighborsOn(owned, k, minSupport, maxBasket)
       .select(col("item"), col("neighbor"),
         col("sim").cast("decimal(18,6)").as("simd"))
     val scores = owned.join(nbrs, "item")
@@ -1810,13 +1891,14 @@ object Relational {
     val unowned = scores.join(owned,
       scores("cust") === owned("cust") && scores("rec_item") === owned("item"),
       "left_anti")
-    unowned
+    val out = unowned
       .withColumn("score", round(col("score_d").cast("double"), 6))
       .withColumn("rk", row_number().over(
         Window.partitionBy("cust").orderBy(col("score").desc, col("rec_item"))))
       .filter(col("rk") <= topn)
       .select(col("cust"), col("rec_item"), col("n_shared"), col("score"),
         col("rk").cast("long").as("rk"))
+    out
   }
 
   /** Q130 — item-CF recommendations under the ORACLE gate: top-3
@@ -2156,14 +2238,37 @@ object Relational {
     * are assigned by SORTED value order, so the mapping is a pure
     * function of the value SET — stable across runs, partitionings,
     * and engines (an arbitrary-order assignment would differ per
-    * shuffle). The ranking window runs over the DISTINCT vocabulary
-    * (Heaps-law bounded — the q99 bounded-frame class), never the
-    * facts; facts take the mapping back by broadcast join. */
+    * shuffle). The rank over the DISTINCT vocabulary is the packShards
+    * TWO-PHASE prefix pattern, never a global window: range-partition
+    * the vocabulary by value (sorted, disjoint ranges), rank locally
+    * per range, then add per-range count offsets (a window over
+    * #partitions rows, not #values) — identical ids for any range
+    * boundaries, and a vocabulary that outgrows "bounded" (label
+    * spaces do, at 100×) still never funnels through one reducer.
+    * Facts take the mapping back by broadcast join. */
   def dictionaryEncode(df: DataFrame, valueCol: String,
       idName: String): DataFrame = {
-    val vocab = df.select(col(valueCol)).distinct()
-      .withColumn(idName, row_number().over(Window.orderBy(col(valueCol)))
-        .cast("long"))
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // persist is LOAD-BEARING (packShards doctrine): both the local-rank
+    // and the offsets branch consume this frame; unpersisted, each would
+    // re-sample its own range boundaries and the offsets could misalign
+    val vocab0 = df.select(col(valueCol)).distinct()
+      .repartitionByRange(p, col(valueCol))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val local = vocab0.withColumn("lrn",
+      row_number().over(Window.partitionBy("pid").orderBy(col(valueCol))))
+    val offsets = vocab0.groupBy("pid").agg(count(lit(1)).as("total"))
+      .withColumn("offset", coalesce(sum(col("total")).over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "offset")
+    val vocab = local.join(broadcast(offsets), Seq("pid"))
+      .select(col(valueCol), (col("offset") + col("lrn")).cast("long").as(idName))
+      // pin-then-release: materialize the (value, id) mapping so vocab0
+      // can be unpersisted here instead of leaking into the caller
+      .localCheckpoint(true)
+    vocab0.unpersist()
     df.join(broadcast(vocab), Seq(valueCol))
   }
 

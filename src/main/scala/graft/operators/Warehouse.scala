@@ -37,12 +37,15 @@ object Warehouse {
     *  - brand-new keys insert as current from `eff`;
     *  - untouched keys pass through unchanged.
     *
-    * Shuffle story: ONE left join of dimension against the
-    * (auto-broadcast-sized) update batch plus one anti-join for
-    * inserts; the dimension is never shuffled when the batch
-    * broadcasts, and the unions are free (no exchange). At 100 TB the
-    * dimension stays hash-partitioned by key on disk and this plan
-    * touches each partition once — merge-on-read, not rewrite-the-world.
+    * Shuffle story: ONE left join of dimension against the update
+    * batch plus one anti-join for inserts — with NO forced broadcast
+    * hint: the planner (and AQE at runtime) broadcasts a batch under
+    * the threshold, in which case the dimension is never shuffled, and
+    * DEGRADES to a shuffle join for a bulk backfill batch instead of
+    * failing on the driver's broadcast limits. The unions are free
+    * (no exchange). At 100 TB the dimension stays hash-partitioned by
+    * key on disk and this plan touches each partition once —
+    * merge-on-read, not rewrite-the-world.
     */
   def scd2Apply(current: DataFrame, updates: DataFrame,
       keys: Seq[String], tracked: Seq[String]): DataFrame = {
@@ -50,7 +53,7 @@ object Warehouse {
       Seq(col("valid_from"), col("valid_to"), col("is_current"))
     val upd = updates.select(
       keys.map(col) ++ tracked.map(c => col(c).as(s"u_$c")) :+ col("eff"): _*)
-    val joined = current.join(broadcast(upd), keys, "left")
+    val joined = current.join(upd, keys, "left")
     val changed = tracked.map(c => !(col(c) <=> col(s"u_$c")))
       .reduce(_ || _)
     val hasUpd = col("eff").isNotNull

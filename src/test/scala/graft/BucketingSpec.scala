@@ -46,4 +46,35 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("itemNeighborsBucketed: basket self-join reads buckets with no Exchange below the pair agg, result equals the plain operator") {
+    import graft.operators.Relational
+    val baskets = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at fixture size everything broadcasts, which would hide the
+      // bucket win; at 100 TB neither self-join side broadcasts
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = Relational.itemNeighborsBucketed(
+        baskets, k = 5, table = "b_baskets", nBuckets = 8)
+      // the ONLY exchanges in the plan must sit at/above the pair
+      // aggregation (item-keyed); the cust-keyed self-join below it
+      // must be satisfied by the bucket scan itself
+      val plan = bucketed.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, plan)
+      val belowJoin = plan.substring(joinIdx)
+      assert(!belowJoin.contains("Exchange hashpartitioning(cust"),
+        s"bucketed basket self-join still shuffles on cust:\n$plan")
+      val plain = Relational.itemNeighbors(baskets, 5)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(canon(bucketed) == canon(plain))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.sql("DROP TABLE IF EXISTS b_baskets")
+    }
+  }
 }

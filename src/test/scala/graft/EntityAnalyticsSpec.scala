@@ -323,6 +323,38 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(!out.contains(("B", 3L))) // k = 2 cap
   }
 
+  test("itemNeighbors skew levers: maxBasket bounds whale fan-out, minSupport cuts pairs") {
+    // a whale customer owning 100 items would contribute 100·99 pairs;
+    // with maxBasket=10 it contributes at most 10·9, and the cap is a
+    // deterministic hash-ordered subset (same result on re-run)
+    val whale = (0 until 100).map(i => (1L, f"P$i%03d"))
+    val pair = Seq((2L, "P000"), (2L, "P001"), (3L, "P000"), (3L, "P001"))
+    val baskets = (whale ++ pair).toDF("cust", "item")
+    val capped = graft.operators.Relational
+      .itemNeighbors(baskets, k = 200, maxBasket = 10)
+    // pair fan-out bound: items seen in capped output ≤ 10 whale items
+    // plus the two pair items; and determinism across evaluations
+    val items1 = capped.collect().map(_.getString(0)).toSet
+    val items2 = capped.collect().map(_.getString(0)).toSet
+    assert(items1 == items2, "cap must be deterministic")
+    assert(items1.size <= 12, s"cap leaked: ${items1.size} items")
+    // minSupport=2 keeps only the pair bought by customers 2 AND 3
+    // (plus customer 1 if their capped subset includes both) — every
+    // surviving pair must have co ≥ 2
+    val sup = graft.operators.Relational
+      .itemNeighbors(baskets, k = 200, minSupport = 2)
+      .collect()
+    assert(sup.nonEmpty && sup.forall(_.getLong(2) >= 2L))
+    assert(sup.exists(r => r.getString(0) == "P000" && r.getString(1) == "P001"))
+    // defaults preserve the un-levered result exactly
+    val plain = graft.operators.Relational.itemNeighbors(baskets, k = 200)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val dflt = graft.operators.Relational
+      .itemNeighbors(baskets, k = 200, minSupport = 1L, maxBasket = Int.MaxValue)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(plain == dflt)
+  }
+
   // ---- q122 ACF ----
 
   test("ACF sign pattern and exact value on a periodic series") {

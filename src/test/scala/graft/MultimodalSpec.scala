@@ -204,4 +204,66 @@ class MultimodalSpec extends SparkSpec {
     assert(df.select(Multimodal.decodeWav(col("m"))).head().isNullAt(0))
     assert(df.select(Multimodal.imageGridFeatures(col("m"))).head().isNullAt(0))
   }
+
+  // ---- MP4/ISO-BMFF container metadata ----
+
+  test("videoMeta: synth → parse round-trip recovers every field byte-exactly") {
+    val bytes = Multimodal.synthMp4(timescale = 600L, duration = 9000L,
+      w = 1280, h = 720, nFrames = 360L, fourcc = "avc1")
+    val vm = Multimodal.parseVideoMeta(bytes)
+    assert(vm != null)
+    assert(vm.timescale == 600L)
+    assert(vm.duration_s == 15.0) // 9000/600, one IEEE divide
+    assert(vm.width == 1280 && vm.height == 720)
+    assert(vm.codec == "avc1" && vm.n_frames == 360L)
+  }
+
+  test("videoMeta: version-1 mvhd/tkhd offsets parse correctly") {
+    // hand-build a v1 moov: 64-bit creation/modification/duration
+    def be(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+    def bx(t: String, p: Array[Byte]): Array[Byte] =
+      be(p.length + 8L, 4) ++ t.getBytes("ISO-8859-1") ++ p
+    val matrix = Array.fill[Byte](36)(0)
+    val mvhd = bx("mvhd", be(0x01000000L, 4) ++ be(0, 8) ++ be(0, 8) ++
+      be(1000L, 4) ++ be(42000L, 8) ++ be(0x10000L, 4) ++ be(0x0100, 2) ++
+      be(0, 2) ++ be(0, 8) ++ matrix ++ Array.fill[Byte](24)(0) ++ be(2, 4))
+    val tkhd = bx("tkhd", be(0x01000007L, 4) ++ be(0, 8) ++ be(0, 8) ++
+      be(1, 4) ++ be(0, 4) ++ be(42000L, 8) ++ be(0, 8) ++ be(0, 2) ++
+      be(0, 2) ++ be(0, 2) ++ be(0, 2) ++ matrix ++
+      be(640L << 16, 4) ++ be(480L << 16, 4))
+    val hdlr = bx("hdlr", be(0, 4) ++ be(0, 4) ++
+      "vide".getBytes("ISO-8859-1") ++ Array.fill[Byte](13)(0))
+    val mdia = bx("mdia", hdlr)
+    val moov = bx("moov", mvhd ++ bx("trak", tkhd ++ mdia))
+    val vm = Multimodal.parseVideoMeta(moov)
+    assert(vm != null)
+    assert(vm.timescale == 1000L && vm.duration_s == 42.0)
+    assert(vm.width == 640 && vm.height == 480)
+  }
+
+  test("videoMeta quarantines truncated, junk, and null payloads as null") {
+    val good = Multimodal.synthMp4(600L, 9000L, 320, 240, 100L, "avc1")
+    assert(Multimodal.parseVideoMeta(good.take(20)) == null)
+    assert(Multimodal.parseVideoMeta(Array.fill[Byte](64)(42)) == null)
+    assert(Multimodal.parseVideoMeta(null) == null)
+    assert(Multimodal.parseVideoMeta(Array.emptyByteArray) == null)
+  }
+
+  test("q175: parsed rows carry container truth, every third payload quarantined") {
+    val out = graft.ext.Multimodal.q175(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 3 == 2) assert(r.getBoolean(1), s"doc $id should quarantine")
+      else {
+        assert(!r.getBoolean(1))
+        assert(r.getLong(2) == 600L) // timescale
+        assert(r.getLong(7) == 24L * (1 + id % 30)) // n_frames
+        assert(r.getString(6) == "avc1")
+        // duration = frames/24fps exactly: ts·(1+id%30)/ts
+        assert(r.getDouble(3) == (1 + id % 30).toDouble)
+      }
+    }
+  }
 }

@@ -635,6 +635,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("RocksDB sweep: every fMGWS operator (S14/S18/S19/S20/S21) runs green under the RocksDB provider") {
+    // the r11 verdict item: S12 ran under RocksDB but the other custom-
+    // state operators only ever ran on the default HDFS-backed store.
+    // Each op here processes a small script under RocksDB; the assert
+    // is rows-out + the provider's own metrics present (state actually
+    // served by RocksDB, not silently fallen back).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = 1700000000L
+      val steps = Seq(("view", 0L), ("click", 3600L * 1000000),
+        ("purchase", 86400L * 1000000))
+      val ops: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+        ("S14 funnel", df => StreamOps.funnelStream(df, steps)),
+        ("S18 transitions", df => StreamOps.transitionStream(df)),
+        ("S19 attribution", df => StreamOps.attributionStream(df)),
+        ("S20 retention", df => StreamOps.retentionStream(df)),
+        ("S21 skipgrams", df => StreamOps.skipGramStream(df)))
+      ops.zipWithIndex.foreach { case ((label, op), i) =>
+        val in = MemoryStream[Ev]
+        val q = op(in.toDF()).writeStream.format("memory")
+          .queryName(s"rocks_sweep_$i").outputMode("append")
+          .option("checkpointLocation", tmpDir("ckpt")).start()
+        in.addData(
+          ev(base + 0, "view", 1), ev(base + 10, "click", 2),
+          ev(base + 20, "purchase", 3),
+          ev(base + 86400, "view", 4), ev(base + 86420, "click", 5))
+        q.processAllAvailable()
+        // push the watermark far past the horizon so timeout-driven
+        // emission (S20's path) fires too
+        in.addData(ev(base + 90L * 86400, "view", 6, user = 2))
+        q.processAllAvailable()
+        val usedRocks = Option(q.lastProgress).exists(
+          _.stateOperators.exists(_.customMetrics.containsKey("rocksdbGetCount")))
+        q.stop()
+        val n = spark.table(s"rocks_sweep_$i").count()
+        assert(n > 0, s"$label emitted no rows under RocksDB")
+        assert(usedRocks, s"$label shows no RocksDB state metrics")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("S10 under the RocksDB state store: identical sessions, provider actually engaged") {
     // The cluster-scale state backend (StreamOps scaladoc): HDFS-backed
     // in-memory state holds every key on-heap; RocksDB spills to local
