@@ -26,13 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: the box has 125 GiB and local[32] runs 32 concurrent
-  // task threads — at 8g the heavy pair/sort queries (q121/q130 class)
-  // showed 3-5× wall-clock outliers from full-GC pressure; 24g keeps
-  // execution memory per task sane while leaving >100 GiB to the OS
-  // page cache (SPARK_DRIVER_MEM still overrides).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // pre-size the heap: growth from the 2g initial to Xmx under load
-  // showed up as 2-5× stalls on the first heavy queries of a JVM
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 8g measured BEST here despite 125 GiB free: an r12 A/B (3 floor
+  // passes each) read the heavy pair queries stable at 8g (q121
+  // 8.4/8.4 s) but wildly variable at Xms=Xmx=24g (13-48 s, one 109 s
+  // q130 — G1 young-gen pauses scale with the heap while the win
+  // doesn't). Leave the rest of RAM to the OS page cache.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

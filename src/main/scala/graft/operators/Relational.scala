@@ -1842,17 +1842,16 @@ object Relational {
           array_sort(collect_list(struct(col("tsu"), col("event_id"),
             col("event_type")))),
           x => x.getField("event_type")), 1, maxLen), ">").as("path"))
-    val counted = paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
-    // q99 per-partition pre-cut: each partition of the path-count frame
-    // keeps its local top-k (every global top-k row lives in SOME
-    // partition, so it survives), and the final total-order window
-    // ranks only the ≤ partitions·k survivors — the path vocabulary is
-    // never globally sorted, so an unbounded path space costs one agg
-    // shuffle plus a k-row-per-partition tail
-    val local = Window.partitionBy(spark_partition_id())
-      .orderBy(col("n_sessions").desc, col("path"))
-    counted.withColumn("lrn", row_number().over(local))
-      .filter(col("lrn") <= k).drop("lrn")
+    // The final top-k LOOKS like a global window, but Spark 4 plans
+    // rank-limit over an empty partition spec as TakeOrderedAndProject
+    // (per-partition bounded top-k heaps, merged once — exactly the
+    // q99 pre-cut pattern, done by the optimizer): the path-count frame
+    // is never globally sorted and only k rows survive each partition.
+    // RelationalSmokeSpec asserts that plan shape. An explicit
+    // spark_partition_id() pre-cut was tried in r12 and REVERTED: it
+    // forces a real hash Exchange on the synthetic pid column (2.5×
+    // wall on q127) to re-create what the planner already guarantees.
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("n_sessions").desc, col("path"))))
       .filter(col("rk") <= k)
@@ -2238,37 +2237,28 @@ object Relational {
     * are assigned by SORTED value order, so the mapping is a pure
     * function of the value SET — stable across runs, partitionings,
     * and engines (an arbitrary-order assignment would differ per
-    * shuffle). The rank over the DISTINCT vocabulary is the packShards
-    * TWO-PHASE prefix pattern, never a global window: range-partition
-    * the vocabulary by value (sorted, disjoint ranges), rank locally
-    * per range, then add per-range count offsets (a window over
-    * #partitions rows, not #values) — identical ids for any range
-    * boundaries, and a vocabulary that outgrows "bounded" (label
-    * spaces do, at 100×) still never funnels through one reducer.
-    * Facts take the mapping back by broadcast join. */
+    * shuffle). The rank over the DISTINCT vocabulary is a DISTRIBUTED
+    * prefix rank, never a single-reducer global window: `orderBy` range-
+    * partitions the vocabulary into sorted disjoint ranges (parallel
+    * sort), and `zipWithIndex` turns per-partition positions into
+    * global ids with one lightweight partition-size job — the packShards
+    * two-phase prefix pattern, provided by the RDD primitive. Both the
+    * size job and the consuming join execute the SAME RDD instance, so
+    * the range boundaries (fixed in its shuffle dependency) cannot
+    * disagree between phases, and a vocabulary that outgrows "bounded"
+    * (label spaces do, at 100×) still never funnels through one
+    * reducer. Facts take the mapping back by broadcast join. */
   def dictionaryEncode(df: DataFrame, valueCol: String,
       idName: String): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    // persist is LOAD-BEARING (packShards doctrine): both the local-rank
-    // and the offsets branch consume this frame; unpersisted, each would
-    // re-sample its own range boundaries and the offsets could misalign
-    val vocab0 = df.select(col(valueCol)).distinct()
-      .repartitionByRange(p, col(valueCol))
-      .withColumn("pid", spark_partition_id())
-      .persist()
-    val local = vocab0.withColumn("lrn",
-      row_number().over(Window.partitionBy("pid").orderBy(col(valueCol))))
-    val offsets = vocab0.groupBy("pid").agg(count(lit(1)).as("total"))
-      .withColumn("offset", coalesce(sum(col("total")).over(
-        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("pid", "offset")
-    val vocab = local.join(broadcast(offsets), Seq("pid"))
-      .select(col(valueCol), (col("offset") + col("lrn")).cast("long").as(idName))
-      // pin-then-release: materialize the (value, id) mapping so vocab0
-      // can be unpersisted here instead of leaking into the caller
-      .localCheckpoint(true)
-    vocab0.unpersist()
+    val spark = df.sparkSession
+    val sorted = df.select(col(valueCol)).distinct().orderBy(col(valueCol))
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField(idName,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val vocab = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      schema)
     df.join(broadcast(vocab), Seq(valueCol))
   }
 

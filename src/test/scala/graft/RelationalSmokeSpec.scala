@@ -293,4 +293,31 @@ class RelationalSmokeSpec extends SparkSpec {
       .collect()
     assert(salted.nonEmpty && salted.toSeq == plain.toSeq)
   }
+
+  test("q127 top-k plans as TakeOrderedAndProject, never a single-partition global sort") {
+    // the scale contract behind sessionPaths' final rank-limit: Spark 4
+    // rewrites row_number-over-empty-partition + rk<=k into a
+    // distributed top-k (bounded per-partition heaps), so the
+    // path-count frame is never globally sorted. If a plan change ever
+    // reintroduces the real global WindowExec sort, this trips.
+    val plan = graft.operators.Relational
+      .q127(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("dictionaryEncode ids are dense, 1-based, sorted-order, partitioning-invariant") {
+    import spark.implicits._
+    val df = Seq("pear", "apple", "fig", "apple", "date", "fig")
+      .toDF("v")
+    val got = graft.operators.Relational.dictionaryEncode(df, "v", "id")
+      .select("v", "id").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("apple" -> 1L, "date" -> 2L, "fig" -> 3L, "pear" -> 4L))
+    // invariance: a different physical layout yields identical ids
+    val got2 = graft.operators.Relational
+      .dictionaryEncode(df.repartition(7), "v", "id")
+      .select("v", "id").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
 }
