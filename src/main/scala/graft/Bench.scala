@@ -63,7 +63,7 @@ object Bench {
       "q81_knn_join", "q88_pipeline_v4", "q91_dedup_incremental",
       "q105_entity_clusters", "q121_item_neighbors", "q129_pagerank",
       "q130_recommend", "q139_bpe_train", "q140_bpe_tokens",
-      "q145_covariance", "q146_kcore")
+      "q145_covariance", "q146_kcore", "q179_assoc_rules")
     val names = SparkEntry.queries.keys.toSeq.sorted
     // optional comma-separated query filter (floor re-measurement of a
     // subset under the full warmup+3-pass protocol without paying for

@@ -195,6 +195,11 @@ object SparkEntry {
     "q172_cross_corr"      -> (Relational.q172 _),
     "q173_asof_enrich"     -> (graft.operators.Warehouse.q173 _),
     "q174_listagg"         -> (Relational.q174 _),
+    "q176_percentile_cont" -> (Relational.q176 _),
+    "q177_minmax_scale"    -> (Relational.q177 _),
+    "q178_bounce_rate"     -> (Relational.q178 _),
+    "q179_assoc_rules"     -> (Relational.q179 _),
+    "q180_gini"            -> (Relational.q180 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2137,6 +2142,81 @@ object SparkEntry {
         "THEN FALSE ELSE TRUE END AS is_current " +
         "FROM events LEFT JOIN customer ON c_custkey = user_id + 1 " +
         "ORDER BY event_id"),
+    // q176: interpolated percentiles — both engines pick the same two
+    // exact straddling elements (integral rank arithmetic) and run the
+    // same IEEE lerp; quantile_cont is DuckDB's percentile_cont.
+    "q176_percentile_cont" ->
+      ("SELECT o_orderstatus, " +
+        "quantile_cont(o_totalprice, 0.25) AS p25, " +
+        "quantile_cont(o_totalprice, 0.5) AS p50, " +
+        "quantile_cont(o_totalprice, 0.75) AS p75, " +
+        "quantile_cont(o_totalprice, 0.95) AS p95 " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
+    // q177: min-max scaling — exact group min/max, one mirrored IEEE
+    // divide, degenerate groups explicit 0.0.
+    "q177_minmax_scale" ->
+      ("SELECT c_mktsegment, c_custkey, c_acctbal, " +
+        "CASE WHEN mx = mn THEN 0.0 " +
+        "ELSE ROUND((c_acctbal - mn) / (mx - mn), 6) END AS bal_scaled " +
+        "FROM (SELECT c_custkey, c_mktsegment, c_acctbal, " +
+        "MIN(c_acctbal) OVER (PARTITION BY c_mktsegment) AS mn, " +
+        "MAX(c_acctbal) OVER (PARTITION BY c_mktsegment) AS mx FROM customer) " +
+        "ORDER BY c_custkey"),
+    // q178: bounce rate — same session construction as the q38/q127
+    // oracles (lag + running sum over the per-user total order), daily
+    // rollup, one IEEE divide of exact counts.
+    "q178_bounce_rate" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events), " +
+        "s1 AS (SELECT user_id, tsu, event_id, " +
+        "LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM e), " +
+        "s2 AS (SELECT user_id, tsu, event_id, " +
+        "CASE WHEN prev IS NULL OR tsu - prev > 43200000000 THEN 1 ELSE 0 END AS ns FROM s1), " +
+        "s3 AS (SELECT user_id, tsu, event_id, " +
+        "SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s2), " +
+        "per AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "MIN(tsu) AS start_us FROM s3 GROUP BY 1, 2), " +
+        "daily AS (SELECT CAST(make_timestamp(start_us) AS DATE) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_sessions, " +
+        "CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces " +
+        "FROM per GROUP BY 1) " +
+        "SELECT day, n_sessions, n_bounces, " +
+        "ROUND(CAST(n_bounces AS DOUBLE) / n_sessions, 6) AS bounce_rate " +
+        "FROM daily ORDER BY day"),
+    // q179: association rules — support/confidence/lift from the same
+    // exact BIGINT pair counts as q121, each measure one IEEE divide,
+    // N the customer-universe scalar.
+    "q179_assoc_rules" ->
+      ("WITH b AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS item " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "nc AS (SELECT CAST(COUNT(DISTINCT cust) AS BIGINT) AS ncust FROM b), " +
+        "deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1), " +
+        "half AS (SELECT x.item AS antecedent, y.item AS consequent, " +
+        "CAST(COUNT(*) AS BIGINT) AS co FROM b x JOIN b y " +
+        "ON x.cust = y.cust AND x.item < y.item GROUP BY 1, 2 HAVING COUNT(*) >= 3), " +
+        "pairs AS (SELECT antecedent, consequent, co FROM half " +
+        "UNION ALL SELECT consequent, antecedent, co FROM half) " +
+        "SELECT antecedent, consequent, co, da.n AS n_a, db.n AS n_b, " +
+        "ROUND(CAST(co AS DOUBLE) / (SELECT ncust FROM nc), 6) AS support, " +
+        "ROUND(CAST(co AS DOUBLE) / da.n, 6) AS confidence, " +
+        "ROUND(CAST(co AS DOUBLE) * (SELECT ncust FROM nc) / CAST(da.n * db.n AS DOUBLE), 6) AS lift " +
+        "FROM pairs JOIN deg da ON antecedent = da.item " +
+        "JOIN deg db ON consequent = db.item " +
+        "ORDER BY antecedent, consequent"),
+    // q180: Gini — exact decimal Σx and Σi·x (tie-stable: any order of
+    // equal values yields the same Σi·x), G one mirrored IEEE
+    // expression.
+    "q180_gini" ->
+      ("WITH rev AS (SELECT c_custkey, c_mktsegment, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+        "r AS (SELECT c_mktsegment, rev AS x, " +
+        "ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY rev) AS i FROM rev), " +
+        "a AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "SUM(x) AS sx, SUM(x * i) AS six FROM r GROUP BY 1) " +
+        "SELECT c_mktsegment, n, " +
+        "ROUND((2.0 * CAST(six AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini " +
+        "FROM a ORDER BY c_mktsegment"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

@@ -2816,4 +2816,162 @@ object Relational {
         count_distinct(col("n_name")).as("n_nations"),
         array_join(array_sort(collect_set(col("n_name"))), "|").as("nations"))
       .orderBy("c_mktsegment")
+
+  /** Interpolated (continuous) percentiles — percentile_cont: where
+    * q135/q171's percentile_disc picks multiset ELEMENTS, the
+    * continuous form interpolates (1−f)·a + f·b between the two
+    * straddling order statistics — the convention most SLO dashboards
+    * and numpy/pandas default to. Cross-engine safe because the
+    * interpolation is ONE mirrored IEEE expression over the same two
+    * exact elements both engines select (rank arithmetic is integral).
+    * Same one-grouped-agg shape as percentileBands; sketch tier at
+    * 100 TB is q52/S25's approx_percentile. */
+  def percentileCont(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[Double]): DataFrame = {
+    val aggs = ps.map(p =>
+      expr(s"percentile_cont($p) WITHIN GROUP (ORDER BY $valCol)")
+        .as(s"p${(p * 100).round}"))
+    df.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Q176 — interpolated quartiles + p95 of order totals per status. */
+  def q176(s: SparkSession, d: String): DataFrame =
+    percentileCont(Tables.orders(s, d), "o_orderstatus", "o_totalprice",
+      Seq(0.25, 0.5, 0.75, 0.95))
+      .orderBy("o_orderstatus")
+
+  /** Min-max feature scaling — the [0,1] normalization every
+    * embedding/tree pipeline needs next to q104's z-score: per group,
+    * (x − min)/(max − min), degenerate groups (max = min) explicit
+    * 0.0 rather than NaN/±∞. Exact min/max from one grouped agg ride
+    * back on a broadcast join; the scan is never sorted. */
+  def minMaxScale(df: DataFrame, groupCol: String, valCol: String,
+      outName: String): DataFrame = {
+    val stats = df.groupBy(groupCol)
+      .agg(min(col(valCol)).as("__mn"), max(col(valCol)).as("__mx"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn(outName,
+        when(col("__mx") === col("__mn"), lit(0.0d))
+          .otherwise(round((col(valCol) - col("__mn")) /
+            (col("__mx") - col("__mn")), 6)))
+      .drop("__mn", "__mx")
+  }
+
+  /** Q177 — account balances min-max scaled within market segment. */
+  def q177(s: SparkSession, d: String): DataFrame =
+    minMaxScale(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment", "c_acctbal"),
+      "c_mktsegment", "c_acctbal", "bal_scaled")
+      .orderBy("c_custkey")
+
+  /** Session bounce rate — the product-analytics staple next to q38's
+    * sessionization and q127's paths: per day (of session start), the
+    * share of sessions that contained exactly ONE event. Sessions are
+    * the same 12 h-inactivity-gap construction as q38/q127 (lag +
+    * running sum over the per-user (tsu, event_id) total order — the
+    * window is PARTITIONED by user, parallel); the daily rollup is one
+    * grouped agg and the rate one IEEE divide of exact counts. */
+  def bounceRate(ev: DataFrame, gapUs: Long): DataFrame = {
+    val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val sess = ev
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"))
+      .withColumn("prev", lag(col("tsu"), 1).over(wo))
+      .withColumn("ns",
+        when(col("prev").isNull || col("tsu") - col("prev") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("sid",
+        sum(col("ns")).over(wo.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    sess.groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"), min("tsu").as("start_us"))
+      .withColumn("day", to_date(timestamp_micros(col("start_us"))))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_rate",
+        round(col("n_bounces").cast("double") / col("n_sessions"), 6))
+  }
+
+  /** Q178 — daily bounce rate of 12 h-gap sessions. */
+  def q178(s: SparkSession, d: String): DataFrame =
+    bounceRate(Tables.events(s, d), 12L * 3600 * 1000000)
+      .orderBy("day")
+
+  /** Association rules on the co-purchase frame — support/confidence/
+    * lift, the layer a recommender or assortment planner reads on top
+    * of q121's neighbor counts: for an ordered pair (a→b),
+    * confidence = co/n_a and lift = co·N / (n_a·n_b) where N is the
+    * basket (customer) universe. All inputs are exact BIGINTs from the
+    * same halved pair-gen; each measure is one IEEE divide. Rules
+    * below `minSupport` baskets are cut BEFORE the measure math (the
+    * q121 lever, mandatory here — rules with co=1 are noise). */
+  def associationRules(baskets: DataFrame, minSupport: Long): DataFrame = {
+    val b = prepBaskets(baskets)
+    val nCust = b.select(col("cust")).distinct().count()
+    val deg = b.groupBy("item").agg(count(lit(1)).as("n"))
+    val half = b.as("x").join(b.as("y"),
+        col("x.cust") === col("y.cust") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("antecedent"), col("y.item").as("consequent"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minSupport)
+    val pairs = half.unionAll(half.select(col("consequent").as("antecedent"),
+      col("antecedent").as("consequent"), col("co")))
+    pairs
+      .join(broadcast(deg.select(col("item").as("antecedent"),
+        col("n").as("n_a"))), "antecedent")
+      .join(broadcast(deg.select(col("item").as("consequent"),
+        col("n").as("n_b"))), "consequent")
+      .withColumn("support", round(col("co").cast("double") / nCust, 6))
+      .withColumn("confidence",
+        round(col("co").cast("double") / col("n_a"), 6))
+      .withColumn("lift", round(col("co").cast("double") * nCust /
+        (col("n_a") * col("n_b")).cast("double"), 6))
+      .select(col("antecedent"), col("consequent"), col("co"),
+        col("n_a"), col("n_b"), col("support"), col("confidence"),
+        col("lift"))
+  }
+
+  /** Q179 — association rules over (customer, part) baskets,
+    * min co-support 3. */
+  def q179(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    associationRules(baskets, minSupport = 3)
+      .orderBy("antecedent", "consequent")
+  }
+
+  /** Gini coefficient — revenue-concentration inequality per group
+    * (the assortment/creator-economy audit next to q170's HHI):
+    * G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x) over values ranked
+    * ascending within the group. Sums are exact decimals; the rank is
+    * a per-group window (partitioned — parallel); G is one mirrored
+    * IEEE expression over exact scalars. Ties take arbitrary rank
+    * order but ANY tie order yields the same Σ i·x_(i) for equal x —
+    * the statistic is tie-stable, so no tiebreak column is needed. */
+  def gini(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val ranked = df
+      .select(col(groupCol), col(valCol).cast("decimal(18,2)").as("x"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("x"))))
+    ranked.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum(col("x") * col("i")).as("six"))
+      .select(col(groupCol), col("n"),
+        round((lit(2.0d) * col("six").cast("double") -
+          (col("n") + 1).cast("double") * col("sx").cast("double")) /
+          (col("n").cast("double") * col("sx").cast("double")), 6)
+          .as("gini"))
+  }
+
+  /** Q180 — customer revenue inequality per market segment. */
+  def q180(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    gini(rev, "c_mktsegment", "rev").orderBy("c_mktsegment")
+  }
 }

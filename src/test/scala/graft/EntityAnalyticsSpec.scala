@@ -673,4 +673,70 @@ class EntityAnalyticsSpec extends SparkSpec {
       ("b", "c") -> ((1L, 1L)), ("b", "d") -> ((1L, 1L)),
       ("c", "d") -> ((1L, 1L))))
   }
+
+  // ---- r12 additions: q176-q180 ----
+
+  test("percentileCont interpolates between straddling order statistics") {
+    // values 10,20,30,40: p25 at pos 0.75 → 10 + 0.75·10 = 17.5;
+    // p50 at pos 1.5 → 25.0
+    val df = Seq(("g", 10.0), ("g", 20.0), ("g", 30.0), ("g", 40.0))
+      .toDF("grp", "v")
+    val r = graft.operators.Relational
+      .percentileCont(df, "grp", "v", Seq(0.25, 0.5)).collect().head
+    assert(r.getAs[Double]("p25") == 17.5)
+    assert(r.getAs[Double]("p50") == 25.0)
+  }
+
+  test("minMaxScale maps extremes to 0/1, degenerate groups to explicit 0.0") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 7.0), ("b", 7.0))
+      .toDF("grp", "v")
+    val got = graft.operators.Relational
+      .minMaxScale(df, "grp", "v", "s").collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Double]("v")) ->
+        r.getAs[Double]("s")).toMap
+    assert(got(("a", 10.0)) == 0.0 && got(("a", 30.0)) == 1.0 &&
+      got(("a", 20.0)) == 0.5)
+    assert(got(("b", 7.0)) == 0.0, "degenerate group must be 0.0, not NaN")
+  }
+
+  test("bounceRate counts single-event sessions per start day") {
+    // user 1: events 10s apart (one 2-event session, day 1970-01-01);
+    // user 2: one lone event same day; user 3: lone event next day
+    val events = ev((1, "a", 100), (1, "b", 110), (2, "a", 200),
+      (3, "a", 86400 + 100))
+    val got = graft.operators.Relational
+      .bounceRate(events, 12L * 3600 * 1000000).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("1970-01-01") == ((2L, 1L, 0.5)))
+    assert(got("1970-01-02") == ((1L, 1L, 1.0)))
+  }
+
+  test("associationRules: confidence is directional, lift symmetric, minSupport cuts") {
+    // A in 4 baskets, B in 2, co(A,B)=2 over N=5 customers:
+    // conf(A→B)=0.5, conf(B→A)=1.0, lift = 2·5/(4·2)=1.25
+    val baskets = Seq(
+      (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (4L, "A"), (5L, "C")).toDF("cust", "item")
+    val got = graft.operators.Relational.associationRules(baskets, 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Double]("confidence"), r.getAs[Double]("lift")))).toMap
+    assert(got(("A", "B")) == ((0.5, 1.25)))
+    assert(got(("B", "A")) == ((1.0, 1.25)))
+    assert(!got.contains(("A", "C")), "co=0 and co<minSupport pairs cut")
+  }
+
+  test("gini: equality → 0, extreme concentration → (n-1)/n") {
+    val eq = Seq(("g", 10.0), ("g", 10.0), ("g", 10.0), ("g", 10.0))
+      .toDF("grp", "v")
+    val g0 = graft.operators.Relational.gini(eq, "grp", "v")
+      .collect().head.getAs[Double]("gini")
+    assert(g0 == 0.0)
+    // one customer holds everything (others ~0): G → (n-1)/n = 0.75
+    val ex = Seq(("g", 0.0), ("g", 0.0), ("g", 0.0), ("g", 100.0))
+      .toDF("grp", "v")
+    val g1 = graft.operators.Relational.gini(ex, "grp", "v")
+      .collect().head.getAs[Double]("gini")
+    assert(g1 == 0.75)
+  }
 }
