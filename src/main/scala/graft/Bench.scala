@@ -42,9 +42,25 @@ object Bench {
     def sweepCaches(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 
+    val heavies = Seq("q28_near_dup_minhash", "q29_embedding_pairs",
+      "q34_ann_topk", "q35_ngram_jaccard", "q47_simhash_pairs",
+      "q51_winnow_pairs", "q54_pipeline", "q66_full_pipeline",
+      "q72_dedup_best", "q75_pipeline_v2", "q80_pipeline_v3",
+      "q81_knn_join", "q88_pipeline_v4", "q91_dedup_incremental",
+      "q105_entity_clusters", "q121_item_neighbors", "q129_pagerank",
+      "q130_recommend", "q139_bpe_train", "q140_bpe_tokens",
+      "q145_covariance", "q146_kcore", "q179_assoc_rules")
+
+    // Heavy queries leave broadcast blocks (degree/bounds/codebook
+    // broadcasts) that only ContextCleaner frees, and only after a GC
+    // notices the references died — in an 8g heap those pinned storage
+    // blocks squeeze execution memory for everything that runs later
+    // (r12: the q66-q91 pipeline family read 1.4-1.6x in the full
+    // suite but 1.1x isolated, with the gap growing across passes).
+    // An explicit GC after each HEAVY query lets the cleaner drain.
     def runOnce(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try {
+      val r = try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
@@ -54,16 +70,10 @@ object Bench {
         sweepCaches()
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
+      if (heavies.contains(name)) System.gc()
+      r
     }
 
-    val heavies = Seq("q28_near_dup_minhash", "q29_embedding_pairs",
-      "q34_ann_topk", "q35_ngram_jaccard", "q47_simhash_pairs",
-      "q51_winnow_pairs", "q54_pipeline", "q66_full_pipeline",
-      "q72_dedup_best", "q75_pipeline_v2", "q80_pipeline_v3",
-      "q81_knn_join", "q88_pipeline_v4", "q91_dedup_incremental",
-      "q105_entity_clusters", "q121_item_neighbors", "q129_pagerank",
-      "q130_recommend", "q139_bpe_train", "q140_bpe_tokens",
-      "q145_covariance", "q146_kcore", "q179_assoc_rules")
     val names = SparkEntry.queries.keys.toSeq.sorted
     // optional comma-separated query filter (floor re-measurement of a
     // subset under the full warmup+3-pass protocol without paying for

@@ -940,6 +940,25 @@ object StreamOps {
       .select(col("window.start").as("ws"), col(groupCol),
         col("n"), col("p50"), col("p95"), col("p99"))
 
+  /** S28 (r12) — streaming windowed cardinality: distinct keys per
+    * tumbling window via approx_count_distinct (HyperLogLog++ — the
+    * MERGEABLE sketch tier; q141's argument applied to stream state:
+    * an exact windowed distinct carries the window's full key set in
+    * the store, the sketch keeps fixed registers per window and merges
+    * across partial aggregations). `rsd` is the relative-standard-
+    * deviation knob; the parity test bounds the sketch against the
+    * exact batch count on identical input. */
+  def distinctStream(events: DataFrame, keyCol: String,
+      size: String = "1 day", watermark: String = "10 seconds",
+      rsd: Double = 0.02): DataFrame =
+    (if (events.isStreaming) events.withWatermark("ts", watermark)
+     else events)
+      .groupBy(window(col("ts"), size))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col(keyCol), rsd).as("n_distinct_approx"))
+      .select(col("window.start").as("ws"), col("n_events"),
+        col("n_distinct_approx"))
+
   /** S24 (r11) — streaming label-balance monitor: per tumbling window,
     * the Shannon entropy of a categorical column against a FIXED
     * category list (from the reference corpus — the q169 audit on the

@@ -684,6 +684,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S27: streaming SCD2 sink folds batches into a versioned dimension with history carried") {
+    import graft.streaming.Sinks
+    val init = Seq((1L, 10.0, "2024-01-01"), (2L, 5.0, "2024-01-01"))
+      .toDF("k", "bal", "f")
+      .select(col("k"), col("bal"), col("f").cast("date").as("valid_from"))
+    val dim = tmpDir("dim")
+    val day1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime / 1000
+    val day2 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime / 1000
+    val in = MemoryStream[Ev]
+    val updates = in.toDF().select(col("user_id").as("k"),
+      col("value").as("bal"), col("ts").cast("date").as("eff"))
+    val q = Sinks.scd2Sink(updates, dim, tmpDir("ckpt"),
+      Seq("k"), Seq("bal"), init)
+    // batch 0: change k=1 (10→20) + an in-batch duplicate (the later
+    // eff must win) — dedup-to-latest before the fold
+    in.addData(ev(day1, "u", 1, user = 1, v = 15.0),
+      ev(day1 + 86400, "u", 2, user = 1, v = 20.0))
+    q.processAllAvailable()
+    // batch 1: brand-new key 3 inserts; k=2 stays untouched
+    in.addData(ev(day2, "u", 3, user = 3, v = 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val vmax = new java.io.File(dim).listFiles
+      .filter(_.getName.startsWith("v=")).map(_.getName.drop(2).toLong).max
+    val rows = spark.read.parquet(s"$dim/v=$vmax")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString),
+        r.getBoolean(4))).toSet
+    assert(rows == Set(
+      (1L, 10.0, "2024-01-01", Some("2024-02-02"), false), // closed at WINNING eff
+      (1L, 20.0, "2024-02-02", None, true),                // later dup won
+      (2L, 5.0, "2024-01-01", None, true),                 // untouched
+      (3L, 7.0, "2024-03-01", None, true)),                // inserted batch 1
+      s"got $rows")
+  }
+
+  test("S28: windowed approx-distinct tracks the exact count within the rsd band") {
+    val in = MemoryStream[Ev]
+    val out = StreamOps.distinctStream(in.toDF(), "user_id",
+      size = "60 seconds", rsd = 0.02)
+    val q = out.writeStream.format("memory").queryName("s28")
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    // 500 distinct users in window 0, 100 in window 1
+    in.addData((1 to 1000).map(i => ev(i % 60, "a", i, user = i % 500)): _*)
+    in.addData((1 to 200).map(i => ev(60 + i % 60, "a", 2000 + i, user = 1000 + i % 100)): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s28").collect()
+      .map(r => r.getTimestamp(0).getTime / 1000 -> r.getLong(2)).toMap
+    assert(math.abs(got(0L) - 500L) <= 500 * 0.08, s"w0 ${got(0L)}")
+    assert(math.abs(got(60L) - 100L) <= 100 * 0.08, s"w1 ${got(60L)}")
+    // batch-mode parity: same operator over a static frame, exact anchor
+    val statics = (1 to 1000).map(i => ev(i % 60, "a", i, user = i % 500)).toDF()
+    val batch = StreamOps.distinctStream(statics, "user_id", size = "60 seconds")
+      .collect().head.getLong(2)
+    assert(batch == got(0L), "batch and streamed sketch must agree on identical input")
+  }
+
   test("S10 under the RocksDB state store: identical sessions, provider actually engaged") {
     // The cluster-scale state backend (StreamOps scaladoc): HDFS-backed
     // in-memory state holds every key on-heap; RocksDB spills to local
