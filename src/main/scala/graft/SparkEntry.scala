@@ -200,6 +200,8 @@ object SparkEntry {
     "q178_bounce_rate"     -> (Relational.q178 _),
     "q179_assoc_rules"     -> (Relational.q179 _),
     "q180_gini"            -> (Relational.q180 _),
+    "q181_packing_waste"   -> (TextOps.q181 _),
+    "q182_token_fertility" -> (TextOps.q182 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2217,6 +2219,29 @@ object SparkEntry {
         "ROUND((2.0 * CAST(six AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
         "(CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini " +
         "FROM a ORDER BY c_mktsegment"),
+    // q181: packing waste — exact BIGINT pad/trunc/kept sums per
+    // candidate ctx (q63's whitespace-token convention), fractions one
+    // IEEE divide each.
+    "q181_packing_waste" ->
+      ("WITH lens AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents), " +
+        "ctx AS (SELECT * FROM (VALUES (128), (512), (2048)) AS t(ctx)) " +
+        "SELECT ctx, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(len) AS BIGINT) AS total_tokens, " +
+        "CAST(SUM(GREATEST(0, ctx - len)) AS BIGINT) AS pad_tokens, " +
+        "CAST(SUM(GREATEST(0, len - ctx)) AS BIGINT) AS trunc_tokens, " +
+        "CAST(SUM(LEAST(len, ctx)) AS BIGINT) AS kept_tokens, " +
+        "ROUND(CAST(SUM(GREATEST(0, ctx - len)) AS DOUBLE) / (COUNT(*) * ctx), 6) AS pad_frac, " +
+        "ROUND(CAST(SUM(GREATEST(0, len - ctx)) AS DOUBLE) / SUM(len), 6) AS trunc_frac, " +
+        "CAST(CEIL(CAST(SUM(LEAST(len, ctx)) AS DOUBLE) / ctx) AS BIGINT) AS packed_seqs_min " +
+        "FROM lens CROSS JOIN ctx GROUP BY ctx ORDER BY ctx"),
+    // q182: token fertility per language — exact sums, one divide each.
+    "q182_token_fertility" ->
+      ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
+        "ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(len(string_split(text, ' '))), 6) AS chars_per_token, " +
+        "ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 6) AS tokens_per_doc " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

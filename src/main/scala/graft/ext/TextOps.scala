@@ -1582,4 +1582,61 @@ object TextOps {
   /** Q156 — top-3 keywords per document. */
   def q156(s: SparkSession, d: String): DataFrame =
     keywords(Tables.documents(s, d), 3).orderBy("doc_id", "rk")
+
+  /** Sequence-packing waste audit — the capacity-planning numbers a
+    * training run reads before choosing its context length: for each
+    * candidate ctx, what one-doc-per-sequence costs in PADDING
+    * (ctx − len for short docs) and TRUNCATION (len − ctx for long
+    * docs), plus the greedy-packing lower bound ceil(kept/ctx) that
+    * q63's shard packer approaches. All exact BIGINT sums from one
+    * token-count scan fanned across the (tiny, broadcast) ctx frame;
+    * the two fractions are one IEEE divide each. Token = whitespace
+    * split (the q63 convention, shared with the oracle verbatim). */
+  def packingWaste(docs: DataFrame, ctxs: Seq[Int]): DataFrame = {
+    val lens = docs.select(
+      size(split(col("text"), " ")).cast("bigint").as("len"))
+    val ctxDf = docs.sparkSession
+      .createDataFrame(ctxs.map(Tuple1(_))).toDF("ctx")
+    lens.crossJoin(broadcast(ctxDf))
+      .groupBy("ctx")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("len").as("total_tokens"),
+        sum(greatest(lit(0L), col("ctx") - col("len"))).as("pad_tokens"),
+        sum(greatest(lit(0L), col("len") - col("ctx"))).as("trunc_tokens"),
+        sum(least(col("len"), col("ctx").cast("bigint"))).as("kept_tokens"))
+      .withColumn("pad_frac", round(col("pad_tokens").cast("double") /
+        (col("n_docs") * col("ctx")), 6))
+      .withColumn("trunc_frac", round(col("trunc_tokens").cast("double") /
+        col("total_tokens"), 6))
+      .withColumn("packed_seqs_min",
+        ceil(col("kept_tokens").cast("double") / col("ctx")).cast("bigint"))
+      .select("ctx", "n_docs", "total_tokens", "pad_tokens", "trunc_tokens",
+        "kept_tokens", "pad_frac", "trunc_frac", "packed_seqs_min")
+  }
+
+  /** Q181 — packing waste at the candidate context lengths. */
+  def q181(s: SparkSession, d: String): DataFrame =
+    packingWaste(Tables.documents(s, d), Seq(128, 512, 2048))
+      .orderBy("ctx")
+
+  /** Tokenizer fertility per language — the per-language compression
+    * audit (how many characters a whitespace token carries, how long
+    * documents run) that decides whether a tokenizer under-serves a
+    * language: chars/token and tokens/doc per lang from exact sums,
+    * each one IEEE divide. One grouped agg over the scan. */
+  def tokenFertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("n_chars").cast("bigint").as("n_chars"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("n_tokens").as("total_tokens"))
+      .withColumn("chars_per_token",
+        round(col("total_chars").cast("double") / col("total_tokens"), 6))
+      .withColumn("tokens_per_doc",
+        round(col("total_tokens").cast("double") / col("n_docs"), 6))
+
+  /** Q182 — fertility audit over the documents corpus. */
+  def q182(s: SparkSession, d: String): DataFrame =
+    tokenFertility(Tables.documents(s, d)).orderBy("lang")
 }

@@ -633,4 +633,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L)._1 == "caf du monde" && r(1L) == r(2L))
     assert(r(3L)._2 != r(1L)._2)
   }
+
+  test("packingWaste: pad/trunc/kept account for every token at each ctx") {
+    import spark.implicits._
+    // docs of 3, 5, 10 tokens; ctx 4: pad = 1 (doc1), trunc = 1+6,
+    // kept = 3+4+4 = 11, packed_min = ceil(11/4) = 3
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e"),
+      (3L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val r = graft.ext.TextOps.packingWaste(docs, Seq(4)).collect().head
+    assert(r.getAs[Long]("n_docs") == 3 && r.getAs[Long]("total_tokens") == 18)
+    assert(r.getAs[Long]("pad_tokens") == 1 && r.getAs[Long]("trunc_tokens") == 7)
+    assert(r.getAs[Long]("kept_tokens") == 11 && r.getAs[Long]("packed_seqs_min") == 3)
+    // conservation: kept + trunc = total; pad + kept = n_docs·ctx
+    assert(r.getAs[Long]("kept_tokens") + r.getAs[Long]("trunc_tokens") ==
+      r.getAs[Long]("total_tokens"))
+    assert(r.getAs[Long]("pad_tokens") + r.getAs[Long]("kept_tokens") == 3 * 4)
+  }
+
+  test("tokenFertility: exact per-lang chars/token and tokens/doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", 10L, "a b"), (2L, "en", 20L, "c d e f"),
+      (3L, "de", 9L, "x y z")).toDF("doc_id", "lang", "n_chars", "text")
+    val r = graft.ext.TextOps.tokenFertility(docs).collect()
+      .map(x => x.getString(0) -> ((x.getAs[Long]("total_chars"),
+        x.getAs[Long]("total_tokens"), x.getAs[Double]("chars_per_token"),
+        x.getAs[Double]("tokens_per_doc")))).toMap
+    assert(r("en") == ((30L, 6L, 5.0, 3.0)))
+    assert(r("de") == ((9L, 3L, 3.0, 3.0)))
+  }
 }
