@@ -13,12 +13,36 @@ import graft.core.Sessions
   * Usage: sbt "runMain graft.PlanAudit [sfDir] [q01 q02 ...]"
   */
 object PlanAudit {
+
+  /** Queries whose plan INTENTIONALLY carries a BroadcastNestedLoopJoin
+    * with an O(1)-BOUNDED build side — 1-row scalar totals (corpus N,
+    * global min/max, day-spine bounds), a ≤k-row parameter frame (q181's
+    * three ctx rows, q27/q36's query vectors, q76/q87's centroid sets),
+    * or a DECLARED cross join (q11). A scalar broadcast nested-loop is
+    * the correct physical plan for "join every row with this one-row
+    * aggregate" — flagging it would train readers to ignore the flag.
+    * Reviewed r12, one by one; anything NOT in this set that plans a
+    * BNLJ/CartesianProduct prints as UNANNOUNCED below and is a build
+    * break in spirit. */
+  private val boundedBnlj: Set[String] = Set(
+    "q107_gap_fill", "q109_histogram", "q110_moving_avg",
+    "q112_rolling_distinct", "q113_cooccurrence", "q115_trend",
+    "q117_largest_jump", "q11_cross_join", "q122_acf",
+    "q124_attribution", "q126_ewma", "q133_rfm", "q144_contribution",
+    "q153_chi_square", "q156_keywords", "q157_benford",
+    "q165_kmv_overlap", "q172_cross_corr", "q181_packing_waste",
+    "q27_cosine_topk", "q36_batch_topk", "q43_tfidf",
+    "q68_vector_stats", "q69_collocations", "q76_semdedup",
+    "q77_mix_temperature", "q79_unigram_lm", "q82_dsir_weights",
+    "q84_bm25", "q87_kmeans")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.filter(_.startsWith("/"))
       .getOrElse("/root/testdata/sf0.001")
     val only = args.filterNot(_.startsWith("/")).toSet
     val spark = Sessions.local(Sessions.envCpus, "graft-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    var unannounced = List.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.exists(name.startsWith)) {
         try {
@@ -33,12 +57,19 @@ object PlanAudit {
           println(s"== $name ==")
           reads.foreach(r => println(s"  ${r.take(160)}"))
           pushed.foreach(p => println(s"  ${p.take(160)}"))
-          if (flags.nonEmpty) println(s"  flags: ${flags.mkString(", ")}")
+          if (flags.nonEmpty) {
+            val status = if (boundedBnlj.contains(name))
+              "annotated bounded-broadcast" else "UNANNOUNCED"
+            if (status == "UNANNOUNCED") unannounced ::= name
+            println(s"  flags: ${flags.mkString(", ")} ($status)")
+          }
         } catch {
           case e: Throwable => println(s"== $name ==\n  ERROR: ${e.getMessage}")
         }
       }
     }
+    println(if (unannounced.isEmpty) "[plan-audit] unannounced flags: 0"
+      else s"[plan-audit] UNANNOUNCED FLAGS: ${unannounced.sorted.mkString(", ")}")
     spark.stop()
   }
 }
