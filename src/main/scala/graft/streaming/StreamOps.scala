@@ -959,6 +959,34 @@ object StreamOps {
       .select(col("window.start").as("ws"), col("n_events"),
         col("n_distinct_approx"))
 
+  /** S29 (r12) — streaming decontamination prefilter: the ingest-path
+    * form of q61/q62's benchmark screening. A Bloom filter is built
+    * ONCE from the static benchmark's fingerprint set (a distributed
+    * aggregation; bit-array bytes ride to executors in the task
+    * closure) and every incoming doc probes it as a narrow filter —
+    * definite non-matches (the overwhelming fraction; no false
+    * negatives by construction) pass straight through with ZERO joins
+    * and zero stream state. Only the might-match sliver takes the
+    * exact stream-static anti-join against the (distinct, broadcast)
+    * benchmark keys, which also restores Bloom false positives — the
+    * output is therefore EXACTLY the clean set, the bloom is pure
+    * prefilter (q61's identity argument, streamed). At 100 TB/day the
+    * cost is one hash probe per doc plus a join on ~fpp of the
+    * stream. */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+      keyCol: String, expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val bf = benchmark.select(col(keyCol).cast("string").as(keyCol))
+      .stat.bloomFilter(keyCol, expectedItems, fpp)
+    val might = udf((s: String) => s != null && bf.mightContainString(s))
+    val keys = broadcast(
+      benchmark.select(col(keyCol).cast("string").as(keyCol)).distinct())
+    val pass = docs.filter(!might(col(keyCol).cast("string")))
+    val restored = docs.filter(might(col(keyCol).cast("string")))
+      .join(keys, Seq(keyCol), "left_anti") // bloom FPs come back
+    pass.unionByName(restored)
+  }
+
   /** S24 (r11) — streaming label-balance monitor: per tumbling window,
     * the Shannon entropy of a categorical column against a FIXED
     * category list (from the reference corpus — the q169 audit on the

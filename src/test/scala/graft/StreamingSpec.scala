@@ -720,6 +720,30 @@ class StreamingSpec extends SparkSpec {
       s"got $rows")
   }
 
+  test("S29: streaming decontamination drops exactly the benchmark hits, restores bloom FPs") {
+    // benchmark = every even fingerprint under 200; stream carries
+    // 0..399 → exactly the 100 even-under-200 docs must drop, and ANY
+    // bloom false positive among the rest must be restored by the
+    // exact anti-join (output = exact clean set regardless of fpp)
+    val benchmark = (0 until 200 by 2).map(i => s"fp$i").toDF("fp")
+    val in = MemoryStream[Ev]
+    val docs = in.toDF().select(col("event_id"),
+      concat(lit("fp"), col("user_id")).as("fp"))
+    val out = StreamOps.decontaminateStream(docs, benchmark, "fp",
+      expectedItems = 200, fpp = 0.1) // high fpp ON PURPOSE: exercise FP restore
+    val q = out.writeStream.format("memory").queryName("s29")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    in.addData((0 until 400).map(i => ev(i, "a", i, user = i)): _*)
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("s29").select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    val expected = (0 until 400).filterNot(i => i < 200 && i % 2 == 0)
+      .map(_.toLong).toSet
+    assert(kept == expected,
+      s"missing=${expected -- kept} extra=${kept -- expected}")
+  }
+
   test("S28: windowed approx-distinct tracks the exact count within the rsd band") {
     val in = MemoryStream[Ev]
     val out = StreamOps.distinctStream(in.toDF(), "user_id",
