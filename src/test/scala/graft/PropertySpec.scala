@@ -404,4 +404,49 @@ class PropertySpec extends SparkSpec {
           new java.util.Random(1)).shuffle(a0)), sa)
     }, n = 30)
   }
+
+  test("property: r12 stats operators respect their analytic bounds") {
+    import spark.implicits._
+    // one generated dataset per trial is a Spark job; keep trials low
+    // and the per-trial assertions broad (bounds + conservation, the
+    // things example tests can only sample)
+    val vals = Gen.listOfN(40, Gen.chooseNum(1, 10000).map(_.toDouble))
+    check(Prop.forAll(vals) { xs =>
+      val df = xs.map(("g", _)).toDF("grp", "v")
+      // gini ∈ [0, 1) for positive values
+      val g = graft.operators.Relational.gini(df, "grp", "v")
+        .collect().head.getAs[Double]("gini")
+      // minMaxScale lands in [0,1] with both extremes present
+      val mm = graft.operators.Relational
+        .minMaxScale(df, "grp", "v", "s").select("s").collect()
+        .map(_.getDouble(0))
+      // percentileCont stays within [min, max] and is monotone in p
+      val pc = graft.operators.Relational
+        .percentileCont(df, "grp", "v", Seq(0.25, 0.5, 0.75)).collect().head
+      val (p25, p50, p75) = (pc.getAs[Double]("p25"),
+        pc.getAs[Double]("p50"), pc.getAs[Double]("p75"))
+      g >= 0.0 && g < 1.0 &&
+        mm.forall(s => s >= 0.0 && s <= 1.0) &&
+        (xs.distinct.size == 1 || (mm.contains(0.0) && mm.contains(1.0))) &&
+        p25 >= xs.min && p75 <= xs.max && p25 <= p50 && p50 <= p75
+    }, n = 8)
+  }
+
+  test("property: packingWaste conservation holds for any corpus and ctx") {
+    import spark.implicits._
+    val docs = Gen.listOfN(20, Gen.chooseNum(1, 50))
+    val ctxg = Gen.chooseNum(2, 64)
+    check(Prop.forAll(docs, ctxg) { (lens, ctx) =>
+      val df = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val r = graft.ext.TextOps.packingWaste(df, Seq(ctx)).collect().head
+      val (tot, pad, trunc, kept) = (r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("pad_tokens"), r.getAs[Long]("trunc_tokens"),
+        r.getAs[Long]("kept_tokens"))
+      kept + trunc == tot &&
+        pad + kept == lens.length.toLong * ctx &&
+        r.getAs[Long]("packed_seqs_min") == math.ceil(kept.toDouble / ctx).toLong
+    }, n = 8)
+  }
 }
