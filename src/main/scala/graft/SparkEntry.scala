@@ -201,6 +201,7 @@ object SparkEntry {
     "q179_assoc_rules"     -> (Relational.q179 _),
     "q180_gini"            -> (Relational.q180 _),
     "q181_packing_waste"   -> (TextOps.q181 _),
+    "q183_quantile_norm"   -> (Relational.q183 _),
     "q182_token_fertility" -> (TextOps.q182 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
@@ -2234,6 +2235,20 @@ object SparkEntry {
         "ROUND(CAST(SUM(GREATEST(0, len - ctx)) AS DOUBLE) / SUM(len), 6) AS trunc_frac, " +
         "CAST(CEIL(CAST(SUM(LEAST(len, ctx)) AS DOUBLE) / ctx) AS BIGINT) AS packed_seqs_min " +
         "FROM lens CROSS JOIN ctx GROUP BY ctx ORDER BY ctx"),
+    // q183: quantile normalization — within-group rank k of n maps to
+    // the global order statistic at ceil(k·N/n), all-integer position
+    // math ((k·N + n − 1) // n), ties ordered by (value, id) so row
+    // assignment is deterministic cross-engine.
+    "q183_quantile_norm" ->
+      ("WITH g AS (SELECT c_acctbal AS v, " +
+        "ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS gpos FROM customer), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS bign FROM customer), " +
+        "r AS (SELECT c_custkey, c_mktsegment, c_acctbal, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rn, " +
+        "CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n FROM customer) " +
+        "SELECT c_custkey, c_mktsegment, c_acctbal, g.v AS bal_qnorm " +
+        "FROM r CROSS JOIN nn JOIN g ON g.gpos = (r.rn * nn.bign + r.n - 1) // r.n " +
+        "ORDER BY c_custkey"),
     // q182: token fertility per language — exact sums, one divide each.
     "q182_token_fertility" ->
       ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +

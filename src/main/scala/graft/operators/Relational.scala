@@ -2966,6 +2966,60 @@ object Relational {
           .as("gini"))
   }
 
+  /** Quantile normalization — map each group's value distribution onto
+    * the REFERENCE (global) distribution: the batch-effect correction
+    * of bioinformatics/feature-engineering lineage (Bolstad 2003). A
+    * row at within-group rank k of n maps to the global order
+    * statistic at position ceil(k·N/n) — ALL-INTEGER position
+    * arithmetic, so both engines select the same element (no
+    * interpolation, no float ranks). Ties order by (value, id) so row
+    * assignment — not just the mapped multiset — is deterministic
+    * cross-engine.
+    *
+    * Shape: the global side is sorted + indexed by the dictionaryEncode
+    * prefix-rank machinery (orderBy + zipWithIndex — range-parallel,
+    * never one reducer); the group side is a per-group (partitioned)
+    * rank window; the mapping is one equi-join on the computed
+    * position. Scale: two sorts of value-sized frames + one join keyed
+    * by position — nothing quadratic, nothing driver-side. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String, outName: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.select(col(valCol).as("__v"), col(idCol).as("__id"))
+      .orderBy(col("__v"), col("__id"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__gpos",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__gv",
+        sorted.schema("__v").dataType, nullable = true)))
+    val global = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(i + 1L, r.get(0)) },
+      schema)
+    val bigN = df.count()
+    val grpN = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val ranked = df
+      .join(broadcast(grpN), Seq(groupCol))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col(valCol), col(idCol)))
+        .cast("long"))
+      // ceil(k·N/n) in pure integer arithmetic: (k·N + n − 1) div n
+      // (SQL `div` — the q04 truncating int-div, exact on BIGINTs;
+      // Spark's `/` would detour through IEEE doubles)
+      .withColumn("__gpos", expr(s"(__rn * $bigN + __n - 1) div __n"))
+    ranked.join(global, Seq("__gpos"))
+      .withColumn(outName, col("__gv"))
+      .drop("__gpos", "__gv", "__n", "__rn")
+  }
+
+  /** Q183 — account balances quantile-normalized per market segment
+    * onto the global balance distribution. */
+  def q183(s: SparkSession, d: String): DataFrame =
+    quantileNormalize(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment", "c_acctbal"),
+      "c_mktsegment", "c_acctbal", "c_custkey", "bal_qnorm")
+      .orderBy("c_custkey")
+
   /** Q180 — customer revenue inequality per market segment. */
   def q180(s: SparkSession, d: String): DataFrame = {
     val rev = Tables.orders(s, d)

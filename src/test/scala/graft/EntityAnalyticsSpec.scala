@@ -726,6 +726,28 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(!got.contains(("A", "C")), "co=0 and co<minSupport pairs cut")
   }
 
+  test("quantileNormalize maps each group onto the reference distribution") {
+    // group a = {1,2,3,4}, group b = {100,200,300,400}; global N=8.
+    // Each group's rank k of 4 maps to global position ceil(k·8/4) =
+    // 2k → both groups normalize to the SAME values {2nd,4th,6th,8th}
+    // of the global order = {2,4,200,400}
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("a", 3.0, 3L), ("a", 4.0, 4L),
+      ("b", 100.0, 5L), ("b", 200.0, 6L), ("b", 300.0, 7L), ("b", 400.0, 8L))
+      .toDF("grp", "v", "id")
+    val out = graft.operators.Relational
+      .quantileNormalize(df, "grp", "v", "id", "q")
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Double]("v")) ->
+        r.getAs[Double]("q")).toMap
+    val expect = Map(1.0 -> 2.0, 2.0 -> 4.0, 3.0 -> 200.0, 4.0 -> 400.0)
+    expect.foreach { case (v, q) =>
+      assert(out(("a", v)) == q, s"a/$v -> ${out(("a", v))}")
+      assert(out(("b", v * 100)) == q, s"b/${v * 100} -> ${out(("b", v * 100))}")
+    }
+    // after normalization the two groups carry the identical multiset
+    assert(out.filterKeys(_._1 == "a").values.toSeq.sorted ==
+      out.filterKeys(_._1 == "b").values.toSeq.sorted)
+  }
+
   test("gini: equality → 0, extreme concentration → (n-1)/n") {
     val eq = Seq(("g", 10.0), ("g", 10.0), ("g", 10.0), ("g", 10.0))
       .toDF("grp", "v")
