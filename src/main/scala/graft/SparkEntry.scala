@@ -202,6 +202,8 @@ object SparkEntry {
     "q180_gini"            -> (Relational.q180 _),
     "q181_packing_waste"   -> (TextOps.q181 _),
     "q183_quantile_norm"   -> (Relational.q183 _),
+    "q184_theil_sen"       -> (Relational.q184 _),
+    "q185_ks_drift"        -> (Relational.q185 _),
     "q182_token_fertility" -> (TextOps.q182 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
@@ -2235,6 +2237,41 @@ object SparkEntry {
         "ROUND(CAST(SUM(GREATEST(0, len - ctx)) AS DOUBLE) / SUM(len), 6) AS trunc_frac, " +
         "CAST(CEIL(CAST(SUM(LEAST(len, ctx)) AS DOUBLE) / ctx) AS BIGINT) AS packed_seqs_min " +
         "FROM lens CROSS JOIN ctx GROUP BY ctx ORDER BY ctx"),
+    // q184: Theil–Sen — median of pairwise slopes over the gap-filled
+    // grid; each slope one IEEE divide of exact integers, the median a
+    // percentile_disc ELEMENT (lower median — no tie averaging).
+    "q184_theil_sen" ->
+      ("WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events), " +
+        "c AS (SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY day, event_type), " +
+        "span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e), " +
+        "spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span), " +
+        "g AS (SELECT DISTINCT event_type FROM e), " +
+        "grid AS (SELECT spine.day AS day, g.event_type, COALESCE(c.cnt, 0) AS cnt " +
+        "FROM spine CROSS JOIN g LEFT JOIN c ON c.day = spine.day AND c.event_type = g.event_type), " +
+        "x AS (SELECT event_type, CAST(day - (SELECT d0 FROM span) AS BIGINT) AS x, cnt AS y FROM grid), " +
+        "slopes AS (SELECT a.event_type, CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope " +
+        "FROM x a JOIN x b ON a.event_type = b.event_type AND a.x < b.x) " +
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "ROUND(quantile_disc(slope, 0.5), 6) AS slope_med " +
+        "FROM slopes GROUP BY event_type ORDER BY event_type"),
+    // q185: exact two-sample KS — ties collapse per distinct value
+    // first, cumulative counts per group, sup maximized on the integer
+    // cross-product; IEEE only in the final divide.
+    "q185_ks_drift" ->
+      ("WITH t AS (SELECT event_type, value AS v, " +
+        "CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1 ELSE 0 END AS a, " +
+        "CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 0 ELSE 1 END AS b FROM events), " +
+        "per AS (SELECT event_type, v, CAST(SUM(a) AS BIGINT) AS ca, CAST(SUM(b) AS BIGINT) AS cb " +
+        "FROM t GROUP BY event_type, v), " +
+        "cum AS (SELECT event_type, ca, cb, " +
+        "SUM(ca) OVER (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING) AS ia, " +
+        "SUM(cb) OVER (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING) AS ib FROM per), " +
+        "tot AS (SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb " +
+        "FROM per GROUP BY event_type) " +
+        "SELECT cum.event_type, MIN(na) AS n_ref, MIN(nb) AS n_cur, " +
+        "ROUND(CAST(MAX(ABS(ia * nb - ib * na)) AS DOUBLE) / CAST(MIN(na) * MIN(nb) AS DOUBLE), 6) AS ks_d " +
+        "FROM cum JOIN tot ON cum.event_type = tot.event_type " +
+        "GROUP BY cum.event_type ORDER BY cum.event_type"),
     // q183: quantile normalization — within-group rank k of n maps to
     // the global order statistic at ceil(k·N/n), all-integer position
     // math ((k·N + n − 1) // n), ties ordered by (value, id) so row

@@ -3020,6 +3020,80 @@ object Relational {
       "c_mktsegment", "c_acctbal", "c_custkey", "bal_qnorm")
       .orderBy("c_custkey")
 
+  /** Theil–Sen robust slope — the median of pairwise slopes (Theil
+    * 1950; Sen 1968): the robust counterpart of q115's least-squares
+    * trend, immune to ~29% outlier contamination. Runs over the
+    * GAP-FILLED daily grid (q110's densify-first rule), so the pair
+    * fan-out is days² per group — BOUNDED by the calendar, never
+    * event-sized (60 days → 1,770 pairs/group). Each slope is ONE IEEE
+    * divide of exact integers; the median is percentile_disc(0.5) — an
+    * ELEMENT of the slope multiset (the lower median, the documented
+    * convention — no tie-order float averaging), so both engines pick
+    * the identical double. */
+  def theilSen(grid: DataFrame, groupCol: String): DataFrame = {
+    val d0 = grid.agg(min("day").as("d0"))
+    val x = grid.crossJoin(broadcast(d0))
+      .select(col(groupCol),
+        datediff(col("day"), col("d0")).cast("long").as("x"),
+        col("cnt").cast("long").as("y"))
+    val pairs = x.as("a").join(x.as("b"),
+        col(s"a.$groupCol") === col(s"b.$groupCol") &&
+          col("a.x") < col("b.x"))
+      .select(col(s"a.$groupCol").as(groupCol),
+        ((col("b.y") - col("a.y")).cast("double") /
+          (col("b.x") - col("a.x"))).as("slope"))
+    pairs.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)")
+          .as("slope_med"))
+      .withColumn("slope_med", round(col("slope_med"), 6))
+  }
+
+  /** Q184 — robust daily-volume trend per event type. */
+  def q184(s: SparkSession, d: String): DataFrame =
+    theilSen(gapFill(Tables.events(s, d), "event_type"), "event_type")
+      .orderBy("event_type")
+
+  /** Two-sample Kolmogorov–Smirnov drift — the EXACT distribution-shift
+    * test next to q152's PSI and q153's χ²: D = sup |F_ref − F_cur|
+    * over the pooled support. Engine-determinism by construction: ties
+    * collapse in a per-distinct-value count aggregation FIRST (the CDF
+    * step at a value is defined after all its ties — no tie-order
+    * dependence), cumulative counts ride a per-group (partitioned)
+    * window over the distinct-value frame, and the sup is maximized on
+    * the INTEGER cross-product |ca·n_b − cb·n_a| — D touches IEEE only
+    * in the single final divide. State is distinct-values-bounded. */
+  def ksDrift(df: DataFrame, groupCol: String, valCol: String,
+      isRef: Column): DataFrame = {
+    val tagged = df.select(col(groupCol), col(valCol).as("v"),
+      when(isRef, 1L).otherwise(0L).as("a"),
+      when(isRef, 0L).otherwise(1L).as("b"))
+    val per = tagged.groupBy(col(groupCol), col("v"))
+      .agg(sum("a").as("ca"), sum("b").as("cb"))
+    val w = Window.partitionBy(groupCol).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per
+      .withColumn("ia", sum("ca").over(w))
+      .withColumn("ib", sum("cb").over(w))
+    val tot = per.groupBy(groupCol)
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    cum.join(broadcast(tot), Seq(groupCol))
+      .withColumn("dint", abs(col("ia") * col("nb") - col("ib") * col("na")))
+      .groupBy(groupCol)
+      .agg(first("na").as("n_ref"), first("nb").as("n_cur"),
+        max("dint").as("dmax"))
+      .withColumn("ks_d", round(col("dmax").cast("double") /
+        (col("n_ref") * col("n_cur")).cast("double"), 6))
+      .select(col(groupCol), col("n_ref"), col("n_cur"), col("ks_d"))
+  }
+
+  /** Q185 — KS drift per event type, first half of January 2024 as the
+    * reference window (the q152 split). */
+  def q185(s: SparkSession, d: String): DataFrame =
+    ksDrift(Tables.events(s, d), "event_type", "value",
+      col("ts").cast("date") <= lit("2024-01-15").cast("date"))
+      .orderBy("event_type")
+
   /** Q180 — customer revenue inequality per market segment. */
   def q180(s: SparkSession, d: String): DataFrame = {
     val rev = Tables.orders(s, d)

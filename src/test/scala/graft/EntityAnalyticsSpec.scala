@@ -748,6 +748,52 @@ class EntityAnalyticsSpec extends SparkSpec {
       out.filterKeys(_._1 == "b").values.toSeq.sorted)
   }
 
+  test("theilSen recovers an exact slope and shrugs off a planted outlier") {
+    import java.sql.Date
+    def grid(ys: Seq[Long]) = ys.zipWithIndex.map { case (y, i) =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), "g", y) }
+      .toDF("day", "g", "cnt")
+    // clean line y = 3x + 10 → every pairwise slope is exactly 3
+    val clean = graft.operators.Relational
+      .theilSen(grid((0 until 10).map(i => 10L + 3 * i)), "g")
+      .collect().head
+    assert(clean.getAs[Double]("slope_med") == 3.0)
+    assert(clean.getAs[Long]("n_pairs") == 45)
+    // one wild outlier (day 5 = 1000): OLS slope would swing hard;
+    // the slope MEDIAN stays exactly 3 (outlier touches only 9 of 45
+    // pairs — under the 29% breakdown point)
+    val dirty = graft.operators.Relational
+      .theilSen(grid((0 until 10).map(i =>
+        if (i == 5) 1000L else 10L + 3 * i)), "g")
+      .collect().head
+    assert(dirty.getAs[Double]("slope_med") == 3.0)
+  }
+
+  test("ksDrift: identical halves → 0, disjoint supports → 1, exact D on a known split") {
+    import java.sql.Timestamp
+    def rows(vs: Seq[(Double, Boolean)]) = vs.zipWithIndex.map { case ((v, ref), i) =>
+      (new Timestamp((if (ref) 1704067200L else 1706745600L) * 1000L), "g", v, i.toLong) }
+      .toDF("ts", "g", "value", "event_id")
+    val isRef = col("ts").cast("date") <= lit("2024-01-15").cast("date")
+    // identical distributions on both sides → D = 0
+    val same = graft.operators.Relational.ksDrift(
+      rows((1 to 50).flatMap(i => Seq((i.toDouble, true), (i.toDouble, false)))),
+      "g", "value", isRef).collect().head
+    assert(same.getAs[Double]("ks_d") == 0.0)
+    // disjoint supports → D = 1
+    val disj = graft.operators.Relational.ksDrift(
+      rows((1 to 50).map(i => (i.toDouble, true)) ++
+        (1 to 50).map(i => (100.0 + i, false))),
+      "g", "value", isRef).collect().head
+    assert(disj.getAs[Double]("ks_d") == 1.0)
+    // hand value: ref {1,2,3,4}, cur {3,4,5,6} → D = 1/2 at v=2
+    val hand = graft.operators.Relational.ksDrift(
+      rows(Seq(1.0, 2.0, 3.0, 4.0).map((_, true)) ++
+        Seq(3.0, 4.0, 5.0, 6.0).map((_, false))),
+      "g", "value", isRef).collect().head
+    assert(hand.getAs[Double]("ks_d") == 0.5)
+  }
+
   test("gini: equality → 0, extreme concentration → (n-1)/n") {
     val eq = Seq(("g", 10.0), ("g", 10.0), ("g", 10.0), ("g", 10.0))
       .toDF("grp", "v")
