@@ -205,6 +205,9 @@ object SparkEntry {
     "q184_theil_sen"       -> (Relational.q184 _),
     "q185_ks_drift"        -> (Relational.q185 _),
     "q182_token_fertility" -> (TextOps.q182 _),
+    "q186_spearman"        -> (Relational.q186 _),
+    "q187_mann_whitney"    -> (Relational.q187 _),
+    "q188_kendall_trend"   -> (Relational.q188 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2294,6 +2297,60 @@ object SparkEntry {
         "ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(len(string_split(text, ' '))), 6) AS chars_per_token, " +
         "ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 6) AS tokens_per_doc " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    // q186: Spearman — ties take the average rank carried as the exact
+    // integer 2·avgrank = 2·RANK() + ties − 1; all five moments exact
+    // decimal; rho one mirrored IEEE expression.
+    "q186_spearman" ->
+      ("WITH r AS (SELECT l_returnflag, " +
+        "CAST(2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) " +
+        "+ COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS DECIMAL(18,0)) AS rx, " +
+        "CAST(2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) " +
+        "+ COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS DECIMAL(18,0)) AS ry " +
+        "FROM lineitem) " +
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "ROUND((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(rx*ry) AS DOUBLE) - " +
+        "CAST(SUM(rx) AS DOUBLE) * CAST(SUM(ry) AS DOUBLE)) / " +
+        "SQRT((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(rx*rx) AS DOUBLE) - " +
+        "CAST(SUM(rx) AS DOUBLE) * CAST(SUM(rx) AS DOUBLE)) * " +
+        "(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(ry*ry) AS DOUBLE) - " +
+        "CAST(SUM(ry) AS DOUBLE) * CAST(SUM(ry) AS DOUBLE))), 6) AS rho " +
+        "FROM r GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // q187: Mann–Whitney U — pooled doubled average ranks; U's double is
+    // exact ((2R − n(n+1))/2 from integers); effect the one rounded divide.
+    "q187_mann_whitney" ->
+      ("WITH t AS (SELECT event_type, value AS v, " +
+        "CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1 ELSE 0 END AS a FROM events), " +
+        "r AS (SELECT event_type, a, " +
+        "CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY v) " +
+        "+ COUNT(*) OVER (PARTITION BY event_type, v) - 1 AS DECIMAL(18,0)) AS r2 FROM t) " +
+        "SELECT event_type, CAST(SUM(a) AS BIGINT) AS n_ref, " +
+        "CAST(COUNT(*) - SUM(a) AS BIGINT) AS n_cur, " +
+        "(CAST(SUM(CASE WHEN a = 1 THEN r2 ELSE 0 END) AS DOUBLE) - " +
+        "CAST(SUM(a) * (SUM(a) + 1) AS DOUBLE)) / 2.0 AS u, " +
+        "ROUND(((CAST(SUM(CASE WHEN a = 1 THEN r2 ELSE 0 END) AS DOUBLE) - " +
+        "CAST(SUM(a) * (SUM(a) + 1) AS DOUBLE)) / 2.0) / " +
+        "CAST(SUM(a) * (COUNT(*) - SUM(a)) AS DOUBLE), 6) AS effect " +
+        "FROM r GROUP BY event_type ORDER BY event_type"),
+    // q188: Kendall tau-b over the gap-filled grid — exact C/D/T counts
+    // from a day-banded self-join; x (= day) never tied, so t1 = 0.
+    "q188_kendall_trend" ->
+      ("WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events), " +
+        "c AS (SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY day, event_type), " +
+        "span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e), " +
+        "spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span), " +
+        "g AS (SELECT DISTINCT event_type FROM e), " +
+        "grid AS (SELECT spine.day AS day, g.event_type, COALESCE(c.cnt, 0) AS y " +
+        "FROM spine CROSS JOIN g LEFT JOIN c ON c.day = spine.day AND c.event_type = g.event_type), " +
+        "p AS (SELECT a.event_type, " +
+        "CASE WHEN b.y > a.y THEN 1 ELSE 0 END AS co, " +
+        "CASE WHEN b.y < a.y THEN 1 ELSE 0 END AS di, " +
+        "CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS ti " +
+        "FROM grid a JOIN grid b ON a.event_type = b.event_type AND a.day < b.day) " +
+        "SELECT event_type, CAST(SUM(co) AS BIGINT) AS n_conc, " +
+        "CAST(SUM(di) AS BIGINT) AS n_disc, CAST(SUM(ti) AS BIGINT) AS n_tied, " +
+        "ROUND(CAST(SUM(co) - SUM(di) AS DOUBLE) / " +
+        "SQRT(CAST((SUM(co)+SUM(di)+SUM(ti)) * (SUM(co)+SUM(di)) AS DOUBLE)), 6) AS tau_b " +
+        "FROM p GROUP BY event_type ORDER BY event_type"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

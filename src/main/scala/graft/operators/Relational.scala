@@ -3102,4 +3102,122 @@ object Relational {
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
     gini(rev, "c_mktsegment", "rev").orderBy("c_mktsegment")
   }
+
+  /** Spearman rank correlation per group — the monotone-association
+    * measure next to q115's Pearson (rank-based, so outlier- and
+    * nonlinearity-robust; the feature-screening staple). Determinism by
+    * construction: ties take the AVERAGE rank, carried as the exact
+    * integer 2·avgrank = 2·minrank + (ties − 1) (never a float rank);
+    * all five Pearson moments over those doubled ranks accumulate in
+    * exact DECIMAL(38,0) (BIGINT squares overflow near n≈2M — decimals
+    * carry to n≈1e12); rho touches IEEE in ONE mirrored expression.
+    * Scale: two per-group rank windows (partitioned — parallel over
+    * groups) + one grouped agg; nothing quadratic, nothing global. */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def dblRank(c: String) = {
+      val wRank = Window.partitionBy(groupCol).orderBy(col(c))
+      val wTies = Window.partitionBy(col(groupCol), col(c))
+      (rank().over(wRank).cast("long") * 2L +
+        count(lit(1)).over(wTies) - 1L).cast("decimal(18,0)")
+    }
+    val ranked = df.select(col(groupCol),
+      dblRank(xCol).as("rx"), dblRank(yCol).as("ry"))
+    ranked.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(col(groupCol), col("n"),
+        round(((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double")))), 6)
+          .as("rho"))
+  }
+
+  /** Q186 — quantity/price monotone association per return flag. */
+  def q186(s: SparkSession, d: String): DataFrame =
+    spearman(Tables.lineitem(s, d), "l_returnflag",
+      "l_quantity", "l_extendedprice")
+      .orderBy("l_returnflag")
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) per group — the nonparametric
+    * two-sample location test next to q185's KS (KS asks "any
+    * distribution shift?"; U asks "did the LEVEL move?"). Pooled-sample
+    * average ranks ride the same exact doubled-rank integers as
+    * spearman; 2·R_ref sums them over the reference rows only, and
+    * U = R_ref − n_ref(n_ref+1)/2 stays an exact half-integer (its
+    * double is exactly representable). The common-language effect size
+    * U/(n_ref·n_cur) — P(ref row > cur row) + ½P(tie) — is the one
+    * rounded IEEE divide. State is one pooled rank window per group. */
+  def mannWhitney(df: DataFrame, groupCol: String, valCol: String,
+      isRef: Column): DataFrame = {
+    val wRank = Window.partitionBy(groupCol).orderBy(col(valCol))
+    val wTies = Window.partitionBy(col(groupCol), col(valCol))
+    val ranked = df.select(col(groupCol),
+      when(isRef, 1L).otherwise(0L).as("a"),
+      (rank().over(wRank).cast("long") * 2L +
+        count(lit(1)).over(wTies) - 1L).cast("decimal(18,0)").as("r2"))
+    ranked.groupBy(groupCol)
+      .agg(sum("a").as("n_ref"),
+        (count(lit(1)) - sum("a")).as("n_cur"),
+        sum(when(col("a") === 1L, col("r2"))
+          .otherwise(lit(java.math.BigDecimal.ZERO))).as("r2ref"))
+      // U = R_ref − n_ref(n_ref+1)/2 = (2R_ref − n_ref(n_ref+1)) / 2:
+      // the numerator is exact integer, so U's double is exact (one
+      // trailing half-ulp-free halving)
+      .withColumn("u", (col("r2ref").cast("double") -
+        (col("n_ref") * (col("n_ref") + 1L)).cast("double")) / 2.0)
+      .withColumn("effect", round(col("u") /
+        (col("n_ref") * col("n_cur")).cast("double"), 6))
+      .select(col(groupCol), col("n_ref"), col("n_cur"), col("u"),
+        col("effect"))
+  }
+
+  /** Q187 — did event values shift level after mid-January? Same
+    * reference split as q185's KS. */
+  def q187(s: SparkSession, d: String): DataFrame =
+    mannWhitney(Tables.events(s, d), "event_type", "value",
+      col("ts").cast("date") <= lit("2024-01-15").cast("date"))
+      .orderBy("event_type")
+
+  /** Kendall tau-b daily-trend per group — the third robust-trend read
+    * next to q184's Theil–Sen (Sen's estimator IS the median slope;
+    * tau-b is the concordance share the Mann–Kendall trend test is
+    * built on). Runs over the gap-filled daily grid, so the pair
+    * fan-out is days² per group — CALENDAR-bounded, never event-sized.
+    * Concordant/discordant/tied counts are exact BIGINTs from one
+    * banded self-join (a.day < b.day, so each unordered pair counts
+    * once); x = day is never tied by construction (tie term t1 = 0);
+    * tau_b = (C−D)/√(n0(n0−t2)) is the one mirrored IEEE expression. */
+  def kendallTrend(grid: DataFrame, groupCol: String): DataFrame = {
+    val x = grid.select(col(groupCol), col("day"),
+      col("cnt").cast("long").as("y"))
+    val pairs = x.as("a").join(x.as("b"),
+        col(s"a.$groupCol") === col(s"b.$groupCol") &&
+          col("a.day") < col("b.day"))
+      .select(col(s"a.$groupCol").as(groupCol),
+        when(col("b.y") > col("a.y"), 1L).otherwise(0L).as("c"),
+        when(col("b.y") < col("a.y"), 1L).otherwise(0L).as("d"),
+        when(col("b.y") === col("a.y"), 1L).otherwise(0L).as("t"))
+    pairs.groupBy(groupCol)
+      .agg(sum("c").as("n_conc"), sum("d").as("n_disc"),
+        sum("t").as("n_tied"))
+      .withColumn("n0", col("n_conc") + col("n_disc") + col("n_tied"))
+      .withColumn("tau_b", round(
+        (col("n_conc") - col("n_disc")).cast("double") /
+          sqrt((col("n0") * (col("n0") - col("n_tied"))).cast("double")), 6))
+      .select(col(groupCol), col("n_conc"), col("n_disc"),
+        col("n_tied"), col("tau_b"))
+  }
+
+  /** Q188 — Mann–Kendall concordance trend per event type, on the same
+    * gap-filled grid q184's Theil–Sen reads. */
+  def q188(s: SparkSession, d: String): DataFrame =
+    kendallTrend(gapFill(Tables.events(s, d), "event_type"), "event_type")
+      .orderBy("event_type")
 }

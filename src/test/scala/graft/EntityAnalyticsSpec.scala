@@ -807,4 +807,74 @@ class EntityAnalyticsSpec extends SparkSpec {
       .collect().head.getAs[Double]("gini")
     assert(g1 == 0.75)
   }
+
+  test("spearman: exact +1/-1 on monotone frames, rank-not-value robustness, tie averaging") {
+    def rho(rows: Seq[(Double, Double)]): Double =
+      graft.operators.Relational.spearman(
+        rows.map { case (x, y) => ("g", x, y) }.toDF("grp", "x", "y"),
+        "grp", "x", "y").collect().head.getAs[Double]("rho")
+    // perfectly monotone — WILDLY nonlinear (x vs e^x shape) is still
+    // exactly +1 because only the ranks enter
+    assert(rho(Seq(1.0 -> 1.0, 2.0 -> 10.0, 3.0 -> 1e6, 4.0 -> 1e9)) == 1.0)
+    assert(rho(Seq(1.0 -> 9.0, 2.0 -> 7.0, 3.0 -> 5.0, 4.0 -> 1.0)) == -1.0)
+    // hand value with a tie on y: x = 1..4, y = (2, 5, 5, 9).
+    // doubled ranks: rx = (2,4,6,8); ry = (2,5,5,8) (ties 2,3 average
+    // to 2.5 → doubled 5). Pearson over those = 0.948683 (6dp).
+    assert(rho(Seq(1.0 -> 2.0, 2.0 -> 5.0, 3.0 -> 5.0, 4.0 -> 9.0))
+      == 0.948683)
+  }
+
+  test("mannWhitney: no-shift effect 0.5, total separation 0/1, hand U with ties") {
+    import java.sql.Timestamp
+    def mw(ref: Seq[Double], cur: Seq[Double]) =
+      graft.operators.Relational.mannWhitney(
+        (ref.map((_, true)) ++ cur.map((_, false))).map { case (v, r) =>
+          (new Timestamp((if (r) 1704067200L else 1706745600L) * 1000L),
+            "g", v) }.toDF("ts", "grp", "value"),
+        "grp", "value",
+        col("ts").cast("date") <= lit("2024-01-15").cast("date"))
+        .collect().head
+    // identical samples: U = n²/2, effect exactly 0.5
+    val same = mw((1 to 9).map(_.toDouble), (1 to 9).map(_.toDouble))
+    assert(same.getAs[Double]("u") == 40.5 &&
+      same.getAs[Double]("effect") == 0.5)
+    // reference strictly above current: U = n_a·n_b, effect 1
+    val above = mw(Seq(10.0, 11.0, 12.0), Seq(1.0, 2.0))
+    assert(above.getAs[Double]("u") == 6.0 &&
+      above.getAs[Double]("effect") == 1.0)
+    // reference strictly below: U = 0, effect 0
+    val below = mw(Seq(1.0, 2.0), Seq(10.0, 11.0, 12.0))
+    assert(below.getAs[Double]("u") == 0.0 &&
+      below.getAs[Double]("effect") == 0.0)
+    // textbook hand case with a cross-sample tie: ref {1,3}, cur {3,5}.
+    // pooled doubled ranks: 1→2, 3→5 (avg 2.5), 3→5, 5→8.
+    // 2R_ref = 7 → U = (7 − 2·3)/2 = 0.5 (the half from the tie);
+    // effect = 0.5/4 = 0.125
+    val hand = mw(Seq(1.0, 3.0), Seq(3.0, 5.0))
+    assert(hand.getAs[Double]("u") == 0.5 &&
+      hand.getAs[Double]("effect") == 0.125)
+  }
+
+  test("kendallTrend: monotone +1/-1, hand tau-b under ties, pair budget is days-choose-2") {
+    import java.sql.Date
+    def grid(ys: Seq[Long]) = ys.zipWithIndex.map { case (y, i) =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), "g", y) }
+      .toDF("day", "g", "cnt")
+    def kt(ys: Seq[Long]) = graft.operators.Relational
+      .kendallTrend(grid(ys), "g").collect().head
+    val up = kt(Seq(1L, 2L, 5L, 9L))
+    assert(up.getAs[Double]("tau_b") == 1.0 &&
+      up.getAs[Long]("n_conc") == 6 && up.getAs[Long]("n_tied") == 0)
+    assert(kt(Seq(9L, 5L, 2L, 1L)).getAs[Double]("tau_b") == -1.0)
+    // hand tie case y = (1, 2, 2, 3): pairs = 6, C = 5, D = 0, T = 1;
+    // tau_b = 5/sqrt(6·5) = 0.912871
+    val tied = kt(Seq(1L, 2L, 2L, 3L))
+    assert(tied.getAs[Long]("n_conc") == 5 &&
+      tied.getAs[Long]("n_disc") == 0 && tied.getAs[Long]("n_tied") == 1)
+    assert(tied.getAs[Double]("tau_b") == 0.912871)
+    // the fan-out is CALENDAR-bounded: n days → exactly n(n-1)/2 pairs
+    val wide = kt((0 until 30).map(i => (i % 7).toLong))
+    assert(wide.getAs[Long]("n_conc") + wide.getAs[Long]("n_disc") +
+      wide.getAs[Long]("n_tied") == 435)
+  }
 }
