@@ -208,6 +208,8 @@ object SparkEntry {
     "q186_spearman"        -> (Relational.q186 _),
     "q187_mann_whitney"    -> (Relational.q187 _),
     "q188_kendall_trend"   -> (Relational.q188 _),
+    "q189_repetition"      -> (TextOps.q189 _),
+    "q190_lexical_div"     -> (TextOps.q190 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2351,6 +2353,38 @@ object SparkEntry {
         "ROUND(CAST(SUM(co) - SUM(di) AS DOUBLE) / " +
         "SQRT(CAST((SUM(co)+SUM(di)+SUM(ti)) * (SUM(co)+SUM(di)) AS DOUBLE)), 6) AS tau_b " +
         "FROM p GROUP BY event_type ORDER BY event_type"),
+    // q189: Gopher repetition audit — duplicate n-gram token mass and
+    // top-token dominance per doc, exact integer ratios; docs shorter
+    // than n contribute no n-grams (inner join drops sub-3-token docs
+    // on both sides).
+    "q189_repetition" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "g1 AS (SELECT doc_id, unnest(t) AS g FROM tok), " +
+        "g2 AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM " +
+        "(SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM tok)), " +
+        "g3 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM " +
+        "(SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM tok)), " +
+        "c1 AS (SELECT doc_id, g, COUNT(*) AS c FROM g1 GROUP BY 1, 2), " +
+        "c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2), " +
+        "c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2), " +
+        "d1 AS (SELECT doc_id, ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6) AS dup_token_frac, " +
+        "ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_frac FROM c1 GROUP BY 1), " +
+        "d2 AS (SELECT doc_id, ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6) AS dup_2gram_frac FROM c2 GROUP BY 1), " +
+        "d3 AS (SELECT doc_id, ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6) AS dup_3gram_frac FROM c3 GROUP BY 1) " +
+        "SELECT d1.doc_id, dup_token_frac, dup_2gram_frac, dup_3gram_frac, top_token_frac " +
+        "FROM d1 JOIN d2 ON d1.doc_id = d2.doc_id JOIN d3 ON d1.doc_id = d3.doc_id " +
+        "ORDER BY dup_2gram_frac DESC, d1.doc_id LIMIT 100"),
+    // q190: lexical diversity — TTR + hapax share from one (doc, token)
+    // count agg; lowest-TTR 100 with doc_id tie-break.
+    "q190_lexical_div" ->
+      ("WITH c AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "k AS (SELECT doc_id, w, COUNT(*) AS c FROM c GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_types, " +
+        "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, " +
+        "ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr, " +
+        "ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS hapax_frac " +
+        "FROM k GROUP BY doc_id ORDER BY ttr, doc_id LIMIT 100"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

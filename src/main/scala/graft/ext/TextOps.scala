@@ -1639,4 +1639,78 @@ object TextOps {
   /** Q182 — fertility audit over the documents corpus. */
   def q182(s: SparkSession, d: String): DataFrame =
     tokenFertility(Tables.documents(s, d)).orderBy("lang")
+
+  /** Gopher-style repetition audit (Rae et al. 2021 §A1.1 quality
+    * rules): per document, the fraction of n-grams inside REPEATED
+    * n-grams (dup_Xgram_frac = Σ_{g:c_g>1} c_g / total n-grams) and the
+    * most-frequent-token dominance (top token count / tokens). High
+    * values flag boilerplate/spam docs a curation pipeline drops before
+    * training. All three are exact-integer ratios, IEEE only in the
+    * final rounded divides. Scale: n-grams are built by a NARROW
+    * higher-order transform over the token array (no self-join), and
+    * the per-(doc, gram) counts map-side combine before the doc-keyed
+    * shuffle — state is (doc × distinct-gram)-bounded, never
+    * corpus-global. */
+  def repetitionAudit(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    // short-doc guard: Spark's sequence(0, -1) DESCENDS (it would index
+    // t[-1] and fabricate grams); docs shorter than n contribute no grams
+    def perGram(n: Int) = toks
+      .select(col("doc_id"), explode(expr(
+        s"IF(size(t) >= $n, transform(sequence(0, size(t) - $n), i -> " +
+          (0 until n).map(j => s"t[i + $j]").mkString("concat_ws(' ', ", ", ", ")") +
+          "), array())")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    def dupFrac(n: Int) = perGram(n)
+      .groupBy("doc_id")
+      .agg(sum("c").as("total"),
+        sum(when(col("c") > 1L, col("c")).otherwise(lit(0L))).as("dup"))
+      .select(col("doc_id"),
+        round(col("dup").cast("double") / col("total"), 6).as(s"dup_${n}gram_frac"))
+    // unigram counts carry both reads in ONE agg pair: duplicate-token
+    // mass and the most-frequent-token dominance
+    val uni = perGram(1)
+      .groupBy("doc_id")
+      .agg(sum("c").as("total"), max("c").as("top_c"),
+        sum(when(col("c") > 1L, col("c")).otherwise(lit(0L))).as("dup"))
+      .select(col("doc_id"),
+        round(col("dup").cast("double") / col("total"), 6).as("dup_token_frac"),
+        round(col("top_c").cast("double") / col("total"), 6).as("top_token_frac"))
+    uni.join(dupFrac(2), "doc_id").join(dupFrac(3), "doc_id")
+      .select(col("doc_id"), col("dup_token_frac"), col("dup_2gram_frac"),
+        col("dup_3gram_frac"), col("top_token_frac"))
+  }
+
+  /** Q189 — the 100 most repetition-flagged documents (ties broken by
+    * doc_id so the cut is deterministic cross-engine). */
+  def q189(s: SparkSession, d: String): DataFrame =
+    repetitionAudit(Tables.documents(s, d))
+      .orderBy(col("dup_2gram_frac").desc, col("doc_id"))
+      .limit(100)
+
+  /** Lexical-diversity audit: per document, type count (distinct
+    * tokens), type-token ratio, and the hapax-legomena share (types
+    * occurring exactly once / types) — the complementary read to
+    * repetitionAudit (low TTR = repetitive; high hapax = noisy OCR or
+    * genuinely diverse vocabulary). One (doc, token) count agg (map-
+    * side combined), one doc rollup; exact integers, two rounded
+    * divides. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr",
+        round(col("n_types").cast("double") / col("n_tokens"), 6))
+      .withColumn("hapax_frac",
+        round(col("n_hapax").cast("double") / col("n_types"), 6))
+
+  /** Q190 — the 100 least lexically diverse documents (lowest TTR;
+    * doc_id tie-break). */
+  def q190(s: SparkSession, d: String): DataFrame =
+    lexicalDiversity(Tables.documents(s, d))
+      .orderBy(col("ttr"), col("doc_id"))
+      .limit(100)
 }

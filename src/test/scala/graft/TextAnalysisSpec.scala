@@ -661,4 +661,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r("en") == ((30L, 6L, 5.0, 3.0)))
     assert(r("de") == ((9L, 3L, 3.0, 3.0)))
   }
+
+  test("repetitionAudit: hand fractions on a planted boilerplate doc, clean doc near zero") {
+    import spark.implicits._
+    // doc 1: "x y x y x y z" — tokens: x×3 y×3 z×1 → dup_token 6/7;
+    // 2-grams: (x y)×3 (y x)×2 (y z)×1 → dup 5/6; 3-grams:
+    // (x y x)×2 (y x y)×2 (x y z)×1 → dup 4/5; top token 3/7.
+    // doc 2: all distinct — every fraction 0.
+    val docs = Seq((1L, "x y x y x y z"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextOps.repetitionAudit(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Double]("dup_token_frac") == math.rint(6.0 / 7 * 1e6) / 1e6)
+    assert(d1.getAs[Double]("dup_2gram_frac") == math.rint(5.0 / 6 * 1e6) / 1e6)
+    assert(d1.getAs[Double]("dup_3gram_frac") == 0.8)
+    assert(d1.getAs[Double]("top_token_frac") == math.rint(3.0 / 7 * 1e6) / 1e6)
+    val d2 = out(2L)
+    assert(d2.getAs[Double]("dup_token_frac") == 0.0 &&
+      d2.getAs[Double]("dup_2gram_frac") == 0.0 &&
+      d2.getAs[Double]("dup_3gram_frac") == 0.0)
+    assert(d2.getAs[Double]("top_token_frac") == 0.2)
+  }
+
+  test("repetitionAudit: sub-3-token docs are excluded, not fabricated") {
+    import spark.implicits._
+    // a 2-token doc has no 3-grams: the descending-sequence hazard
+    // (sequence(0,-1) = [0,-1] indexing t[-1]) must NOT invent grams —
+    // the doc drops out of the audit entirely
+    val docs = Seq((1L, "a b"), (2L, "a a a a")).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.repetitionAudit(docs).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(2L))
+    assert(out.head.getAs[Double]("dup_3gram_frac") == 1.0)
+  }
+
+  test("lexicalDiversity: exact TTR and hapax share") {
+    import spark.implicits._
+    // "a a b c": 4 tokens, 3 types (ttr .75), hapax {b,c} → 2/3
+    val docs = Seq((1L, "a a b c")).toDF("doc_id", "text")
+    val r = graft.ext.TextOps.lexicalDiversity(docs).collect().head
+    assert(r.getAs[Long]("n_tokens") == 4 && r.getAs[Long]("n_types") == 3 &&
+      r.getAs[Long]("n_hapax") == 2)
+    assert(r.getAs[Double]("ttr") == 0.75)
+    assert(r.getAs[Double]("hapax_frac") == math.rint(2.0 / 3 * 1e6) / 1e6)
+  }
 }
