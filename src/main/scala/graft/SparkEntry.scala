@@ -210,6 +210,9 @@ object SparkEntry {
     "q188_kendall_trend"   -> (Relational.q188 _),
     "q189_repetition"      -> (TextOps.q189 _),
     "q190_lexical_div"     -> (TextOps.q190 _),
+    "q191_fk_orphans"      -> (graft.operators.Warehouse.q191 _),
+    "q192_col_profile"     -> (graft.operators.Warehouse.q192 _),
+    "q193_acf"             -> (Relational.q193 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2385,6 +2388,64 @@ object SparkEntry {
         "ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr, " +
         "ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS hapax_frac " +
         "FROM k GROUP BY doc_id ORDER BY ttr, doc_id LIMIT 100"),
+    // q191: FK orphan audit — per edge, distinct child keys anti-joined
+    // against parent keys; the clean fixture star must produce all
+    // zeros (the planted-corruption firing contract is in WarehouseSpec).
+    "q191_fk_orphans" -> {
+      def edge(name: String, child: String, ck: String, parent: String,
+          pk: String) =
+        s"SELECT '$name' AS edge, CAST(COUNT(*) AS BIGINT) AS orphan_keys, " +
+          s"CAST(COALESCE(SUM(c), 0) AS BIGINT) AS orphan_rows FROM " +
+          s"(SELECT $ck AS k, COUNT(*) AS c FROM $child WHERE $ck IS NOT NULL GROUP BY 1) ch " +
+          s"LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) p USING (k) " +
+          "WHERE p.k IS NULL"
+      Seq(
+        edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        edge("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY edge")
+    },
+    // q192: numeric column profile — null/distinct/min/max per column,
+    // long form via a per-column UNION (bounded by column count).
+    "q192_col_profile" -> {
+      def leg(table: String, c: String) =
+        s"SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, " +
+          s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+          s"MIN(CAST($c AS DOUBLE)) AS vmin, MAX(CAST($c AS DOUBLE)) AS vmax " +
+          s"FROM $table"
+      (Seq(("orders", "o_custkey"), ("orders", "o_totalprice"),
+        ("lineitem", "l_quantity"), ("lineitem", "l_extendedprice"),
+        ("lineitem", "l_discount"), ("lineitem", "l_tax"))
+        .map { case (t, c) => leg(t, c) })
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+    },
+    // q193: ACF — Pearson of the gap-filled daily series against its
+    // own lag-l shift, exact decimal moments, one IEEE r per (group, lag).
+    "q193_acf" ->
+      ("WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events), " +
+        "c AS (SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY day, event_type), " +
+        "span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e), " +
+        "spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span), " +
+        "g AS (SELECT DISTINCT event_type FROM e), " +
+        "grid AS (SELECT spine.day AS day, g.event_type, CAST(COALESCE(c.cnt, 0) AS DECIMAL(18,0)) AS y " +
+        "FROM spine CROSS JOIN g LEFT JOIN c ON c.day = spine.day AND c.event_type = g.event_type), " +
+        "lags AS (SELECT unnest(generate_series(1, 7)) AS lag), " +
+        "p AS (SELECT a.event_type, lags.lag AS lag, a.y AS ya, b.y AS yb " +
+        "FROM grid a CROSS JOIN lags JOIN grid b " +
+        "ON b.event_type = a.event_type AND b.day = a.day + lags.lag * INTERVAL 1 DAY) " +
+        "SELECT event_type, CAST(lag AS INT) AS lag, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "ROUND((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(ya*yb) AS DOUBLE) - " +
+        "CAST(SUM(ya) AS DOUBLE) * CAST(SUM(yb) AS DOUBLE)) / " +
+        "SQRT((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(ya*ya) AS DOUBLE) - " +
+        "CAST(SUM(ya) AS DOUBLE) * CAST(SUM(ya) AS DOUBLE)) * " +
+        "(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(yb*yb) AS DOUBLE) - " +
+        "CAST(SUM(yb) AS DOUBLE) * CAST(SUM(yb) AS DOUBLE))), 6) AS acf " +
+        "FROM p GROUP BY event_type, lag ORDER BY event_type, lag"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

@@ -3220,4 +3220,46 @@ object Relational {
   def q188(s: SparkSession, d: String): DataFrame =
     kendallTrend(gapFill(Tables.events(s, d), "event_type"), "event_type")
       .orderBy("event_type")
+
+  /** Autocorrelation function (ACF) per group — q172's cross-
+    * correlation turned inward: Pearson r between a daily series and
+    * its own lag-l shift, for l = 1..maxLag (the seasonality/
+    * persistence read that picks smoothing windows and forecast
+    * horizons). Runs on the gap-filled grid so a missing day is a real
+    * zero, not a silently skipped lag pair. Moments are exact
+    * DECIMAL(38,0) sums of integer counts (spearman's overflow
+    * doctrine); r is ONE mirrored IEEE expression per (group, lag).
+    * Cost: grid × maxLag pairs — calendar-bounded, never event-sized;
+    * the lag frame is a broadcast literal. */
+  def autocorrelation(grid: DataFrame, groupCol: String,
+      maxLag: Int): DataFrame = {
+    val x = grid.select(col(groupCol), col("day"),
+      col("cnt").cast("decimal(18,0)").as("y"))
+    val lags = grid.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val pairs = x.as("a").crossJoin(broadcast(lags))
+      .withColumn("day_b", date_add(col("day"), col("lag")))
+      .join(x.as("b").select(col(groupCol), col("day").as("day_b"),
+        col("y").as("yb")), Seq(groupCol, "day_b"))
+    pairs.groupBy(col(groupCol), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a.y")).as("sa"), sum("yb").as("sb"),
+        sum(col("a.y") * col("a.y")).as("saa"),
+        sum(col("yb") * col("yb")).as("sbb"),
+        sum(col("a.y") * col("yb")).as("sab"))
+      .select(col(groupCol), col("lag"), col("n"),
+        round(((col("n").cast("double") * col("sab").cast("double") -
+          col("sa").cast("double") * col("sb").cast("double")) /
+          sqrt((col("n").cast("double") * col("saa").cast("double") -
+            col("sa").cast("double") * col("sa").cast("double")) *
+            (col("n").cast("double") * col("sbb").cast("double") -
+              col("sb").cast("double") * col("sb").cast("double")))), 6)
+          .as("acf"))
+  }
+
+  /** Q193 — daily-volume ACF per event type at lags 1..7. */
+  def q193(s: SparkSession, d: String): DataFrame =
+    autocorrelation(gapFill(Tables.events(s, d), "event_type"),
+      "event_type", 7)
+      .orderBy("event_type", "lag")
 }

@@ -290,4 +290,89 @@ object Warehouse {
         col("s").cast("double").as("revenue"))
       .orderBy("o_orderstatus", "o_orderpriority")
   }
+
+  /** Referential-integrity audit: for each declared FK edge, how many
+    * child rows point at a parent key that does not exist. The load-
+    * gate audit a warehouse runs after every batch — a nonzero orphan
+    * count means the load order or an upstream delete broke the star.
+    *
+    * Plan shape per edge: child side reduced to DISTINCT child keys
+    * FIRST (the orphan question is per-key; the distinct is the only
+    * child-sized shuffle and map-side combines), then a LEFT ANTI join
+    * against parent keys — dimension-sized, so the planner broadcasts
+    * every dim (region/nation/customer/supplier/part) and only the
+    * fact-fact edge (lineitem→orders) shuffles; orphan KEYS then
+    * rejoin the child to count affected ROWS via one more key-grouped
+    * agg. Edges are independent — Spark runs the union's legs in
+    * parallel stages. */
+  def fkOrphans(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    val per = edges.map { case (name, child, childKey, parent, parentKey) =>
+      val keyCounts = child.filter(col(childKey).isNotNull)
+        .groupBy(col(childKey).as("k")).agg(count(lit(1)).as("c"))
+      val orphans = keyCounts.join(
+        parent.select(col(parentKey).as("k")).distinct(),
+        Seq("k"), "left_anti")
+      orphans.agg(
+        lit(name).as("edge"),
+        count(lit(1)).as("orphan_keys"),
+        coalesce(sum("c"), lit(0L)).as("orphan_rows"))
+    }
+    per.reduce(_ unionAll _)
+  }
+
+  /** Q191 — the full star-schema FK sweep. The fixture star is clean
+    * by construction, so every orphan count must be zero: the gate
+    * certifies the AUDIT (an oracle recomputing the same anti-joins),
+    * and the planted-corruption contract in WarehouseSpec proves it
+    * fires. */
+  def q191(s: SparkSession, d: String): DataFrame = {
+    val edges = Seq(
+      ("orders->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"),
+      ("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"),
+      ("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"),
+      ("lineitem->supplier", Tables.lineitem(s, d), "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"),
+      ("customer->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey"),
+      ("supplier->nation", Tables.supplier(s, d), "s_nationkey",
+        Tables.nation(s, d), "n_nationkey"),
+      ("nation->region", Tables.nation(s, d), "n_regionkey",
+        Tables.region(s, d), "r_regionkey"))
+    fkOrphans(edges).orderBy("edge")
+  }
+
+  /** Column-profile audit: per column, null count, distinct count, and
+    * min/max — the post-load sanity read (a column suddenly 90% null
+    * or single-valued is an upstream break). Numerics profile as
+    * doubles; min/max of other types are presented as strings via a
+    * deterministic render the oracle mirrors. One pass per SHAPE
+    * (all numeric aggs fold into a single scan-wide agg row; the long
+    * form is a bounded lit-keyed union — columns × 1 rows, never
+    * data-sized). */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val n = df.agg(count(lit(1)).as("n"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__nd"),
+        min(col(c).cast("double")).as(s"${c}__min"),
+        max(col(c).cast("double")).as(s"${c}__max"))): _*)
+    val legs = cols.map(c => n.select(
+      lit(c).as("col_name"),
+      col("n").as("n_rows"),
+      col(s"${c}__nulls").as("n_null"),
+      col(s"${c}__nd").as("n_distinct"),
+      col(s"${c}__min").as("vmin"),
+      col(s"${c}__max").as("vmax")))
+    legs.reduce(_ unionAll _)
+  }
+
+  /** Q192 — numeric-column profile of orders + lineitem measures. */
+  def q192(s: SparkSession, d: String): DataFrame =
+    profileNumeric(Tables.orders(s, d), Seq("o_custkey", "o_totalprice"))
+      .unionAll(profileNumeric(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))
+      .orderBy("col_name")
 }

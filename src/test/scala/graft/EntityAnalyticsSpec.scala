@@ -877,4 +877,23 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(wide.getAs[Long]("n_conc") + wide.getAs[Long]("n_disc") +
       wide.getAs[Long]("n_tied") == 435)
   }
+
+  test("autocorrelation: period-3 series peaks at lag 3, linear ramp stays near 1") {
+    import java.sql.Date
+    def grid(ys: Seq[Long]) = ys.zipWithIndex.map { case (y, i) =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), "g", y) }
+      .toDF("day", "g", "cnt")
+    // 1,5,9 repeating for 30 days: at lag 3 every pair is (v, v) → acf
+    // exactly 1; at lag 1 the pairing cycles (1,5),(5,9),(9,1) → negative
+    val acf3 = graft.operators.Relational
+      .autocorrelation(grid((0 until 30).map(i => Seq(1L, 5L, 9L)(i % 3))), "g", 3)
+      .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Double]("acf")).toMap
+    assert(acf3(3) == 1.0, s"lag-3 acf ${acf3(3)}")
+    assert(acf3(1) < 0, s"lag-1 acf ${acf3(1)}")
+    // pair count: 30-day grid, lag l → 30 − l pairs
+    val ns = graft.operators.Relational
+      .autocorrelation(grid((0 until 30).map(_.toLong)), "g", 3)
+      .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Long]("n")).toMap
+    assert(ns == Map(1 -> 29L, 2 -> 28L, 3 -> 27L))
+  }
 }

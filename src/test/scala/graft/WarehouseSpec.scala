@@ -326,4 +326,41 @@ class WarehouseSpec extends SparkSpec {
     assert(picked.length == 200)
     assert(heavy > 150, s"heavy-weight picks $heavy of 200 — not monotone")
   }
+
+  test("fkOrphans fires on planted corruption and distinguishes keys from rows") {
+    import spark.implicits._
+    // parent holds keys 1..3; child points at 1, 1, 2, 99, 99, 99, 42:
+    // orphan KEYS = {99, 42} → 2; orphan ROWS = 3 + 1 = 4. Null child
+    // keys are not orphans (nullable FK semantics).
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(99L), Some(99L),
+      Some(99L), Some(42L), None).toDF("ck")
+    val out = graft.operators.Warehouse.fkOrphans(
+      Seq(("child->parent", child, "ck", parent, "pk"))).collect().head
+    assert(out.getAs[String]("edge") == "child->parent")
+    assert(out.getAs[Long]("orphan_keys") == 2)
+    assert(out.getAs[Long]("orphan_rows") == 4)
+    // clean edge → explicit zeros, not an empty frame
+    val clean = graft.operators.Warehouse.fkOrphans(
+      Seq(("c->p", Seq(1L, 2L).toDF("ck"), "ck", parent, "pk")))
+      .collect().head
+    assert(clean.getAs[Long]("orphan_keys") == 0 &&
+      clean.getAs[Long]("orphan_rows") == 0)
+  }
+
+  test("profileNumeric: exact null/distinct/min/max per column") {
+    import spark.implicits._
+    val df = Seq((Some(1.0), Some(10L)), (Some(2.5), None),
+      (None, Some(10L)), (Some(2.5), Some(40L)))
+      .toDF("a", "b")
+    val out = graft.operators.Warehouse.profileNumeric(df, Seq("a", "b"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_rows") == 4 && a.getAs[Long]("n_null") == 1 &&
+      a.getAs[Long]("n_distinct") == 2)
+    assert(a.getAs[Double]("vmin") == 1.0 && a.getAs[Double]("vmax") == 2.5)
+    val b = out("b")
+    assert(b.getAs[Long]("n_null") == 1 && b.getAs[Long]("n_distinct") == 2)
+    assert(b.getAs[Double]("vmin") == 10.0 && b.getAs[Double]("vmax") == 40.0)
+  }
 }
