@@ -213,6 +213,8 @@ object SparkEntry {
     "q191_fk_orphans"      -> (graft.operators.Warehouse.q191 _),
     "q192_col_profile"     -> (graft.operators.Warehouse.q192 _),
     "q193_acf"             -> (Relational.q193 _),
+    "q194_cms_counts"      -> (graft.ext.Sketches.q194 _),
+    "q195_cusum"           -> (Relational.q195 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2446,6 +2448,31 @@ object SparkEntry {
         "(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(yb*yb) AS DOUBLE) - " +
         "CAST(SUM(yb) AS DOUBLE) * CAST(SUM(yb) AS DOUBLE))), 6) AS acf " +
         "FROM p GROUP BY event_type, lag ORDER BY event_type, lag"),
+    // q194 rows-only: CMS estimates are algorithm-defined like the
+    // q141/q147/q165 sketch family; the exact anchor is q99's gate and
+    // the never-underestimate/εN/merge contracts live in SketchesSpec.
+    // q195: CUSUM changepoint — argmax of the integer n·P_t − t·T over
+    // the gap-filled grid, earliest-day tie-break; means are the only
+    // IEEE divides.
+    "q195_cusum" ->
+      ("WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events), " +
+        "c AS (SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY day, event_type), " +
+        "span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e), " +
+        "spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span), " +
+        "g AS (SELECT DISTINCT event_type FROM e), " +
+        "grid AS (SELECT spine.day AS day, g.event_type, COALESCE(c.cnt, 0) AS y " +
+        "FROM spine CROSS JOIN g LEFT JOIN c ON c.day = spine.day AND c.event_type = g.event_type), " +
+        "s AS (SELECT event_type, day, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t, " +
+        "CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n, " +
+        "CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS tot FROM grid), " +
+        "sc AS (SELECT *, ABS(n * p - t * tot) AS cint, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(n * p - t * tot) DESC, day) AS rk FROM s) " +
+        "SELECT event_type, day AS cp_day, n AS n_days, CAST(cint AS BIGINT) AS cusum_int, " +
+        "ROUND(CAST(p AS DOUBLE) / t, 6) AS mean_before, " +
+        "CASE WHEN t < n THEN ROUND(CAST(tot - p AS DOUBLE) / (n - t), 6) ELSE NULL END AS mean_after " +
+        "FROM sc WHERE rk = 1 ORDER BY event_type"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

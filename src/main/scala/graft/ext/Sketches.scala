@@ -383,4 +383,104 @@ object Sketches {
           .as("n_corpus_after"))
       .orderBy("lang")
   }
+
+  // ---------------------------------------------------------------
+  // Count-Min sketch — the frequency sketch (Cormode & Muthukrishnan
+  // 2005), completing the mergeable tier: HLL = distinct, Bloom =
+  // membership, KMV = set similarity, CMS = per-key counts.
+  // ---------------------------------------------------------------
+
+  val CmsDepth = 4     // rows → failure prob δ = e^-4 ≈ 1.8%
+  val CmsWidth = 2048  // counters/row → ε = e/W ≈ 1.33e-3 of total mass
+  private val CmsSize = CmsDepth * CmsWidth // 64 KB of longs per sketch
+
+  /** Row indices of one 64-bit key hash (the bloomBits doctrine:
+    * Kirsch–Mitzenmacher h1 + i·h2 — ONE xxhash64 per key feeds all
+    * rows, preserving the pairwise-independence the bound needs). */
+  @inline private def cmsSlots(h: Long): Array[Int] = {
+    val h1 = (h & 0xffffffffL).toInt
+    val h2 = (h >>> 32).toInt
+    Array.tabulate(CmsDepth) { i =>
+      val x = h1 + i * h2
+      i * CmsWidth + ((x % CmsWidth) + CmsWidth) % CmsWidth
+    }
+  }
+
+  /** CMS build over pre-hashed keys with a LONG count each (so one
+    * input row can carry map-side pre-aggregated weight). Merge is
+    * elementwise addition — exact on longs, commutative, associative:
+    * shard sketches combine into precisely the sketch of the union,
+    * the same contract the HLL/Bloom/KMV builds carry. */
+  class CmsBuild extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.empty
+    override def reduce(buf: Array[Long], in: (Long, Long)): Array[Long] = {
+      val b = if (buf.isEmpty) new Array[Long](CmsSize) else buf
+      val slots = cmsSlots(in._1)
+      var i = 0
+      while (i < CmsDepth) { b(slots(i)) += in._2; i += 1 }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = new Array[Long](CmsSize)
+      var i = 0
+      while (i < CmsSize) { out(i) = a(i) + b(i); i += 1 }
+      out
+    }
+    override def finish(buf: Array[Long]): Array[Long] =
+      if (buf.isEmpty) new Array[Long](CmsSize) else buf
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Point estimate: min over the depth rows — NEVER an underestimate
+    * (every slot holds the true count plus nonnegative collision mass),
+    * and ≤ true + ε·N with probability 1−δ. */
+  private[graft] def cmsEstimate(sketch: Array[Long], h: Long): Long = {
+    val slots = cmsSlots(h)
+    var best = Long.MaxValue
+    var i = 0
+    while (i < CmsDepth) {
+      if (sketch(slots(i)) < best) best = sketch(slots(i))
+      i += 1
+    }
+    best
+  }
+
+  private val cmsEstimateUdf = udf { (sk: Seq[Long], h: Long) =>
+    cmsEstimate(sk.toArray, h)
+  }
+
+  /** Per-key frequency estimates from ONE corpus-wide CMS: events
+    * pre-aggregate per (shard, key) map-side, shard sketches merge in
+    * the agg (64 KB rows — never raw events past the first combine),
+    * then the probe keys join the 1-row sketch by broadcast. At
+    * 100 TB the sketch build is the only full-data pass; any later
+    * key's count is answered from the 64 KB row. */
+  def cmsKeyCounts(ev: DataFrame, keyCol: String,
+      probes: DataFrame): DataFrame = {
+    val build = udaf(new CmsBuild)
+    val perKey = ev.select(xxhash64(col(keyCol)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c")) // map-side combine tier
+    val sketch = perKey.agg(build(col("h"), col("c")).as("sk"))
+    probes.select(col(keyCol), xxhash64(col(keyCol)).as("h"))
+      .crossJoin(broadcast(sketch))
+      .select(col(keyCol), cmsEstimateUdf(col("sk"), col("h")).as("est_count"))
+  }
+
+  /** Q194 — CMS frequency estimates for the 10 busiest users (rows-only
+    * driver check: estimates are algorithm-defined like q141/q147/q165;
+    * the EXACT anchor is q99's heavy-keys gate, and SketchesSpec pins
+    * the never-underestimate guarantee, the εN bound, and byte-exact
+    * shard merging). */
+  def q194(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+    cmsKeyCounts(ev, "user_id", top.select("user_id"))
+      .join(top, "user_id")
+      .select(col("user_id"), col("n_exact"), col("est_count"))
+      .orderBy("user_id")
+  }
 }

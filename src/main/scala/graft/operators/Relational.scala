@@ -3262,4 +3262,43 @@ object Relational {
     autocorrelation(gapFill(Tables.events(s, d), "event_type"),
       "event_type", 7)
       .orderBy("event_type", "lag")
+
+  /** CUSUM changepoint detection per group — WHERE did the daily level
+    * shift (the follow-up question to the q152/q185/q187 drift tier's
+    * "did it shift?"): the split point t maximizing the centered
+    * cumulative sum |Σ_{i≤t}(y_i − ȳ)|. Engine-determinism: the
+    * statistic is maximized on the INTEGER n·P_t − t·T (P = prefix sum,
+    * T = total — the ȳ subtraction cleared of its divide), ties broken
+    * earliest-day; the before/after means are the only IEEE divides.
+    * State: one prefix-sum window + one rank window over the
+    * calendar-bounded grid. */
+  def cusumChangepoint(grid: DataFrame, groupCol: String): DataFrame = {
+    val x = grid.select(col(groupCol), col("day"),
+      col("cnt").cast("long").as("y"))
+    val wCum = Window.partitionBy(groupCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val scored = x
+      .withColumn("t", row_number().over(
+        Window.partitionBy(groupCol).orderBy("day")).cast("long"))
+      .withColumn("p", sum("y").over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum("y").over(wAll))
+      .withColumn("cint", abs(col("n") * col("p") - col("t") * col("tot")))
+    val pick = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("cint").desc, col("day"))))
+      .filter(col("rk") === 1)
+    pick.select(col(groupCol), col("day").as("cp_day"), col("n").as("n_days"),
+      col("cint").as("cusum_int"),
+      round(col("p").cast("double") / col("t"), 6).as("mean_before"),
+      when(col("t") < col("n"),
+        round((col("tot") - col("p")).cast("double") / (col("n") - col("t")), 6))
+        .otherwise(lit(null).cast("double")).as("mean_after"))
+  }
+
+  /** Q195 — where each event type's daily volume level-shifted. */
+  def q195(s: SparkSession, d: String): DataFrame =
+    cusumChangepoint(gapFill(Tables.events(s, d), "event_type"), "event_type")
+      .orderBy("event_type")
 }

@@ -896,4 +896,28 @@ class EntityAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Long]("n")).toMap
     assert(ns == Map(1 -> 29L, 2 -> 28L, 3 -> 27L))
   }
+
+  test("cusumChangepoint lands on a planted step and reports exact level means") {
+    import java.sql.Date
+    def grid(ys: Seq[Long]) = ys.zipWithIndex.map { case (y, i) =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), "g", y) }
+      .toDF("day", "g", "cnt")
+    // 10 days at level 10, then 10 days at level 50: the centered
+    // cumulative sum peaks exactly at the last low day (Jan 10)
+    val r = graft.operators.Relational
+      .cusumChangepoint(grid(Seq.fill(10)(10L) ++ Seq.fill(10)(50L)), "g")
+      .collect().head
+    assert(r.getAs[Date]("cp_day").toString == "2024-01-10")
+    assert(r.getAs[Long]("n_days") == 20)
+    assert(r.getAs[Double]("mean_before") == 10.0)
+    assert(r.getAs[Double]("mean_after") == 50.0)
+    // constant series: every centered cusum is 0 → earliest-day
+    // tie-break, mean_before = mean_after = the level
+    val flat = graft.operators.Relational
+      .cusumChangepoint(grid(Seq.fill(5)(7L)), "g").collect().head
+    assert(flat.getAs[Date]("cp_day").toString == "2024-01-01")
+    assert(flat.getAs[Long]("cusum_int") == 0)
+    assert(flat.getAs[Double]("mean_before") == 7.0 &&
+      flat.getAs[Double]("mean_after") == 7.0)
+  }
 }

@@ -140,4 +140,62 @@ class SketchesSpec extends SparkSpec {
     assert(exact.subsetOf(flagged),
       s"false negatives: ${exact.diff(flagged)}")
   }
+
+  // ---- Count-Min sketch ----
+
+  private def cmsOf(keyCounts: Seq[(Long, Long)]): Array[Long] = {
+    val agg = new Sketches.CmsBuild
+    keyCounts.foldLeft(agg.zero)((b, kc) =>
+      agg.reduce(b, (xx(kc._1), kc._2)))
+  }
+  private def xx(k: Long): Long = {
+    // the engine hashes keys with xxhash64(col) (seed 42) — mirror it
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(k, org.apache.spark.sql.types.LongType, 42L)
+  }
+
+  test("CMS never underestimates and stays within εN on a zipf-ish load") {
+    // zipf-ish: key k (1..2000) carries ~ 20000/k mass; N ≈ 20000·H(2000)
+    val load = (1L to 2000L).map(k => k -> (20000 / k))
+    val n = load.map(_._2).sum
+    val sk = cmsOf(load)
+    val eps = math.E / Sketches.CmsWidth
+    var worst = 0L
+    load.foreach { case (k, c) =>
+      val est = Sketches.cmsEstimate(sk, xx(k))
+      assert(est >= c, s"UNDERESTIMATE at key $k: $est < $c")
+      worst = math.max(worst, est - c)
+    }
+    // the ε·N bound holds per row with prob 1−1/e; min over 4 rows
+    // makes a breach on this fixed hash set practically impossible
+    assert(worst <= (eps * n).toLong + 1,
+      s"worst overestimate $worst vs eps*N = ${(eps * n).toLong}")
+  }
+
+  test("CMS build(A ∪ B) equals elementwise merge of shard sketches exactly") {
+    val a = (1L to 3000L).map(k => k -> 3L)
+    val b = (2000L to 5000L).map(k => k -> 7L)
+    val agg = new Sketches.CmsBuild
+    val merged = agg.merge(cmsOf(a), cmsOf(b))
+    val direct = cmsOf((a ++ b).groupBy(_._1).toSeq
+      .map { case (k, vs) => k -> vs.map(_._2).sum })
+    assert(java.util.Arrays.equals(merged, direct))
+    // weighted reduce ≡ unit-count replay: one (k, c) row is c inserts
+    val unitReplay = cmsOf(Seq.fill(5)(42L -> 1L))
+    assert(java.util.Arrays.equals(unitReplay, cmsOf(Seq(42L -> 5L))))
+  }
+
+  test("cmsKeyCounts end-to-end: estimates dominate the exact counts") {
+    val ev = (1L to 5000L).map(i => ("u" + (i % 97), i))
+      .toDF("user_id", "event_id")
+    val probes = (0 until 97).map(i => "u" + i).toDF("user_id")
+    val est = Sketches.cmsKeyCounts(ev, "user_id", probes).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_count")).toMap
+    val exact = ev.groupBy("user_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c && est(k) <= c + (math.E / Sketches.CmsWidth * 5000).toLong + 1,
+        s"$k: est ${est(k)} vs exact $c")
+    }
+  }
 }
