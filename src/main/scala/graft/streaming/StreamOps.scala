@@ -959,6 +959,65 @@ object StreamOps {
       .select(col("window.start").as("ws"), col("n_events"),
         col("n_distinct_approx"))
 
+  /** S30 (r12) — streaming binned KS drift: the real-time companion of
+    * the batch q185 (`Relational.ksDrift`), completing the streaming
+    * drift family (S22 PSI = binned shape, S24 entropy = label balance,
+    * S30 KS = CDF distance). Per tumbling window and group, the
+    * Kolmogorov–Smirnov distance between the window's value CDF and a
+    * fixed reference CDF, both EVALUATED AT the reference decile
+    * boundaries — the same `psiReference` stats S22 broadcasts, no new
+    * reference pass. Binning is what makes it streamable (the exact
+    * sup needs the window's full value multiset in state; boundary
+    * evaluation needs nBins counters per (window, group)), and the
+    * binned statistic is a deterministic LOWER bound of the exact D:
+    * D̂ = max_i |F_ref(b_i) − F_win(b_i)| ≤ sup_x |F_ref − F_win|,
+    * with equality whenever the shift is visible at a boundary (the
+    * contract test pins both). Shape: ONE windowed aggregation, the
+    * max an explicit stateless greatest() over the cumulative-count
+    * columns — no custom state, no second stateful operator. */
+  def ksStream(events: DataFrame, groupCol: String, valCol: String,
+      ref: Map[String, (Array[Double], Array[Double], Array[Long])],
+      size: String = "1 day", watermark: String = "10 seconds",
+      nBins: Int = 10): DataFrame = {
+    val groups = ref.keys.toSeq.sorted
+    def binOf(g: String): org.apache.spark.sql.Column = {
+      val (bounds, _, _) = ref(g)
+      bounds.map(b => when(col(valCol) > b, 1).otherwise(0))
+        .reduce(_ + _) + 1
+    }
+    val binCol = groups.tail.foldLeft(
+      when(col(groupCol) === groups.head, binOf(groups.head))) {
+      (acc, g) => acc.when(col(groupCol) === g, binOf(g))
+    }
+    val base = (if (events.isStreaming) events.withWatermark("ts", watermark)
+                else events)
+      .withColumn("bin", binCol)
+      .filter(col("bin").isNotNull) // groups absent from the reference
+    val aggs = (1 to nBins).map(i =>
+      sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val counts = base
+      .groupBy(window(col("ts"), size), col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val n = (1 to nBins).map(i => col(s"c$i")).reduce(_ + _)
+    // F_ref(b_i) as a per-group plan literal: exact long cumulatives
+    // over the SAME strict-> binning the window side uses, one driver-
+    // side IEEE divide each — identical doubles on every executor
+    def cumRef(g: String, i: Int): Double = {
+      val c = ref(g)._3
+      c.take(i).sum.toDouble / c.sum
+    }
+    def cumRefOf(i: Int): org.apache.spark.sql.Column = groups.tail.foldLeft(
+      when(col(groupCol) === groups.head, lit(cumRef(groups.head, i)))) {
+      (acc, g) => acc.when(col(groupCol) === g, lit(cumRef(g, i)))
+    }
+    val ds = (1 until nBins).map { i =>
+      val cw = (1 to i).map(j => col(s"c$j")).reduce(_ + _)
+      abs(cumRefOf(i) - cw.cast("double") / n.cast("double"))
+    }
+    counts.select(col("window.start").as("ws"), col(groupCol),
+      n.as("n_window"), round(greatest(ds: _*), 6).as("ks_d"))
+  }
+
   /** S29 (r12) — streaming decontamination prefilter: the ingest-path
     * form of q61/q62's benchmark screening. A Bloom filter is built
     * ONCE from the static benchmark's fingerprint set (a distributed

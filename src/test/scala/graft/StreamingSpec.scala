@@ -939,6 +939,57 @@ class StreamingSpec extends SparkSpec {
       "a fully-shifted window must read as drifted")
   }
 
+  test("S30 golden: identical distribution reads exactly 0, binned D lower-bounds exact D") {
+    val ref = ((1 to 997).map(i => ("a", (i * 7 % 997).toDouble)) ++
+      (1 to 997).map(i => ("b", (i * 13 % 997).toDouble))).toDF("grp", "v")
+    val stats = StreamOps.psiReference(ref, "grp", "v")
+    // window = the reference itself → every boundary CDF pair is the
+    // SAME integers through the same divide → D exactly 0.0
+    val same = StreamOps.ksStream(
+      ref.withColumn("ts", timestamp_seconds(lit(1000))),
+      "grp", "v", stats, size = "3650 days")
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Double]("ks_d")).toMap
+    assert(same == Map("a" -> 0.0, "b" -> 0.0), s"got $same")
+    // shifted window: binned D̂ must detect it AND never exceed the
+    // exact sup that batch ksDrift computes on the same composite
+    val cur = ((1 to 800).map(i => ("a", (i * 11 % 997).toDouble)) ++
+      (1 to 800).map(i => ("b", 500.0 + (i * 17 % 997)))).toDF("grp", "v")
+    val binned = StreamOps.ksStream(
+      cur.withColumn("ts", timestamp_seconds(lit(1000))),
+      "grp", "v", stats, size = "3650 days")
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Double]("ks_d")).toMap
+    val exact = graft.operators.Relational.ksDrift(
+      ref.withColumn("isRef", lit(true))
+        .unionByName(cur.withColumn("isRef", lit(false)))
+        .withColumn("value", col("v")).withColumn("ts", timestamp_seconds(lit(0))),
+      "grp", "v", col("isRef"))
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Double]("ks_d")).toMap
+    Seq("a", "b").foreach { g =>
+      assert(binned(g) <= exact(g) + 1e-6,
+        s"$g: binned ${binned(g)} exceeds exact ${exact(g)}")
+    }
+    assert(binned("b") > 0.4, s"shifted group missed: ${binned("b")}")
+    assert(binned("a") < 0.05, s"stable group flagged: ${binned("a")}")
+  }
+
+  test("S30 streaming: per-window KS rows emit against the broadcast reference") {
+    val ref = (1 to 500).map(i => ("a", (i % 97).toDouble)).toDF("grp", "v")
+    val stats = StreamOps.psiReference(ref, "grp", "v")
+    val in = MemoryStream[Ev]
+    val evs = in.toDF().select(col("ts"), col("event_type").as("grp"),
+      col("value").as("v"))
+    val out = StreamOps.ksStream(evs, "grp", "v", stats, size = "60 seconds")
+    val q = out.writeStream.format("memory").queryName("s30").outputMode("update")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    // every window value far above the reference support → window CDF
+    // is 0 at every boundary → D = F_ref(b_9) = 0.9-ish
+    in.addData((1 to 200).map(i => ev(i % 60, "a", i, v = (i % 97).toDouble + 300)): _*)
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("s30").collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Double]("ks_d") > 0.8),
+      "a fully-shifted window must read near the max binned D")
+  }
+
   test("S26: stream-static AS-OF enrichment picks each event's effective dimension version") {
     import graft.operators.Warehouse
     val hist = Seq(
