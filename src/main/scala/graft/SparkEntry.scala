@@ -215,6 +215,8 @@ object SparkEntry {
     "q193_acf"             -> (Relational.q193 _),
     "q194_cms_counts"      -> (graft.ext.Sketches.q194 _),
     "q195_cusum"           -> (Relational.q195 _),
+    "q196_welch_t"         -> (Relational.q196 _),
+    "q197_mutual_info"     -> (Relational.q197 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2473,6 +2475,55 @@ object SparkEntry {
         "ROUND(CAST(p AS DOUBLE) / t, 6) AS mean_before, " +
         "CASE WHEN t < n THEN ROUND(CAST(tot - p AS DOUBLE) / (n - t), 6) ELSE NULL END AS mean_after " +
         "FROM sc WHERE rk = 1 ORDER BY event_type"),
+    // q196: Welch's t — exact decimal moments (values quantized to
+    // (18,6)), t and Welch–Satterthwaite df replay the engine's staged
+    // expression order exactly.
+    "q196_welch_t" ->
+      ("WITH t0 AS (SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v, " +
+        "CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1 ELSE 0 END AS a FROM events), " +
+        "m AS (SELECT event_type, CAST(SUM(a) AS BIGINT) AS na, " +
+        "CAST(COUNT(*) - SUM(a) AS BIGINT) AS nb, " +
+        "SUM(CASE WHEN a = 1 THEN v ELSE CAST(0 AS DECIMAL(18,6)) END) AS sa, " +
+        "SUM(CASE WHEN a = 0 THEN v ELSE CAST(0 AS DECIMAL(18,6)) END) AS sb, " +
+        "SUM(CASE WHEN a = 1 THEN v * v ELSE CAST(0 AS DECIMAL(18,6)) END) AS saa, " +
+        "SUM(CASE WHEN a = 0 THEN v * v ELSE CAST(0 AS DECIMAL(18,6)) END) AS sbb " +
+        "FROM t0 GROUP BY event_type), " +
+        "s AS (SELECT event_type, na, nb, " +
+        "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma, " +
+        "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb, " +
+        "(CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) AS va, " +
+        "(CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) AS vb " +
+        "FROM m WHERE na >= 2 AND nb >= 2), " +
+        "w AS (SELECT *, va / CAST(na AS DOUBLE) AS wa, vb / CAST(nb AS DOUBLE) AS wb FROM s) " +
+        "SELECT event_type, na AS n_ref, nb AS n_cur, " +
+        "ROUND(ma - mb, 6) AS mean_diff, " +
+        "ROUND((ma - mb) / SQRT(wa + wb), 6) AS t, " +
+        "ROUND((wa + wb) * (wa + wb) / " +
+        "(wa * wa / (CAST(na AS DOUBLE) - 1.0) + wb * wb / (CAST(nb AS DOUBLE) - 1.0)), 6) AS df_w " +
+        "FROM w ORDER BY event_type"),
+    // q197: mutual information — exact cell/marginal counts, per-cell
+    // terms and both marginal entropies folded in key order
+    // (list_sum(list(... ORDER BY ...)) mirrors the sorted aggregate fold).
+    "q197_mutual_info" ->
+      ("WITH x AS (SELECT event_type AS ka, " +
+        "CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS BIGINT) AS kb FROM events), " +
+        "o AS (SELECT ka, kb, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY 1, 2), " +
+        "rt AS (SELECT ka, CAST(SUM(c) AS BIGINT) AS rc FROM o GROUP BY 1), " +
+        "ct AS (SELECT kb, CAST(SUM(c) AS BIGINT) AS cc FROM o GROUP BY 1), " +
+        "n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM o), " +
+        "cells AS (SELECT o.ka, o.kb, o.c, " +
+        "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "LN(CAST(c AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE))) AS term " +
+        "FROM o JOIN rt ON o.ka = rt.ka JOIN ct ON o.kb = ct.kb CROSS JOIN n), " +
+        "mi AS (SELECT CAST(SUM(c) AS BIGINT) AS n, " +
+        "list_sum(list(term ORDER BY ka, kb)) AS mi_raw FROM cells), " +
+        "ha AS (SELECT list_sum(list(-(CAST(rc AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "LN(CAST(rc AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY ka)) AS h_a FROM rt CROSS JOIN n), " +
+        "hb AS (SELECT list_sum(list(-(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "LN(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY kb)) AS h_b FROM ct CROSS JOIN n) " +
+        "SELECT n, ROUND(mi_raw, 6) AS mi, ROUND(h_a, 6) AS h_a, ROUND(h_b, 6) AS h_b, " +
+        "ROUND(mi_raw / SQRT(h_a * h_b), 6) AS nmi " +
+        "FROM mi CROSS JOIN ha CROSS JOIN hb"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

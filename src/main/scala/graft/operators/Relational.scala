@@ -3301,4 +3301,100 @@ object Relational {
   def q195(s: SparkSession, d: String): DataFrame =
     cusumChangepoint(gapFill(Tables.events(s, d), "event_type"), "event_type")
       .orderBy("event_type")
+
+  /** Welch's unequal-variance t-test per group — the PARAMETRIC member
+    * of the drift tier (U/KS are rank/CDF tests; Welch reads the mean
+    * shift in value units with a significance scale). One pass builds
+    * the six exact moments (values quantized to DECIMAL(18,6) — the
+    * q172 rule — so Σv and Σv² are exact on both engines); t and the
+    * Welch–Satterthwaite df are mirrored IEEE expression chains over
+    * those exact inputs, staged through named columns so the oracle
+    * replays the identical operation order. Groups needing n ≥ 2 on
+    * both sides gate through an explicit filter, not a late NaN. */
+  def welchT(df: DataFrame, groupCol: String, valCol: String,
+      isRef: Column): DataFrame = {
+    val tagged = df.select(col(groupCol),
+      col(valCol).cast("decimal(18,6)").as("v"),
+      when(isRef, 1L).otherwise(0L).as("a"))
+    val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)")
+    val m = tagged.groupBy(groupCol).agg(
+      sum("a").as("na"),
+      (count(lit(1)) - sum("a")).as("nb"),
+      sum(when(col("a") === 1L, col("v")).otherwise(zero)).as("sa"),
+      sum(when(col("a") === 0L, col("v")).otherwise(zero)).as("sb"),
+      sum(when(col("a") === 1L, col("v") * col("v")).otherwise(zero)).as("saa"),
+      sum(when(col("a") === 0L, col("v") * col("v")).otherwise(zero)).as("sbb"))
+    m.filter(col("na") >= 2L && col("nb") >= 2L)
+      .withColumn("ma", col("sa").cast("double") / col("na").cast("double"))
+      .withColumn("mb", col("sb").cast("double") / col("nb").cast("double"))
+      .withColumn("va", (col("saa").cast("double") -
+        col("sa").cast("double") * col("sa").cast("double") / col("na").cast("double")) /
+        (col("na").cast("double") - 1.0))
+      .withColumn("vb", (col("sbb").cast("double") -
+        col("sb").cast("double") * col("sb").cast("double") / col("nb").cast("double")) /
+        (col("nb").cast("double") - 1.0))
+      .withColumn("wa", col("va") / col("na").cast("double"))
+      .withColumn("wb", col("vb") / col("nb").cast("double"))
+      .select(col(groupCol), col("na").as("n_ref"), col("nb").as("n_cur"),
+        round(col("ma") - col("mb"), 6).as("mean_diff"),
+        round((col("ma") - col("mb")) / sqrt(col("wa") + col("wb")), 6).as("t"),
+        round((col("wa") + col("wb")) * (col("wa") + col("wb")) /
+          (col("wa") * col("wa") / (col("na").cast("double") - 1.0) +
+            col("wb") * col("wb") / (col("nb").cast("double") - 1.0)), 6).as("df_w"))
+  }
+
+  /** Q196 — parametric level-shift read on the q185/q187 split. */
+  def q196(s: SparkSession, d: String): DataFrame =
+    welchT(Tables.events(s, d), "event_type", "value",
+      col("ts").cast("date") <= lit("2024-01-15").cast("date"))
+      .orderBy("event_type")
+
+  /** Mutual information between two categoricals — the feature-
+    * relevance read next to q153's χ² (χ² asks "independent?"; MI says
+    * how many nats of one label the other carries — the standard
+    * feature-selection ranking). Exact cell/marginal counts; each
+    * cell's (c/N)·ln(c·N/(r·c)) term is one mirrored IEEE expression
+    * and the three folds (MI over cells, H over each marginal) run in
+    * explicit (a, b) key order via the q79 sorted-fold doctrine. The
+    * normalized form divides by √(H_a·H_b). Frames are category²-
+    * bounded — never data-sized past the first count agg. */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val o = df.groupBy(col(aCol).as("ka"), col(bCol).as("kb"))
+      .agg(count(lit(1)).as("c"))
+    val rt = o.groupBy("ka").agg(sum("c").as("rc"))
+    val ct = o.groupBy("kb").agg(sum("c").as("cc"))
+    val n = o.agg(sum("c").as("n"))
+    val cells = o.join(broadcast(rt), "ka").join(broadcast(ct), "kb")
+      .crossJoin(broadcast(n))
+      .withColumn("term", (col("c").cast("double") / col("n").cast("double")) *
+        log(col("c").cast("double") * col("n").cast("double") /
+          (col("rc").cast("double") * col("cc").cast("double"))))
+    def marginalH(tot: DataFrame, key: String, cnt: String) = tot
+      .crossJoin(broadcast(n))
+      .withColumn("p", col(cnt).cast("double") / col("n").cast("double"))
+      .withColumn("hterm", -col("p") * log(col("p")))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col(key), col("hterm")))),
+          x => x.getField("hterm")),
+        lit(0d), (acc, x) => acc + x).as(s"h_$key"))
+    val mi = cells.agg(
+      sum("c").cast("long").as("n"),
+      aggregate(
+        transform(array_sort(collect_list(struct(col("ka"), col("kb"), col("term")))),
+          x => x.getField("term")),
+        lit(0d), (acc, x) => acc + x).as("mi_raw"))
+    mi.crossJoin(marginalH(rt, "ka", "rc"))
+      .crossJoin(marginalH(ct, "kb", "cc"))
+      .select(col("n"), round(col("mi_raw"), 6).as("mi"),
+        round(col("h_ka"), 6).as("h_a"), round(col("h_kb"), 6).as("h_b"),
+        round(col("mi_raw") / sqrt(col("h_ka") * col("h_kb")), 6).as("nmi"))
+  }
+
+  /** Q197 — how much day-of-week signal the event type carries (the
+    * q153 pair, read in nats). */
+  def q197(s: SparkSession, d: String): DataFrame =
+    mutualInfo(Tables.events(s, d).select(col("event_type"),
+      (datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long") % 7L).as("dow7")),
+      "event_type", "dow7")
 }

@@ -920,4 +920,44 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(flat.getAs[Double]("mean_before") == 7.0 &&
       flat.getAs[Double]("mean_after") == 7.0)
   }
+
+  test("welchT: hand t on a textbook two-sample case, identical samples t=0, small groups gated") {
+    import java.sql.Timestamp
+    def wt(ref: Seq[Double], cur: Seq[Double]) =
+      graft.operators.Relational.welchT(
+        (ref.map((_, true)) ++ cur.map((_, false))).map { case (v, r) =>
+          (new Timestamp((if (r) 1704067200L else 1706745600L) * 1000L),
+            "g", v) }.toDF("ts", "grp", "value"),
+        "grp", "value",
+        col("ts").cast("date") <= lit("2024-01-15").cast("date"))
+        .collect()
+    // ref {1,2,3}, cur {2,4,6}: ma=2 va=1, mb=4 vb=4; wa=1/3 wb=4/3;
+    // t = -2/sqrt(5/3) = -1.549193; df = (5/3)²/((1/9)/2+(16/9)/2)
+    //   = (25/9)/(17/18) = 50/17 = 2.941176
+    val hand = wt(Seq(1.0, 2.0, 3.0), Seq(2.0, 4.0, 6.0)).head
+    assert(hand.getAs[Double]("mean_diff") == -2.0)
+    assert(hand.getAs[Double]("t") == -1.549193, s"t=${hand.getAs[Double]("t")}")
+    assert(hand.getAs[Double]("df_w") == 2.941176)
+    // identical samples → t exactly 0
+    val same = wt(Seq(1.0, 5.0, 9.0), Seq(1.0, 5.0, 9.0)).head
+    assert(same.getAs[Double]("t") == 0.0)
+    // a side with n < 2 has no variance — the group is gated out
+    assert(wt(Seq(1.0), Seq(2.0, 3.0)).isEmpty)
+  }
+
+  test("mutualInfo: independent tables read 0, determined tables read H, nmi in [0,1]") {
+    // independence: every (a, b) combo equally likely → MI exactly 0
+    val indep = (for { a <- Seq("x", "y"); b <- Seq(0L, 1L, 2L); _ <- 1 to 5 }
+      yield (a, b)).toDF("ka", "kb")
+    val r0 = graft.operators.Relational.mutualInfo(indep, "ka", "kb")
+      .collect().head
+    assert(r0.getAs[Double]("mi") == 0.0 && r0.getAs[Double]("nmi") == 0.0)
+    // determination: b = f(a), both marginals uniform over 2 → MI = H = ln 2
+    val det = Seq(("x", 0L), ("x", 0L), ("y", 1L), ("y", 1L)).toDF("ka", "kb")
+    val r1 = graft.operators.Relational.mutualInfo(det, "ka", "kb")
+      .collect().head
+    val ln2 = math.rint(math.log(2) * 1e6) / 1e6
+    assert(r1.getAs[Double]("mi") == ln2 && r1.getAs[Double]("h_a") == ln2 &&
+      r1.getAs[Double]("nmi") == 1.0)
+  }
 }
