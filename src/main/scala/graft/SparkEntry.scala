@@ -217,6 +217,9 @@ object SparkEntry {
     "q195_cusum"           -> (Relational.q195 _),
     "q196_welch_t"         -> (Relational.q196 _),
     "q197_mutual_info"     -> (Relational.q197 _),
+    "q198_zipf_fit"        -> (TextOps.q198 _),
+    "q199_burstiness"      -> (Relational.q199 _),
+    "q200_topk_coverage"   -> (Relational.q200 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2524,6 +2527,54 @@ object SparkEntry {
         "SELECT n, ROUND(mi_raw, 6) AS mi, ROUND(h_a, 6) AS h_a, ROUND(h_b, 6) AS h_b, " +
         "ROUND(mi_raw / SQRT(h_a * h_b), 6) AS nmi " +
         "FROM mi CROSS JOIN ha CROSS JOIN hb"),
+    // q198: Zipf fit — top-R vocabulary ranks, four rank-ordered float
+    // folds, slope/intercept mirrored (the slope expression is repeated
+    // inside the intercept on BOTH sides so the doubles agree).
+    "q198_zipf_fit" ->
+      ("WITH v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w), " +
+        "top AS (SELECT w, c FROM v ORDER BY c DESC, w LIMIT 1000), " +
+        "r AS (SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS r FROM top), " +
+        "t AS (SELECT r, LN(CAST(r AS DOUBLE)) AS lx, LN(CAST(c AS DOUBLE)) AS ly FROM r), " +
+        "f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks, " +
+        "list_sum(list(lx ORDER BY r)) AS sx, list_sum(list(ly ORDER BY r)) AS sy, " +
+        "list_sum(list(lx * lx ORDER BY r)) AS sxx, " +
+        "list_sum(list(lx * ly ORDER BY r)) AS sxy FROM t) " +
+        "SELECT n_ranks, " +
+        "ROUND((CAST(n_ranks AS DOUBLE) * sxy - sx * sy) / " +
+        "(CAST(n_ranks AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope, " +
+        "ROUND((sy - ((CAST(n_ranks AS DOUBLE) * sxy - sx * sy) / " +
+        "(CAST(n_ranks AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n_ranks AS DOUBLE), 6) AS intercept " +
+        "FROM f"),
+    // q199: burstiness — exact integer microsecond gaps from one LAG,
+    // decimal moments, population σ via n·Σg²−(Σg)², mirrored chain.
+    "q199_burstiness" ->
+      ("WITH t AS (SELECT event_type, epoch_us(ts) AS tus, event_id FROM events), " +
+        "g0 AS (SELECT event_type, CAST(tus - LAG(tus) OVER " +
+        "(PARTITION BY event_type ORDER BY tus, event_id) AS HUGEINT) AS g FROM t), " +
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps, " +
+        "SUM(g) AS sg, SUM(g * g) AS sgg FROM g0 WHERE g IS NOT NULL GROUP BY event_type), " +
+        "s AS (SELECT event_type, n_gaps, " +
+        "CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu, " +
+        "SQRT(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE) - " +
+        "CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE) AS sigma FROM m) " +
+        "SELECT event_type, n_gaps, ROUND(mu / 1000000.0, 6) AS mean_gap_s, " +
+        "ROUND(sigma / mu, 6) AS cv, " +
+        "ROUND((sigma - mu) / (sigma + mu), 6) AS burstiness " +
+        "FROM s ORDER BY event_type"),
+    // q200: top-k coverage — per-key counts, distributed top-k cut,
+    // probe sizes join the bounded frame; coverage one rounded divide.
+    "q200_topk_coverage" ->
+      ("WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys FROM c), " +
+        "top AS (SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS BIGINT) AS rk " +
+        "FROM (SELECT * FROM c ORDER BY c DESC, user_id LIMIT 1000)), " +
+        "ks AS (SELECT CAST(unnest([1, 10, 100, 1000]) AS INT) AS k) " +
+        "SELECT k, CAST(COUNT(*) AS BIGINT) AS n_in_cut, MIN(n_keys) AS n_keys, " +
+        "CAST(SUM(c) AS BIGINT) AS covered, MIN(total) AS total, " +
+        "ROUND(CAST(SUM(c) AS DOUBLE) / CAST(MIN(total) AS DOUBLE), 6) AS coverage " +
+        "FROM ks JOIN top ON rk <= k CROSS JOIN tot " +
+        "GROUP BY k ORDER BY k"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

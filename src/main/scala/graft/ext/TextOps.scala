@@ -1713,4 +1713,49 @@ object TextOps {
     lexicalDiversity(Tables.documents(s, d))
       .orderBy(col("ttr"), col("doc_id"))
       .limit(100)
+
+  /** Zipf-law fit over the corpus vocabulary: OLS of ln(freq) on
+    * ln(rank) for the top-R frequency ranks (the head, where Zipf
+    * holds and tokenizer/dedup decisions live; slope ≈ −1 is healthy
+    * natural text, a flat slope flags template/boilerplate corpora).
+    * Scale: the vocabulary count agg map-side combines; the top-R cut
+    * is a planner-guaranteed DISTRIBUTED top-k (orderBy+limit →
+    * TakeOrderedAndProject, the q127 doctrine — never a global rank
+    * window); everything after operates on the R-row frame, where a
+    * single-partition window is bounded by construction, and the four
+    * float folds run in explicit rank order (q79 doctrine) so the fit
+    * is cross-engine deterministic. */
+  def zipfFit(docs: DataFrame, topR: Int = 1000): DataFrame = {
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(topR) // TakeOrderedAndProject — distributed bounded heaps
+    val ranked = vocab.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("w"))).cast("long"))
+      .withColumn("lx", log(col("r").cast("double")))
+      .withColumn("ly", log(col("c").cast("double")))
+    def fold(term: org.apache.spark.sql.Column) = aggregate(
+      transform(array_sort(collect_list(struct(col("r"), term.as("t")))),
+        x => x.getField("t")),
+      lit(0d), (acc, x) => acc + x)
+    ranked.agg(
+      count(lit(1)).as("n_ranks"),
+      fold(col("lx")).as("sx"), fold(col("ly")).as("sy"),
+      fold(col("lx") * col("lx")).as("sxx"),
+      fold(col("lx") * col("ly")).as("sxy"))
+      .select(col("n_ranks"),
+        round((col("n_ranks").cast("double") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_ranks").cast("double") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"),
+        round((col("sy") - ((col("n_ranks").cast("double") * col("sxy") -
+          col("sx") * col("sy")) /
+          (col("n_ranks").cast("double") * col("sxx") - col("sx") * col("sx"))) *
+          col("sx")) / col("n_ranks").cast("double"), 6).as("intercept"))
+  }
+
+  /** Q198 — Zipf head fit over the documents vocabulary. */
+  def q198(s: SparkSession, d: String): DataFrame =
+    zipfFit(Tables.documents(s, d), 1000)
 }

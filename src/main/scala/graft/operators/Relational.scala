@@ -3397,4 +3397,69 @@ object Relational {
       (datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
         .cast("long") % 7L).as("dow7")),
       "event_type", "dow7")
+
+  /** Inter-arrival burstiness per group — coefficient of variation and
+    * the Goh–Barabási burstiness index B = (σ−μ)/(σ+μ) of the gaps
+    * between consecutive events (B → −1 periodic, 0 Poisson, → +1
+    * bursty; the traffic-shape read behind capacity planning and bot
+    * detection). Gaps are EXACT integer microsecond diffs from one LAG
+    * over the (ts, event_id)-ordered per-group window; their three
+    * moments accumulate exactly in DECIMAL(38,0); σ uses the
+    * population form n·Σg²−(Σg)² so the whole statistic is one
+    * mirrored IEEE chain over exact integers. */
+  def burstiness(ev: DataFrame, groupCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col("tus"), col("event_id"))
+    val gaps = ev.select(col(groupCol),
+      (unix_micros(col("ts"))).as("tus"), col("event_id"))
+      .withColumn("g", (col("tus") - lag("tus", 1).over(w))
+        .cast("decimal(18,0)"))
+      .filter(col("g").isNotNull)
+    gaps.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("g").as("sg"), sum(col("g") * col("g")).as("sgg"))
+      .withColumn("mu", col("sg").cast("double") / col("n_gaps").cast("double"))
+      .withColumn("sigma", sqrt((col("n_gaps").cast("double") *
+        col("sgg").cast("double") - col("sg").cast("double") *
+        col("sg").cast("double"))) / col("n_gaps").cast("double"))
+      .select(col(groupCol), col("n_gaps"),
+        round(col("mu") / 1e6, 6).as("mean_gap_s"),
+        round(col("sigma") / col("mu"), 6).as("cv"),
+        round((col("sigma") - col("mu")) / (col("sigma") + col("mu")), 6)
+          .as("burstiness"))
+  }
+
+  /** Q199 — traffic burstiness per event type. */
+  def q199(s: SparkSession, d: String): DataFrame =
+    burstiness(Tables.events(s, d), "event_type").orderBy("event_type")
+
+  /** Top-k coverage concentration — what share of all events the k
+    * busiest keys account for, at probe sizes k ∈ ks (the Pareto read:
+    * "the top 100 users are 40% of traffic" — cache sizing, abuse
+    * screens, sampling-design input). The per-key count agg map-side
+    * combines; the top-max(ks) cut is a distributed top-k
+    * (TakeOrderedAndProject); the cumulative + probe work runs on that
+    * bounded frame only. Deterministic: ranking ties break by key. */
+  def topKCoverage(ev: DataFrame, keyCol: String, ks: Seq[Int]): DataFrame = {
+    val counts = ev.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("total"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("c").desc, col(keyCol)).limit(ks.max)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col(keyCol))).cast("long"))
+    val probes = ev.sparkSession.createDataFrame(ks.map(Tuple1(_))).toDF("k")
+    probes.crossJoin(broadcast(top))
+      .filter(col("rk") <= col("k"))
+      .groupBy("k")
+      .agg(sum("c").as("covered"), count(lit(1)).as("n_in_cut"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("n_in_cut"), col("n_keys"), col("covered"),
+        col("total"),
+        round(col("covered").cast("double") / col("total").cast("double"), 6)
+          .as("coverage"))
+  }
+
+  /** Q200 — user-concentration curve of event traffic. */
+  def q200(s: SparkSession, d: String): DataFrame =
+    topKCoverage(Tables.events(s, d), "user_id", Seq(1, 10, 100, 1000))
+      .orderBy("k")
 }

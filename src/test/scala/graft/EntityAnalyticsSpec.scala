@@ -960,4 +960,45 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(r1.getAs[Double]("mi") == ln2 && r1.getAs[Double]("h_a") == ln2 &&
       r1.getAs[Double]("nmi") == 1.0)
   }
+
+  test("burstiness: periodic traffic reads B = -1, a planted burst pushes B and cv up") {
+    // build with timestamp_micros for exact microsecond control
+    def evsUs(gapsUs: Seq[Long]) = {
+      val ts = gapsUs.scanLeft(1704067200000000L)(_ + _)
+      ts.zipWithIndex.map { case (t, i) => (t, "g", i.toLong) }
+        .toDF("tus0", "grp", "event_id")
+        .select(expr("timestamp_micros(tus0)").as("ts"), col("grp"),
+          col("event_id"))
+    }
+    // perfectly periodic: σ = 0 → cv 0, B = (0−μ)/(0+μ) = −1
+    val per = graft.operators.Relational
+      .burstiness(evsUs(Seq.fill(10)(1000000L)), "grp").collect().head
+    assert(per.getAs[Long]("n_gaps") == 10)
+    assert(per.getAs[Double]("mean_gap_s") == 1.0)
+    assert(per.getAs[Double]("cv") == 0.0 &&
+      per.getAs[Double]("burstiness") == -1.0)
+    // one huge gap among tiny ones: cv > 1, B > 0 (bursty regime)
+    val burst = graft.operators.Relational
+      .burstiness(evsUs(Seq.fill(9)(1000L) :+ 60000000L), "grp")
+      .collect().head
+    assert(burst.getAs[Double]("cv") > 1.0 &&
+      burst.getAs[Double]("burstiness") > 0.0)
+  }
+
+  test("topKCoverage: exact shares on a planted concentration, k beyond keys saturates") {
+    import java.sql.Timestamp
+    // user 1 → 80 events, users 2..21 → 1 each: top-1 covers 0.8
+    val ev = ((1 to 80).map(_ => 1L) ++ (2L to 21L)).zipWithIndex
+      .map { case (u, i) => (new Timestamp(1704067200000L + i), u, i.toLong) }
+      .toDF("ts", "user_id", "event_id")
+    val out = graft.operators.Relational
+      .topKCoverage(ev, "user_id", Seq(1, 10, 1000)).collect()
+      .map(r => r.getAs[Int]("k") -> r).toMap
+    assert(out(1).getAs[Long]("covered") == 80 &&
+      out(1).getAs[Double]("coverage") == 0.8)
+    assert(out(10).getAs[Long]("covered") == 89) // 80 + 9 singletons
+    // k past the key count saturates at full coverage with all keys in cut
+    assert(out(1000).getAs[Long]("n_in_cut") == 21 &&
+      out(1000).getAs[Double]("coverage") == 1.0)
+  }
 }

@@ -695,6 +695,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.head.getAs[Double]("dup_3gram_frac") == 1.0)
   }
 
+  test("zipfFit recovers a planted power law and caps the rank frame at topR") {
+    import spark.implicits._
+    // plant freq(r) = round(10000·r^-1): ln-ln OLS over the head must
+    // come out near slope −1 (rounding the counts perturbs it slightly)
+    val docs = Seq(Tuple1((1 to 200).flatMap(r =>
+      Seq.fill(math.max(1, math.round(10000.0 / r).toInt))(s"w$r"))
+      .mkString(" "))).toDF("text").withColumn("doc_id", lit(1L))
+    val fit = graft.ext.TextOps.zipfFit(docs, 100).collect().head
+    assert(fit.getAs[Long]("n_ranks") == 100)
+    val slope = fit.getAs[Double]("zipf_slope")
+    assert(math.abs(slope + 1.0) < 0.01, s"slope $slope")
+    // flat corpus (every token equally frequent): slope exactly 0
+    val flat = Seq(Tuple1((1 to 50).map(i => s"t$i t$i t$i").mkString(" ")))
+      .toDF("text").withColumn("doc_id", lit(1L))
+    assert(graft.ext.TextOps.zipfFit(flat, 50).collect().head
+      .getAs[Double]("zipf_slope") == 0.0)
+  }
+
   test("lexicalDiversity: exact TTR and hapax share") {
     import spark.implicits._
     // "a a b c": 4 tokens, 3 types (ttr .75), hapax {b,c} → 2/3
