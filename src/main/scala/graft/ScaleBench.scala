@@ -662,10 +662,102 @@ object ScaleBench {
     }
   }
 
+  /** Growth curves for the r12-continuation statistics tier: the rank
+    * tests (two sorts / one sort), the distinct-value-bounded KS, the
+    * single-agg Welch, the LAG-window burstiness, the top-k coverage
+    * cut, and the CMS build (expected flat state, linear scan). Same
+    * events-shaped frame as runDrift. */
+  private def runStats(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    import graft.operators.Relational
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val ev = spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_seconds(lit(1700000000L) + (col("id") % 5184000L)).as("ts"),
+        pmod(col("id") * 2654435761L, lit(1000000L)).as("user_id"),
+        concat(lit("t"), pmod(col("id"), lit(5L))).as("event_type"),
+        (pmod(col("id") * 2654435761L, lit(100000L)) / 100.0).as("value"))
+        .persist()
+      ev.count()
+      // parity split, not a ts cutoff: at 1M rows the synthetic ts range
+      // sits entirely inside a 30-day window, making n_cur = 0 (ANSI
+      // divide-by-zero in the U/KS effect terms)
+      val isRef = col("event_id") % 2L === 0L
+      // noop WRITE, not count(): count(1) over these aggregates lets
+      // ColumnPruning drop the moment columns and with them the rank
+      // windows — a 20M spearman "ran" in 0.24 s before this fix
+      def timed(df: => DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (i == 0) { // warmup pass, discarded
+        timed(Relational.spearman(ev, "event_type", "value", "user_id"))
+        timed(Relational.ksDrift(ev, "event_type", "value", isRef))
+        timed(Relational.burstiness(ev, "event_type"))
+        sweep(); ev.count()
+      }
+      val spear = timed(Relational.spearman(ev, "event_type", "value", "user_id"))
+      val mw = timed(Relational.mannWhitney(ev, "event_type", "value", isRef))
+      val ks = timed(Relational.ksDrift(ev, "event_type", "value", isRef))
+      val welch = timed(Relational.welchT(ev, "event_type", "value", isRef))
+      val burst = timed(Relational.burstiness(ev, "event_type"))
+      val cover = timed(Relational.topKCoverage(
+        ev, "user_id", Seq(1, 10, 100, 1000)))
+      val cms = timed(graft.ext.Sketches.cmsKeyCounts(ev, "user_id",
+        ev.select("user_id").limit(100)))
+      ev.unpersist(); sweep()
+      println(f"""{"op":"stats","n_events":$n,"spearman_sec":$spear%.2f,"mannwhitney_sec":$mw%.2f,"ks_sec":$ks%.2f,"welch_sec":$welch%.2f,"burstiness_sec":$burst%.2f,"coverage_sec":$cover%.2f,"cms_sec":$cms%.2f}""")
+    }
+  }
+
+  /** Growth curves for the corpus-quality tier over the synthetic
+    * word-soup corpus: repetition audit (3 n-gram agg passes),
+    * lexical diversity (one), Zipf fit (vocabulary agg + bounded
+    * top-k). Expected linear in token volume. */
+  private def runCorpusQ(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val docs = corpus(spark, n).persist()
+      docs.count()
+      def timed(df: => DataFrame): Double = { // noop write (see runStats)
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (i == 0) {
+        timed(TextOps.repetitionAudit(docs))
+        timed(TextOps.zipfFit(docs, 1000))
+        sweep(); docs.count()
+      }
+      val rep = timed(TextOps.repetitionAudit(docs))
+      val lex = timed(TextOps.lexicalDiversity(docs))
+      val zipf = timed(TextOps.zipfFit(docs, 1000))
+      docs.unpersist(); sweep()
+      println(f"""{"op":"corpusq","n_docs":$n,"repetition_sec":$rep%.2f,"lexdiv_sec":$lex%.2f,"zipf_sec":$zipf%.2f}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/target/scale")
     val spark = Sessions.local(Sessions.envCpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("stats")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(1000000L, 5000000L, 20000000L)
+      runStats(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("corpusq")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(5000L, 50000L, 250000L)
+      runCorpusQ(spark, sizes)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("drift")) {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(1000000L, 5000000L, 20000000L)

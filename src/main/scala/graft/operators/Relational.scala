@@ -3113,16 +3113,36 @@ object Relational {
     * carry to n≈1e12); rho touches IEEE in ONE mirrored expression.
     * Scale: two per-group rank windows (partitioned — parallel over
     * groups) + one grouped agg; nothing quadratic, nothing global. */
+  /** Doubled-average-rank per DISTINCT value: r2(v) = 2·minrank(v) +
+    * ties(v) − 1 = 2·cum(v) − cnt(v) + 1 from a cumulative count over
+    * the per-group distinct-value frame (the ksDrift doctrine). This is
+    * the scale form of a per-row rank window: a rank window partitioned
+    * by a LOW-cardinality group is one task per group sorting the whole
+    * group (ScaleBench measured 43 s at 20M events / 5 groups); the
+    * distinct frame is value-cardinality-sized and the window runs over
+    * THAT, with per-row ranks restored by an equi-join that shuffles in
+    * parallel across the value space. */
+  private def dblRanks(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.groupBy(col(groupCol), col(valCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+      .select(col(groupCol), col("v"),
+        (col("cum") * 2L - col("cnt") + 1L).cast("decimal(18,0)").as("r2"))
+  }
+
   def spearman(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
-    def dblRank(c: String) = {
-      val wRank = Window.partitionBy(groupCol).orderBy(col(c))
-      val wTies = Window.partitionBy(col(groupCol), col(c))
-      (rank().over(wRank).cast("long") * 2L +
-        count(lit(1)).over(wTies) - 1L).cast("decimal(18,0)")
-    }
-    val ranked = df.select(col(groupCol),
-      dblRank(xCol).as("rx"), dblRank(yCol).as("ry"))
+    val rx = dblRanks(df, groupCol, xCol)
+      .select(col(groupCol), col("v").as("__vx"), col("r2").as("rx"))
+    val ry = dblRanks(df, groupCol, yCol)
+      .select(col(groupCol), col("v").as("__vy"), col("r2").as("ry"))
+    val ranked = df
+      .select(col(groupCol), col(xCol).as("__vx"), col(yCol).as("__vy"))
+      .join(rx, Seq(groupCol, "__vx"))
+      .join(ry, Seq(groupCol, "__vy"))
     ranked.groupBy(groupCol)
       .agg(count(lit(1)).as("n"),
         sum("rx").as("sx"), sum("ry").as("sy"),
@@ -3156,17 +3176,21 @@ object Relational {
     * rounded IEEE divide. State is one pooled rank window per group. */
   def mannWhitney(df: DataFrame, groupCol: String, valCol: String,
       isRef: Column): DataFrame = {
-    val wRank = Window.partitionBy(groupCol).orderBy(col(valCol))
-    val wTies = Window.partitionBy(col(groupCol), col(valCol))
-    val ranked = df.select(col(groupCol),
-      when(isRef, 1L).otherwise(0L).as("a"),
-      (rank().over(wRank).cast("long") * 2L +
-        count(lit(1)).over(wTies) - 1L).cast("decimal(18,0)").as("r2"))
-    ranked.groupBy(groupCol)
-      .agg(sum("a").as("n_ref"),
-        (count(lit(1)) - sum("a")).as("n_cur"),
-        sum(when(col("a") === 1L, col("r2"))
-          .otherwise(lit(java.math.BigDecimal.ZERO))).as("r2ref"))
+    // entirely on the per-group distinct-value frame (see dblRanks):
+    // 2·R_ref = Σ_v ca(v)·r2(v), so no join back to rows is ever needed
+    val w = Window.partitionBy(groupCol).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dv = df.select(col(groupCol), col(valCol).as("v"),
+        when(isRef, 1L).otherwise(0L).as("a"))
+      .groupBy(col(groupCol), col("v"))
+      .agg(count(lit(1)).as("cnt"), sum("a").as("ca"))
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("r2",
+        (col("cum") * 2L - col("cnt") + 1L).cast("decimal(18,0)"))
+    dv.groupBy(groupCol)
+      .agg(sum("ca").as("n_ref"),
+        (sum("cnt") - sum("ca")).as("n_cur"),
+        sum(col("ca").cast("decimal(18,0)") * col("r2")).as("r2ref"))
       // U = R_ref − n_ref(n_ref+1)/2 = (2R_ref − n_ref(n_ref+1)) / 2:
       // the numerator is exact integer, so U's double is exact (one
       // trailing half-ulp-free halving)
@@ -3408,12 +3432,35 @@ object Relational {
     * population form n·Σg²−(Σg)² so the whole statistic is one
     * mirrored IEEE chain over exact integers. */
   def burstiness(ev: DataFrame, groupCol: String): DataFrame = {
-    val w = Window.partitionBy(groupCol).orderBy(col("tus"), col("event_id"))
-    val gaps = ev.select(col(groupCol),
-      (unix_micros(col("ts"))).as("tus"), col("event_id"))
-      .withColumn("g", (col("tus") - lag("tus", 1).over(w))
+    // TWO-PHASE gap extraction (the packShards prefix-sum doctrine
+    // applied to LAG): a lag window partitioned only by a low-
+    // cardinality group is ONE task per group sorting the whole group
+    // (ScaleBench: superlinear past 5M events/group). Phase 1 computes
+    // in-bucket gaps under (group, hour-bucket) partitioning — parallel
+    // across the calendar; phase 2 stitches bucket-boundary gaps from
+    // the per-bucket (first, last) frame, which is groups × buckets
+    // rows — calendar-bounded, so ITS window is safe. The union is
+    // exactly the per-group consecutive-gap multiset (ties inside one
+    // bucket by construction: equal tus ⇒ equal bucket).
+    val base = ev.select(col(groupCol),
+      unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("bk", (col("tus") / lit(3600000000L)).cast("long"))
+    val wIn = Window.partitionBy(col(groupCol), col("bk"))
+      .orderBy(col("tus"), col("event_id"))
+    val inGaps = base
+      .withColumn("g", (col("tus") - lag("tus", 1).over(wIn))
         .cast("decimal(18,0)"))
       .filter(col("g").isNotNull)
+      .select(col(groupCol), col("g"))
+    val perBucket = base.groupBy(col(groupCol), col("bk"))
+      .agg(min(col("tus")).as("first_tus"), max(col("tus")).as("last_tus"))
+    val wBk = Window.partitionBy(groupCol).orderBy("bk")
+    val boundaryGaps = perBucket
+      .withColumn("g", (col("first_tus") - lag("last_tus", 1).over(wBk))
+        .cast("decimal(18,0)"))
+      .filter(col("g").isNotNull)
+      .select(col(groupCol), col("g"))
+    val gaps = inGaps.unionAll(boundaryGaps)
     gaps.groupBy(groupCol)
       .agg(count(lit(1)).as("n_gaps"),
         sum("g").as("sg"), sum(col("g") * col("g")).as("sgg"))
