@@ -34,7 +34,16 @@ object PlanAudit {
     "q27_cosine_topk", "q36_batch_topk", "q43_tfidf",
     "q68_vector_stats", "q69_collocations", "q76_semdedup",
     "q77_mix_temperature", "q79_unigram_lm", "q82_dsir_weights",
-    "q84_bm25", "q87_kmeans")
+    "q84_bm25", "q87_kmeans",
+    // r12 continuation, reviewed one by one: q184/q188/q195 ride
+    // gapFill's 1-row day-span + groups crossJoins (the q107 class);
+    // q193 adds a ≤maxLag-row lag frame; q194 joins probes with the
+    // 1-row corpus sketch; q197 crosses three 1-row total frames;
+    // q200 crosses a |ks|-row probe frame with the ≤max(ks) top cut
+    // and a 1-row total.
+    "q184_theil_sen", "q188_kendall_trend", "q193_acf",
+    "q194_cms_counts", "q195_cusum", "q197_mutual_info",
+    "q200_topk_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.filter(_.startsWith("/"))
