@@ -220,6 +220,8 @@ object SparkEntry {
     "q198_zipf_fit"        -> (TextOps.q198 _),
     "q199_burstiness"      -> (Relational.q199 _),
     "q200_topk_coverage"   -> (Relational.q200 _),
+    "q201_centroid_outliers" -> (Similarity.q201 _),
+    "q202_norm_bands"      -> (Similarity.q202 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2575,6 +2577,29 @@ object SparkEntry {
         "ROUND(CAST(SUM(c) AS DOUBLE) / CAST(MIN(total) AS DOUBLE), 6) AS coverage " +
         "FROM ks JOIN top ON rk <= k CROSS JOIN tot " +
         "GROUP BY k ORDER BY k"),
+    // q201: centroid outliers — exact decimal component sums build the
+    // centroid, the distance is the |x|²−2xc+|c|² identity over the
+    // q68-proven sequential folds, clamped at 0 before the sqrt.
+    "q201_centroid_outliers" ->
+      ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings), " +
+        "d AS (SELECT label, x, unnest(generate_series(1, len(x))) AS i FROM e), " +
+        "comp AS (SELECT label, i, SUM(CAST(x[i] AS DECIMAL(18,6))) AS s, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1, 2), " +
+        "cent AS (SELECT label, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY i) AS c FROM comp GROUP BY 1), " +
+        "dist AS (SELECT vec_id, e.label, " +
+        "list_dot_product(x, x) - 2.0 * list_dot_product(x, c) + list_dot_product(c, c) AS d2 " +
+        "FROM e JOIN cent ON e.label = cent.label) " +
+        "SELECT vec_id, label, ROUND(SQRT(GREATEST(d2, 0)), 6) AS dist " +
+        "FROM dist ORDER BY dist DESC, vec_id LIMIT 20"),
+    // q202: norm bands — q68's norm kernel (≡ list folds), disc elements.
+    "q202_norm_bands" ->
+      ("WITH n AS (SELECT label, " +
+        "ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS nrm " +
+        "FROM embeddings) " +
+        "SELECT label, CAST(COUNT(*) AS BIGINT) AS n, MIN(nrm) AS nrm_min, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY nrm) AS nrm_p50, " +
+        "percentile_disc(0.95) WITHIN GROUP (ORDER BY nrm) AS nrm_p95, " +
+        "MAX(nrm) AS nrm_max FROM n GROUP BY label ORDER BY label"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

@@ -658,4 +658,60 @@ object Similarity {
     * unnest in DuckDB rebuilds the same exploded frame). */
   def q145(s: SparkSession, d: String): DataFrame =
     covarianceMatrix(Tables.embeddings(s, d)).orderBy("i", "j")
+
+  /** Embedding-space outlier audit: distance of every vector to its
+    * LABEL CENTROID, top-k flagged (mislabeled rows, contaminated
+    * clusters, encoder drift — the embedding-hygiene read before any
+    * cosine-threshold pipeline). Determinism: centroid components come
+    * from EXACT decimal component sums (the q145 quantization) divided
+    * once; the distance is the dot-product identity |x|²−2x·c+|c|²
+    * over the SAME sequential-fold kernels the q68 gate already proved
+    * ≡ DuckDB's list folds, clamped at 0 before the sqrt (the identity
+    * can land an ulp below zero at near-centroid points). Scale: one
+    * N·d explode for the centroid agg, centroids broadcast back — the
+    * corpus never shuffles; the top-k cut is TakeOrderedAndProject. */
+  def centroidOutliers(emb: DataFrame, k: Int = 20): DataFrame = {
+    val d = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val comps = d
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg(sum(col("x").cast("double").cast("decimal(18,6)")).as("s"),
+        count(lit(1)).as("n"))
+    val cent = comps.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("i"),
+        (col("s").cast("double") / col("n").cast("double")).as("c")))),
+        x => x.getField("c")).as("c"))
+    d.join(broadcast(cent), "label")
+      .withColumn("dist2",
+        call_function("vec_dot", col("embedding"), col("embedding")) -
+          lit(2.0) * call_function("vec_dot", col("embedding"), col("c")) +
+          call_function("vec_dot", col("c"), col("c")))
+      .select(col("vec_id"), col("label"),
+        round(sqrt(greatest(col("dist2"), lit(0d))), 6).as("dist"))
+      .orderBy(col("dist").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Q201 — the 20 farthest-from-centroid embeddings. */
+  def q201(s: SparkSession, d: String): DataFrame =
+    centroidOutliers(Tables.embeddings(s, d), 20)
+
+  /** Embedding norm bands per label: min/p50/p95/max of |x| (an
+    * un-normalized batch or a scale-drifted encoder shows up here
+    * before it corrupts cosine thresholds). Norms ride the q68-gated
+    * sequential kernel; the band elements are percentile_disc picks —
+    * one grouped agg over N norm rows. */
+  def normBands(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+        round(call_function("vec_norm", col("embedding")), 6).as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        min("nrm").as("nrm_min"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY nrm)").as("nrm_p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY nrm)").as("nrm_p95"),
+        max("nrm").as("nrm_max"))
+
+  /** Q202 — norm-distribution audit of the embeddings table. */
+  def q202(s: SparkSession, d: String): DataFrame =
+    normBands(Tables.embeddings(s, d)).orderBy("label")
 }

@@ -331,4 +331,36 @@ class SimilaritySpec extends SparkSpec {
     assert(a.centroids.flatten.flatten.toSeq == b.centroids.flatten.flatten.toSeq)
     assert(a.m == 8 && a.ks == 256 && a.subDim == sample.head.length / 8)
   }
+
+  test("centroidOutliers flags a planted far vector and reads ~0 at the centroid") {
+    import spark.implicits._
+    // label 0: a tight cluster at (1,0) plus one planted outlier at
+    // (9,0); label 1: all at (0,2) — its members must not outrank the
+    // planted point
+    val emb = (Seq.fill(9)(Array(1.0f, 0.0f)) :+ Array(9.0f, 0.0f))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v, 0) } ++
+      (0 until 5).map(i => (100L + i, Array(0.0f, 2.0f), 1))
+    val df = emb.toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(df, 3).collect()
+    // centroid of label 0 is (1.8, 0): outlier dist 7.2, members 0.8
+    assert(out.head.getLong(0) == 9L)
+    assert(out.head.getAs[Double]("dist") == 7.2)
+    assert(out.map(_.getLong(0)).toSet.contains(9L))
+    // label-1 members sit exactly on their centroid → dist 0, never
+    // in the top-3 ahead of label-0's spread
+    assert(!out.map(_.getLong(0)).exists(_ >= 100L))
+  }
+
+  test("normBands: exact elements on a planted norm ladder") {
+    import spark.implicits._
+    // norms 3,4,5 (3-4-5 triangles scaled): p50 element = 4
+    val df = Seq(
+      (1L, Array(3.0f, 0.0f), 0), (2L, Array(0.0f, 4.0f), 0),
+      (3L, Array(3.0f, 4.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.normBands(df).collect().head
+    assert(r.getAs[Long]("n") == 3)
+    assert(r.getAs[Double]("nrm_min") == 3.0 &&
+      r.getAs[Double]("nrm_p50") == 4.0 && r.getAs[Double]("nrm_max") == 5.0)
+  }
 }
