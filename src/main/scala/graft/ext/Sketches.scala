@@ -452,6 +452,12 @@ object Sketches {
     cmsEstimate(sk.toArray, h)
   }
 
+  /** Column form of the point estimate (used by batch cmsKeyCounts and
+    * the S31 stream). */
+  def cmsEstimateCol(sketch: org.apache.spark.sql.Column,
+      h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    cmsEstimateUdf(sketch, h)
+
   /** Per-key frequency estimates from ONE corpus-wide CMS: events
     * pre-aggregate per (shard, key) map-side, shard sketches merge in
     * the agg (64 KB rows — never raw events past the first combine),

@@ -1018,6 +1018,35 @@ object StreamOps {
       n.as("n_window"), round(greatest(ds: _*), 6).as("ks_d"))
   }
 
+  /** S31 (r12) — streaming windowed Count-Min frequency estimates for
+    * FIXED probe keys: the sketch-tier complement of S16's Misra–Gries
+    * (MG discovers the top-k; CMS answers "how often did THIS key
+    * occur in the window" with the never-under / ≤ true + εN
+    * guarantee, for keys known up front — watched accounts, canary
+    * ids, SLO-contract customers). State is ONE 64 KB CmsBuild buffer
+    * per window (the Aggregator is partial-mergeable, so it composes
+    * with streaming aggregation exactly like approx_count_distinct's
+    * HLL in S28) — never a per-key counter map; probe hashes are plan
+    * literals computed once. */
+  def cmsStream(events: DataFrame, keyCol: String, probes: Seq[Long],
+      size: String = "1 day", watermark: String = "10 seconds"): DataFrame = {
+    val build = udaf(new graft.ext.Sketches.CmsBuild)
+    val windowed = (if (events.isStreaming)
+        events.withWatermark("ts", watermark) else events)
+      .groupBy(window(col("ts"), size))
+      .agg(count(lit(1)).as("n_events"),
+        build(xxhash64(col(keyCol)), lit(1L)).as("sk"))
+    val probeCol = explode(array(probes.map(p => struct(
+      lit(p).as("probe_key"),
+      lit(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(p, org.apache.spark.sql.types.LongType, 42L)).as("h"))): _*))
+    windowed
+      .select(col("window.start").as("ws"), col("n_events"),
+        probeCol.as("p"), col("sk"))
+      .select(col("ws"), col("n_events"), col("p.probe_key").as("probe_key"),
+        graft.ext.Sketches.cmsEstimateCol(col("sk"), col("p.h")).as("est_count"))
+  }
+
   /** S29 (r12) — streaming decontamination prefilter: the ingest-path
     * form of q61/q62's benchmark screening. A Bloom filter is built
     * ONCE from the static benchmark's fingerprint set (a distributed

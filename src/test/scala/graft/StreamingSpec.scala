@@ -990,6 +990,28 @@ class StreamingSpec extends SparkSpec {
       "a fully-shifted window must read near the max binned D")
   }
 
+  test("S31: windowed CMS probe estimates dominate exact counts within the εN band") {
+    val in = MemoryStream[Ev]
+    // one 60 s window: user 1 × 30 events, user 2 × 12, user 7 absent
+    val out = StreamOps.cmsStream(in.toDF(), "user_id", Seq(1L, 2L, 7L),
+      size = "60 seconds")
+    val q = out.writeStream.format("memory").queryName("s31").outputMode("update")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    val evs = (1 to 30).map(i => ev(i % 50, "a", i, user = 1)) ++
+      (1 to 12).map(i => ev(i % 50, "b", 100 + i, user = 2))
+    in.addData(evs: _*)
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("s31").collect()
+      .map(r => r.getAs[Long]("probe_key") ->
+        (r.getAs[Long]("est_count"), r.getAs[Long]("n_events"))).toMap
+    val epsN = (math.E / graft.ext.Sketches.CmsWidth * 42).toLong + 1
+    assert(rows(1L)._1 >= 30 && rows(1L)._1 <= 30 + epsN, s"u1 ${rows(1L)}")
+    assert(rows(2L)._1 >= 12 && rows(2L)._1 <= 12 + epsN)
+    // an absent probe key may only carry collision mass ≤ εN
+    assert(rows(7L)._1 <= epsN, s"absent key ${rows(7L)}")
+    assert(rows(1L)._2 == 42)
+  }
+
   test("S26: stream-static AS-OF enrichment picks each event's effective dimension version") {
     import graft.operators.Warehouse
     val hist = Seq(
