@@ -222,6 +222,9 @@ object SparkEntry {
     "q200_topk_coverage"   -> (Relational.q200 _),
     "q201_centroid_outliers" -> (Similarity.q201 _),
     "q202_norm_bands"      -> (Similarity.q202 _),
+    "q203_partition_skew"  -> (Relational.q203 _),
+    "q204_spend_deciles"   -> (Relational.q204 _),
+    "q205_conversion_lag"  -> (Relational.q205 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2600,6 +2603,45 @@ object SparkEntry {
         "percentile_disc(0.5) WITHIN GROUP (ORDER BY nrm) AS nrm_p50, " +
         "percentile_disc(0.95) WITHIN GROUP (ORDER BY nrm) AS nrm_p95, " +
         "MAX(nrm) AS nrm_max FROM n GROUP BY label ORDER BY label"),
+    // q203: partition skew — per-key counts, disc median, mirrored
+    // straggler ratio, gini replayed on the count frame (tie-stable).
+    "q203_partition_skew" ->
+      ("WITH c AS (SELECT CAST(l_shipdate AS DATE) AS k, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1), " +
+        "rk AS (SELECT CAST(c AS DECIMAL(18,2)) AS x, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY CAST(c AS DECIMAL(18,2))) AS BIGINT) AS i FROM c), " +
+        "g AS (SELECT ROUND((2.0 * CAST(SUM(x * i) AS DOUBLE) - " +
+        "CAST(COUNT(*) + 1 AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) / " +
+        "(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6) AS gini FROM rk), " +
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions, CAST(SUM(c) AS BIGINT) AS n_rows, " +
+        "MIN(c) AS rows_min, percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS rows_med, " +
+        "MAX(c) AS rows_max FROM c) " +
+        "SELECT n_partitions, n_rows, rows_min, rows_med, rows_max, " +
+        "ROUND(CAST(rows_max AS DOUBLE) / CAST(rows_med AS DOUBLE), 6) AS straggler_ratio, gini " +
+        "FROM m CROSS JOIN g"),
+    // q204: revenue deciles — ntile over a UNIQUE ordering (rev desc,
+    // custkey) so tile assignment is engine-independent.
+    "q204_spend_deciles" ->
+      ("WITH rev AS (SELECT o_custkey AS c_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "r AS (SELECT rev, CAST(NTILE(10) OVER (ORDER BY rev DESC, c_custkey) AS INT) AS decile FROM rev) " +
+        "SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers, " +
+        "CAST(SUM(rev) AS DOUBLE) AS rev_total, CAST(MIN(rev) AS DOUBLE) AS rev_min, " +
+        "CAST(MAX(rev) AS DOUBLE) AS rev_max " +
+        "FROM r GROUP BY decile ORDER BY decile"),
+    // q205: conversion lag — min-agg per side, µs-exact lags, one
+    // double divide; ISO-Monday week cohorts on both engines.
+    "q205_conversion_lag" ->
+      ("WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events " +
+        "WHERE event_type = 'signup' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1, MIN(f.t0) AS t0 " +
+        "FROM events e JOIN f ON e.user_id = f.user_id AND epoch_us(e.ts) >= f.t0 " +
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id), " +
+        "l AS (SELECT CAST(date_trunc('week', make_timestamp(t0)) AS DATE) AS cohort, " +
+        "(t1 - t0) / 1000000 AS lag_s FROM c) " +
+        "SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_converted, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_s) AS lag_med_s, " +
+        "percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_s) AS lag_p90_s " +
+        "FROM l GROUP BY cohort ORDER BY cohort"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

@@ -3509,4 +3509,94 @@ object Relational {
   def q200(s: SparkSession, d: String): DataFrame =
     topKCoverage(Tables.events(s, d), "user_id", Seq(1, 10, 100, 1000))
       .orderBy("k")
+
+  /** Partition-skew audit: row counts per partition KEY value (e.g.
+    * ship day), their min/median/max, the max/median straggler ratio,
+    * and the Gini of partition sizes — the layout read BEFORE choosing
+    * a partition column (a 50× straggler ratio means the biggest
+    * partition dominates every scan stage touching it). The per-key
+    * count agg map-side combines; everything after runs on the
+    * key-cardinality-bounded count frame. */
+  def partitionSkew(df: DataFrame, keyCol: Column): DataFrame = {
+    val counts = df.select(keyCol.as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val g = gini(counts.withColumn("grp", lit("all")), "grp", "c")
+      .select(col("gini"))
+    counts.agg(
+      count(lit(1)).as("n_partitions"),
+      sum("c").as("n_rows"),
+      min("c").as("rows_min"),
+      // the disc element of a long multiset is integral — surface it
+      // as BIGINT like the oracle does
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+        .cast("long").as("rows_med"),
+      max("c").as("rows_max"))
+      .withColumn("straggler_ratio",
+        round(col("rows_max").cast("double") / col("rows_med").cast("double"), 6))
+      .crossJoin(broadcast(g))
+  }
+
+  /** Q203 — is ship-date a safe partition column for lineitem? */
+  def q203(s: SparkSession, d: String): DataFrame =
+    partitionSkew(Tables.lineitem(s, d), to_date(col("l_shipdate")))
+
+  /** Decile report — ntile(10) over customer revenue with a UNIQUE
+    * ordering (revenue, custkey — ntile on a tied ordering is
+    * engine-arbitrary, the classic cross-engine fail), per-decile
+    * exact-decimal totals and bounds: the BI ladder read ("what does
+    * a top-decile customer spend"). The rank window is
+    * customer-frame-sized; at 100 TB the same report runs on the
+    * pre-aggregated per-customer frame, which is dimension-sized. */
+  def spendDeciles(rev: DataFrame): DataFrame = {
+    val ranked = rev.withColumn("decile", ntile(10).over(
+      Window.orderBy(col("rev").desc, col("c_custkey"))))
+    ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("rev").as("rev_total"),
+        min("rev").as("rev_min"),
+        max("rev").as("rev_max"))
+      .select(col("decile"), col("n_customers"),
+        col("rev_total").cast("double").as("rev_total"),
+        col("rev_min").cast("double").as("rev_min"),
+        col("rev_max").cast("double").as("rev_max"))
+  }
+
+  /** Q204 — customer revenue deciles. */
+  def q204(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    spendDeciles(rev).orderBy("decile")
+  }
+
+  /** Conversion-lag profile: for each user whose FIRST signup precedes
+    * a purchase, the lag to their first qualifying purchase —
+    * per-cohort (signup week) count + median/p90 lag in hours. One
+    * min-agg per side (never a window over raw events), an equi-join
+    * on user, exact integer second lags, percentile_disc elements.
+    * The funnel-latency read (q101 counts conversions; this times
+    * them). */
+  def conversionLag(ev: DataFrame, fromType: String,
+      toType: String): DataFrame = {
+    val first = ev.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t0"))
+    val conv = ev.filter(col("event_type") === toType)
+      .select(col("user_id"), unix_micros(col("ts")).as("t1"))
+      .join(first, "user_id")
+      .filter(col("t1") >= col("t0"))
+      // t0 is constant per user after the join — min() is exact
+      .groupBy("user_id").agg(min("t0").as("t0"), min("t1").as("t1"))
+      .withColumn("lag_s", (col("t1") - col("t0")) / lit(1000000L))
+      .withColumn("cohort", date_trunc("week",
+        timestamp_micros(col("t0"))).cast("date"))
+    conv.groupBy("cohort")
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_s)").as("lag_med_s"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_s)").as("lag_p90_s"))
+  }
+
+  /** Q205 — signup→purchase conversion latency per signup-week cohort. */
+  def q205(s: SparkSession, d: String): DataFrame =
+    conversionLag(Tables.events(s, d), "signup", "purchase")
+      .orderBy("cohort")
 }

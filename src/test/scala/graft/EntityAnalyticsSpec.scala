@@ -985,6 +985,65 @@ class EntityAnalyticsSpec extends SparkSpec {
       burst.getAs[Double]("burstiness") > 0.0)
   }
 
+  test("partitionSkew: exact straggler ratio and bounds on a planted skew") {
+    // keys: a×8, b×2, c×2, d×2 → med 2, max 8, ratio 4
+    val df = (Seq.fill(8)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(2)("d")).toDF("k")
+    val r = graft.operators.Relational.partitionSkew(df, col("k"))
+      .collect().head
+    assert(r.getAs[Long]("n_partitions") == 4 && r.getAs[Long]("n_rows") == 14)
+    assert(r.getAs[Long]("rows_min") == 2 && r.getAs[Long]("rows_med") == 2 &&
+      r.getAs[Long]("rows_max") == 8)
+    assert(r.getAs[Double]("straggler_ratio") == 4.0)
+    // uniform layout: ratio 1, gini 0
+    val u = graft.operators.Relational.partitionSkew(
+      (1 to 12).map(i => s"k${i % 4}").toDF("k"), col("k")).collect().head
+    assert(u.getAs[Double]("straggler_ratio") == 1.0 &&
+      u.getAs[Double]("gini") == 0.0)
+  }
+
+  test("spendDeciles: unique-ordered ntile fills tiles evenly with exact bounds") {
+    // 20 customers, rev = 20..1: decile 1 = {20,19}, decile 10 = {2,1}
+    val rev = (1 to 20).map(i =>
+      (i.toLong, new java.math.BigDecimal(i).setScale(2)))
+      .toDF("c_custkey", "rev")
+      .select(col("c_custkey"), col("rev").cast("decimal(18,2)").as("rev"))
+    val out = graft.operators.Relational.spendDeciles(rev).collect()
+      .map(r => r.getAs[Int]("decile") -> r).toMap
+    assert(out.size == 10 && out.values.forall(_.getAs[Long]("n_customers") == 2))
+    assert(out(1).getAs[Double]("rev_max") == 20.0 &&
+      out(1).getAs[Double]("rev_min") == 19.0 &&
+      out(1).getAs[Double]("rev_total") == 39.0)
+    assert(out(10).getAs[Double]("rev_min") == 1.0 &&
+      out(10).getAs[Double]("rev_total") == 3.0)
+  }
+
+  test("conversionLag: times first qualifying purchase only, ignores pre-signup purchases") {
+    import java.sql.Timestamp
+    def e(tsSec: Long, tpe: String, user: Long, id: Long) =
+      (new Timestamp(tsSec * 1000), tpe, user, id)
+    // u1: signup at t=0, purchases at t=3600 and t=7200 → lag 3600 s;
+    // u2: purchase BEFORE signup (excluded), then one 600 s after;
+    // u3: signup only → never converts (absent)
+    val base = 1704067200L // Mon 2024-01-01 → cohort week 2024-01-01
+    val ev = Seq(
+      e(base, "signup", 1, 1), e(base + 3600, "purchase", 1, 2),
+      e(base + 7200, "purchase", 1, 3),
+      e(base + 100, "purchase", 2, 4), e(base + 200, "signup", 2, 5),
+      e(base + 800, "purchase", 2, 6),
+      e(base + 50, "signup", 3, 7))
+      .toDF("ts", "event_type", "user_id", "event_id")
+    val out = graft.operators.Relational
+      .conversionLag(ev, "signup", "purchase").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[java.sql.Date]("cohort").toString == "2024-01-01")
+    assert(r.getAs[Long]("n_converted") == 2)
+    // lags {3600, 600}: disc median = 600 (lower element), p90 = 3600
+    assert(r.getAs[Double]("lag_med_s") == 600.0)
+    assert(r.getAs[Double]("lag_p90_s") == 3600.0)
+  }
+
   test("topKCoverage: exact shares on a planted concentration, k beyond keys saturates") {
     import java.sql.Timestamp
     // user 1 → 80 events, users 2..21 → 1 each: top-1 covers 0.8
