@@ -43,7 +43,9 @@ object PlanAudit {
     // and a 1-row total.
     "q184_theil_sen", "q188_kendall_trend", "q193_acf",
     "q194_cms_counts", "q195_cusum", "q197_mutual_info",
-    "q200_topk_coverage")
+    "q200_topk_coverage",
+    // q203 crosses its 1-row summary with the 1-row gini frame
+    "q203_partition_skew")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.filter(_.startsWith("/"))

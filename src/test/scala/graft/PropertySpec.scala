@@ -449,4 +449,74 @@ class PropertySpec extends SparkSpec {
         r.getAs[Long]("packed_seqs_min") == math.ceil(kept.toDouble / ctx).toLong
     }, n = 8)
   }
+
+  test("property: spearman is bounded, symmetric-ish under monotone maps, sign-flips on negation") {
+    import spark.implicits._
+    val genPairs = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(-50, 50), Gen.chooseNum(-50, 50)))
+    check(Prop.forAll(genPairs) { ps0 =>
+      val ps = ps0.map { case (x, y) => (x.toDouble, y.toDouble) }
+      // zero-variance sides make rho undefined (NaN by IEEE) — outside
+      // the statistic's domain, skip
+      if (ps.map(_._1).distinct.size < 2 || ps.map(_._2).distinct.size < 2) true
+      else {
+        def rho(rows: Seq[(Double, Double)]): Double =
+          graft.operators.Relational.spearman(
+            rows.map { case (x, y) => ("g", x, y) }.toDF("grp", "x", "y"),
+            "grp", "x", "y").collect().head.getAs[Double]("rho")
+        val v = rho(ps)
+        // bounds; invariance under a strictly monotone map of x
+        // (cube preserves ranks incl. negatives); sign flip on -y
+        v >= -1.0 && v <= 1.0 &&
+          rho(ps.map { case (x, y) => (x * x * x, y) }) == v &&
+          math.abs(rho(ps.map { case (x, y) => (x, -y) }) + v) < 1e-9
+      }
+    }, n = 10)
+  }
+
+  test("property: ksDrift and mannWhitney effect live in their theoretical ranges") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val genVals = Gen.listOfN(16, Gen.chooseNum(0, 9))
+    check(Prop.forAll(genVals, genVals) { (as, bs) =>
+      if (as.isEmpty || bs.isEmpty) true
+      else {
+        val rows = (as.map(v => (v.toDouble, true)) ++
+          bs.map(v => (v.toDouble, false))).map { case (v, r) =>
+          (new Timestamp((if (r) 1704067200L else 1706745600L) * 1000L),
+            "g", v) }.toDF("ts", "grp", "value")
+        val isRef = col("ts").cast("date") <= lit("2024-01-15").cast("date")
+        val d = graft.operators.Relational
+          .ksDrift(rows, "grp", "value", isRef)
+          .collect().head.getAs[Double]("ks_d")
+        val e = graft.operators.Relational
+          .mannWhitney(rows, "grp", "value", isRef)
+          .collect().head.getAs[Double]("effect")
+        d >= 0.0 && d <= 1.0 && e >= 0.0 && e <= 1.0 &&
+          // identical multisets must read zero drift, half effect
+          (as.sorted != bs.sorted ||
+            (d == 0.0 && e == 0.5))
+      }
+    }, n = 10)
+  }
+
+  test("property: CMS estimate dominates and shard merge is exact for random loads") {
+    val genLoad = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(1L, 200L), Gen.chooseNum(1L, 50L)))
+    check(Prop.forAll(genLoad, genLoad) { (la, lb) =>
+      def agg = new graft.ext.Sketches.CmsBuild
+      def hash(k: Long): Long =
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(k, org.apache.spark.sql.types.LongType, 42L)
+      def build(l: Seq[(Long, Long)]) =
+        l.foldLeft(agg.zero)((b, kc) => agg.reduce(b, (hash(kc._1), kc._2)))
+      val merged = agg.merge(build(la), build(lb))
+      val union = (la ++ lb).groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).sum }
+      val direct = build(union.toSeq)
+      java.util.Arrays.equals(merged, direct) &&
+        union.forall { case (k, c) =>
+          graft.ext.Sketches.cmsEstimate(merged, hash(k)) >= c }
+    }, n = 10)
+  }
 }
