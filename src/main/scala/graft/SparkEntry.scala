@@ -225,6 +225,8 @@ object SparkEntry {
     "q203_partition_skew"  -> (Relational.q203 _),
     "q204_spend_deciles"   -> (Relational.q204 _),
     "q205_conversion_lag"  -> (Relational.q205 _),
+    "q206_weighted_median" -> (Relational.q206 _),
+    "q207_lang_confusion"  -> (TextOps.q207 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2642,6 +2644,27 @@ object SparkEntry {
         "percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_s) AS lag_med_s, " +
         "percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_s) AS lag_p90_s " +
         "FROM l GROUP BY cohort ORDER BY cohort"),
+    // q206: weighted median — decimal weight cumulatives per distinct
+    // value, pick = min v with 2·cw ≥ wtot (exact halving).
+    "q206_weighted_median" ->
+      ("WITH dv AS (SELECT l_returnflag, l_extendedprice AS v, " +
+        "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS wv FROM lineitem GROUP BY 1, 2), " +
+        "c AS (SELECT l_returnflag, v, " +
+        "SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw FROM dv), " +
+        "t AS (SELECT l_returnflag, SUM(wv) AS wtot FROM dv GROUP BY 1) " +
+        "SELECT c.l_returnflag, MIN(v) AS w_median, CAST(MIN(wtot) AS DOUBLE) AS total_weight " +
+        "FROM c JOIN t ON c.l_returnflag = t.l_returnflag " +
+        "WHERE cw * 2 >= wtot GROUP BY c.l_returnflag ORDER BY c.l_returnflag"),
+    // q207: language-ID confusion — q31's exact ratio expression
+    // replayed, grouped counts + bounded share join.
+    "q207_lang_confusion" ->
+      ("WITH p AS (SELECT lang, CASE WHEN " +
+        "CAST(ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> LIST_CONTAINS(['the','is','and','of','a'], w))) AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')), 4) AS DOUBLE) >= 0.05 " +
+        "THEN 'en' ELSE 'und' END AS lang_pred FROM documents), " +
+        "c AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2), " +
+        "t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1) " +
+        "SELECT c.lang AS lang, lang_pred, n, ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share " +
+        "FROM c JOIN t ON c.lang = t.lang ORDER BY c.lang, lang_pred"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

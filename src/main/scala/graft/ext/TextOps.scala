@@ -1758,4 +1758,26 @@ object TextOps {
   /** Q198 — Zipf head fit over the documents vocabulary. */
   def q198(s: SparkSession, d: String): DataFrame =
     zipfFit(Tables.documents(s, d), 1000)
+
+  /** Language-ID confusion matrix: q31's marker-ratio classifier
+    * scored against the corpus's ground-truth `lang` column — the
+    * audit every heuristic filter needs BEFORE it gates a training
+    * mix (per true language: how much mass the classifier would keep
+    * or misroute). One narrow classify map + one grouped count + a
+    * language-cardinality-bounded share join. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val pred = docs.select(col("lang"),
+      when(tokenRatio(col("text"), enMarkers) >= 0.05, "en")
+        .otherwise("und").as("lang_pred"))
+    val cells = pred.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("lang").agg(sum("n").as("tot"))
+    cells.join(broadcast(tot), "lang")
+      .select(col("lang"), col("lang_pred"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("share"))
+  }
+
+  /** Q207 — how the en-marker heuristic routes each true language. */
+  def q207(s: SparkSession, d: String): DataFrame =
+    langConfusion(Tables.documents(s, d)).orderBy("lang", "lang_pred")
 }

@@ -3599,4 +3599,38 @@ object Relational {
   def q205(s: SparkSession, d: String): DataFrame =
     conversionLag(Tables.events(s, d), "signup", "purchase")
       .orderBy("cohort")
+
+  /** Exact weighted median (lower element) per group — the smallest
+    * value whose cumulative WEIGHT reaches half the group's total
+    * (inventory-weighted price, duration-weighted latency: the right
+    * center when rows carry unequal mass; q135's percentile_disc can't
+    * express it). Scale form: weights aggregate per DISTINCT value
+    * first (map-side combined), the cumulative runs over that
+    * value-cardinality-bounded frame, and the pick is one filtered
+    * min — all integer/decimal-exact, no IEEE until the caller. */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+      weightCol: String): DataFrame = {
+    val dv = df.select(col(groupCol), col(valCol).as("v"),
+        col(weightCol).cast("decimal(18,2)").as("w"))
+      .groupBy(col(groupCol), col("v"))
+      .agg(sum("w").as("wv"))
+    val wCum = Window.partitionBy(groupCol).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = dv.groupBy(groupCol).agg(sum("wv").as("wtot"))
+    dv.withColumn("cw", sum("wv").over(wCum))
+      .join(broadcast(tot), Seq(groupCol))
+      // 2·cw ≥ wtot keeps the halving exact in decimal arithmetic
+      .filter(col("cw") * 2 >= col("wtot"))
+      .groupBy(groupCol)
+      .agg(min("v").as("w_median"), min("wtot").as("wtot"))
+      .select(col(groupCol), col("w_median"),
+        col("wtot").cast("double").as("total_weight"))
+  }
+
+  /** Q206 — quantity-weighted median price per return flag (vs the
+    * unweighted q135-style element). */
+  def q206(s: SparkSession, d: String): DataFrame =
+    weightedMedian(Tables.lineitem(s, d), "l_returnflag",
+      "l_extendedprice", "l_quantity")
+      .orderBy("l_returnflag")
 }

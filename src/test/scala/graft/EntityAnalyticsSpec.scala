@@ -1044,6 +1044,22 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("lag_p90_s") == 3600.0)
   }
 
+  test("weightedMedian: weight mass moves the pick where the plain median stays") {
+    import spark.implicits._
+    // values 1..5, weight 1 each except v=5 carries 10: plain median 3,
+    // weighted median 5 (10 of 14 total mass at 5; cum at 4 = 4·2=8 < 14)
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 1.0), (5.0, 10.0))
+      .map { case (v, w) => ("g", v, w) }.toDF("grp", "v", "w")
+    val r = graft.operators.Relational.weightedMedian(df, "grp", "v", "w")
+      .collect().head
+    assert(r.getAs[Double]("w_median") == 5.0)
+    assert(r.getAs[Double]("total_weight") == 14.0)
+    // uniform weights reduce to the lower-median disc element
+    val u = (1 to 4).map(i => ("g", i.toDouble, 1.0)).toDF("grp", "v", "w")
+    assert(graft.operators.Relational.weightedMedian(u, "grp", "v", "w")
+      .collect().head.getAs[Double]("w_median") == 2.0)
+  }
+
   test("topKCoverage: exact shares on a planted concentration, k beyond keys saturates") {
     import java.sql.Timestamp
     // user 1 → 80 events, users 2..21 → 1 each: top-1 covers 0.8

@@ -713,6 +713,20 @@ class TextAnalysisSpec extends SparkSpec {
       .getAs[Double]("zipf_slope") == 0.0)
   }
 
+  test("langConfusion: marker-heavy docs route to en, shares sum to 1 per true lang") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the cat is on the mat and of a"),   // marker-dense → en
+      (2L, "en", "zzz qqq rrr sss ttt"),              // marker-free → und
+      (3L, "de", "der hund zzz qqq rrr"))             // no en markers → und
+      .toDF("doc_id", "lang", "text")
+    val out = graft.ext.TextOps.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("share"))).toMap
+    assert(out(("en", "en")) == ((1L, 0.5)) && out(("en", "und")) == ((1L, 0.5)))
+    assert(out(("de", "und")) == ((1L, 1.0)) && !out.contains(("de", "en")))
+  }
+
   test("lexicalDiversity: exact TTR and hapax share") {
     import spark.implicits._
     // "a a b c": 4 tokens, 3 types (ttr .75), hapax {b,c} → 2/3
