@@ -16,6 +16,11 @@ case class FunnelHit(user_id: Long, step_no: Int, step: String, ts_us: Long)
 case class MomentState(n: Long, s: Double, q: Double)
 case class Anomaly(group: String, event_id: Long, value: Double, z: Double)
 
+/** S32 conversion state: per-user first-signup time (µs) and whether
+  * the first qualifying purchase already emitted. */
+case class ConvState(t0: Long, converted: Boolean)
+case class ConvHit(user_id: Long, t0_us: Long, t1_us: Long, lag_s: Double)
+
 /** S16 heavy-hitter state: Misra–Gries counters (≤ k entries). */
 case class MgState(ids: Array[Long], counts: Array[Long], n: Long)
 case class MgSummary(group: String, n: Long, ids: Array[Long],
@@ -1016,6 +1021,56 @@ object StreamOps {
     }
     counts.select(col("window.start").as("ws"), col(groupCol),
       n.as("n_window"), round(greatest(ds: _*), 6).as("ks_d"))
+  }
+
+  /** S32 (r12) — streaming conversion-lag tracking: the real-time form
+    * of the batch q205 (`Relational.conversionLag`) — per user, the
+    * FIRST `fromType` event arms the state; the first `toType` event at
+    * or after it emits (user, t0, t1, lag) EXACTLY ONCE, while the
+    * conversion is happening (the batch form answers tomorrow). The
+    * q205 semantics carry over precisely: pre-signup purchases are
+    * ignored (they arrive before the state is armed, or fail the
+    * t1 ≥ t0 filter inside a batch), later purchases don't re-emit.
+    * Per-batch rows fold in (event-time, type-priority) order — a
+    * same-batch signup+purchase pair converts with exact lag (signup
+    * sorts first on ties, mirroring the batch ≥). State is two fields
+    * per armed user; converted users keep a tombstone so duplicates
+    * can't re-fire — the eviction horizon (evict converted/idle keys
+    * one window past the watermark, the S14 pattern) is the documented
+    * knob when user cardinality demands it. Downstream cohort/decile
+    * aggregation is a stateless windowed agg over these emissions. */
+  def conversionLagStream(events: DataFrame, fromType: String,
+      toType: String, watermark: String = "10 seconds"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    events.withWatermark("ts", watermark)
+      .filter(col("event_type").isin(fromType, toType))
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[ConvState]) =>
+          var st = state.getOption.getOrElse(ConvState(-1L, converted = false))
+          // event-time order; the from-type wins timestamp ties so a
+          // same-instant pair arms then converts (lag 0), like batch ≥
+          val evs = rows.toArray
+            .map { case (_, et, ts) => (micros(ts), if (et == fromType) 0 else 1) }
+            .sortBy(identity)
+          var out = List.empty[ConvHit]
+          evs.foreach { case (tm, kind) =>
+            if (kind == 0) {
+              if (st.t0 < 0) st = ConvState(tm, st.converted)
+            } else if (st.t0 >= 0 && !st.converted && tm >= st.t0) {
+              out ::= ConvHit(uid, st.t0, tm, (tm - st.t0) / 1000000.0)
+              st = ConvState(st.t0, converted = true)
+            }
+          }
+          state.update(st)
+          out.reverse.iterator
+      }.toDF()
   }
 
   /** S31 (r12) — streaming windowed Count-Min frequency estimates for

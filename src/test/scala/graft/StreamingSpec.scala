@@ -1012,6 +1012,57 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1L)._2 == 42)
   }
 
+  test("S32: conversion lag emits exactly once per user, ignores pre-arm purchases") {
+    val in = MemoryStream[Ev]
+    val out = StreamOps.conversionLagStream(in.toDF(), "signup", "purchase")
+    val q = out.writeStream.format("memory").queryName("s32").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    val base = 1704067200L
+    in.addData(
+      ev(base, "signup", 1, user = 1),
+      ev(base + 3600, "purchase", 2, user = 1),   // u1 converts, lag 3600
+      ev(base + 100, "purchase", 3, user = 2),    // u2: BEFORE signup → ignored
+      ev(base + 200, "signup", 4, user = 2),
+      ev(base + 50, "signup", 5, user = 3))       // u3 never converts
+    q.processAllAvailable()
+    in.addData(
+      ev(base + 7200, "purchase", 6, user = 1),   // duplicate → no re-emit
+      ev(base + 800, "purchase", 7, user = 2))    // u2 converts cross-batch, lag 600
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("s32").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("lag_s")).toMap
+    assert(rows == Map(1L -> 3600.0, 2L -> 600.0), s"got $rows")
+  }
+
+  test("S31 under RocksDB: the 64 KB CMS window buffer runs on the production store") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val out = StreamOps.cmsStream(in.toDF(), "user_id", Seq(1L, 2L),
+        size = "60 seconds")
+      val q = out.writeStream.format("memory").queryName("s31r")
+        .outputMode("update")
+        .option("checkpointLocation", tmpDir("ckpt")).start()
+      in.addData((1 to 20).map(i => ev(i % 50, "a", i, user = 1)): _*)
+      q.processAllAvailable()
+      val usedRocks = Option(q.lastProgress).exists(
+        _.stateOperators.exists(_.customMetrics.containsKey("rocksdbGetCount")))
+      q.stop()
+      val rows = spark.table("s31r").collect()
+        .map(r => r.getAs[Long]("probe_key") -> r.getAs[Long]("est_count")).toMap
+      assert(rows(1L) >= 20, s"got $rows")
+      assert(usedRocks, "progress metrics show no RocksDB state store activity")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("S26: stream-static AS-OF enrichment picks each event's effective dimension version") {
     import graft.operators.Warehouse
     val hist = Seq(
