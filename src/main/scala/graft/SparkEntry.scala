@@ -227,6 +227,7 @@ object SparkEntry {
     "q205_conversion_lag"  -> (Relational.q205 _),
     "q206_weighted_median" -> (Relational.q206 _),
     "q207_lang_confusion"  -> (TextOps.q207 _),
+    "q208_cohort_ltv"      -> (Relational.q208 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2665,6 +2666,26 @@ object SparkEntry {
         "t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1) " +
         "SELECT c.lang AS lang, lang_pred, n, ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share " +
         "FROM c JOIN t ON c.lang = t.lang ORDER BY c.lang, lang_pred"),
+    // q208: cohort LTV — exact decimal revenue, 28-day integer-div
+    // periods, cumulative over the bounded cohort×period frame, LTV
+    // divided by the FULL cohort size (never-purchasers included).
+    "q208_cohort_ltv" ->
+      ("WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events " +
+        "WHERE event_type = 'signup' GROUP BY 1), " +
+        "fc AS (SELECT user_id, t0, CAST(date_trunc('week', make_timestamp(t0)) AS DATE) AS cohort FROM f), " +
+        "cs AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users FROM fc GROUP BY 1), " +
+        "r AS (SELECT fc.cohort, " +
+        "CAST(date_diff('day', fc.cohort, CAST(make_timestamp(epoch_us(e.ts)) AS DATE)) AS BIGINT) // 28 AS period, " +
+        "CAST(e.value AS DECIMAL(18,2)) AS v " +
+        "FROM events e JOIN fc ON e.user_id = fc.user_id AND epoch_us(e.ts) >= fc.t0 " +
+        "WHERE e.event_type = 'purchase'), " +
+        "p AS (SELECT cohort, period, SUM(v) AS rev FROM r GROUP BY 1, 2), " +
+        "c AS (SELECT cohort, period, rev, " +
+        "SUM(rev) OVER (PARTITION BY cohort ORDER BY period ROWS UNBOUNDED PRECEDING) AS rev_cum FROM p) " +
+        "SELECT c.cohort AS cohort, period, n_users, " +
+        "CAST(rev AS DOUBLE) AS rev_period, CAST(rev_cum AS DOUBLE) AS rev_cum, " +
+        "ROUND(CAST(rev_cum AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS ltv " +
+        "FROM c JOIN cs ON c.cohort = cs.cohort ORDER BY c.cohort, period"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

@@ -3633,4 +3633,48 @@ object Relational {
     weightedMedian(Tables.lineitem(s, d), "l_returnflag",
       "l_extendedprice", "l_quantity")
       .orderBy("l_returnflag")
+
+  /** Cohort LTV curves: cumulative post-signup revenue per user, by
+    * signup-week cohort and 28-day period since signup — q102's
+    * retention matrix with VALUE instead of presence (the payback-
+    * period read: "week-of-Jan-1 users have returned $X by period 2").
+    * First-signup per user is one min-agg (the q205 frame); revenue
+    * sums are exact decimals; the cumulative runs over the
+    * cohorts × periods frame — calendar-bounded; LTV is the one
+    * rounded divide by the cohort's FULL user count (including
+    * never-purchasers — that's what makes it LTV, not
+    * revenue-per-payer). */
+  def cohortLtv(ev: DataFrame, fromType: String,
+      revType: String): DataFrame = {
+    val first = ev.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t0"))
+      .withColumn("cohort", date_trunc("week",
+        timestamp_micros(col("t0"))).cast("date"))
+    val cohortSize = first.groupBy("cohort")
+      .agg(count(lit(1)).as("n_users"))
+    val rev = ev.filter(col("event_type") === revType)
+      .select(col("user_id"), unix_micros(col("ts")).as("t1"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .join(first, "user_id")
+      .filter(col("t1") >= col("t0"))
+      .withColumn("period",
+        expr("datediff(to_date(timestamp_micros(t1)), cohort) div 28"))
+      .groupBy("cohort", "period")
+      .agg(sum("v").as("rev"))
+    val wCum = Window.partitionBy("cohort").orderBy("period")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("rev_cum", sum("rev").over(wCum))
+      .join(broadcast(cohortSize), "cohort")
+      .select(col("cohort"), col("period"), col("n_users"),
+        col("rev").cast("double").as("rev_period"),
+        col("rev_cum").cast("double").as("rev_cum"),
+        round(col("rev_cum").cast("double") / col("n_users").cast("double"), 6)
+          .as("ltv"))
+  }
+
+  /** Q208 — signup-cohort LTV by 28-day period. */
+  def q208(s: SparkSession, d: String): DataFrame =
+    cohortLtv(Tables.events(s, d), "signup", "purchase")
+      .orderBy("cohort", "period")
 }

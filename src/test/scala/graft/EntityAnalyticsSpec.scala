@@ -1060,6 +1060,32 @@ class EntityAnalyticsSpec extends SparkSpec {
       .collect().head.getAs[Double]("w_median") == 2.0)
   }
 
+  test("cohortLtv: never-purchasers dilute LTV, periods accumulate, pre-signup revenue excluded") {
+    import java.sql.Timestamp
+    def e(tsSec: Long, tpe: String, user: Long, id: Long, v: Double = 0.0) =
+      (new Timestamp(tsSec * 1000), tpe, user, id, v)
+    val base = 1704067200L // Mon 2024-01-01
+    val ev = Seq(
+      e(base, "signup", 1, 1),
+      e(base + 3600, "purchase", 1, 2, 10.0),            // period 0
+      e(base + 30L * 86400, "purchase", 1, 3, 20.0),     // period 1
+      e(base + 60, "signup", 2, 4),                      // same cohort, never buys
+      e(base - 3600, "purchase", 3, 5, 99.0),            // u3 buys BEFORE signup
+      e(base + 120, "signup", 3, 6))
+      .toDF("ts", "event_type", "user_id", "event_id", "value")
+    val out = graft.operators.Relational
+      .cohortLtv(ev, "signup", "purchase").collect()
+      .map(r => r.getAs[Long]("period") -> r).toMap
+    // one cohort (week of Jan 1), 3 users; only u1's revenue counts
+    assert(out.size == 2)
+    assert(out(0L).getAs[Long]("n_users") == 3)
+    assert(out(0L).getAs[Double]("rev_cum") == 10.0 &&
+      out(0L).getAs[Double]("ltv") == math.rint(10.0 / 3 * 1e6) / 1e6)
+    assert(out(1L).getAs[Double]("rev_period") == 20.0 &&
+      out(1L).getAs[Double]("rev_cum") == 30.0 &&
+      out(1L).getAs[Double]("ltv") == 10.0)
+  }
+
   test("topKCoverage: exact shares on a planted concentration, k beyond keys saturates") {
     import java.sql.Timestamp
     // user 1 → 80 events, users 2..21 → 1 each: top-1 covers 0.8
