@@ -228,6 +228,7 @@ object SparkEntry {
     "q206_weighted_median" -> (Relational.q206 _),
     "q207_lang_confusion"  -> (TextOps.q207 _),
     "q208_cohort_ltv"      -> (Relational.q208 _),
+    "q209_sla_attainment"  -> (Relational.q209 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2686,6 +2687,20 @@ object SparkEntry {
         "CAST(rev AS DOUBLE) AS rev_period, CAST(rev_cum AS DOUBLE) AS rev_cum, " +
         "ROUND(CAST(rev_cum AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS ltv " +
         "FROM c JOIN cs ON c.cohort = cs.cohort ORDER BY c.cohort, period"),
+    // q209: SLA attainment — exact day lags, one agg carries every
+    // threshold counter, shares the only divides.
+    "q209_sla_attainment" ->
+      ("WITH j AS (SELECT o_orderpriority, " +
+        "date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag_d " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey) " +
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items, " +
+        "CAST(SUM(CASE WHEN lag_d <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_30, " +
+        "CAST(SUM(CASE WHEN lag_d <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_60, " +
+        "CAST(SUM(CASE WHEN lag_d <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_90, " +
+        "ROUND(CAST(SUM(CASE WHEN lag_d <= 30 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS sla_30, " +
+        "ROUND(CAST(SUM(CASE WHEN lag_d <= 60 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS sla_60, " +
+        "ROUND(CAST(SUM(CASE WHEN lag_d <= 90 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS sla_90 " +
+        "FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

@@ -3677,4 +3677,40 @@ object Relational {
   def q208(s: SparkSession, d: String): DataFrame =
     cohortLtv(Tables.events(s, d), "signup", "purchase")
       .orderBy("cohort", "period")
+
+  /** SLA attainment: per group, the share of items fulfilled within
+    * each day threshold (order→ship latency here; the operator is the
+    * generic "% within SLA by class" report every ops dashboard
+    * carries). Exact integer day lags (datediff of dates), exact
+    * conditional counts in ONE grouped agg (no per-threshold pass),
+    * shares the only rounded divides. The fact–fact join shuffles on
+    * the order key — the one join in the star that can't broadcast;
+    * everything downstream is group-bounded. */
+  def slaAttainment(df: DataFrame, groupCol: String, lagDays: Column,
+      thresholds: Seq[Int]): DataFrame = {
+    val base = df.select(col(groupCol), lagDays.as("lag_d"))
+    val aggs = count(lit(1)).as("n_items") +: thresholds.map(t =>
+      sum(when(col("lag_d") <= t, 1L).otherwise(0L)).as(s"n_within_$t"))
+    val counted = base.groupBy(groupCol)
+      .agg(aggs.head, aggs.tail: _*)
+    thresholds.foldLeft(counted) { (acc, t) =>
+      acc.withColumn(s"sla_$t", round(
+        col(s"n_within_$t").cast("double") / col("n_items").cast("double"), 6))
+    }
+  }
+
+  /** Q209 — order→ship latency SLA by order priority (30/60/90 days). */
+  def q209(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_d"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("order_d"))
+    slaAttainment(
+      li.join(ord, col("l_orderkey") === col("o_orderkey")),
+      "o_orderpriority",
+      datediff(col("ship_d"), col("order_d")).cast("long"),
+      Seq(30, 60, 90))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -1086,6 +1086,18 @@ class EntityAnalyticsSpec extends SparkSpec {
       out(1L).getAs[Double]("ltv") == 10.0)
   }
 
+  test("slaAttainment: shares are monotone in threshold with exact boundary handling") {
+    import spark.implicits._
+    // lags 10, 30, 31, 90, 91 → ≤30: 2/5, ≤60: 3/5, ≤90: 4/5
+    val df = Seq(10L, 30L, 31L, 90L, 91L).map(("p", _)).toDF("grp", "lag")
+    val r = graft.operators.Relational.slaAttainment(
+      df, "grp", col("lag"), Seq(30, 60, 90)).collect().head
+    assert(r.getAs[Long]("n_items") == 5)
+    assert(r.getAs[Long]("n_within_30") == 2 && r.getAs[Double]("sla_30") == 0.4)
+    assert(r.getAs[Long]("n_within_60") == 3 && r.getAs[Double]("sla_60") == 0.6)
+    assert(r.getAs[Long]("n_within_90") == 4 && r.getAs[Double]("sla_90") == 0.8)
+  }
+
   test("topKCoverage: exact shares on a planted concentration, k beyond keys saturates") {
     import java.sql.Timestamp
     // user 1 → 80 events, users 2..21 → 1 each: top-1 covers 0.8
