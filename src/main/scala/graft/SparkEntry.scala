@@ -229,6 +229,8 @@ object SparkEntry {
     "q207_lang_confusion"  -> (TextOps.q207 _),
     "q208_cohort_ltv"      -> (Relational.q208 _),
     "q209_sla_attainment"  -> (Relational.q209 _),
+    "q210_km_survival"     -> (Relational.q210 _),
+    "q211_anova"           -> (Relational.q211 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2701,6 +2703,56 @@ object SparkEntry {
         "ROUND(CAST(SUM(CASE WHEN lag_d <= 60 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS sla_60, " +
         "ROUND(CAST(SUM(CASE WHEN lag_d <= 90 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS sla_90 " +
         "FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // q210: Kaplan–Meier — the oracle replays the exact product-limit
+    // fold the engine runs: NOT a windowed double sum (DuckDB windows
+    // aggregate via segment tree — a different fold order than Spark's
+    // sequential running sum), but the q79 sorted-list fold per output
+    // row (list_sum over the dur-ordered prefix). The d=n factor
+    // contributes literal 0.0 on BOTH sides with the dead-flag pinning
+    // survival to 0.0 (avoiding Spark-NULL-vs-DuckDB--inf ln(0)).
+    "q210_km_survival" ->
+      ("WITH span AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS f, " +
+        "CAST(MAX(ts) AS DATE) AS l FROM events GROUP BY user_id), " +
+        "h AS (SELECT MAX(l) AS hz FROM span), " +
+        "u AS (SELECT date_diff('day', f, l) AS dur, " +
+        "CASE WHEN date_diff('day', l, (SELECT hz FROM h)) >= 14 THEN 1 ELSE 0 END AS ev FROM span), " +
+        "g AS (SELECT dur, COUNT(*) AS n_u, SUM(ev) AS d FROM u GROUP BY dur), " +
+        "r AS (SELECT dur, n_u, d, (SELECT COUNT(*) FROM u) - " +
+        "COALESCE(SUM(n_u) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk FROM g), " +
+        "t AS (SELECT dur, n_u, d, n_risk, " +
+        "CASE WHEN d < n_risk THEN LN(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) ELSE 0.0 END AS lnf, " +
+        "CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS deadf FROM r), " +
+        "p AS (SELECT list(struct_pack(dur := dur, lnf := lnf, deadf := deadf) ORDER BY dur) AS allt FROM t) " +
+        "SELECT CAST(t.dur AS BIGINT) AS dur_d, CAST(t.n_risk AS BIGINT) AS n_risk, " +
+        "CAST(t.d AS BIGINT) AS d_events, CAST(t.n_u - t.d AS BIGINT) AS n_cens, " +
+        "CASE WHEN len(list_filter(p.allt, x -> x.dur <= t.dur AND x.deadf = 1)) > 0 THEN 0.0 " +
+        "ELSE ROUND(EXP(list_sum(list_transform(list_filter(p.allt, x -> x.dur <= t.dur), x -> x.lnf))), 6) END AS survival " +
+        "FROM t, p ORDER BY dur_d"),
+    // q211: one-way ANOVA — exact decimal per-group moments, one
+    // decimal→double cast per moment, SSB/SSW folded in group order
+    // (list_sum over ORDER BY grp = the engine's sorted aggregate
+    // fold). Only the RATIO statistics are emitted: DuckDB's int128
+    // decimal→double cast double-rounds >2^53 moments (1 ulp vs
+    // Spark's BigDecimal path), which scale-free F/η²/mean absorb
+    // under round 6 but raw e14-magnitude SS columns do not.
+    "q211_anova" ->
+      ("WITH m AS (SELECT o_orderpriority AS grp, COUNT(*) AS n_g, " +
+        "SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s_g, " +
+        // DECIMAL(19,6) forces DuckDB's int128 multiply path (18-wide
+        // squares overflow its int64 kernel); the values are identical
+        "SUM(CAST(o_totalprice AS DECIMAL(19,6)) * CAST(o_totalprice AS DECIMAL(19,6))) AS ss_g " +
+        "FROM orders GROUP BY o_orderpriority), " +
+        "t AS (SELECT SUM(n_g) AS n, CAST(SUM(s_g) AS DOUBLE) / CAST(SUM(n_g) AS DOUBLE) AS gm FROM m), " +
+        "terms AS (SELECT grp, n_g, " +
+        "CAST(n_g AS DOUBLE) * (CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) - (SELECT gm FROM t)) * " +
+        "(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) - (SELECT gm FROM t)) AS ssb_t, " +
+        "CAST(ss_g AS DOUBLE) - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS ssw_t FROM m), " +
+        "f AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, (SELECT CAST(n AS BIGINT) FROM t) AS n, " +
+        "(SELECT gm FROM t) AS gm, " +
+        "list_sum(list(ssb_t ORDER BY grp)) AS ssb, list_sum(list(ssw_t ORDER BY grp)) AS ssw FROM terms) " +
+        "SELECT k, n, ROUND(gm, 6) AS grand_mean, " +
+        "ROUND((ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)), 6) AS f_stat, " +
+        "ROUND(ssb / (ssb + ssw), 6) AS eta_sq FROM f"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

@@ -3713,4 +3713,128 @@ object Relational {
       Seq(30, 60, 90))
       .orderBy("o_orderpriority")
   }
+
+  /** Kaplan–Meier survival estimator — the churn/retention curve read
+    * off right-censored lifetimes (Kaplan & Meier 1958): subjects still
+    * active near the observation horizon are CENSORED, not churned, and
+    * the product-limit estimator is what keeps their partial lifetimes
+    * from biasing the curve down (the naive "share still alive at t"
+    * does exactly that bias).
+    *
+    * Per-subject lifetime = days from first to last observation; a
+    * subject whose last observation is ≥ `censorGapDays` before the
+    * global horizon is an observed churn (event=1), else censored.
+    * S(t) = ∏_{tᵢ≤t} (1 − dᵢ/nᵢ) over distinct lifetimes with the risk
+    * set nᵢ = subjects with lifetime ≥ tᵢ.
+    *
+    * Determinism: cumulative sums stay EXACT where they carry counts
+    * (risk set, dead flag — integer window sums); the one float
+    * accumulation (Σ ln factors up to t) does NOT ride a window — a
+    * windowed double sum would expose DuckDB's segment-tree fold order
+    * against Spark's sequential one — but instead replays the q79
+    * sorted-fold doctrine per output row: the lifetime-bounded term
+    * list is packed once (1-row broadcast), and each row folds its
+    * dur'≤dur prefix in explicit dur order, so both engines build
+    * bit-identical IEEE sums. A risk set that dies out entirely
+    * (d = n) would put ln(0) in the fold — Spark yields NULL, DuckDB
+    * -inf — so that factor contributes literal 0.0 and a cumulative
+    * dead-flag pins S to exactly 0.0 from that lifetime on (the
+    * mathematically correct value, reached without either engine's
+    * log-of-zero semantics).
+    *
+    * Scale: one key-grouped span agg (data-sized shuffle, the only
+    * one), then every frame is bounded by DISTINCT lifetime days —
+    * calendar-span-sized, NOT data-sized — so the unpartitioned
+    * windows and the O(D²) prefix folds are bounded-vocabulary work by
+    * construction (the q206 weighted-median argument); the horizon,
+    * subject total, and packed term list ride 1-row broadcasts. */
+  def kmSurvival(ev: DataFrame, subjectCol: String, tsCol: String,
+      censorGapDays: Int = 14): DataFrame = {
+    val span = ev.groupBy(subjectCol).agg(
+      min(col(tsCol).cast("date")).as("first_d"),
+      max(col(tsCol).cast("date")).as("last_d"))
+    val hz = span.agg(max("last_d").as("hz"))
+    val u = span.crossJoin(broadcast(hz))
+      .select(datediff(col("last_d"), col("first_d")).cast("long").as("dur"),
+        when(datediff(col("hz"), col("last_d")) >= censorGapDays, 1L)
+          .otherwise(0L).as("ev"))
+    val g = u.groupBy("dur").agg(count(lit(1)).as("n_u"), sum("ev").as("d"))
+    val nTot = u.agg(count(lit(1)).as("n_tot"))
+    val prior = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    val terms = g.crossJoin(broadcast(nTot))
+      .withColumn("n_risk", col("n_tot") - coalesce(sum("n_u").over(prior), lit(0L)))
+      .withColumn("lnf", when(col("d") < col("n_risk"),
+        log((col("n_risk") - col("d")).cast("double") / col("n_risk").cast("double")))
+        .otherwise(lit(0.0)))
+      .withColumn("deadf", when(col("d") >= col("n_risk"), 1).otherwise(0))
+    val packed = terms.agg(array_sort(collect_list(
+      struct(col("dur"), col("lnf"), col("deadf")))).as("allt"))
+    terms.crossJoin(broadcast(packed))
+      .withColumn("pfx", filter(col("allt"), x => x.getField("dur") <= col("dur")))
+      .select(col("dur").as("dur_d"), col("n_risk"),
+        col("d").as("d_events"), (col("n_u") - col("d")).as("n_cens"),
+        when(exists(col("pfx"), x => x.getField("deadf") === 1), lit(0.0))
+          .otherwise(round(exp(aggregate(
+            transform(col("pfx"), x => x.getField("lnf")),
+            lit(0d), (acc, x) => acc + x)), 6)).as("survival"))
+      .orderBy("dur_d")
+  }
+
+  /** Q210 — user-lifetime survival curve over events (14-day censor gap). */
+  def q210(s: SparkSession, d: String): DataFrame =
+    kmSurvival(Tables.events(s, d), "user_id", "ts", censorGapDays = 14)
+
+  /** One-way ANOVA — the k-group generalization of q196's Welch t: is
+    * the between-group spread of means larger than chance given the
+    * within-group variance? F = (SSB/(k−1)) / (SSW/(N−k)), plus η² =
+    * SSB/(SSB+SSW) as the effect size (the "how much variance does the
+    * grouping explain" read every A/B/C/D test report needs next to
+    * the bare F).
+    *
+    * Per-group moments (n, Σv, Σv²) accumulate in EXACT decimal — one
+    * map-side-combined agg, the only data-sized pass; the k-row group
+    * frame then folds SSB and SSW in explicit group order (q79 sorted-
+    * fold doctrine) after a single decimal→double cast per moment, so
+    * both engines build matching IEEE sums to within 1 ulp (a >2⁵³
+    * decimal's double cast is correctly-rounded in Spark's BigDecimal
+    * path but double-rounded through DuckDB's int128 kernel). That ulp
+    * is why the output is the RATIO statistics only: F, η², and the
+    * grand mean are scale-free (relative error ~1e−16, annihilated by
+    * round 6), while the raw e14-magnitude SS columns would carry the
+    * ulp straight through any fixed-decimal round — measured, not
+    * assumed (the first cut printed SSW and hash-missed in the 16th
+    * significant digit). */
+  def anovaF(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val v = col(valCol).cast("decimal(18,6)")
+    val m = df.select(col(groupCol).as("grp"), v.as("v"))
+      .groupBy("grp").agg(
+        count(lit(1)).as("n_g"),
+        sum("v").as("s_g"),
+        sum(col("v") * col("v")).as("ss_g"))
+    val tot = m.agg(sum("n_g").as("n"), sum("s_g").as("s"))
+    m.crossJoin(broadcast(tot))
+      .withColumn("mg", col("s_g").cast("double") / col("n_g").cast("double"))
+      .withColumn("gm", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("ssb_t", col("n_g").cast("double") *
+        (col("mg") - col("gm")) * (col("mg") - col("gm")))
+      .withColumn("ssw_t", col("ss_g").cast("double") -
+        col("s_g").cast("double") * col("s_g").cast("double") / col("n_g").cast("double"))
+      .agg(
+        count(lit(1)).as("k"),
+        first("n").as("n"),
+        first("gm").as("gmean"),
+        aggregate(transform(array_sort(collect_list(struct(col("grp"), col("ssb_t")))),
+          x => x.getField("ssb_t")), lit(0d), (acc, x) => acc + x).as("ssb"),
+        aggregate(transform(array_sort(collect_list(struct(col("grp"), col("ssw_t")))),
+          x => x.getField("ssw_t")), lit(0d), (acc, x) => acc + x).as("ssw"))
+      .select(col("k"), col("n"),
+        round(col("gmean"), 6).as("grand_mean"),
+        round((col("ssb") / (col("k") - 1).cast("double")) /
+          (col("ssw") / (col("n") - col("k")).cast("double")), 6).as("f_stat"),
+        round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_sq"))
+  }
+
+  /** Q211 — does order priority explain order value? (spoiler: η²≈0). */
+  def q211(s: SparkSession, d: String): DataFrame =
+    anovaF(Tables.orders(s, d), "o_orderpriority", "o_totalprice")
 }

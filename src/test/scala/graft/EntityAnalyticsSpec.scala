@@ -1114,4 +1114,59 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(out(1000).getAs[Long]("n_in_cut") == 21 &&
       out(1000).getAs[Double]("coverage") == 1.0)
   }
+
+  test("kmSurvival: hand product-limit curve, censored tail holds S flat") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    // s1,s2: dur 10 (events); s3: dur 20 (event); s4: dur 40 ending at
+    // the horizon (censored). S(10)=1·(1−2/4)=0.5, S(20)=0.5·(1−1/2)=0.25,
+    // S(40)=0.25 (censoring consumes no survival mass).
+    val ev = Seq(
+      (1L, t("2024-01-01")), (1L, t("2024-01-11")),
+      (2L, t("2024-01-01")), (2L, t("2024-01-11")),
+      (3L, t("2024-01-01")), (3L, t("2024-01-21")),
+      (4L, t("2024-01-10")), (4L, t("2024-02-19"))).toDF("u", "ts")
+    val out = graft.operators.Relational.kmSurvival(ev, "u", "ts", 14)
+      .collect().map(r => r.getAs[Long]("dur_d") -> r).toMap
+    assert(out(10L).getAs[Long]("n_risk") == 4 &&
+      out(10L).getAs[Long]("d_events") == 2 &&
+      out(10L).getAs[Double]("survival") == 0.5)
+    assert(out(20L).getAs[Long]("n_risk") == 2 &&
+      out(20L).getAs[Double]("survival") == 0.25)
+    assert(out(40L).getAs[Long]("n_cens") == 1 &&
+      out(40L).getAs[Double]("survival") == 0.25)
+  }
+
+  test("kmSurvival: fully-observed risk set dies out to exactly 0.0, not ln(0)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val ev = Seq(
+      (1L, t("2024-01-01")), (1L, t("2024-01-11")),
+      (2L, t("2024-01-01")), (2L, t("2024-01-21"))).toDF("u", "ts")
+    // censorGap 0: every subject is an observed event; the last risk
+    // set dies entirely → survival pinned to literal 0.0
+    val out = graft.operators.Relational.kmSurvival(ev, "u", "ts", 0)
+      .collect().map(r => r.getAs[Long]("dur_d") -> r).toMap
+    assert(out(10L).getAs[Double]("survival") == 0.5)
+    assert(out(20L).getAs[Long]("d_events") == 1 &&
+      out(20L).getAs[Double]("survival") == 0.0)
+  }
+
+  test("anovaF: textbook three-group F, identical groups read F=0") {
+    import spark.implicits._
+    // a:[1,2,3] b:[2,3,4] c:[3,4,5] → SSB=6, SSW=6, F=(6/2)/(6/6)=3, η²=0.5
+    val df = Seq("a" -> 1, "a" -> 2, "a" -> 3, "b" -> 2, "b" -> 3, "b" -> 4,
+      "c" -> 3, "c" -> 4, "c" -> 5).map { case (g, v) => (g, v.toDouble) }
+      .toDF("grp", "v")
+    val r = graft.operators.Relational.anovaF(df, "grp", "v").collect().head
+    assert(r.getAs[Long]("k") == 3 && r.getAs[Long]("n") == 9)
+    assert(r.getAs[Double]("grand_mean") == 3.0)
+    assert(r.getAs[Double]("f_stat") == 3.0 &&
+      r.getAs[Double]("eta_sq") == 0.5)
+    val same = Seq("a" -> 1.0, "a" -> 2.0, "b" -> 1.0, "b" -> 2.0).toDF("grp", "v")
+    val r2 = graft.operators.Relational.anovaF(same, "grp", "v").collect().head
+    assert(r2.getAs[Double]("f_stat") == 0.0 && r2.getAs[Double]("eta_sq") == 0.0)
+  }
 }
