@@ -231,6 +231,9 @@ object SparkEntry {
     "q209_sla_attainment"  -> (Relational.q209 _),
     "q210_km_survival"     -> (Relational.q210 _),
     "q211_anova"           -> (Relational.q211 _),
+    "q212_cramers_v"       -> (Relational.q212 _),
+    "q213_rate_anomaly"    -> (Relational.q213 _),
+    "q214_degree_dist"     -> (Relational.q214 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -1889,7 +1892,7 @@ object SparkEntry {
         "CAST(rt AS DOUBLE) * ct / n AS e, rt, ct, n.n " +
         "FROM o JOIN rt ON o.event_type = rt.event_type " +
         "JOIN ct ON o.dow7 = ct.dow7 CROSS JOIN n) " +
-        "SELECT ROUND(list_sum(list((o - e) * (o - e) / e ORDER BY event_type, dow7)), 6) AS chi2, " +
+        "SELECT ROUND(list_sum(list((o - e) * (o - e) / e - e ORDER BY event_type, dow7)) + MAX(n), 6) AS chi2, " +
         "CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow7) - 1) AS BIGINT) AS dof, " +
         "CAST(MAX(n) AS BIGINT) AS n FROM cells"),
     // q154: robust scaling — percentile_disc elements, mirrored
@@ -2753,6 +2756,59 @@ object SparkEntry {
         "SELECT k, n, ROUND(gm, 6) AS grand_mean, " +
         "ROUND((ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)), 6) AS f_stat, " +
         "ROUND(ssb / (ssb + ssw), 6) AS eta_sq FROM f"),
+    // q212: Cramér's V matrix — three q153-shaped contingency blocks
+    // (one per column pair), each χ² folded in (ka, kb) order, V the
+    // normalized effect size; UNION ALL preserves one row per pair.
+    "q212_cramers_v" ->
+      ("WITH j AS (SELECT c_mktsegment, o_orderpriority, o_orderstatus " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        Seq(("c_mktsegment", "o_orderpriority", "1"),
+          ("c_mktsegment", "o_orderstatus", "2"),
+          ("o_orderpriority", "o_orderstatus", "3")).map { case (a, b, i) =>
+          s"o$i AS (SELECT $a AS ka, $b AS kb, CAST(COUNT(*) AS BIGINT) AS obs FROM j GROUP BY 1, 2), " +
+          s"r$i AS (SELECT ka, CAST(SUM(obs) AS BIGINT) AS rt FROM o$i GROUP BY 1), " +
+          s"c$i AS (SELECT kb, CAST(SUM(obs) AS BIGINT) AS ct FROM o$i GROUP BY 1), " +
+          s"n$i AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o$i), " +
+          s"x$i AS (SELECT o$i.ka, o$i.kb, obs, CAST(rt AS DOUBLE) * ct / n AS e, n$i.n " +
+          s"FROM o$i JOIN r$i ON o$i.ka = r$i.ka JOIN c$i ON o$i.kb = c$i.kb CROSS JOIN n$i), " +
+          // empty-cell correction: fold (term − e), add N back (q212 doc)
+          s"f$i AS (SELECT '$a' AS col_a, '$b' AS col_b, CAST(MAX(n) AS BIGINT) AS n, " +
+          s"ROUND(list_sum(list((obs - e) * (obs - e) / e - e ORDER BY ka, kb)) + MAX(n), 6) AS chi2, " +
+          s"CAST((COUNT(DISTINCT ka) - 1) * (COUNT(DISTINCT kb) - 1) AS BIGINT) AS dof, " +
+          s"ROUND(SQRT((list_sum(list((obs - e) * (obs - e) / e - e ORDER BY ka, kb)) + MAX(n)) / " +
+          s"(CAST(MAX(n) AS DOUBLE) * CAST(LEAST(COUNT(DISTINCT ka) - 1, COUNT(DISTINCT kb) - 1) AS DOUBLE))), 6) AS v " +
+          s"FROM x$i)"
+        }.mkString(", ") +
+        " SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3 " +
+        "ORDER BY col_a, col_b"),
+    // q213: burst-rate anomaly — exact per-minute counts, per-key
+    // peak-vs-mean with the 3× flag compared on exact integer products
+    // (max·n_minutes vs 3·n_events), deterministic top-100 by
+    // (max desc, key).
+    "q213_rate_anomaly" ->
+      ("WITH pm AS (SELECT user_id, date_trunc('minute', ts) AS m, " +
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_minutes, " +
+        "CAST(SUM(c) AS BIGINT) AS n_events, CAST(MAX(c) AS BIGINT) AS max_per_min FROM pm GROUP BY 1) " +
+        "SELECT user_id, n_minutes, n_events, max_per_min, " +
+        "ROUND(CAST(n_events AS DOUBLE) / CAST(n_minutes AS DOUBLE), 6) AS mean_per_min, " +
+        "ROUND(CAST(max_per_min AS DOUBLE) * CAST(n_minutes AS DOUBLE) / CAST(n_events AS DOUBLE), 6) AS burst_ratio, " +
+        "CAST(CASE WHEN CAST(max_per_min AS DOUBLE) * CAST(n_minutes AS DOUBLE) >= 3.0 * CAST(n_events AS DOUBLE) " +
+        "THEN 1 ELSE 0 END AS INT) AS flagged " +
+        "FROM u ORDER BY max_per_min DESC, user_id LIMIT 100"),
+    // q214: degree distribution — distinct bipartite edges, node
+    // degree, then the degree-bounded distribution with exact integer
+    // cumulative; shares are the only divides.
+    "q214_degree_dist" ->
+      ("WITH e AS (SELECT DISTINCT l_partkey AS node, l_suppkey AS peer FROM lineitem), " +
+        "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1), " +
+        "dist AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS n_tot FROM dist) " +
+        "SELECT deg, n_nodes, " +
+        "ROUND(CAST(n_nodes AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS share, " +
+        "ROUND(CAST(SUM(n_nodes) OVER (ORDER BY deg ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+        "/ CAST(n_tot AS DOUBLE), 6) AS cum_share " +
+        "FROM dist, t ORDER BY deg"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

@@ -2383,8 +2383,13 @@ object Relational {
     o.join(broadcast(rt), Seq(rowCol)).join(broadcast(ct), Seq(colCol))
       .crossJoin(broadcast(n))
       .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+      // empty r×c cells are absent from the groupBy frame but owe
+      // (0−e)²/e = e to χ²; Σe over ALL cells is exactly N, so fold
+      // (term − e) over observed cells and add N back (the q212 fix,
+      // applied here r12 — a no-op when every cell is populated, the
+      // correct statistic when the table is sparse).
       .withColumn("term",
-        (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+        (col("o") - col("e")) * (col("o") - col("e")) / col("e") - col("e"))
       .agg(
         aggregate(
           transform(array_sort(collect_list(
@@ -2394,7 +2399,7 @@ object Relational {
         count_distinct(col(rowCol)).as("r"),
         count_distinct(col(colCol)).as("c"),
         first(col("n")).as("n"))
-      .select(round(col("chi2_raw"), 6).as("chi2"),
+      .select(round(col("chi2_raw") + col("n").cast("double"), 6).as("chi2"),
         ((col("r") - 1) * (col("c") - 1)).as("dof"), col("n"))
   }
 
@@ -3837,4 +3842,133 @@ object Relational {
   /** Q211 — does order priority explain order value? (spoiler: η²≈0). */
   def q211(s: SparkSession, d: String): DataFrame =
     anovaF(Tables.orders(s, d), "o_orderpriority", "o_totalprice")
+
+  /** Cramér's V association matrix — q153's χ² normalized to [0,1]
+    * (V = √(χ²/(N·(min(r,c)−1)))) and swept over every requested
+    * column pair: the "which categoricals actually move together"
+    * screen that picks dashboard breakdowns and feature crosses, where
+    * raw χ² is unreadable because it grows with N. ONE scan serves
+    * every pair — the pair list melts via explode (narrow, 3× rows,
+    * no per-pair rescan of a 100 TB fact join) into a (pair, ka, kb)
+    * frame, so all contingency aggs share a single shuffle; the
+    * pair-keyed marginals are cell-bounded and ride broadcasts, χ²
+    * folds in (ka, kb) order per the q79 doctrine; counts stay exact
+    * longs (the 2⁵³ count ceiling is a documented 100 TB caveat shared
+    * with every COUNT-as-double statistic in the tier).
+    *
+    * EMPTY cells never reach the groupBy frame but still owe
+    * (0−e)²/e = e to χ²; since Σe over ALL r×c cells is exactly N,
+    * the fold carries (term − e) and adds N back — the closed form
+    * that makes V actually reach 1.0 on perfect association (the
+    * first cut read 1/√2 on a diagonal table). Categoricals are
+    * compared as strings (the melt needs one type across pairs). */
+  def cramersV(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    val melted = df.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          col(a).cast("string").as("ka"), col(b).cast("string").as("kb"))
+      }: _*)).as("x"))
+      .select(col("x.col_a"), col("x.col_b"), col("x.ka"), col("x.kb"))
+    val pk = Seq("col_a", "col_b")
+    val o = melted.groupBy("col_a", "col_b", "ka", "kb").agg(count(lit(1)).as("obs"))
+    val rt = o.groupBy("col_a", "col_b", "ka").agg(sum("obs").as("rt"))
+    val ct = o.groupBy("col_a", "col_b", "kb").agg(sum("obs").as("ct"))
+    val n = o.groupBy(pk.head, pk.tail: _*).agg(sum("obs").as("n"))
+    o.join(broadcast(rt), pk :+ "ka").join(broadcast(ct), pk :+ "kb")
+      .join(broadcast(n), pk)
+      .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+      .withColumn("term",
+        (col("obs") - col("e")) * (col("obs") - col("e")) / col("e") - col("e"))
+      .groupBy(pk.head, pk.tail: _*)
+      .agg(
+        aggregate(transform(array_sort(collect_list(
+          struct(col("ka"), col("kb"), col("term")))),
+          x => x.getField("term")), lit(0d), (acc, x) => acc + x).as("chi2f"),
+        count_distinct(col("ka")).as("r"),
+        count_distinct(col("kb")).as("c"),
+        first("n").as("n"))
+      .withColumn("chi2r", col("chi2f") + col("n").cast("double"))
+      .select(col("col_a"), col("col_b"), col("n"),
+        round(col("chi2r"), 6).as("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        round(sqrt(col("chi2r") / (col("n").cast("double") *
+          least(col("r") - 1, col("c") - 1).cast("double"))), 6).as("v"))
+      .orderBy("col_a", "col_b")
+  }
+
+  /** Q212 — association strength among the order/customer categoricals. */
+  def q212(s: SparkSession, d: String): DataFrame = {
+    val j = Tables.orders(s, d)
+      .select("o_custkey", "o_orderpriority", "o_orderstatus")
+      .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+    cramersV(j, Seq(
+      ("c_mktsegment", "o_orderpriority"),
+      ("c_mktsegment", "o_orderstatus"),
+      ("o_orderpriority", "o_orderstatus")))
+  }
+
+  /** Burst-rate anomaly screen — the bot/abuse detector every event
+    * pipeline runs before modeling: per-key peak events-per-minute
+    * against that key's own mean rate. Two grouped aggs (key×minute,
+    * then key — both map-side combined, the only shuffles are on those
+    * keys); everything emitted is exact integers plus two rounded
+    * divides, and the top-N cut rides the planner's TakeOrdered (no
+    * global window). A key whose peak minute runs ≥ `burstFactor` ×
+    * its mean minute-rate is flagged — the classic "humans are bursty,
+    * bots are VERY bursty" heuristic (Chao et al., botometer-family
+    * features, public literature). */
+  def rateAnomaly(ev: DataFrame, keyCol: String, tsCol: String,
+      burstFactor: Double = 3.0, topN: Int = 100): DataFrame = {
+    val perMin = ev
+      .select(col(keyCol), date_trunc("minute", col(tsCol)).as("m"))
+      .groupBy(keyCol, "m").agg(count(lit(1)).as("c"))
+    perMin.groupBy(keyCol).agg(
+      count(lit(1)).as("n_minutes"),
+      sum("c").as("n_events"),
+      max("c").as("max_per_min"))
+      .withColumn("mean_per_min",
+        round(col("n_events").cast("double") / col("n_minutes").cast("double"), 6))
+      .withColumn("burst_ratio", round(
+        col("max_per_min").cast("double") * col("n_minutes").cast("double") /
+          col("n_events").cast("double"), 6))
+      .withColumn("flagged",
+        (col("max_per_min").cast("double") * col("n_minutes").cast("double") >=
+          lit(burstFactor) * col("n_events").cast("double")).cast("int"))
+      .orderBy(col("max_per_min").desc, col(keyCol))
+      .limit(topN)
+  }
+
+  /** Q213 — per-user burst screen over events (3× mean, top 100). */
+  def q213(s: SparkSession, d: String): DataFrame =
+    rateAnomaly(Tables.events(s, d), "user_id", "ts")
+
+  /** Degree distribution — the first diagnostic of any graph-shaped
+    * join input (q120/q129/q146 all consume edges like these): node
+    * degree → node count, share, cumulative share. The heavy-tail
+    * read decides salting/skew strategy BEFORE an expensive graph op
+    * runs — exactly the q99 heavyKeys question asked of a bipartite
+    * edge set. Distinct-edge agg (data-sized, the only shuffle), then
+    * degree agg; the distribution frame is bounded by MAX DEGREE, so
+    * the unpartitioned cumulative window is a bounded-vocabulary frame
+    * (integer sums — exact). */
+  def degreeDistribution(edges: DataFrame, nodeCol: String,
+      peerCol: String): DataFrame = {
+    val deg = edges.select(col(nodeCol).as("node"), col(peerCol).as("peer"))
+      .distinct()
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dist = deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+    val tot = dist.agg(sum("n_nodes").as("n_tot"))
+    val cum = Window.orderBy("deg")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dist.crossJoin(broadcast(tot))
+      .withColumn("cum_nodes", sum("n_nodes").over(cum))
+      .select(col("deg"), col("n_nodes"),
+        round(col("n_nodes").cast("double") / col("n_tot").cast("double"), 6).as("share"),
+        round(col("cum_nodes").cast("double") / col("n_tot").cast("double"), 6).as("cum_share"))
+      .orderBy("deg")
+  }
+
+  /** Q214 — part-degree (distinct suppliers) distribution on lineitem. */
+  def q214(s: SparkSession, d: String): DataFrame =
+    degreeDistribution(Tables.lineitem(s, d), "l_partkey", "l_suppkey")
 }

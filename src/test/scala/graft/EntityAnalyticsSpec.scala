@@ -1169,4 +1169,49 @@ class EntityAnalyticsSpec extends SparkSpec {
     val r2 = graft.operators.Relational.anovaF(same, "grp", "v").collect().head
     assert(r2.getAs[Double]("f_stat") == 0.0 && r2.getAs[Double]("eta_sq") == 0.0)
   }
+
+  test("cramersV: perfect association reads 1, exact independence reads 0") {
+    import spark.implicits._
+    val det = (1 to 5).flatMap(_ => Seq(("a1", "b1"), ("a2", "b2")))
+      .toDF("x", "y")
+    val r1 = graft.operators.Relational.cramersV(det, Seq(("x", "y")))
+      .collect().head
+    assert(r1.getAs[Double]("v") == 1.0 && r1.getAs[Long]("dof") == 1)
+    val ind = (1 to 5).flatMap(_ =>
+      Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2"))).toDF("x", "y")
+    val r0 = graft.operators.Relational.cramersV(ind, Seq(("x", "y")))
+      .collect().head
+    assert(r0.getAs[Double]("chi2") == 0.0 && r0.getAs[Double]("v") == 0.0)
+  }
+
+  test("rateAnomaly: planted burst key flagged, steady key not") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = 1704067200000L
+    // user 1: 10 events inside one minute + 10 across 10 other minutes
+    // → max 10, mean 20/11, ratio 5.5 ≥ 3 → flagged
+    val bursty = (1 to 10).map(i => (1L, new Timestamp(base + i * 100))) ++
+      (1 to 10).map(i => (1L, new Timestamp(base + i * 600000L)))
+    // user 2: 5 events in 5 distinct minutes → ratio 1 → clean
+    val steady = (1 to 5).map(i => (2L, new Timestamp(base + i * 60000L)))
+    val out = graft.operators.Relational.rateAnomaly(
+      (bursty ++ steady).toDF("user_id", "ts"), "user_id", "ts")
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Long]("max_per_min") == 10 &&
+      out(1L).getAs[Int]("flagged") == 1)
+    assert(out(2L).getAs[Long]("max_per_min") == 1 &&
+      out(2L).getAs[Int]("flagged") == 0)
+  }
+
+  test("degreeDistribution: duplicate edges collapse, cumulative share reaches 1") {
+    import spark.implicits._
+    val edges = Seq((1L, 10L), (1L, 10L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 30L)).toDF("n", "p")
+    val out = graft.operators.Relational.degreeDistribution(edges, "n", "p")
+      .collect()
+    assert(out.map(_.getAs[Long]("deg")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(_.getAs[Long]("n_nodes") == 1L))
+    assert(out.last.getAs[Double]("cum_share") == 1.0)
+    assert(out.head.getAs[Double]("share") == 0.333333)
+  }
 }
