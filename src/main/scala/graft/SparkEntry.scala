@@ -234,6 +234,7 @@ object SparkEntry {
     "q212_cramers_v"       -> (Relational.q212 _),
     "q213_rate_anomaly"    -> (Relational.q213 _),
     "q214_degree_dist"     -> (Relational.q214 _),
+    "q215_adamic_adar"     -> (Relational.q215 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2809,6 +2810,18 @@ object SparkEntry {
         "ROUND(CAST(SUM(n_nodes) OVER (ORDER BY deg ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
         "/ CAST(n_tot AS DOUBLE), 6) AS cum_share " +
         "FROM dist, t ORDER BY deg"),
+    // q215: Adamic–Adar — weights quantized to DECIMAL(18,12) before
+    // the pair agg so scores are exact decimal sums in any order; the
+    // [2, 64] basket band is applied before the fanout on both sides.
+    "q215_adamic_adar" ->
+      ("WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "s AS (SELECT o, COUNT(*) AS sz FROM e GROUP BY o), " +
+        "ew AS (SELECT e.o, e.p, CAST(ROUND(1.0 / LN(CAST(sz AS DOUBLE)), 12) AS DECIMAL(18,12)) AS w " +
+        "FROM e JOIN s ON e.o = s.o WHERE sz BETWEEN 2 AND 64) " +
+        "SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS n_common, " +
+        "CAST(SUM(a.w) AS DOUBLE) AS aa_score " +
+        "FROM ew a JOIN ew b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 " +
+        "ORDER BY aa_score DESC, part_a, part_b LIMIT 100"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

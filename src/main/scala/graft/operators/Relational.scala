@@ -3971,4 +3971,43 @@ object Relational {
   /** Q214 — part-degree (distinct suppliers) distribution on lineitem. */
   def q214(s: SparkSession, d: String): DataFrame =
     degreeDistribution(Tables.lineitem(s, d), "l_partkey", "l_suppkey")
+
+  /** Adamic–Adar link prediction over co-membership — "which item
+    * pairs share containers, discounting big containers": score(a,b) =
+    * Σ_{shared container o} 1/ln(|o|) (Adamic & Adar 2003, "Friends
+    * and neighbors on the web"). The standard link-prediction baseline
+    * and the weighted cousin of q113's raw co-occurrence counts —
+    * common-neighbor evidence from a 500-item basket is worth far less
+    * than from a 2-item basket, and 1/ln is the canonical discount.
+    *
+    * Scale levers FIRST-CLASS, not prose (the q121 verdict lesson):
+    * containers outside [2, maxBasket] are dropped BEFORE the pair
+    * fanout, so one whale basket can't detonate a |o|² straggler; the
+    * self-join and both aggs share the container-key partitioning.
+    * Determinism: per-container weights quantize to DECIMAL(18,12)
+    * (ROUND 12 lands ~1e−4·ulp away from the lattice — both cast
+    * paths agree), so pair scores are EXACT decimal sums in any
+    * partition order; the final double cast is sub-2⁵³ exact and the
+    * top-N is totally ordered by (score, a, b). */
+  def adamicAdar(edges: DataFrame, groupCol: String, itemCol: String,
+      maxBasket: Int = 64, topN: Int = 100): DataFrame = {
+    val e = edges.select(col(groupCol).as("o"), col(itemCol).as("p")).distinct()
+    val sz = e.groupBy("o").agg(count(lit(1)).as("sz"))
+    val ew = e.join(sz, "o").filter(col("sz").between(2, maxBasket))
+      .withColumn("w",
+        round(lit(1.0) / log(col("sz").cast("double")), 12).cast("decimal(18,12)"))
+    val lhs = ew.select(col("o"), col("p").as("part_a"), col("w"))
+    val rhs = ew.select(col("o"), col("p").as("part_b"))
+    lhs.join(rhs, Seq("o"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_common"),
+        sum("w").cast("double").as("aa_score"))
+      .orderBy(col("aa_score").desc, col("part_a"), col("part_b"))
+      .limit(topN)
+  }
+
+  /** Q215 — top co-purchased part pairs, big-basket-discounted. */
+  def q215(s: SparkSession, d: String): DataFrame =
+    adamicAdar(Tables.lineitem(s, d), "l_orderkey", "l_partkey")
 }

@@ -1259,4 +1259,25 @@ object StreamOps {
           }
       }.toDF()
   }
+
+  /** S33 (r12) — streaming burst-rate alerts: the real-time edge of
+    * the batch q213 screen (`Relational.rateAnomaly` is the profile
+    * view over history; this is the "page someone NOW" view). Per key
+    * and tumbling minute, an exact event count; windows at or above
+    * `threshold` emit an alert row. State is one counter per (key,
+    * open window) — watermark-evicted, never a per-key history — so
+    * state size is active-keys × active-windows regardless of stream
+    * length; the count agg is partial-aggregated map-side before the
+    * key×window shuffle. Update mode: a window re-fires when late
+    * in-watermark data lifts it past the threshold (alerts can only
+    * escalate — counts are monotone within a window). */
+  def burstStream(events: DataFrame, keyCol: String, threshold: Long,
+      size: String = "1 minute",
+      watermark: String = "10 seconds"): DataFrame =
+    (if (events.isStreaming) events.withWatermark("ts", watermark)
+     else events)
+      .groupBy(col(keyCol), window(col("ts"), size))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= threshold)
+      .select(col(keyCol), col("window.start").as("ws"), col("n_events"))
 }

@@ -1203,6 +1203,23 @@ class EntityAnalyticsSpec extends SparkSpec {
       out(2L).getAs[Int]("flagged") == 0)
   }
 
+  test("adamicAdar: hand scores, singleton and whale baskets excluded") {
+    import spark.implicits._
+    // o1={1,2} (w=1/ln2), o2={1,2,3} (w=1/ln3), o3={1} (excluded: size 1)
+    val edges = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (20L, 3L),
+      (30L, 1L)).toDF("o", "p")
+    val out = graft.operators.Relational.adamicAdar(edges, "o", "p")
+      .collect().map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) -> r).toMap
+    val w2 = 1.0 / math.log(2.0); val w3 = 1.0 / math.log(3.0)
+    assert(out((1L, 2L)).getAs[Long]("n_common") == 2)
+    assert(math.abs(out((1L, 2L)).getAs[Double]("aa_score") - (w2 + w3)) < 1e-9)
+    assert(math.abs(out((1L, 3L)).getAs[Double]("aa_score") - w3) < 1e-9)
+    // whale basket: with maxBasket=3 an order of 4 items contributes nothing
+    val whale = (1L to 4L).map((40L, _)).toDF("o", "p")
+    assert(graft.operators.Relational.adamicAdar(whale, "o", "p", maxBasket = 3)
+      .count() == 0)
+  }
+
   test("degreeDistribution: duplicate edges collapse, cumulative share reaches 1") {
     import spark.implicits._
     val edges = Seq((1L, 10L), (1L, 10L), (2L, 10L), (2L, 20L),

@@ -801,6 +801,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got(0L), "batch and streamed sketch must agree on identical input")
   }
 
+  test("S33: burst alerts fire only at-threshold, late data escalates, batch parity") {
+    val in = MemoryStream[Ev]
+    val out = StreamOps.burstStream(in.toDF(), "user_id", threshold = 5L,
+      size = "60 seconds")
+    val q = out.writeStream.format("memory").queryName("s33")
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    // user 1: 6 events in minute 0 → alert; user 2: 3 events → silent
+    in.addData((1 to 6).map(i => ev(i, "a", i, user = 1)) ++
+      (1 to 3).map(i => ev(i, "a", 100 + i, user = 2)): _*)
+    q.processAllAvailable()
+    val first = spark.table("s33").collect()
+    assert(first.map(r => r.getLong(0)).toSet == Set(1L))
+    assert(first.head.getLong(2) == 6L)
+    // late-but-in-watermark events lift user 2 past the threshold
+    in.addData((4 to 8).map(i => ev(i, "a", 200 + i, user = 2)): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s33").collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.map(_.getLong(2)).max }
+    assert(got(2L) == 8L, s"user 2 escalated count: $got")
+    // batch parity: same operator over the static union
+    val statics = ((1 to 6).map(i => ev(i, "a", i, user = 1)) ++
+      (1 to 8).map(i => ev(i, "a", 300 + i, user = 2))).toDF()
+    val batch = StreamOps.burstStream(statics, "user_id", 5L, "60 seconds")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(batch == Map(1L -> 6L, 2L -> 8L))
+  }
+
   test("S10 under the RocksDB state store: identical sessions, provider actually engaged") {
     // The cluster-scale state backend (StreamOps scaladoc): HDFS-backed
     // in-memory state holds every key on-heap; RocksDB spills to local
