@@ -235,6 +235,9 @@ object SparkEntry {
     "q213_rate_anomaly"    -> (Relational.q213 _),
     "q214_degree_dist"     -> (Relational.q214 _),
     "q215_adamic_adar"     -> (Relational.q215 _),
+    "q216_repurchase"      -> (Relational.q216 _),
+    "q217_blocking_audit"  -> (graft.ext.Entity.q217 _),
+    "q218_cohens_kappa"    -> (Relational.q218 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2822,6 +2825,49 @@ object SparkEntry {
         "CAST(SUM(a.w) AS DOUBLE) AS aa_score " +
         "FROM ew a JOIN ew b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 " +
         "ORDER BY aa_score DESC, part_a, part_b LIMIT 100"),
+    // q216: repurchase intervals — per-customer consecutive day gaps
+    // (lag over the unique (date, orderkey) order), segment rollup;
+    // mean is an exact integer ratio, percentiles are quantile_cont
+    // over integer gaps (exact interpolation arithmetic both sides).
+    "q216_repurchase" ->
+      ("WITH g AS (SELECT o_custkey, date_diff('day', " +
+        "LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
+        "CAST(o_orderdate AS DATE)) AS gap FROM orders), " +
+        "i AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL) " +
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_intervals, " +
+        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers, " +
+        "ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 6) AS mean_days, " +
+        "quantile_cont(gap, 0.5) AS p50_days, quantile_cont(gap, 0.9) AS p90_days " +
+        "FROM i JOIN customer ON c_custkey = o_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // q217: blocking-quality audit — exact integer candidate counts
+    // (b·(b−1)/2 stays integral), HUGEINT sums cast back to BIGINT.
+    "q217_blocking_audit" ->
+      ("WITH blk AS (SELECT CONCAT(CAST(c_nationkey AS VARCHAR), '|', RIGHT(c_name, 3)) AS bk FROM customer), " +
+        "b AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS b FROM blk GROUP BY 1) " +
+        "SELECT CAST(SUM(b) AS BIGINT) AS n_records, CAST(COUNT(*) AS BIGINT) AS n_blocks, " +
+        "CAST(MAX(b) AS BIGINT) AS max_block, CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS n_candidates, " +
+        "CAST(SUM(b) * (SUM(b) - 1) // 2 AS BIGINT) AS n_naive, " +
+        "ROUND(1.0 - CAST(SUM(b * (b - 1) // 2) AS DOUBLE) / CAST(SUM(b) * (SUM(b) - 1) // 2 AS DOUBLE), 6) AS reduction_ratio " +
+        "FROM b"),
+    // q218: Cohen's kappa — the whole statistic is exact integers
+    // (diag·n − Σ r_k·c_k over n² − Σ r_k·c_k), one rounded divide;
+    // the rb CASE replays q207's marker-ratio classifier verbatim.
+    "q218_cohens_kappa" ->
+      ("WITH p AS (SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'und' END AS ra, CASE WHEN " +
+        "CAST(ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> LIST_CONTAINS(['the','is','and','of','a'], w))) AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')), 4) AS DOUBLE) >= 0.05 " +
+        "THEN 'en' ELSE 'und' END AS rb FROM documents), " +
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS diag FROM p), " +
+        "r AS (SELECT ra AS lbl, CAST(COUNT(*) AS BIGINT) AS r FROM p GROUP BY 1), " +
+        "c AS (SELECT rb AS lbl, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1), " +
+        "s AS (SELECT CAST(SUM(COALESCE(r, 0) * COALESCE(c, 0)) AS BIGINT) AS rc " +
+        "FROM r FULL OUTER JOIN c USING (lbl)) " +
+        "SELECT n, diag, ROUND(CAST(diag AS DOUBLE) / n, 6) AS po, " +
+        "ROUND(CAST(rc AS DOUBLE) / (n * n), 6) AS pe, " +
+        "CASE WHEN n * n = rc THEN NULL ELSE " +
+        "ROUND(CAST(diag * n - rc AS DOUBLE) / CAST(n * n - rc AS DOUBLE), 6) END AS kappa " +
+        "FROM t, s"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

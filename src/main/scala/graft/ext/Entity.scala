@@ -227,4 +227,38 @@ object Entity {
       window = 5, maxDist = 2)
       .withColumnRenamed("p_brand", "brand")
       .orderBy("brand", "name_a", "name_b")
+
+  /** Blocking-quality audit — the report card every ER blocking scheme
+    * (q100 fuzzy-join buckets, q128 sorted neighborhood, q105's union)
+    * needs BEFORE the pairwise compare runs: candidate-pair count
+    * Σ b·(b−1)/2 vs the naive N·(N−1)/2, the reduction ratio that
+    * says whether the O(N²) cliff is actually avoided, and the largest
+    * block — the straggler task in waiting (one 10⁶-row block is 5·10¹¹
+    * comparisons no matter how good the average is). Pure exact-integer
+    * arithmetic off one block-count agg; the block frame is the only
+    * shuffle and everything after is block-cardinality-bounded. */
+  def blockingQuality(df: DataFrame, blockKey: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val blocks = df.select(blockKey.as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("b"))
+    blocks.agg(
+      sum("b").as("n_records"),
+      count(lit(1)).as("n_blocks"),
+      max("b").as("max_block"),
+      // b·(b−1) is even; shiftright keeps the whole chain in exact
+      // longs (Spark's `/` would go through double)
+      sum(shiftright(col("b") * (col("b") - 1), 1)).as("n_candidates"))
+      .select(col("n_records"), col("n_blocks"), col("max_block"),
+        col("n_candidates"),
+        shiftright(col("n_records") * (col("n_records") - 1), 1).as("n_naive"),
+        round(lit(1.0) - col("n_candidates").cast("double") /
+          shiftright(col("n_records") * (col("n_records") - 1), 1).cast("double"), 6)
+          .as("reduction_ratio"))
+  }
+
+  /** Q217 — audit of a (nation, name-tail) blocking key over customer. */
+  def q217(s: SparkSession, d: String): DataFrame =
+    blockingQuality(Tables.customer(s, d),
+      concat_ws("|", col("c_nationkey").cast("string"),
+        substring(col("c_name"), -3, 3)))
 }

@@ -1765,10 +1765,15 @@ object TextOps {
     * mix (per true language: how much mass the classifier would keep
     * or misroute). One narrow classify map + one grouped count + a
     * language-cardinality-bounded share join. */
-  def langConfusion(docs: DataFrame): DataFrame = {
-    val pred = docs.select(col("lang"),
+  /** The q31 marker-ratio classifier as a (lang, lang_pred) frame —
+    * shared by the q207 confusion matrix and q218's kappa. */
+  def langPrediction(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
       when(tokenRatio(col("text"), enMarkers) >= 0.05, "en")
         .otherwise("und").as("lang_pred"))
+
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val pred = langPrediction(docs)
     val cells = pred.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
     val tot = cells.groupBy("lang").agg(sum("n").as("tot"))
     cells.join(broadcast(tot), "lang")

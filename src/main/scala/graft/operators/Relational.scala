@@ -4010,4 +4010,77 @@ object Relational {
   /** Q215 — top co-purchased part pairs, big-basket-discounted. */
   def q215(s: SparkSession, d: String): DataFrame =
     adamicAdar(Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+
+  /** Repurchase-interval distribution — the inter-purchase-time read
+    * under every replenishment/churn-risk model (Fader & Hardie's
+    * BTYD family consumes exactly these gaps): per entity, the day
+    * gaps between consecutive purchases, rolled up per segment with
+    * count/mean/median/p90. The lag window is PARTITIONED by the
+    * entity key (data-sized but key-parallel — never a global
+    * window); the exact percentile buffers per-group gap multisets
+    * (the q39 cost, q52's sketch is the declared 100 TB tier); mean
+    * is an exact integer-ratio divide. */
+  def repurchaseIntervals(orders: DataFrame, dims: DataFrame,
+      custCol: String, dateCol: String, sortCol: String,
+      segCol: String, dimKey: String): DataFrame = {
+    val w = Window.partitionBy(custCol).orderBy(col(dateCol), col(sortCol))
+    val gaps = orders
+      .select(col(custCol), col(dateCol), col(sortCol))
+      .withColumn("gap",
+        datediff(col(dateCol).cast("date"),
+          lag(col(dateCol).cast("date"), 1).over(w)).cast("long"))
+      .filter(col("gap").isNotNull)
+    gaps.join(dims.select(col(dimKey), col(segCol)),
+        col(custCol) === col(dimKey))
+      .groupBy(segCol)
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        count_distinct(col(custCol)).as("n_customers"),
+        round(sum("gap").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_days"),
+        expr("percentile(gap, 0.5)").as("p50_days"),
+        expr("percentile(gap, 0.9)").as("p90_days"))
+      .orderBy(segCol)
+  }
+
+  /** Q216 — order-to-reorder gaps per market segment. */
+  def q216(s: SparkSession, d: String): DataFrame =
+    repurchaseIntervals(Tables.orders(s, d), Tables.customer(s, d),
+      "o_custkey", "o_orderdate", "o_orderkey", "c_mktsegment", "c_custkey")
+
+  /** Cohen's kappa — chance-corrected agreement between two label
+    * columns (Cohen 1960): the one-number summary of q207's confusion
+    * matrix, the standard "is the heuristic better than guessing the
+    * marginals" gate for classifier/annotator audits. The whole
+    * statistic reduces to EXACT integers — κ = (diag·n − Σ_k r_k·c_k)
+    * / (n² − Σ_k r_k·c_k) — so there is no float fold at all: one
+    * count agg (data-sized), label-bounded marginal frames, a single
+    * rounded divide at the end (constant-agreement degenerate case →
+    * explicit NULL, not a 0/0 NaN). */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val pairs = df.select(aCol.cast("string").as("ra"),
+      bCol.cast("string").as("rb"))
+    val totals = pairs.agg(count(lit(1)).as("n"),
+      sum(when(col("ra") === col("rb"), 1L).otherwise(0L)).as("diag"))
+    val ra = pairs.groupBy("ra").agg(count(lit(1)).as("r"))
+      .withColumnRenamed("ra", "lbl")
+    val cb = pairs.groupBy("rb").agg(count(lit(1)).as("c"))
+      .withColumnRenamed("rb", "lbl")
+    val rc = ra.join(cb, Seq("lbl"), "full_outer")
+      .agg(sum(coalesce(col("r"), lit(0L)) * coalesce(col("c"), lit(0L))).as("rc"))
+    totals.crossJoin(broadcast(rc))
+      .select(col("n"), col("diag"),
+        round(col("diag").cast("double") / col("n").cast("double"), 6).as("po"),
+        round(col("rc").cast("double") / (col("n") * col("n")).cast("double"), 6).as("pe"),
+        when(col("n") * col("n") === col("rc"), lit(null).cast("double"))
+          .otherwise(round((col("diag") * col("n") - col("rc")).cast("double") /
+            (col("n") * col("n") - col("rc")).cast("double"), 6)).as("kappa"))
+  }
+
+  /** Q218 — chance-corrected agreement of q31's language heuristic
+    * with ground truth (binary en/und view of q207's matrix). */
+  def q218(s: SparkSession, d: String): DataFrame =
+    cohenKappa(
+      graft.ext.TextOps.langPrediction(Tables.documents(s, d)),
+      when(col("lang") === "en", "en").otherwise("und"), col("lang_pred"))
 }

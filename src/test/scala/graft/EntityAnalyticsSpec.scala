@@ -1220,6 +1220,50 @@ class EntityAnalyticsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("repurchaseIntervals: hand gaps, first orders contribute no interval") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val orders = Seq(
+      (1L, t("2024-01-01"), 101L), (1L, t("2024-01-11"), 102L),
+      (1L, t("2024-01-21"), 103L),
+      (2L, t("2024-02-01"), 201L), (2L, t("2024-02-06"), 202L))
+      .toDF("ck", "od", "ok")
+    val dims = Seq((1L, "S"), (2L, "S")).toDF("k", "seg")
+    val r = graft.operators.Relational.repurchaseIntervals(
+      orders, dims, "ck", "od", "ok", "seg", "k").collect().head
+    assert(r.getAs[Long]("n_intervals") == 3 && r.getAs[Long]("n_customers") == 2)
+    assert(r.getAs[Double]("mean_days") == 8.333333)
+    assert(r.getAs[Double]("p50_days") == 10.0)
+  }
+
+  test("blockingQuality: candidate pairs and reduction ratio are exact") {
+    import spark.implicits._
+    // blocks of size 3, 2, 1 → candidates 3+1+0 = 4 vs naive 15
+    val df = Seq("x", "x", "x", "y", "y", "z").toDF("bk0")
+    val r = graft.ext.Entity.blockingQuality(df, col("bk0")).collect().head
+    assert(r.getAs[Long]("n_records") == 6 && r.getAs[Long]("n_blocks") == 3)
+    assert(r.getAs[Long]("n_candidates") == 4 && r.getAs[Long]("n_naive") == 15)
+    assert(r.getAs[Long]("max_block") == 3)
+    assert(r.getAs[Double]("reduction_ratio") == 0.733333)
+  }
+
+  test("cohenKappa: perfect agreement 1, marginal-chance agreement 0, degenerate null") {
+    import spark.implicits._
+    val same = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("x", "y")
+    val r1 = graft.operators.Relational.cohenKappa(same, col("x"), col("y"))
+      .collect().head
+    assert(r1.getAs[Double]("po") == 1.0 && r1.getAs[Double]("kappa") == 1.0)
+    val chance = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")).toDF("x", "y")
+    val r0 = graft.operators.Relational.cohenKappa(chance, col("x"), col("y"))
+      .collect().head
+    assert(r0.getAs[Double]("kappa") == 0.0)
+    val const = Seq(("a", "a"), ("a", "a")).toDF("x", "y")
+    val rn = graft.operators.Relational.cohenKappa(const, col("x"), col("y"))
+      .collect().head
+    assert(rn.isNullAt(rn.fieldIndex("kappa")))
+  }
+
   test("degreeDistribution: duplicate edges collapse, cumulative share reaches 1") {
     import spark.implicits._
     val edges = Seq((1L, 10L), (1L, 10L), (2L, 10L), (2L, 20L),
