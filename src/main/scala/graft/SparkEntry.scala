@@ -238,6 +238,7 @@ object SparkEntry {
     "q216_repurchase"      -> (Relational.q216 _),
     "q217_blocking_audit"  -> (graft.ext.Entity.q217 _),
     "q218_cohens_kappa"    -> (Relational.q218 _),
+    "q219_twap"            -> (Relational.q219 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2868,6 +2869,20 @@ object SparkEntry {
         "CASE WHEN n * n = rc THEN NULL ELSE " +
         "ROUND(CAST(diag * n - rc AS DOUBLE) / CAST(n * n - rc AS DOUBLE), 6) END AS kappa " +
         "FROM t, s"),
+    // q219: TWAP — exact decimal·micros products under the sums, one
+    // rounded divide (its two >2^53 casts wobble 1 ulp each — a 1e-13
+    // relative error round 6 annihilates on a value-magnitude ratio);
+    // single-reading keys excluded (no holding interval).
+    "q219_twap" ->
+      ("WITH s AS (SELECT user_id, epoch_us(ts) AS t, " +
+        "CAST(value AS DECIMAL(18,6)) AS v, event_id FROM events), " +
+        "p AS (SELECT user_id, v, " +
+        "LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dt FROM s), " +
+        "i AS (SELECT user_id, v, dt FROM p WHERE dt IS NOT NULL) " +
+        "SELECT user_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_events, " +
+        "CAST(SUM(dt) AS BIGINT) AS span_us, " +
+        "ROUND(CAST(SUM(v * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6) AS twap " +
+        "FROM i GROUP BY user_id ORDER BY user_id"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

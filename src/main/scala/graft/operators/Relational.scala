@@ -4083,4 +4083,40 @@ object Relational {
     cohenKappa(
       graft.ext.TextOps.langPrediction(Tables.documents(s, d)),
       when(col("lang") === "en", "en").otherwise("und"), col("lang_pred"))
+
+  /** Time-weighted average (TWAP) — the correct mean for irregularly
+    * sampled measurements (sensor gauges, prices, account balances):
+    * each reading holds until the next one, so it weighs by its
+    * holding duration, Σ vᵢ·Δtᵢ / Σ Δtᵢ — a plain AVG over-counts
+    * whatever sampled most often, which for bursty sources is exactly
+    * the abnormal periods. Left-endpoint holds (the step-function
+    * convention); single-reading keys have no holding interval and
+    * are excluded by definition.
+    *
+    * Exactness end-to-end: values quantize to DECIMAL(18,6), holding
+    * times are exact integer microseconds, v·Δt products and both
+    * sums stay exact decimal/long in ANY partition order; the one
+    * divide at the end is the only double (its two >2⁵³ casts carry
+    * 1 ulp each — a ~1e−13 relative wobble annihilated by round 6 on
+    * a value-magnitude ratio; the q211 SS lesson applied at design
+    * time). The lag window is KEY-partitioned, never global. */
+  def twap(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      sortCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("t"), col(sortCol))
+    val base = df.select(col(keyCol), unix_micros(col(tsCol)).as("t"),
+      col(valCol).cast("decimal(18,6)").as("v"), col(sortCol))
+    base
+      .withColumn("dt", lead(col("t"), 1).over(w) - col("t"))
+      .filter(col("dt").isNotNull)
+      .groupBy(keyCol)
+      .agg((count(lit(1)) + 1).as("n_events"),
+        sum("dt").as("span_us"),
+        round(sum(col("v") * col("dt")).cast("double") /
+          sum("dt").cast("double"), 6).as("twap"))
+      .orderBy(keyCol)
+  }
+
+  /** Q219 — time-weighted mean event value per user. */
+  def q219(s: SparkSession, d: String): DataFrame =
+    twap(Tables.events(s, d), "user_id", "ts", "value", "event_id")
 }

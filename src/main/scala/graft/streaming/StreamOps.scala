@@ -20,6 +20,8 @@ case class Anomaly(group: String, event_id: Long, value: Double, z: Double)
   * the first qualifying purchase already emitted. */
 case class ConvState(t0: Long, converted: Boolean)
 case class ConvHit(user_id: Long, t0_us: Long, t1_us: Long, lag_s: Double)
+case class HbState(lastUs: Long, n: Long)
+case class HbAlert(user_id: Long, last_seen_us: Long, n_events: Long)
 
 /** S16 heavy-hitter state: Misra–Gries counters (≤ k entries). */
 case class MgState(ids: Array[Long], counts: Array[Long], n: Long)
@@ -1280,4 +1282,50 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .filter(col("n_events") >= threshold)
       .select(col(keyCol), col("window.start").as("ws"), col("n_events"))
+
+  /** S34 (r12) — heartbeat/liveness monitor: the ABSENCE detector the
+    * windowed family can't express (S33 fires on too-MANY events; a
+    * key that stops emitting produces no row for any windowed agg to
+    * see — only a state TIMEOUT can observe silence). Per key, state
+    * is (last event-time, count) — two longs; when event time advances
+    * `silenceMs` past a key's last heartbeat with nothing arriving,
+    * the timeout fires ONE liveness-lost alert and tombstones the key
+    * (a later event re-arms monitoring from scratch). Event-time
+    * timeouts, so replay/backfill alerts identically to live runs;
+    * state is strictly bounded at 2 longs × active keys, and a dead
+    * key costs nothing after its alert. */
+  def heartbeatMonitor(events: DataFrame, silenceMs: Long,
+      watermark: String = "10 seconds"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[HbState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(HbAlert(uid, st.lastUs, st.n))
+          } else {
+            val prev = state.getOption.getOrElse(HbState(Long.MinValue, 0L))
+            var last = prev.lastUs; var n = prev.n
+            rows.foreach { case (_, ts) =>
+              val tu = micros(ts); if (tu > last) last = tu; n += 1
+            }
+            state.update(HbState(last, n))
+            // fire when event time passes last-seen + silence; clamp
+            // above the current watermark so the timeout is legal even
+            // when this key's last heartbeat is already far behind
+            state.setTimeoutTimestamp(math.max(last / 1000L + silenceMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }.toDF()
+  }
 }

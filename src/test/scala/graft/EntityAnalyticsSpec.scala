@@ -1264,6 +1264,25 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(rn.isNullAt(rn.fieldIndex("kappa")))
   }
 
+  test("twap: holding-time weights beat the plain mean, singleton keys excluded") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // key 1: v=10 held 10s, v=20 held 30s → (100+600)/40 = 17.5
+    // (plain mean of observed readings would say 20)
+    val df = Seq(
+      (1L, new Timestamp(0L), 10.0, 1L),
+      (1L, new Timestamp(10000L), 20.0, 2L),
+      (1L, new Timestamp(40000L), 30.0, 3L),
+      (2L, new Timestamp(0L), 99.0, 4L)).toDF("k", "ts", "v", "id")
+    val out = graft.operators.Relational.twap(df, "k", "ts", "v", "id")
+      .collect()
+    assert(out.length == 1, "singleton key 2 must be excluded")
+    val r = out.head
+    assert(r.getAs[Long]("k") == 1L && r.getAs[Long]("n_events") == 3)
+    assert(r.getAs[Long]("span_us") == 40000000L)
+    assert(r.getAs[Double]("twap") == 17.5)
+  }
+
   test("degreeDistribution: duplicate edges collapse, cumulative share reaches 1") {
     import spark.implicits._
     val edges = Seq((1L, 10L), (1L, 10L), (2L, 10L), (2L, 20L),

@@ -829,6 +829,30 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Map(1L -> 6L, 2L -> 8L))
   }
 
+  test("S34: heartbeat monitor alerts on silent keys only, once, with last-seen state") {
+    // base offset: a ts equal to the INITIAL watermark (epoch 0) is
+    // dropped as late by the stateful operator — the S10 base rule
+    val base = 1700000000L
+    val in = MemoryStream[Ev]
+    val out = StreamOps.heartbeatMonitor(in.toDF(), silenceMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("s34")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    // user 1 stays alive; user 2 heartbeats once then goes silent
+    in.addData(ev(base + 0, "a", 1, user = 1), ev(base + 30, "a", 2, user = 1),
+      ev(base + 0, "a", 3, user = 2))
+    q.processAllAvailable()
+    in.addData(ev(base + 200, "a", 4, user = 1)) // watermark → base+190 next batch
+    q.processAllAvailable()
+    in.addData(ev(base + 400, "a", 5, user = 1)) // wm base+190 > base+60 → user 2 fires
+    q.processAllAvailable(); q.stop()
+    val alerts = spark.table("s34").collect()
+    assert(alerts.length == 1, s"exactly one alert: ${alerts.toSeq}")
+    assert(alerts.head.getLong(0) == 2L &&
+      alerts.head.getLong(1) == base * 1000000L &&
+      alerts.head.getLong(2) == 1L)
+  }
+
   test("S10 under the RocksDB state store: identical sessions, provider actually engaged") {
     // The cluster-scale state backend (StreamOps scaladoc): HDFS-backed
     // in-memory state holds every key on-heap; RocksDB spills to local
