@@ -239,6 +239,9 @@ object SparkEntry {
     "q217_blocking_audit"  -> (graft.ext.Entity.q217 _),
     "q218_cohens_kappa"    -> (Relational.q218 _),
     "q219_twap"            -> (Relational.q219 _),
+    "q220_corr_matrix"     -> (Relational.q220 _),
+    "q221_growth_acct"     -> (Relational.q221 _),
+    "q222_stickiness"      -> (Relational.q222 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2883,6 +2886,63 @@ object SparkEntry {
         "CAST(SUM(dt) AS BIGINT) AS span_us, " +
         "ROUND(CAST(SUM(v * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6) AS twap " +
         "FROM i GROUP BY user_id ORDER BY user_id"),
+    // q220: correlation matrix — the q212 melt over numeric pairs;
+    // exact decimal moments (19,6 casts ride the int128 kernel), one
+    // double cast per moment, then mirrored IEEE chains.
+    "q220_corr_matrix" ->
+      ("WITH m AS (" +
+        Seq(("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+          ("l_quantity", "l_tax"), ("l_extendedprice", "l_discount"),
+          ("l_extendedprice", "l_tax"), ("l_discount", "l_tax")).map { case (a, b) =>
+          s"SELECT '$a' AS col_x, '$b' AS col_y, CAST($a AS DECIMAL(19,6)) AS x, " +
+          s"CAST($b AS DECIMAL(19,6)) AS y FROM lineitem"
+        }.mkString(" UNION ALL ") + "), " +
+        "g AS (SELECT col_x, col_y, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, " +
+        "SUM(x * x) AS sxx, SUM(y * y) AS syy FROM m GROUP BY 1, 2), " +
+        "t AS (SELECT col_x, col_y, n, CAST(n AS DOUBLE) AS nd, " +
+        "CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, " +
+        "CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd FROM g), " +
+        "f AS (SELECT col_x, col_y, n, nd * sxyd - sxd * syd AS cxy, " +
+        "nd * sxxd - sxd * sxd AS vx, nd * syyd - syd * syd AS vy FROM t) " +
+        // trailing + 0 is the q82 signed-zero normalization (Spark's
+        // BigDecimal round has no -0.0; DuckDB's ROUND keeps the sign)
+        "SELECT col_x, col_y, n, ROUND(cxy / SQRT(vx * vy), 6) + 0 AS r, " +
+        "ROUND(cxy / vx, 6) + 0 AS beta_xy FROM f ORDER BY col_x, col_y"),
+    // q221: growth accounting — distinct (user, week) frame, +7-day
+    // shifted FULL OUTER self-join, flag algebra; churn attributed to
+    // the week the user went missing, horizon-clamped.
+    "q221_growth_acct" ->
+      ("WITH aw AS (SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events), " +
+        "fw AS (SELECT u, MIN(wk) AS first_wk FROM aw GROUP BY 1), " +
+        "mx AS (SELECT MAX(wk) AS max_wk FROM aw), " +
+        "cur AS (SELECT u, wk, 1 AS in_cur FROM aw), " +
+        "prv AS (SELECT u, wk + 7 AS wk, 1 AS in_prev FROM aw), " +
+        "j AS (SELECT COALESCE(cur.u, prv.u) AS u, COALESCE(cur.wk, prv.wk) AS wk, " +
+        "in_cur, in_prev FROM cur FULL OUTER JOIN prv ON cur.u = prv.u AND cur.wk = prv.wk) " +
+        "SELECT j.wk AS wk, " +
+        "CAST(SUM(CASE WHEN in_cur = 1 AND first_wk = j.wk THEN 1 ELSE 0 END) AS BIGINT) AS n_new, " +
+        "CAST(SUM(CASE WHEN in_cur = 1 AND in_prev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, " +
+        "CAST(SUM(CASE WHEN in_cur = 1 AND in_prev IS NULL AND first_wk < j.wk THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected, " +
+        "CAST(SUM(CASE WHEN in_cur IS NULL AND in_prev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned, " +
+        "CASE WHEN SUM(CASE WHEN in_cur IS NULL AND in_prev = 1 THEN 1 ELSE 0 END) = 0 THEN NULL " +
+        "ELSE ROUND(CAST(SUM(CASE WHEN in_cur = 1 AND first_wk = j.wk THEN 1 ELSE 0 END) + " +
+        "SUM(CASE WHEN in_cur = 1 AND in_prev IS NULL AND first_wk < j.wk THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "SUM(CASE WHEN in_cur IS NULL AND in_prev = 1 THEN 1 ELSE 0 END), 6) END AS quick_ratio " +
+        "FROM j JOIN fw ON j.u = fw.u CROSS JOIN mx WHERE j.wk <= max_wk " +
+        "GROUP BY j.wk ORDER BY j.wk"),
+    // q222: DAU/MAU stickiness — exact integers until two exact-ratio
+    // divides; the distinct aggs share the (user, day) key.
+    "q222_stickiness" ->
+      ("WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day, " +
+        "CAST(date_trunc('month', ts) AS DATE) AS mo FROM events), " +
+        "d AS (SELECT mo, day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1, 2), " +
+        "dd AS (SELECT mo, CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(dau) AS BIGINT) AS sum_dau FROM d GROUP BY 1), " +
+        "mm AS (SELECT mo, CAST(COUNT(*) AS BIGINT) AS mau FROM (SELECT DISTINCT mo, u FROM ud) GROUP BY 1) " +
+        "SELECT dd.mo AS mo, n_days, mau, " +
+        "ROUND(CAST(sum_dau AS DOUBLE) / n_days, 6) AS avg_dau, " +
+        "ROUND(CAST(sum_dau AS DOUBLE) / (n_days * mau), 6) AS stickiness " +
+        "FROM dd JOIN mm ON dd.mo = mm.mo ORDER BY mo"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

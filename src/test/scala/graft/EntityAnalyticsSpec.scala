@@ -1283,6 +1283,60 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("twap") == 17.5)
   }
 
+  test("corrMatrix: perfect linear pair reads r=1 with the exact slope, anti reads -1") {
+    import spark.implicits._
+    // y = 2x exactly; z = -x exactly
+    val df = (1 to 5).map(i => (i.toDouble, 2.0 * i, -i.toDouble))
+      .toDF("a", "b", "c")
+    val out = graft.operators.Relational.corrMatrix(df,
+      Seq(("a", "b"), ("a", "c"))).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("a", "b")).getAs[Double]("r") == 1.0)
+    assert(out(("a", "b")).getAs[Double]("beta_xy") == 2.0)
+    assert(out(("a", "c")).getAs[Double]("r") == -1.0 &&
+      out(("a", "c")).getAs[Double]("beta_xy") == -1.0)
+  }
+
+  test("growthAccounting: new/retained/resurrected/churned on a scripted three-week story") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(d: String) = Timestamp.valueOf(s"$d 12:00:00")
+    // weeks: W1=2024-01-01, W2=01-08, W3=01-15 (Mondays)
+    // u1: W1,W2,W3 (retained twice); u2: W1 only (churns in W2);
+    // u3: W1, gone W2, back W3 (resurrected)
+    val ev = Seq(
+      (1L, t("2024-01-02")), (1L, t("2024-01-09")), (1L, t("2024-01-16")),
+      (2L, t("2024-01-03")),
+      (3L, t("2024-01-04")), (3L, t("2024-01-17"))).toDF("u0", "ts")
+    val out = graft.operators.Relational.growthAccounting(ev, "u0", "ts")
+      .collect().map(r => r.getAs[java.sql.Date]("wk").toString -> r).toMap
+    val w1 = out("2024-01-01"); val w2 = out("2024-01-08"); val w3 = out("2024-01-15")
+    assert(w1.getAs[Long]("n_new") == 3 && w1.getAs[Long]("n_churned") == 0)
+    assert(w2.getAs[Long]("n_retained") == 1 && w2.getAs[Long]("n_churned") == 2)
+    assert(w2.getAs[Double]("quick_ratio") == 0.0)
+    assert(w3.getAs[Long]("n_retained") == 1 &&
+      w3.getAs[Long]("n_resurrected") == 1 && w3.getAs[Long]("n_new") == 0)
+  }
+
+  test("stickiness: hand DAU/MAU, a daily-faithful user reads 1.0 alone") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(d: String) = Timestamp.valueOf(s"$d 09:00:00")
+    // Jan: u1 active on the 1st and 2nd (2 days), u2 on the 1st only
+    // → days {1st: dau 2, 2nd: dau 1}, sum 3, n_days 2, mau 2
+    val ev = Seq((1L, t("2024-01-01")), (1L, t("2024-01-02")),
+      (1L, t("2024-01-02")), (2L, t("2024-01-01"))).toDF("u0", "ts")
+    val r = graft.operators.Relational.stickiness(ev, "u0", "ts")
+      .collect().head
+    assert(r.getAs[Long]("n_days") == 2 && r.getAs[Long]("mau") == 2)
+    assert(r.getAs[Double]("avg_dau") == 1.5 &&
+      r.getAs[Double]("stickiness") == 0.75)
+    val solo = Seq((1L, t("2024-02-01")), (1L, t("2024-02-02"))).toDF("u0", "ts")
+    val r2 = graft.operators.Relational.stickiness(solo, "u0", "ts")
+      .collect().head
+    assert(r2.getAs[Double]("stickiness") == 1.0)
+  }
+
   test("degreeDistribution: duplicate edges collapse, cumulative share reaches 1") {
     import spark.implicits._
     val edges = Seq((1L, 10L), (1L, 10L), (2L, 10L), (2L, 20L),
