@@ -712,6 +712,47 @@ object ScaleBench {
     }
   }
 
+  /** Growth curves for the r12 product/lifecycle-analytics tier over
+    * the synthetic events frame (the runStats generator): KM survival
+    * (span agg + lifetime-bounded frames — the data-sized work is one
+    * grouped agg), growth accounting (distinct user-week + shifted
+    * self-join), stickiness (two distinct aggs), TWAP (key-partitioned
+    * lag + exact decimal agg), burst screen (two grouped aggs + top-k).
+    * All expected LINEAR in events; the bounded-frame tails (survival
+    * curve, weekly matrix) must stay flat. */
+  private def runProduct(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    import graft.operators.Relational
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val ev = spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_seconds(lit(1700000000L) + (col("id") % 5184000L)).as("ts"),
+        pmod(col("id") * 2654435761L, lit(1000000L)).as("user_id"),
+        concat(lit("t"), pmod(col("id"), lit(5L))).as("event_type"),
+        (pmod(col("id") * 2654435761L, lit(100000L)) / 100.0).as("value"))
+        .persist()
+      ev.count()
+      def timed(df: => DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (i == 0) { // warmup pass, discarded
+        timed(Relational.kmSurvival(ev, "user_id", "ts"))
+        timed(Relational.growthAccounting(ev, "user_id", "ts"))
+        sweep(); ev.count()
+      }
+      val km = timed(Relational.kmSurvival(ev, "user_id", "ts"))
+      val ga = timed(Relational.growthAccounting(ev, "user_id", "ts"))
+      val st = timed(Relational.stickiness(ev, "user_id", "ts"))
+      val tw = timed(Relational.twap(ev, "user_id", "ts", "value", "event_id"))
+      val ra = timed(Relational.rateAnomaly(ev, "user_id", "ts"))
+      ev.unpersist(); sweep()
+      println(f"""{"op":"product","n_events":$n,"survival_sec":$km%.2f,"growth_sec":$ga%.2f,"stickiness_sec":$st%.2f,"twap_sec":$tw%.2f,"burst_sec":$ra%.2f}""")
+    }
+  }
+
   /** Growth curves for the corpus-quality tier over the synthetic
     * word-soup corpus: repetition audit (3 n-gram agg passes),
     * lexical diversity (one), Zipf fit (vocabulary agg + bounded
@@ -783,6 +824,13 @@ object ScaleBench {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(1000000L, 5000000L, 20000000L)
       runSketch(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("product")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(1000000L, 5000000L, 20000000L)
+      runProduct(spark, sizes)
       spark.stop()
       return
     }

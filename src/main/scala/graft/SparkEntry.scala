@@ -242,6 +242,7 @@ object SparkEntry {
     "q220_corr_matrix"     -> (Relational.q220 _),
     "q221_growth_acct"     -> (Relational.q221 _),
     "q222_stickiness"      -> (Relational.q222 _),
+    "q223_abc_classes"     -> (Relational.q223 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -2943,6 +2944,22 @@ object SparkEntry {
         "ROUND(CAST(sum_dau AS DOUBLE) / n_days, 6) AS avg_dau, " +
         "ROUND(CAST(sum_dau AS DOUBLE) / (n_days * mau), 6) AS stickiness " +
         "FROM dd JOIN mm ON dd.mo = mm.mo ORDER BY mo"),
+    // q223: ABC classes — the oracle runs the NAIVE global cumulative
+    // window the engine's two-phase prefix sum must equal; decimal
+    // cents keep every sum exact and the double casts sub-2^53.
+    "q223_abc_classes" ->
+      ("WITH rev AS (SELECT l_partkey AS k, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev " +
+        "FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT SUM(rev) AS tot FROM rev), " +
+        "r AS (SELECT k, rev, SUM(rev) OVER (ORDER BY rev DESC, k " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM rev), " +
+        "c AS (SELECT k, rev, CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8 THEN 'A' " +
+        "WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95 THEN 'B' ELSE 'C' END AS abc_class " +
+        "FROM r CROSS JOIN t) " +
+        "SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_items, " +
+        "CAST(SUM(rev) AS DOUBLE) AS class_rev, " +
+        "ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6) AS rev_share " +
+        "FROM c CROSS JOIN t GROUP BY abc_class ORDER BY abc_class"),
     // q174: LISTAGG — the ORDER is part of the operator (an unordered
     // string_agg is partition-order-dependent, the classic cross-
     // engine fail); DISTINCT + ORDER BY mirrors collect_set+array_sort.

@@ -4242,4 +4242,57 @@ object Relational {
   /** Q222 — monthly DAU/MAU stickiness over events. */
   def q222(s: SparkSession, d: String): DataFrame =
     stickiness(Tables.events(s, d), "user_id", "ts")
+
+  /** ABC/Pareto classification — the inventory-management standard
+    * (class A ≈ the items carrying the first 80% of value, B the next
+    * 15%, C the tail): each item's class comes from the CUMULATIVE
+    * value share in descending-value order. The cumulative over all
+    * items is the classic global-window trap — so this rides the
+    * packShards TWO-PHASE distributed prefix sum (repartitionByRange
+    * on the sort key → per-partition running sums → pid offsets via a
+    * p-row window), never a single-partition WindowExec. Value sums
+    * quantize to DECIMAL(18,2) (the q204 rule: cents-exact, and class
+    * totals stay < 2⁵³ so the final double casts are EXACT, not the
+    * q211 ulp); the persist is load-bearing exactly as in packShards —
+    * both branches must see ONE range sample. */
+  def abcClassification(fact: DataFrame, keyCol: String, value: Column,
+      cutA: Double = 0.8, cutB: Double = 0.95, parts: Int = 0): DataFrame = {
+    val ss = fact.sparkSession
+    val p = if (parts > 0) parts else ss.sparkContext.defaultParallelism
+    val revs = fact.groupBy(col(keyCol).as("k"))
+      .agg(sum(value.cast("decimal(18,2)")).as("rev"))
+    val tot = revs.agg(sum("rev").as("tot"))
+    val ranked = revs.repartitionByRange(p, col("rev").desc, col("k"))
+      .withColumn("pid", spark_partition_id()).persist()
+    val local = ranked.withColumn("run", sum("rev").over(
+      Window.partitionBy("pid").orderBy(col("rev").desc, col("k"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val offsets = ranked.groupBy("pid").agg(sum("rev").as("ptot"))
+      .withColumn("offset", coalesce(sum("ptot").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(28,2)")))
+      .select("pid", "offset")
+    val out = local.join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_share",
+        (col("offset") + col("run")).cast("double") / col("tot").cast("double"))
+      .withColumn("abc_class", when(col("cum_share") <= cutA, "A")
+        .when(col("cum_share") <= cutB, "B").otherwise("C"))
+      .groupBy("abc_class").agg(
+        count(lit(1)).as("n_items"),
+        sum("rev").as("crev"))
+      .crossJoin(broadcast(tot))
+      .select(col("abc_class"), col("n_items"),
+        col("crev").cast("double").as("class_rev"),
+        round(col("crev").cast("double") / col("tot").cast("double"), 6)
+          .as("rev_share"))
+      .orderBy("abc_class")
+      .localCheckpoint(true) // pin-then-release (the packShards lifecycle)
+    ranked.unpersist()
+    out
+  }
+
+  /** Q223 — part revenue ABC classes over lineitem. */
+  def q223(s: SparkSession, d: String): DataFrame =
+    abcClassification(Tables.lineitem(s, d), "l_partkey", col("l_extendedprice"))
 }

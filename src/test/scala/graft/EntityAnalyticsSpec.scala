@@ -1337,6 +1337,25 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(r2.getAs[Double]("stickiness") == 1.0)
   }
 
+  test("abcClassification: boundary-exact Pareto classes across a multi-partition prefix sum") {
+    import spark.implicits._
+    // revs 50/30/15/5 → cum shares 0.5, 0.8, 0.95, 1.0 → A,A,B,C
+    // (both cuts land EXACTLY on the ≤ boundary); parts=3 forces the
+    // two-phase offsets across range partitions
+    val fact = Seq((1L, 50.0), (2L, 30.0), (3L, 15.0), (4L, 5.0))
+      .toDF("k0", "v")
+    val out = graft.operators.Relational.abcClassification(
+      fact, "k0", col("v"), parts = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("n_items") == 2 &&
+      out("A").getAs[Double]("class_rev") == 80.0 &&
+      out("A").getAs[Double]("rev_share") == 0.8)
+    assert(out("B").getAs[Long]("n_items") == 1 &&
+      out("B").getAs[Double]("class_rev") == 15.0)
+    assert(out("C").getAs[Long]("n_items") == 1 &&
+      out("C").getAs[Double]("rev_share") == 0.05)
+  }
+
   test("degreeDistribution: duplicate edges collapse, cumulative share reaches 1") {
     import spark.implicits._
     val edges = Seq((1L, 10L), (1L, 10L), (2L, 10L), (2L, 20L),
