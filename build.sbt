@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. Two sbt behaviors defeated that in r10–r12 (BENCH `parsed` null
+// three rounds running): (a) the forked program's stdout is routed
+// through sbt's logger and prefixed `[info] `, so the JSON line never
+// starts with `{`; (b) sbt appends its own `[success] Total time: …`
+// line AFTER the program's output, so the program's JSON is never last.
+// StdoutOutput passes the forked JVM's stdout through verbatim;
+// showSuccess drops the trailing banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1555,15 +1555,25 @@ object Relational {
       .repartition(col("cust"))
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
+  /** Whale cap on a prepared basket frame: keep a deterministic
+    * hash-ordered subset of at most `maxBasket` items per customer.
+    * This is THE lever that bounds every downstream pair-gen — a
+    * 20 k-item whale otherwise contributes 400 M co-pairs through the
+    * basket self-join (ScaleBench `recsys`: 549 s uncapped vs 1.57 s
+    * capped at the SMALLEST size). `Int.MaxValue` skips the window
+    * entirely so default plans/hashes are byte-identical. */
+  private def capBaskets(b0: DataFrame, maxBasket: Int): DataFrame =
+    if (maxBasket == Int.MaxValue) b0
+    else b0.withColumn("brk", row_number().over(
+        Window.partitionBy("cust")
+          .orderBy(xxhash64(col("cust"), col("item")), col("item"))))
+      .filter(col("brk") <= maxBasket).drop("brk")
+
   /** Neighbor plan over a PREPARED basket frame (distinct, cust-
     * partitioned — `prepBaskets` or a cust-bucketed table scan). */
   private def neighborsOn(b0: DataFrame, k: Int,
       minSupport: Long, maxBasket: Int): DataFrame = {
-    val b = if (maxBasket == Int.MaxValue) b0
-      else b0.withColumn("brk", row_number().over(
-          Window.partitionBy("cust")
-            .orderBy(xxhash64(col("cust"), col("item")), col("item"))))
-        .filter(col("brk") <= maxBasket).drop("brk")
+    val b = capBaskets(b0, maxBasket)
     val deg = b.groupBy("item").agg(count(lit(1)).as("n"))
     // HALVED pair-gen: co-support is symmetric, so count each unordered
     // pair once (item < neighbor) — half the self-join output and half
@@ -2910,9 +2920,15 @@ object Relational {
     * basket (customer) universe. All inputs are exact BIGINTs from the
     * same halved pair-gen; each measure is one IEEE divide. Rules
     * below `minSupport` baskets are cut BEFORE the measure math (the
-    * q121 lever, mandatory here — rules with co=1 are noise). */
-  def associationRules(baskets: DataFrame, minSupport: Long): DataFrame = {
-    val b = prepBaskets(baskets)
+    * q121 lever, mandatory here — rules with co=1 are noise).
+    * `maxBasket` is the q121 whale cap (capBaskets): minSupport filters
+    * AFTER the pair hash-agg, so without the cap a 20 k-item whale
+    * still materializes its B² pairs through the self-join — the exact
+    * 549 s-vs-1.57 s fan-out the recsys ScaleBench curve measured.
+    * Default Int.MaxValue keeps the q179 plan/hash unchanged. */
+  def associationRules(baskets: DataFrame, minSupport: Long,
+      maxBasket: Int = Int.MaxValue): DataFrame = {
+    val b = capBaskets(prepBaskets(baskets), maxBasket)
     val nCust = b.select(col("cust")).distinct().count()
     val deg = b.groupBy("item").agg(count(lit(1)).as("n"))
     val half = b.as("x").join(b.as("y"),
@@ -3545,17 +3561,49 @@ object Relational {
   def q203(s: SparkSession, d: String): DataFrame =
     partitionSkew(Tables.lineitem(s, d), to_date(col("l_shipdate")))
 
-  /** Decile report — ntile(10) over customer revenue with a UNIQUE
-    * ordering (revenue, custkey — ntile on a tied ordering is
+  /** Decile report over customer revenue with a UNIQUE ordering
+    * (revenue desc, custkey — ntile on a tied ordering is
     * engine-arbitrary, the classic cross-engine fail), per-decile
     * exact-decimal totals and bounds: the BI ladder read ("what does
-    * a top-decile customer spend"). The rank window is
-    * customer-frame-sized; at 100 TB the same report runs on the
-    * pre-aggregated per-customer frame, which is dimension-sized. */
+    * a top-decile customer spend").
+    *
+    * NTILE semantics WITHOUT the global window: a naive
+    * `ntile(10) OVER (ORDER BY …)` sorts the whole customer frame
+    * through ONE task — exactly the shape that stops scaling when the
+    * customer dimension grows 100× (the r11 sessionPaths adjudication
+    * rejected "the frame is dimension-sized" as a defense). Instead
+    * the global rank comes from the packShards/abcClassification
+    * TWO-PHASE distributed prefix count (repartitionByRange on the
+    * sort key → per-partition row_number → p-row pid-offset window),
+    * and the tile is SQL-standard NTILE arithmetic over that rank:
+    * with n rows, the first n%10 tiles carry ⌈n/10⌉ rows — all-integer
+    * expressions, so the assignment is bit-identical to ntile(10)
+    * (RelationalSmokeSpec pins both the equivalence and the plan
+    * shape: no single-partition WindowExec). */
   def spendDeciles(rev: DataFrame): DataFrame = {
-    val ranked = rev.withColumn("decile", ntile(10).over(
-      Window.orderBy(col("rev").desc, col("c_custkey"))))
-    ranked.groupBy("decile")
+    val p = rev.sparkSession.sparkContext.defaultParallelism
+    val ranked = rev.repartitionByRange(p, col("rev").desc, col("c_custkey"))
+      .withColumn("pid", spark_partition_id()).persist()
+    val local = ranked.withColumn("lr", row_number().over(
+      Window.partitionBy("pid").orderBy(col("rev").desc, col("c_custkey"))))
+    val counts = ranked.groupBy("pid").agg(count(lit(1)).as("pc"))
+    val offsets = counts.withColumn("off", coalesce(sum("pc").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "off")
+    val tot = counts.agg(sum("pc").as("n"))
+    val out = local.join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(tot))
+      .withColumn("r", col("off") + col("lr"))
+      // NTILE(10): q = n div 10, rem = n mod 10; ranks 1..rem·(q+1)
+      // land in tile (r-1) div (q+1) + 1, the rest shift by rem. The
+      // q=0 divide is unreachable (else-branch needs r > cut = n).
+      .withColumn("decile", expr(
+        "CAST(IF(r <= (n % 10) * (n DIV 10 + 1), " +
+          "(r - 1) DIV (n DIV 10 + 1) + 1, " +
+          "n % 10 + (r - (n % 10) * (n DIV 10 + 1) - 1) DIV (n DIV 10) + 1) " +
+          "AS INT)"))
+      .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"),
         sum("rev").as("rev_total"),
         min("rev").as("rev_min"),
@@ -3564,6 +3612,9 @@ object Relational {
         col("rev_total").cast("double").as("rev_total"),
         col("rev_min").cast("double").as("rev_min"),
         col("rev_max").cast("double").as("rev_max"))
+      .localCheckpoint(true) // pin-then-release (the packShards lifecycle)
+    ranked.unpersist()
+    out
   }
 
   /** Q204 — customer revenue deciles. */
@@ -3619,10 +3670,33 @@ object Relational {
         col(weightCol).cast("decimal(18,2)").as("w"))
       .groupBy(col(groupCol), col("v"))
       .agg(sum("w").as("wv"))
-    val wCum = Window.partitionBy(groupCol).orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = dv.groupBy(groupCol).agg(sum("wv").as("wtot"))
-    dv.withColumn("cw", sum("wv").over(wCum))
+    // TWO-PHASE per-group cumulative (the abcClassification/packShards
+    // prefix-sum machinery PARAMETERIZED BY GROUP): a plain
+    // Window.partitionBy(group).orderBy(v) with a 3-value group column
+    // sorts ~n/3 distinct values through ONE task per group — the
+    // low-cardinality-group shape the r12 stats curves caught in
+    // spearman/mann-whitney (43 s at 20 M). Range-repartition on
+    // (group, v) keeps each group's values globally ordered across
+    // partitions; the cumulative is per-(pid, group) local runs plus a
+    // per-group offset window over the p×groups count frame — bounded,
+    // never data-sized through one reducer. Decimal sums are exact, so
+    // the pick (min v with 2·cw ≥ wtot) is bit-identical to the
+    // single-window form.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val part = dv.repartitionByRange(p, col(groupCol), col("v"))
+      .withColumn("pid", spark_partition_id()).persist()
+    val local = part.withColumn("run", sum("wv").over(
+      Window.partitionBy("pid", groupCol).orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ptots = part.groupBy("pid", groupCol).agg(sum("wv").as("ptot"))
+    val offsets = ptots.withColumn("off", coalesce(sum("ptot").over(
+        Window.partitionBy(groupCol).orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(28,2)")))
+      .select(col("pid"), col(groupCol), col("off"))
+    val tot = ptots.groupBy(groupCol).agg(sum("ptot").as("wtot"))
+    val out = local.join(broadcast(offsets), Seq("pid", groupCol))
+      .withColumn("cw", col("off") + col("run"))
       .join(broadcast(tot), Seq(groupCol))
       // 2·cw ≥ wtot keeps the halving exact in decimal arithmetic
       .filter(col("cw") * 2 >= col("wtot"))
@@ -3630,6 +3704,9 @@ object Relational {
       .agg(min("v").as("w_median"), min("wtot").as("wtot"))
       .select(col(groupCol), col("w_median"),
         col("wtot").cast("double").as("total_weight"))
+      .localCheckpoint(true) // pin-then-release (the packShards lifecycle)
+    part.unpersist()
+    out
   }
 
   /** Q206 — quantity-weighted median price per return flag (vs the

@@ -305,6 +305,91 @@ class RelationalSmokeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q204 two-phase deciles = ntile(10), no data-sized unpartitioned window") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // equivalence: the integer NTILE arithmetic over the distributed
+    // prefix rank must be bit-identical to the engine's own ntile(10)
+    val rev = graft.sources.Tables.orders(spark, d)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val direct = rev.withColumn("decile", ntile(10).over(
+        Window.orderBy(col("rev").desc, col("c_custkey"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("rev").cast("double").as("rev_total"))
+      .orderBy("decile").collect().toSeq
+    val got = graft.operators.Relational.q204(spark, d)
+      .select("decile", "n_customers", "rev_total").collect().toSeq
+    assert(got == direct)
+    // plan shape: no ntile anywhere; every unpartitioned WindowExec
+    // runs over the p-row pid-count frame (column `pc`), never the
+    // customer-sized frame
+    val qe = graft.operators.Relational.q204(spark, d).queryExecution
+    assert(!qe.executedPlan.toString.contains("ntile"))
+    val globals = qe.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.forall(_.child.output.exists(_.name == "pc")),
+      globals.map(_.child.output.map(_.name).mkString(",")).mkString(" | "))
+  }
+
+  test("weightedMedian two-phase cumulative = single-window form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.sources.Tables.lineitem(spark, d)
+    // reference: the pre-r13 one-window-per-group form
+    val dv = li.select(col("l_returnflag"), col("l_extendedprice").as("v"),
+        col("l_quantity").cast("decimal(18,2)").as("w"))
+      .groupBy("l_returnflag", "v").agg(sum("w").as("wv"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = dv.groupBy("l_returnflag").agg(sum("wv").as("wtot"))
+    val ref = dv.withColumn("cw", sum("wv").over(wCum))
+      .join(broadcast(tot), Seq("l_returnflag"))
+      .filter(col("cw") * 2 >= col("wtot"))
+      .groupBy("l_returnflag")
+      .agg(min("v").as("w_median"), min("wtot").cast("double").as("total_weight"))
+      .orderBy("l_returnflag").collect().toSeq
+    val got = graft.operators.Relational.q206(spark, d).collect().toSeq
+    assert(got == ref)
+    // and the two-phase plan carries no unpartitioned data-sized window
+    val qe = graft.operators.Relational.q206(spark, d).queryExecution
+    val globals = qe.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, globals.mkString(" | "))
+  }
+
+  test("associationRules maxBasket caps the whale, keeps normal-cust rules, default unchanged") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 20 normal customers sharing a 4-item basket (strong rules) + one
+    // whale owning 60 items: capped at 8, the whale contributes at most
+    // C(8,2) ordered pairs instead of C(60,2)
+    val normal = (1 to 20).flatMap(c => Seq(1L, 2L, 3L, 4L).map(i => (c.toLong + 100L, i)))
+    val whale = (1L to 60L).map(i => (1L, i))
+    val baskets = (normal ++ whale).toDF("cust", "item")
+    val capped = graft.operators.Relational
+      .associationRules(baskets, minSupport = 3, maxBasket = 8)
+    val rules = capped.collect()
+    // the 4-item co-purchase core survives the cap (support 20 or 21)
+    val core = rules.filter(r => r.getAs[Long]("antecedent") <= 4L &&
+      r.getAs[Long]("consequent") <= 4L)
+    assert(core.length == 12, s"expected 12 directed core rules, got ${core.length}")
+    assert(core.forall(_.getAs[Long]("co") >= 20L))
+    // whale-only pairs (both items > 4) are cut to the capped subset:
+    // at most 8·7 = 56 directed pairs could exist pre-minSupport, and
+    // none survive minSupport=3 (the whale is one basket)
+    assert(rules.forall(r => r.getAs[Long]("co") >= 3L))
+    // default Int.MaxValue = the uncapped plan (hash-compat with q179)
+    val dflt = graft.operators.Relational.associationRules(baskets, minSupport = 3)
+    val dfltCore = dflt.filter(col("antecedent") <= 4 && col("consequent") <= 4).count()
+    assert(dfltCore == 12L)
+  }
+
   test("dictionaryEncode ids are dense, 1-based, sorted-order, partitioning-invariant") {
     import spark.implicits._
     val df = Seq("pear", "apple", "fig", "apple", "date", "fig")
