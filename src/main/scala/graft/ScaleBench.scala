@@ -442,8 +442,15 @@ object ScaleBench {
         val r = graft.operators.Relational.itemNeighbors(ev, 10).count()
         ((System.nanoTime() - t2) / 1e9, r)
       } else (-1.0, -1L)
+      // r13: associationRules shares the pair-gen; its capped curve
+      // must track itemNeighbors' (the uncapped contrast above covers
+      // both — same self-join, minSupport filters post-agg)
+      val t3 = System.nanoTime()
+      val rulesRows = graft.operators.Relational
+        .associationRules(ev, minSupport = 2, maxBasket = 100).count()
+      val rulesSec = (System.nanoTime() - t3) / 1e9
       ev.unpersist(); sweep()
-      println(f"""{"op":"recsys","n_rows":$n,"whale_items":$whale,"capped_sec":$cappedSec%.2f,"uncapped_sec":$uncappedSec%.2f,"capped_out":$cappedRows,"uncapped_out":$uncappedRows}""")
+      println(f"""{"op":"recsys","n_rows":$n,"whale_items":$whale,"capped_sec":$cappedSec%.2f,"uncapped_sec":$uncappedSec%.2f,"capped_out":$cappedRows,"uncapped_out":$uncappedRows,"assoc_capped_sec":$rulesSec%.2f,"assoc_out":$rulesRows}""")
     }
   }
 
@@ -707,8 +714,16 @@ object ScaleBench {
         ev, "user_id", Seq(1, 10, 100, 1000)))
       val cms = timed(graft.ext.Sketches.cmsKeyCounts(ev, "user_id",
         ev.select("user_id").limit(100)))
+      // weighted median with a 5-value group column over a mostly-
+      // distinct value column — the exact low-cardinality-group shape
+      // the r12 curves caught in spearman/mann-whitney; the r13
+      // two-phase cumulative must keep this flat-to-linear
+      val wmed = timed(Relational.weightedMedian(
+        ev.select(col("event_type"), col("value"),
+          (pmod(col("event_id"), lit(7L)) + 1L).as("w")),
+        "event_type", "value", "w"))
       ev.unpersist(); sweep()
-      println(f"""{"op":"stats","n_events":$n,"spearman_sec":$spear%.2f,"mannwhitney_sec":$mw%.2f,"ks_sec":$ks%.2f,"welch_sec":$welch%.2f,"burstiness_sec":$burst%.2f,"coverage_sec":$cover%.2f,"cms_sec":$cms%.2f}""")
+      println(f"""{"op":"stats","n_events":$n,"spearman_sec":$spear%.2f,"mannwhitney_sec":$mw%.2f,"ks_sec":$ks%.2f,"welch_sec":$welch%.2f,"burstiness_sec":$burst%.2f,"coverage_sec":$cover%.2f,"cms_sec":$cms%.2f,"weighted_median_sec":$wmed%.2f}""")
     }
   }
 

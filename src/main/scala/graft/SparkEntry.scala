@@ -243,6 +243,7 @@ object SparkEntry {
     "q221_growth_acct"     -> (Relational.q221 _),
     "q222_stickiness"      -> (Relational.q222 _),
     "q223_abc_classes"     -> (Relational.q223 _),
+    "q224_recommend_bucketed" -> (Relational.q224 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -293,8 +294,34 @@ object SparkEntry {
     "q175_video_meta"      -> (graft.ext.Multimodal.q175 _),
   )
 
+  /** q130's oracle, shared verbatim by q224: the bucketed serving
+    * variant must produce ROW-IDENTICAL recommendations — same SQL,
+    * same hash — with only the physical read path changed. */
+  private val q130Sql: String =
+    ("WITH b AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS item " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+      "deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY item), " +
+      "co AS (SELECT x.item AS item, y.item AS neighbor, CAST(COUNT(*) AS BIGINT) AS co " +
+      "FROM b x JOIN b y ON x.cust = y.cust AND x.item <> y.item GROUP BY 1, 2), " +
+      "s AS (SELECT co.item, neighbor, co, " +
+      "ROUND(CAST(co AS DOUBLE) / sqrt(CAST(da.n * db.n AS DOUBLE)), 6) AS sim " +
+      "FROM co JOIN deg da ON da.item = co.item JOIN deg db ON db.item = co.neighbor), " +
+      "nb AS (SELECT item, neighbor, CAST(sim AS DECIMAL(18,6)) AS simd FROM " +
+      "(SELECT item, neighbor, sim, ROW_NUMBER() OVER (PARTITION BY item ORDER BY sim DESC, neighbor) AS rk FROM s) t " +
+      "WHERE rk <= 5), " +
+      "sc AS (SELECT b.cust, nb.neighbor AS rec_item, SUM(simd) AS score_d, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_shared FROM b JOIN nb ON b.item = nb.item " +
+      "GROUP BY b.cust, nb.neighbor), " +
+      "un AS (SELECT sc.cust, rec_item, n_shared, ROUND(CAST(score_d AS DOUBLE), 6) AS score " +
+      "FROM sc WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.cust = sc.cust AND b.item = sc.rec_item)), " +
+      "r AS (SELECT cust, rec_item, n_shared, score, " +
+      "ROW_NUMBER() OVER (PARTITION BY cust ORDER BY score DESC, rec_item) AS rk FROM un) " +
+      "SELECT cust, rec_item, n_shared, score, CAST(rk AS BIGINT) AS rk " +
+      "FROM r WHERE rk <= 3 ORDER BY cust, rk")
+
   /** DuckDB-dialect oracle SQL, one per `queries` key. */
   def oracleSql: Map[String, String] = Map(
+    "q224_recommend_bucketed" -> q130Sql,
     "q01_filter_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100",
     "q02_string_fns" ->
@@ -1581,27 +1608,7 @@ object SparkEntry {
     // q130: item-CF recommendations — q121's sim CTE, rounded sims
     // summed as DECIMAL(18,6) (exact, order-free), owned anti-joined,
     // top-3 per customer by (score DESC, item).
-    "q130_recommend" ->
-      ("WITH b AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS item " +
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
-        "deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY item), " +
-        "co AS (SELECT x.item AS item, y.item AS neighbor, CAST(COUNT(*) AS BIGINT) AS co " +
-        "FROM b x JOIN b y ON x.cust = y.cust AND x.item <> y.item GROUP BY 1, 2), " +
-        "s AS (SELECT co.item, neighbor, co, " +
-        "ROUND(CAST(co AS DOUBLE) / sqrt(CAST(da.n * db.n AS DOUBLE)), 6) AS sim " +
-        "FROM co JOIN deg da ON da.item = co.item JOIN deg db ON db.item = co.neighbor), " +
-        "nb AS (SELECT item, neighbor, CAST(sim AS DECIMAL(18,6)) AS simd FROM " +
-        "(SELECT item, neighbor, sim, ROW_NUMBER() OVER (PARTITION BY item ORDER BY sim DESC, neighbor) AS rk FROM s) t " +
-        "WHERE rk <= 5), " +
-        "sc AS (SELECT b.cust, nb.neighbor AS rec_item, SUM(simd) AS score_d, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_shared FROM b JOIN nb ON b.item = nb.item " +
-        "GROUP BY b.cust, nb.neighbor), " +
-        "un AS (SELECT sc.cust, rec_item, n_shared, ROUND(CAST(score_d AS DOUBLE), 6) AS score " +
-        "FROM sc WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.cust = sc.cust AND b.item = sc.rec_item)), " +
-        "r AS (SELECT cust, rec_item, n_shared, score, " +
-        "ROW_NUMBER() OVER (PARTITION BY cust ORDER BY score DESC, rec_item) AS rk FROM un) " +
-        "SELECT cust, rec_item, n_shared, score, CAST(rk AS BIGINT) AS rk " +
-        "FROM r WHERE rk <= 3 ORDER BY cust, rk"),
+    "q130_recommend" -> q130Sql,
     // Multimodal metadata oracle: the engine synthesizes PNG/WAV
     // payloads with real JDK codecs and decodes them back; the oracle
     // derives the same width/height/mean/rate/frames/rms arithmetically

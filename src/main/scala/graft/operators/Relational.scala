@@ -1883,14 +1883,36 @@ object Relational {
     * standard item-CF serving precompute, all shuffles on customer or
     * item keys. */
   def recommendItems(baskets: DataFrame, k: Int, topn: Int,
-      minSupport: Long = 1L, maxBasket: Int = Int.MaxValue): DataFrame = {
+      minSupport: Long = 1L, maxBasket: Int = Int.MaxValue): DataFrame =
     // ONE prepared basket frame backs everything: the neighbor pair-gen
     // AND the ownership joins (before r12 `owned` re-ran its own scan +
     // distinct on top of itemNeighbors' four). `owned` stays UNCAPPED:
     // the cap bounds the quadratic pair-gen, not the ownership
     // exclusion — a whale customer must still never be recommended an
     // item they already own.
-    val owned = prepBaskets(baskets)
+    recommendOn(prepBaskets(baskets), k, topn, minSupport, maxBasket)
+
+  /** At-rest serving variant: the distinct basket frame is written ONCE
+    * as a cust-bucketed table (itemNeighborsBucketed's amortization),
+    * then the SAME scoring plan runs over the bucket scan — the pair
+    * self-join and the ownership anti-join both read a frame that
+    * already satisfies the cust distribution, so the nightly serving
+    * precompute pays zero basket shuffles after the initial write.
+    * Result is row-identical to recommendItems (q224 is gated by
+    * q130's own oracle). */
+  def recommendItemsBucketed(baskets: DataFrame, k: Int, topn: Int,
+      table: String = "graft_baskets_serving", nBuckets: Int = 32,
+      minSupport: Long = 1L, maxBasket: Int = Int.MaxValue): DataFrame = {
+    graft.core.Partitioning.writeBucketed(
+      baskets.toDF("cust", "item").distinct(), table, "cust", nBuckets)
+    recommendOn(baskets.sparkSession.table(table), k, topn, minSupport,
+      maxBasket)
+  }
+
+  /** Scoring plan over a PREPARED ownership frame (distinct, cust-
+    * co-located — `prepBaskets` or a cust-bucketed table scan). */
+  private def recommendOn(owned: DataFrame, k: Int, topn: Int,
+      minSupport: Long, maxBasket: Int): DataFrame = {
     val nbrs = neighborsOn(owned, k, minSupport, maxBasket)
       .select(col("item"), col("neighbor"),
         col("sim").cast("decimal(18,6)").as("simd"))
@@ -1917,6 +1939,18 @@ object Relational {
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey"), col("l_partkey"))
     recommendItems(baskets, k = 5, topn = 3).orderBy("cust", "rk")
+  }
+
+  /** Q224 — q130's item-CF recommendations SERVED FROM THE BUCKETED
+    * basket table (verdict r12 #8): identical rows under q130's oracle,
+    * but the pair-gen and ownership joins read cust-bucketed files —
+    * the amortized-shuffle nightly-precompute shape, now under the
+    * hash gate instead of only BucketingSpec's plan assert. */
+  def q224(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    recommendItemsBucketed(baskets, k = 5, topn = 3).orderBy("cust", "rk")
   }
 
   /** Q127 — session paths under the ORACLE gate: top-20 paths of the
