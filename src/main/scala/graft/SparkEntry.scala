@@ -244,6 +244,13 @@ object SparkEntry {
     "q222_stickiness"      -> (Relational.q222 _),
     "q223_abc_classes"     -> (Relational.q223 _),
     "q224_recommend_bucketed" -> (Relational.q224 _),
+    "q225_xyz_classes"     -> (Relational.q225 _),
+    "q226_interpurchase"   -> (Relational.q226 _),
+    "q227_new_vs_returning" -> (Relational.q227 _),
+    "q228_gt_unseen"       -> (TextOps.q228 _),
+    "q229_priority_mix"    -> (Relational.q229 _),
+    "q230_streaks"         -> (Relational.q230 _),
+    "q231_dup_payments"    -> (Relational.q231 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -322,6 +329,91 @@ object SparkEntry {
   /** DuckDB-dialect oracle SQL, one per `queries` key. */
   def oracleSql: Map[String, String] = Map(
     "q224_recommend_bucketed" -> q130Sql,
+    // q225: XYZ demand-variability classes — exact BIGINT weekly
+    // moments (quantity is integral), CoV = one IEEE expression,
+    // percentile_disc class medians.
+    "q225_xyz_classes" ->
+      ("WITH w AS (SELECT l_partkey AS item, CAST(date_trunc('week', l_shipdate) AS DATE) AS wk, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wq FROM lineitem GROUP BY 1, 2), " +
+        "m AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(wq) AS BIGINT) AS s1, " +
+        "CAST(SUM(wq * wq) AS BIGINT) AS s2 FROM w GROUP BY 1), " +
+        "sc AS (SELECT item, s1, ROUND(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(s1 AS DOUBLE), 6) AS cov FROM m), " +
+        "cl AS (SELECT CASE WHEN cov < 0.5 THEN 'X' WHEN cov < 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class, s1, cov FROM sc), " +
+        "t AS (SELECT CAST(SUM(s1) AS BIGINT) AS tq FROM cl) " +
+        "SELECT xyz_class, CAST(COUNT(*) AS BIGINT) AS n_items, CAST(SUM(s1) AS BIGINT) AS class_qty, " +
+        "ROUND(CAST(SUM(s1) AS DOUBLE) / CAST(tq AS DOUBLE), 6) AS qty_share, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY cov) AS cov_med " +
+        "FROM cl CROSS JOIN t GROUP BY xyz_class, tq ORDER BY xyz_class"),
+    // q226: inter-purchase gaps — LAG over unique (date, orderkey)
+    // per customer, exact integer day gaps, percentile_disc elements.
+    "q226_interpurchase" ->
+      ("WITH g AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, " +
+        "LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev " +
+        "FROM orders), " +
+        "d AS (SELECT o_custkey, CAST(date_diff('day', prev, od) AS BIGINT) AS gap_d FROM g WHERE prev IS NOT NULL) " +
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_gaps, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_d) AS gap_med_d, " +
+        "percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_d) AS gap_p90_d, " +
+        "ROUND(CAST(SUM(gap_d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS gap_avg_d " +
+        "FROM d JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
+    // q227: new-vs-returning revenue — first-month label per customer,
+    // exact decimal revenue, within-month share.
+    "q227_new_vs_returning" ->
+      ("WITH o AS (SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mo, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS rev FROM orders), " +
+        "f AS (SELECT o_custkey, MIN(mo) AS mo0 FROM o GROUP BY 1), " +
+        "l AS (SELECT o.mo, CASE WHEN o.mo = f.mo0 THEN 'new' ELSE 'returning' END AS label, rev " +
+        "FROM o JOIN f ON o.o_custkey = f.o_custkey), " +
+        "b AS (SELECT mo, label, CAST(COUNT(*) AS BIGINT) AS n_orders, SUM(rev) AS rev_total FROM l GROUP BY 1, 2), " +
+        "m AS (SELECT mo, SUM(rev_total) AS mo_rev FROM b GROUP BY 1) " +
+        "SELECT b.mo AS mo, label, n_orders, CAST(rev_total AS DOUBLE) AS rev_total, " +
+        "ROUND(CAST(rev_total AS DOUBLE) / CAST(mo_rev AS DOUBLE), 6) AS rev_share " +
+        "FROM b JOIN m ON b.mo = m.mo ORDER BY mo, label"),
+    // q228: Good–Turing unseen mass — corpus token frequencies per
+    // source, n1/N and 2·n2/n1 as single rounded divides.
+    "q228_gt_unseen" ->
+      ("WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "k AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2) " +
+        "SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_types, " +
+        "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+        "ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / SUM(c), 6) AS gt_unseen_mass, " +
+        "CASE WHEN SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) = 0 THEN NULL " +
+        "ELSE ROUND(2.0 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) / SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 6) END AS r1_star " +
+        "FROM k GROUP BY source ORDER BY source"),
+    // q229: priority mix shift — within-month shares + LAG delta over
+    // the bounded months × priorities frame.
+    "q229_priority_mix" ->
+      ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo, o_orderpriority, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2), " +
+        "t AS (SELECT mo, CAST(SUM(n) AS BIGINT) AS mo_n FROM b GROUP BY 1), " +
+        "s AS (SELECT b.mo AS mo, o_orderpriority, n, ROUND(CAST(n AS DOUBLE) / CAST(mo_n AS DOUBLE), 6) AS share " +
+        "FROM b JOIN t ON b.mo = t.mo), " +
+        "l AS (SELECT mo, o_orderpriority, n, share, " +
+        "LAG(share) OVER (PARTITION BY o_orderpriority ORDER BY mo) AS share_prev FROM s) " +
+        "SELECT mo, o_orderpriority, n, share, " +
+        "CASE WHEN share_prev IS NULL THEN NULL ELSE ROUND(share - share_prev, 6) END AS share_delta " +
+        "FROM l ORDER BY mo, o_orderpriority"),
+    // q230: gaps-and-islands activity streaks — day − row_number()
+    // anchor, total (len DESC, user, start) ordering, top-20.
+    "q230_streaks" ->
+      ("WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "i AS (SELECT user_id, day, day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS anchor FROM days), " +
+        "st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_days, MIN(day) AS start_day, MAX(day) AS end_day " +
+        "FROM i GROUP BY user_id, anchor), " +
+        "r AS (SELECT user_id, start_day, end_day, streak_days, " +
+        "ROW_NUMBER() OVER (ORDER BY streak_days DESC, user_id, start_day) AS rk FROM st) " +
+        "SELECT user_id, start_day, end_day, streak_days, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20 ORDER BY rk"),
+    // q231: duplicate-payment audit — customer-keyed self-join,
+    // 30-day + 5000-amount band filters, halved by orderkey order.
+    "q231_dup_payments" ->
+      ("WITH o AS (SELECT o_custkey AS cust, o_totalprice AS amt, CAST(o_orderdate AS DATE) AS od, o_orderkey AS ok FROM orders) " +
+        "SELECT a.cust AS cust, a.ok AS order_a, b.ok AS order_b, a.amt AS amt_a, b.amt AS amt_b, a.od AS date_a, b.od AS date_b, " +
+        "CAST(ABS(date_diff('day', a.od, b.od)) AS BIGINT) AS gap_d " +
+        "FROM o a JOIN o b ON a.cust = b.cust AND a.ok < b.ok " +
+        "AND ABS(a.amt - b.amt) <= 5000.0 " +
+        "AND ABS(date_diff('day', a.od, b.od)) <= 30 " +
+        "ORDER BY cust, order_a, order_b"),
     "q01_filter_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100",
     "q02_string_fns" ->

@@ -1785,4 +1785,38 @@ object TextOps {
   /** Q207 — how the en-marker heuristic routes each true language. */
   def q207(s: SparkSession, d: String): DataFrame =
     langConfusion(Tables.documents(s, d)).orderBy("lang", "lang_pred")
+
+  /** Good–Turing unseen-mass estimate per source — the corpus-level
+    * "how much vocabulary haven't we seen yet" read (Good 1953): with
+    * N tokens and n_r types occurring exactly r times, the
+    * probability mass of UNSEEN types is estimated by n₁/N, and the
+    * discounted frequency for singletons is r* = 2·n₂/n₁. This is
+    * the per-SOURCE complement of q190's per-doc hapax fraction and
+    * q198's head-rank Zipf fit: a source with high unseen mass needs
+    * more data before its token statistics stabilize — the "keep
+    * crawling or stop" signal for a training-mix curator.
+    * Tokenization is the suite's `split(text, ' ')` contract. All
+    * counts exact BIGINTs from two hash-aggs (source×token, then
+    * source); the two estimates are single rounded divides. */
+  def gtUnseen(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+    tf.groupBy("source").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n1"),
+        col("n2"),
+        round(col("n1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("gt_unseen_mass"),
+        when(col("n1") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(2.0d) * col("n2").cast("double") /
+            col("n1").cast("double"), 6)).as("r1_star"))
+  }
+
+  /** Q228 — Good–Turing unseen vocabulary mass per document source. */
+  def q228(s: SparkSession, d: String): DataFrame =
+    gtUnseen(Tables.documents(s, d)).orderBy("source")
 }

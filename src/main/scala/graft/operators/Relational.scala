@@ -4406,4 +4406,201 @@ object Relational {
   /** Q223 — part revenue ABC classes over lineitem. */
   def q223(s: SparkSession, d: String): DataFrame =
     abcClassification(Tables.lineitem(s, d), "l_partkey", col("l_extendedprice"))
+
+  /** XYZ demand-variability classes — ABC's (q223) standard companion
+    * in inventory planning: ABC ranks items by VALUE, XYZ by demand
+    * PREDICTABILITY (coefficient of variation of per-period demand;
+    * X < 0.5 steady, Y < 1.0 variable, Z erratic). Per item the weekly
+    * demand moments are exact BIGINTs (quantity is integral in this
+    * schema — cast, summed, squared exactly), and the CoV
+    * √(n·Σq² − (Σq)²)/Σq is ONE IEEE expression over those exact
+    * scalars (the q111 moment discipline), so both engines compute
+    * bit-identical doubles. Class medians use percentile_disc
+    * (element selection — deterministic on identical inputs).
+    * Shape: two hash-aggs (item×week, then item) + one 3-row rollup;
+    * observed weeks only (a zero-demand week contributes no row —
+    * documented: CoV over selling weeks). */
+  def xyzClasses(li: DataFrame, cutX: Double = 0.5,
+      cutY: Double = 1.0): DataFrame = {
+    val weekly = li.select(col("l_partkey").as("item"),
+        date_trunc("week", col("l_shipdate")).cast("date").as("wk"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("item", "wk").agg(sum("q").as("wq"))
+    val mom = weekly.groupBy("item").agg(
+      count(lit(1)).as("n"), sum("wq").as("s1"),
+      sum(col("wq") * col("wq")).as("s2"))
+    val scored = mom.withColumn("cov", round(
+        sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")) /
+          col("s1").cast("double"), 6))
+      .withColumn("xyz_class", when(col("cov") < cutX, "X")
+        .when(col("cov") < cutY, "Y").otherwise("Z"))
+    val tot = scored.agg(sum("s1").as("tq"))
+    scored.groupBy("xyz_class")
+      .agg(count(lit(1)).as("n_items"),
+        sum("s1").as("cq"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cov)").as("cov_med"))
+      .crossJoin(broadcast(tot))
+      .select(col("xyz_class"), col("n_items"), col("cq").as("class_qty"),
+        round(col("cq").cast("double") / col("tq").cast("double"), 6)
+          .as("qty_share"),
+        col("cov_med"))
+  }
+
+  /** Q225 — part demand XYZ classes over lineitem weekly demand. */
+  def q225(s: SparkSession, d: String): DataFrame =
+    xyzClasses(Tables.lineitem(s, d)).orderBy("xyz_class")
+
+  /** Inter-purchase interval profile — the replenishment-cadence read
+    * next to q133's RFM and q216's repurchase rate: per customer the
+    * LAG-gap in days between consecutive orders (unique
+    * (date, orderkey) ordering — tie-stable cross-engine), rolled up
+    * per segment as exact counts + percentile_disc elements + one
+    * rounded mean. The LAG window partitions on the CUSTOMER key —
+    * millions of small partitions, embarrassingly parallel (the
+    * opposite of the q206 low-cardinality trap). */
+  def interPurchase(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val gaps = orders.select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("od"), col("o_orderkey"))
+      .withColumn("prev", lag(col("od"), 1).over(
+        Window.partitionBy("o_custkey").orderBy(col("od"), col("o_orderkey"))))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("od"), col("prev")).cast("long").as("gap_d"))
+    gaps.join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap_d").as("sum_d"),
+        // Spark's percentile_disc returns DOUBLE even over integral
+        // input; the element is an exact integer day count — cast back
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_d) AS BIGINT)").as("gap_med_d"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_d) AS BIGINT)").as("gap_p90_d"))
+      .select(col("c_mktsegment"), col("n_gaps"), col("gap_med_d"),
+        col("gap_p90_d"),
+        round(col("sum_d").cast("double") / col("n_gaps").cast("double"), 6)
+          .as("gap_avg_d"))
+  }
+
+  /** Q226 — inter-purchase gap profile per market segment. */
+  def q226(s: SparkSession, d: String): DataFrame =
+    interPurchase(Tables.orders(s, d), Tables.customer(s, d))
+      .orderBy("c_mktsegment")
+
+  /** New-vs-returning revenue split — q221's growth accounting with
+    * VALUE instead of presence: each order is NEW if it falls in its
+    * customer's first calendar month, RETURNING otherwise; per month ×
+    * label, exact order counts and decimal revenue plus the
+    * within-month share (one rounded divide). First month per
+    * customer is a min-agg (never a window over raw orders); the
+    * label join shuffles on the customer key. */
+  def newVsReturning(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_custkey"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("mo"),
+      col("o_totalprice").cast("decimal(18,2)").as("rev"))
+    val firstMo = o.groupBy("o_custkey").agg(min("mo").as("mo0"))
+    val labeled = o.join(firstMo, "o_custkey")
+      .withColumn("label",
+        when(col("mo") === col("mo0"), "new").otherwise("returning"))
+    val byLabel = labeled.groupBy("mo", "label")
+      .agg(count(lit(1)).as("n_orders"), sum("rev").as("rev_total"))
+    val byMo = byLabel.groupBy("mo").agg(sum("rev_total").as("mo_rev"))
+    byLabel.join(byMo, Seq("mo"))
+      .select(col("mo"), col("label"), col("n_orders"),
+        col("rev_total").cast("double").as("rev_total"),
+        round(col("rev_total").cast("double") / col("mo_rev").cast("double"), 6)
+          .as("rev_share"))
+  }
+
+  /** Q227 — monthly new-vs-returning revenue split over orders. */
+  def q227(s: SparkSession, d: String): DataFrame =
+    newVsReturning(Tables.orders(s, d)).orderBy("mo", "label")
+
+  /** Mix-shift report — composition share per period with the
+    * period-over-period delta (the "is our order mix drifting" BI
+    * read; q144's contribution analysis explains ONE period, this
+    * tracks the trajectory). Counts exact; share and delta are
+    * rounded divides/subtractions over them; the LAG window runs on
+    * the months × categories frame — calendar-bounded, never
+    * data-sized. */
+  def mixShift(df: DataFrame, catCol: String, period: Column): DataFrame = {
+    val base = df.groupBy(period.as("mo"), col(catCol))
+      .agg(count(lit(1)).as("n"))
+    val tot = base.groupBy("mo").agg(sum("n").as("mo_n"))
+    val share = base.join(tot, Seq("mo"))
+      .withColumn("share", round(
+        col("n").cast("double") / col("mo_n").cast("double"), 6))
+    share.withColumn("share_prev", lag(col("share"), 1).over(
+        Window.partitionBy(catCol).orderBy("mo")))
+      .select(col("mo"), col(catCol), col("n"), col("share"),
+        when(col("share_prev").isNull, lit(null).cast("double"))
+          .otherwise(round(col("share") - col("share_prev"), 6))
+          .as("share_delta"))
+  }
+
+  /** Q229 — monthly order-priority mix with MoM share delta. */
+  def q229(s: SparkSession, d: String): DataFrame =
+    mixShift(Tables.orders(s, d), "o_orderpriority",
+      date_trunc("month", col("o_orderdate")).cast("date"))
+      .orderBy("mo", "o_orderpriority")
+
+  /** Longest activity streaks — the gaps-and-islands operator (the one
+    * classic sequential-SQL shape the suite lacked): consecutive
+    * distinct ACTIVE DAYS per user collapse into islands via the
+    * day − row_number() constant-key trick, island length = count.
+    * Both windows partition on the user key (parallel); the final
+    * top-k is a rank-limit that Spark 4 plans as
+    * TakeOrderedAndProject (the q127 contract). Ordering
+    * (len DESC, user, start) is total, so top-20 is deterministic. */
+  def topStreaks(ev: DataFrame, topn: Int): DataFrame = {
+    val days = ev.select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val isl = days.withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("day")))
+      .withColumn("anchor", date_sub(col("day"), col("rn")))
+    val streaks = isl.groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("streak_days"),
+        min("day").as("start_day"), max("day").as("end_day"))
+    streaks.withColumn("rk", row_number().over(Window.orderBy(
+        col("streak_days").desc, col("user_id"), col("start_day"))))
+      .filter(col("rk") <= topn)
+      .select(col("user_id"), col("start_day"), col("end_day"),
+        col("streak_days"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Q230 — top-20 longest consecutive-day activity streaks. */
+  def q230(s: SparkSession, d: String): DataFrame =
+    topStreaks(Tables.events(s, d), 20).orderBy("rk")
+
+  /** Duplicate-payment audit — the fraud/ops double-charge screen:
+    * order pairs from the SAME customer within `windowDays` whose
+    * amounts differ by at most `amountTol` (real screens band the
+    * amount — retries and double-submits rarely match to the cent
+    * once fees/FX touch them). The self-join is equi-keyed on the
+    * CUSTOMER (per-customer order lists are small and bounded — the
+    * date/amount predicates filter within groups, never a cross
+    * product), halved by orderkey order. The amount band compares one
+    * IEEE subtract of identically-stored doubles — deterministic
+    * cross-engine. */
+  def duplicatePayments(orders: DataFrame, windowDays: Int,
+      amountTol: Double): DataFrame = {
+    val o = orders.select(col("o_custkey").as("cust"),
+      col("o_totalprice").as("amt"),
+      to_date(col("o_orderdate")).as("od"), col("o_orderkey").as("ok"))
+    o.as("a").join(o.as("b"),
+        col("a.cust") === col("b.cust") && col("a.ok") < col("b.ok") &&
+          abs(col("a.amt") - col("b.amt")) <= amountTol &&
+          abs(datediff(col("b.od"), col("a.od"))) <= windowDays)
+      .select(col("a.cust").as("cust"),
+        col("a.ok").as("order_a"), col("b.ok").as("order_b"),
+        col("a.amt").as("amt_a"), col("b.amt").as("amt_b"),
+        col("a.od").as("date_a"), col("b.od").as("date_b"),
+        abs(datediff(col("b.od"), col("a.od"))).cast("long").as("gap_d"))
+  }
+
+  /** Q231 — same-customer near-same-amount order pairs within 30 days
+    * (amount band 5000 — tuned non-degenerate on the synthetic
+    * uniform price distribution at every test SF). */
+  def q231(s: SparkSession, d: String): DataFrame =
+    duplicatePayments(Tables.orders(s, d), 30, 5000.0)
+      .orderBy("cust", "order_a", "order_b")
 }
