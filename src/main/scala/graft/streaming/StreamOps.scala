@@ -23,6 +23,18 @@ case class ConvHit(user_id: Long, t0_us: Long, t1_us: Long, lag_s: Double)
 case class HbState(lastUs: Long, n: Long)
 case class HbAlert(user_id: Long, last_seen_us: Long, n_events: Long)
 
+/** S35 EWMA state: last smoothed level + the (tsu, event_id) anchor of
+  * the last event folded in (the monotonic guard's total order). */
+case class EwmaState(tsu: Long, eventId: Long, level: Double)
+case class EwmaPoint(user_id: Long, ts_us: Long, event_id: Long,
+  value: Double, ewma: Double)
+
+/** S36 CUSUM state: Page's two one-sided statistics + the total-order
+  * anchor. Two doubles + two longs per key, constant forever. */
+case class CusumState(tsu: Long, eventId: Long, sPos: Double, sNeg: Double)
+case class CusumAlarm(user_id: Long, ts_us: Long, event_id: Long,
+  direction: String, statistic: Double)
+
 /** S16 heavy-hitter state: Misra–Gries counters (≤ k entries). */
 case class MgState(ids: Array[Long], counts: Array[Long], n: Long)
 case class MgSummary(group: String, n: Long, ids: Array[Long],
@@ -1326,6 +1338,98 @@ object StreamOps {
               state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
+      }.toDF()
+  }
+
+  /** S35 — per-key streaming EWMA smoother: every event emits its
+    * smoothed level `l ← α·v + (1−α)·l` (q126 is the batch/grid form;
+    * this is the per-event low-latency read a dashboard plots). Rows
+    * fold in (event-time, event_id) TOTAL order within each batch; a
+    * CROSS-batch regression (an event at or behind the last folded
+    * anchor) is DROPPED — the recurrence is order-defined, and
+    * rewriting history would mean re-emitting every point since (the
+    * standard monotonic-smoother contract; the watermark bounds how
+    * much can arrive late enough to be dropped). State is one double
+    * + the anchor — constant per key. */
+  def ewmaStream(events: DataFrame, alpha: Double,
+      watermark: String = "10 seconds"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha outside (0,1]")
+    val s = events.sparkSession
+    import s.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+         state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(
+            EwmaState(Long.MinValue, Long.MinValue, 0.0))
+          val out = rows.toSeq
+            .map { case (_, ts, id, v) => (micros(ts), id, v) }
+            .sortBy { case (tu, id, _) => (tu, id) }
+            .flatMap { case (tu, id, v) =>
+              if (tu < st.tsu || (tu == st.tsu && id <= st.eventId)) None // regression: drop
+              else {
+                val lvl = if (st.tsu == Long.MinValue) v
+                          else alpha * v + (1 - alpha) * st.level
+                st = EwmaState(tu, id, lvl)
+                Some(EwmaPoint(uid, tu, id, v, lvl))
+              }
+            }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
+  /** S36 — streaming CUSUM changepoint alarm (Page 1954; q195 is the
+    * batch retrospective form): per key, the two one-sided statistics
+    * S⁺ ← max(0, S⁺ + v − μ₀ − k) and S⁻ ← max(0, S⁻ + μ₀ − v − k)
+    * accumulate in (event-time, event_id) total order; crossing `h`
+    * emits ONE alarm for that side and resets it (the classic
+    * restart-after-signal protocol). Late cross-batch regressions are
+    * dropped under the same monotonic contract as S35. State: two
+    * doubles + the anchor — constant per key regardless of stream
+    * age (the batch form's whole-history window, collapsed). */
+  def cusumStream(events: DataFrame, mu0: Double, slack: Double,
+      threshold: Double, watermark: String = "10 seconds"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+         state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(
+            CusumState(Long.MinValue, Long.MinValue, 0.0, 0.0))
+          val out = rows.toSeq
+            .map { case (_, ts, id, v) => (micros(ts), id, v) }
+            .sortBy { case (tu, id, _) => (tu, id) }
+            .flatMap { case (tu, id, v) =>
+              if (tu < st.tsu || (tu == st.tsu && id <= st.eventId)) None
+              else {
+                var sp = math.max(0.0, st.sPos + (v - mu0 - slack))
+                var sn = math.max(0.0, st.sNeg + (mu0 - v - slack))
+                val alarm =
+                  if (sp > threshold) {
+                    val a = CusumAlarm(uid, tu, id, "up", sp); sp = 0.0; Some(a)
+                  } else if (sn > threshold) {
+                    val a = CusumAlarm(uid, tu, id, "down", sn); sn = 0.0; Some(a)
+                  } else None
+                st = CusumState(tu, id, sp, sn)
+                alarm
+              }
+            }
+          state.update(st)
+          out.iterator
       }.toDF()
   }
 }

@@ -829,6 +829,57 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Map(1L -> 6L, 2L -> 8L))
   }
 
+  test("S35: streaming EWMA folds in event-time order, drops cross-batch regressions") {
+    val base = 1700000000L
+    val in = MemoryStream[Ev]
+    val out = StreamOps.ewmaStream(in.toDF(), alpha = 0.5)
+    val q = out.writeStream.format("memory").queryName("s35")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    // batch 1 arrives OUT of order — the op must fold 10, 20, 30 by
+    // event time regardless: levels 10, 15, 22.5
+    in.addData(ev(base + 20, "a", 3, v = 30.0), ev(base + 0, "a", 1, v = 10.0),
+      ev(base + 10, "a", 2, v = 20.0))
+    q.processAllAvailable()
+    // batch 2: one in-order point (level 0.5·40 + 0.5·22.5 = 31.25) and
+    // one REGRESSION behind the anchor → dropped, level untouched
+    in.addData(ev(base + 30, "a", 4, v = 40.0), ev(base + 5, "a", 9, v = 999.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s35").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 15.0, 3L -> 22.5, 4L -> 31.25),
+      s"got $got")
+  }
+
+  test("S36: streaming CUSUM alarms at threshold crossing, resets, ignores in-band noise") {
+    val base = 1700000000L
+    val in = MemoryStream[Ev]
+    // mu0=10, slack=1, h=5: values 12,12,12 accumulate S+ = 1,2,3;
+    // 15 pushes S+ to 7 > 5 → alarm + reset; then 10s stay in-band;
+    // a drop to 4 twice accumulates S- = 5, then 4 again → 10 > 5
+    val out = StreamOps.cusumStream(in.toDF(), mu0 = 10.0, slack = 1.0,
+      threshold = 5.0)
+    val q = out.writeStream.format("memory").queryName("s36")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    in.addData(
+      ev(base + 1, "a", 1, v = 12.0), ev(base + 2, "a", 2, v = 12.0),
+      ev(base + 3, "a", 3, v = 12.0), ev(base + 4, "a", 4, v = 15.0),
+      ev(base + 5, "a", 5, v = 10.0))
+    q.processAllAvailable()
+    in.addData(
+      ev(base + 6, "a", 6, v = 4.0), ev(base + 7, "a", 7, v = 4.0),
+      ev(base + 8, "a", 8, v = 4.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s36").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("direction"),
+        r.getAs[Double]("statistic")))
+    // S+ path: 1,2,3 then +4 → 7 > 5 at event 4 (alarm, reset); event 5
+    // is in-band. S- path: event 6 → 5 (not > 5), event 7 → 10 > 5
+    // (alarm, reset), event 8 rebuilds to 5 silently
+    assert(got.toSet == Set((4L, "up", 7.0), (7L, "down", 10.0)), s"got ${got.toSeq}")
+  }
+
   test("S34: heartbeat monitor alerts on silent keys only, once, with last-seen state") {
     // base offset: a ts equal to the INITIAL watermark (epoch 0) is
     // dropped as late by the stateful operator — the S10 base rule
