@@ -251,6 +251,8 @@ object SparkEntry {
     "q229_priority_mix"    -> (Relational.q229 _),
     "q230_streaks"         -> (Relational.q230 _),
     "q231_dup_payments"    -> (Relational.q231 _),
+    "q232_heaps_growth"    -> (TextOps.q232 _),
+    "q233_centroid_sep"    -> (Similarity.q233 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -404,6 +406,37 @@ object SparkEntry {
         "r AS (SELECT user_id, start_day, end_day, streak_days, " +
         "ROW_NUMBER() OVER (ORDER BY streak_days DESC, user_id, start_day) AS rk FROM st) " +
         "SELECT user_id, start_day, end_day, streak_days, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20 ORDER BY rk"),
+    // q232: Heaps vocabulary growth — first-occurrence ranks vs even
+    // doc-count checkpoints, all-integer ceil division, never a
+    // cumulative distinct.
+    "q232_heaps_growth" ->
+      ("WITH rk AS (SELECT source, doc_id, text, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS r FROM documents), " +
+        "dt AS (SELECT source, r, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS tc FROM rk), " +
+        "fo AS (SELECT source, w, MIN(r) AS fr FROM " +
+        "(SELECT source, r, unnest(string_split(text, ' ')) AS w FROM rk) GROUP BY 1, 2), " +
+        "mx AS (SELECT source, MAX(r) AS maxr FROM rk GROUP BY 1), " +
+        "cps AS (SELECT source, CAST(cp AS BIGINT) AS cp, CAST((maxr * cp + 9) // 10 AS BIGINT) AS cr " +
+        "FROM mx CROSS JOIN (SELECT unnest(range(1, 11)) AS cp)), " +
+        "tk AS (SELECT d.source, cp, cr, CAST(SUM(tc) AS BIGINT) AS n_tokens " +
+        "FROM dt d JOIN cps c ON d.source = c.source AND d.r <= c.cr GROUP BY 1, 2, 3), " +
+        "ty AS (SELECT f.source, cp, CAST(COUNT(*) AS BIGINT) AS n_types " +
+        "FROM fo f JOIN cps c ON f.source = c.source AND f.fr <= c.cr GROUP BY 1, 2) " +
+        "SELECT tk.source AS source, tk.cp AS cp, cr AS n_docs, n_tokens, n_types, " +
+        "ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr " +
+        "FROM tk JOIN ty ON tk.source = ty.source AND tk.cp = ty.cp " +
+        "ORDER BY source, cp"),
+    // q233: label-centroid separation — q86's ordered-fold centroids,
+    // pairwise pos-ordered L2 between them (labels² frame).
+    "q233_centroid_sep" ->
+      ("WITH e AS (SELECT vec_id, label, UNNEST(CAST(embedding AS DOUBLE[])) AS v, " +
+        "generate_subscripts(embedding, 1) AS pos FROM embeddings), " +
+        "c AS (SELECT label, pos, list_sum(list(v ORDER BY vec_id)) / COUNT(*) AS cv " +
+        "FROM e GROUP BY label, pos) " +
+        "SELECT a.label AS label_a, b.label AS label_b, " +
+        "ROUND(SQRT(list_sum(list((a.cv - b.cv) * (a.cv - b.cv) ORDER BY a.pos))), 6) AS dist " +
+        "FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label " +
+        "GROUP BY a.label, b.label ORDER BY label_a, label_b"),
     // q231: duplicate-payment audit — customer-keyed self-join,
     // 30-day + 5000-amount band filters, halved by orderkey order.
     "q231_dup_payments" ->

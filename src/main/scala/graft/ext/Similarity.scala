@@ -571,6 +571,30 @@ object Similarity {
   def q86(s: SparkSession, d: String): DataFrame =
     centroidDistance(Tables.embeddings(s, d)).orderBy("vec_id")
 
+  /** Label-centroid separation matrix — the cluster-geometry audit on
+    * top of q86's within-distances: pairwise L2 distance between every
+    * two label centroids (a < b). Two labels whose centroids sit
+    * closer than their members sit to their own centroid will bleed
+    * into each other under any nearest-centroid routing (IVF probes,
+    * semantic dedup, topic balancing) — this matrix is the "are the
+    * groups even separable" read a curator checks BEFORE trusting
+    * label-stratified sampling. The centroid build is [[centroids]]'
+    * gate-exact ordered fold; the pair frame is labels² — dimension-
+    * bounded, broadcast-joined, zero corpus shuffle. */
+  def centroidSeparation(emb: DataFrame): DataFrame = {
+    val rows = emb.select(col("label"), col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("e"))
+    val cent = centroids(rows, "label")
+    cent.as("a").join(broadcast(cent.as("b")),
+        col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        round(sqrt(l2sq(col("a.cvec"), col("b.cvec"))), 6).as("dist"))
+  }
+
+  /** Q233 — pairwise separation of the embedding label centroids. */
+  def q233(s: SparkSession, d: String): DataFrame =
+    centroidSeparation(Tables.embeddings(s, d)).orderBy("label_a", "label_b")
+
   /** Distributed k-means (Lloyd's algorithm), DETERMINISTIC variant:
     * init = the vectors with id < k (≡ the k lowest ids on the dense
     * 0-based ids every fixture and ScaleBench corpus has; for sparse

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Text-pipeline operators over the `documents` table (SURVEY.md §2.5:
@@ -1819,4 +1820,51 @@ object TextOps {
   /** Q228 — Good–Turing unseen vocabulary mass per document source. */
   def q228(s: SparkSession, d: String): DataFrame =
     gtUnseen(Tables.documents(s, d)).orderBy("source")
+
+  /** Heaps-law vocabulary growth curve per source — V(N) sampled at
+    * `nCheckpoints` even document-count checkpoints: "how fast is this
+    * source still minting new types" (q228's unseen-mass estimate is
+    * the final point; this is the trajectory — a flattening curve
+    * means the source is mined out, a straight log-log line means
+    * keep crawling). The distributed form NEVER runs a cumulative
+    * distinct: each type contributes ONE first-occurrence rank
+    * (min doc rank per (source, token)), each doc one token count,
+    * and a checkpoint's (types, tokens) are plain ≤-joins against the
+    * 10-row-per-source checkpoint frame — vocabulary-sized and
+    * doc-sized frames with a bounded ×checkpoints fanout, all exact
+    * BIGINTs, TTR the one rounded divide. Doc order is (doc_id) —
+    * unique, so both engines rank identically. */
+  def heapsGrowth(docs: DataFrame, nCheckpoints: Int): DataFrame = {
+    val ranked = docs.select(col("source"), col("doc_id"), col("text"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")).cast("long"))
+    val docTok = ranked.select(col("source"), col("r"),
+      size(split(col("text"), " ")).cast("long").as("tc"))
+    val firstOcc = ranked
+      .select(col("source"), col("r"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(min("r").as("fr"))
+    val maxr = ranked.groupBy("source").agg(max("r").as("maxr"))
+    val cps = maxr.crossJoin(
+        docs.sparkSession.range(1, nCheckpoints + 1).select(col("id").as("cp")))
+      // ceil(maxr·cp / k) in pure integer arithmetic (DIV, not the
+      // double-valued `/`)
+      .select(col("source"), col("cp"),
+        expr(s"CAST((maxr * cp + ${nCheckpoints - 1}) DIV $nCheckpoints AS BIGINT)")
+          .as("cr"))
+    val toks = docTok.join(cps, Seq("source"))
+      .filter(col("r") <= col("cr"))
+      .groupBy("source", "cp", "cr").agg(sum("tc").as("n_tokens"))
+    val types = firstOcc.join(cps, Seq("source"))
+      .filter(col("fr") <= col("cr"))
+      .groupBy("source", "cp").agg(count(lit(1)).as("n_types"))
+    toks.join(types, Seq("source", "cp"))
+      .select(col("source"), col("cp"), col("cr").as("n_docs"),
+        col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"))
+  }
+
+  /** Q232 — vocabulary growth at 10 checkpoints per source. */
+  def q232(s: SparkSession, d: String): DataFrame =
+    heapsGrowth(Tables.documents(s, d), 10).orderBy("source", "cp")
 }
