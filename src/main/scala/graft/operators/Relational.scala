@@ -3615,6 +3615,20 @@ object Relational {
     * (RelationalSmokeSpec pins both the equivalence and the plan
     * shape: no single-partition WindowExec). */
   def spendDeciles(rev: DataFrame): DataFrame = {
+    val (out, ranked) = spendDecilesLazy(rev)
+    // pin-then-release (the packShards lifecycle): the eager checkpoint
+    // materializes the 10-row report off the ONE persisted range sample
+    val pinned = out.localCheckpoint(true)
+    ranked.unpersist()
+    pinned
+  }
+
+  /** The pre-checkpoint q204 plan, package-visible so the plan-shape
+    * test can assert on the REAL physical plan (the public method
+    * returns a checkpoint scan — asserting on that is vacuous).
+    * Returns (report, persisted rank frame); callers own the
+    * checkpoint + unpersist lifecycle. */
+  private[graft] def spendDecilesLazy(rev: DataFrame): (DataFrame, DataFrame) = {
     val p = rev.sparkSession.sparkContext.defaultParallelism
     val ranked = rev.repartitionByRange(p, col("rev").desc, col("c_custkey"))
       .withColumn("pid", spark_partition_id()).persist()
@@ -3646,9 +3660,7 @@ object Relational {
         col("rev_total").cast("double").as("rev_total"),
         col("rev_min").cast("double").as("rev_min"),
         col("rev_max").cast("double").as("rev_max"))
-      .localCheckpoint(true) // pin-then-release (the packShards lifecycle)
-    ranked.unpersist()
-    out
+    (out, ranked)
   }
 
   /** Q204 — customer revenue deciles. */
@@ -3700,6 +3712,15 @@ object Relational {
     * min — all integer/decimal-exact, no IEEE until the caller. */
   def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
       weightCol: String): DataFrame = {
+    val (out, part) = weightedMedianLazy(df, groupCol, valCol, weightCol)
+    val pinned = out.localCheckpoint(true) // pin-then-release
+    part.unpersist()
+    pinned
+  }
+
+  /** Pre-checkpoint q206 plan (see [[spendDecilesLazy]]'s rationale). */
+  private[graft] def weightedMedianLazy(df: DataFrame, groupCol: String,
+      valCol: String, weightCol: String): (DataFrame, DataFrame) = {
     val dv = df.select(col(groupCol), col(valCol).as("v"),
         col(weightCol).cast("decimal(18,2)").as("w"))
       .groupBy(col(groupCol), col("v"))
@@ -3738,9 +3759,7 @@ object Relational {
       .agg(min("v").as("w_median"), min("wtot").as("wtot"))
       .select(col(groupCol), col("w_median"),
         col("wtot").cast("double").as("total_weight"))
-      .localCheckpoint(true) // pin-then-release (the packShards lifecycle)
-    part.unpersist()
-    out
+    (out, part)
   }
 
   /** Q206 — quantity-weighted median price per return flag (vs the

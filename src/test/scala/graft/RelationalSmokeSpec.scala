@@ -7,6 +7,16 @@ class RelationalSmokeSpec extends SparkSpec {
 
   private val d = sf("sf0.001")
 
+  /** AQE wraps the physical plan in AdaptiveSparkPlanExec, whose
+    * collect() does not traverse the inner tree before execution —
+    * plan-shape asserts must unwrap to the input plan. */
+  private def unwrapAqe(p: org.apache.spark.sql.execution.SparkPlan)
+      : org.apache.spark.sql.execution.SparkPlan = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a.inputPlan
+    case other => other
+  }
+
   test("q13 decimal aggregates match the validated values") {
     val r = SparkEntry.queries("q13_hash_agg_b")(spark, d).collect()
     assert(r.length == 6)
@@ -322,17 +332,22 @@ class RelationalSmokeSpec extends SparkSpec {
     val got = graft.operators.Relational.q204(spark, d)
       .select("decile", "n_customers", "rev_total").collect().toSeq
     assert(got == direct)
-    // plan shape: no ntile anywhere; every unpartitioned WindowExec
-    // runs over the p-row pid-count frame (column `pc`), never the
-    // customer-sized frame
-    val qe = graft.operators.Relational.q204(spark, d).queryExecution
-    assert(!qe.executedPlan.toString.contains("ntile"))
-    val globals = qe.executedPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-        if w.partitionSpec.isEmpty => w
-    }
-    assert(globals.forall(_.child.output.exists(_.name == "pc")),
-      globals.map(_.child.output.map(_.name).mkString(",")).mkString(" | "))
+    // plan shape on the PRE-checkpoint frame (the public method returns
+    // a checkpoint scan — its plan proves nothing): no ntile anywhere;
+    // every unpartitioned WindowExec runs over the p-row pid-count
+    // frame (column `pc`), never the customer-sized frame
+    val (lazyOut, ranked) = graft.operators.Relational.spendDecilesLazy(rev)
+    try {
+      val plan = unwrapAqe(lazyOut.queryExecution.executedPlan)
+      assert(!plan.toString.contains("ntile"))
+      val globals = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(globals.nonEmpty, "expected the bounded pid-offset window")
+      assert(globals.forall(_.child.output.exists(_.name == "pc")),
+        globals.map(_.child.output.map(_.name).mkString(",")).mkString(" | "))
+    } finally ranked.unpersist()
   }
 
   test("weightedMedian two-phase cumulative = single-window form") {
@@ -354,13 +369,27 @@ class RelationalSmokeSpec extends SparkSpec {
       .orderBy("l_returnflag").collect().toSeq
     val got = graft.operators.Relational.q206(spark, d).collect().toSeq
     assert(got == ref)
-    // and the two-phase plan carries no unpartitioned data-sized window
-    val qe = graft.operators.Relational.q206(spark, d).queryExecution
-    val globals = qe.executedPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-        if w.partitionSpec.isEmpty => w
-    }
-    assert(globals.isEmpty, globals.mkString(" | "))
+    // the PRE-checkpoint two-phase plan: every per-group window is
+    // keyed by pid (the local runs) or runs over the p×groups offset
+    // frame (column `ptot`) — no unpartitioned window anywhere, and
+    // no (group)-only partitioning of the data-sized frame
+    val (lazyOut, part) = graft.operators.Relational
+      .weightedMedianLazy(li, "l_returnflag", "l_extendedprice", "l_quantity")
+    try {
+      val plan = unwrapAqe(lazyOut.queryExecution.executedPlan)
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty)
+      assert(wins.forall(_.partitionSpec.nonEmpty), "unpartitioned window leaked")
+      // the data-sized cumulative must include pid in its keys; the
+      // offset window (over ptot) is the only group-keyed one
+      wins.foreach { w =>
+        val keys = w.partitionSpec.map(_.toString).mkString(",")
+        val overPtot = w.child.output.exists(_.name == "ptot")
+        assert(keys.contains("pid") || overPtot, s"group-only window on data frame: $keys")
+      }
+    } finally part.unpersist()
   }
 
   test("associationRules maxBasket caps the whale, keeps normal-cust rules, default unchanged") {
