@@ -45,7 +45,12 @@ object PlanAudit {
     "q194_cms_counts", "q195_cusum", "q197_mutual_info",
     "q200_topk_coverage",
     // q203 crosses its 1-row summary with the 1-row gini frame
-    "q203_partition_skew")
+    "q203_partition_skew",
+    // r13, reviewed one by one: q225 crosses the 1-row total-quantity
+    // frame; q232 crosses the per-source maxr frame (|sources| rows)
+    // with the 10-row checkpoint spine; q233 is the labels² non-equi
+    // centroid self-join — dimension-bounded by construction.
+    "q225_xyz_classes", "q232_heaps_growth", "q233_centroid_sep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.filter(_.startsWith("/"))

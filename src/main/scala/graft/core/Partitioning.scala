@@ -95,9 +95,22 @@ object Partitioning {
     * joining tables must share the bucket count (or a divisor — Spark
     * coalesces bucket scans); and bucketing only helps keys you
     * actually join/group on. */
-  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // A previous SESSION's write leaves the managed location on disk
+    // with no entry in this session's in-memory catalog; saveAsTable
+    // would then throw LOCATION_ALREADY_EXISTS even in overwrite mode
+    // (caught r13 — the second Verify run of q224 failed on the first
+    // run's directory). Drop any catalog entry AND clear the location.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.bucketBy(nBuckets, key).sortBy(key)
       .mode("overwrite").format("parquet").saveAsTable(table)
+  }
 
   /** Bloom-prefiltered equi-join: build a Bloom filter over the SMALL
     * side's join keys, drop big-side rows the filter rejects BEFORE the
