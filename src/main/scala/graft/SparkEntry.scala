@@ -253,6 +253,9 @@ object SparkEntry {
     "q231_dup_payments"    -> (Relational.q231 _),
     "q232_heaps_growth"    -> (TextOps.q232 _),
     "q233_centroid_sep"    -> (Similarity.q233 _),
+    "q234_audience_overlap" -> (Relational.q234 _),
+    "q235_rrf_fusion"      -> (TextOps.q235 _),
+    "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
@@ -437,6 +440,60 @@ object SparkEntry {
         "ROUND(SQRT(list_sum(list((a.cv - b.cv) * (a.cv - b.cv) ORDER BY a.pos))), 6) AS dist " +
         "FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label " +
         "GROUP BY a.label, b.label ORDER BY label_a, label_b"),
+    // q234: audience overlap — distinct (user, cat) self-join on user,
+    // exact counts, Jaccard + lift as single rounded divides.
+    "q234_audience_overlap" ->
+      ("WITH ud AS (SELECT DISTINCT user_id AS u, event_type AS cat FROM events), " +
+        "s AS (SELECT cat, CAST(COUNT(*) AS BIGINT) AS n FROM ud GROUP BY 1), " +
+        "t AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS tot FROM ud), " +
+        "co AS (SELECT a.cat AS cat_a, b.cat AS cat_b, CAST(COUNT(*) AS BIGINT) AS co " +
+        "FROM ud a JOIN ud b ON a.u = b.u AND a.cat < b.cat GROUP BY 1, 2) " +
+        "SELECT cat_a, cat_b, sa.n AS n_a, sb.n AS n_b, co, " +
+        "ROUND(CAST(co AS DOUBLE) / CAST(sa.n + sb.n - co AS DOUBLE), 6) AS jaccard, " +
+        "ROUND(CAST(co AS DOUBLE) * CAST(tot AS DOUBLE) / CAST(sa.n * sb.n AS DOUBLE), 6) AS lift " +
+        "FROM co JOIN s sa ON sa.cat = co.cat_a JOIN s sb ON sb.cat = co.cat_b CROSS JOIN t " +
+        "ORDER BY cat_a, cat_b"),
+    // q235: RRF fusion — BM25 top-50 (q84's CTE chain) fused with the
+    // corpus quality order; quality rank via exact ≤-count, never a
+    // global sort; 1e0 literals keep both engines in doubles.
+    "q235_rrf_fusion" ->
+      ("WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents), " +
+        "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(len(string_split(text, ' '))) AS avgdl FROM documents), " +
+        "tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents), " +
+        "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok WHERE w IN ('dup', 'hash', 'window') GROUP BY doc_id, w), " +
+        "dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w), " +
+        "sc AS (SELECT tf.doc_id, ROUND(list_sum(list(" +
+        "LN((st.n - dfq.df + 0.5e0) / (dfq.df + 0.5e0) + 1e0) * tf.tf * 2.2e0 / " +
+        "(tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / st.avgdl)) " +
+        "ORDER BY tf.w)), 6) AS score " +
+        "FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN st GROUP BY tf.doc_id), " +
+        "c50 AS (SELECT doc_id, r1 FROM (SELECT doc_id, " +
+        "ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r1 FROM sc) WHERE r1 <= 50), " +
+        "q AS (SELECT doc_id AS qid, " +
+        "ROUND(CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS qsr " +
+        "FROM documents), " +
+        "ck AS (SELECT c.doc_id, c.r1, q.qsr AS csr FROM c50 c JOIN q ON q.qid = c.doc_id), " +
+        "r2 AS (SELECT ck.doc_id, ck.r1, CAST(COUNT(*) AS BIGINT) AS r2 FROM q JOIN ck " +
+        "ON (q.qsr < ck.csr OR (q.qsr = ck.csr AND q.qid <= ck.doc_id)) GROUP BY 1, 2), " +
+        "f AS (SELECT doc_id, CAST(r1 AS BIGINT) AS r1, r2, " +
+        "ROUND(1e0 / (60 + r1) + 1e0 / (60 + r2), 6) AS rrf FROM r2) " +
+        "SELECT doc_id, r1, r2, rrf, rank FROM (SELECT doc_id, r1, r2, rrf, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank FROM f) " +
+        "WHERE rank <= 20 ORDER BY rank"),
+    // q236: price-volume bridge — exact BIGINT qty / decimal revenue,
+    // two-term decomposition summing exactly to the revenue delta.
+    "q236_price_volume" ->
+      ("WITH b AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mo, l_returnflag, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "l AS (SELECT mo, l_returnflag, qty, rev, " +
+        "LAG(qty) OVER (PARTITION BY l_returnflag ORDER BY mo) AS qty_p, " +
+        "LAG(rev) OVER (PARTITION BY l_returnflag ORDER BY mo) AS rev_p FROM b) " +
+        "SELECT mo, l_returnflag, qty, CAST(rev AS DOUBLE) AS rev, " +
+        "ROUND(CAST(rev AS DOUBLE) - CAST(rev_p AS DOUBLE), 6) AS rev_delta, " +
+        "ROUND(CAST(qty - qty_p AS DOUBLE) * (CAST(rev_p AS DOUBLE) / CAST(qty_p AS DOUBLE)), 6) AS volume_effect, " +
+        "ROUND((CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE) - CAST(rev_p AS DOUBLE) / CAST(qty_p AS DOUBLE)) * CAST(qty AS DOUBLE), 6) AS price_effect " +
+        "FROM l WHERE qty_p IS NOT NULL ORDER BY mo, l_returnflag"),
     // q231: duplicate-payment audit — customer-keyed self-join,
     // 30-day + 5000-amount band filters, halved by orderkey order.
     "q231_dup_payments" ->

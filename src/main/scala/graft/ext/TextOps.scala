@@ -1835,9 +1835,28 @@ object TextOps {
     * BIGINTs, TTR the one rounded divide. Doc order is (doc_id) —
     * unique, so both engines rank identically. */
   def heapsGrowth(docs: DataFrame, nCheckpoints: Int): DataFrame = {
-    val ranked = docs.select(col("source"), col("doc_id"), col("text"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("source").orderBy("doc_id")).cast("long"))
+    // Per-source doc rank via the TWO-PHASE prefix count (the q204/q206
+    // machinery): sources are FEW, so row_number over
+    // Window.partitionBy(source) would sort N/|sources| docs in one
+    // task — the low-cardinality-group trap this repo keeps finding.
+    // Range-repartition on (source, doc_id) keeps each source's docs
+    // globally ordered across partitions; rank = local row_number +
+    // per-(source, pid) offset. The persist is load-bearing: both
+    // branches must see ONE range sample or the pid boundaries
+    // disagree between local ranks and offsets.
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val part = docs.select(col("source"), col("doc_id"), col("text"))
+      .repartitionByRange(p, col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id()).persist()
+    val local = part.withColumn("lr", row_number().over(
+      Window.partitionBy("pid", "source").orderBy("doc_id")))
+    val offsets = part.groupBy("pid", "source").agg(count(lit(1)).as("pc"))
+      .withColumn("off", coalesce(sum("pc").over(
+        Window.partitionBy("source").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "source", "off")
+    val ranked = local.join(broadcast(offsets), Seq("pid", "source"))
+      .withColumn("r", (col("off") + col("lr")).cast("long"))
     val docTok = ranked.select(col("source"), col("r"),
       size(split(col("text"), " ")).cast("long").as("tc"))
     val firstOcc = ranked
@@ -1857,14 +1876,56 @@ object TextOps {
     val types = firstOcc.join(cps, Seq("source"))
       .filter(col("fr") <= col("cr"))
       .groupBy("source", "cp").agg(count(lit(1)).as("n_types"))
-    toks.join(types, Seq("source", "cp"))
+    val out = toks.join(types, Seq("source", "cp"))
       .select(col("source"), col("cp"), col("cr").as("n_docs"),
         col("n_tokens"), col("n_types"),
         round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
           .as("ttr"))
+      .localCheckpoint(true) // pin-then-release (the packShards lifecycle)
+    part.unpersist()
+    out
   }
 
   /** Q232 — vocabulary growth at 10 checkpoints per source. */
   def q232(s: SparkSession, d: String): DataFrame =
     heapsGrowth(Tables.documents(s, d), 10).orderBy("source", "cp")
+
+  /** Reciprocal-rank fusion of a relevance ranking with a quality
+    * prior (Cormack/Clarke/Büttcher 2009) — the hybrid-retrieval
+    * rerank every modern RAG/search stack runs: final score
+    * Σ 1/(K + rankᵢ) over the fused lists. List 1 is BM25 top-`cand`;
+    * list 2 is the CORPUS-WIDE quality order (q30/q85's 4dp stopword
+    * ratio, doc_id tie-break). The scale trap is list 2: a global
+    * row_number over the corpus is one task — instead each candidate's
+    * quality rank is computed as an exact ≤-COUNT against the corpus
+    * (|cands| × corpus rows through one broadcast-join agg, never a
+    * global sort — the rank of x is |{y : key(y) ≤ key(x)}| on the
+    * UNIQUE (sr, doc_id) key). RRF scores are one IEEE sum of two
+    * reciprocals, rounded 6dp; ties broken by doc_id. */
+  def rrfFusion(docs: DataFrame, terms: Seq[String], cand: Int = 50,
+      topn: Int = 20, rrfK: Int = 60): DataFrame = {
+    val cands = bm25(docs, terms, k = cand)
+      .select(col("doc_id"), col("rank").as("r1"))
+    val q = docs.select(col("doc_id").as("qid"),
+      round(tokenRatio(col("text"), stopwords), 4).as("qsr"))
+    val candKeys = cands.join(
+      q.select(col("qid").as("doc_id"), col("qsr").as("csr")), "doc_id")
+    val r2 = q.join(broadcast(candKeys),
+        col("qsr") < col("csr") ||
+          (col("qsr") === col("csr") && col("qid") <= col("doc_id")))
+      .groupBy("doc_id", "r1")
+      .agg(count(lit(1)).as("r2"))
+    r2.select(col("doc_id"), col("r1"), col("r2"),
+        round(lit(1.0d) / (lit(rrfK) + col("r1")) +
+          lit(1.0d) / (lit(rrfK) + col("r2")), 6).as("rrf"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf").desc, col("doc_id"))).cast("bigint"))
+      .filter(col("rank") <= topn)
+  }
+
+  /** Q235 — BM25 ⊕ quality-prior reciprocal-rank fusion, top-20. */
+  def q235(s: SparkSession, d: String): DataFrame =
+    rrfFusion(Tables.documents(s, d), Seq("dup", "hash", "window"))
+      .orderBy("rank")
 }

@@ -4622,4 +4622,74 @@ object Relational {
   def q231(s: SparkSession, d: String): DataFrame =
     duplicatePayments(Tables.orders(s, d), 30, 5000.0)
       .orderBy("cust", "order_a", "order_b")
+
+  /** Audience-overlap matrix — pairwise Jaccard + lift between the
+    * DISTINCT-user audiences of each category (the segment-overlap
+    * read behind "can I target these independently"; q148 is the same
+    * algebra over document fingerprints, this is the behavioral-
+    * audience form with the lift denominator). One distinct shuffle on
+    * (user, cat), one self-join on user (per-user category lists are
+    * ≤|cats| — bounded fanout), exact BIGINT counts; Jaccard and lift
+    * are single rounded divides. Output is cats² rows — dimension-
+    * bounded. */
+  def audienceOverlap(ev: DataFrame, userCol: String,
+      catCol: String): DataFrame = {
+    val ud = ev.select(col(userCol).as("u"), col(catCol).as("cat")).distinct()
+    val sizes = ud.groupBy("cat").agg(count(lit(1)).as("n"))
+    val total = ud.select("u").distinct().agg(count(lit(1)).as("tot"))
+    val co = ud.as("a").join(ud.as("b"),
+        col("a.u") === col("b.u") && col("a.cat") < col("b.cat"))
+      .groupBy(col("a.cat").as("cat_a"), col("b.cat").as("cat_b"))
+      .agg(count(lit(1)).as("co"))
+    co.join(broadcast(sizes.select(col("cat").as("cat_a"), col("n").as("n_a"))),
+        "cat_a")
+      .join(broadcast(sizes.select(col("cat").as("cat_b"), col("n").as("n_b"))),
+        "cat_b")
+      .crossJoin(broadcast(total))
+      .select(col("cat_a"), col("cat_b"), col("n_a"), col("n_b"), col("co"),
+        round(col("co").cast("double") /
+          (col("n_a") + col("n_b") - col("co")).cast("double"), 6).as("jaccard"),
+        round(col("co").cast("double") * col("tot").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+  }
+
+  /** Q234 — event-type audience overlap over events. */
+  def q234(s: SparkSession, d: String): DataFrame =
+    audienceOverlap(Tables.events(s, d), "user_id", "event_type")
+      .orderBy("cat_a", "cat_b")
+
+  /** Price–volume bridge — the MoM revenue-delta decomposition every
+    * finance review runs (ΔRev = volume effect + price effect, the
+    * two-term bridge: (q_t−q_{t−1})·p_{t−1} + (p_t−p_{t−1})·q_t, which
+    * sums EXACTLY to ΔRev in real arithmetic — the identity the
+    * waterfall chart relies on). Quantities are exact BIGINTs, revenue
+    * exact decimal; prices and effects are the only IEEE steps. The
+    * LAG runs over the bounded months × groups frame. */
+  def priceVolumeBridge(li: DataFrame, groupCol: String): DataFrame = {
+    val base = li.groupBy(
+        date_trunc("month", col("l_shipdate")).cast("date").as("mo"),
+        col(groupCol))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+    val w = Window.partitionBy(groupCol).orderBy("mo")
+    val lagged = base
+      .withColumn("qty_p", lag(col("qty"), 1).over(w))
+      .withColumn("rev_p", lag(col("rev"), 1).over(w))
+      .filter(col("qty_p").isNotNull)
+    lagged.select(col("mo"), col(groupCol), col("qty"),
+        col("rev").cast("double").as("rev"),
+        round(col("rev").cast("double") - col("rev_p").cast("double"), 6)
+          .as("rev_delta"),
+        round((col("qty") - col("qty_p")).cast("double") *
+          (col("rev_p").cast("double") / col("qty_p").cast("double")), 6)
+          .as("volume_effect"),
+        round((col("rev").cast("double") / col("qty").cast("double") -
+          col("rev_p").cast("double") / col("qty_p").cast("double")) *
+          col("qty").cast("double"), 6).as("price_effect"))
+  }
+
+  /** Q236 — monthly price–volume bridge per return flag. */
+  def q236(s: SparkSession, d: String): DataFrame =
+    priceVolumeBridge(Tables.lineitem(s, d), "l_returnflag")
+      .orderBy("mo", "l_returnflag")
 }
