@@ -254,6 +254,10 @@ object SparkEntry {
     "q232_heaps_growth"    -> (TextOps.q232 _),
     "q233_centroid_sep"    -> (Similarity.q233 _),
     "q234_audience_overlap" -> (Relational.q234 _),
+    "q237_band_join"       -> (Relational.q237 _),
+    "q238_locf_fill"       -> (Relational.q238 _),
+    "q239_mode"            -> (Relational.q239 _),
+    "q240_winsorized"      -> (Relational.q240 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -440,6 +444,56 @@ object SparkEntry {
         "ROUND(SQRT(list_sum(list((a.cv - b.cv) * (a.cv - b.cv) ORDER BY a.pos))), 6) AS dist " +
         "FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label " +
         "GROUP BY a.label, b.label ORDER BY label_a, label_b"),
+    // q237: band join — inline range dimension, broadcast non-equi
+    // containment, exact decimal bounds and rollups.
+    "q237_band_join" ->
+      ("WITH rev AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM orders GROUP BY 1), " +
+        "t AS (SELECT * FROM (VALUES " +
+        "('T1_bronze', CAST(0 AS DECIMAL(18,2)), CAST(200000 AS DECIMAL(18,2))), " +
+        "('T2_silver', CAST(200000 AS DECIMAL(18,2)), CAST(500000 AS DECIMAL(18,2))), " +
+        "('T3_gold', CAST(500000 AS DECIMAL(18,2)), CAST(900000 AS DECIMAL(18,2))), " +
+        "('T4_platinum', CAST(900000 AS DECIMAL(18,2)), CAST(100000000 AS DECIMAL(18,2)))" +
+        ") v(tier, lo, hi)) " +
+        "SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_customers, " +
+        "CAST(SUM(rev) AS DOUBLE) AS tier_rev, CAST(MIN(rev) AS DOUBLE) AS rev_min, " +
+        "CAST(MAX(rev) AS DOUBLE) AS rev_max " +
+        "FROM rev JOIN t ON rev >= lo AND rev < hi GROUP BY tier ORDER BY tier"),
+    // q238: LOCF imputation — q107's spine + IGNORE NULLS carry,
+    // exact decimal daily observations.
+    "q238_locf_fill" ->
+      ("WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events WHERE value > 300), " +
+        "d AS (SELECT day, event_type, SUM(CAST(value AS DECIMAL(18,2))) AS dv FROM e GROUP BY 1, 2), " +
+        "span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e), " +
+        "spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span), " +
+        "g AS (SELECT DISTINCT event_type FROM e), " +
+        "j AS (SELECT spine.day AS day, g.event_type, d.dv FROM spine CROSS JOIN g " +
+        "LEFT JOIN d ON d.day = spine.day AND d.event_type = g.event_type), " +
+        "f AS (SELECT day, event_type, dv, LAST_VALUE(dv IGNORE NULLS) OVER " +
+        "(PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled FROM j) " +
+        "SELECT day, event_type, CAST(filled AS DOUBLE) AS value_filled, dv IS NULL AS imputed " +
+        "FROM f WHERE filled IS NOT NULL ORDER BY day, event_type"),
+    // q239: mode aggregate — explicit (count DESC, value) tie policy
+    // on both engines (never the engines' own mode()).
+    "q239_mode" ->
+      ("WITH o AS (SELECT c_mktsegment, o_orderpriority FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "c AS (SELECT c_mktsegment, o_orderpriority AS v, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1, 2), " +
+        "t AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows FROM o GROUP BY 1), " +
+        "r AS (SELECT c_mktsegment, v, n, ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY n DESC, v) AS rk FROM c) " +
+        "SELECT r.c_mktsegment AS c_mktsegment, v AS mode_value, n AS mode_count, " +
+        "ROUND(CAST(n AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS mode_share " +
+        "FROM r JOIN t ON r.c_mktsegment = t.c_mktsegment WHERE rk = 1 ORDER BY c_mktsegment"),
+    // q240: winsorized stats — percentile_disc element clamps, decimal
+    // quantized sum, one rounded divide.
+    "q240_winsorized" ->
+      ("WITH v AS (SELECT l_returnflag, l_extendedprice AS x FROM lineitem), " +
+        "b AS (SELECT l_returnflag, percentile_disc(0.05) WITHIN GROUP (ORDER BY x) AS p05, " +
+        "percentile_disc(0.95) WITHIN GROUP (ORDER BY x) AS p95 FROM v GROUP BY 1) " +
+        "SELECT v.l_returnflag AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN x < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo, " +
+        "CAST(SUM(CASE WHEN x > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi, " +
+        "MIN(p05) AS p05, MIN(p95) AS p95, " +
+        "ROUND(CAST(SUM(CAST(LEAST(GREATEST(x, p05), p95) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean " +
+        "FROM v JOIN b ON v.l_returnflag = b.l_returnflag GROUP BY v.l_returnflag ORDER BY l_returnflag"),
     // q234: audience overlap — distinct (user, cat) self-join on user,
     // exact counts, Jaccard + lift as single rounded divides.
     "q234_audience_overlap" ->

@@ -4692,4 +4692,141 @@ object Relational {
   def q236(s: SparkSession, d: String): DataFrame =
     priceVolumeBridge(Tables.lineitem(s, d), "l_returnflag")
       .orderBy("mo", "l_returnflag")
+
+  /** Band join — the classic warehouse range-dimension lookup (spend
+    * tiers, age brackets, tax bands): fact rows match the dimension
+    * row whose [lo, hi) interval contains the value. The band table
+    * is TINY by definition — broadcast, so the non-equi predicate is
+    * a bounded BroadcastNestedLoopJoin (k·n comparisons, never a
+    * shuffle); the alternative equi-form (precompute the band id by
+    * CASE) is what the optimizer can't do when bands live in a TABLE.
+    * Exact decimal bounds comparison; per-tier rollup exact. */
+  def bandJoin(facts: DataFrame, valueCol: String, bands: DataFrame,
+      loCol: String = "lo", hiCol: String = "hi"): DataFrame =
+    facts.join(broadcast(bands),
+      col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+
+  /** Q237 — customer spend tiers via band join: per tier, customer
+    * count and exact revenue total. The band table is inline (the
+    * warehouse case is a real dimension table; semantics identical). */
+  def q237(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val tiers = Seq(
+      ("T1_bronze", 0L, 200000L), ("T2_silver", 200000L, 500000L),
+      ("T3_gold", 500000L, 900000L), ("T4_platinum", 900000L, 100000000L))
+      .toDF("tier", "lo", "hi")
+      .select(col("tier"), col("lo").cast("decimal(18,2)").as("lo"),
+        col("hi").cast("decimal(18,2)").as("hi"))
+    bandJoin(rev, "rev", tiers)
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("rev").as("tier_rev"),
+        min("rev").as("rev_min"), max("rev").as("rev_max"))
+      .select(col("tier"), col("n_customers"),
+        col("tier_rev").cast("double").as("tier_rev"),
+        col("rev_min").cast("double").as("rev_min"),
+        col("rev_max").cast("double").as("rev_max"))
+      .orderBy("tier")
+  }
+
+  /** LOCF imputation — last-observation-carried-forward over the
+    * gap-filled calendar (the time-series imputation q107's zero-fill
+    * can't express: a metric that PERSISTS between observations —
+    * balances, prices, gauge readings — must carry, not zero). The
+    * spine is calendar × groups (bounded), the carry is
+    * `last(value, ignoreNulls)` over the per-group day order — a
+    * window over the BOUNDED spine frame, not the event stream; the
+    * daily observation itself is an exact decimal agg. */
+  def locfFill(ev: DataFrame, groupCol: String, value: Column): DataFrame = {
+    val days = ev.select(to_date(col("ts")).as("day"), col(groupCol),
+      value.as("v"))
+    val daily = days.groupBy("day", groupCol)
+      .agg(sum(col("v").cast("decimal(18,2)")).as("dv"))
+    val span = days.agg(min("day").as("d0"), max("day").as("d1"))
+    val spine = span.select(
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val groups = days.select(groupCol).distinct()
+    val w = Window.partitionBy(groupCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.crossJoin(broadcast(groups))
+      .join(daily, Seq("day", groupCol), "left")
+      .withColumn("filled", last(col("dv"), ignoreNulls = true).over(w))
+      .select(col("day"), col(groupCol),
+        col("filled").cast("double").as("value_filled"),
+        col("dv").isNull.as("imputed"))
+      .filter(col("filled").isNotNull)
+  }
+
+  /** Q238 — LOCF-filled daily purchase value per event type over the
+    * sparse value>300 slice (q107's gating argument: most cells are
+    * genuinely missing, so the carry does real work). */
+  def q238(s: SparkSession, d: String): DataFrame =
+    locfFill(Tables.events(s, d).filter(col("value") > 300),
+      "event_type", col("value"))
+      .orderBy("day", "event_type")
+
+  /** Mode aggregate — the most frequent value per group with a TOTAL
+    * tie-break (count DESC, value ASC): the one classic aggregate the
+    * suite lacked (DuckDB ships mode(); Spark doesn't — engine-
+    * arbitrary ties are the cross-engine fail, so the tie policy is
+    * explicit on both sides). Counts exact; the pick is a rank-1
+    * filter over the (groups × distinct values) frame — bounded by
+    * the value vocabulary, partitioned per group. */
+  def modeBy(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valCol).as("v"))
+      .agg(count(lit(1)).as("n"))
+    val tot = df.groupBy(groupCol).agg(count(lit(1)).as("n_rows"))
+    counts.withColumn("rk", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("n").desc, col("v"))))
+      .filter(col("rk") === 1).drop("rk")
+      .join(broadcast(tot), Seq(groupCol))
+      .select(col(groupCol), col("v").as("mode_value"),
+        col("n").as("mode_count"),
+        round(col("n").cast("double") / col("n_rows").cast("double"), 6)
+          .as("mode_share"))
+  }
+
+  /** Q239 — modal order priority per market segment. */
+  def q239(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority"))
+    modeBy(o, "c_mktsegment", "o_orderpriority").orderBy("c_mktsegment")
+  }
+
+  /** Winsorized statistics — clamp (don't drop) the tails at the
+    * p05/p95 ELEMENTS (percentile_disc — exact order statistics, so
+    * both engines clamp at identical boundaries; q143's trimmed mean
+    * is the dropping sibling). The clamped values quantize to
+    * DECIMAL(18,2) (prices are cents-exact, the boundaries are
+    * elements of the same set), so the winsorized mean is an exact
+    * sum + one rounded divide — no cross-row float folds. */
+  def winsorizedStats(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val v = df.select(col(groupCol), col(valCol).as("x"))
+    val bounds = v.groupBy(groupCol).agg(
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY x)").as("p05"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY x)").as("p95"))
+    v.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("cx", least(greatest(col("x"), col("p05")), col("p95"))
+        .cast("decimal(18,2)"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") < col("p05"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(col("x") > col("p95"), 1L).otherwise(0L)).as("n_clamped_hi"),
+        min("p05").as("p05"), min("p95").as("p95"),
+        sum("cx").as("sx"))
+      .select(col(groupCol), col("n"), col("n_clamped_lo"),
+        col("n_clamped_hi"), col("p05"), col("p95"),
+        round(col("sx").cast("double") / col("n").cast("double"), 6)
+          .as("winsorized_mean"))
+  }
+
+  /** Q240 — winsorized price statistics per return flag. */
+  def q240(s: SparkSession, d: String): DataFrame =
+    winsorizedStats(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
+      .orderBy("l_returnflag")
 }
