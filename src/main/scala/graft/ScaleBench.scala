@@ -669,6 +669,71 @@ object ScaleBench {
     }
   }
 
+  /** bi mode (r13): growth curves for the BI/audit tier added this
+    * round, each over a synthetic orders-shaped frame (10 orders per
+    * customer, 5 segments, amounts hashed uniform, dates spread over
+    * ~2 years). What each curve must show:
+    *  - deciles: two-phase prefix rank — linear (the global-ntile form
+    *    this replaced is the one-task sort);
+    *  - dup_pairs: per-customer self-join — bounded 10² fanout per
+    *    group, linear overall;
+    *  - streaks: per-user windows + rank-limit top-k — linear;
+    *  - interpurchase: per-customer LAG — linear;
+    *  - audience: distinct + user-keyed self-join (≤cats² per user) —
+    *    linear;
+    *  - winsorized: percentile_disc element bounds over 3 groups —
+    *    the buffering cost of exact order statistics, watched here
+    *    (the approx path is q52's sketch). */
+  private def runBi(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    import graft.operators.Relational
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    def timed(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val nCust = math.max(100L, n / 10)
+      val orders = spark.range(n).select(
+        (pmod(col("id"), lit(nCust)) + 1L).as("o_custkey"),
+        (pmod(col("id") * 2654435761L, lit(50000000L)).cast("double") / 100.0)
+          .as("o_totalprice"),
+        to_timestamp(date_add(lit("2023-01-01").cast("date"),
+          pmod(col("id") * 40503L, lit(700L)).cast("int"))).as("o_orderdate"),
+        col("id").as("o_orderkey")).persist()
+      val events = spark.range(n).select(
+        (pmod(col("id") * 2654435761L, lit(nCust))).as("user_id"),
+        timestamp_seconds(lit(1700000000L) +
+          pmod(col("id") * 7919L, lit(5184000L))).as("ts"),
+        concat(lit("t"), pmod(col("id"), lit(5L))).as("event_type"))
+        .persist()
+      orders.count(); events.count()
+      def revFrame = orders.groupBy(col("o_custkey").as("c_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val custDim = orders.select(col("o_custkey").as("c_custkey"))
+        .distinct()
+        .withColumn("c_mktsegment", concat(lit("S"), pmod(col("c_custkey"), lit(5L))))
+        .persist()
+      custDim.count()
+      if (i == 0) { // warmup, discarded
+        timed(Relational.spendDeciles(revFrame))
+        timed(Relational.topStreaks(events, 20))
+        sweep(); orders.count(); events.count(); custDim.count()
+      }
+      val deciles = timed(Relational.spendDeciles(revFrame))
+      val dup = timed(Relational.duplicatePayments(orders, 30, 100.0))
+      val streaks = timed(Relational.topStreaks(events, 20))
+      val inter = timed(Relational.interPurchase(orders, custDim))
+      val aud = timed(Relational.audienceOverlap(events, "user_id", "event_type"))
+      val wins = timed(Relational.winsorizedStats(
+        orders.withColumn("flag", concat(lit("F"), pmod(col("o_orderkey"), lit(3L)))),
+        "flag", "o_totalprice"))
+      orders.unpersist(); events.unpersist(); custDim.unpersist(); sweep()
+      println(f"""{"op":"bi","n_rows":$n,"deciles_sec":$deciles%.2f,"dup_pairs_sec":$dup%.2f,"streaks_sec":$streaks%.2f,"interpurchase_sec":$inter%.2f,"audience_sec":$aud%.2f,"winsorized_sec":$wins%.2f}""")
+    }
+  }
+
   /** Growth curves for the r12-continuation statistics tier: the rank
     * tests (two sorts / one sort), the distinct-value-bounded KS, the
     * single-agg Welch, the LAG-window burstiness, the top-k coverage
@@ -804,6 +869,13 @@ object ScaleBench {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(1000000L, 5000000L, 20000000L)
       runStats(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("bi")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(1000000L, 5000000L, 20000000L)
+      runBi(spark, sizes)
       spark.stop()
       return
     }

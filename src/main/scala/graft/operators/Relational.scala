@@ -4797,19 +4797,67 @@ object Relational {
     modeBy(o, "c_mktsegment", "o_orderpriority").orderBy("c_mktsegment")
   }
 
+  /** Two-phase exact discrete percentiles — the element
+    * percentile_disc(p) picks (smallest x whose cumulative row count
+    * reaches p·n), computed WITHOUT the engine's percentile_disc
+    * aggregate: that aggregate buffers every group row in ONE
+    * aggregation buffer, and with a low-cardinality group column the
+    * r13 `bi` curve read it SUPERLINEAR (3.7/16.4/96.2 s at
+    * 1/5/20 M, 3 groups). Here the values collapse to the distinct-
+    * value count frame, the cumulative is the q206 range-repartition
+    * two-phase prefix sum, and each percentile is a filtered min with
+    * the threshold kept as an exact RATIONAL (den·cum ≥ num·n — no
+    * 0.05 float boundary hazard). Returns (bounds frame, persisted
+    * part frame); caller owns checkpoint + unpersist (q204 lifecycle).
+    * ps entries are (numerator, denominator, output column name). */
+  private[graft] def discPercentilesLazy(v: DataFrame, groupCol: String,
+      ps: Seq[(Int, Int, String)]): (DataFrame, Seq[DataFrame]) = {
+    // dv is PERSISTED too: repartitionByRange's range-boundary SAMPLING
+    // is its own job, so an uncached dv would run the (mostly-distinct,
+    // spill-prone) value agg twice — measured as the dominant cost of
+    // the first cut of this helper (bi curve: ~100 s at 20 M either way
+    // until this cache landed).
+    val dv = v.groupBy(col(groupCol), col("x")).agg(count(lit(1)).as("w"))
+      .persist()
+    val p = v.sparkSession.sparkContext.defaultParallelism
+    val part = dv.repartitionByRange(p, col(groupCol), col("x"))
+      .withColumn("pid", spark_partition_id()).persist()
+    val local = part.withColumn("run", sum("w").over(
+      Window.partitionBy("pid", groupCol).orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ptots = part.groupBy("pid", groupCol).agg(sum("w").as("ptot"))
+    val offsets = ptots.withColumn("off", coalesce(sum("ptot").over(
+        Window.partitionBy(groupCol).orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col(groupCol), col("off"))
+    val tot = ptots.groupBy(groupCol).agg(sum("ptot").as("n"))
+    val cum = local.join(broadcast(offsets), Seq("pid", groupCol))
+      .withColumn("cum", col("off") + col("run"))
+      .join(broadcast(tot), Seq(groupCol))
+    // ONE scan computes every requested percentile as a conditional
+    // min — never one filtered pass per p.
+    val aggCols = ps.map { case (num, den, name) =>
+      min(when(col("cum") * den >= col("n") * num, col("x"))).as(name)
+    }
+    (cum.groupBy(groupCol).agg(aggCols.head, aggCols.tail: _*),
+      Seq(part, dv))
+  }
+
   /** Winsorized statistics — clamp (don't drop) the tails at the
-    * p05/p95 ELEMENTS (percentile_disc — exact order statistics, so
-    * both engines clamp at identical boundaries; q143's trimmed mean
-    * is the dropping sibling). The clamped values quantize to
-    * DECIMAL(18,2) (prices are cents-exact, the boundaries are
-    * elements of the same set), so the winsorized mean is an exact
-    * sum + one rounded divide — no cross-row float folds. */
+    * p05/p95 ELEMENTS (exact order statistics via
+    * [[discPercentilesLazy]], so both engines clamp at identical
+    * boundaries; q143's trimmed mean is the dropping sibling). The
+    * clamped values quantize to DECIMAL(18,2) (prices are
+    * cents-exact, the boundaries are elements of the same set), so
+    * the winsorized mean is an exact sum + one rounded divide — no
+    * cross-row float folds. */
   def winsorizedStats(df: DataFrame, groupCol: String,
       valCol: String): DataFrame = {
     val v = df.select(col(groupCol), col(valCol).as("x"))
-    val bounds = v.groupBy(groupCol).agg(
-      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY x)").as("p05"),
-      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY x)").as("p95"))
+    val (bounds0, pins) = discPercentilesLazy(v, groupCol,
+      Seq((1, 20, "p05"), (19, 20, "p95")))
+    val bounds = bounds0.localCheckpoint(true) // pin-then-release
+    pins.foreach(_.unpersist())
     v.join(broadcast(bounds), Seq(groupCol))
       .withColumn("cx", least(greatest(col("x"), col("p05")), col("p95"))
         .cast("decimal(18,2)"))
