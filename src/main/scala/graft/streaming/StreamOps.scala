@@ -35,6 +35,11 @@ case class CusumState(tsu: Long, eventId: Long, sPos: Double, sNeg: Double)
 case class CusumAlarm(user_id: Long, ts_us: Long, event_id: Long,
   direction: String, statistic: Double)
 
+/** S37 reservoir state: the k smallest (hash, id) pairs seen so far
+  * plus the seen-count — hard k-bounded regardless of stream age. */
+case class ReservoirState(ids: Array[Long], hashes: Array[Long], n: Long)
+case class ReservoirSample(group: String, n_seen: Long, sample_ids: Array[Long])
+
 /** S16 heavy-hitter state: Misra–Gries counters (≤ k entries). */
 case class MgState(ids: Array[Long], counts: Array[Long], n: Long)
 case class MgSummary(group: String, n: Long, ids: Array[Long],
@@ -1430,6 +1435,60 @@ object StreamOps {
             }
           state.update(st)
           out.iterator
+      }.toDF()
+  }
+
+  /** Deterministic 64-bit mix (splitmix64 finalizer) — the S37 sample
+    * priority. Public so the batch-parity side computes the SAME
+    * ranking. */
+  def mix64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** S37 — streaming deterministic reservoir sample: per group, the k
+    * events with the SMALLEST splitmix64(event_id) priority (the
+    * bottom-k-by-hash rule behind the batch exact-n sampler q89 and
+    * the KMV sketch): a uniform-without-replacement sample that is
+    * REPLAY-STABLE — arrival order, batching, and restarts cannot
+    * change it, because membership depends only on the id set seen
+    * (a true RNG reservoir resamples differently per run; this is the
+    * reproducibility contract a training-data pipeline needs). State
+    * is the k (hash, id) pairs + a count — hard-bounded forever; each
+    * batch emits a group's refreshed sample ONLY if it changed
+    * (Update mode). Parity: after any prefix, the sample equals the
+    * batch bottom-k over the same ids (pinned in StreamingSpec). */
+  def reservoirStream(events: DataFrame, k: Int): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("event_type"), col("event_id").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[(String, Long)],
+         state: GroupState[ReservoirState]) =>
+          val prev = state.getOption.getOrElse(
+            ReservoirState(Array.empty, Array.empty, 0L))
+          var n = prev.n
+          // (hash, id) total order; id tiebreak makes duplicates inert
+          var kept = prev.hashes.zip(prev.ids)
+          var changed = false
+          rows.foreach { case (_, id) =>
+            n += 1
+            val h = mix64(id)
+            if (!kept.contains((h, id))) {
+              val cand = (kept :+ ((h, id))).sorted.take(k)
+              if (!(cand sameElements kept)) { kept = cand; changed = true }
+            }
+          }
+          state.update(ReservoirState(kept.map(_._2), kept.map(_._1), n))
+          if (changed || prev.n == 0L)
+            Iterator.single(ReservoirSample(grp, n,
+              kept.sortBy(_._2).map(_._2)))
+          else Iterator.empty
       }.toDF()
   }
 }

@@ -880,6 +880,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == Set((4L, "up", 7.0), (7L, "down", 10.0)), s"got ${got.toSeq}")
   }
 
+  test("S37: deterministic reservoir sample is bottom-k by hash, replay-stable, emit-on-change only") {
+    def bottomK(ids: Seq[Long], k: Int): Seq[Long] =
+      ids.map(id => (StreamOps.mix64(id), id)).sorted.take(k).map(_._2).sorted
+    val in = MemoryStream[Ev]
+    val q = StreamOps.reservoirStream(in.toDF(), k = 3)
+      .writeStream.format("memory").queryName("s37").outputMode("update")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    in.addData((1L to 6L).map(i => ev(i, "a", i)): _*)
+    q.processAllAvailable()
+    val afterB1 = spark.table("s37").collect()
+      .map(r => (r.getLong(1), r.getSeq[Long](2).toSeq)).last
+    assert(afterB1 == ((6L, bottomK(1L to 6L, 3))), s"b1: $afterB1")
+    // batch 2: new ids — sample must equal batch bottom-k over the UNION
+    in.addData((7L to 10L).map(i => ev(i, "a", i)): _*)
+    q.processAllAvailable()
+    val rows2 = spark.table("s37").collect()
+      .map(r => (r.getLong(1), r.getSeq[Long](2).toSeq))
+    val expect2 = bottomK(1L to 10L, 3)
+    assert(rows2.last._1 == 10L)
+    // emit-on-change: if the union's bottom-k equals batch 1's, no new
+    // row was emitted and the last row still carries n=6
+    if (expect2 == bottomK(1L to 6L, 3))
+      assert(rows2.map(_._1).max == 6L, s"unchanged sample must not re-emit: ${rows2.toSeq}")
+    else assert(rows2.last._2 == expect2, s"b2: ${rows2.last}")
+    // batch 3: a DUPLICATE of an id already in the sample — counted,
+    // but the sample cannot change, so nothing re-emits
+    val dupId = expect2.head
+    val before = spark.table("s37").count()
+    in.addData(ev(100L, "a", dupId))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("s37").count() == before,
+      "duplicate id must not re-emit the sample")
+  }
+
   test("S34: heartbeat monitor alerts on silent keys only, once, with last-seen state") {
     // base offset: a ts equal to the INITIAL watermark (epoch 0) is
     // dropped as late by the stateful operator — the S10 base rule
