@@ -2032,20 +2032,19 @@ object Relational {
     * operands — no distributed float sum anywhere, so the gate is
     * exact without rounding.
     *
-    * Scale: two grouped aggregates on the same key and two broadcast
-    * joins of the tiny per-group stats frame back to the stream —
-    * never a window over the fact table. Exact percentiles carry the
-    * full per-group multiset (q39's declared form); the 100 TB tier
-    * swaps both to approx_percentile's mergeable sketch (q52) and the
-    * fence moves only within sketch error. */
+    * Scale: two [[discPercentiles]] median builds (the two-phase
+    * prefix machinery — r13 retired the buffering percentile_disc
+    * aggregate here after the `bi` curve read it superlinear on
+    * low-cardinality groups) and two broadcast joins of the tiny
+    * per-group stats frame back to the stream — never a window over
+    * the fact table; approx_percentile (q52) remains the documented
+    * sketch tier when even the distinct-value frame is too hot. */
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
       k: Double): DataFrame = {
-    val med = df.groupBy(groupCol).agg(
-      expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $valCol)").as("med"))
+    val med = discPercentiles(df, groupCol, valCol, Seq((1, 2, "med")))
     val withDev = df.join(broadcast(med), Seq(groupCol))
       .withColumn("abs_dev", abs(col(valCol) - col("med")))
-    val mad = withDev.groupBy(groupCol).agg(
-      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs_dev)").as("mad"))
+    val mad = discPercentiles(withDev, groupCol, "abs_dev", Seq((1, 2, "mad")))
     withDev.join(broadcast(mad), Seq(groupCol))
       .filter(col("abs_dev") > lit(k) * col("mad"))
   }
@@ -2079,14 +2078,14 @@ object Relational {
     * grouped count. */
   def equiDepthBins(df: DataFrame, groupCol: String, valCol: String,
       nBins: Int): DataFrame = {
-    val ps = (1 until nBins).map(i => i.toDouble / nBins)
-    val bexprs = ps.zipWithIndex.map { case (p, i) =>
-      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $valCol)").as(s"b$i")
-    }
-    val bounds = df.groupBy(groupCol).agg(bexprs.head, bexprs.tail: _*)
+    // r13: boundaries via the two-phase [[discPercentiles]] with exact
+    // RATIONAL thresholds (nBins·cum ≥ i·n ⟺ cume_dist ≥ i/nBins) —
+    // same elements, no buffering aggregate, no float boundary hazard.
+    val bounds = discPercentiles(df, groupCol, valCol,
+      (1 until nBins).map(i => (i, nBins, s"b${i - 1}")))
     val assigned = df.join(broadcast(bounds), Seq(groupCol))
       .withColumn("bin",
-        lit(1L) + ps.indices.map(i =>
+        lit(1L) + (0 until nBins - 1).map(i =>
           when(col(valCol) > col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _))
     assigned.groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("n"),
@@ -2225,9 +2224,14 @@ object Relational {
     * broadcast + one grouped decimal agg. */
   def trimmedMean(df: DataFrame, groupCol: String, valCol: String,
       pLo: Double, pHi: Double): DataFrame = {
-    val bounds = df.groupBy(groupCol).agg(
-      expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY $valCol)").as("lo"),
-      expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY $valCol)").as("hi"))
+    // r13: element bounds via the two-phase machinery; the doubles
+    // convert to exact percent rationals (5/100, 95/100 for q143)
+    def rat(p: Double): (Int, Int) = (math.round(p * 100).toInt, 100)
+    require(math.abs(rat(pLo)._1 / 100.0 - pLo) < 1e-9 &&
+      math.abs(rat(pHi)._1 / 100.0 - pHi) < 1e-9,
+      s"trim fractions must be whole percents, got ($pLo, $pHi)")
+    val bounds = discPercentiles(df, groupCol, valCol,
+      Seq((rat(pLo)._1, 100, "lo"), (rat(pHi)._1, 100, "hi")))
     df.join(broadcast(bounds), Seq(groupCol))
       .filter(col(valCol) >= col("lo") && col(valCol) <= col("hi"))
       .groupBy(groupCol)
@@ -4841,6 +4845,21 @@ object Relational {
     }
     (cum.groupBy(groupCol).agg(aggCols.head, aggCols.tail: _*),
       Seq(part, dv))
+  }
+
+  /** Materialized form of [[discPercentilesLazy]]: one tiny per-group
+    * bounds frame, checkpoint + release handled here. `ps` are
+    * (numerator, denominator, name) rationals. This is the designated
+    * replacement for every `percentile_disc` aggregate over a
+    * low-cardinality group column (q134/q135/q143/q240 ride it; the
+    * r13 `bi` curve measured the buffering aggregate superlinear). */
+  def discPercentiles(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[(Int, Int, String)]): DataFrame = {
+    val (bounds0, pins) = discPercentilesLazy(
+      df.select(col(groupCol), col(valCol).as("x")), groupCol, ps)
+    val bounds = bounds0.localCheckpoint(true) // pin-then-release
+    pins.foreach(_.unpersist())
+    bounds
   }
 
   /** Winsorized statistics — clamp (don't drop) the tails at the
