@@ -787,8 +787,13 @@ object ScaleBench {
         ev.select(col("event_type"), col("value"),
           (pmod(col("event_id"), lit(7L)) + 1L).as("w")),
         "event_type", "value", "w"))
+      // r13 port evidence: MAD's two chained median builds now ride
+      // discPercentiles — must stay flat-to-linear like weighted_median
+      val mad = timed(Relational.madOutliers(
+        ev.select("event_id", "event_type", "value"),
+        "event_type", "value", 3.0d))
       ev.unpersist(); sweep()
-      println(f"""{"op":"stats","n_events":$n,"spearman_sec":$spear%.2f,"mannwhitney_sec":$mw%.2f,"ks_sec":$ks%.2f,"welch_sec":$welch%.2f,"burstiness_sec":$burst%.2f,"coverage_sec":$cover%.2f,"cms_sec":$cms%.2f,"weighted_median_sec":$wmed%.2f}""")
+      println(f"""{"op":"stats","n_events":$n,"spearman_sec":$spear%.2f,"mannwhitney_sec":$mw%.2f,"ks_sec":$ks%.2f,"welch_sec":$welch%.2f,"burstiness_sec":$burst%.2f,"coverage_sec":$cover%.2f,"cms_sec":$cms%.2f,"weighted_median_sec":$wmed%.2f,"mad_sec":$mad%.2f}""")
     }
   }
 
