@@ -50,7 +50,21 @@ object PlanAudit {
     // frame; q232 crosses the per-source maxr frame (|sources| rows)
     // with the 10-row checkpoint spine; q233 is the labels² non-equi
     // centroid self-join — dimension-bounded by construction.
-    "q225_xyz_classes", "q232_heaps_growth", "q233_centroid_sep")
+    "q225_xyz_classes", "q232_heaps_growth", "q233_centroid_sep",
+    // r12-continuation queries first audited r13, reviewed one by one —
+    // every flag is a 1-row aggregate crossJoin (kmSurvival's horizon,
+    // anova's grand totals, degree-dist's node total, kappa's
+    // row/column-marginal product frame, growth accounting's week
+    // anchor) — the q203 class.
+    "q210_km_survival", "q211_anova", "q214_degree_dist",
+    "q218_cohens_kappa", "q221_growth_acct",
+    // r13 batch 3/4, reviewed: q234 crosses the 1-row audience total;
+    // q235's quality-rank ≤-count joins the 50-row candidate frame;
+    // q237's band table is tiny BY DEFINITION (the operator's whole
+    // point is broadcasting a range dimension); q238 crosses the
+    // day-spine with the groups frame (the q107 class).
+    "q234_audience_overlap", "q235_rrf_fusion", "q237_band_join",
+    "q238_locf_fill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.filter(_.startsWith("/"))
