@@ -258,6 +258,7 @@ object SparkEntry {
     "q238_locf_fill"       -> (Relational.q238 _),
     "q239_mode"            -> (Relational.q239 _),
     "q240_winsorized"      -> (Relational.q240 _),
+    "q241_set_similarity"  -> (TextOps.q241 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -444,6 +445,21 @@ object SparkEntry {
         "ROUND(SQRT(list_sum(list((a.cv - b.cv) * (a.cv - b.cv) ORDER BY a.pos))), 6) AS dist " +
         "FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label " +
         "GROUP BY a.label, b.label ORDER BY label_a, label_b"),
+    // q241: exact set-similarity join — the oracle is the NAIVE
+    // all-pairs gram self-join; the engine's prefix-filtered plan
+    // must reproduce it row-for-row (zero false negatives is the
+    // operator's whole contract). Threshold test in pure integers.
+    "q241_set_similarity" ->
+      ("WITH tok0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+5], ' ') AS gram " +
+        "FROM tok0, UNNEST(range(len(w) - 4)) AS t(i)), " +
+        "sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1), " +
+        "co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS co " +
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, co, sa.n AS na, sb.n AS nb, " +
+        "ROUND(CAST(co AS DOUBLE) / CAST(sa.n + sb.n - co AS DOUBLE), 6) AS jaccard " +
+        "FROM co JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
+        "WHERE co * 2 >= (sa.n + sb.n - co) ORDER BY doc_a, doc_b"),
     // q237: band join — inline range dimension, broadcast non-equi
     // containment, exact decimal bounds and rollups.
     "q237_band_join" ->

@@ -1928,4 +1928,66 @@ object TextOps {
   def q235(s: SparkSession, d: String): DataFrame =
     rrfFusion(Tables.documents(s, d), Seq("dup", "hash", "window"))
       .orderBy("rank")
+
+  /** EXACT set-similarity join with prefix filtering (Chaudhuri/
+    * Ganti/Kaushik SSJoin 2006; the PPJoin family) — every document
+    * pair whose word-`shingleN`-gram SETS have Jaccard ≥ num/den,
+    * with NO false negatives and NO approximation: the exact
+    * complement of the MinHash/LSH tier (q28 trades recall for
+    * candidate volume; this trades a frequency-ordered prefix index
+    * for exactness). The pruning theorem, applied per ORDERED pair
+    * (a < b): J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉, and A's suffix beyond
+    * its first |A| − ⌈t·|A|⌉ + 1 grams (rarest-first global order,
+    * tie by gram) holds only ⌈t·|A|⌉ − 1 elements — so any qualifying
+    * B must share a PREFIX gram of A. Candidates are prefix(A) ⋈
+    * full(B); verification is an exact intersection count on the
+    * candidate pairs only; the threshold test den·co ≥ num·(|A|+|B|−co)
+    * is pure integers (t never exists as a float anywhere).
+    *
+    * Scale: the df join shuffles on the gram key; the prefix cuts the
+    * probing side by the (1−t) factor; the candidate fanout is
+    * Σ_g df_prefix(g)·df(g) — rarest-first ordering minimizes it;
+    * every window partitions on the doc key (never low-cardinality).
+    * Oracle: DuckDB runs the NAIVE all-pairs gram self-join — the
+    * prefix-filtered plan must reproduce it row-for-row. */
+  def setSimilarityJoin(docs: DataFrame, num: Int, den: Int,
+      shingleN: Int = 5): DataFrame = {
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= shingleN)
+    val tok = w.select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("w")) - shingleN),
+          i => array_join(slice(col("w"), i + lit(1), lit(shingleN)), " ")))
+        .as("gram"))
+      .distinct()
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfq = tok.groupBy("gram").agg(count(lit(1)).as("df"))
+    val prefix = tok.join(dfq, "gram")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("gram"))))
+      .join(sz, "doc_id")
+      // L = n − ⌈t·n⌉ + 1 with the ceil kept rational: ⌈num·n/den⌉
+      .filter(col("rn") <=
+        col("n") - expr(s"CAST((n * $num + ${den - 1}) DIV $den AS BIGINT)") + 1)
+    val cand = prefix.select(col("doc_id").as("da"), col("gram"))
+      .join(tok.select(col("doc_id").as("db"), col("gram")), Seq("gram"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val co = cand
+      .join(tok.select(col("doc_id").as("da"), col("gram")), Seq("da"))
+      .join(tok.select(col("doc_id").as("db"), col("gram")), Seq("db", "gram"))
+      .groupBy("da", "db").agg(count(lit(1)).as("co"))
+    co.join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("co") * den >= (col("na") + col("nb") - col("co")) * num)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("co"),
+        col("na"), col("nb"),
+        round(col("co").cast("double") /
+          (col("na") + col("nb") - col("co")).cast("double"), 6).as("jaccard"))
+  }
+
+  /** Q241 — exact Jaccard ≥ 1/2 document pairs over 5-gram sets. */
+  def q241(s: SparkSession, d: String): DataFrame =
+    setSimilarityJoin(Tables.documents(s, d), 1, 2)
+      .orderBy("doc_a", "doc_b")
 }
