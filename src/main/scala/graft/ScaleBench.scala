@@ -861,8 +861,14 @@ object ScaleBench {
       val rep = timed(TextOps.repetitionAudit(docs))
       val lex = timed(TextOps.lexicalDiversity(docs))
       val zipf = timed(TextOps.zipfFit(docs, 1000))
+      // r13: exact set-similarity join (prefix filter) — the planted
+      // every-20th variants guarantee real qualifying pairs; the curve
+      // must track the candidate volume, never all-pairs
+      val t0 = System.nanoTime()
+      val ssPairs = TextOps.setSimilarityJoin(docs, 1, 2).count()
+      val ss = (System.nanoTime() - t0) / 1e9
       docs.unpersist(); sweep()
-      println(f"""{"op":"corpusq","n_docs":$n,"repetition_sec":$rep%.2f,"lexdiv_sec":$lex%.2f,"zipf_sec":$zipf%.2f}""")
+      println(f"""{"op":"corpusq","n_docs":$n,"repetition_sec":$rep%.2f,"lexdiv_sec":$lex%.2f,"zipf_sec":$zipf%.2f,"setsim_sec":$ss%.2f,"setsim_pairs":$ssPairs}""")
     }
   }
 
