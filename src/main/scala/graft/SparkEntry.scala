@@ -259,6 +259,7 @@ object SparkEntry {
     "q239_mode"            -> (Relational.q239 _),
     "q240_winsorized"      -> (Relational.q240 _),
     "q241_set_similarity"  -> (TextOps.q241 _),
+    "q242_exact_substr"    -> (TextOps.q242 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -460,6 +461,27 @@ object SparkEntry {
         "ROUND(CAST(co AS DOUBLE) / CAST(sa.n + sb.n - co AS DOUBLE), 6) AS jaccard " +
         "FROM co JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
         "WHERE co * 2 >= (sa.n + sb.n - co) ORDER BY doc_a, doc_b"),
+    // q242: ExactSubstr cross-document dedup (Lee et al. 2021) — the
+    // oracle rebuilds the overlapping 12-token windows with list
+    // slicing, duplicated = COUNT(DISTINCT doc_id) >= 2, coverage via
+    // range() position explosion, kept text re-joined in position
+    // order (NULL digest when everything was duplicated).
+    "q242_exact_substr" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM tok), " +
+        "wins AS (SELECT doc_id, i AS s, array_to_string(w[i:i+11], ' ') AS gram " +
+        "FROM n, UNNEST(range(1, CAST(n - 10 AS BIGINT))) AS t(i) WHERE n >= 12), " +
+        "dup AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df " +
+        "FROM wins GROUP BY gram) d WHERE df >= 2), " +
+        "cov AS (SELECT DISTINCT doc_id, s + j AS p FROM wins, UNNEST(range(12)) AS u(j) " +
+        "WHERE gram IN (SELECT gram FROM dup)), " +
+        "toks AS (SELECT doc_id, j AS p, w[j] AS tokw FROM n, UNNEST(range(1, CAST(n + 1 AS BIGINT))) AS t(j)), " +
+        "kept AS (SELECT t.doc_id, t.p, t.tokw FROM toks t LEFT JOIN cov c " +
+        "ON t.doc_id = c.doc_id AND t.p = c.p WHERE c.p IS NULL), " +
+        "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, " +
+        "md5(string_agg(tokw, ' ' ORDER BY p)) AS clean_md5 FROM kept GROUP BY doc_id) " +
+        "SELECT n.doc_id, n.n AS n_tokens, COALESCE(a.n_kept, 0) AS n_kept, a.clean_md5 " +
+        "FROM n LEFT JOIN agg a USING (doc_id) ORDER BY n.doc_id"),
     // q237: band join — inline range dimension, broadcast non-equi
     // containment, exact decimal bounds and rollups.
     "q237_band_join" ->

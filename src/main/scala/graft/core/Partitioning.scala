@@ -94,7 +94,14 @@ object Partitioning {
     * fixed at write time (pick ~ cluster cores at target scale);
     * joining tables must share the bucket count (or a divisor — Spark
     * coalesces bucket scans); and bucketing only helps keys you
-    * actually join/group on. */
+    * actually join/group on.
+    *
+    * SINGLE-WRITER contract (r13 advice): this call DROPS `table` and
+    * recursively deletes its default warehouse location before the
+    * write — two callers sharing a warehouse and a table name clobber
+    * each other mid-read. Concurrent/interleaved callers must pass
+    * distinct table names (the nightly-precompute shape this models
+    * has one writer per serving table by construction). */
   def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit = {
     val spark = df.sparkSession
     // A previous SESSION's write leaves the managed location on disk

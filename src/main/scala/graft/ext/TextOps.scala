@@ -1078,6 +1078,79 @@ object TextOps {
             x => x.getField("seg")), " ").as(textCol))
   }
 
+  /** Cross-document EXACT-SUBSTRING dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — the ExactSubstr modality that every major LLM
+    * corpus pipeline runs ALONGSIDE MinHash): remove every token that
+    * lies inside a ≥ k-token span occurring in ≥ 2 DISTINCT documents,
+    * at ARBITRARY offsets — the generalization of [[segmentDedup]]'s
+    * fixed non-overlapping segments to overlapping rolling k-token
+    * windows. The window reduction is exact: a shared span of length
+    * L ≥ k makes all of its L − k + 1 k-windows shared, and
+    * conversely a duplicated k-window IS a ≥ k-token shared span — so
+    * "token covered by some duplicated k-window" marks precisely the
+    * tokens of maximal cross-document duplicated spans (Lee et al. use
+    * a suffix array to find them; the rolling-window form is the
+    * shuffle-native equivalent at fixed k). Returns per-doc
+    * (n_tokens, n_kept, clean_md5 of the kept tokens in original
+    * order, NULL when everything was duplicated) — doc rows never
+    * disappear.
+    *
+    * Scale: one shuffle on the window string for document frequency
+    * (~1 window per token); duplicated-window starts come back via a
+    * LEFT SEMI join on the same gram key (NOT a forced broadcast —
+    * unlike q78's boilerplate tail, duplicated-span volume is
+    * data-dependent: a duplicated span of length L contributes
+    * L − k + 1 windows; AQE picks broadcast when the dup side is
+    * small); coverage explodes k positions per duplicated window —
+    * bounded by duplicated-content volume, not corpus volume; the
+    * kept-token anti-join and the reassembly agg both partition on
+    * doc_id. Nothing is all-pairs and no driver state exists. */
+  def exactSubstrDedup(
+      docs: DataFrame,
+      k: Int = 12,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"window k=$k must be >= 2")
+    val w = docs.select(col(idCol), split(col(textCol), " ").as("w"))
+      .withColumn("n", size(col("w")).cast("bigint"))
+    // overlapping k-windows, 1-based start positions
+    val wins = w.filter(col("n") >= k)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), (col("n") - k + 1).cast("int")),
+          s => struct(s.as("s"),
+            array_join(slice(col("w"), s, lit(k)), " ").as("gram"))))
+        .as("sw"))
+      .select(col(idCol), col("sw.s").as("s"), col("sw.gram").as("gram"))
+    val dup = wins.select(col("gram"), col(idCol)).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("gram")
+    val dupStarts = wins.join(dup, Seq("gram"), "left_semi")
+    val covered = dupStarts
+      .select(col(idCol), explode(sequence(col("s"), col("s") + (k - 1))).as("p"))
+      .distinct()
+    val toks = w.select(col(idCol), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).as("p"), col("tok"))
+    val kept = toks.join(covered, Seq(idCol, "p"), "left_anti")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")), " ")).as("clean_md5"))
+    w.select(col(idCol), col("n").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_md5"))
+  }
+
+  /** Q242 — ExactSubstr cross-document dedup under the ORACLE gate:
+    * 12-token rolling windows, duplicated = seen in ≥ 2 distinct docs
+    * (the fixture's near-dup prefixes are exactly the shared-span
+    * case q78's fixed segment grid can only partially align to). */
+  def q242(s: SparkSession, d: String): DataFrame =
+    exactSubstrDedup(Tables.documents(s, d)).orderBy("doc_id")
+
   /** Unigram-LM log-probability quality score — the statistical-LM
     * filter of the CCNet/RedPajama family (Wenzek et al. 2020, arXiv:
     * 1911.00359, which buckets docs by KenLM perplexity; the unigram
@@ -1939,26 +2012,58 @@ object TextOps {
     * (a < b): J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉, and A's suffix beyond
     * its first |A| − ⌈t·|A|⌉ + 1 grams (rarest-first global order,
     * tie by gram) holds only ⌈t·|A|⌉ − 1 elements — so any qualifying
-    * B must share a PREFIX gram of A. Candidates are prefix(A) ⋈
-    * full(B); verification is an exact intersection count on the
-    * candidate pairs only; the threshold test den·co ≥ num·(|A|+|B|−co)
-    * is pure integers (t never exists as a float anywhere).
+    * B must share a PREFIX gram of A. For the SELF-join both sides can
+    * be cut to their prefixes (candidates are prefix(A) ⋈ prefix(B)):
+    * if no common gram lies in both prefixes, the GLOBALLY smallest
+    * common gram sits past one side's prefix — say past ℓ(A) in A, so
+    * ALL common grams live in A's last ⌈t·|A|⌉ − 1 positions, giving
+    * co ≤ ⌈t·|A|⌉ − 1 < t·|A| ≤ t(|A|+|B|)/(1+t) ≤ co, a
+    * contradiction (the middle step uses |B| ≥ t·|A|, forced by J ≥ t).
+    * Verification is an exact intersection count on the candidate
+    * pairs only; the threshold test den·co ≥ num·(|A|+|B|−co) is pure
+    * integers (t never exists as a float anywhere).
     *
-    * Scale: the df join shuffles on the gram key; the prefix cuts the
-    * probing side by the (1−t) factor; the candidate fanout is
-    * Σ_g df_prefix(g)·df(g) — rarest-first ordering minimizes it;
-    * every window partitions on the doc key (never low-cardinality).
-    * Oracle: DuckDB runs the NAIVE all-pairs gram self-join — the
-    * prefix-filtered plan must reproduce it row-for-row. */
+    * r14 (verdict #2) — the two remaining PPJoin cuts, both LOSSLESS:
+    *  - LENGTH filter: J ≥ t ⟹ co ≤ min(na,nb) and co ≥ t(na+nb−co)
+    *    force t·nb ≤ na ≤ nb/t — in integers, nb·num ≤ na·den AND
+    *    na·num ≤ nb·den — applied AT candidate generation (sizes ride
+    *    the prefix rows), before the pair ever reaches distinct/verify.
+    *  - POSITIONAL filter: for ANY shared gram at per-doc ranks (i, j)
+    *    (rarest-first order), common grams before it number
+    *    ≤ min(i,j) − 1 and after it ≤ min(na−i, nb−j), so
+    *    co ≤ min(i,j) + min(na−i, nb−j); a qualifying pair needs
+    *    co ≥ α = ⌈num·(na+nb)/(num+den)⌉ (from den·co ≥ num·(na+nb−co)).
+    *    The bound is tested on the pair's globally-first shared prefix
+    *    gram (min (df, gram) struct — smallest ranks, tightest bound);
+    *    it upper-bounds co for EVERY shared gram, so pruning on any
+    *    one of them cannot drop a qualifying pair.
+    *
+    * Scale: the df join shuffles on the gram key; BOTH join sides are
+    * prefix-cut, so the candidate fanout is Σ_g df_prefix(g)² (vs the
+    * r13 Σ_g df_prefix(g)·df(g)); rarest-first ordering minimizes it;
+    * the length filter kills size-incompatible pairs inside the gram
+    * join's codegen stage and the positional filter cuts the verify
+    * join's probe set; every window partitions on the doc key (never
+    * low-cardinality). Oracle: DuckDB runs the NAIVE all-pairs gram
+    * self-join — the filtered plan must reproduce it row-for-row
+    * (zero-false-negatives IS the gate; r13→r14 hash unchanged). */
   def setSimilarityJoin(docs: DataFrame, num: Int, den: Int,
       shingleN: Int = 5): DataFrame = {
     val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= shingleN)
+    // tok feeds FOUR consumers (df agg, prefix window, verify ×2) and
+    // prefix feeds BOTH sides of the candidate self-join: without a
+    // materialization each reference re-runs the explode+distinct
+    // shuffle (and the window, twice) — measured 153 s vs 58 s at
+    // 250 k docs (corpusq curve, r14). localCheckpoint (the q130
+    // doctrine) computes each ONCE; Bench/callers sweep persisted
+    // blocks afterwards.
     val tok = w.select(col("doc_id"), explode(
         transform(sequence(lit(0), size(col("w")) - shingleN),
           i => array_join(slice(col("w"), i + lit(1), lit(shingleN)), " ")))
         .as("gram"))
       .distinct()
+      .localCheckpoint(true)
     val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfq = tok.groupBy("gram").agg(count(lit(1)).as("df"))
     val prefix = tok.join(dfq, "gram")
@@ -1969,10 +2074,29 @@ object TextOps {
       // L = n − ⌈t·n⌉ + 1 with the ceil kept rational: ⌈num·n/den⌉
       .filter(col("rn") <=
         col("n") - expr(s"CAST((n * $num + ${den - 1}) DIV $den AS BIGINT)") + 1)
-    val cand = prefix.select(col("doc_id").as("da"), col("gram"))
-      .join(tok.select(col("doc_id").as("db"), col("gram")), Seq("gram"))
-      .filter(col("da") < col("db"))
-      .select("da", "db").distinct()
+      .localCheckpoint(true)
+    // prefix ⋈ prefix on the gram, ordered pairs, LENGTH filter fused
+    // into the join stage (sizes already ride both prefix sides)
+    val matches = prefix.select(col("doc_id").as("da"), col("gram"),
+        col("df"), col("rn").as("ra"), col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("db"), col("gram"),
+        col("rn").as("rb"), col("n").as("nb")), Seq("gram"))
+      .filter(col("da") < col("db") &&
+        col("nb") * num <= col("na") * den &&
+        col("na") * num <= col("nb") * den)
+    // POSITIONAL filter on the globally-first shared prefix gram:
+    // min-struct by (df, gram) picks it; α in exact integer ceil.
+    val cand = matches
+      .groupBy("da", "db")
+      .agg(min(struct(col("df"), col("gram"), col("ra"), col("rb"),
+        col("na"), col("nb"))).as("m"))
+      .select(col("da"), col("db"),
+        col("m.ra").as("ra"), col("m.rb").as("rb"),
+        col("m.na").as("na"), col("m.nb").as("nb"))
+      .filter(least(col("ra"), col("rb")) +
+        least(col("na") - col("ra"), col("nb") - col("rb")) >=
+        expr(s"CAST(((na + nb) * $num + ${num + den - 1}) DIV ${num + den} AS BIGINT)"))
+      .select("da", "db")
     val co = cand
       .join(tok.select(col("doc_id").as("da"), col("gram")), Seq("da"))
       .join(tok.select(col("doc_id").as("db"), col("gram")), Seq("db", "gram"))

@@ -1401,6 +1401,11 @@ object StreamOps {
     * age (the batch form's whole-history window, collapsed). */
   def cusumStream(events: DataFrame, mu0: Double, slack: Double,
       threshold: Double, watermark: String = "10 seconds"): DataFrame = {
+    // A negative slack would let S+ and S- cross on the SAME event; the
+    // else-if below emits only the "up" alarm and leaves S- above
+    // threshold un-reset (mirrors ewmaStream's alpha domain check).
+    require(slack >= 0, s"slack=$slack must be >= 0")
+    require(threshold > 0, s"threshold=$threshold must be > 0")
     val s = events.sparkSession
     import s.implicits._
     def micros(ts: java.sql.Timestamp): Long =
@@ -1453,9 +1458,12 @@ object StreamOps {
     * bottom-k-by-hash rule behind the batch exact-n sampler q89 and
     * the KMV sketch): a uniform-without-replacement sample that is
     * REPLAY-STABLE — arrival order, batching, and restarts cannot
-    * change it, because membership depends only on the id set seen
+    * change it, because MEMBERSHIP depends only on the id set seen
     * (a true RNG reservoir resamples differently per run; this is the
-    * reproducibility contract a training-data pipeline needs). State
+    * reproducibility contract a training-data pipeline needs). The
+    * emitted `n` counts EVENTS processed — duplicate event_ids
+    * increment it even though they can never change the sample; only
+    * membership, not n, carries the id-set replay guarantee. State
     * is the k (hash, id) pairs + a count — hard-bounded forever; each
     * batch emits a group's refreshed sample ONLY if it changed
     * (Update mode). Parity: after any prefix, the sample equals the

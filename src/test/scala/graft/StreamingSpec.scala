@@ -898,12 +898,16 @@ class StreamingSpec extends SparkSpec {
     val rows2 = spark.table("s37").collect()
       .map(r => (r.getLong(1), r.getSeq[Long](2).toSeq))
     val expect2 = bottomK(1L to 10L, 3)
-    assert(rows2.last._1 == 10L)
     // emit-on-change: if the union's bottom-k equals batch 1's, no new
-    // row was emitted and the last row still carries n=6
+    // row was emitted and the last row still carries n=6 (the n==10
+    // assertion belongs ONLY to the emit branch — r13 advice: a leading
+    // unconditional assert made the no-re-emit branch dead code)
     if (expect2 == bottomK(1L to 6L, 3))
       assert(rows2.map(_._1).max == 6L, s"unchanged sample must not re-emit: ${rows2.toSeq}")
-    else assert(rows2.last._2 == expect2, s"b2: ${rows2.last}")
+    else {
+      assert(rows2.last._1 == 10L)
+      assert(rows2.last._2 == expect2, s"b2: ${rows2.last}")
+    }
     // batch 3: a DUPLICATE of an id already in the sample — counted,
     // but the sample cannot change, so nothing re-emits
     val dupId = expect2.head

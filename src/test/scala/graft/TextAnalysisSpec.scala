@@ -727,6 +727,68 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(("de", "und")) == ((1L, 1.0)) && !out.contains(("de", "en")))
   }
 
+  test("setSimilarityJoin (PPJoin prefix+length+positional) == naive all-pairs") {
+    // The filters are lossless by theorem; this pins it empirically:
+    // the filtered plan must equal the NAIVE gram self-join row-for-row
+    // on real fixture text, at two thresholds (q241's 1/2 and a looser
+    // 1/3 that admits more size-skewed pairs — the length-filter edge).
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    def naive(num: Int, den: Int, n: Int = 5) = {
+      val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= n)
+      val tok = w.select(col("doc_id"), explode(
+          transform(sequence(lit(0), size(col("w")) - n),
+            i => array_join(slice(col("w"), i + lit(1), lit(n)), " ")))
+          .as("gram"))
+        .distinct()
+      val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      tok.select(col("doc_id").as("da"), col("gram"))
+        .join(tok.select(col("doc_id").as("db"), col("gram")), Seq("gram"))
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("co"))
+        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .filter(col("co") * den >= (col("na") + col("nb") - col("co")) * num)
+        .select("da", "db", "co", "na", "nb")
+    }
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    for ((num, den) <- Seq((1, 2), (1, 3))) {
+      val got = key(TextOps.setSimilarityJoin(docs, num, den)
+        .select("doc_a", "doc_b", "co", "na", "nb"))
+      val want = key(naive(num, den))
+      assert(got == want,
+        s"t=$num/$den: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      assert(want.nonEmpty, s"t=$num/$den fixture yields no pairs — test is vacuous")
+    }
+  }
+
+  test("exactSubstrDedup: arbitrary-offset shared spans removed, within-doc repeats kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x1 x2 A B C D E y1"),  // shares A..E with doc 2 at offset 3
+      (2L, "A B C D E z1 z2 z3"),  // ...at offset 1
+      (3L, "p q r"),               // shorter than k — no windows, all kept
+      (4L, "m m m m m m m m")      // repeated WITHIN one doc only — kept
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.exactSubstrDedup(docs, k = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def digest(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 1: dup windows (A B C D)@3 and (B C D E)@4 cover p 3..7 = A..E
+    assert(out(1L) == ((8L, 3L, digest("x1 x2 y1"))), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((8L, 3L, digest("z1 z2 z3"))), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((3L, 3L, digest("p q r"))), s"doc3: ${out(3L)}")
+    assert(out(4L) == ((8L, 8L, digest("m m m m m m m m"))), s"doc4: ${out(4L)}")
+    // fully-duplicated doc: everything covered -> NULL digest, row stays
+    val all = Seq((1L, "A B C D E"), (2L, "A B C D E")).toDF("doc_id", "text")
+    val r = graft.ext.TextOps.exactSubstrDedup(all, k = 5).collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.isNullAt(3))).toMap
+    assert(r == Map(1L -> ((0L, true)), 2L -> ((0L, true))), s"full-dup: $r")
+  }
+
   test("lexicalDiversity: exact TTR and hapax share") {
     import spark.implicits._
     // "a a b c": 4 tokens, 3 types (ttr .75), hapax {b,c} → 2/3
