@@ -876,14 +876,24 @@ object ScaleBench {
       val rep = timed(TextOps.repetitionAudit(docs))
       val lex = timed(TextOps.lexicalDiversity(docs))
       val zipf = timed(TextOps.zipfFit(docs, 1000))
-      // r13: exact set-similarity join (prefix filter) — the planted
+      // r13: exact set-similarity join (r14: full PPJoin) — the planted
       // every-20th variants guarantee real qualifying pairs; the curve
       // must track the candidate volume, never all-pairs
       val t0 = System.nanoTime()
       val ssPairs = TextOps.setSimilarityJoin(docs, 1, 2).count()
       val ss = (System.nanoTime() - t0) / 1e9
+      sweep()
+      // r14: asymmetric containment join (same planted pairs qualify
+      // mutually at 2/3 — plus any one-sided coverage the soup throws)
+      val t1 = System.nanoTime()
+      val cnPairs = TextOps.containmentJoin(docs, 2, 3).count()
+      val cn = (System.nanoTime() - t1) / 1e9
+      sweep()
+      // r14: ExactSubstr dedup — the planted shared prefixes are
+      // exactly the ≥12-token cross-document span case
+      val es = timed(TextOps.exactSubstrDedup(docs))
       docs.unpersist(); sweep()
-      println(f"""{"op":"corpusq","n_docs":$n,"repetition_sec":$rep%.2f,"lexdiv_sec":$lex%.2f,"zipf_sec":$zipf%.2f,"setsim_sec":$ss%.2f,"setsim_pairs":$ssPairs}""")
+      println(f"""{"op":"corpusq","n_docs":$n,"repetition_sec":$rep%.2f,"lexdiv_sec":$lex%.2f,"zipf_sec":$zipf%.2f,"setsim_sec":$ss%.2f,"setsim_pairs":$ssPairs,"containment_sec":$cn%.2f,"containment_pairs":$cnPairs,"exactsubstr_sec":$es%.2f}""")
     }
   }
 

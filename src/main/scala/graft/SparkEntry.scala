@@ -260,6 +260,8 @@ object SparkEntry {
     "q240_winsorized"      -> (Relational.q240 _),
     "q241_set_similarity"  -> (TextOps.q241 _),
     "q242_exact_substr"    -> (TextOps.q242 _),
+    "q243_pipeline_v6"     -> (TextOps.q243 _),
+    "q244_containment"     -> (TextOps.q244 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -482,6 +484,44 @@ object SparkEntry {
         "md5(string_agg(tokw, ' ' ORDER BY p)) AS clean_md5 FROM kept GROUP BY doc_id) " +
         "SELECT n.doc_id, n.n AS n_tokens, COALESCE(a.n_kept, 0) AS n_kept, a.clean_md5 " +
         "FROM n LEFT JOIN agg a USING (doc_id) ORDER BY n.doc_id"),
+    // q243: pipeline v6 — ExactSubstr composed end-to-end; every CTE
+    // reuses a form already green in isolation (q242 window/coverage
+    // rebuild + kept-text reassembly, q63 global-window shard rebuild
+    // over the CLEANED text, q74 ordered digest).
+    "q243_pipeline_v6" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM tok), " +
+        "wins AS (SELECT doc_id, i AS s, array_to_string(w[i:i+11], ' ') AS gram " +
+        "FROM n, UNNEST(range(1, CAST(n - 10 AS BIGINT))) AS t(i) WHERE n >= 12), " +
+        "dup AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df " +
+        "FROM wins GROUP BY gram) d WHERE df >= 2), " +
+        "cov AS (SELECT DISTINCT doc_id, s + j AS p FROM wins, UNNEST(range(12)) AS u(j) " +
+        "WHERE gram IN (SELECT gram FROM dup)), " +
+        "toks AS (SELECT doc_id, j AS p, w[j] AS tokw FROM n, UNNEST(range(1, CAST(n + 1 AS BIGINT))) AS t(j)), " +
+        "kept AS (SELECT t.doc_id, t.p, t.tokw FROM toks t LEFT JOIN cov c " +
+        "ON t.doc_id = c.doc_id AND t.p = c.p WHERE c.p IS NULL), " +
+        "cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "string_agg(tokw, ' ' ORDER BY p) AS text FROM kept GROUP BY doc_id HAVING COUNT(*) >= 12), " +
+        "sh AS (SELECT doc_id, text, n_tokens, CAST(FLOOR((SUM(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0) AS BIGINT) AS shard FROM cl) " +
+        "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
+        "md5(string_agg(text, chr(10) ORDER BY doc_id)) AS digest " +
+        "FROM sh GROUP BY shard ORDER BY shard"),
+    // q244: containment join — the oracle is the NAIVE all-pairs gram
+    // self-join with the asymmetric threshold den*co >= num*|A| over
+    // ORDERED pairs (a != b); the prefix-filtered plan must reproduce
+    // it row-for-row.
+    "q244_containment" ->
+      ("WITH tok0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+5], ' ') AS gram " +
+        "FROM tok0, UNNEST(range(len(w) - 4)) AS t(i)), " +
+        "sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1), " +
+        "co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS co " +
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, co, sa.n AS na, sb.n AS nb, " +
+        "ROUND(CAST(co AS DOUBLE) / CAST(sa.n AS DOUBLE), 6) AS containment " +
+        "FROM co JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
+        "WHERE co * 3 >= sa.n * 2 ORDER BY doc_a, doc_b"),
     // q237: band join — inline range dimension, broadcast non-equi
     // containment, exact decimal bounds and rollups.
     "q237_band_join" ->

@@ -1111,6 +1111,29 @@ object TextOps {
       k: Int = 12,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val (sizes, cleaned) = exactSubstrKernel(docs, k, idCol, textCol)
+    sizes.join(cleaned.select(col(idCol), col("n_kept"),
+        md5(col(textCol)).as("clean_md5")), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_md5"))
+  }
+
+  /** The reassembled CLEANED TEXT behind [[exactSubstrDedup]] — (id,
+    * n_kept, text) for every doc with ≥ 1 surviving token — so the
+    * dedup composes into downstream pipelines (q243) instead of only
+    * reporting digests (the [[segmentCleaned]]/[[segmentDedup]]
+    * relationship, for the overlapping-window modality). */
+  def exactSubstrCleaned(
+      docs: DataFrame,
+      k: Int = 12,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    exactSubstrKernel(docs, k, idCol, textCol)._2
+
+  /** Shared ExactSubstr kernel: (per-doc sizes frame, kept-token
+    * reassembly). See [[exactSubstrDedup]] for semantics + scale. */
+  private def exactSubstrKernel(docs: DataFrame, k: Int, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     require(k >= 2, s"window k=$k must be >= 2")
     val w = docs.select(col(idCol), split(col(textCol), " ").as("w"))
       .withColumn("n", size(col("w")).cast("bigint"))
@@ -1132,16 +1155,13 @@ object TextOps {
       .distinct()
     val toks = w.select(col(idCol), posexplode(col("w")).as(Seq("p0", "tok")))
       .select(col(idCol), (col("p0") + 1).as("p"), col("tok"))
-    val kept = toks.join(covered, Seq(idCol, "p"), "left_anti")
+    val cleaned = toks.join(covered, Seq(idCol, "p"), "left_anti")
       .groupBy(idCol).agg(
         count(lit(1)).as("n_kept"),
-        md5(array_join(
+        array_join(
           transform(array_sort(collect_list(struct(col("p"), col("tok")))),
-            x => x.getField("tok")), " ")).as("clean_md5"))
-    w.select(col(idCol), col("n").as("n_tokens"))
-      .join(kept, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_md5"))
+            x => x.getField("tok")), " ").as(textCol))
+    (w.select(col(idCol), col("n").as("n_tokens")), cleaned)
   }
 
   /** Q242 — ExactSubstr cross-document dedup under the ORACLE gate:
@@ -1150,6 +1170,38 @@ object TextOps {
     * case q78's fixed segment grid can only partially align to). */
   def q242(s: SparkSession, d: String): DataFrame =
     exactSubstrDedup(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Q243 — curation pipeline V6: the ExactSubstr modality composed
+    * end-to-end (the q80 pattern for the r14 operator) —
+    *   cross-document exact-substring dedup, docs REWRITTEN to their
+    *     kept tokens (q242's kernel via [[exactSubstrCleaned]])
+    *   → substance cut: survivors must retain ≥ 12 tokens (one full
+    *     dedup window of original content — drops the shells whose
+    *     text was mostly duplicated spans)
+    *   → 2,000-token shard packing over the CLEANED text (q63's
+    *     two-phase distributed prefix sum)
+    *   → per-shard ordered content digests (q74).
+    * The fourth hash-checked pipeline composition; the oracle rebuilds
+    * the chain from the individually-green q242/q63/q74 CTE forms.
+    * Plan: each stage's own scale posture; `cleaned` persists for the
+    * packShards + digest fan-out (the q80 lifecycle), released after
+    * the result checkpoint. */
+  def q243(s: SparkSession, d: String): DataFrame = {
+    val cleaned = exactSubstrCleaned(Tables.documents(s, d))
+      .filter(col("n_kept") >= 12)
+      .persist()
+    val packed = packShards(cleaned.select("doc_id", "text"), budget = 2000L)
+    val res = packed.join(cleaned, Seq("doc_id"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), "\n")).as("digest"))
+      .localCheckpoint(true)
+    cleaned.unpersist()
+    res.orderBy("shard")
+  }
 
   /** Unigram-LM log-probability quality score — the statistical-LM
     * filter of the CCNet/RedPajama family (Wenzek et al. 2020, arXiv:
@@ -2113,5 +2165,95 @@ object TextOps {
   /** Q241 — exact Jaccard ≥ 1/2 document pairs over 5-gram sets. */
   def q241(s: SparkSession, d: String): DataFrame =
     setSimilarityJoin(Tables.documents(s, d), 1, 2)
+      .orderBy("doc_a", "doc_b")
+
+  /** EXACT containment join — the ASYMMETRIC sibling of
+    * [[setSimilarityJoin]]: every ORDERED pair (a, b), a ≠ b, whose
+    * word-`shingleN`-gram sets satisfy |A∩B| / |A| ≥ num/den ("A is
+    * mostly covered by B" — the quote/partial-duplicate detector;
+    * Jaccard misses a short doc embedded in a long one because the
+    * union is dominated by B). Zero false negatives, exact verify.
+    *
+    * Prefix theorem (containment form): co ≥ ⌈t·na⌉, and A's suffix
+    * past its first na − ⌈t·na⌉ + 1 grams (rarest-first global order)
+    * holds only ⌈t·na⌉ − 1 elements — so a qualifying B shares a
+    * PREFIX gram of A. Unlike the symmetric join, B CANNOT be
+    * prefix-cut at INDEX time (the bound is on |A| only), so
+    * candidates are prefix(A) ⋈ full(B) with three lossless cuts:
+    *  - LENGTH: co ≤ nb forces nb·den ≥ na·num;
+    *  - B-RANK (join-time index prefix): the globally-smallest common
+    *    gram g₁ is provably inside prefix(A) (were it past ℓ(A), all
+    *    commons would be, capping co at ⌈t·na⌉ − 1 < co) AND sits at
+    *    B-rank ≤ nb − ⌈t·na⌉ + 1 (commons after it number co − 1 ≥
+    *    ⌈t·na⌉ − 1, all at later B-ranks) — so matched grams with
+    *    rb > nb − ⌈t·na⌉ + 1 can be dropped per-row: g₁ always
+    *    survives for a qualifying pair. This is PPJoin's shorter
+    *    index prefix, applied at the join because it depends on na;
+    *  - POSITIONAL: for any shared gram at ranks (i, j),
+    *    co ≤ min(i,j) − 1 + 1 + min(na−i, nb−j); tested on the pair's
+    *    globally-first surviving gram (= g₁) against α = ⌈t·na⌉.
+    *
+    * Scale: same gram-keyed shuffles as the symmetric join (tok and
+    * prefix checkpointed once); candidate fanout Σ_g df_prefix(g)·df(g)
+    * — the (1−t) prefix cut on the probing side; verification touches
+    * candidate pairs only. Oracle: the NAIVE all-pairs gram self-join
+    * filtered on den·co ≥ num·na. */
+  def containmentJoin(docs: DataFrame, num: Int, den: Int,
+      shingleN: Int = 5): DataFrame = {
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= shingleN)
+    val tok = w.select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("w")) - shingleN),
+          i => array_join(slice(col("w"), i + lit(1), lit(shingleN)), " ")))
+        .as("gram"))
+      .distinct()
+      .localCheckpoint(true)
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfq = tok.groupBy("gram").agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfq, "gram")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("gram"))))
+      .join(sz, "doc_id")
+      .localCheckpoint(true)
+    val prefix = ranked.filter(col("rn") <=
+      col("n") - expr(s"CAST((n * $num + ${den - 1}) DIV $den AS BIGINT)") + 1)
+    // prefix(A) ⋈ full(B) on the gram (the ranked frame carries B's
+    // rank for the positional bound), a ≠ b, LENGTH filter fused
+    val matches = prefix.select(col("doc_id").as("da"), col("gram"),
+        col("df"), col("rn").as("ra"), col("n").as("na"))
+      .join(ranked.select(col("doc_id").as("db"), col("gram"),
+        col("rn").as("rb"), col("n").as("nb")), Seq("gram"))
+      .filter(col("da") =!= col("db") &&
+        col("nb") * den >= col("na") * num &&
+        col("rb") <= col("nb") -
+          expr(s"CAST((na * $num + ${den - 1}) DIV $den AS BIGINT)") + 1)
+    val cand = matches
+      .groupBy("da", "db")
+      .agg(min(struct(col("df"), col("gram"), col("ra"), col("rb"),
+        col("na"), col("nb"))).as("m"))
+      .select(col("da"), col("db"),
+        col("m.ra").as("ra"), col("m.rb").as("rb"),
+        col("m.na").as("na"), col("m.nb").as("nb"))
+      .filter(least(col("ra"), col("rb")) +
+        least(col("na") - col("ra"), col("nb") - col("rb")) >=
+        expr(s"CAST((na * $num + ${den - 1}) DIV $den AS BIGINT)"))
+      .select("da", "db")
+    val co = cand
+      .join(tok.select(col("doc_id").as("da"), col("gram")), Seq("da"))
+      .join(tok.select(col("doc_id").as("db"), col("gram")), Seq("db", "gram"))
+      .groupBy("da", "db").agg(count(lit(1)).as("co"))
+    co.join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("co") * den >= col("na") * num)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("co"),
+        col("na"), col("nb"),
+        round(col("co").cast("double") / col("na").cast("double"), 6)
+          .as("containment"))
+  }
+
+  /** Q244 — containment ≥ 2/3 ordered document pairs over 5-gram sets. */
+  def q244(s: SparkSession, d: String): DataFrame =
+    containmentJoin(Tables.documents(s, d), 2, 3)
       .orderBy("doc_a", "doc_b")
 }

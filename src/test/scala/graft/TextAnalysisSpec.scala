@@ -764,6 +764,51 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("containmentJoin (prefix+length+positional) == naive all-pairs, asymmetric") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    def naive(num: Int, den: Int, n: Int = 5) = {
+      val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= n)
+      val tok = w.select(col("doc_id"), explode(
+          transform(sequence(lit(0), size(col("w")) - n),
+            i => array_join(slice(col("w"), i + lit(1), lit(n)), " ")))
+          .as("gram"))
+        .distinct()
+      val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      tok.select(col("doc_id").as("da"), col("gram"))
+        .join(tok.select(col("doc_id").as("db"), col("gram")), Seq("gram"))
+        .filter(col("da") =!= col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("co"))
+        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .filter(col("co") * den >= col("na") * num)
+        .select("da", "db", "co", "na", "nb")
+    }
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    for ((num, den) <- Seq((2, 3), (1, 2))) {
+      val got = key(TextOps.containmentJoin(docs, num, den)
+        .select("doc_a", "doc_b", "co", "na", "nb"))
+      val want = key(naive(num, den))
+      assert(got == want,
+        s"t=$num/$den: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      assert(want.nonEmpty, s"t=$num/$den fixture yields no pairs — test is vacuous")
+    }
+    // asymmetry pin on a handcrafted short-doc-inside-long-doc pair
+    // (the fixture's near-dups are all similar-sized, so every
+    // qualifying fixture pair happens to be mutual): the short doc's
+    // grams are fully covered (containment 1 ≥ 2/3) but cover only a
+    // fraction of the long doc's (reverse must NOT qualify).
+    import spark.implicits._
+    val hand = Seq(
+      (1L, "a b c d e f"),                                  // 2 5-grams, both in doc 2
+      (2L, "a b c d e f g h i j k l m n o p")).toDF("doc_id", "text") // 12 5-grams
+    val pairs = graft.ext.TextOps.containmentJoin(hand, 2, 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only (1,2), got $pairs")
+  }
+
   test("exactSubstrDedup: arbitrary-offset shared spans removed, within-doc repeats kept") {
     import spark.implicits._
     val docs = Seq(
