@@ -262,6 +262,8 @@ object SparkEntry {
     "q242_exact_substr"    -> (TextOps.q242 _),
     "q243_pipeline_v6"     -> (TextOps.q243 _),
     "q244_containment"     -> (TextOps.q244 _),
+    "q245_cdc_merge"       -> (graft.operators.Warehouse.q245 _),
+    "q246_radius_join"     -> (graft.operators.Spatial.q246 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -522,6 +524,36 @@ object SparkEntry {
         "ROUND(CAST(co AS DOUBLE) / CAST(sa.n AS DOUBLE), 6) AS containment " +
         "FROM co JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
         "WHERE co * 3 >= sa.n * 2 ORDER BY doc_a, doc_b"),
+    // q245: CDC merge — winner-per-key via the declared total order
+    // (version DESC, op rank D>U>I, payload), full outer apply, delete
+    // wins drop the key; src/applied_version provenance flags.
+    "q245_cdc_merge" ->
+      ("WITH ch AS (SELECT CASE WHEN o_custkey % 50 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS k, " +
+        "CASE WHEN o_orderstatus = 'P' THEN 'D' WHEN o_orderstatus = 'F' THEN 'U' ELSE 'I' END AS op, " +
+        "CAST(o_orderkey AS BIGINT) AS version, o_orderpriority AS seg, o_totalprice AS bal FROM orders), " +
+        "w AS (SELECT k, op, version, seg, bal FROM (SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY k " +
+        "ORDER BY version DESC, CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END DESC, seg DESC, bal DESC) AS rk " +
+        "FROM ch) t WHERE rk = 1), " +
+        "snap AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg, CAST(c_acctbal AS DOUBLE) AS bal FROM customer) " +
+        "SELECT COALESCE(s.k, w.k) AS k, " +
+        "CASE WHEN w.k IS NOT NULL THEN w.seg ELSE s.seg END AS seg, " +
+        "CASE WHEN w.k IS NOT NULL THEN w.bal ELSE s.bal END AS bal, " +
+        "CASE WHEN w.k IS NULL THEN 'kept' WHEN s.k IS NOT NULL THEN 'updated' ELSE 'inserted' END AS src, " +
+        "CASE WHEN w.k IS NOT NULL THEN w.version END AS applied_version " +
+        "FROM snap s FULL JOIN w ON s.k = w.k " +
+        "WHERE w.k IS NULL OR w.op <> 'D' ORDER BY k"),
+    // q246: radius join — the oracle is the NAIVE all-pairs cross
+    // join over the same integer coordinates; pure BIGINT distance
+    // test, no float anywhere.
+    "q246_radius_join" ->
+      ("WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS id, " +
+        "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100000 AS xi, " +
+        "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 100000 AS yi FROM customer) " +
+        "SELECT a.id AS id_a, b.id AS id_b, a.xi AS xa, a.yi AS ya, b.xi AS xb, b.yi AS yb, " +
+        "(a.xi - b.xi) * (a.xi - b.xi) + (a.yi - b.yi) * (a.yi - b.yi) AS dist2 " +
+        "FROM p a JOIN p b ON a.id < b.id " +
+        "WHERE (a.xi - b.xi) * (a.xi - b.xi) + (a.yi - b.yi) * (a.yi - b.yi) <= 4000000 " +
+        "ORDER BY id_a, id_b"),
     // q237: band join — inline range dimension, broadcast non-equi
     // containment, exact decimal bounds and rollups.
     "q237_band_join" ->

@@ -375,4 +375,84 @@ object Warehouse {
       .unionAll(profileNumeric(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))
       .orderBy("col_name")
+
+  /** CDC MERGE — the `MERGE INTO` workhorse the warehouse tier still
+    * lacked (q131 builds SCD2 HISTORY; q132 diffs two snapshots; this
+    * APPLIES a keyed change feed to produce the next snapshot, the
+    * Delta/Iceberg/Hudi upsert semantics):
+    *  - changes carry (key, op ∈ I/U/D, version, payload);
+    *  - per key the WINNING change is the max-version row (tie broken
+    *    by op rank D > U > I then payload — an explicit total order,
+    *    the cross-engine-determinism doctrine: engine-arbitrary
+    *    last-writer ties are the classic silent MERGE divergence);
+    *  - winner D → the key is deleted (snapshot row dropped, late
+    *    lower-version I/U for it ignored);
+    *  - winner I/U → upsert of the change payload (insert if the key
+    *    is new, overwrite if it exists);
+    *  - keys with no change pass through.
+    * Output flags each row's provenance (`src` ∈ kept/updated/
+    * inserted) and the applied version (NULL for kept).
+    *
+    * Shuffle story (the §scaladoc doctrine above): the winner pick is
+    * a window over the CHANGE FEED only (partitioned by key — never
+    * the snapshot); one outer join snapshot ⟷ winners on the key, no
+    * forced broadcast (AQE broadcasts a small feed, degrades to
+    * shuffle for a backfill). The snapshot is touched exactly once —
+    * merge-on-read, not rewrite-the-world. */
+  def cdcMerge(snapshot: DataFrame, changes: DataFrame,
+      key: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val opRank = when(col("op") === "D", 3)
+      .when(col("op") === "U", 2).otherwise(1)
+    val win = changes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(key).orderBy(
+          col("version").desc, opRank.desc,
+          struct(payload.map(col): _*).desc)))
+      .filter(col("rk") === 1)
+      .select(col(key) +: col("op") +: col("version") +:
+        payload.map(c => col(c).as(s"u_$c")): _*)
+    val joined = snapshot.withColumn("__in_snap", lit(true))
+      .join(win, Seq(key), "full")
+    val hasChange = col("op").isNotNull
+    joined
+      .filter(!hasChange || col("op") =!= "D")
+      .select(
+        col(key) +:
+        payload.map(c =>
+          when(hasChange, col(s"u_$c")).otherwise(col(c)).as(c)) :++
+        Seq(
+          when(!hasChange, "kept")
+            .when(col("__in_snap").isNotNull, "updated")
+            .otherwise("inserted").as("src"),
+          when(hasChange, col("version")).cast("bigint")
+            .as("applied_version")): _*)
+  }
+
+  /** Q245 — CDC merge under the ORACLE gate: the customer snapshot
+    * (key, segment, balance) absorbs a change feed derived
+    * deterministically from orders — op from o_orderstatus
+    * ('P' → D, 'F' → U, else I), version = the globally-unique
+    * o_orderkey (so the winner per key is unambiguous and the
+    * tie-break policy, while declared, never fires), payload =
+    * (o_orderpriority, o_totalprice). Every 50th customer key is
+    * shifted beyond the snapshot's key space so the INSERT branch is
+    * genuinely exercised (orders' FK would otherwise make every
+    * change an update). */
+  def q245(s: SparkSession, d: String): DataFrame = {
+    val snap = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("k"),
+      col("c_mktsegment").as("seg"),
+      col("c_acctbal").cast("double").as("bal"))
+    val ch = Tables.orders(s, d).select(
+      when(col("o_custkey") % 50 === 0, col("o_custkey") + 1000000L)
+        .otherwise(col("o_custkey")).cast("long").as("k"),
+      when(col("o_orderstatus") === "P", "D")
+        .when(col("o_orderstatus") === "F", "U")
+        .otherwise("I").as("op"),
+      col("o_orderkey").cast("bigint").as("version"),
+      col("o_orderpriority").as("seg"),
+      col("o_totalprice").cast("double").as("bal"))
+    cdcMerge(snap, ch, "k", Seq("seg", "bal")).orderBy("k")
+  }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Spatial tier (q246): the grid-bucketed radius join's lossless-cut
+  * contract, pinned against the naive all-pairs join on real fixture
+  * coordinates plus handcrafted cell-boundary cases. */
+class SpatialSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("gridNeighborJoin == naive all-pairs on fixture coordinates") {
+    val h = md5(col("c_custkey").cast("string"))
+    val pts = graft.sources.Tables.customer(spark, sf("sf0.001")).select(
+      col("c_custkey").cast("long").as("id"),
+      pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(100000L)).as("xi"),
+      pmod(conv(substring(h, 9, 8), 16, 10).cast("long"), lit(100000L)).as("yi"))
+    def naive(r: Long) = pts.as("a").join(pts.as("b"), col("a.id") < col("b.id"))
+      .withColumn("dist2",
+        (col("a.xi") - col("b.xi")) * (col("a.xi") - col("b.xi")) +
+        (col("a.yi") - col("b.yi")) * (col("a.yi") - col("b.yi")))
+      .filter(col("dist2") <= r * r)
+      .select(col("a.id"), col("b.id"), col("dist2"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (r <- Seq(2000L, 8000L)) {
+      val got = key(graft.operators.Spatial.gridNeighborJoin(pts, r)
+        .select("id_a", "id_b", "dist2"))
+      val want = key(naive(r))
+      assert(got == want, s"r=$r: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      assert(want.nonEmpty, s"r=$r yields no pairs — test is vacuous")
+    }
+  }
+
+  test("gridNeighborJoin: cell-boundary pairs are found exactly once") {
+    // points straddling cell boundaries at every 3x3 neighbor offset
+    // (r=10: cells are 10 wide; (9,9)-(10,10) cross the corner) plus a
+    // pair at EXACTLY distance r (inclusive bound) and one just past it
+    val pts = Seq(
+      (1L, 9L, 9L), (2L, 10L, 10L),   // corner-crossing, dist2=2
+      (3L, 19L, 5L), (4L, 21L, 5L),   // x-boundary, dist2=4
+      (5L, 40L, 40L), (6L, 40L, 50L), // exactly r apart -> included
+      (7L, 70L, 70L), (8L, 70L, 81L)  // r+1 apart -> excluded
+    ).toDF("id", "xi", "yi")
+    val got = graft.operators.Spatial.gridNeighborJoin(pts, 10L)
+      .select("id_a", "id_b", "dist2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == got.toSet.size, s"duplicate pairs: ${got.toSeq}")
+    assert(got.toSet == Set((1L, 2L, 2L), (3L, 4L, 4L), (5L, 6L, 100L)),
+      s"got ${got.toSeq}")
+  }
+}

@@ -363,4 +363,32 @@ class WarehouseSpec extends SparkSpec {
     assert(b.getAs[Long]("n_null") == 1 && b.getAs[Long]("n_distinct") == 2)
     assert(b.getAs[Double]("vmin") == 10.0 && b.getAs[Double]("vmax") == 40.0)
   }
+
+  test("cdcMerge: last-writer wins, delete drops, insert/update/kept provenance") {
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "seg", "bal")
+    val ch = Seq(
+      (1L, "U", 5L, "a2", 11.0),  // older update...
+      (1L, "U", 9L, "a3", 12.0),  // ...beaten by this one (max version)
+      (2L, "D", 7L, "x", 0.0),    // delete wins: key 2 gone
+      (2L, "U", 3L, "y", 99.0),   // late lower-version update ignored
+      (5L, "I", 8L, "e", 50.0))   // brand-new key
+      .toDF("k", "op", "version", "seg", "bal")
+    val out = graft.operators.Warehouse.cdcMerge(snap, ch, "k", Seq("seg", "bal"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getString(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out.keySet == Set(1L, 3L, 4L, 5L), s"keys: ${out.keySet}")
+    assert(out(1L) == (("a3", 12.0, "updated", 9L)), s"k=1: ${out(1L)}")
+    assert(out(3L) == (("c", 30.0, "kept", -1L)), s"k=3: ${out(3L)}")
+    assert(out(4L) == (("d", 40.0, "kept", -1L)), s"k=4: ${out(4L)}")
+    assert(out(5L) == (("e", 50.0, "inserted", 8L)), s"k=5: ${out(5L)}")
+    // same-version tie: D outranks U (the declared op precedence)
+    val tie = Seq((9L, "U", 1L, "u", 1.0), (9L, "D", 1L, "d", 2.0))
+      .toDF("k", "op", "version", "seg", "bal")
+    val out2 = graft.operators.Warehouse
+      .cdcMerge(Seq((9L, "z", 0.0)).toDF("k", "seg", "bal"), tie, "k", Seq("seg", "bal"))
+      .collect()
+    assert(out2.isEmpty, s"tie must resolve to the delete: ${out2.toSeq}")
+  }
 }
