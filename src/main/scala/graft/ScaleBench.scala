@@ -897,6 +897,32 @@ object ScaleBench {
     }
   }
 
+  /** Growth curve for the spatial tier: radius self-join at CONSTANT
+    * density (area scales with n — ~10⁴ centi-units² per point, so
+    * expected pairs ≈ 1.57·n with r = 100 and per-cell occupancy is
+    * flat). The grid plan must be linear in n; the all-pairs contrast
+    * at 20 M points is 2·10¹⁴ comparisons. */
+  private def runSpatial(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val side = math.max(1000L, math.round(math.sqrt(n.toDouble)) * 100)
+      val pts = spark.range(n).select(col("id"),
+        pmod(xxhash64(col("id")), lit(side)).as("xi"),
+        pmod(xxhash64(col("id"), lit(1)), lit(side)).as("yi")).persist()
+      pts.count()
+      def run(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.Spatial.gridNeighborJoin(pts, 100L).count()
+        ((System.nanoTime() - t0) / 1e9, pairs)
+      }
+      if (i == 0) { run(); sweep(); pts.count() } // warmup, discarded
+      val (sec, pairs) = run()
+      pts.unpersist(); sweep()
+      println(f"""{"op":"spatial","n_points":$n,"radius_join_sec":$sec%.2f,"pairs":$pairs}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/target/scale")
     val spark = Sessions.local(Sessions.envCpus, "graft-scale")
@@ -919,6 +945,13 @@ object ScaleBench {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(5000L, 50000L, 250000L)
       runCorpusQ(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("spatial")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(1000000L, 5000000L, 20000000L)
+      runSpatial(spark, sizes)
       spark.stop()
       return
     }

@@ -40,6 +40,12 @@ case class CusumAlarm(user_id: Long, ts_us: Long, event_id: Long,
 case class ReservoirState(ids: Array[Long], hashes: Array[Long], n: Long)
 case class ReservoirSample(group: String, n_seen: Long, sample_ids: Array[Long])
 
+/** S38 CDC-upsert state: the per-key WINNING change under the q245
+  * total order — one row regardless of stream age. */
+case class CdcState(version: Long, opRank: Int, op: String, payload: String)
+case class CdcRow(k: Long, version: Long, op: String, payload: String,
+  deleted: Boolean)
+
 /** S16 heavy-hitter state: Misra–Gries counters (≤ k entries). */
 case class MgState(ids: Array[Long], counts: Array[Long], n: Long)
 case class MgSummary(group: String, n: Long, ids: Array[Long],
@@ -1497,6 +1503,58 @@ object StreamOps {
             Iterator.single(ReservoirSample(grp, n,
               kept.sortBy(_._2).map(_._2)))
           else Iterator.empty
+      }.toDF()
+  }
+
+  /** S38 — streaming CDC upsert materializer (the Kafka
+    * compacted-topic / Debezium-sink shape; q245 `Warehouse.cdcMerge`
+    * is the batch form): per key, keep the WINNING change under
+    * q245's exact total order — (version DESC, op rank D > U > I,
+    * payload DESC) — and emit the key's current row whenever the
+    * winner CHANGES (Update mode). A D winner emits a TOMBSTONE
+    * (`deleted = true`, the compaction marker); a later higher-version
+    * I/U resurrects the key.
+    *
+    * Replay stability is STRONGER than the S35/S36 monotonic-drop
+    * contract: the winner is an associative-commutative MAX over the
+    * change set, so arrival order, batching, and restarts cannot
+    * change the materialized state — late lower-version changes are
+    * absorbed (not dropped) by construction, with no order anchor in
+    * the state at all. State: one (version, op, payload) triple per
+    * key, constant regardless of stream age.
+    *
+    * Input columns: k (long), op ∈ I/U/D, version (long),
+    * payload (string). */
+  def cdcUpsertStream(changes: DataFrame): DataFrame = {
+    val s = changes.sparkSession
+    import s.implicits._
+    def rank(op: String): Int =
+      op match { case "D" => 3; case "U" => 2; case _ => 1 }
+    changes
+      .select(col("k").cast("long"), col("op"), col("version").cast("long"),
+        col("payload"))
+      .as[(Long, String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[(Long, String, Long, String)],
+         state: GroupState[CdcState]) =>
+          val prev = state.getOption
+          // winner = max under the total order; fold is order-free
+          val ord = Ordering.Tuple3[Long, Int, String]
+          val best = rows.foldLeft(prev) { case (acc, (_, op, v, p)) =>
+            val cand = CdcState(v, rank(op), op, p)
+            Some(acc.fold(cand) { a =>
+              if (ord.gt((cand.version, cand.opRank, cand.payload),
+                  (a.version, a.opRank, a.payload))) cand else a
+            })
+          }
+          best match {
+            case Some(w) if !prev.contains(w) =>
+              state.update(w)
+              Iterator.single(CdcRow(k, w.version, w.op, w.payload,
+                w.op == "D"))
+            case _ => Iterator.empty
+          }
       }.toDF()
   }
 }

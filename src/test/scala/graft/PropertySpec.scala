@@ -519,4 +519,62 @@ class PropertySpec extends SparkSpec {
           graft.ext.Sketches.cmsEstimate(merged, hash(k)) >= c }
     }, n = 10)
   }
+
+  // ---- (f) CDC merge vs a plain-Scala reference fold ----
+
+  test("property: cdcMerge equals a reference winner-fold on random feeds") {
+    import spark.implicits._
+    val genSnap = Gen.listOfN(8, Gen.zip(Gen.chooseNum(1L, 12L), Gen.alphaStr.map(_.take(3))))
+      .map(_.distinctBy(_._1))
+    val genCh = Gen.listOfN(15, for {
+      k <- Gen.chooseNum(1L, 15L)
+      op <- Gen.oneOf("I", "U", "D")
+      v <- Gen.chooseNum(1L, 6L) // small range FORCES version ties
+      p <- Gen.alphaStr.map(_.take(3))
+    } yield (k, op, v, p))
+    check(Prop.forAll(genSnap, genCh) { (snap, ch) =>
+      val got = graft.operators.Warehouse.cdcMerge(
+          snap.toDF("k", "payload"), ch.toDF("k", "op", "version", "payload"),
+          "k", Seq("payload"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getString(2))).toMap
+      // reference: winner per key by (version, rank D>U>I, payload)
+      def rank(op: String) = op match { case "D" => 3; case "U" => 2; case _ => 1 }
+      val winners = ch.groupBy(_._1).view.mapValues(
+        _.maxBy { case (_, op, v, p) => (v, rank(op), p) }).toMap
+      val expect = (snap.map(_._1) ++ ch.map(_._1)).distinct.flatMap { k =>
+        (winners.get(k), snap.find(_._1 == k)) match {
+          case (Some((_, "D", _, _)), _) => None
+          case (Some((_, _, _, p)), s) =>
+            Some(k -> ((p, if (s.isDefined) "updated" else "inserted")))
+          case (None, Some((_, p))) => Some(k -> ((p, "kept")))
+          case (None, None) => None
+        }
+      }.toMap
+      got == expect
+    }, n = 15)
+  }
+
+  // ---- (g) grid radius join vs naive all-pairs ----
+
+  test("property: gridNeighborJoin equals naive all-pairs on random points") {
+    import spark.implicits._
+    val genPts = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(0L, 300L), Gen.chooseNum(0L, 300L)))
+      .map(_.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) })
+    val genR = Gen.chooseNum(1L, 120L)
+    check(Prop.forAll(genPts, genR) { (pts, r) =>
+      val got = graft.operators.Spatial
+        .gridNeighborJoin(pts.toDF("id", "xi", "yi"), r)
+        .select("id_a", "id_b", "dist2").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      val naive = for {
+        (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+        if ia < ib
+        d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+        if d2 <= r * r
+      } yield (ia, ib, d2)
+      got.length == got.toSet.size && got.toSet == naive.toSet
+    }, n = 15)
+  }
 }

@@ -1468,4 +1468,50 @@ class StreamingSpec extends SparkSpec {
         (r.getAs[Long]("n"), r.getAs[Long]("n_users"))).toMap
     assert(batch.nonEmpty && streamed.toMap == batch)
   }
+
+  test("S38: CDC upsert materializer — last-writer wins, tombstones, resurrect, absorb late") {
+    val in = MemoryStream[(Long, String, Long, String)]
+    val q = StreamOps.cdcUpsertStream(in.toDF().toDF("k", "op", "version", "payload"))
+      .writeStream.format("memory").queryName("s38").outputMode("update")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    def rows() = spark.table("s38").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getBoolean(4)))
+    // batch 1: in-batch last-writer (max version wins regardless of
+    // arrival order), two keys, plus a same-version D>U tie on k=3
+    in.addData((1L, "U", 3L, "b"), (1L, "I", 1L, "a"), (2L, "I", 2L, "x"),
+      (3L, "U", 1L, "u"), (3L, "D", 1L, "d"))
+    q.processAllAvailable()
+    assert(rows().toSet == Set(
+      (1L, 3L, "U", "b", false), (2L, 2L, "I", "x", false),
+      (3L, 1L, "D", "d", true)), s"b1: ${rows().toSeq}")
+    // batch 2: late lower version ABSORBED (no emit), delete emits a
+    // tombstone, duplicate redelivery of the current winner is silent
+    val n1 = rows().length
+    in.addData((1L, "U", 2L, "late"), (1L, "U", 3L, "b"), (2L, "D", 5L, "-"))
+    q.processAllAvailable()
+    val b2 = rows()
+    assert(b2.length == n1 + 1, s"only the tombstone may emit: ${b2.toSeq}")
+    assert(b2.toSet.contains((2L, 5L, "D", "-", true)), s"b2: ${b2.toSeq}")
+    // batch 3: higher-version insert RESURRECTS the deleted key
+    in.addData((2L, "I", 7L, "y"))
+    q.processAllAvailable(); q.stop()
+    val last = rows().filter(_._1 == 2L).last
+    assert(last == ((2L, 7L, "I", "y", false)), s"resurrect: $last")
+    // parity with the batch form: the stream's final state per key
+    // equals cdcMerge's winners over the same change set
+    import spark.implicits._
+    val allCh = Seq(
+      (1L, "U", 3L, "b"), (1L, "I", 1L, "a"), (2L, "I", 2L, "x"),
+      (3L, "U", 1L, "u"), (3L, "D", 1L, "d"),
+      (1L, "U", 2L, "late"), (2L, "D", 5L, "-"), (2L, "I", 7L, "y"))
+      .toDF("k", "op", "version", "payload")
+    val batchFinal = graft.operators.Warehouse
+      .cdcMerge(Seq.empty[(Long, String)].toDF("k", "payload"), allCh,
+        "k", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val streamFinal = rows().groupBy(_._1).map { case (k, rs) => k -> rs.last }
+      .filter(!_._2._5).map { case (k, r) => k -> r._4 }
+    assert(streamFinal == batchFinal,
+      s"stream $streamFinal vs batch $batchFinal")
+  }
 }
