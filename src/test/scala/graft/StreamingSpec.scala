@@ -1469,6 +1469,85 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed.toMap == batch)
   }
 
+  test("RocksDB sweep r14: S35/S36/S37/S38 run green on the production store") {
+    // the r13 sweep covered S32/S33/S34 + S27; the operators added
+    // since (EWMA, CUSUM, reservoir, CDC upsert) had only ever run on
+    // the default HDFS-backed store. Same scripted inputs as their
+    // golden tests, provider swapped; output must match and progress
+    // metrics must show RocksDB actually serving state.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def usedRocks(q: org.apache.spark.sql.streaming.StreamingQuery) =
+      Option(q.lastProgress).exists(
+        _.stateOperators.exists(_.customMetrics.containsKey("rocksdbGetCount")))
+    try {
+      val base = 1700000000L
+      locally { // S35 EWMA
+        val in = MemoryStream[Ev]
+        val q = StreamOps.ewmaStream(in.toDF(), alpha = 0.5)
+          .writeStream.format("memory").queryName("s35r").outputMode("append")
+          .option("checkpointLocation", tmpDir("ckpt")).start()
+        in.addData(ev(base + 20, "a", 3, v = 30.0), ev(base + 0, "a", 1, v = 10.0),
+          ev(base + 10, "a", 2, v = 20.0))
+        q.processAllAvailable()
+        val rocks = usedRocks(q); q.stop()
+        val got = spark.table("s35r").collect()
+          .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
+        assert(got == Map(1L -> 10.0, 2L -> 15.0, 3L -> 22.5), s"S35: $got")
+        assert(rocks, "S35 shows no RocksDB state metrics")
+      }
+      locally { // S36 CUSUM
+        val in = MemoryStream[Ev]
+        val q = StreamOps.cusumStream(in.toDF(), mu0 = 10.0, slack = 1.0,
+            threshold = 5.0)
+          .writeStream.format("memory").queryName("s36r").outputMode("append")
+          .option("checkpointLocation", tmpDir("ckpt")).start()
+        in.addData(
+          ev(base + 1, "a", 1, v = 12.0), ev(base + 2, "a", 2, v = 12.0),
+          ev(base + 3, "a", 3, v = 12.0), ev(base + 4, "a", 4, v = 15.0))
+        q.processAllAvailable()
+        val rocks = usedRocks(q); q.stop()
+        val got = spark.table("s36r").collect()
+          .map(r => (r.getLong(2), r.getString(3), r.getDouble(4)))
+        assert(got.toSet == Set((4L, "up", 7.0)), s"S36: ${got.toSeq}")
+        assert(rocks, "S36 shows no RocksDB state metrics")
+      }
+      locally { // S37 reservoir
+        def bottomK(ids: Seq[Long], k: Int): Seq[Long] =
+          ids.map(id => (StreamOps.mix64(id), id)).sorted.take(k).map(_._2).sorted
+        val in = MemoryStream[Ev]
+        val q = StreamOps.reservoirStream(in.toDF(), k = 3)
+          .writeStream.format("memory").queryName("s37r").outputMode("update")
+          .option("checkpointLocation", tmpDir("ckpt")).start()
+        in.addData((1L to 6L).map(i => ev(i, "a", i)): _*)
+        q.processAllAvailable()
+        val rocks = usedRocks(q); q.stop()
+        val got = spark.table("s37r").collect()
+          .map(r => (r.getLong(1), r.getSeq[Long](2).toSeq)).last
+        assert(got == ((6L, bottomK(1L to 6L, 3))), s"S37: $got")
+        assert(rocks, "S37 shows no RocksDB state metrics")
+      }
+      locally { // S38 CDC upsert
+        val in = MemoryStream[(Long, String, Long, String)]
+        val q = StreamOps.cdcUpsertStream(
+            in.toDF().toDF("k", "op", "version", "payload"))
+          .writeStream.format("memory").queryName("s38r").outputMode("update")
+          .option("checkpointLocation", tmpDir("ckpt")).start()
+        in.addData((1L, "I", 1L, "a"), (1L, "U", 3L, "b"), (2L, "D", 2L, "x"))
+        q.processAllAvailable()
+        val rocks = usedRocks(q); q.stop()
+        val got = spark.table("s38r").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getBoolean(4))).toSet
+        assert(got == Set((1L, 3L, "b", false), (2L, 2L, "x", true)), s"S38: $got")
+        assert(rocks, "S38 shows no RocksDB state metrics")
+      }
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("S38: CDC upsert materializer — last-writer wins, tombstones, resurrect, absorb late") {
     val in = MemoryStream[(Long, String, Long, String)]
     val q = StreamOps.cdcUpsertStream(in.toDF().toDF("k", "op", "version", "payload"))
