@@ -264,6 +264,7 @@ object SparkEntry {
     "q244_containment"     -> (TextOps.q244 _),
     "q245_cdc_merge"       -> (graft.operators.Warehouse.q245 _),
     "q246_radius_join"     -> (graft.operators.Spatial.q246 _),
+    "q247_radius_knn"      -> (graft.operators.Spatial.q247 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -554,6 +555,19 @@ object SparkEntry {
         "FROM p a JOIN p b ON a.id < b.id " +
         "WHERE (a.xi - b.xi) * (a.xi - b.xi) + (a.yi - b.yi) * (a.yi - b.yi) <= 4000000 " +
         "ORDER BY id_a, id_b"),
+    // q247: radius-bounded kNN — naive directed pairs + per-point
+    // ROW_NUMBER under the explicit (dist2, id_b) tie order.
+    "q247_radius_knn" ->
+      ("WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS id, " +
+        "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100000 AS xi, " +
+        "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 100000 AS yi FROM customer), " +
+        "d AS (SELECT a.id AS id_a, b.id AS id_b, " +
+        "(a.xi - b.xi) * (a.xi - b.xi) + (a.yi - b.yi) * (a.yi - b.yi) AS dist2 " +
+        "FROM p a JOIN p b ON a.id <> b.id " +
+        "WHERE (a.xi - b.xi) * (a.xi - b.xi) + (a.yi - b.yi) * (a.yi - b.yi) <= 9000000), " +
+        "r AS (SELECT id_a, id_b, dist2, CAST(ROW_NUMBER() OVER " +
+        "(PARTITION BY id_a ORDER BY dist2, id_b) AS BIGINT) AS rk FROM d) " +
+        "SELECT id_a, id_b, dist2, rk FROM r WHERE rk <= 5 ORDER BY id_a, rk"),
     // q237: band join — inline range dimension, broadcast non-equi
     // containment, exact decimal bounds and rollups.
     "q237_band_join" ->

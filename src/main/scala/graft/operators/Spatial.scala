@@ -64,6 +64,66 @@ object Spatial {
       .select("id_a", "id_b", "xa", "ya", "xb", "yb", "dist2")
   }
 
+  /** Radius-bounded k-nearest-neighbor join: for EVERY point, its k
+    * nearest neighbors among those within `radius`, ranked by the
+    * TOTAL order (dist2, id_b) — the bounded form every production
+    * spatial serving layer actually runs (unbounded kNN needs
+    * expanding-ring search with data-dependent termination; bounding
+    * the radius makes the grid cut lossless and the per-point state
+    * k-sized). DIRECTED pairs — (a → b) and (b → a) rank
+    * independently; a point with no neighbor inside r emits nothing
+    * (the caller left-joins if absence matters).
+    *
+    * Plan: [[gridNeighborJoin]]'s 3×3 candidate machinery without the
+    * ordered-pair cut, then a per-point window rank — partitioned on
+    * id_a (never low-cardinality), state bounded by the in-radius
+    * neighbor count. Tie policy (equal dist2 → smaller id_b first) is
+    * explicit on both engines. */
+  def radiusKnn(points: DataFrame, radius: Long, k: Int): DataFrame = {
+    require(radius > 0 && k > 0, s"radius=$radius, k=$k must be positive")
+    val cells = points.select(
+      col("id").cast("long").as("id"),
+      col("xi").cast("long").as("xi"),
+      col("yi").cast("long").as("yi"),
+      expr(s"CAST(xi DIV $radius AS BIGINT)").as("cx"),
+      expr(s"CAST(yi DIV $radius AS BIGINT)").as("cy"))
+    val nbr = Seq(-1, 0, 1)
+    val aExp = cells
+      .select(col("id").as("id_a"), col("xi").as("xa"), col("yi").as("ya"),
+        col("cx"), col("cy"))
+      .withColumn("d", explode(array(
+        (for (dx <- nbr; dy <- nbr)
+          yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("cx") + col("d.dx")).as("jcx"), (col("cy") + col("d.dy")).as("jcy"))
+    val b = cells.select(col("id").as("id_b"), col("xi").as("xb"),
+      col("yi").as("yb"), col("cx").as("bcx"), col("cy").as("bcy"))
+    aExp.join(b,
+        col("jcx") === col("bcx") && col("jcy") === col("bcy") &&
+          col("id_a") =!= col("id_b"))
+      .withColumn("dist2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("dist2") <= radius * radius)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id_a").orderBy(col("dist2"), col("id_b"))))
+      .filter(col("rk") <= k)
+      .select(col("id_a"), col("id_b"), col("dist2"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Q247 — 5-nearest neighbors within r = 3 000 per customer point
+    * (same md5 coordinate derivation as q246). */
+  def q247(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("c_custkey").cast("string"))
+    val pts = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("id"),
+      pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(100000L)).as("xi"),
+      pmod(conv(substring(h, 9, 8), 16, 10).cast("long"), lit(100000L)).as("yi"))
+    radiusKnn(pts, 3000L, 5).orderBy("id_a", "rk")
+  }
+
   /** Q246 — radius join under the ORACLE gate: customers mapped to
     * deterministic integer coordinates in a 100 000² centi-unit space
     * via two independent md5 slices (the q42/q142 cross-engine hash

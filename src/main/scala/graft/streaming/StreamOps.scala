@@ -46,6 +46,12 @@ case class CdcState(version: Long, opRank: Int, op: String, payload: String)
 case class CdcRow(k: Long, version: Long, op: String, payload: String,
   deleted: Boolean)
 
+/** S39 geofence state: last zone + the (tsu, event_id) monotonic
+  * anchor. One string + two longs per key, constant forever. */
+case class GeoState(tsu: Long, eventId: Long, zone: String)
+case class GeoTransition(user_id: Long, ts_us: Long, event_id: Long,
+  from_zone: String, to_zone: String)
+
 /** S16 heavy-hitter state: Misra–Gries counters (≤ k entries). */
 case class MgState(ids: Array[Long], counts: Array[Long], n: Long)
 case class MgSummary(group: String, n: Long, ids: Array[Long],
@@ -1555,6 +1561,58 @@ object StreamOps {
                 w.op == "D"))
             case _ => Iterator.empty
           }
+      }.toDF()
+  }
+
+  /** S39 — streaming geofence transitions (the real-time form of the
+    * q246/q247 spatial tier): events carry integer point coordinates
+    * (`xi`, `yi` columns alongside user_id/ts/event_id); `zones` is a
+    * TINY static list of half-open boxes [xLo, xHi) × [yLo, yHi) —
+    * the q237 band-dimension doctrine: it compiles into one nested
+    * CASE projection (first match in list order wins; no match =
+    * "outside"), so the hot path stays a narrow map with NO join
+    * before the stateful operator. Per user, a transition row emits
+    * whenever the resolved zone CHANGES, in (event-time, event_id)
+    * total order under the S35 monotonic regression-drop contract;
+    * the first event enters from "outside". State: last zone + the
+    * order anchor — constant per key. */
+  def geofenceStream(events: DataFrame,
+      zones: Seq[(String, Long, Long, Long, Long)],
+      watermark: String = "10 seconds"): DataFrame = {
+    require(zones.nonEmpty, "zones must be non-empty")
+    val s = events.sparkSession
+    import s.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    val zoneExpr = zones.foldRight(lit("outside")) {
+      case ((name, xLo, xHi, yLo, yHi), rest) =>
+        when(col("xi") >= xLo && col("xi") < xHi &&
+             col("yi") >= yLo && col("yi") < yHi, lit(name)).otherwise(rest)
+    }
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), zoneExpr.as("zone"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[GeoState]) =>
+          var st = state.getOption.getOrElse(
+            GeoState(Long.MinValue, Long.MinValue, "outside"))
+          val out = rows.toSeq
+            .map { case (_, ts, id, z) => (micros(ts), id, z) }
+            .sortBy { case (tu, id, _) => (tu, id) }
+            .flatMap { case (tu, id, z) =>
+              if (tu < st.tsu || (tu == st.tsu && id <= st.eventId)) None
+              else {
+                val from = st.zone
+                st = GeoState(tu, id, z)
+                if (z != from) Some(GeoTransition(uid, tu, id, from, z))
+                else None
+              }
+            }
+          state.update(st)
+          out.iterator
       }.toDF()
   }
 }

@@ -32,6 +32,30 @@ class SpatialSpec extends SparkSpec {
     }
   }
 
+  test("radiusKnn == naive per-point rank; directed, tie-ordered, radius-bounded") {
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 3L, 0L), (3L, 0L, 4L),   // 1-2 d2=9, 1-3 d2=16, 2-3 d2=25
+      (4L, 0L, 5L),                                // ties: 4-3 d2=1; 4-1 d2=25 == 4-2? (3,5)->9+25=34 no
+      (5L, 1000L, 1000L)                           // isolated: no neighbor in r
+    ).toDF("id", "xi", "yi")
+    val got = graft.operators.Spatial.radiusKnn(pts, 10L, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per-point 2 nearest within r=10 (d2 <= 100), tie (dist2, id_b)
+    val expect = Set(
+      (1L, 2L, 9L, 1L), (1L, 3L, 16L, 2L),
+      (2L, 1L, 9L, 1L), (2L, 3L, 25L, 2L),
+      (3L, 4L, 1L, 1L), (3L, 1L, 16L, 2L),
+      (4L, 3L, 1L, 1L), (4L, 1L, 25L, 2L))
+    assert(got.toSet == expect, s"got ${got.toSeq.sorted}")
+    assert(!got.exists(_._1 == 5L), "isolated point must emit nothing")
+    // equal-dist tie: two neighbors at the same d2 rank by id_b
+    val tie = Seq((10L, 0L, 0L), (11L, 5L, 0L), (12L, 0L, 5L)).toDF("id", "xi", "yi")
+    val t = graft.operators.Spatial.radiusKnn(tie, 10L, 2)
+      .filter(col("id_a") === 10L).orderBy("rk")
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(t.toSeq == Seq((11L, 1L), (12L, 2L)), s"tie: ${t.toSeq}")
+  }
+
   test("gridNeighborJoin: cell-boundary pairs are found exactly once") {
     // points straddling cell boundaries at every 3x3 neighbor offset
     // (r=10: cells are 10 wide; (9,9)-(10,10) cross the corner) plus a

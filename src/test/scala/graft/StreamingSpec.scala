@@ -1548,6 +1548,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S39: geofence transitions — enter/exit/cross emit once, same-zone moves silent, regressions dropped") {
+    val zones = Seq(("A", 0L, 100L, 0L, 100L), ("B", 100L, 200L, 0L, 100L))
+    val base = 1700000000L
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+    val ev = in.toDF().toDF("ts", "user_id", "event_id", "xi", "yi")
+    val q = StreamOps.geofenceStream(ev, zones)
+      .writeStream.format("memory").queryName("s39").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    def at(sec: Long, id: Long, x: Long, y: Long, user: Long = 1L) =
+      (new java.sql.Timestamp((base + sec) * 1000), user, id, x, y)
+    // enter A (from outside), move within A (silent), cross to B —
+    // delivered OUT of order within the batch; the fold is event-time
+    in.addData(at(30, 3, 150, 50), at(10, 1, 50, 50), at(20, 2, 60, 60))
+    q.processAllAvailable()
+    def rows() = spark.table("s39").collect()
+      .map(r => (r.getLong(2), r.getString(3), r.getString(4)))
+    assert(rows().toSet == Set((1L, "outside", "A"), (3L, "A", "B")),
+      s"b1: ${rows().toSeq}")
+    // batch 2: a REGRESSION behind the anchor (would claim A again) is
+    // dropped; an exit to outside emits; boundary x=100 belongs to B
+    // (half-open boxes) — same zone as current, silent
+    in.addData(at(15, 9, 55, 55), at(40, 4, 100, 50), at(50, 5, 500, 500))
+    q.processAllAvailable(); q.stop()
+    assert(rows().toSet == Set((1L, "outside", "A"), (3L, "A", "B"),
+      (5L, "B", "outside")), s"b2: ${rows().toSeq}")
+  }
+
   test("S38: CDC upsert materializer — last-writer wins, tombstones, resurrect, absorb late") {
     val in = MemoryStream[(Long, String, Long, String)]
     val q = StreamOps.cdcUpsertStream(in.toDF().toDF("k", "op", "version", "payload"))
