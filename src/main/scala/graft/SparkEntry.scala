@@ -265,6 +265,7 @@ object SparkEntry {
     "q245_cdc_merge"       -> (graft.operators.Warehouse.q245 _),
     "q246_radius_join"     -> (graft.operators.Spatial.q246 _),
     "q247_radius_knn"      -> (graft.operators.Spatial.q247 _),
+    "q248_interval_union"  -> (Relational.q248 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -568,6 +569,22 @@ object SparkEntry {
         "r AS (SELECT id_a, id_b, dist2, CAST(ROW_NUMBER() OVER " +
         "(PARTITION BY id_a ORDER BY dist2, id_b) AS BIGINT) AS rk FROM d) " +
         "SELECT id_a, id_b, dist2, rk FROM r WHERE rk <= 5 ORDER BY id_a, rk"),
+    // q248: interval union — the running-max block sweep in window
+    // SQL; everything epoch-second BIGINT, FLOOR before the duration
+    // cast (DuckDB CAST(double) rounds, Spark truncates — FLOOR makes
+    // them agree).
+    "q248_interval_union" ->
+      ("WITH iv AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, " +
+        "CAST(FLOOR(epoch(ts)) AS BIGINT) + 60 + CAST(FLOOR(value) AS BIGINT) % 600 AS e FROM events), " +
+        "m AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv), " +
+        "b AS (SELECT user_id, s, e, SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS block FROM m), " +
+        "g AS (SELECT user_id, block, MIN(s) AS bs, MAX(e) AS be, COUNT(*) AS n_iv, SUM(e - s) AS raw " +
+        "FROM b GROUP BY user_id, block) " +
+        "SELECT user_id, CAST(SUM(n_iv) AS BIGINT) AS n_intervals, CAST(COUNT(*) AS BIGINT) AS n_blocks, " +
+        "CAST(SUM(be - bs) AS BIGINT) AS covered_s, CAST(SUM(raw) AS BIGINT) AS raw_s " +
+        "FROM g GROUP BY user_id ORDER BY user_id"),
     // q237: band join — inline range dimension, broadcast non-equi
     // containment, exact decimal bounds and rollups.
     "q237_band_join" ->

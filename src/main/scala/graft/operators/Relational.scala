@@ -4616,6 +4616,52 @@ object Relational {
   def q230(s: SparkSession, d: String): DataFrame =
     topStreaks(Tables.events(s, d), 20).orderBy("rk")
 
+  /** Interval union / coverage — merge overlapping (and touching)
+    * [s, e) intervals per key and report the COVERED total: the
+    * billing/uptime/SLA workhorse (how long was each user actually
+    * in-session, double-billing removed) — q230's gaps-and-islands
+    * sibling for CONTINUOUS time, and the aggregate q108's
+    * concurrency curve integrates pointwise. Block detection is the
+    * classic running-max sweep: a new block starts when s exceeds the
+    * max end seen so far (equal = touching = merged); block bounds
+    * are then (min s, max e) per block. All epoch-second BIGINTs —
+    * exact on both engines.
+    *
+    * Scale: both windows partition on the key (never
+    * low-cardinality); state per row is one running max / one running
+    * sum — no per-group buffering; the final agg is two hash aggs on
+    * (key, block) then (key). */
+  def intervalUnion(iv: DataFrame, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("s"), col("e"))
+    val blocks = iv
+      .withColumn("prev_max", max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nb", when(col("prev_max").isNull ||
+        col("s") > col("prev_max"), 1L).otherwise(0L))
+      .withColumn("block", sum("nb").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    blocks.groupBy(col(keyCol), col("block"))
+      .agg(min("s").as("bs"), max("e").as("be"),
+        count(lit(1)).as("n_iv"), sum(col("e") - col("s")).as("raw"))
+      .groupBy(keyCol)
+      .agg(sum("n_iv").as("n_intervals"),
+        count(lit(1)).as("n_blocks"),
+        sum(col("be") - col("bs")).as("covered_s"),
+        sum("raw").as("raw_s"))
+  }
+
+  /** Q248 — per-user session coverage: intervals from events (start =
+    * event epoch second, duration = 60 + ⌊value⌋ mod 600 — FLOOR
+    * before the integer cast, the dual-dialect truncation rule),
+    * overlaps merged, covered vs raw seconds. */
+  def q248(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d).select(col("user_id"),
+        unix_timestamp(col("ts")).as("s"),
+        (unix_timestamp(col("ts")) + 60L +
+          pmod(floor(col("value")).cast("bigint"), lit(600L))).as("e"))
+    intervalUnion(iv, "user_id").orderBy("user_id")
+  }
+
   /** Duplicate-payment audit — the fraud/ops double-charge screen:
     * order pairs from the SAME customer within `windowDays` whose
     * amounts differ by at most `amountTol` (real screens band the

@@ -434,4 +434,21 @@ class RelationalSmokeSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got2 == got)
   }
+
+  test("intervalUnion: overlap/touch merge, containment, disjoint blocks, raw vs covered") {
+    import spark.implicits._
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 15L),   // overlap -> one block [0,15)
+      (1L, 15L, 20L),                  // touching (s == prev max) -> merges
+      (1L, 30L, 40L), (1L, 32L, 35L),  // containment inside [30,40)
+      (1L, 100L, 101L),                // disjoint third block
+      (2L, 0L, 1L)                     // second key untouched by key 1
+    ).toDF("user_id", "s", "e")
+    val out = graft.operators.Relational.intervalUnion(iv, "user_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // key 1: blocks [0,20) [30,40) [100,101) -> covered 31; raw 10+10+5+10+3+1 = 39
+    assert(out(1L) == ((6L, 3L, 31L, 39L)), s"k1: ${out(1L)}")
+    assert(out(2L) == ((1L, 1L, 1L, 1L)), s"k2: ${out(2L)}")
+  }
 }
