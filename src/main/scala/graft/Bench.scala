@@ -109,12 +109,23 @@ object Bench {
     // intrinsic-cost doctrine as the 3 separated passes); the detail
     // JSON carries the isolated reading separately so a future judge
     // can see both without BASELINE.md prose.
-    val isolated: Map[String, Double] =
-      heavies.filter(selected.contains).flatMap { n =>
+    // Isolated failures are NOT swallowed (r14 advice): a heavy that
+    // passes in-suite but errors isolated would otherwise report a
+    // clean min with no trace — Lefts are collected into
+    // "isolated_errors" in the detail JSON.
+    val isolatedRuns: Seq[(String, Seq[Either[String, Double]])] =
+      heavies.filter(selected.contains).map { n =>
         sweepCaches(); System.gc(); Thread.sleep(500)
-        val runs = (1 to 2).flatMap(_ => runOnce(n).toOption)
-        runs.minOption.map(n -> _)
-      }.toMap
+        n -> (1 to 2).map(_ => runOnce(n))
+      }
+    val isolated: Map[String, Double] = isolatedRuns.flatMap { case (n, rs) =>
+      rs.collect { case Right(v) => v }.minOption.map(n -> _)
+    }.toMap
+    val isolatedErrors: Map[String, String] = isolatedRuns.flatMap {
+      case (n, rs) =>
+        val lefts = rs.collect { case Left(m) => m }
+        if (lefts.isEmpty) None else Some(n -> lefts.mkString(" | ").take(200))
+    }.toMap
     val results = order.map { n =>
       val runs = passes.map(_(n)) ++ isolated.get(n).map(Right(_)).toSeq
       n -> runs.collect { case Right(v) => v }.minOption
@@ -148,7 +159,18 @@ object Bench {
     // S1 ingestion throughput (BASELINE.md): synthetic envelopes with 10
     // datapoints each through the reference pipeline (parse → explode →
     // derivations; narrow, zero-shuffle). rows/s = exploded DataPoints/s.
-    val s1RowsPerSec = {
+    //
+    // r15 (r14 verdict #1): this segment runs LAST, off the back of the
+    // full suite + isolated heavies, and the r14 driver artifact read
+    // 174 k rows/s — 25× below the 3.3–4.5 M clean-host band — while
+    // every query in the same run sat at ~1.1× of floor: a post-suite
+    // memory-pressure/GC stall, not an ingest regression. Fix = give S1
+    // the same isolated treatment the heavies got (sweep + GC + drain
+    // pause before it) and record the PER-SHOT readings in the detail
+    // JSON ("s1_shots_rows_per_sec") so a stall window is diagnosable
+    // from the artifact alone (best-of-N alone hides which shot stalled).
+    val s1Shots: Seq[Double] = {
+      sweepCaches(); System.gc(); Thread.sleep(1000) // drain before timing
       val envelopes = 200000L
       val perEnv = 10
       val raw = spark.range(envelopes).select(concat(
@@ -161,18 +183,23 @@ object Bench {
       raw.persist().count() // materialize: measure the pipeline, not the generator
       Ingest.dataPoints(Ingest.parse(raw))
         .write.format("noop").mode("overwrite").save() // warmup
-      // best of 3 — same host-stall reasoning as the query passes (a
-      // single shot landed at 53 k rows/s inside a stall window vs the
-      // 2.4 M rows/s this pipeline actually sustains)
-      val rps = (1 to 3).map { _ =>
+      // best of 3 reported, every shot recorded — same host-stall
+      // reasoning as the query passes (a single shot landed at 53 k
+      // rows/s inside a stall window vs the multi-M rows/s this
+      // pipeline actually sustains); a GC drain between shots so one
+      // stalled shot can't hold the heap hostage for the next.
+      val shots = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         Ingest.dataPoints(Ingest.parse(raw))
           .write.format("noop").mode("overwrite").save()
-        envelopes * perEnv / ((System.nanoTime() - t0) / 1e9)
-      }.max
+        val rps = envelopes * perEnv / ((System.nanoTime() - t0) / 1e9)
+        System.gc()
+        rps
+      }
       raw.unpersist()
-      rps
+      shots
     }
+    val s1RowsPerSec = s1Shots.max
     // Escape for JSON: quote/backslash, control chars, and EVERYTHING
     // past ASCII (incl. lone surrogates — a pre-escape truncation could
     // split a pair, and an unescaped lone surrogate is malformed JSON).
@@ -192,9 +219,12 @@ object Bench {
     // clipped remnant plus the compact line and parsed neither.
     val isoJson = isolated.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val isoErrJson = isolatedErrors.toSeq.sortBy(_._1)
+      .map { case (k, m) => s"\"$k\":\"${esc(m)}\"" }.mkString("{", ",", "}")
     val bsJson = buildServe.map { case (b, sv) =>
       s""","q224_build_sec":$b,"q224_serve_sec":$sv""" }.getOrElse("")
-    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated_heavies":$isoJson$bsJson,"s1_ingest_rows_per_sec":${s1RowsPerSec.round},"sf":"$sfDir"}"""
+    val s1ShotsJson = s1Shots.map(_.round).mkString("[", ",", "]")
+    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated_heavies":$isoJson,"isolated_errors":$isoErrJson$bsJson,"s1_ingest_rows_per_sec":${s1RowsPerSec.round},"s1_shots_rows_per_sec":$s1ShotsJson,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }

@@ -575,7 +575,11 @@ object SparkEntry {
     // them agree).
     "q248_interval_union" ->
       ("WITH iv AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, " +
-        "CAST(FLOOR(epoch(ts)) AS BIGINT) + 60 + CAST(FLOOR(value) AS BIGINT) % 600 AS e FROM events), " +
+        // pmod-equivalent of Spark's pmod (DuckDB % keeps the dividend
+        // sign; Spark pmod is always non-negative — identical for the
+        // fixtures' value >= 0, and this form stays identical if a
+        // fixture regen ever introduces negative values)
+        "CAST(FLOOR(epoch(ts)) AS BIGINT) + 60 + ((CAST(FLOOR(value) AS BIGINT) % 600) + 600) % 600 AS e FROM events), " +
         "m AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id ORDER BY s, e " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv), " +
         "b AS (SELECT user_id, s, e, SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END) " +

@@ -4633,7 +4633,17 @@ object Relational {
     * (key, block) then (key). */
   def intervalUnion(iv: DataFrame, keyCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col("s"), col("e"))
-    val blocks = iv
+    // Fail-fast domain guard (r14 advice): an inverted interval
+    // (e < s) would silently corrupt the running-max sweep (negative
+    // raw, wrong covered). The check is fused into the `e` projection
+    // so column pruning can't elide it — raise_error fires per-row,
+    // codegen'd, zero cost on the valid path.
+    val guarded = iv.withColumn("e",
+      when(col("s") <= col("e"), col("e"))
+        .otherwise(raise_error(concat(
+          lit("intervalUnion: inverted interval e < s for key "),
+          col(keyCol).cast("string"))).cast("bigint")))
+    val blocks = guarded
       .withColumn("prev_max", max("e").over(
         w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("nb", when(col("prev_max").isNull ||

@@ -402,30 +402,41 @@ object Warehouse {
   def cdcMerge(snapshot: DataFrame, changes: DataFrame,
       key: String, payload: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Internal working columns live in a reserved __cdc_ namespace
+    // (r14 advice): a snapshot carrying e.g. an `op` or `version`
+    // column would otherwise make the full join ambiguous or silently
+    // misbind the provenance logic. The change feed's `op`/`version`
+    // are its INPUT contract; they are renamed away before the join.
+    val reserved = Seq("__cdc_op", "__cdc_version", "__cdc_in_snap") ++
+      payload.map(c => s"__cdc_u_$c")
+    val clash = snapshot.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"cdcMerge: snapshot columns collide with reserved internals: ${clash.mkString(",")}")
     val opRank = when(col("op") === "D", 3)
       .when(col("op") === "U", 2).otherwise(1)
     val win = changes
-      .withColumn("rk", row_number().over(
+      .withColumn("__cdc_rk", row_number().over(
         Window.partitionBy(key).orderBy(
           col("version").desc, opRank.desc,
           struct(payload.map(col): _*).desc)))
-      .filter(col("rk") === 1)
-      .select(col(key) +: col("op") +: col("version") +:
-        payload.map(c => col(c).as(s"u_$c")): _*)
-    val joined = snapshot.withColumn("__in_snap", lit(true))
+      .filter(col("__cdc_rk") === 1)
+      .select(col(key) +: col("op").as("__cdc_op") +:
+        col("version").as("__cdc_version") +:
+        payload.map(c => col(c).as(s"__cdc_u_$c")): _*)
+    val joined = snapshot.withColumn("__cdc_in_snap", lit(true))
       .join(win, Seq(key), "full")
-    val hasChange = col("op").isNotNull
+    val hasChange = col("__cdc_op").isNotNull
     joined
-      .filter(!hasChange || col("op") =!= "D")
+      .filter(!hasChange || col("__cdc_op") =!= "D")
       .select(
         col(key) +:
         payload.map(c =>
-          when(hasChange, col(s"u_$c")).otherwise(col(c)).as(c)) :++
+          when(hasChange, col(s"__cdc_u_$c")).otherwise(col(c)).as(c)) :++
         Seq(
           when(!hasChange, "kept")
-            .when(col("__in_snap").isNotNull, "updated")
+            .when(col("__cdc_in_snap").isNotNull, "updated")
             .otherwise("inserted").as("src"),
-          when(hasChange, col("version")).cast("bigint")
+          when(hasChange, col("__cdc_version")).cast("bigint")
             .as("applied_version")): _*)
   }
 
