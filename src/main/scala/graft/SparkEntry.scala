@@ -266,6 +266,7 @@ object SparkEntry {
     "q246_radius_join"     -> (graft.operators.Spatial.q246 _),
     "q247_radius_knn"      -> (graft.operators.Spatial.q247 _),
     "q248_interval_union"  -> (Relational.q248 _),
+    "q249_haversine_join"  -> (graft.operators.Geo.q249 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -547,6 +548,12 @@ object SparkEntry {
     // q246: radius join — the oracle is the NAIVE all-pairs cross
     // join over the same integer coordinates; pure BIGINT distance
     // test, no float anywhere.
+    // q249: spherical radius join — naive all-pairs evaluating the
+    // IDENTICAL polynomial-haversine layer text the engine compiles
+    // (generated from one source of truth in Geo; trig/exp are NOT
+    // bit-portable across engines per the LibmProbe measurement, so
+    // the distance is a defined +,-,*,/ series — see Geo scaladoc)
+    "q249_haversine_join" -> graft.operators.Geo.q249OracleSql,
     "q246_radius_join" ->
       ("WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS id, " +
         "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100000 AS xi, " +

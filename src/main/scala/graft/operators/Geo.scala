@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Spherical (lat/lon) spatial tier — the haversine radius join real
+  * geofencing/catchment users arrive with, generalizing the planar
+  * integer grid of [[Spatial.gridNeighborJoin]] (q246) to the sphere:
+  * latitude-banded grid cells whose longitude width widens toward the
+  * poles, longitude wraparound handled by per-band modular cells, and
+  * an exact mirrored verify. The reference has no spatial surface
+  * (its full pipeline is RawDataIngestion.java:95-169); this is
+  * north-star territory.
+  *
+  * DETERMINISM DOCTRINE EXTENSION (measured, `graft.LibmProbe`): the
+  * mirrored-libm doctrine (q157's sqrt/ln/log10/pow class) does NOT
+  * extend to trig/exp — on this host JVM `Math` and DuckDB's libm
+  * disagree in the last ulp on 0.2% of sin/cos inputs, 6% of asin and
+  * 9.7% of exp inputs (200k-sample probe; sqrt: 0 — IEEE requires
+  * correct rounding for sqrt, libm only ~1 ulp for the rest). A
+  * last-ulp wobble under a radius PREDICATE flips borderline pairs,
+  * so the distance here is a DEFINED truncated-series haversine built
+  * from +,-,*,/ only — operations IEEE 754 fully determines — with
+  * both engines evaluating the identical expression text over
+  * identical doubles, making every intermediate bit-identical by
+  * construction rather than by libm luck:
+  *
+  *   hav = sinP(Δφ/2)² + cosP(φa)·cosP(φb)·sinP(Δλ/2)²  ≤  K
+  *
+  * where sinP/cosP are degree-13/12 Taylor polynomials (Horner form)
+  * and K = sin²(r/2R) is a driver-computed constant embedded as the
+  * same literal on both sides. Polynomial truncation error vs true
+  * haversine is < 7e-10 on sin (|x| ≤ π/2) and < 3e-11 on cos
+  * (|x| ≤ π/3) — sub-metre at Earth scale and absorbed by the grid
+  * slack; accuracy CONTRACT: |lat| ≤ 60° (beyond it the polynomials
+  * lose accuracy gracefully but determinism is unaffected).
+  *
+  * Coordinates are integer MICRO-DEGREES (exact in BIGINT and in
+  * double), so the only roundings are the two scale-multiplies both
+  * engines perform identically. */
+object Geo {
+
+  /** Mean Earth radius, metres (defined constant of the operator). */
+  val EarthR: Double = 6371000.0
+
+  private val CR: Double = math.Pi / 180.0 / 1e6  // micro-deg → rad
+  private val CR2: Double = CR / 2.0
+
+  /** Shortest round-trip decimal render — Double.toString and DuckDB's
+    * strtod are both correctly rounded, so this literal parses back to
+    * the identical double on both engines. */
+  private def d2s(d: Double): String = java.lang.Double.toString(d)
+
+  /** Degree-13 Taylor sine in Horner form over a column-name argument;
+    * the same text is pasted into the Spark plan (via expr) and the
+    * DuckDB oracle, so the op sequence is identical by construction.
+    * Truncation error ≤ x¹⁵/15! (6.7e-10 at x = π/2). */
+  def sinPSql(x: String): String = {
+    val cs = Seq(1.0 / 6227020800.0, -1.0 / 39916800.0, 1.0 / 362880.0,
+      -1.0 / 5040.0, 1.0 / 120.0, -1.0 / 6.0)
+    val inner = cs.tail.foldLeft(d2s(cs.head)) { (acc, c) =>
+      s"(${d2s(c)} + (($x * $x) * $acc))"
+    }
+    s"($x * (1.0 + (($x * $x) * $inner)))"
+  }
+
+  /** Degree-12 Taylor cosine in Horner form (error ≤ x¹⁴/14!,
+    * 2.2e-11 at x = π/3). */
+  def cosPSql(x: String): String = {
+    val cs = Seq(1.0 / 479001600.0, -1.0 / 3628800.0, 1.0 / 40320.0,
+      -1.0 / 720.0, 1.0 / 24.0, -0.5)
+    val inner = cs.tail.foldLeft(d2s(cs.head)) { (acc, c) =>
+      s"(${d2s(c)} + (($x * $x) * $acc))"
+    }
+    s"(1.0 + (($x * $x) * $inner))"
+  }
+
+  /** K = sin²(r / 2R): the haversine threshold for radius r metres.
+    * Driver-side true sin — it is a CONSTANT of the query, embedded as
+    * one identical literal on both engines, never recomputed by either. */
+  def havK(radiusMeters: Double): Double = {
+    val s = math.sin(radiusMeters / (2.0 * EarthR))
+    s * s
+  }
+
+  /** The mirrored verify layers over candidate columns
+    * (la, loa, lb, lob — integer micro-degrees). Each layer's
+    * expressions reference only prior-layer names, so Spark
+    * (withColumn chain) and DuckDB (CTE chain) evaluate the identical
+    * op sequence. */
+  def havLayer1: Seq[(String, String)] = Seq(
+    "dphih" -> s"CAST(la - lb AS DOUBLE) * ${d2s(CR2)}",
+    "dlamh" -> ("CAST(((loa - lob + 540000000) % 360000000) - 180000000 " +
+      s"AS DOUBLE) * ${d2s(CR2)}"),
+    "phia" -> s"CAST(la AS DOUBLE) * ${d2s(CR)}",
+    "phib" -> s"CAST(lb AS DOUBLE) * ${d2s(CR)}")
+  def havLayer2: Seq[(String, String)] = Seq(
+    "sp" -> sinPSql("dphih"), "sl" -> sinPSql("dlamh"),
+    "ca" -> cosPSql("phia"), "cb" -> cosPSql("phib"))
+  def havLayer3: (String, String) =
+    "hav" -> "((sp * sp) + ((ca * cb) * (sl * sl)))"
+
+  /** Per-band longitude cell counts for the lossless latitude-banded
+    * grid. Band b (SHIFTED: lat ∈ [b·H − 60e6, (b+1)·H − 60e6)) gets
+    * nc cells of uniform angular width 360e6/nc micro-degrees — a
+    * uniform division of the circle, so wraparound adjacency is a
+    * clean ±1 (mod nc) with NO narrow seam cell (a remainder-width
+    * last cell would let a close pair land 2 cells apart across the
+    * seam — the lossy case a first cut hit). Width ≥ the Δλ bound
+    * for any pair whose BOTH endpoints lie in bands b−1..b+1:
+    * sin(Δλ/2) ≤ sin(θ/2)/cos(φmax) exactly (from the haversine
+    * identity), evaluated with true driver-side trig + slack — these
+    * constants are ENGINE-ONLY (the oracle is the naive all-pairs
+    * join), so no mirroring is needed, only losslessness. */
+  private def bandCells(thetaMax: Double, H: Long): Seq[(Long, Long)] = {
+    val bMax = 120000000L / H
+    (-1L to bMax + 1L).map { b =>
+      val latLo = (b - 1) * H - 60000000L
+      val latHi = (b + 2) * H - 60000000L
+      val maxAbs = math.min(89000000L, math.max(math.abs(latLo), math.abs(latHi)))
+      val cosMin = math.cos(maxAbs * 1e-6 * math.Pi / 180.0)
+      val dlon = 2.0 * math.asin(math.min(1.0, math.sin(thetaMax / 2.0) / cosMin))
+      val wMin = math.ceil(dlon * 180.0 / math.Pi * 1e6).toLong + 1000L
+      val nc = math.max(1L, 360000000L / wMin) // floor ⇒ width ≥ wMin
+      (b, nc)
+    }
+  }
+
+  /** Spherical radius self-join over integer micro-degree points
+    * (id, la, lo): all ORDERED pairs (id_a < id_b) with defined
+    * haversine ≤ K(radius). Output (id_a, id_b, hav).
+    *
+    * Plan: latitude bands of height H = Δφ bound (so band distance
+    * ≤ 1), per-band uniform modular longitude cells (width ≥ Δλ
+    * bound at the band's worst latitude), one side exploded to its
+    * 3×3 (band, cell) neighborhood — each qualifying pair is
+    * generated EXACTLY once (B sits in a unique key; A's nine
+    * exploded keys are distinct because nc ≥ 180 everywhere below
+    * 62°). The only shuffle is the (band, cell) equi-join; the band
+    * table (≤ ~100 rows) rides two broadcast joins. Fanout is
+    * density-bounded — never n². */
+  def sphericalRadiusJoin(points: DataFrame, radiusMeters: Double): DataFrame = {
+    require(radiusMeters > 0, s"radius=$radiusMeters must be positive")
+    // beyond ~2000 km the Δλ bound at 60° exceeds a third of the
+    // circle and a band could hold < 4 cells, breaking the
+    // exactly-once (dc injective mod nc) candidate argument
+    require(radiusMeters <= 2000000.0,
+      s"radius=$radiusMeters m exceeds the 2000 km grid-cut contract")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val k = havK(radiusMeters)
+    // polynomial-hav ≤ K ⇒ true-hav ≤ K + 3e-9; widen θ accordingly
+    val thetaMax = 2.0 * math.asin(math.min(1.0, math.sqrt(k + 3e-9))) * 1.0001
+    val H = math.ceil(thetaMax * 180.0 / math.Pi * 1e6).toLong + 1000L
+    val bt = broadcast(bandCells(thetaMax, H).toDF("bt_band", "bt_nc"))
+    val p = points.select(col("id").cast("long").as("id"),
+        col("la").cast("long").as("la"), col("lo").cast("long").as("lo"))
+      .withColumn("band", expr(s"(la + 60000000) DIV $H"))
+    val b = p.join(bt, col("band") === col("bt_band"))
+      .select(col("id").as("id_b"), col("la").as("lb"), col("lo").as("lob"),
+        col("band").as("b_band"),
+        expr("((lo + 180000000) * bt_nc) DIV 360000000").as("b_cell"))
+    val a = p
+      .withColumn("db", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("tb", col("band") + col("db"))
+      .join(bt, col("tb") === col("bt_band"))
+      .withColumn("cell0", expr("((lo + 180000000) * bt_nc) DIV 360000000"))
+      .withColumn("dc", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("id").as("id_a"), col("la"), col("lo").as("loa"),
+        col("tb"), pmod(col("cell0") + col("dc"), col("bt_nc")).as("jcell"))
+    val cand = a.join(b,
+      col("tb") === col("b_band") && col("jcell") === col("b_cell") &&
+        col("id_a") < col("id_b"))
+    val l1 = havLayer1.foldLeft(cand) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+    val l2 = havLayer2.foldLeft(l1) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+    l2.withColumn(havLayer3._1, expr(havLayer3._2))
+      .filter(col("hav") <= lit(k))
+      .select("id_a", "id_b", "hav")
+  }
+
+  /** The q249 point derivation: customers mapped to deterministic
+    * integer micro-degree coordinates, lat ∈ [−60°, 60°], lon ∈
+    * [−180°, 180°), via two independent md5 slices (the q246 idiom —
+    * hash-derived, never a multiplicative congruence). */
+  def customerPoints(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("c_custkey").cast("string"))
+    Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("id"),
+      (pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(120000001L))
+        - 60000000L).as("la"),
+      (pmod(conv(substring(h, 9, 8), 16, 10).cast("long"), lit(360000000L))
+        - 180000000L).as("lo"))
+  }
+
+  /** Q249 — spherical radius join under the ORACLE gate: all customer
+    * pairs within 150 km of defined haversine. The oracle is the
+    * NAIVE all-pairs join evaluating the identical polynomial layers
+    * — the banded grid must reproduce it exactly. */
+  def q249(s: SparkSession, d: String): DataFrame =
+    sphericalRadiusJoin(customerPoints(s, d), 150000.0)
+      .orderBy("id_a", "id_b")
+
+  /** The q249 oracle SQL, generated from the SAME layer text the
+    * engine compiles — one source of truth for every float op. */
+  def q249OracleSql: String = {
+    val k = havK(150000.0)
+    val l1 = havLayer1.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val l2 = havLayer2.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    "WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS id, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 120000001 - 60000000 AS la, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 360000000 - 180000000 AS lo " +
+      "FROM customer), " +
+      "d AS (SELECT a.id AS id_a, b.id AS id_b, a.la AS la, a.lo AS loa, " +
+      "b.la AS lb, b.lo AS lob FROM pts a JOIN pts b ON a.id < b.id), " +
+      s"l1 AS (SELECT id_a, id_b, $l1 FROM d), " +
+      s"l2 AS (SELECT id_a, id_b, $l2 FROM l1), " +
+      s"l3 AS (SELECT id_a, id_b, ${havLayer3._2} AS ${havLayer3._1} FROM l2) " +
+      s"SELECT id_a, id_b, hav FROM l3 WHERE hav <= ${d2s(k)} " +
+      "ORDER BY id_a, id_b"
+  }
+}
