@@ -267,6 +267,7 @@ object SparkEntry {
     "q247_radius_knn"      -> (graft.operators.Spatial.q247 _),
     "q248_interval_union"  -> (Relational.q248 _),
     "q249_haversine_join"  -> (graft.operators.Geo.q249 _),
+    "q250_point_in_poly"   -> (graft.operators.Spatial.q250 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -554,6 +555,9 @@ object SparkEntry {
     // bit-portable across engines per the LibmProbe measurement, so
     // the distance is a defined +,-,*,/ series — see Geo scaladoc)
     "q249_haversine_join" -> graft.operators.Geo.q249OracleSql,
+    // q250: point-in-polygon — naive per-(point, edge) integer
+    // ray-cast over the same vertex data (generated from demoZones)
+    "q250_point_in_poly" -> graft.operators.Spatial.q250OracleSql,
     "q246_radius_join" ->
       ("WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS id, " +
         "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100000 AS xi, " +

@@ -124,6 +124,131 @@ object Spatial {
     radiusKnn(pts, 3000L, 5).orderBy("id_a", "rk")
   }
 
+  /** Demo polygon geofences in the 100 000² centi-unit space —
+    * a convex pentagon, a CONCAVE C-shape (the case a bbox-only or
+    * convex-only test gets wrong), a wide band, and a diamond that
+    * overlaps the band (multi-membership). Shared by q250, the S39
+    * polygon form, and the oracle SQL generator — one source of
+    * truth for the vertex data. */
+  val demoZones: Seq[(String, Seq[(Long, Long)])] = Seq(
+    "pent" -> Seq((25000L, 40000L), (39000L, 30000L), (34000L, 12000L),
+      (16000L, 12000L), (11000L, 30000L)),
+    "hook" -> Seq((55000L, 10000L), (90000L, 10000L), (90000L, 45000L),
+      (55000L, 45000L), (55000L, 35000L), (80000L, 35000L),
+      (80000L, 20000L), (55000L, 20000L)),
+    "band" -> Seq((5000L, 70000L), (95000L, 70000L), (95000L, 85000L),
+      (5000L, 85000L)),
+    "diamond" -> Seq((50000L, 50000L), (62000L, 62000L), (50000L, 74000L),
+      (38000L, 62000L)))
+
+  /** The integer ray-cast crossing test as expression pieces over
+    * point columns (xi, yi) and edge columns (x1, y1, x2, y2): the
+    * upward half-open straddle rule ((y1 ≤ yp) ≠ (y2 ≤ yp)) plus a
+    * sign-matched BIGINT cross product decides whether the +x ray
+    * from the point crosses the edge — zero float anywhere (the q246
+    * doctrine; coords ≤ 1e5 ⇒ |cross| < 4·10¹⁰ ≪ 2⁶³), so both
+    * engines compare identical exact integers and boundary points
+    * resolve identically by arithmetic, not by epsilon. */
+  private def crossingCol: org.apache.spark.sql.Column = {
+    val cross = (col("x2") - col("x1")) * (col("yi") - col("y1")) -
+      (col("xi") - col("x1")) * (col("y2") - col("y1"))
+    val straddle = (col("y1") <= col("yi")) =!= (col("y2") <= col("yi"))
+    straddle && ((col("y2") > col("y1") && cross > 0) ||
+      (col("y2") < col("y1") && cross < 0))
+  }
+
+  /** Point-in-polygon zone resolution — integer ray-cast membership
+    * of points (id, xi, yi) in polygon zones (closed rings, vertices
+    * in order; concave and mutually overlapping zones allowed).
+    * Output: one row per (point, containing zone) with the crossing
+    * count. Points on a boundary resolve by the half-open rule —
+    * deterministic on both engines because the test is exact BIGINT.
+    *
+    * Plan: the edge table (zone bbox attached to every edge) is a
+    * broadcast; the bbox containment condition cuts the nested-loop
+    * fanout to points-near-zones, and is LOSSLESS — a point outside
+    * a zone's bbox has an even (usually zero) crossing count, never
+    * odd, so the filtered groups were never members. The groupBy
+    * (id, zone) partial-aggregates map-side; per-group state is one
+    * running sum. A deployment with thousands of polygons would bucket
+    * edges by the q246 grid first; for O(10) geofences the broadcast
+    * IS the grid's degenerate case. */
+  def pointInPolygon(points: DataFrame,
+      zones: Seq[(String, Seq[(Long, Long)])]): DataFrame = {
+    require(zones.nonEmpty && zones.forall(_._2.size >= 3),
+      "each zone needs >= 3 vertices")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val edges = zones.flatMap { case (z, vs) =>
+      val xs = vs.map(_._1); val ys = vs.map(_._2)
+      (vs zip (vs.tail :+ vs.head)).map { case ((x1, y1), (x2, y2)) =>
+        (z, x1, y1, x2, y2, xs.min, xs.max, ys.min, ys.max) }
+    }.toDF("zone", "x1", "y1", "x2", "y2", "bxlo", "bxhi", "bylo", "byhi")
+    points.select(col("id").cast("long").as("id"),
+        col("xi").cast("long").as("xi"), col("yi").cast("long").as("yi"))
+      .join(broadcast(edges),
+        col("xi") >= col("bxlo") && col("xi") <= col("bxhi") &&
+        col("yi") >= col("bylo") && col("yi") <= col("byhi"))
+      .withColumn("cr", when(crossingCol, 1L).otherwise(0L))
+      .groupBy(col("id"), col("zone"))
+      .agg(sum("cr").as("n_cross"))
+      .filter(col("n_cross") % 2 === 1)
+  }
+
+  /** Zone-resolution COLUMN over literal polygon zones — the narrow
+    * no-join map form the S39 streaming hot path needs (the q237
+    * band-dimension doctrine): first containing zone in list order
+    * wins, no match = "outside". Compiles to a nested CASE over exact
+    * BIGINT arithmetic. */
+  def polyZoneExpr(zones: Seq[(String, Seq[(Long, Long)])])
+      : org.apache.spark.sql.Column = {
+    def inside(vs: Seq[(Long, Long)]): org.apache.spark.sql.Column = {
+      val n = (vs zip (vs.tail :+ vs.head)).map { case ((x1, y1), (x2, y2)) =>
+        val cross = (lit(x2) - x1) * (col("yi") - y1) -
+          (col("xi") - x1) * (lit(y2) - y1)
+        val straddle = (lit(y1) <= col("yi")) =!= (lit(y2) <= col("yi"))
+        when(straddle && ((lit(y2) > y1 && cross > 0) ||
+          (lit(y2) < y1 && cross < 0)), 1L).otherwise(0L)
+      }.reduce(_ + _)
+      n % 2 === 1
+    }
+    zones.foldRight(lit("outside")) { case ((name, vs), rest) =>
+      when(inside(vs), lit(name)).otherwise(rest)
+    }
+  }
+
+  /** Q250 — point-in-polygon membership under the ORACLE gate:
+    * customers at the q246 md5 coordinates against [[demoZones]];
+    * the oracle is the naive per-(point, edge) crossing SQL over the
+    * same vertex data. */
+  def q250(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("c_custkey").cast("string"))
+    val pts = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("id"),
+      pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(100000L)).as("xi"),
+      pmod(conv(substring(h, 9, 8), 16, 10).cast("long"), lit(100000L)).as("yi"))
+    pointInPolygon(pts, demoZones).orderBy("id", "zone")
+  }
+
+  /** The q250 oracle SQL, generated from the SAME vertex data the
+    * engine compiles. */
+  def q250OracleSql: String = {
+    val values = demoZones.flatMap { case (z, vs) =>
+      (vs zip (vs.tail :+ vs.head)).map { case ((x1, y1), (x2, y2)) =>
+        s"('$z', $x1, $y1, $x2, $y2)" }
+    }.mkString(", ")
+    "WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS id, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100000 AS xi, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 100000 AS yi FROM customer), " +
+      s"e AS (SELECT * FROM (VALUES $values) AS t(zone, x1, y1, x2, y2)), " +
+      "c AS (SELECT p.id, e.zone, CASE WHEN ((e.y1 <= p.yi) != (e.y2 <= p.yi)) " +
+      "AND (((e.y2 > e.y1) AND ((e.x2 - e.x1) * (p.yi - e.y1) - (p.xi - e.x1) * (e.y2 - e.y1) > 0)) " +
+      "OR ((e.y2 < e.y1) AND ((e.x2 - e.x1) * (p.yi - e.y1) - (p.xi - e.x1) * (e.y2 - e.y1) < 0))) " +
+      "THEN 1 ELSE 0 END AS cr FROM p, e), " +
+      "g AS (SELECT id, zone, CAST(SUM(cr) AS BIGINT) AS n_cross FROM c GROUP BY id, zone) " +
+      "SELECT id, zone, n_cross FROM g WHERE n_cross % 2 = 1 ORDER BY id, zone"
+  }
+
   /** Q246 — radius join under the ORACLE gate: customers mapped to
     * deterministic integer coordinates in a 100 000² centi-unit space
     * via two independent md5 slices (the q42/q142 cross-engine hash

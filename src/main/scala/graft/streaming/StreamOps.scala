@@ -1531,35 +1531,81 @@ object StreamOps {
     *
     * Input columns: k (long), op ∈ I/U/D, version (long),
     * payload (string). */
-  def cdcUpsertStream(changes: DataFrame): DataFrame = {
+  def cdcUpsertStream(changes: DataFrame,
+      tombstoneRetentionUs: Option[Long] = None,
+      watermark: String = "10 seconds"): DataFrame = {
     val s = changes.sparkSession
     import s.implicits._
     def rank(op: String): Int =
       op match { case "D" => 3; case "U" => 2; case _ => 1 }
-    changes
-      .select(col("k").cast("long"), col("op"), col("version").cast("long"),
-        col("payload"))
-      .as[(Long, String, Long, String)]
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    // Tombstone GC (r14 verdict #5): a compacted topic's state is the
+    // LIVE keyspace — Kafka itself deletes tombstones past
+    // `delete.retention.ms`. With `tombstoneRetentionUs` set, the
+    // input must carry an event-time `ts` column (the change's log
+    // append time); a key whose winner is a delete is evicted once
+    // the WATERMARK passes that change's ts + retention — EVENT-time
+    // retention, so replay reproduces the same evictions (a
+    // processing-time TTL would evict differently per run and, under
+    // the default trigger, busy-loop empty micro-batches evaluating
+    // timers — measured before this design was chosen). The
+    // documented consequence (identical to Kafka compaction's): a
+    // change with a LOWER version arriving after GC re-materializes
+    // the key instead of being absorbed — the retention horizon IS
+    // the absorb-late guarantee's boundary. Default None keeps the
+    // infinite-retention materialization (a compacted topic IS a
+    // keyspace-sized state by semantics).
+    val timeoutConf = if (tombstoneRetentionUs.isDefined)
+      GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    val base = changes.select(col("k").cast("long"), col("op"),
+      col("version").cast("long"), col("payload"),
+      if (tombstoneRetentionUs.isDefined) col("ts")
+      else lit(null).cast("timestamp").as("ts"))
+    val src = if (tombstoneRetentionUs.isDefined)
+      base.withWatermark("ts", watermark) else base
+    src
+      .as[(Long, String, Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (k: Long, rows: Iterator[(Long, String, Long, String)],
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf) {
+        (k: Long, rows: Iterator[(Long, String, Long, String, java.sql.Timestamp)],
          state: GroupState[CdcState]) =>
-          val prev = state.getOption
-          // winner = max under the total order; fold is order-free
-          val ord = Ordering.Tuple3[Long, Int, String]
-          val best = rows.foldLeft(prev) { case (acc, (_, op, v, p)) =>
-            val cand = CdcState(v, rank(op), op, p)
-            Some(acc.fold(cand) { a =>
-              if (ord.gt((cand.version, cand.opRank, cand.payload),
-                  (a.version, a.opRank, a.payload))) cand else a
-            })
-          }
-          best match {
-            case Some(w) if !prev.contains(w) =>
-              state.update(w)
-              Iterator.single(CdcRow(k, w.version, w.op, w.payload,
-                w.op == "D"))
-            case _ => Iterator.empty
+          if (state.hasTimedOut) {
+            // retention passed with the tombstone still the winner:
+            // drop the key (the tombstone row was already emitted)
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+            // winner = max under the total order; fold is order-free
+            val ord = Ordering.Tuple3[Long, Int, String]
+            var maxTsUs = Long.MinValue
+            val best = rows.foldLeft(prev) { case (acc, (_, op, v, p, ts)) =>
+              if (ts != null) maxTsUs = math.max(maxTsUs, micros(ts))
+              val cand = CdcState(v, rank(op), op, p)
+              Some(acc.fold(cand) { a =>
+                if (ord.gt((cand.version, cand.opRank, cand.payload),
+                    (a.version, a.opRank, a.payload))) cand else a
+              })
+            }
+            val out = best match {
+              case Some(w) if !prev.contains(w) =>
+                state.update(w)
+                Iterator.single(CdcRow(k, w.version, w.op, w.payload,
+                  w.op == "D"))
+              case _ => Iterator.empty
+            }
+            // arm eviction while the winner is a tombstone (after
+            // update: a timeout cannot be set on undefined state);
+            // quiet keys keep their armed timestamp between batches
+            (best, tombstoneRetentionUs) match {
+              case (Some(w), Some(ret)) if w.op == "D" && maxTsUs != Long.MinValue =>
+                state.setTimeoutTimestamp(
+                  math.max(maxTsUs / 1000 + ret / 1000,
+                    state.getCurrentWatermarkMs() + 1))
+              case _ => ()
+            }
+            out
           }
       }.toDF()
   }
@@ -1578,41 +1624,88 @@ object StreamOps {
     * order anchor — constant per key. */
   def geofenceStream(events: DataFrame,
       zones: Seq[(String, Long, Long, Long, Long)],
-      watermark: String = "10 seconds"): DataFrame = {
+      watermark: String = "10 seconds",
+      idleGapUs: Option[Long] = None): DataFrame = {
     require(zones.nonEmpty, "zones must be non-empty")
-    val s = events.sparkSession
-    import s.implicits._
-    def micros(ts: java.sql.Timestamp): Long =
-      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
     val zoneExpr = zones.foldRight(lit("outside")) {
       case ((name, xLo, xHi, yLo, yHi), rest) =>
         when(col("xi") >= xLo && col("xi") < xHi &&
              col("yi") >= yLo && col("yi") < yHi, lit(name)).otherwise(rest)
     }
+    geofenceCore(events, zoneExpr, watermark, idleGapUs)
+  }
+
+  /** S39 polygon form — the streaming face of q250
+    * ([[graft.operators.Spatial.pointInPolygon]]): zones are literal
+    * polygon rings resolved by the same exact-BIGINT ray-cast,
+    * compiled to one nested CASE projection (first containing zone in
+    * list order wins) — the hot path stays a narrow no-join map, the
+    * q237/S39 doctrine, with the transition state machine unchanged. */
+  def geofencePolyStream(events: DataFrame,
+      zones: Seq[(String, Seq[(Long, Long)])],
+      watermark: String = "10 seconds",
+      idleGapUs: Option[Long] = None): DataFrame = {
+    require(zones.nonEmpty, "zones must be non-empty")
+    geofenceCore(events,
+      graft.operators.Spatial.polyZoneExpr(zones), watermark, idleGapUs)
+  }
+
+  /** Shared S39 state machine over a resolved-zone column.
+    *
+    * State retention (r14 verdict #5): by default geofence state is
+    * DELIBERATELY persistent where S18/S19/S20 evict — eviction
+    * forgets the current zone, so a returning user's first event
+    * would re-emit a spurious "outside" → zone enter even though they
+    * never left; a zone-presence monitor must not fabricate
+    * transitions for quiet-but-present users. With `idleGapUs` set,
+    * the operator takes the opposite trade (bounded state for
+    * human-absence-scale gaps): a user idle past the gap is evicted
+    * and their next event REENTERS from "outside" — the session-
+    * boundary reading, correct when absence-of-signal means absence,
+    * pinned by the S39 eviction golden. */
+  private def geofenceCore(events: DataFrame,
+      zoneExpr: org.apache.spark.sql.Column,
+      watermark: String, idleGapUs: Option[Long]): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    val timeoutConf = if (idleGapUs.isDefined)
+      GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     events.withWatermark("ts", watermark)
       .select(col("user_id").cast("long"), col("ts"),
         col("event_id").cast("long"), zoneExpr.as("zone"))
       .as[(Long, java.sql.Timestamp, Long, String)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
          state: GroupState[GeoState]) =>
-          var st = state.getOption.getOrElse(
-            GeoState(Long.MinValue, Long.MinValue, "outside"))
-          val out = rows.toSeq
-            .map { case (_, ts, id, z) => (micros(ts), id, z) }
-            .sortBy { case (tu, id, _) => (tu, id) }
-            .flatMap { case (tu, id, z) =>
-              if (tu < st.tsu || (tu == st.tsu && id <= st.eventId)) None
-              else {
-                val from = st.zone
-                st = GeoState(tu, id, z)
-                if (z != from) Some(GeoTransition(uid, tu, id, from, z))
-                else None
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              GeoState(Long.MinValue, Long.MinValue, "outside"))
+            val out = rows.toSeq
+              .map { case (_, ts, id, z) => (micros(ts), id, z) }
+              .sortBy { case (tu, id, _) => (tu, id) }
+              .flatMap { case (tu, id, z) =>
+                if (tu < st.tsu || (tu == st.tsu && id <= st.eventId)) None
+                else {
+                  val from = st.zone
+                  st = GeoState(tu, id, z)
+                  if (z != from) Some(GeoTransition(uid, tu, id, from, z))
+                  else None
+                }
               }
+            state.update(st)
+            idleGapUs.foreach { gap =>
+              if (st.tsu != Long.MinValue)
+                state.setTimeoutTimestamp(math.max(st.tsu / 1000 + gap / 1000,
+                  state.getCurrentWatermarkMs() + 1))
             }
-          state.update(st)
-          out.iterator
+            out.iterator
+          }
       }.toDF()
   }
 }

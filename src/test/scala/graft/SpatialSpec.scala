@@ -56,6 +56,87 @@ class SpatialSpec extends SparkSpec {
     assert(t.toSeq == Seq((11L, 1L), (12L, 2L)), s"tie: ${t.toSeq}")
   }
 
+  test("pointInPolygon == independent Scala ray-cast on fixture coordinates") {
+    // independent oracle: the same half-open rule implemented directly
+    def naiveInside(xp: Long, yp: Long, vs: Seq[(Long, Long)]): Boolean = {
+      val edges = vs zip (vs.tail :+ vs.head)
+      val n = edges.count { case ((x1, y1), (x2, y2)) =>
+        val straddle = (y1 <= yp) != (y2 <= yp)
+        val cross = (x2 - x1) * (yp - y1) - (xp - x1) * (y2 - y1)
+        straddle && ((y2 > y1 && cross > 0) || (y2 < y1 && cross < 0))
+      }
+      n % 2 == 1
+    }
+    val h = md5(col("c_custkey").cast("string"))
+    val pts = graft.sources.Tables.customer(spark, sf("sf0.001")).select(
+      col("c_custkey").cast("long").as("id"),
+      pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(100000L)).as("xi"),
+      pmod(conv(substring(h, 9, 8), 16, 10).cast("long"), lit(100000L)).as("yi"))
+    val raw = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (for {
+      (id, x, y) <- raw
+      (z, vs) <- graft.operators.Spatial.demoZones
+      if naiveInside(x, y, vs)
+    } yield (id, z)).toSet
+    val got = graft.operators.Spatial.pointInPolygon(pts,
+        graft.operators.Spatial.demoZones)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.nonEmpty, "no fixture point inside any zone — vacuous")
+  }
+
+  test("pointInPolygon: concavity, boundary, multi-membership, vertex cases") {
+    import graft.operators.Spatial
+    val zones = Spatial.demoZones
+    val pts = Seq(
+      (1L, 70000L, 27000L),  // inside hook's NOTCH -> NOT in hook
+      (2L, 70000L, 15000L),  // hook's lower bar -> in hook
+      (3L, 85000L, 27000L),  // hook's spine (right bar) -> in hook
+      (4L, 25000L, 25000L),  // pentagon center
+      (5L, 50000L, 71000L),  // diamond AND band overlap region
+      (6L, 5000L, 70000L),   // band's SW corner vertex (half-open rule)
+      (7L, 50000L, 70000L),  // band's bottom edge AND inside diamond
+      (8L, 99000L, 99000L)   // outside everything
+    ).toDF("id", "xi", "yi")
+    val got = Spatial.pointInPolygon(pts, zones)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(!got.contains((1L, "hook")), "notch point must be outside the C")
+    assert(got.contains((2L, "hook")) && got.contains((3L, "hook")))
+    assert(got.contains((4L, "pent")))
+    assert(got.contains((5L, "diamond")) && got.contains((5L, "band")),
+      s"overlap point must be in both: $got")
+    assert(!got.exists(_._1 == 8L))
+    // boundary points: don't pin which side the half-open rule lands on,
+    // pin that engine and the independent Scala rule AGREE
+    def naiveInside(xp: Long, yp: Long, vs: Seq[(Long, Long)]): Boolean = {
+      val n = (vs zip (vs.tail :+ vs.head)).count { case ((x1, y1), (x2, y2)) =>
+        ((y1 <= yp) != (y2 <= yp)) && {
+          val cross = (x2 - x1) * (yp - y1) - (xp - x1) * (y2 - y1)
+          (y2 > y1 && cross > 0) || (y2 < y1 && cross < 0)
+        }
+      }
+      n % 2 == 1
+    }
+    for (id <- Seq(6L, 7L); (z, vs) <- zones) {
+      val (x, y) = Seq((6L, (5000L, 70000L)), (7L, (50000L, 70000L)))
+        .toMap.apply(id)
+      assert(got.contains((id, z)) == naiveInside(x, y, vs),
+        s"boundary point $id vs zone $z disagrees with the naive rule")
+    }
+  }
+
+  test("polyZoneExpr resolves first containing zone in list order") {
+    import graft.operators.Spatial
+    val df = Seq((50000L, 71000L), (25000L, 25000L), (1L, 1L))
+      .toDF("xi", "yi")
+      .withColumn("zone", Spatial.polyZoneExpr(Spatial.demoZones))
+    val zs = df.collect().map(_.getString(2)).toSeq
+    // (50000,71000) is in band AND diamond; band comes later in the
+    // list than diamond? demoZones order: pent, hook, band, diamond ->
+    // band wins (first containing in list order)
+    assert(zs == Seq("band", "pent", "outside"), s"got $zs")
+  }
+
   test("gridNeighborJoin: cell-boundary pairs are found exactly once") {
     // points straddling cell boundaries at every 3x3 neighbor offset
     // (r=10: cells are 10 wide; (9,9)-(10,10) cross the corner) plus a

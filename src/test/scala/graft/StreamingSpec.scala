@@ -1620,4 +1620,82 @@ class StreamingSpec extends SparkSpec {
     assert(streamFinal == batchFinal,
       s"stream $streamFinal vs batch $batchFinal")
   }
+
+  test("S39-poly: polygon zones resolve by exact ray-cast; concave notch reads outside") {
+    val base = 1700000000L
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+    val ev = in.toDF().toDF("ts", "user_id", "event_id", "xi", "yi")
+    val q = StreamOps.geofencePolyStream(ev, graft.operators.Spatial.demoZones)
+      .writeStream.format("memory").queryName("s39p").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    def at(sec: Long, id: Long, x: Long, y: Long, user: Long = 1L) =
+      (new java.sql.Timestamp((base + sec) * 1000), user, id, x, y)
+    // pent center → hook NOTCH (inside bbox, outside the C — the case
+    // a box zone gets wrong) → hook spine → diamond∩band overlap
+    // (first containing zone in list order: band)
+    in.addData(at(10, 1, 25000, 25000), at(20, 2, 70000, 27000),
+      at(30, 3, 85000, 27000), at(40, 4, 50000, 71000))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s39p").collect()
+      .map(r => (r.getLong(2), r.getString(3), r.getString(4))).toSet
+    assert(got == Set((1L, "outside", "pent"), (2L, "pent", "outside"),
+      (3L, "outside", "hook"), (4L, "hook", "band")), s"got $got")
+  }
+
+  test("S39: idle eviction (opt-in) re-enters from outside after the gap") {
+    val zones = Seq(("A", 0L, 100L, 0L, 100L))
+    val base = 1700000000L
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+    val ev = in.toDF().toDF("ts", "user_id", "event_id", "xi", "yi")
+    val q = StreamOps.geofenceStream(ev, zones, "0 seconds",
+        idleGapUs = Some(30L * 1000000))
+      .writeStream.format("memory").queryName("s39e").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    def at(sec: Long, id: Long, x: Long, y: Long, user: Long = 1L) =
+      (new java.sql.Timestamp((base + sec) * 1000), user, id, x, y)
+    in.addData(at(10, 1, 50, 50))                  // u1 enters A
+    q.processAllAvailable()
+    in.addData(at(100, 2, 500, 500, user = 2L))    // watermark → 100 s
+    q.processAllAvailable()
+    in.addData(at(101, 3, 500, 500, user = 2L))    // batch fires u1's timeout
+    q.processAllAvailable()
+    in.addData(at(102, 4, 50, 50))                 // u1 returns, still in A
+    q.processAllAvailable(); q.stop()
+    val u1 = spark.table("s39e").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(2), r.getString(3), r.getString(4))).toSeq
+    // WITHOUT eviction the return event is same-zone (silent); the
+    // second outside→A proves the state was dropped at the idle gap
+    assert(u1 == Seq((1L, "outside", "A"), (4L, "outside", "A")),
+      s"u1 transitions: $u1")
+  }
+
+  test("S38: tombstone GC (opt-in) evicts past event-time retention; a late lower version re-materializes") {
+    val base = 1700000000L
+    def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000)
+    val in = MemoryStream[(Long, String, Long, String, java.sql.Timestamp)]
+    val q = StreamOps.cdcUpsertStream(
+        in.toDF().toDF("k", "op", "version", "payload", "ts"),
+        tombstoneRetentionUs = Some(30L * 1000000), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("s38g").outputMode("update")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    def rows() = spark.table("s38g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getBoolean(4)))
+    in.addData((1L, "D", 5L, "-", ts(10)))         // tombstone; evict at 10+30 s
+    q.processAllAvailable()
+    assert(rows().toSet == Set((1L, 5L, "D", "-", true)), s"b1: ${rows().toSeq}")
+    in.addData((9L, "I", 1L, "x", ts(100)))        // watermark → 100 s
+    q.processAllAvailable()
+    in.addData((9L, "I", 2L, "y", ts(101)))        // this batch fires the timer
+    q.processAllAvailable()
+    // POST-GC contract (the Kafka delete.retention.ms trade): a change
+    // with a LOWER version than the collected tombstone re-materializes
+    // the key — under infinite retention it would have been absorbed
+    // (pinned absorbed in the base S38 golden)
+    in.addData((1L, "U", 3L, "late", ts(102)))
+    q.processAllAvailable(); q.stop()
+    val k1 = rows().filter(_._1 == 1L).toSeq
+    assert(k1 == Seq((1L, 5L, "D", "-", true), (1L, 3L, "U", "late", false)),
+      s"k1 history: $k1")
+  }
 }
