@@ -52,6 +52,15 @@ case class GeoState(tsu: Long, eventId: Long, zone: String)
 case class GeoTransition(user_id: Long, ts_us: Long, event_id: Long,
   from_zone: String, to_zone: String)
 
+/** S40 interval-union state: the OPEN merged blocks per key (parallel
+  * arrays sorted by start) plus the closed-frontier second — state is
+  * bounded by the number of disjoint in-flight blocks inside the
+  * watermark horizon, never by stream age. */
+case class IntervalState(bs: Array[Long], be: Array[Long],
+  n: Array[Long], raw: Array[Long], closedUntil: Long)
+case class ClosedBlock(user_id: Long, bs: Long, be: Long,
+  n_iv: Long, covered_s: Long, raw_s: Long)
+
 /** S16 heavy-hitter state: Misra–Gries counters (≤ k entries). */
 case class MgState(ids: Array[Long], counts: Array[Long], n: Long)
 case class MgSummary(group: String, n: Long, ids: Array[Long],
@@ -1706,6 +1715,94 @@ object StreamOps {
             }
             out.iterator
           }
+      }.toDF()
+  }
+
+  /** S40 — streaming interval union (the live form of q248
+    * `Relational.intervalUnion`, under the S38/q245 batch-parity
+    * protocol): per key, overlapping-or-touching [s, e) epoch-second
+    * intervals merge into blocks in state; a block is emitted EXACTLY
+    * ONCE (Append mode) when the watermark passes its end — at that
+    * point no non-late interval can extend it (an extender needs
+    * s ≤ be, but event time IS s and the watermark guarantees
+    * s ≥ wm > be). This is the uptime/SLA monitor shape: closed
+    * blocks stream out with their covered seconds as sessions end.
+    *
+    * Input columns: user_id, ts (event time — the interval's START
+    * instant as a timestamp), s, e (epoch seconds, s ≤ e; an
+    * inverted interval fails fast, the batch operator's guard).
+    *
+    * Semantics match the batch sweep exactly: new block when
+    * s > running-max-e (touching merges); per block bs = min s,
+    * be = max e, n_iv = count, raw = Σ(e−s) — merging is
+    * order-insensitive, so intra-batch disorder and batching are
+    * invisible (parity with the batch operator pinned in the golden).
+    *
+    * State: the OPEN blocks inside the watermark horizon (parallel
+    * long arrays) — bounded by in-flight disjoint sessions per key,
+    * never stream age; the key's state is REMOVED once its last block
+    * closes (safe: any non-late future interval must then start past
+    * the closed frontier). Rows older than the watermark that slip in
+    * while state lives are dropped by the closed-frontier guard (the
+    * documented at-once watermark contract, the S14/S35 class);
+    * EventTimeTimeout re-arms at the earliest open end so quiet keys
+    * still close without new traffic. */
+  def intervalUnionStream(iv: DataFrame,
+      watermark: String = "10 seconds"): DataFrame = {
+    val s = iv.sparkSession
+    import s.implicits._
+    iv.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("s").cast("long"), col("e").cast("long"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+         state: GroupState[IntervalState]) =>
+          val prev = state.getOption.getOrElse(
+            IntervalState(Array.empty, Array.empty, Array.empty, Array.empty,
+              Long.MinValue))
+          // items = open blocks ∪ new intervals (inverted fails fast,
+          // pre-frontier late arrivals dropped)
+          val fresh = rows.map { case (_, _, is, ie) =>
+            require(is <= ie, s"intervalUnionStream: inverted interval " +
+              s"e=$ie < s=$is for key $uid")
+            (is, ie, 1L, ie - is)
+          }.filter { case (is, _, _, _) =>
+            // strict: a non-late row always has s > closedUntil (the
+            // frontier closed only once the watermark passed it); a
+            // late s == closedUntil row would have TOUCH-merged into
+            // the closed block in batch — emitting it as a new block
+            // would break parity, so it drops with the other late rows
+            prev.closedUntil == Long.MinValue || is > prev.closedUntil
+          }.toArray
+          val items = (prev.bs.indices.map(i =>
+              (prev.bs(i), prev.be(i), prev.n(i), prev.raw(i))) ++ fresh)
+            .sortBy(t => (t._1, t._2))
+          // the batch running-max sweep
+          val merged = Vector.newBuilder[(Long, Long, Long, Long)]
+          var cur: (Long, Long, Long, Long) = null
+          items.foreach { case it @ (is, ie, in, ir) =>
+            if (cur == null) cur = it
+            else if (is > cur._2) { merged += cur; cur = it }
+            else cur = (cur._1, math.max(cur._2, ie), cur._3 + in, cur._4 + ir)
+          }
+          if (cur != null) merged += cur
+          val wmMs = state.getCurrentWatermarkMs()
+          val (closed, open) = merged.result().partition(_._2 * 1000 < wmMs)
+          val newClosedUntil = (prev.closedUntil +:
+            closed.map(_._2)).max
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(IntervalState(open.map(_._1).toArray,
+              open.map(_._2).toArray, open.map(_._3).toArray,
+              open.map(_._4).toArray, newClosedUntil))
+            state.setTimeoutTimestamp(
+              math.max(open.map(_._2).min * 1000 + 1, wmMs + 1))
+          }
+          closed.sortBy(_._1).map { case (bs, be, n, raw) =>
+            ClosedBlock(uid, bs, be, n, be - bs, raw)
+          }.iterator
       }.toDF()
   }
 }

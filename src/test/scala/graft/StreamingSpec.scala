@@ -1698,4 +1698,61 @@ class StreamingSpec extends SparkSpec {
     assert(k1 == Seq((1L, 5L, "D", "-", true), (1L, 3L, "U", "late", false)),
       s"k1 history: $k1")
   }
+
+  test("S40: streaming interval union — watermark-closed blocks emit once, batch parity") {
+    val base = 1700000000L
+    def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000)
+    // (user, s, e) with s/e as offsets from base
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, Long)]
+    val iv = in.toDF().toDF("user_id", "ts", "s", "e")
+    val q = StreamOps.intervalUnionStream(iv, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("s40").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    def add(u: Long, s: Long, e: Long) =
+      in.addData((u, ts(s), base + s, base + e))
+    def rows() = spark.table("s40").collect()
+      .map(r => (r.getLong(0), r.getLong(1) - base, r.getLong(2) - base,
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // batch 1, OUT of order: u1 builds [10,40) from three pieces
+    // (overlap + touch), plus a disjoint [100,110); u2 one interval.
+    // The max event time (100) advances the watermark, and
+    // processAllAvailable runs the follow-up batch that fires timers —
+    // so blocks ending before 100 close HERE, [100,110) stays open.
+    add(1L, 20, 40); add(1L, 10, 25); add(1L, 25, 25); add(1L, 100, 110)
+    add(2L, 15, 30)
+    q.processAllAvailable()
+    assert(rows().toSet == Set((1L, 10L, 40L, 3L, 30L, 35L),
+      (2L, 15L, 30L, 1L, 15L, 15L)), s"after b1: ${rows().toSeq}")
+    // batch 2: watermark → 200 closes [100,110) (merged out-of-order
+    // pieces already gone), the new [200,210) stays open
+    add(1L, 200, 210)
+    q.processAllAvailable()
+    val afterB2 = rows().toSet
+    assert(afterB2.contains((1L, 100L, 110L, 1L, 10L, 10L)), s"$afterB2")
+    assert(!afterB2.exists(r => r._1 == 1L && r._2 == 200L),
+      s"open block leaked: $afterB2")
+    // an unrelated key's far-future event closes u1's last block via
+    // the armed timeout (no u1 traffic needed)
+    add(9L, 500, 501)
+    q.processAllAvailable()
+    assert(rows().toSet.contains((1L, 200L, 210L, 1L, 10L, 10L)),
+      s"timeout close missing: ${rows().toSeq}")
+    add(9L, 900, 901)
+    q.processAllAvailable(); q.stop()
+    val streamed = rows().filter(r => r._1 == 1L || r._1 == 2L)
+    import spark.implicits._
+    val batchIv = Seq((1L, base + 20, base + 40), (1L, base + 10, base + 25),
+      (1L, base + 25, base + 25), (1L, base + 100, base + 110),
+      (1L, base + 200, base + 210), (2L, base + 15, base + 30))
+      .toDF("user_id", "s", "e")
+    val batch = graft.operators.Relational.intervalUnion(batchIv, "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val streamAgg = streamed.groupBy(_._1).map { case (u, bs) =>
+      (u, bs.map(_._4).sum, bs.size.toLong, bs.map(_._5).sum, bs.map(_._6).sum)
+    }.toSet
+    assert(streamAgg == batch, s"stream $streamAgg vs batch $batch")
+    // exactly-once: no block emitted twice
+    assert(rows().length == rows().toSet.size, s"duplicate blocks: ${rows().toSeq}")
+  }
 }
