@@ -268,6 +268,8 @@ object SparkEntry {
     "q248_interval_union"  -> (Relational.q248 _),
     "q249_haversine_join"  -> (graft.operators.Geo.q249 _),
     "q250_point_in_poly"   -> (graft.operators.Spatial.q250 _),
+    "q251_quality_clf"     -> (graft.ext.Classifier.q251 _),
+    "q252_pipeline_v7"     -> (graft.ext.Classifier.q252 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -558,6 +560,14 @@ object SparkEntry {
     // q250: point-in-polygon — naive per-(point, edge) integer
     // ray-cast over the same vertex data (generated from demoZones)
     "q250_point_in_poly" -> graft.operators.Spatial.q250OracleSql,
+    // q251: trained quality classifier — the identical fixed-iteration
+    // GD unrolled as a generated CTE chain (quantized-integer
+    // gradients, softsign link — exp() is not bit-portable per
+    // LibmProbe; margins via the q79 ordered-fold pair)
+    "q251_quality_clf" -> graft.ext.Classifier.q251OracleSql(64, 16, 0.25),
+    // q252: pipeline v7 — the q251 chain + classifier gate + exact
+    // dedup + the q63/q243 shard/digest tail
+    "q252_pipeline_v7" -> graft.ext.Classifier.q252OracleSql(64, 16, 0.25),
     "q246_radius_join" ->
       ("WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS id, " +
         "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100000 AS xi, " +
