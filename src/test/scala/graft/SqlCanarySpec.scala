@@ -87,4 +87,79 @@ class SqlCanarySpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  /** Extension-gate coverage (r14 verdict #7): every declared oracle
+    * string past Q26 that is dual-dialect runs through `spark.sql`
+    * continuously; the rest are asserted to remain genuinely
+    * DuckDB-only (the rot tripwire: a Spark upgrade that makes one
+    * parse demands its promotion into the covered set). Discovered by
+    * an exhaustive probe (graft.CanaryProbe): 95 of 240 oracle strings
+    * are dual-dialect TODAY with ZERO value mismatches; the 145
+    * others fail on DuckDB-only surface — list_sum/list/epoch/len/
+    * string_split(_regex)/string_agg/UNNEST-range/QUALIFY/VALUES-
+    * alias/AS MATERIALIZED/recursive-CTE-UNION, and the
+    * CAST('0x…' AS BIGINT) hex idiom (Spark: conv()). */
+  private val coveredExtension = Set(
+    "q28_near_dup_minhash", "q40_cube", "q41_lead_lag", "q45_pivot",
+    "q46_grouping_sets", "q48_unpivot", "q49_rank_dist", "q51_winnow_pairs",
+    "q53_multimodal", "q56_salted_join", "q61_bloom_join", "q72_dedup_best",
+    "q94_split_leakage", "q96_format_roundtrip", "q100_fuzzy_join",
+    "q102_retention", "q103_outliers", "q106_pivot", "q111_correlation",
+    "q113_cooccurrence", "q118_dq_report", "q121_item_neighbors",
+    "q125_ab_test", "q128_sorted_neighborhood", "q130_recommend",
+    "q131_scd2", "q132_snapshot_diff", "q134_mad_outliers",
+    "q135_equidepth_bins", "q138_skipgrams", "q143_trimmed_mean",
+    "q144_contribution", "q149_dict_encode", "q151_unpivot",
+    "q154_robust_scale", "q157_benford", "q158_scd_integrity",
+    "q162_time_travel", "q163_incremental_agg", "q171_pctile_bands",
+    "q173_asof_enrich", "q177_minmax_scale", "q179_assoc_rules",
+    "q180_gini", "q185_ks_drift", "q186_spearman", "q187_mann_whitney",
+    "q191_fk_orphans", "q192_col_profile", "q196_welch_t",
+    "q203_partition_skew", "q204_spend_deciles", "q206_weighted_median",
+    "q213_rate_anomaly", "q214_degree_dist", "q215_adamic_adar",
+    "q220_corr_matrix", "q221_growth_acct", "q222_stickiness",
+    "q223_abc_classes", "q224_recommend_bucketed", "q225_xyz_classes",
+    "q227_new_vs_returning", "q229_priority_mix", "q230_streaks",
+    "q234_audience_overlap", "q236_price_volume", "q237_band_join",
+    "q239_mode", "q240_winsorized", "q245_cdc_merge")
+
+  test("extension dual-dialect oracle strings run through spark.sql and match") {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+    val missing = coveredExtension.filterNot(SparkEntry.oracleSql.contains)
+    assert(missing.isEmpty, s"covered names without an oracle: $missing")
+    val failures = coveredExtension.toSeq.sorted.flatMap { name =>
+      try {
+        val api = canon(SparkEntry.queries(name)(spark, dir))
+        val sql = canon(spark.sql(SparkEntry.oracleSql(name)))
+        if (api == sql) None
+        else Some(s"$name: ${api.size} api rows vs ${sql.size} sql rows; " +
+          s"first diff api=${api.diff(sql).headOption} sql=${sql.diff(api).headOption}")
+      } catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName} ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("non-covered extension oracles remain genuinely DuckDB-only") {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+    val qNum = "^q(\\d+)_.*$".r
+    val uncovered = SparkEntry.oracleSql.keys.toSeq.sorted
+      .filter { case qNum(n) => n.toInt > 26; case _ => true }
+      .filterNot(coveredExtension.contains)
+    val nowParse = uncovered.flatMap { name =>
+      try {
+        spark.sql(SparkEntry.oracleSql(name)).collect()
+        Some(name) // ran clean in Spark — promote it to the covered set
+      } catch { case _: Throwable => None }
+    }
+    assert(nowParse.isEmpty,
+      s"these oracles now run in Spark SQL — promote to coveredExtension: $nowParse")
+  }
 }
