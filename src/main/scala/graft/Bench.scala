@@ -63,7 +63,10 @@ object Bench {
       "q105_entity_clusters", "q121_item_neighbors", "q129_pagerank",
       "q139_bpe_train", "q140_bpe_tokens",
       "q145_covariance", "q146_kcore", "q179_assoc_rules",
-      "q224_recommend_bucketed")
+      "q224_recommend_bucketed",
+      // r15: the classifier's 16 eager GD steps carry a fixed
+      // per-step checkpoint latency that reads as a heavy at sf0.1
+      "q251_quality_clf", "q252_pipeline_v7")
 
     // Heavy queries leave broadcast blocks (degree/bounds/codebook
     // broadcasts) that only ContextCleaner frees, and only after a GC

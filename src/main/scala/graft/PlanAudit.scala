@@ -58,6 +58,12 @@ object PlanAudit {
     // anchor) — the q203 class.
     "q210_km_survival", "q211_anova", "q214_degree_dist",
     "q218_cohens_kappa", "q221_growth_acct",
+    // r15, reviewed: q250's BNLJ build side is the ~26-row broadcast
+    // polygon-edge table under the bbox condition — the degenerate
+    // grid case for O(10) geofences (Spatial.pointInPolygon scaladoc);
+    // a thousand-polygon deployment would bucket edges by the q246
+    // grid instead.
+    "q250_point_in_poly",
     // r13 batch 3/4, reviewed: q234 crosses the 1-row audience total;
     // q235's quality-rank ≤-count joins the 50-row candidate frame;
     // q237's band table is tiny BY DEFINITION (the operator's whole

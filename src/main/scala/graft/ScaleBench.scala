@@ -923,6 +923,75 @@ object ScaleBench {
     }
   }
 
+  /** Growth curve for the SPHERICAL tier (q249/q250): haversine radius
+    * self-join at CONSTANT expected-pair density — the sphere's area is
+    * fixed, so the radius shrinks as 1/√n (150 km at 1 M points) to
+    * keep per-cell occupancy flat; the banded-grid plan must then be
+    * linear in n. Point-in-polygon runs at each size over the demo
+    * zones (a pure broadcast scan — linear by construction, the curve
+    * guards a regression into a shuffle). */
+  private def runGeo(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val r = 150000.0 * math.sqrt(1000000.0 / n)
+      val pts = spark.range(n).select(col("id"),
+        (pmod(xxhash64(col("id")), lit(120000001L)) - 60000000L).as("la"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(360000000L)) - 180000000L).as("lo"))
+        .persist()
+      pts.count()
+      def run(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.Geo.sphericalRadiusJoin(pts, r).count()
+        ((System.nanoTime() - t0) / 1e9, pairs)
+      }
+      if (i == 0) { run(); sweep(); pts.count() } // warmup, discarded
+      val (sec, pairs) = run()
+      pts.unpersist(); sweep()
+      val pip = spark.range(n).select(col("id"),
+        pmod(xxhash64(col("id")), lit(100000L)).as("xi"),
+        pmod(xxhash64(col("id"), lit(1)), lit(100000L)).as("yi")).persist()
+      pip.count()
+      val t1 = System.nanoTime()
+      val members = graft.operators.Spatial
+        .pointInPolygon(pip, graft.operators.Spatial.demoZones).count()
+      val pipSec = (System.nanoTime() - t1) / 1e9
+      pip.unpersist(); sweep()
+      println(f"""{"op":"geo","n_points":$n,"radius_m":${r.round},"haversine_join_sec":$sec%.2f,"pairs":$pairs,"pip_sec":$pipSec%.2f,"members":$members}""")
+    }
+  }
+
+  /** Growth curve for the trained quality classifier (q251): 16
+    * preconditioned GD steps over word-soup corpora — cost must be
+    * linear in corpus tokens (each step is one margin pass + one
+    * gradient pass; the weight vector is a broadcast ≤dim-row frame),
+    * with the small-corpus floor dominated by the fixed per-step
+    * checkpoint latency. */
+  private def runClf(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val vocabCol = array(vocab.map(lit).toIndexedSeq: _*)
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        array_join(transform(
+          sequence(lit(0L), pmod(xxhash64(col("id")), lit(80L)) + 20L),
+          j => element_at(vocabCol,
+            (pmod(xxhash64(col("id"), j), lit(vocab.length.toLong)) + 1L)
+              .cast("int"))), " ").as("text")).persist()
+      docs.count()
+      def run(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val pos = graft.ext.Classifier.trainQuality(docs, 64, 16, 0.25)
+          .filter(col("pred") === 1).count()
+        ((System.nanoTime() - t0) / 1e9, pos)
+      }
+      if (i == 0) { run(); sweep(); docs.count() } // warmup, discarded
+      val (sec, pos) = run()
+      docs.unpersist(); sweep()
+      println(f"""{"op":"clf","n_docs":$n,"train_sec":$sec%.2f,"n_pos":$pos}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/target/scale")
     val spark = Sessions.local(Sessions.envCpus, "graft-scale")
@@ -945,6 +1014,20 @@ object ScaleBench {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(5000L, 50000L, 250000L)
       runCorpusQ(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("geo")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(1000000L, 5000000L, 20000000L)
+      runGeo(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("clf")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(5000L, 50000L, 250000L)
+      runClf(spark, sizes)
       spark.stop()
       return
     }
