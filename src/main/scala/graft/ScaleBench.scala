@@ -925,16 +925,18 @@ object ScaleBench {
 
   /** Growth curve for the SPHERICAL tier (q249/q250): haversine radius
     * self-join at CONSTANT expected-pair density — the sphere's area is
-    * fixed, so the radius shrinks as 1/√n (150 km at 1 M points) to
-    * keep per-cell occupancy flat; the banded-grid plan must then be
-    * linear in n. Point-in-polygon runs at each size over the demo
+    * fixed, so the radius shrinks as 1/√n to keep pairs/point flat at
+    * ≈1.5 (13 km at 1 M points — the planar curve's density; a first
+    * cut at 150 km produced ~96 pairs/point, 2.7·10⁹ candidates at
+    * 1 M, measuring pair volume instead of the grid); the banded-grid
+    * plan must then be linear in n. Point-in-polygon runs at each size over the demo
     * zones (a pure broadcast scan — linear by construction, the curve
     * guards a regression into a shuffle). */
   private def runGeo(spark: SparkSession, sizes: Seq[Long]): Unit = {
     def sweep(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     sizes.zipWithIndex.foreach { case (n, i) =>
-      val r = 150000.0 * math.sqrt(1000000.0 / n)
+      val r = 13000.0 * math.sqrt(1000000.0 / n)
       val pts = spark.range(n).select(col("id"),
         (pmod(xxhash64(col("id")), lit(120000001L)) - 60000000L).as("la"),
         (pmod(xxhash64(col("id"), lit(1)), lit(360000000L)) - 180000000L).as("lo"))

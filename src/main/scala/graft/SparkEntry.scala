@@ -270,6 +270,8 @@ object SparkEntry {
     "q250_point_in_poly"   -> (graft.operators.Spatial.q250 _),
     "q251_quality_clf"     -> (graft.ext.Classifier.q251 _),
     "q252_pipeline_v7"     -> (graft.ext.Classifier.q252 _),
+    "q253_haversine_knn"   -> (graft.operators.Geo.q253 _),
+    "q254_interval_gaps"   -> (Relational.q254 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -568,6 +570,21 @@ object SparkEntry {
     // q252: pipeline v7 — the q251 chain + classifier gate + exact
     // dedup + the q63/q243 shard/digest tail
     "q252_pipeline_v7" -> graft.ext.Classifier.q252OracleSql(64, 16, 0.25),
+    // q253: spherical kNN — naive directed pairs over the identical
+    // generated polynomial layers + ROW_NUMBER under (hav, id_b)
+    "q253_haversine_knn" -> graft.operators.Geo.q253OracleSql,
+    // q254: interval gaps — the q248 block CTE + LEAD complement
+    "q254_interval_gaps" ->
+      ("WITH iv AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, " +
+        "CAST(FLOOR(epoch(ts)) AS BIGINT) + 60 + ((CAST(FLOOR(value) AS BIGINT) % 600) + 600) % 600 AS e FROM events), " +
+        "m AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv), " +
+        "b AS (SELECT user_id, s, e, SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS block FROM m), " +
+        "g AS (SELECT user_id, block, MIN(s) AS bs, MAX(e) AS be FROM b GROUP BY user_id, block), " +
+        "gp AS (SELECT user_id, be AS gap_start, LEAD(bs) OVER (PARTITION BY user_id ORDER BY bs) AS gap_end FROM g) " +
+        "SELECT user_id, gap_start, gap_end, gap_end - gap_start AS gap_s " +
+        "FROM gp WHERE gap_end IS NOT NULL ORDER BY user_id, gap_start"),
     "q246_radius_join" ->
       ("WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS id, " +
         "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100000 AS xi, " +

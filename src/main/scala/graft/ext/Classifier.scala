@@ -44,12 +44,12 @@ object Classifier {
   private def softsign(m: Column): Column =
     lit(0.5) * (lit(1.0) + (m / (lit(1.0) + abs(m))))
 
-  /** Train `iters` full-batch preconditioned GD steps and score every
-    * doc. `lr` must be a power of two (exact IEEE scaling — any other
-    * constant would add a rounding the oracle must mirror anyway, a
-    * free determinism win). Output: (doc_id, y, pred, score). */
-  def trainQuality(docs: DataFrame, dim: Int = 64, iters: Int = 3,
-      lr: Double = 0.0625): DataFrame = {
+  /** Fit `iters` full-batch preconditioned GD steps. `lr` must be a
+    * power of two (exact IEEE scaling — any other constant would add
+    * a rounding the oracle must mirror anyway, a free determinism
+    * win). Returns (features, labels, trained weights). */
+  private def fit(docs: DataFrame, dim: Int, iters: Int,
+      lr: Double): (DataFrame, DataFrame, DataFrame) = {
     require(dim > 0 && iters > 0, s"dim=$dim iters=$iters must be positive")
     require(lr > 0 && java.lang.Double.doubleToLongBits(lr) ==
       java.lang.Double.doubleToLongBits(math.pow(2, math.getExponent(lr))),
@@ -87,14 +87,7 @@ object Classifier {
             (lit(1000000L) * col("sj")).cast("double")))).as("w"))
         .localCheckpoint(true)
     }
-    def margins(w: DataFrame): DataFrame =
-      feat.join(broadcast(w), "bucket")
-        .withColumn("term", col("w") * col("tf").cast("double"))
-        .groupBy("doc_id")
-        .agg(aggregate(
-          transform(array_sort(collect_list(struct(col("bucket"), col("term")))),
-            x => x.getField("term")),
-          lit(0d), (acc, x) => acc + x).as("m"))
+    def margins(w: DataFrame): DataFrame = marginsOf(feat, w)
     val w0 = feat.select("bucket").distinct()
       .withColumn("w", lit(0.0)).localCheckpoint(true)
     val pq1 = lab.select(col("doc_id"), lit(500000L).as("pq"))
@@ -103,7 +96,30 @@ object Classifier {
         floor(softsign(col("m")) * lit(1000000.0)).cast("long").as("pq"))
       gradStep(w, pq)
     }
-    margins(wFinal)
+    (feat, lab, wFinal)
+  }
+
+  /** Per-doc margins of a hashed-feature frame under a weight frame —
+    * the ordered fold both engines mirror (q79 pair). */
+  private def marginsOf(feat: DataFrame, w: DataFrame): DataFrame =
+    feat.join(broadcast(w), "bucket")
+      .withColumn("term", col("w") * col("tf").cast("double"))
+      .groupBy("doc_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("bucket"), col("term")))),
+          x => x.getField("term")),
+        lit(0d), (acc, x) => acc + x).as("m"))
+
+  /** The trained weight vector alone — (bucket, w), ≤ dim rows — for
+    * serving paths (the S41 streaming scorer broadcasts it). */
+  def trainWeights(docs: DataFrame, dim: Int = 64, iters: Int = 3,
+      lr: Double = 0.0625): DataFrame = fit(docs, dim, iters, lr)._3
+
+  /** Train `iters` steps and score every doc (the q251 shape). */
+  def trainQuality(docs: DataFrame, dim: Int = 64, iters: Int = 3,
+      lr: Double = 0.0625): DataFrame = {
+    val (feat, lab, wFinal) = fit(docs, dim, iters, lr)
+    marginsOf(feat, wFinal)
       .join(lab, "doc_id")
       .withColumn("p", softsign(col("m")))
       .select(col("doc_id"), col("y"),

@@ -127,20 +127,23 @@ object Geo {
     }
   }
 
-  /** Spherical radius self-join over integer micro-degree points
-    * (id, la, lo): all ORDERED pairs (id_a < id_b) with defined
-    * haversine ≤ K(radius). Output (id_a, id_b, hav).
-    *
-    * Plan: latitude bands of height H = Δφ bound (so band distance
-    * ≤ 1), per-band uniform modular longitude cells (width ≥ Δλ
-    * bound at the band's worst latitude), one side exploded to its
-    * 3×3 (band, cell) neighborhood — each qualifying pair is
-    * generated EXACTLY once (B sits in a unique key; A's nine
-    * exploded keys are distinct because nc ≥ 180 everywhere below
-    * 62°). The only shuffle is the (band, cell) equi-join; the band
-    * table (≤ ~100 rows) rides two broadcast joins. Fanout is
-    * density-bounded — never n². */
-  def sphericalRadiusJoin(points: DataFrame, radiusMeters: Double): DataFrame = {
+  /** The shared banded-grid candidate machinery: latitude bands of
+    * height H = Δφ bound (so band distance ≤ 1), per-band uniform
+    * modular longitude cells (width ≥ Δλ bound at the band's worst
+    * latitude), one side exploded to its 3×3 (band, cell)
+    * neighborhood — each qualifying pair is generated EXACTLY once
+    * (B sits in a unique key; A's nine exploded keys are distinct
+    * because nc ≥ 180 everywhere below 62°). The only shuffle is the
+    * (band, cell) equi-join; the band table rides two broadcast
+    * joins; fanout is density-bounded — never n². Candidates are cut
+    * with the CHEAP INTEGER box bound (|Δlat| ≤ θ bound; wrapped
+    * |Δlon| ≤ the domain-worst Δλ bound) INSIDE the join condition,
+    * before any polynomial evaluates — the box is implied by
+    * hav ≤ K, so it is lossless, and it spares most of the 3×3
+    * neighborhood the ~50-flop verify. `ordered` selects `<` (radius
+    * join) vs `=!=` (kNN) pair generation. */
+  private def candidates(points: DataFrame, radiusMeters: Double,
+      ordered: Boolean): (DataFrame, Double) = {
     require(radiusMeters > 0, s"radius=$radiusMeters must be positive")
     // beyond ~2000 km the Δλ bound at 60° exceeds a third of the
     // circle and a band could hold < 4 cells, breaking the
@@ -153,7 +156,11 @@ object Geo {
     // polynomial-hav ≤ K ⇒ true-hav ≤ K + 3e-9; widen θ accordingly
     val thetaMax = 2.0 * math.asin(math.min(1.0, math.sqrt(k + 3e-9))) * 1.0001
     val H = math.ceil(thetaMax * 180.0 / math.Pi * 1e6).toLong + 1000L
-    val bt = broadcast(bandCells(thetaMax, H).toDF("bt_band", "bt_nc"))
+    val cells = bandCells(thetaMax, H)
+    // domain-worst Δλ bound (the widest band's cell width):
+    // wrapped |Δlon| of any qualifying pair is ≤ it
+    val wMax = cells.map(c => 360000000L / c._2 + 1L).max
+    val bt = broadcast(cells.toDF("bt_band", "bt_nc"))
     val p = points.select(col("id").cast("long").as("id"),
         col("la").cast("long").as("la"), col("lo").cast("long").as("lo"))
       .withColumn("band", expr(s"(la + 60000000) DIV $H"))
@@ -169,14 +176,92 @@ object Geo {
       .withColumn("dc", explode(array(lit(-1L), lit(0L), lit(1L))))
       .select(col("id").as("id_a"), col("la"), col("lo").as("loa"),
         col("tb"), pmod(col("cell0") + col("dc"), col("bt_nc")).as("jcell"))
-    val cand = a.join(b,
+    val pairCut = if (ordered) col("id_a") < col("id_b")
+      else col("id_a") =!= col("id_b")
+    val boxCut = abs(col("la") - col("lb")) <= H &&
+      expr("abs(((loa - lob + 540000000) % 360000000) - 180000000)") <= wMax
+    // SHUFFLE_HASH on the un-exploded side: the default sort-merge
+    // join would SORT the 9n exploded rows (the n log n that turns the
+    // curve superlinear); hashing the n-row side instead keeps the
+    // exploded side streaming
+    (a.join(b.hint("SHUFFLE_HASH"),
       col("tb") === col("b_band") && col("jcell") === col("b_cell") &&
-        col("id_a") < col("id_b"))
+        pairCut && boxCut), k)
+  }
+
+  private def verified(cand: DataFrame, k: Double): DataFrame = {
     val l1 = havLayer1.foldLeft(cand) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
     val l2 = havLayer2.foldLeft(l1) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
-    l2.withColumn(havLayer3._1, expr(havLayer3._2))
-      .filter(col("hav") <= lit(k))
-      .select("id_a", "id_b", "hav")
+    val l3 = l2.withColumn(havLayer3._1, expr(havLayer3._2))
+    // NOT a plain .filter(hav <= K): PushDownPredicates transposes
+    // that through the layer projections, substituting the full
+    // polynomial tree into the join stage — measured 142 s vs 12 s at
+    // the 5 M curve point (the blown-up stage runs ~14 µs/row, the
+    // interpreted/JIT-refused regime). A Generator is the one operator
+    // predicates cannot transpose through, so the when-explode form
+    // evaluates hav exactly once per candidate with no materialization
+    // barrier. Same rows, same schema.
+    l3.select(explode(when(col("hav") <= lit(k),
+        array(struct(col("id_a"), col("id_b"), col("hav"))))
+      .otherwise(array().cast(
+        "array<struct<id_a:bigint,id_b:bigint,hav:double>>"))).as("r"))
+      .select("r.*")
+  }
+
+  def sphericalRadiusJoin(points: DataFrame, radiusMeters: Double): DataFrame = {
+    val (cand, k) = candidates(points, radiusMeters, ordered = true)
+    verified(cand, k).select("id_a", "id_b", "hav")
+  }
+
+  /** Radius-bounded k-nearest-neighbor join on the sphere — q247's
+    * spherical sibling: for EVERY point its k nearest within
+    * `radiusMeters` of defined haversine, ranked by the TOTAL order
+    * (hav, id_b) — hav is bit-identical on both engines (the
+    * polynomial doctrine above), so the rank never wobbles. DIRECTED
+    * pairs; a point with no in-radius neighbor emits nothing.
+    *
+    * Plan: [[sphericalRadiusJoin]]'s banded-grid candidates without
+    * the ordered-pair cut, then a per-point rank window (partitioned
+    * on id_a — never low-cardinality; state bounded by the in-radius
+    * neighbor count). */
+  def sphericalRadiusKnn(points: DataFrame, radiusMeters: Double,
+      k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val (cand, kThr) = candidates(points, radiusMeters, ordered = false)
+    verified(cand, kThr)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id_a").orderBy(col("hav"), col("id_b"))))
+      .filter(col("rk") <= k)
+      .select(col("id_a"), col("id_b"), col("hav"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Q253 — 5 nearest customers within 400 km of each customer
+    * (spherical; same md5 coordinate derivation as q249). */
+  def q253(s: SparkSession, d: String): DataFrame =
+    sphericalRadiusKnn(customerPoints(s, d), 400000.0, 5)
+      .orderBy("id_a", "rk")
+
+  /** The q253 oracle SQL: naive directed pairs over the identical
+    * generated layers + ROW_NUMBER under the (hav, id_b) tie order. */
+  def q253OracleSql: String = {
+    val k = havK(400000.0)
+    val l1 = havLayer1.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val l2 = havLayer2.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    "WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS id, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 120000001 - 60000000 AS la, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 360000000 - 180000000 AS lo " +
+      "FROM customer), " +
+      "d AS (SELECT a.id AS id_a, b.id AS id_b, a.la AS la, a.lo AS loa, " +
+      "b.la AS lb, b.lo AS lob FROM pts a JOIN pts b ON a.id <> b.id), " +
+      s"l1 AS (SELECT id_a, id_b, $l1 FROM d), " +
+      s"l2 AS (SELECT id_a, id_b, $l2 FROM l1), " +
+      s"l3 AS (SELECT id_a, id_b, ${havLayer3._2} AS ${havLayer3._1} FROM l2), " +
+      s"r AS (SELECT id_a, id_b, hav, ROW_NUMBER() OVER (PARTITION BY id_a " +
+      s"ORDER BY hav, id_b) AS rk FROM l3 WHERE hav <= ${d2s(k)}) " +
+      "SELECT id_a, id_b, hav, CAST(rk AS BIGINT) AS rk FROM r " +
+      "WHERE rk <= 5 ORDER BY id_a, rk"
   }
 
   /** The q249 point derivation: customers mapped to deterministic

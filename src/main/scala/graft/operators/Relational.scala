@@ -4631,7 +4631,11 @@ object Relational {
     * low-cardinality); state per row is one running max / one running
     * sum — no per-group buffering; the final agg is two hash aggs on
     * (key, block) then (key). */
-  def intervalUnion(iv: DataFrame, keyCol: String): DataFrame = {
+  /** The merged-block frame shared by [[intervalUnion]] and
+    * [[intervalGaps]]: one row per maximal union of
+    * overlapping-or-touching [s, e) intervals —
+    * (key, bs, be, n_iv, raw). */
+  private def mergedBlocks(iv: DataFrame, keyCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col("s"), col("e"))
     // Fail-fast domain guard (r14 advice): an inverted interval
     // (e < s) would silently corrupt the running-max sweep (negative
@@ -4643,22 +4647,40 @@ object Relational {
         .otherwise(raise_error(concat(
           lit("intervalUnion: inverted interval e < s for key "),
           col(keyCol).cast("string"))).cast("bigint")))
-    val blocks = guarded
+    guarded
       .withColumn("prev_max", max("e").over(
         w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("nb", when(col("prev_max").isNull ||
         col("s") > col("prev_max"), 1L).otherwise(0L))
       .withColumn("block", sum("nb").over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
-    blocks.groupBy(col(keyCol), col("block"))
+      .groupBy(col(keyCol), col("block"))
       .agg(min("s").as("bs"), max("e").as("be"),
         count(lit(1)).as("n_iv"), sum(col("e") - col("s")).as("raw"))
+  }
+
+  def intervalUnion(iv: DataFrame, keyCol: String): DataFrame =
+    mergedBlocks(iv, keyCol)
       .groupBy(keyCol)
       .agg(sum("n_iv").as("n_intervals"),
         count(lit(1)).as("n_blocks"),
         sum(col("be") - col("bs")).as("covered_s"),
         sum("raw").as("raw_s"))
-  }
+
+  /** Interval GAPS — the complement of [[intervalUnion]] within each
+    * key's observed span: one row per downtime window between
+    * consecutive merged blocks (the MTBF/MTTR read an uptime monitor
+    * pairs with q248's coverage). Blocks are disjoint and
+    * non-touching by construction, so every gap is ≥ 1 s. Same
+    * shuffle set as the union (key-partitioned windows only). */
+  def intervalGaps(iv: DataFrame, keyCol: String): DataFrame =
+    mergedBlocks(iv, keyCol)
+      .withColumn("next_bs", lead("bs", 1).over(
+        Window.partitionBy(keyCol).orderBy("bs")))
+      .filter(col("next_bs").isNotNull)
+      .select(col(keyCol), col("be").as("gap_start"),
+        col("next_bs").as("gap_end"),
+        (col("next_bs") - col("be")).as("gap_s"))
 
   /** Q248 — per-user session coverage: intervals from events (start =
     * event epoch second, duration = 60 + ⌊value⌋ mod 600 — FLOOR
@@ -4670,6 +4692,16 @@ object Relational {
         (unix_timestamp(col("ts")) + 60L +
           pmod(floor(col("value")).cast("bigint"), lit(600L))).as("e"))
     intervalUnion(iv, "user_id").orderBy("user_id")
+  }
+
+  /** Q254 — per-user downtime gaps between the q248 session blocks
+    * (same interval derivation; the complement report). */
+  def q254(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d).select(col("user_id"),
+        unix_timestamp(col("ts")).as("s"),
+        (unix_timestamp(col("ts")) + 60L +
+          pmod(floor(col("value")).cast("bigint"), lit(600L))).as("e"))
+    intervalGaps(iv, "user_id").orderBy("user_id", "gap_start")
   }
 
   /** Duplicate-payment audit — the fraud/ops double-charge screen:

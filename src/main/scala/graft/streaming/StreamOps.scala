@@ -1805,4 +1805,43 @@ object StreamOps {
           }.iterator
       }.toDF()
   }
+
+  /** S41 — streaming quality-classifier scoring: the SERVING half of
+    * q251 (train batch, score live — the FineWeb gate applied to an
+    * ingest stream). The batch-trained weight vector
+    * (`Classifier.trainWeights`, ≤ dim rows) rides in as a map
+    * LITERAL, so the hot path is one stateless narrow projection: no
+    * join, no state, no shuffle — tokenize, hash, and fold the margin
+    * entirely within the row.
+    *
+    * EXACT batch parity (pinned in the golden): the in-row fold adds
+    * w_b·tf_b over the doc's distinct buckets in ascending order —
+    * the identical float-op sequence as the batch margin fold
+    * (q79-class ordered fold), so a doc scores bit-identically
+    * whether it arrives in the training batch or on the stream.
+    * Buckets unseen in training score 0.0 (the serving convention for
+    * out-of-vocabulary mass). Per-row cost is O(dim·tokens)
+    * comparisons from the in-row tf count — flat for the ≤128-dim
+    * configs this tier ships. */
+  def scoreStream(docs: DataFrame, weights: Seq[(Long, Double)], dim: Int,
+      threshold: Double = 0.5): DataFrame = {
+    require(dim > 0 && weights.nonEmpty && weights.size <= dim,
+      s"need 1..$dim weights, got ${weights.size}")
+    val wmap = map(weights.flatMap { case (b, w) =>
+      Seq(lit(b), lit(w)) }.toIndexedSeq: _*)
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val buckets = transform(toks, t =>
+      pmod(conv(substring(md5(t.cast("binary")), 1, 8), 16, 10)
+        .cast("long"), lit(dim.toLong)))
+    val p = lit(0.5) * (lit(1.0) + (col("m") / (lit(1.0) + abs(col("m")))))
+    docs.select(col("doc_id"), buckets.as("bk"))
+      .withColumn("m", aggregate(
+        transform(array_sort(array_distinct(col("bk"))), b =>
+          coalesce(element_at(wmap, b), lit(0.0)) *
+            size(filter(col("bk"), x => x === b)).cast("double")),
+        lit(0d), (acc, x) => acc + x))
+      .select(col("doc_id"), col("m"),
+        round(p, 6).as("score"),
+        (p > threshold).as("pass"))
+  }
 }

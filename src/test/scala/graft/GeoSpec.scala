@@ -67,6 +67,33 @@ class GeoSpec extends SparkSpec {
     assert(all.length == all.toSet.size, s"duplicate pairs: ${all.toSeq}")
   }
 
+  test("sphericalRadiusKnn == naive per-point rank; directed, tie-ordered, radius-bounded") {
+    val pts = Geo.customerPoints(spark, sf("sf0.001"))
+    val r = 1500000.0
+    val k = 4
+    val kThr = Geo.havK(r)
+    val d = pts.select(col("id").as("id_a"), col("la"), col("lo").as("loa"))
+      .crossJoin(pts.select(col("id").as("id_b"), col("la").as("lb"),
+        col("lo").as("lob")))
+      .filter(col("id_a") =!= col("id_b"))
+    val l1 = Geo.havLayer1.foldLeft(d) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+    val l2 = Geo.havLayer2.foldLeft(l1) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+    val naiveKnn = l2.withColumn(Geo.havLayer3._1, expr(Geo.havLayer3._2))
+      .filter(col("hav") <= lit(kThr))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id_a").orderBy(col("hav"), col("id_b"))))
+      .filter(col("rk") <= k)
+      .select(col("id_a"), col("id_b"), col("hav"), col("rk").cast("long").as("rk"))
+    def key(df: DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSet
+    val got = key(Geo.sphericalRadiusKnn(pts, r, k))
+    val want = key(naiveKnn)
+    assert(want.nonEmpty, "vacuous kNN fixture")
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("polynomial layers parse identically through spark.sql text") {
     // the oracle string is generated from the same layer text; make
     // sure Spark's parser accepts every generated expression

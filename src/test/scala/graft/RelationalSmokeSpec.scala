@@ -450,5 +450,11 @@ class RelationalSmokeSpec extends SparkSpec {
     // key 1: blocks [0,20) [30,40) [100,101) -> covered 31; raw 10+10+5+10+3+1 = 39
     assert(out(1L) == ((6L, 3L, 31L, 39L)), s"k1: ${out(1L)}")
     assert(out(2L) == ((1L, 1L, 1L, 1L)), s"k2: ${out(2L)}")
+    // the complement: gaps between key 1's blocks; key 2 (one block)
+    // emits none
+    val gaps = graft.operators.Relational.intervalGaps(iv, "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(gaps.toSet == Set((1L, 20L, 30L, 10L), (1L, 40L, 100L, 60L)),
+      s"gaps: ${gaps.toSeq}")
   }
 }

@@ -1755,4 +1755,30 @@ class StreamingSpec extends SparkSpec {
     // exactly-once: no block emitted twice
     assert(rows().length == rows().toSet.size, s"duplicate blocks: ${rows().toSeq}")
   }
+
+  test("S41: streaming classifier scoring is bit-identical to batch training scores") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val dim = 64
+    val w = graft.ext.Classifier.trainWeights(docs, dim, 16, 0.25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batchScores = graft.ext.Classifier.trainQuality(docs, dim, 16, 0.25)
+      .collect().map(r => (r.getLong(0), (r.getDouble(3), r.getLong(2) == 1L))).toMap
+    // stream the SAME corpus through the serving scorer
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.scoreStream(in.toDF().toDF("doc_id", "text"), w, dim)
+      .writeStream.format("memory").queryName("s41").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    in.addData(all.take(all.length / 2).toIndexedSeq)
+    in.addData(all.drop(all.length / 2).toIndexedSeq)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s41").collect()
+      .map(r => (r.getLong(0), (r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(streamed.keySet == batchScores.keySet,
+      s"doc coverage: ${streamed.size} vs ${batchScores.size}")
+    val diverged = streamed.filter { case (id, sv) => batchScores(id) != sv }
+    assert(diverged.isEmpty,
+      s"scores diverged for ${diverged.size} docs, e.g. ${diverged.headOption} vs ${diverged.headOption.map(d => batchScores(d._1))}")
+  }
 }
