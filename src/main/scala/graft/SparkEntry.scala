@@ -272,6 +272,7 @@ object SparkEntry {
     "q252_pipeline_v7"     -> (graft.ext.Classifier.q252 _),
     "q253_haversine_knn"   -> (graft.operators.Geo.q253 _),
     "q254_interval_gaps"   -> (Relational.q254 _),
+    "q255_circle_zones"    -> (graft.operators.Geo.q255 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -573,6 +574,9 @@ object SparkEntry {
     // q253: spherical kNN — naive directed pairs over the identical
     // generated polynomial layers + ROW_NUMBER under (hav, id_b)
     "q253_haversine_knn" -> graft.operators.Geo.q253OracleSql,
+    // q255: spherical circle-zone membership — per-zone UNION ALL over
+    // the identical generated membership text
+    "q255_circle_zones" -> graft.operators.Geo.q255OracleSql,
     // q254: interval gaps — the q248 block CTE + LEAD complement
     "q254_interval_gaps" ->
       ("WITH iv AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, " +

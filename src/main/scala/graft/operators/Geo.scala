@@ -264,6 +264,79 @@ object Geo {
       "WHERE rk <= 5 ORDER BY id_a, rk"
   }
 
+  /** The polynomial haversine to a FIXED zone center, as one
+    * expression text over point columns (la, lo) — the zone-membership
+    * form (center lat/lon and its cosP fold to literals). Same
+    * bit-identical doctrine as the join layers; used by q255 and the
+    * spherical streaming geofence. */
+  def havZoneSql(latZ: Long, lonZ: Long): String = {
+    val dphih = s"(CAST(la - $latZ AS DOUBLE) * ${d2s(CR2)})"
+    val dlamh = s"(CAST(((lo - $lonZ + 540000000) % 360000000) - 180000000 AS DOUBLE) * ${d2s(CR2)})"
+    val phia = s"(CAST(la AS DOUBLE) * ${d2s(CR)})"
+    // the center's cosP is a CONSTANT — driver-folded via the SAME
+    // polynomial (not libm cos), so the literal equals what either
+    // engine would compute from the text
+    val xb = latZ * CR
+    val x2 = xb * xb
+    val cs = Seq(1.0 / 479001600.0, -1.0 / 3628800.0, 1.0 / 40320.0,
+      -1.0 / 720.0, 1.0 / 24.0, -0.5)
+    val cb = 1.0 + x2 * cs.tail.foldLeft(cs.head) { (acc, c) => c + x2 * acc }
+    val sp = sinPSql(dphih)
+    val sl = sinPSql(dlamh)
+    val ca = cosPSql(phia)
+    s"(($sp * $sp) + (($ca * ${d2s(cb)}) * ($sl * $sl)))"
+  }
+
+  /** Demo spherical circle zones: (name, lat µdeg, lon µdeg,
+    * radius m) — one crossing the antimeridian, one at the 60°
+    * accuracy edge, one equatorial. Shared by q255, its oracle
+    * generator, and the S43 golden. */
+  val demoCircleZones: Seq[(String, Long, Long, Double)] = Seq(
+    ("dateline", 0L, 179900000L, 900000.0),
+    ("nordic", 58000000L, 15000000L, 1200000.0),
+    ("equator", -2000000L, -60000000L, 1500000.0))
+
+  /** Membership COLUMN over circle zones — first containing zone in
+    * list order wins, "outside" otherwise (the S39 narrow-map
+    * doctrine: one nested CASE, no join). */
+  def circleZoneExpr(zones: Seq[(String, Long, Long, Double)]): Column =
+    zones.foldRight(lit("outside")) { case ((name, latZ, lonZ, r), rest) =>
+      when(expr(havZoneSql(latZ, lonZ)) <= lit(havK(r)), lit(name))
+        .otherwise(rest)
+    }
+
+  /** Q255 — spherical circle-zone membership under the ORACLE gate:
+    * every (customer, zone) pair with defined haversine to the zone
+    * center ≤ the zone radius (multi-membership, q250's spherical
+    * sibling). One scan: zones evaluate as an in-row array, nulls
+    * compacted, exploded. */
+  def q255(s: SparkSession, d: String): DataFrame = {
+    val pts = customerPoints(s, d)
+    val zs = demoCircleZones.map { case (name, latZ, lonZ, r) =>
+      when(expr(havZoneSql(latZ, lonZ)) <= lit(havK(r)),
+        struct(lit(name).as("zone"), expr(havZoneSql(latZ, lonZ)).as("hav")))
+        .otherwise(lit(null))
+    }
+    pts.select(col("id"), explode(filter(array(zs: _*), z => z.isNotNull)).as("z"))
+      .select(col("id"), col("z.zone").as("zone"), col("z.hav").as("hav"))
+      .orderBy("id", "zone")
+  }
+
+  /** The q255 oracle SQL — per-zone UNION ALL over the identical
+    * generated membership text. */
+  def q255OracleSql: String = {
+    val pts = "SELECT CAST(c_custkey AS BIGINT) AS id, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 120000001 - 60000000 AS la, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 360000000 - 180000000 AS lo " +
+      "FROM customer"
+    val legs = demoCircleZones.map { case (name, latZ, lonZ, r) =>
+      s"SELECT id, '$name' AS zone, ${havZoneSql(latZ, lonZ)} AS hav " +
+        s"FROM pts WHERE ${havZoneSql(latZ, lonZ)} <= ${d2s(havK(r))}"
+    }
+    s"WITH pts AS ($pts) " + legs.mkString("", " UNION ALL ", "") +
+      " ORDER BY id, zone"
+  }
+
   /** The q249 point derivation: customers mapped to deterministic
     * integer micro-degree coordinates, lat ∈ [−60°, 60°], lon ∈
     * [−180°, 180°), via two independent md5 slices (the q246 idiom —

@@ -61,6 +61,11 @@ case class IntervalState(bs: Array[Long], be: Array[Long],
 case class ClosedBlock(user_id: Long, bs: Long, be: Long,
   n_iv: Long, covered_s: Long, raw_s: Long)
 
+/** S42 gap row: one downtime window between consecutive closed
+  * blocks (the live q254). */
+case class GapRow(user_id: Long, gap_start: Long, gap_end: Long,
+  gap_s: Long)
+
 /** S16 heavy-hitter state: Misra–Gries counters (≤ k entries). */
 case class MgState(ids: Array[Long], counts: Array[Long], n: Long)
 case class MgSummary(group: String, n: Long, ids: Array[Long],
@@ -1659,6 +1664,22 @@ object StreamOps {
       graft.operators.Spatial.polyZoneExpr(zones), watermark, idleGapUs)
   }
 
+  /** S43 — spherical geofence transitions: the lat/lon form of S39
+    * (events carry integer micro-degree `la`/`lo`; zones are circle
+    * geofences — center + radius metres — the shape real geofencing
+    * APIs take). Membership is the defined polynomial haversine
+    * ([[graft.operators.Geo.havZoneSql]], the q255 batch form)
+    * compiled into one nested CASE — still a narrow no-join map ahead
+    * of the unchanged transition state machine. */
+  def geofenceSphereStream(events: DataFrame,
+      zones: Seq[(String, Long, Long, Double)],
+      watermark: String = "10 seconds",
+      idleGapUs: Option[Long] = None): DataFrame = {
+    require(zones.nonEmpty, "zones must be non-empty")
+    geofenceCore(events,
+      graft.operators.Geo.circleZoneExpr(zones), watermark, idleGapUs)
+  }
+
   /** Shared S39 state machine over a resolved-zone column.
     *
     * State retention (r14 verdict #5): by default geofence state is
@@ -1802,6 +1823,74 @@ object StreamOps {
           }
           closed.sortBy(_._1).map { case (bs, be, n, raw) =>
             ClosedBlock(uid, bs, be, n, be - bs, raw)
+          }.iterator
+      }.toDF()
+  }
+
+  /** S42 — streaming interval GAPS (the live q254
+    * `Relational.intervalGaps`, S40's complement): a downtime window
+    * emits EXACTLY ONCE when the block that ENDS it closes — a gap is
+    * only final once both flanking blocks are watermark-closed (an
+    * open block's start can still move EARLIER if a non-late interval
+    * merges in front of it, so gap-to-open would retro-edit). Same
+    * state machine, same bounds, same input contract as S40; batch
+    * parity with `intervalGaps` pinned in the golden. */
+  def intervalGapsStream(iv: DataFrame,
+      watermark: String = "10 seconds"): DataFrame = {
+    val s = iv.sparkSession
+    import s.implicits._
+    iv.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("s").cast("long"), col("e").cast("long"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+         state: GroupState[IntervalState]) =>
+          val prev = state.getOption.getOrElse(
+            IntervalState(Array.empty, Array.empty, Array.empty, Array.empty,
+              Long.MinValue))
+          val fresh = rows.map { case (_, _, is, ie) =>
+            require(is <= ie, s"intervalGapsStream: inverted interval " +
+              s"e=$ie < s=$is for key $uid")
+            (is, ie, 1L, ie - is)
+          }.filter { case (is, _, _, _) =>
+            prev.closedUntil == Long.MinValue || is > prev.closedUntil
+          }.toArray
+          val items = (prev.bs.indices.map(i =>
+              (prev.bs(i), prev.be(i), prev.n(i), prev.raw(i))) ++ fresh)
+            .sortBy(t => (t._1, t._2))
+          val merged = Vector.newBuilder[(Long, Long, Long, Long)]
+          var cur: (Long, Long, Long, Long) = null
+          items.foreach { case it @ (is, ie, _, _) =>
+            if (cur == null) cur = it
+            else if (is > cur._2) { merged += cur; cur = it }
+            else cur = (cur._1, math.max(cur._2, ie), cur._3 + it._3,
+              cur._4 + it._4)
+          }
+          if (cur != null) merged += cur
+          val wmMs = state.getCurrentWatermarkMs()
+          val (closed, open) = merged.result().partition(_._2 * 1000 < wmMs)
+          val newClosedUntil = (prev.closedUntil +: closed.map(_._2)).max
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(IntervalState(open.map(_._1).toArray,
+              open.map(_._2).toArray, open.map(_._3).toArray,
+              open.map(_._4).toArray, newClosedUntil))
+            state.setTimeoutTimestamp(
+              math.max(open.map(_._2).min * 1000 + 1, wmMs + 1))
+          }
+          // every closed block's START finalizes the gap behind it:
+          // pair each closed start with the end before it (the prior
+          // frontier, or the previous closed block in this batch); the
+          // key's FIRST block has nothing behind it
+          val cs = closed.sortBy(_._1)
+          val starts = if (prev.closedUntil == Long.MinValue)
+            cs.drop(1).map(_._1) else cs.map(_._1)
+          val ends = if (prev.closedUntil == Long.MinValue)
+            cs.map(_._2) else prev.closedUntil +: cs.map(_._2)
+          starts.zip(ends).collect {
+            case (gs, pe) if gs > pe => GapRow(uid, pe, gs, gs - pe)
           }.iterator
       }.toDF()
   }

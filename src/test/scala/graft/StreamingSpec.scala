@@ -1756,6 +1756,64 @@ class StreamingSpec extends SparkSpec {
     assert(rows().length == rows().toSet.size, s"duplicate blocks: ${rows().toSeq}")
   }
 
+  test("S42: streaming gaps emit once when the closing block finalizes; batch parity") {
+    val base = 1700000000L
+    def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, Long)]
+    val q = StreamOps.intervalGapsStream(
+        in.toDF().toDF("user_id", "ts", "s", "e"), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("s42").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    def add(u: Long, s: Long, e: Long) =
+      in.addData((u, ts(s), base + s, base + e))
+    def rows() = spark.table("s42").collect()
+      .map(r => (r.getLong(0), r.getLong(1) - base, r.getLong(2) - base, r.getLong(3)))
+    // u1 blocks [10,40) (merged), [100,110); u2 one block
+    add(1L, 20, 40); add(1L, 10, 25); add(1L, 100, 110); add(2L, 15, 30)
+    q.processAllAvailable()
+    // wm=100 closes [10,40) only -> no gap yet (its successor is open)
+    assert(rows().isEmpty, s"premature gap: ${rows().toSeq}")
+    add(1L, 200, 210)  // wm -> 200 closes [100,110) -> gap (40,100) final
+    q.processAllAvailable()
+    assert(rows().toSet == Set((1L, 40L, 100L, 60L)), s"b2: ${rows().toSeq}")
+    add(9L, 500, 501)  // wm -> 500 closes [200,210) via timeout -> gap (110,200)
+    q.processAllAvailable()
+    add(9L, 900, 901)
+    q.processAllAvailable(); q.stop()
+    val got = rows().filter(r => r._1 == 1L || r._1 == 2L).toSet
+    import spark.implicits._
+    val batch = graft.operators.Relational.intervalGaps(
+        Seq((1L, base + 20, base + 40), (1L, base + 10, base + 25),
+          (1L, base + 100, base + 110), (1L, base + 200, base + 210),
+          (2L, base + 15, base + 30)).toDF("user_id", "s", "e"), "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1) - base,
+        r.getLong(2) - base, r.getLong(3))).toSet
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(rows().length == rows().toSet.size, "duplicate gaps")
+  }
+
+  test("S43: spherical circle geofences resolve by polynomial haversine; dateline zone works") {
+    val base = 1700000000L
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+    val ev = in.toDF().toDF("ts", "user_id", "event_id", "la", "lo")
+    val q = StreamOps.geofenceSphereStream(ev,
+        graft.operators.Geo.demoCircleZones)
+      .writeStream.format("memory").queryName("s43").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    def at(sec: Long, id: Long, la: Long, lo: Long, user: Long = 1L) =
+      (new java.sql.Timestamp((base + sec) * 1000), user, id, la, lo)
+    // enter the dateline zone FROM THE OTHER SIDE of the antimeridian
+    // (center lon +179.9°, point at -179.8° ≈ 33 km away), move out to
+    // the equator zone, then far outside everything
+    in.addData(at(10, 1, 0L, -179800000L), at(20, 2, -2000000L, -60000000L),
+      at(30, 3, 40000000L, 40000000L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s43").collect()
+      .map(r => (r.getLong(2), r.getString(3), r.getString(4))).toSet
+    assert(got == Set((1L, "outside", "dateline"), (2L, "dateline", "equator"),
+      (3L, "equator", "outside")), s"got $got")
+  }
+
   test("S41: streaming classifier scoring is bit-identical to batch training scores") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
