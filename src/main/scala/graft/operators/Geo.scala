@@ -264,28 +264,48 @@ object Geo {
       "WHERE rk <= 5 ORDER BY id_a, rk"
   }
 
-  /** The polynomial haversine to a FIXED zone center, as one
-    * expression text over point columns (la, lo) — the zone-membership
-    * form (center lat/lon and its cosP fold to literals). Same
-    * bit-identical doctrine as the join layers; used by q255 and the
-    * spherical streaming geofence. */
-  def havZoneSql(latZ: Long, lonZ: Long): String = {
-    val dphih = s"(CAST(la - $latZ AS DOUBLE) * ${d2s(CR2)})"
-    val dlamh = s"(CAST(((lo - $lonZ + 540000000) % 360000000) - 180000000 AS DOUBLE) * ${d2s(CR2)})"
-    val phia = s"(CAST(la AS DOUBLE) * ${d2s(CR)})"
-    // the center's cosP is a CONSTANT — driver-folded via the SAME
-    // polynomial (not libm cos), so the literal equals what either
-    // engine would compute from the text
+  /** The layered polynomial haversine to FIXED zone centers — the
+    * zone-membership form of the join verify layers. A first cut
+    * inlined each zone's full expression text (the dphih argument
+    * textually duplicated 13× per Horner level): the single giant
+    * Project ran ~120 µs/row at sf0.1 (the q249 interpreted-regime
+    * smell). Layering (shared phia/ca; per-zone dphih/dlamh → sp/sl →
+    * hav columns) keeps every sub-expression evaluated once in small
+    * codegen-friendly Projects — and the oracle mirrors the same
+    * layers, so bit-identity is unchanged. Center cosP folds to a
+    * literal via the SAME polynomial (not libm). */
+  def zoneLayer1(zones: Seq[(String, Long, Long, Double)]): Seq[(String, String)] =
+    ("phia" -> s"CAST(la AS DOUBLE) * ${d2s(CR)}") +:
+      zones.zipWithIndex.flatMap { case ((_, latZ, lonZ, _), i) => Seq(
+        s"dphih$i" -> s"CAST(la - $latZ AS DOUBLE) * ${d2s(CR2)}",
+        s"dlamh$i" -> (s"CAST(((lo - $lonZ + 540000000) % 360000000) - " +
+          s"180000000 AS DOUBLE) * ${d2s(CR2)}"))
+      }
+  def zoneLayer2(zones: Seq[(String, Long, Long, Double)]): Seq[(String, String)] =
+    ("ca" -> cosPSql("phia")) +:
+      zones.indices.flatMap { i => Seq(
+        s"sp$i" -> sinPSql(s"dphih$i"), s"sl$i" -> sinPSql(s"dlamh$i"))
+      }
+  /** The center's cosP constant, via the same polynomial. */
+  def zoneCb(latZ: Long): Double = {
     val xb = latZ * CR
     val x2 = xb * xb
     val cs = Seq(1.0 / 479001600.0, -1.0 / 3628800.0, 1.0 / 40320.0,
       -1.0 / 720.0, 1.0 / 24.0, -0.5)
-    val cb = 1.0 + x2 * cs.tail.foldLeft(cs.head) { (acc, c) => c + x2 * acc }
-    val sp = sinPSql(dphih)
-    val sl = sinPSql(dlamh)
-    val ca = cosPSql(phia)
-    s"(($sp * $sp) + (($ca * ${d2s(cb)}) * ($sl * $sl)))"
+    1.0 + x2 * cs.tail.foldLeft(cs.head) { (acc, c) => c + x2 * acc }
   }
+  def zoneLayer3(zones: Seq[(String, Long, Long, Double)]): Seq[(String, String)] =
+    zones.zipWithIndex.map { case ((_, latZ, _, _), i) =>
+      s"hav$i" -> (s"((sp$i * sp$i) + ((ca * ${d2s(zoneCb(latZ))}) * " +
+        s"(sl$i * sl$i)))")
+    }
+
+  /** Apply the zone layers to a frame carrying (la, lo): adds one
+    * `hav<i>` column per zone. */
+  def withZoneHavs(df: DataFrame,
+      zones: Seq[(String, Long, Long, Double)]): DataFrame =
+    (zoneLayer1(zones) ++ zoneLayer2(zones) ++ zoneLayer3(zones))
+      .foldLeft(df) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
 
   /** Demo spherical circle zones: (name, lat µdeg, lon µdeg,
     * radius m) — one crossing the antimeridian, one at the 60°
@@ -296,45 +316,61 @@ object Geo {
     ("nordic", 58000000L, 15000000L, 1200000.0),
     ("equator", -2000000L, -60000000L, 1500000.0))
 
-  /** Membership COLUMN over circle zones — first containing zone in
-    * list order wins, "outside" otherwise (the S39 narrow-map
-    * doctrine: one nested CASE, no join). */
-  def circleZoneExpr(zones: Seq[(String, Long, Long, Double)]): Column =
-    zones.foldRight(lit("outside")) { case ((name, latZ, lonZ, r), rest) =>
-      when(expr(havZoneSql(latZ, lonZ)) <= lit(havK(r)), lit(name))
-        .otherwise(rest)
+  /** Resolve the FIRST containing circle zone (list order) as a
+    * `zone` column, "outside" otherwise — the S43 hot path: the
+    * layered hav columns land in small Projects, the CASE reads them
+    * once each, and the temporaries are dropped. */
+  def resolveCircleZones(df: DataFrame,
+      zones: Seq[(String, Long, Long, Double)]): DataFrame = {
+    val withHavs = withZoneHavs(df, zones)
+    val zcol = zones.zipWithIndex.foldRight(lit("outside")) {
+      case (((name, _, _, r), i), rest) =>
+        when(col(s"hav$i") <= lit(havK(r)), lit(name)).otherwise(rest)
     }
+    val tmp = (zoneLayer1(zones) ++ zoneLayer2(zones) ++ zoneLayer3(zones))
+      .map(_._1)
+    withHavs.withColumn("zone", zcol).drop(tmp: _*)
+  }
 
   /** Q255 — spherical circle-zone membership under the ORACLE gate:
     * every (customer, zone) pair with defined haversine to the zone
     * center ≤ the zone radius (multi-membership, q250's spherical
-    * sibling). One scan: zones evaluate as an in-row array, nulls
+    * sibling). One scan: layered havs, in-row zone array, nulls
     * compacted, exploded. */
   def q255(s: SparkSession, d: String): DataFrame = {
-    val pts = customerPoints(s, d)
-    val zs = demoCircleZones.map { case (name, latZ, lonZ, r) =>
-      when(expr(havZoneSql(latZ, lonZ)) <= lit(havK(r)),
-        struct(lit(name).as("zone"), expr(havZoneSql(latZ, lonZ)).as("hav")))
+    val zones = demoCircleZones
+    val withHavs = withZoneHavs(customerPoints(s, d), zones)
+    val zs = zones.zipWithIndex.map { case ((name, _, _, r), i) =>
+      when(col(s"hav$i") <= lit(havK(r)),
+        struct(lit(name).as("zone"), col(s"hav$i").as("hav")))
         .otherwise(lit(null))
     }
-    pts.select(col("id"), explode(filter(array(zs: _*), z => z.isNotNull)).as("z"))
+    withHavs
+      .select(col("id"), explode(filter(array(zs: _*), z => z.isNotNull)).as("z"))
       .select(col("id"), col("z.zone").as("zone"), col("z.hav").as("hav"))
       .orderBy("id", "zone")
   }
 
-  /** The q255 oracle SQL — per-zone UNION ALL over the identical
-    * generated membership text. */
+  /** The q255 oracle SQL — the identical layers as CTEs, then a
+    * per-zone UNION ALL over the hav columns. */
   def q255OracleSql: String = {
+    val zones = demoCircleZones
     val pts = "SELECT CAST(c_custkey AS BIGINT) AS id, " +
       "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 120000001 - 60000000 AS la, " +
       "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 360000000 - 180000000 AS lo " +
       "FROM customer"
-    val legs = demoCircleZones.map { case (name, latZ, lonZ, r) =>
-      s"SELECT id, '$name' AS zone, ${havZoneSql(latZ, lonZ)} AS hav " +
-        s"FROM pts WHERE ${havZoneSql(latZ, lonZ)} <= ${d2s(havK(r))}"
+    val l1 = zoneLayer1(zones).map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val l2 = zoneLayer2(zones).map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val l3 = zoneLayer3(zones).map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val legs = zones.zipWithIndex.map { case ((name, _, _, r), i) =>
+      s"SELECT id, '$name' AS zone, hav$i AS hav FROM l3 " +
+        s"WHERE hav$i <= ${d2s(havK(r))}"
     }
-    s"WITH pts AS ($pts) " + legs.mkString("", " UNION ALL ", "") +
-      " ORDER BY id, zone"
+    s"WITH pts AS ($pts), " +
+      s"l1 AS (SELECT id, $l1 FROM pts), " +
+      s"l2 AS (SELECT id, $l2 FROM l1), " +
+      s"l3 AS (SELECT id, $l3 FROM l2) " +
+      legs.mkString("", " UNION ALL ", "") + " ORDER BY id, zone"
   }
 
   /** The q249 point derivation: customers mapped to deterministic

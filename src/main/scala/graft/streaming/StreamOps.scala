@@ -1668,16 +1668,19 @@ object StreamOps {
     * (events carry integer micro-degree `la`/`lo`; zones are circle
     * geofences — center + radius metres — the shape real geofencing
     * APIs take). Membership is the defined polynomial haversine
-    * ([[graft.operators.Geo.havZoneSql]], the q255 batch form)
-    * compiled into one nested CASE — still a narrow no-join map ahead
-    * of the unchanged transition state machine. */
+    * ([[graft.operators.Geo.resolveCircleZones]], the q255 batch
+    * form, LAYERED — each zone's hav evaluates once in small
+    * codegen-friendly Projects; a single inlined CASE measured
+    * ~120 µs/row on the batch q255 floor) — still a narrow no-join
+    * map ahead of the unchanged transition state machine. */
   def geofenceSphereStream(events: DataFrame,
       zones: Seq[(String, Long, Long, Double)],
       watermark: String = "10 seconds",
       idleGapUs: Option[Long] = None): DataFrame = {
     require(zones.nonEmpty, "zones must be non-empty")
-    geofenceCore(events,
-      graft.operators.Geo.circleZoneExpr(zones), watermark, idleGapUs)
+    geofenceResolved(
+      graft.operators.Geo.resolveCircleZones(events, zones),
+      watermark, idleGapUs)
   }
 
   /** Shared S39 state machine over a resolved-zone column.
@@ -1695,6 +1698,14 @@ object StreamOps {
     * pinned by the S39 eviction golden. */
   private def geofenceCore(events: DataFrame,
       zoneExpr: org.apache.spark.sql.Column,
+      watermark: String, idleGapUs: Option[Long]): DataFrame =
+    geofenceResolved(events.withColumn("zone", zoneExpr),
+      watermark, idleGapUs)
+
+  /** The transition machine over a frame already carrying a resolved
+    * `zone` column (lets multi-Project resolvers like the spherical
+    * layers stay layered instead of collapsing into one giant CASE). */
+  private def geofenceResolved(events: DataFrame,
       watermark: String, idleGapUs: Option[Long]): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
@@ -1704,7 +1715,7 @@ object StreamOps {
       GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     events.withWatermark("ts", watermark)
       .select(col("user_id").cast("long"), col("ts"),
-        col("event_id").cast("long"), zoneExpr.as("zone"))
+        col("event_id").cast("long"), col("zone"))
       .as[(Long, java.sql.Timestamp, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
