@@ -42,7 +42,12 @@ case class ReservoirSample(group: String, n_seen: Long, sample_ids: Array[Long])
 
 /** S38 CDC-upsert state: the per-key WINNING change under the q245
   * total order — one row regardless of stream age. */
-case class CdcState(version: Long, opRank: Int, op: String, payload: String)
+/** `tsUs` is the WINNING change's own event time (µs; MinValue when
+  * retention is off) — the tombstone-GC timer arms from it, never
+  * from absorbed rows' timestamps, so the eviction horizon is a pure
+  * function of the winner and replay/batching cannot move it. */
+case class CdcState(version: Long, opRank: Int, op: String, payload: String,
+  tsUs: Long = Long.MinValue)
 case class CdcRow(k: Long, version: Long, op: String, payload: String,
   deleted: Boolean)
 
@@ -1591,31 +1596,41 @@ object StreamOps {
             Iterator.empty
           } else {
             val prev = state.getOption
-            // winner = max under the total order; fold is order-free
+            // winner = max under the total order; fold is order-free.
+            // The winner's OWN event time rides along (exact ties take
+            // the MIN ts so even a duplicated winning change resolves
+            // the same under any batching) — the GC timer arms from
+            // it, never from absorbed rows, so a late lower-version
+            // change cannot extend the eviction horizon
             val ord = Ordering.Tuple3[Long, Int, String]
-            var maxTsUs = Long.MinValue
             val best = rows.foldLeft(prev) { case (acc, (_, op, v, p, ts)) =>
-              if (ts != null) maxTsUs = math.max(maxTsUs, micros(ts))
-              val cand = CdcState(v, rank(op), op, p)
+              val tsUs = if (ts != null) micros(ts) else Long.MinValue
+              val cand = CdcState(v, rank(op), op, p, tsUs)
               Some(acc.fold(cand) { a =>
-                if (ord.gt((cand.version, cand.opRank, cand.payload),
-                    (a.version, a.opRank, a.payload))) cand else a
+                val c = ord.compare((cand.version, cand.opRank, cand.payload),
+                  (a.version, a.opRank, a.payload))
+                if (c > 0) cand
+                else if (c == 0) a.copy(tsUs = math.min(a.tsUs, cand.tsUs))
+                else a
               })
             }
+            def triple(s: CdcState) = (s.version, s.opRank, s.payload)
             val out = best match {
-              case Some(w) if !prev.contains(w) =>
+              case Some(w) if !prev.map(triple).contains(triple(w)) =>
                 state.update(w)
                 Iterator.single(CdcRow(k, w.version, w.op, w.payload,
                   w.op == "D"))
-              case _ => Iterator.empty
+              case Some(w) =>
+                state.update(w); Iterator.empty
+              case None => Iterator.empty
             }
             // arm eviction while the winner is a tombstone (after
             // update: a timeout cannot be set on undefined state);
             // quiet keys keep their armed timestamp between batches
             (best, tombstoneRetentionUs) match {
-              case (Some(w), Some(ret)) if w.op == "D" && maxTsUs != Long.MinValue =>
+              case (Some(w), Some(ret)) if w.op == "D" && w.tsUs != Long.MinValue =>
                 state.setTimeoutTimestamp(
-                  math.max(maxTsUs / 1000 + ret / 1000,
+                  math.max(w.tsUs / 1000 + ret / 1000,
                     state.getCurrentWatermarkMs() + 1))
               case _ => ()
             }
@@ -1844,8 +1859,20 @@ object StreamOps {
     * only final once both flanking blocks are watermark-closed (an
     * open block's start can still move EARLIER if a non-late interval
     * merges in front of it, so gap-to-open would retro-edit). Same
-    * state machine, same bounds, same input contract as S40; batch
-    * parity with `intervalGaps` pinned in the golden. */
+    * state machine, same input contract as S40; batch parity with
+    * `intervalGaps` pinned in the golden.
+    *
+    * STATE RETENTION differs from S40 on purpose: when a key's last
+    * open block closes, S40 may remove the key (a block emits
+    * independently), but a GAP pairs the next block against the
+    * previous frontier — the canonical downtime scenario is exactly
+    * "machine goes quiet, its last block watermark-closes, machine
+    * returns hours later". Removing state there would silently
+    * swallow that gap (the resumed key would look brand-new). So an
+    * idle key keeps a FRONTIER-ONLY state: empty block arrays + the
+    * closedUntil long — the same per-key footprint the batch
+    * operator's LAG carries, bounded by distinct keys, never stream
+    * age — and a resumed key's first closed block pairs against it. */
   def intervalGapsStream(iv: DataFrame,
       watermark: String = "10 seconds"): DataFrame = {
     val s = iv.sparkSession
@@ -1883,14 +1910,15 @@ object StreamOps {
           val wmMs = state.getCurrentWatermarkMs()
           val (closed, open) = merged.result().partition(_._2 * 1000 < wmMs)
           val newClosedUntil = (prev.closedUntil +: closed.map(_._2)).max
-          if (open.isEmpty) state.remove()
-          else {
-            state.update(IntervalState(open.map(_._1).toArray,
-              open.map(_._2).toArray, open.map(_._3).toArray,
-              open.map(_._4).toArray, newClosedUntil))
+          // frontier-only state when idle (see scaladoc): no timeout —
+          // the state IS the long-retention record, re-entered only
+          // when the key resumes
+          state.update(IntervalState(open.map(_._1).toArray,
+            open.map(_._2).toArray, open.map(_._3).toArray,
+            open.map(_._4).toArray, newClosedUntil))
+          if (open.nonEmpty)
             state.setTimeoutTimestamp(
               math.max(open.map(_._2).min * 1000 + 1, wmMs + 1))
-          }
           // every closed block's START finalizes the gap behind it:
           // pair each closed start with the end before it (the prior
           // frontier, or the previous closed block in this batch); the

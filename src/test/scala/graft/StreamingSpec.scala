@@ -1699,6 +1699,37 @@ class StreamingSpec extends SparkSpec {
       s"k1 history: $k1")
   }
 
+  test("S38: an absorbed late change does NOT extend the tombstone eviction horizon") {
+    val base = 1700000000L
+    def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000)
+    val in = MemoryStream[(Long, String, Long, String, java.sql.Timestamp)]
+    val q = StreamOps.cdcUpsertStream(
+        in.toDF().toDF("k", "op", "version", "payload", "ts"),
+        tombstoneRetentionUs = Some(30L * 1000000), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("s38h").outputMode("update")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    def rows() = spark.table("s38h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getBoolean(4)))
+    in.addData((1L, "D", 5L, "-", ts(10)))   // winner; horizon = 10+30 = 40 s
+    q.processAllAvailable()
+    // absorbed lower-version change at ts 35: the horizon must STAY 40
+    // (arming from the batch-max ts would push it to 35+30 = 65)
+    in.addData((1L, "U", 2L, "abs", ts(35)))
+    q.processAllAvailable()
+    in.addData((9L, "I", 1L, "x", ts(50)))   // wm → 50: fires the 40 s timer
+    q.processAllAvailable()
+    in.addData((9L, "I", 2L, "y", ts(51)))   // drains the timer batch
+    q.processAllAvailable()
+    // v3 < tombstone v5: re-materializes ONLY if the key was evicted
+    // at the winner's own horizon — an extended (65 s) timer would
+    // still be alive at wm 51 and absorb this
+    in.addData((1L, "U", 3L, "late", ts(52)))
+    q.processAllAvailable(); q.stop()
+    val k1 = rows().filter(_._1 == 1L).toSeq
+    assert(k1 == Seq((1L, 5L, "D", "-", true), (1L, 3L, "U", "late", false)),
+      s"eviction horizon was extended by the absorbed row: $k1")
+  }
+
   test("S40: streaming interval union — watermark-closed blocks emit once, batch parity") {
     val base = 1700000000L
     def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000)
@@ -1778,13 +1809,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows().toSet == Set((1L, 40L, 100L, 60L)), s"b2: ${rows().toSeq}")
     add(9L, 500, 501)  // wm -> 500 closes [200,210) via timeout -> gap (110,200)
     q.processAllAvailable()
-    add(9L, 900, 901)
+    assert(rows().toSet == Set((1L, 40L, 100L, 60L), (1L, 110L, 200L, 90L)),
+      s"after timeout close: ${rows().toSeq}")
+    // RESUME AFTER FULL CLOSE: every u1 block is now watermark-closed
+    // (no open state) — the frontier-only state must survive so the
+    // downtime gap (210, 1000) still pairs when the machine returns
+    add(1L, 1000, 1010)
+    q.processAllAvailable()
+    add(9L, 2000, 2001)  // wm -> 2000 closes [1000,1010) -> gap (210,1000)
+    q.processAllAvailable()
+    assert(rows().toSet.contains((1L, 210L, 1000L, 790L)),
+      s"resume-after-close gap missing: ${rows().toSeq}")
+    add(9L, 9000, 9001)
     q.processAllAvailable(); q.stop()
     val got = rows().filter(r => r._1 == 1L || r._1 == 2L).toSet
     import spark.implicits._
     val batch = graft.operators.Relational.intervalGaps(
         Seq((1L, base + 20, base + 40), (1L, base + 10, base + 25),
           (1L, base + 100, base + 110), (1L, base + 200, base + 210),
+          (1L, base + 1000, base + 1010),
           (2L, base + 15, base + 30)).toDF("user_id", "s", "e"), "user_id")
       .collect().map(r => (r.getLong(0), r.getLong(1) - base,
         r.getLong(2) - base, r.getLong(3))).toSet
