@@ -950,6 +950,23 @@ object ScaleBench {
       if (i == 0) { run(); sweep(); pts.count() } // warmup, discarded
       val (sec, pairs) = run()
       pts.unpersist(); sweep()
+      // FULL-SPHERE row (r16, the ±90° contract): AREA-uniform points
+      // (lat = asin of a uniform sine — libm is fine here, this is an
+      // engine-only perf fixture), so the whole domain including the
+      // collapsed polar bands is exercised at realistic density.
+      // Uniform-IN-LAT at ±90° would be a different (degenerate)
+      // benchmark: its polar clump makes the TRUE pair count itself
+      // quadratic — an output-volume property, not a plan property.
+      val full = spark.range(n).select(col("id"),
+        expr("CAST(degrees(asin(pmod(xxhash64(id), 2000001L) / 1000000.0 " +
+          "- 1.0)) * 1000000 AS BIGINT)").as("la"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(360000000L)) - 180000000L).as("lo"))
+        .persist()
+      full.count()
+      val tF = System.nanoTime()
+      val pairsFull = graft.operators.Geo.sphericalRadiusJoin(full, r).count()
+      val secFull = (System.nanoTime() - tF) / 1e9
+      full.unpersist(); sweep()
       val pip = spark.range(n).select(col("id"),
         pmod(xxhash64(col("id")), lit(100000L)).as("xi"),
         pmod(xxhash64(col("id"), lit(1)), lit(100000L)).as("yi")).persist()
@@ -959,7 +976,7 @@ object ScaleBench {
         .pointInPolygon(pip, graft.operators.Spatial.demoZones).count()
       val pipSec = (System.nanoTime() - t1) / 1e9
       pip.unpersist(); sweep()
-      println(f"""{"op":"geo","n_points":$n,"radius_m":${r.round},"haversine_join_sec":$sec%.2f,"pairs":$pairs,"pip_sec":$pipSec%.2f,"members":$members}""")
+      println(f"""{"op":"geo","n_points":$n,"radius_m":${r.round},"haversine_join_sec":$sec%.2f,"pairs":$pairs,"fullsphere_join_sec":$secFull%.2f,"fullsphere_pairs":$pairsFull,"pip_sec":$pipSec%.2f,"members":$members}""")
     }
   }
 
@@ -994,6 +1011,99 @@ object ScaleBench {
     }
   }
 
+  /** ZONE-AXIS curve (r16 verdict item #2): membership cost as the
+    * GEOFENCE COUNT grows at fixed point count — the regime where the
+    * per-zone literal-CASE resolver (q255/S43 fast path) would blow up
+    * the plan. `sphericalZoneJoin` must stay flat-ish: zones are data,
+    * the plan is constant, and cost is the density-bounded (band,
+    * cell) join. Points AND zones area-uniform over ±90°; radius
+    * fixed 50 km so output scales linearly with the zone count. */
+  private def runZones(spark: SparkSession, zoneCounts: Seq[Long]): Unit = {
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val nPts = 5000000L
+    val pts = spark.range(nPts).select(col("id"),
+      expr("CAST(degrees(asin(pmod(xxhash64(id), 2000001L) / 1000000.0 " +
+        "- 1.0)) * 1000000 AS BIGINT)").as("la"),
+      (pmod(xxhash64(col("id"), lit(1)), lit(360000000L)) - 180000000L).as("lo"))
+      .persist()
+    pts.count()
+    zoneCounts.zipWithIndex.foreach { case (nz, i) =>
+      val zones = spark.range(nz).select(col("id").as("zone_id"),
+        expr("CAST(degrees(asin(pmod(xxhash64(zone_id, 7L), 2000001L) / 1000000.0 " +
+          "- 1.0)) * 1000000 AS BIGINT)").as("zla"),
+        (pmod(xxhash64(col("zone_id"), lit(8L)), lit(360000000L)) - 180000000L).as("zlo"),
+        lit(50000.0).as("radius_m")).persist()
+      zones.count()
+      def run(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val members = graft.operators.Geo
+          .sphericalZoneJoin(pts, zones, 50000.0).count()
+        ((System.nanoTime() - t0) / 1e9, members)
+      }
+      if (i == 0) run() // warmup, discarded
+      val (sec, members) = run()
+      zones.unpersist(); sweep(); pts.count()
+      println(f"""{"op":"zones","n_points":$nPts,"n_zones":$nz,"zone_join_sec":$sec%.2f,"members":$members}""")
+    }
+    pts.unpersist(); sweep()
+  }
+
+  /** Connected-components round-count curve (r16 verdict item #3): a
+    * PLANTED CHAIN of n nodes has diameter n−1 — the adversarial case
+    * for min-label propagation (rounds = diameter; its default cap
+    * can't even converge past 20 hops). The star form must show
+    * ~log(n) rounds and near-linear wall-clock. Propagation runs only
+    * at the smallest size (rounds == diameter makes bigger sizes
+    * pointless by construction — that contrast is the point), plus a
+    * SHALLOW random graph at 5 M edges where propagation's cheaper
+    * round (2 shuffles vs 4) should keep it the right default. */
+  private def runCc(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // contrast row: propagation on a 128-chain converges in exactly
+    // diameter rounds (pass maxIter above it so it CAN converge)
+    locally {
+      val chain = spark.range(127).selectExpr("id AS src", "id + 1 AS dst")
+      val t0 = System.nanoTime()
+      val n = graft.operators.Graph.connectedComponents(chain, 200)
+        .filter(col("component") === 0L).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      sweep()
+      println(f"""{"op":"cc","shape":"chain","algo":"propagation","n_nodes":128,"sec":$sec%.2f,"rounds":127,"in_min_comp":$n}""")
+    }
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val chain = spark.range(n - 1).selectExpr("id AS src", "id + 1 AS dst")
+      def run(): (Double, Int, Long) = {
+        val t0 = System.nanoTime()
+        val (lbl, rounds) = graft.operators.Graph.ccStarWithRounds(chain, 60)
+        val ok = lbl.filter(col("component") === 0L).count()
+        ((System.nanoTime() - t0) / 1e9, rounds, ok)
+      }
+      if (i == 0) { run(); sweep() } // warmup, discarded
+      val (sec, rounds, ok) = run()
+      sweep()
+      println(f"""{"op":"cc","shape":"chain","algo":"star","n_nodes":$n,"sec":$sec%.2f,"rounds":$rounds,"in_min_comp":$ok}""")
+    }
+    // shallow contrast: 5 M-edge random graph, both algorithms
+    locally {
+      val edges = spark.range(5000000L).selectExpr(
+        "pmod(xxhash64(id), 2000000) AS src",
+        "pmod(xxhash64(id, 1), 2000000) AS dst").persist()
+      edges.count()
+      val t0 = System.nanoTime()
+      val c1 = graft.operators.Graph.connectedComponents(edges, 60).count()
+      val sProp = (System.nanoTime() - t0) / 1e9
+      sweep(); edges.count()
+      val t1 = System.nanoTime()
+      val (lbl, rounds) = graft.operators.Graph.ccStarWithRounds(edges, 60)
+      val c2 = lbl.count()
+      val sStar = (System.nanoTime() - t1) / 1e9
+      edges.unpersist(); sweep()
+      println(f"""{"op":"cc","shape":"shallow_random","n_edges":5000000,"prop_sec":$sProp%.2f,"star_sec":$sStar%.2f,"star_rounds":$rounds,"nodes_prop":$c1,"nodes_star":$c2}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/target/scale")
     val spark = Sessions.local(Sessions.envCpus, "graft-scale")
@@ -1016,6 +1126,20 @@ object ScaleBench {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(5000L, 50000L, 250000L)
       runCorpusQ(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("cc")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(100000L, 1000000L, 4000000L)
+      runCc(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("zones")) {
+      val counts = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(10L, 100L, 1000L, 10000L)
+      runZones(spark, counts)
       spark.stop()
       return
     }

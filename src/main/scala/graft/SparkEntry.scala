@@ -273,6 +273,7 @@ object SparkEntry {
     "q253_haversine_knn"   -> (graft.operators.Geo.q253 _),
     "q254_interval_gaps"   -> (Relational.q254 _),
     "q255_circle_zones"    -> (graft.operators.Geo.q255 _),
+    "q256_zone_join"       -> (graft.operators.Geo.q256 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -577,6 +578,9 @@ object SparkEntry {
     // q255: spherical circle-zone membership — per-zone UNION ALL over
     // the identical generated membership text
     "q255_circle_zones" -> graft.operators.Geo.q255OracleSql,
+    // q256: zone-SCALE membership (zones as data through the banded
+    // grid) — naive point × zone cross join over the identical layers
+    "q256_zone_join" -> graft.operators.Geo.q256OracleSql,
     // q254: interval gaps — the q248 block CTE + LEAD complement
     "q254_interval_gaps" ->
       ("WITH iv AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, " +

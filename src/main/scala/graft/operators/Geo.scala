@@ -30,11 +30,25 @@ import graft.sources.Tables
   *
   * where sinP/cosP are degree-13/12 Taylor polynomials (Horner form)
   * and K = sin²(r/2R) is a driver-computed constant embedded as the
-  * same literal on both sides. Polynomial truncation error vs true
-  * haversine is < 7e-10 on sin (|x| ≤ π/2) and < 3e-11 on cos
-  * (|x| ≤ π/3) — sub-metre at Earth scale and absorbed by the grid
-  * slack; accuracy CONTRACT: |lat| ≤ 60° (beyond it the polynomials
-  * lose accuracy gracefully but determinism is unaffected).
+  * same literal on both sides.
+  *
+  * FULL-LATITUDE contract (±90°, r16 — the r15 |lat| ≤ 60° limit is
+  * gone): cos(φ) at high latitude is computed by EXACT integer
+  * quadrant reduction BEFORE the double conversion — coordinates are
+  * integer micro-degrees, so `90000000 − ABS(lat)` is exact in
+  * BIGINT, and the branch predicate (`ABS(lat) ≤ 45000000`) is an
+  * exact integer compare that can never wobble between engines:
+  *
+  *   cos(φ) = cosP(φ)            when |lat| ≤ 45°   (|x| ≤ π/4)
+  *          = sinP(90° − |lat|)  otherwise          (x ∈ [0, π/4])
+  *
+  * Every cosine argument is then ≤ π/4, where truncation error is
+  * < 4e-13 (cos) / 3e-14 (sin); the remaining worst case is
+  * sinP(Δλ/2) at |x| ≤ π/2 (< 7e-10) — total polynomial error vs
+  * true haversine < 2e-9 on hav across the whole sphere (≈ 1 m at a
+  * 150 km threshold), absorbed by the grid slack and pinned by a
+  * GeoSpec contract test at 89°. Determinism is unchanged: both
+  * engines evaluate the identical CASE + polynomial text.
   *
   * Coordinates are integer MICRO-DEGREES (exact in BIGINT and in
   * double), so the only roundings are the two scale-multiplies both
@@ -84,6 +98,20 @@ object Geo {
     s * s
   }
 
+  /** The quadrant-reduced latitude argument (see header): exact
+    * BIGINT fold of `lat` into ±45°-equivalent form, THEN the one
+    * double conversion. `q<s> = 1` selects the cosP branch. */
+  private def latReduceSql(latCol: String): String =
+    s"CAST(CASE WHEN ABS($latCol) <= 45000000 THEN $latCol " +
+      s"ELSE 90000000 - ABS($latCol) END AS DOUBLE) * ${d2s(CR)}"
+  private def latBranchSql(latCol: String): String =
+    s"(CASE WHEN ABS($latCol) <= 45000000 THEN 1 ELSE 0 END)"
+  /** cos(lat) over the reduced argument: cosP below 45°, sinP of the
+    * exact complement above — the CASE predicate is an integer column
+    * from layer 1, so both engines branch identically. */
+  private def cosReducedSql(phi: String, q: String): String =
+    s"(CASE WHEN $q = 1 THEN ${cosPSql(phi)} ELSE ${sinPSql(phi)} END)"
+
   /** The mirrored verify layers over candidate columns
     * (la, loa, lb, lob — integer micro-degrees). Each layer's
     * expressions reference only prior-layer names, so Spark
@@ -93,11 +121,11 @@ object Geo {
     "dphih" -> s"CAST(la - lb AS DOUBLE) * ${d2s(CR2)}",
     "dlamh" -> ("CAST(((loa - lob + 540000000) % 360000000) - 180000000 " +
       s"AS DOUBLE) * ${d2s(CR2)}"),
-    "phia" -> s"CAST(la AS DOUBLE) * ${d2s(CR)}",
-    "phib" -> s"CAST(lb AS DOUBLE) * ${d2s(CR)}")
+    "qa" -> latBranchSql("la"), "qb" -> latBranchSql("lb"),
+    "phia" -> latReduceSql("la"), "phib" -> latReduceSql("lb"))
   def havLayer2: Seq[(String, String)] = Seq(
     "sp" -> sinPSql("dphih"), "sl" -> sinPSql("dlamh"),
-    "ca" -> cosPSql("phia"), "cb" -> cosPSql("phib"))
+    "ca" -> cosReducedSql("phia", "qa"), "cb" -> cosReducedSql("phib", "qb"))
   def havLayer3: (String, String) =
     "hav" -> "((sp * sp) + ((ca * cb) * (sl * sl)))"
 
@@ -114,11 +142,15 @@ object Geo {
     * constants are ENGINE-ONLY (the oracle is the naive all-pairs
     * join), so no mirroring is needed, only losslessness. */
   private def bandCells(thetaMax: Double, H: Long): Seq[(Long, Long)] = {
-    val bMax = 120000000L / H
+    val bMax = 180000000L / H
     (-1L to bMax + 1L).map { b =>
-      val latLo = (b - 1) * H - 60000000L
-      val latHi = (b + 2) * H - 60000000L
-      val maxAbs = math.min(89000000L, math.max(math.abs(latLo), math.abs(latHi)))
+      val latLo = (b - 1) * H - 90000000L
+      val latHi = (b + 2) * H - 90000000L
+      // a 3-band window touching a pole saturates (cos → ~6e-17, the
+      // min(1, ·) clamps, dlon = π) and the band keeps ONE whole-circle
+      // cell — pole-crossing pairs then share it, and exactly-once
+      // survives because exploded keys are deduplicated (see above)
+      val maxAbs = math.min(90000000L, math.max(math.abs(latLo), math.abs(latHi)))
       val cosMin = math.cos(maxAbs * 1e-6 * math.Pi / 180.0)
       val dlon = 2.0 * math.asin(math.min(1.0, math.sin(thetaMax / 2.0) / cosMin))
       val wMin = math.ceil(dlon * 180.0 / math.Pi * 1e6).toLong + 1000L
@@ -131,9 +163,14 @@ object Geo {
     * height H = Δφ bound (so band distance ≤ 1), per-band uniform
     * modular longitude cells (width ≥ Δλ bound at the band's worst
     * latitude), one side exploded to its 3×3 (band, cell)
-    * neighborhood — each qualifying pair is generated EXACTLY once
-    * (B sits in a unique key; A's nine exploded keys are distinct
-    * because nc ≥ 180 everywhere below 62°). The only shuffle is the
+    * neighborhood — each qualifying pair is generated EXACTLY once:
+    * B sits in a unique key, and A's exploded keys are DEDUPLICATED
+    * per band (`array_distinct` before the explode), so even a band
+    * whose nc collapses to 1 or 2 near the radius cap — where
+    * dc ∈ {−1, 0, 1} alias mod nc — contributes each (tb, jcell) key
+    * once (a first cut relied on "nc ≥ 180 below 62°", which fails
+    * for radii ≳ 1.55 Mm where the Δλ bound saturates at π and a
+    * populated band keeps a single cell). The only shuffle is the
     * (band, cell) equi-join; the band table rides two broadcast
     * joins; fanout is density-bounded — never n². Candidates are cut
     * with the CHEAP INTEGER box bound (|Δlat| ≤ θ bound; wrapped
@@ -145,9 +182,10 @@ object Geo {
   private def candidates(points: DataFrame, radiusMeters: Double,
       ordered: Boolean): (DataFrame, Double) = {
     require(radiusMeters > 0, s"radius=$radiusMeters must be positive")
-    // beyond ~2000 km the Δλ bound at 60° exceeds a third of the
-    // circle and a band could hold < 4 cells, breaking the
-    // exactly-once (dc injective mod nc) candidate argument
+    // correctness no longer caps the radius (exploded keys are
+    // deduplicated, so collapsed bands stay exactly-once); 2000 km is
+    // the PERFORMANCE contract — beyond it the bands degenerate
+    // toward one whole-circle cell each and the cut tends to all-pairs
     require(radiusMeters <= 2000000.0,
       s"radius=$radiusMeters m exceeds the 2000 km grid-cut contract")
     val spark = points.sparkSession
@@ -163,7 +201,7 @@ object Geo {
     val bt = broadcast(cells.toDF("bt_band", "bt_nc"))
     val p = points.select(col("id").cast("long").as("id"),
         col("la").cast("long").as("la"), col("lo").cast("long").as("lo"))
-      .withColumn("band", expr(s"(la + 60000000) DIV $H"))
+      .withColumn("band", expr(s"(la + 90000000) DIV $H"))
     val b = p.join(bt, col("band") === col("bt_band"))
       .select(col("id").as("id_b"), col("la").as("lb"), col("lo").as("lob"),
         col("band").as("b_band"),
@@ -173,9 +211,11 @@ object Geo {
       .withColumn("tb", col("band") + col("db"))
       .join(bt, col("tb") === col("bt_band"))
       .withColumn("cell0", expr("((lo + 180000000) * bt_nc) DIV 360000000"))
-      .withColumn("dc", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("jcell", explode(array_distinct(
+        transform(array(lit(-1L), lit(0L), lit(1L)),
+          dc => pmod(col("cell0") + dc, col("bt_nc"))))))
       .select(col("id").as("id_a"), col("la"), col("lo").as("loa"),
-        col("tb"), pmod(col("cell0") + col("dc"), col("bt_nc")).as("jcell"))
+        col("tb"), col("jcell"))
     val pairCut = if (ordered) col("id_a") < col("id_b")
       else col("id_a") =!= col("id_b")
     val boxCut = abs(col("la") - col("lb")) <= H &&
@@ -250,7 +290,7 @@ object Geo {
     val l1 = havLayer1.map { case (n, e) => s"$e AS $n" }.mkString(", ")
     val l2 = havLayer2.map { case (n, e) => s"$e AS $n" }.mkString(", ")
     "WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS id, " +
-      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 120000001 - 60000000 AS la, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 180000001 - 90000000 AS la, " +
       "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 360000000 - 180000000 AS lo " +
       "FROM customer), " +
       "d AS (SELECT a.id AS id_a, b.id AS id_b, a.la AS la, a.lo AS loa, " +
@@ -275,24 +315,38 @@ object Geo {
     * layers, so bit-identity is unchanged. Center cosP folds to a
     * literal via the SAME polynomial (not libm). */
   def zoneLayer1(zones: Seq[(String, Long, Long, Double)]): Seq[(String, String)] =
-    ("phia" -> s"CAST(la AS DOUBLE) * ${d2s(CR)}") +:
+    Seq("qa" -> latBranchSql("la"), "phia" -> latReduceSql("la")) ++
       zones.zipWithIndex.flatMap { case ((_, latZ, lonZ, _), i) => Seq(
         s"dphih$i" -> s"CAST(la - $latZ AS DOUBLE) * ${d2s(CR2)}",
         s"dlamh$i" -> (s"CAST(((lo - $lonZ + 540000000) % 360000000) - " +
           s"180000000 AS DOUBLE) * ${d2s(CR2)}"))
       }
   def zoneLayer2(zones: Seq[(String, Long, Long, Double)]): Seq[(String, String)] =
-    ("ca" -> cosPSql("phia")) +:
+    ("ca" -> cosReducedSql("phia", "qa")) +:
       zones.indices.flatMap { i => Seq(
         s"sp$i" -> sinPSql(s"dphih$i"), s"sl$i" -> sinPSql(s"dlamh$i"))
       }
-  /** The center's cosP constant, via the same polynomial. */
-  def zoneCb(latZ: Long): Double = {
-    val xb = latZ * CR
-    val x2 = xb * xb
+  /** Driver-side sinP/cosP matching the SQL Horner order bit-for-bit
+    * (same left fold, same literals). */
+  private def sinPoly(x: Double): Double = {
+    val x2 = x * x
+    val cs = Seq(1.0 / 6227020800.0, -1.0 / 39916800.0, 1.0 / 362880.0,
+      -1.0 / 5040.0, 1.0 / 120.0, -1.0 / 6.0)
+    x * (1.0 + x2 * cs.tail.foldLeft(cs.head) { (acc, c) => c + x2 * acc })
+  }
+  private def cosPoly(x: Double): Double = {
+    val x2 = x * x
     val cs = Seq(1.0 / 479001600.0, -1.0 / 3628800.0, 1.0 / 40320.0,
       -1.0 / 720.0, 1.0 / 24.0, -0.5)
     1.0 + x2 * cs.tail.foldLeft(cs.head) { (acc, c) => c + x2 * acc }
+  }
+  /** The center's cos constant via the same quadrant-reduced
+    * polynomials as the column form — a zone center is data, so the
+    * reduction happens driver-side in exact Long arithmetic. */
+  def zoneCb(latZ: Long): Double = {
+    val m = math.abs(latZ)
+    if (m <= 45000000L) cosPoly(latZ * CR)
+    else sinPoly((90000000L - m) * CR)
   }
   def zoneLayer3(zones: Seq[(String, Long, Long, Double)]): Seq[(String, String)] =
     zones.zipWithIndex.map { case ((_, latZ, _, _), i) =>
@@ -308,18 +362,28 @@ object Geo {
       .foldLeft(df) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
 
   /** Demo spherical circle zones: (name, lat µdeg, lon µdeg,
-    * radius m) — one crossing the antimeridian, one at the 60°
-    * accuracy edge, one equatorial. Shared by q255, its oracle
-    * generator, and the S43 golden. */
+    * radius m) — one crossing the antimeridian, one high-latitude,
+    * one equatorial, one POLAR (87.5° — exercises the quadrant-reduced
+    * cosine on both the point and the center side). Shared by q255,
+    * its oracle generator, and the S43 golden. */
   val demoCircleZones: Seq[(String, Long, Long, Double)] = Seq(
     ("dateline", 0L, 179900000L, 900000.0),
     ("nordic", 58000000L, 15000000L, 1200000.0),
-    ("equator", -2000000L, -60000000L, 1500000.0))
+    ("equator", -2000000L, -60000000L, 1500000.0),
+    ("polar", 87500000L, -20000000L, 700000.0))
 
   /** Resolve the FIRST containing circle zone (list order) as a
     * `zone` column, "outside" otherwise — the S43 hot path: the
     * layered hav columns land in small Projects, the CASE reads them
-    * once each, and the temporaries are dropped. */
+    * once each, and the temporaries are dropped.
+    *
+    * CUTOVER guidance: this literal-column form is the documented
+    * O(10)-zone fast path — plan size grows linearly with the zone
+    * list, and a 10³+ geofence fleet lands in the interpreted-regime
+    * plan blowup (the q249 class). Past ~a few dozen zones, make the
+    * zones a DataFrame and use [[sphericalZoneJoin]] (constant plan,
+    * density-bounded grid join; measured flat 2.5 s at 5 M points from
+    * 10 to 10⁴ zones — the zone-axis ScaleBench curve). */
   def resolveCircleZones(df: DataFrame,
       zones: Seq[(String, Long, Long, Double)]): DataFrame = {
     val withHavs = withZoneHavs(df, zones)
@@ -356,7 +420,7 @@ object Geo {
   def q255OracleSql: String = {
     val zones = demoCircleZones
     val pts = "SELECT CAST(c_custkey AS BIGINT) AS id, " +
-      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 120000001 - 60000000 AS la, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 180000001 - 90000000 AS la, " +
       "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 360000000 - 180000000 AS lo " +
       "FROM customer"
     val l1 = zoneLayer1(zones).map { case (n, e) => s"$e AS $n" }.mkString(", ")
@@ -373,16 +437,148 @@ object Geo {
       legs.mkString("", " UNION ALL ", "") + " ORDER BY id, zone"
   }
 
+  /** The per-zone haversine threshold as mirrored LAYERS over a
+    * `radius_m` double column: kz = sinP(r/2R)² — r ≤ 2000 km keeps
+    * the argument ≤ 0.157 rad where sinP is exact to ~1e-17 relative,
+    * and both engines evaluate the identical text, so the per-zone
+    * cut is bit-stable like every other predicate in this tier. */
+  def kzLayers: Seq[(String, String)] = Seq(
+    "rh" -> "(radius_m / 12742000.0)",
+    "sr" -> sinPSql("rh"),
+    "kz" -> "(sr * sr)")
+
+  /** ZONE-SCALE spherical membership (r16): zones as a DATAFRAME
+    * (zone_id, zla, zlo in µdeg, radius_m double) joined to points
+    * through the banded grid — the scale path past the O(10)
+    * literal-CASE resolver ([[resolveCircleZones]] / q255's layered
+    * columns), whose plan grows linearly with the zone count and hits
+    * the interpreted-regime wall at 10³+ geofences. Here zone count
+    * is DATA: the grid is sized by `maxRadiusMeters` (the fleet's
+    * largest geofence), each zone sits in its center's (band, cell)
+    * key, each point probes its deduplicated 3×3 neighborhood, and
+    * the only shuffle is the (band, cell) equi-join — cost is
+    * density-bounded, 10⁶ zones cost no more plan than 10.
+    *
+    * Fail-fast contract: a zone radius outside (0, maxRadiusMeters]
+    * raises — the guard is fused into the `radius_m` column the
+    * verify reads (the q248 intervalUnion doctrine), so column
+    * pruning cannot elide it. The guard CASE passes the double
+    * through unchanged, so mirrored bit-identity is unaffected.
+    *
+    * Emits every (id, zone_id, hav) membership pair exactly once —
+    * zone keys are unique, point keys deduplicated (the nc-collapse
+    * argument above). */
+  def sphericalZoneJoin(points: DataFrame, zones: DataFrame,
+      maxRadiusMeters: Double): DataFrame = {
+    require(maxRadiusMeters > 0 && maxRadiusMeters <= 2000000.0,
+      s"maxRadius=$maxRadiusMeters m outside (0, 2000 km]")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val kMax = havK(maxRadiusMeters)
+    val thetaMax = 2.0 * math.asin(math.min(1.0, math.sqrt(kMax + 3e-9))) * 1.0001
+    val H = math.ceil(thetaMax * 180.0 / math.Pi * 1e6).toLong + 1000L
+    val cells = bandCells(thetaMax, H)
+    val wMax = cells.map(c => 360000000L / c._2 + 1L).max
+    val bt = broadcast(cells.toDF("bt_band", "bt_nc"))
+    val z = zones.select(col("zone_id").cast("long").as("zone_id"),
+        col("zla").cast("long").as("lb"), col("zlo").cast("long").as("lob"),
+        when(col("radius_m") > lit(0.0) &&
+            col("radius_m") <= lit(maxRadiusMeters),
+          col("radius_m").cast("double"))
+          .otherwise(raise_error(concat(
+            lit(s"sphericalZoneJoin: radius outside (0, $maxRadiusMeters]: "),
+            col("radius_m").cast("string")))).as("radius_m"))
+      .withColumn("zband", expr(s"(lb + 90000000) DIV $H"))
+      .join(bt, col("zband") === col("bt_band"))
+      .select(col("zone_id"), col("lb"), col("lob"), col("radius_m"),
+        col("zband"), expr("((lob + 180000000) * bt_nc) DIV 360000000").as("zcell"))
+    val p = points.select(col("id").cast("long").as("id"),
+        col("la").cast("long").as("la"), col("lo").cast("long").as("lo"))
+      .withColumn("band", expr(s"(la + 90000000) DIV $H"))
+      .withColumn("db", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("tb", col("band") + col("db"))
+      .join(bt, col("tb") === col("bt_band"))
+      .withColumn("cell0", expr("((lo + 180000000) * bt_nc) DIV 360000000"))
+      .withColumn("jcell", explode(array_distinct(
+        transform(array(lit(-1L), lit(0L), lit(1L)),
+          dc => pmod(col("cell0") + dc, col("bt_nc"))))))
+      .select(col("id"), col("la"), col("lo").as("loa"), col("tb"), col("jcell"))
+    val boxCut = abs(col("la") - col("lb")) <= H &&
+      expr("abs(((loa - lob + 540000000) % 360000000) - 180000000)") <= wMax
+    // SHUFFLE_HASH the zone side (the smaller, un-exploded relation);
+    // the exploded point side streams un-sorted, as in `candidates`
+    val cand = p.join(z.hint("SHUFFLE_HASH"),
+      col("tb") === col("zband") && col("jcell") === col("zcell") && boxCut)
+    val l = (havLayer1 ++ havLayer2 :+ havLayer3) ++ kzLayers
+    val lay = l.foldLeft(cand) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+    // Generator-form verify (the q249 pushdown-blowup doctrine)
+    lay.select(explode(when(col("hav") <= col("kz"),
+        array(struct(col("id"), col("zone_id"), col("hav"))))
+      .otherwise(array().cast(
+        "array<struct<id:bigint,zone_id:bigint,hav:double>>"))).as("r"))
+      .select("r.*")
+  }
+
+  /** The q256 zone derivation: suppliers mapped to deterministic
+    * zone centers (same md5 idiom as [[customerPoints]], full ±90°)
+    * with integer-metre radii in [100 km, 2000 km]. */
+  def supplierZones(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("s_suppkey").cast("string"))
+    Tables.supplier(s, d).select(
+      col("s_suppkey").cast("long").as("zone_id"),
+      (pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(180000001L))
+        - 90000000L).as("zla"),
+      (pmod(conv(substring(h, 9, 8), 16, 10).cast("long"), lit(360000000L))
+        - 180000000L).as("zlo"),
+      (pmod(conv(substring(h, 17, 8), 16, 10).cast("long"), lit(1900001L))
+        + 100000L).cast("double").as("radius_m"))
+  }
+
+  /** Q256 — zone-scale membership under the ORACLE gate: every
+    * (customer, supplier-zone) pair within the zone's own radius of
+    * defined haversine; the oracle is the naive point × zone cross
+    * join over the identical layers. */
+  def q256(s: SparkSession, d: String): DataFrame =
+    sphericalZoneJoin(customerPoints(s, d), supplierZones(s, d), 2000000.0)
+      .orderBy("id", "zone_id")
+
+  def q256OracleSql: String = {
+    val l1 = havLayer1.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val l2 = havLayer2.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val kzl = kzLayers
+    "WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS id, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 180000001 - 90000000 AS la, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 360000000 - 180000000 AS lo " +
+      "FROM customer), " +
+      "zs AS (SELECT CAST(s_suppkey AS BIGINT) AS zone_id, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(s_suppkey AS VARCHAR)), 1, 8)) AS BIGINT) % 180000001 - 90000000 AS zla, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(s_suppkey AS VARCHAR)), 9, 8)) AS BIGINT) % 360000000 - 180000000 AS zlo, " +
+      "CAST(CAST(CONCAT('0x', substr(md5(CAST(s_suppkey AS VARCHAR)), 17, 8)) AS BIGINT) % 1900001 + 100000 AS DOUBLE) AS radius_m " +
+      "FROM supplier), " +
+      "d AS (SELECT p.id, z.zone_id, p.la, p.lo AS loa, z.zla AS lb, " +
+      "z.zlo AS lob, z.radius_m FROM pts p, zs z), " +
+      s"l1 AS (SELECT id, zone_id, radius_m, $l1 FROM d), " +
+      s"l2 AS (SELECT id, zone_id, radius_m, $l2 FROM l1), " +
+      s"l3 AS (SELECT id, zone_id, radius_m, ${havLayer3._2} AS ${havLayer3._1} FROM l2), " +
+      s"l4 AS (SELECT id, zone_id, hav, ${kzl.head._2} AS ${kzl.head._1} FROM l3), " +
+      s"l5 AS (SELECT id, zone_id, hav, ${kzl(1)._2} AS ${kzl(1)._1} FROM l4), " +
+      s"l6 AS (SELECT id, zone_id, hav, ${kzl(2)._2} AS ${kzl(2)._1} FROM l5) " +
+      "SELECT id, zone_id, hav FROM l6 WHERE hav <= kz ORDER BY id, zone_id"
+  }
+
   /** The q249 point derivation: customers mapped to deterministic
-    * integer micro-degree coordinates, lat ∈ [−60°, 60°], lon ∈
+    * integer micro-degree coordinates, lat ∈ [−90°, 90°] (the FULL
+    * sphere — r16 widened it from ±60° with the quadrant-reduced
+    * cosine; uniform-in-lat, so the poles carry a deliberate dense
+    * clump that exercises the whole-circle collapsed bands), lon ∈
     * [−180°, 180°), via two independent md5 slices (the q246 idiom —
     * hash-derived, never a multiplicative congruence). */
   def customerPoints(s: SparkSession, d: String): DataFrame = {
     val h = md5(col("c_custkey").cast("string"))
     Tables.customer(s, d).select(
       col("c_custkey").cast("long").as("id"),
-      (pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(120000001L))
-        - 60000000L).as("la"),
+      (pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(180000001L))
+        - 90000000L).as("la"),
       (pmod(conv(substring(h, 9, 8), 16, 10).cast("long"), lit(360000000L))
         - 180000000L).as("lo"))
   }
@@ -402,7 +598,7 @@ object Geo {
     val l1 = havLayer1.map { case (n, e) => s"$e AS $n" }.mkString(", ")
     val l2 = havLayer2.map { case (n, e) => s"$e AS $n" }.mkString(", ")
     "WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS id, " +
-      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 120000001 - 60000000 AS la, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 180000001 - 90000000 AS la, " +
       "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 360000000 - 180000000 AS lo " +
       "FROM customer), " +
       "d AS (SELECT a.id AS id_a, b.id AS id_b, a.la AS la, a.lo AS loa, " +

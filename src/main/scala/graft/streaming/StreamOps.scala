@@ -1687,7 +1687,15 @@ object StreamOps {
     * form, LAYERED — each zone's hav evaluates once in small
     * codegen-friendly Projects; a single inlined CASE measured
     * ~120 µs/row on the batch q255 floor) — still a narrow no-join
-    * map ahead of the unchanged transition state machine. */
+    * map ahead of the unchanged transition state machine.
+    *
+    * CUTOVER guidance (r16): the literal zone list is the O(10) fast
+    * path. For 10³+ geofences, resolve membership with a stream-static
+    * join against a zone DataFrame through
+    * [[graft.operators.Geo.sphericalZoneJoin]]'s banded grid (zones as
+    * data — constant plan; its zone-axis curve is flat to 10⁴ zones),
+    * then feed the resolved zone into this same transition state
+    * machine. */
   def geofenceSphereStream(events: DataFrame,
       zones: Seq[(String, Long, Long, Double)],
       watermark: String = "10 seconds",

@@ -25,15 +25,25 @@ class GeoSpec extends SparkSpec {
       .select("id_a", "id_b", "hav")
   }
 
-  private def key(df: DataFrame): Set[(Long, Long, Double)] =
-    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  private def key(df: DataFrame): Set[(Long, Long, Double)] = {
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // MULTISET discipline: a set compare alone would hide duplicate
+    // pair emission (the nc-collapse class near the radius cap, where
+    // dc offsets alias mod nc) — every engine/naive collection in this
+    // suite must be duplicate-free before it is compared as a set
+    assert(rows.length == rows.toSet.size,
+      s"duplicate pairs emitted: ${rows.groupBy(identity).filter(_._2.length > 1).keys.take(5)}")
+    rows.toSet
+  }
 
   test("sphericalRadiusJoin == naive all-pairs on fixture coordinates") {
     // sf0.001 has only 150 customers — 150 km is vacuous here (the
     // sf0.01 oracle gate covers it with ~200 pairs); test the cut at
     // radii that yield pairs at this density
     val pts = Geo.customerPoints(spark, sf("sf0.001"))
-    for (r <- Seq(800000.0, 1800000.0)) {
+    // 1.8/2.0 Mm sit in the nc-collapse regime (populated bands keep
+    // 1–2 longitude cells), where pre-dedupe exploded keys alias
+    for (r <- Seq(800000.0, 1800000.0, 2000000.0)) {
       val got = key(Geo.sphericalRadiusJoin(pts, r))
       val want = key(naive(pts, r))
       assert(got == want,
@@ -42,16 +52,19 @@ class GeoSpec extends SparkSpec {
     }
   }
 
-  test("meridian wrap, band boundaries, and high-latitude pairs are lossless") {
+  test("meridian wrap, band boundaries, polar and high-latitude pairs are lossless") {
     // lon ±180 wrap at several latitudes; band-boundary lat pairs;
-    // a 60°-edge pair where the Δλ bound is widest; an antipodal-ish
-    // far pair that must NOT appear
+    // POLE-CROSSING pairs (Δλ = 180° at 89.9° — the whole-circle
+    // collapsed band); an antipodal-ish far pair that must NOT appear
     val pts = Seq(
       (1L, 0L, 179999000L), (2L, 0L, -179999000L),          // ~222 m across the seam
       (3L, 59999000L, 179990000L), (4L, 59990000L, -179990000L), // wrap near 60°
       (5L, 1349000L, 10000000L), (6L, 1351000L, 10000000L), // straddle a band edge
-      (7L, -60000000L, 0L), (8L, -59900000L, 1000L),        // south edge pair
-      (9L, 30000000L, 90000000L), (10L, -30000000L, -90000000L) // far pair
+      (7L, -60000000L, 0L), (8L, -59900000L, 1000L),        // high-lat pair
+      (9L, 30000000L, 90000000L), (10L, -30000000L, -90000000L), // far pair
+      (11L, 89900000L, 0L), (12L, 89900000L, 179000000L),   // ~22 km ACROSS the pole
+      (13L, -89950000L, 50000000L), (14L, -89940000L, -130000000L), // south pole
+      (15L, 88600000L, -90000000L), (16L, 89990000L, 90000000L) // pole-adjacent bands
     ).toDF("id", "la", "lo")
     for (r <- Seq(25000.0, 150000.0)) {
       val got = key(Geo.sphericalRadiusJoin(pts, r))
@@ -59,8 +72,13 @@ class GeoSpec extends SparkSpec {
       assert(got == want,
         s"r=$r: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     }
-    // the wrap pair must be present at 25 km (≈222 m apart)
-    assert(key(Geo.sphericalRadiusJoin(pts, 25000.0)).exists(p => p._1 == 1L && p._2 == 2L))
+    // the wrap pair must be present at 25 km (≈222 m apart), and so
+    // must both pole-crossing pairs (11,12) and (13,14) — losslessness
+    // at the pole is vacuous if the grid never generated them
+    val at25 = key(Geo.sphericalRadiusJoin(pts, 25000.0))
+    assert(at25.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(at25.exists(p => p._1 == 11L && p._2 == 12L), s"north-pole pair lost: $at25")
+    assert(at25.exists(p => p._1 == 13L && p._2 == 14L), s"south-pole pair lost: $at25")
     // no duplicates ever
     val all = Geo.sphericalRadiusJoin(pts, 150000.0).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -85,8 +103,12 @@ class GeoSpec extends SparkSpec {
           .partitionBy("id_a").orderBy(col("hav"), col("id_b"))))
       .filter(col("rk") <= k)
       .select(col("id_a"), col("id_b"), col("hav"), col("rk").cast("long").as("rk"))
-    def key(df: DataFrame) = df.collect()
-      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSet
+    def key(df: DataFrame) = {
+      val rows = df.collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3)))
+      assert(rows.length == rows.toSet.size, s"duplicate kNN rows")
+      rows.toSet
+    }
     val got = key(Geo.sphericalRadiusKnn(pts, r, k))
     val want = key(naiveKnn)
     assert(want.nonEmpty, "vacuous kNN fixture")
@@ -94,11 +116,76 @@ class GeoSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("sphericalZoneJoin == naive point × zone membership; per-zone radii; guard fires") {
+    val pts = Geo.customerPoints(spark, sf("sf0.001"))
+    val zones = Geo.supplierZones(spark, sf("sf0.001"))
+      .union(Seq(
+        (9001L, 89000000L, 170000000L, 600000.0),   // polar zone
+        (9002L, -100000L, -179950000L, 1999999.0),  // dateline, near max radius
+        (9003L, -52000000L, 77000000L, 100.0))      // 100 m (matches ~nothing)
+        .toDF("zone_id", "zla", "zlo", "radius_m"))
+    val got = {
+      val rows = Geo.sphericalZoneJoin(pts, zones, 2000000.0).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.length == rows.toSet.size, "duplicate membership rows")
+      rows.toSet
+    }
+    // naive: cross join through the identical layers
+    val d = pts.crossJoin(zones.select(col("zone_id"),
+      col("zla").as("lb"), col("zlo").as("lob"), col("radius_m")))
+      .withColumn("loa", col("lo"))
+    val l = (Geo.havLayer1 ++ Geo.havLayer2 :+ Geo.havLayer3) ++ Geo.kzLayers
+    val want = l.foldLeft(d) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .filter(col("hav") <= col("kz"))
+      .select("id", "zone_id", "hav").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty, "vacuous zone fixture")
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // the fused radius guard fail-fasts on an out-of-contract zone
+    val bad = Seq((1L, 0L, 0L, 2000001.0)).toDF("zone_id", "zla", "zlo", "radius_m")
+    val e = intercept[Exception] {
+      Geo.sphericalZoneJoin(pts, bad, 2000000.0).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("polynomial layers parse identically through spark.sql text") {
     // the oracle string is generated from the same layer text; make
     // sure Spark's parser accepts every generated expression
     Geo.havLayer1.foreach { case (_, e) => spark.sql(s"SELECT $e FROM (SELECT 1L AS la, 2L AS lb, 3L AS loa, 4L AS lob)").collect() }
-    val base = "SELECT 0.5 AS dphih, 0.25 AS dlamh, 0.1 AS phia, 0.2 AS phib"
+    val base = "SELECT 0.5 AS dphih, 0.25 AS dlamh, 0.1 AS phia, 0.2 AS phib, 1 AS qa, 0 AS qb"
     Geo.havLayer2.foreach { case (_, e) => spark.sql(s"SELECT $e FROM ($base)").collect() }
+  }
+
+  test("accuracy contract: polynomial hav vs true haversine < 2e-9 up to 89.99°") {
+    // the full-latitude contract (quadrant-reduced cosine): evaluate
+    // the mirrored layers over handcrafted high-lat pairs and compare
+    // against libm haversine — |Δhav| < 2e-9 (≈1 m at a 150 km
+    // threshold) across the whole sphere, poles included
+    val pairs = Seq(
+      (89000000L, 10000000L, 89000000L, 95000000L),   // 89° arc
+      (89990000L, 0L, 89980000L, 179000000L),          // across the pole
+      (-89000000L, -170000000L, -88900000L, 170000000L),
+      (61000000L, 20000000L, 60500000L, 21000000L),    // just past old 60° cap
+      (45000000L, 0L, 45000001L, 1L),                  // branch boundary
+      (-45000001L, 10L, 44999999L, -10L),              // both branches
+      (0L, 179999999L, 0L, -180000000L),               // seam
+      (90000000L, 123000000L, -90000000L, -7000000L))  // pole to pole
+    val df = pairs.toDF("la", "loa", "lb", "lob")
+    val l1 = Geo.havLayer1.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+    val l2 = Geo.havLayer2.foldLeft(l1) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+    val got = l2.withColumn(Geo.havLayer3._1, expr(Geo.havLayer3._2))
+      .select("la", "loa", "lb", "lob", "hav").collect()
+    got.foreach { r =>
+      val (la, loa, lb, lob) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val rad = math.Pi / 180.0 / 1e6
+      val sp = math.sin((la - lb) * rad / 2)
+      val dl = (((loa - lob + 540000000L) % 360000000L) - 180000000L) * rad / 2
+      val sl = math.sin(dl)
+      val truth = sp * sp + math.cos(la * rad) * math.cos(lb * rad) * sl * sl
+      assert(math.abs(r.getDouble(4) - truth) < 2e-9,
+        s"($la,$loa)-($lb,$lob): poly=${r.getDouble(4)} true=$truth")
+    }
   }
 }
