@@ -1006,8 +1006,21 @@ object ScaleBench {
       }
       if (i == 0) { run(); sweep(); docs.count() } // warmup, discarded
       val (sec, pos) = run()
+      // SERVING-fold flatness (r16 S41 linearization): score the same
+      // corpus at dim 64 and dim 512 with synthetic weights — the
+      // run-length fold's per-row cost must not grow with dim (the
+      // pre-r16 size(filter(...)) form was O(distinct-buckets×tokens))
+      def scoreSec(dim: Int): Double = {
+        val w = (0 until dim).map(b => (b.toLong, (b % 7 - 3) * 0.125))
+        val t0 = System.nanoTime()
+        graft.streaming.StreamOps.scoreStream(docs, w, dim)
+          .filter(col("pass")).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val s64 = scoreSec(64)
+      val s512 = scoreSec(512)
       docs.unpersist(); sweep()
-      println(f"""{"op":"clf","n_docs":$n,"train_sec":$sec%.2f,"n_pos":$pos}""")
+      println(f"""{"op":"clf","n_docs":$n,"train_sec":$sec%.2f,"n_pos":$pos,"score64_sec":$s64%.2f,"score512_sec":$s512%.2f}""")
     }
   }
 

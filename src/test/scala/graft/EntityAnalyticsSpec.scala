@@ -119,6 +119,37 @@ class EntityAnalyticsSpec extends SparkSpec {
       "x" -> "x", "y" -> "x"))
   }
 
+  test("connectedComponentsStar == propagation on mixed shapes; log-rounds on a deep chain") {
+    // same fixture as the propagation test (string ids exercise the
+    // orderable-any-type contract)
+    val edges = Seq(("b", "a"), ("b", "c"), ("c", "d"), ("x", "y"),
+      ("z", "z")).toDF("src", "dst") // z: self-loop-only singleton
+    val star = graft.operators.Graph.connectedComponentsStar(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val prop = graft.operators.Graph.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(star == prop, s"star $star vs propagation $prop")
+    assert(star("z") == "z" && star("d") == "a")
+    // deep chain 0-1-2-…-511 (diameter 511): propagation's default
+    // 20-round cap cannot converge; the star form must label the whole
+    // chain 0 in ~log rounds
+    val chain = spark.range(511).selectExpr("id AS src", "id + 1 AS dst")
+    val (lbl, rounds) = graft.operators.Graph.ccStarWithRounds(chain, 50)
+    val labels = lbl.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 512 && labels.forall(_._2 == 0L),
+      s"bad chain labels: ${labels.filter(_._2 != 0L).take(5).toSeq}")
+    assert(rounds <= 12, s"chain-512 took $rounds rounds — not log-diameter")
+    // random shallow graph: identical component maps (modulo the min
+    // label both compute)
+    val rnd = spark.range(400).selectExpr(
+      "pmod(xxhash64(id), 300) AS src", "pmod(xxhash64(id, 1), 300) AS dst")
+    val s2 = graft.operators.Graph.connectedComponentsStar(rnd)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val p2 = graft.operators.Graph.connectedComponents(rnd, 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s2 == p2, s"random graph mismatch: ${(s2.toSet -- p2.toSet).take(5)}")
+  }
+
   test("q105 clusters are transitive closures of q100 pairs, singletons intact") {
     val d = sf("sf0.001")
     val rows = SparkEntry.queries("q105_entity_clusters")(spark, d).collect()
