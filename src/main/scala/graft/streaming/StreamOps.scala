@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -70,6 +70,16 @@ case class ClosedBlock(user_id: Long, bs: Long, be: Long,
   * blocks (the live q254). */
 case class GapRow(user_id: Long, gap_start: Long, gap_end: Long,
   gap_s: Long)
+
+/** S44 proximity state: the in-watermark readings exploded into one
+  * (band, cell) grid key — parallel arrays; each reading carries its
+  * HOME key so pair emission deduplicates to the smaller id's home
+  * group. Bounded by in-watermark readings per 3×3 neighborhood. */
+case class ProxState(ids: Array[Long], tsUs: Array[Long],
+  las: Array[Long], los: Array[Long], hb: Array[Long], hc: Array[Long])
+/** S44 output: one pair-detection event (id_a < id_b), `hav` the
+  * defined polynomial haversine, `ts_us` the later reading's time. */
+case class ProximityPair(id_a: Long, id_b: Long, hav: Double, ts_us: Long)
 
 /** S16 heavy-hitter state: Misra–Gries counters (≤ k entries). */
 case class MgState(ids: Array[Long], counts: Array[Long], n: Long)
@@ -1942,6 +1952,102 @@ object StreamOps {
       }.toDF()
   }
 
+  /** S44 — streaming proximity alerts: LIVE point-vs-point radius
+    * detection (fleet collision / contact tracing — the streaming
+    * sibling of the q249 batch join). Events carry (ts, id, la, lo —
+    * integer micro-degrees, full ±90°); every pair of readings within
+    * `radiusMeters` of DEFINED polynomial haversine, both inside the
+    * watermark horizon, emits exactly one (id_a, id_b, hav) event.
+    *
+    * Plan: each reading is exploded onto its deduplicated 3×3
+    * neighborhood of the q249 banded grid (band table rides in as a
+    * tiny map LITERAL — no join before the stateful op) and grouped by
+    * (band, cell); state per key is the in-watermark readings seen
+    * there. A new reading probes the stored ones; a qualifying pair is
+    * emitted ONLY in the smaller id's HOME cell (both readings carry
+    * their home key), which both members provably share candidates
+    * with — the same exactly-once argument as the batch grid, moved to
+    * state time. Same-batch pairs dedupe by processing arrivals in
+    * (ts, id) order against state ∪ earlier arrivals. The verify is
+    * [[graft.operators.Geo.havScala]] — the IDENTICAL polynomial op
+    * sequence as the batch layers, so a pair scores bit-identically to
+    * q249 (batch parity pinned in the golden).
+    *
+    * State: readings newer than the watermark, per grid key — bounded
+    * by in-horizon traffic density ×9, never stream age; quiet cells
+    * evict via an event-time timeout at their oldest reading. Late
+    * readings (ts < watermark) are dropped by Spark's late-data filter
+    * upstream — the standard at-once watermark contract. */
+  def proximityStream(events: DataFrame, radiusMeters: Double,
+      watermark: String = "10 seconds"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val (h, cells, _) = graft.operators.Geo.gridParams(radiusMeters)
+    val k = graft.operators.Geo.havK(radiusMeters)
+    val ncMap = map(cells.flatMap { case (b, nc) =>
+      Seq(lit(b), lit(nc)) }.toIndexedSeq: _*)
+    events.withWatermark("ts", watermark)
+      .select(col("ts"), col("id").cast("long").as("id"),
+        col("la").cast("long").as("la"), col("lo").cast("long").as("lo"))
+      .withColumn("tsu", expr("unix_micros(ts)"))
+      .withColumn("band", expr(s"(la + 90000000) DIV $h"))
+      .withColumn("nc0", element_at(ncMap, col("band")))
+      .withColumn("hcell", expr("((lo + 180000000) * nc0) DIV 360000000"))
+      .withColumn("db", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("tb", col("band") + col("db"))
+      .withColumn("ncT", element_at(ncMap, col("tb")))
+      .withColumn("cellT0", expr("((lo + 180000000) * ncT) DIV 360000000"))
+      .withColumn("gcell", explode(array_distinct(
+        transform(array(lit(-1L), lit(0L), lit(1L)),
+          dc => pmod(col("cellT0") + dc, col("ncT"))))))
+      .select(col("ts"), col("tsu"), col("id"), col("la"), col("lo"),
+        col("band"), col("hcell"), col("tb"), col("gcell"))
+      .as[(java.sql.Timestamp, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .groupByKey(r => (r._8, r._9))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long),
+         rows: Iterator[(java.sql.Timestamp, Long, Long, Long, Long, Long, Long, Long, Long)],
+         state: GroupState[ProxState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(ProxState(Array.empty,
+            Array.empty, Array.empty, Array.empty, Array.empty, Array.empty))
+          val cur = scala.collection.mutable.ArrayBuffer.empty[
+            (Long, Long, Long, Long, Long, Long)] // id, tsu, la, lo, hb, hc
+          prev.ids.indices.foreach { i =>
+            if (prev.tsUs(i) >= wmUs)
+              cur += ((prev.ids(i), prev.tsUs(i), prev.las(i), prev.los(i),
+                prev.hb(i), prev.hc(i)))
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[ProximityPair]
+          // deterministic intra-batch order: (ts, id)
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { n =>
+            val nRec = (n._3, n._2, n._4, n._5, n._6, n._7)
+            cur.foreach { st =>
+              if (st._1 != nRec._1) {
+                // orient to (smaller id = a); emit only in a's home key
+                val (a, b) = if (st._1 < nRec._1) (st, nRec) else (nRec, st)
+                if (a._5 == key._1 && a._6 == key._2) {
+                  val hv = graft.operators.Geo.havScala(a._3, a._4, b._3, b._4)
+                  if (hv <= k)
+                    out += ProximityPair(a._1, b._1, hv,
+                      math.max(a._2, b._2))
+                }
+              }
+            }
+            cur += nRec
+          }
+          if (cur.isEmpty) state.remove()
+          else {
+            state.update(ProxState(cur.map(_._1).toArray, cur.map(_._2).toArray,
+              cur.map(_._3).toArray, cur.map(_._4).toArray,
+              cur.map(_._5).toArray, cur.map(_._6).toArray))
+            state.setTimeoutTimestamp(math.max(cur.map(_._2).min / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }.toDF()
+  }
+
   /** S41 — streaming quality-classifier scoring: the SERVING half of
     * q251 (train batch, score live — the FineWeb gate applied to an
     * ingest stream). The batch-trained weight vector
@@ -1956,9 +2062,16 @@ object StreamOps {
     * (q79-class ordered fold), so a doc scores bit-identically
     * whether it arrives in the training batch or on the stream.
     * Buckets unseen in training score 0.0 (the serving convention for
-    * out-of-vocabulary mass). Per-row cost is O(dim·tokens)
-    * comparisons from the in-row tf count — flat for the ≤128-dim
-    * configs this tier ships. */
+    * out-of-vocabulary mass).
+    *
+    * Per-row cost (r16, the LINEARIZED fold): one array_sort + a
+    * run-length fold — O(tokens log tokens), INDEPENDENT of dim. The
+    * first cut re-scanned the bucket array with `size(filter(...))`
+    * per distinct bucket (O(distinct-buckets × tokens): flat at the
+    * shipped dim ≤ 128, quadratic pressure past it); the run-length
+    * fold closes each bucket's run with the SAME `w_b · tf_b` multiply
+    * and the same ascending adds from 0.0, so scores stay
+    * bit-identical — the golden is the proof. */
   def scoreStream(docs: DataFrame, weights: Seq[(Long, Double)], dim: Int,
       threshold: Double = 0.5): DataFrame = {
     require(dim > 0 && weights.nonEmpty && weights.size <= dim,
@@ -1970,12 +2083,23 @@ object StreamOps {
       pmod(conv(substring(md5(t.cast("binary")), 1, 8), 16, 10)
         .cast("long"), lit(dim.toLong)))
     val p = lit(0.5) * (lit(1.0) + (col("m") / (lit(1.0) + abs(col("m")))))
+    // close the finished run: acc + w(prev) · run  (the identical
+    // multiply-then-add the per-bucket form performed)
+    def closeRun(st: Column): Column =
+      st.getField("acc") + coalesce(element_at(wmap, st.getField("prev")),
+        lit(0.0)) * st.getField("run").cast("double")
     docs.select(col("doc_id"), buckets.as("bk"))
       .withColumn("m", aggregate(
-        transform(array_sort(array_distinct(col("bk"))), b =>
-          coalesce(element_at(wmap, b), lit(0.0)) *
-            size(filter(col("bk"), x => x === b)).cast("double")),
-        lit(0d), (acc, x) => acc + x))
+        array_sort(col("bk")),
+        struct(lit(0.0).as("acc"), lit(-1L).as("prev"), lit(0L).as("run")),
+        (st, x) => struct(
+          when(st.getField("run") === 0L || x === st.getField("prev"),
+            st.getField("acc")).otherwise(closeRun(st)).as("acc"),
+          x.as("prev"),
+          when(x === st.getField("prev"), st.getField("run") + 1L)
+            .otherwise(lit(1L)).as("run")),
+        st => when(st.getField("run") === 0L, st.getField("acc"))
+          .otherwise(closeRun(st))))
       .select(col("doc_id"), col("m"),
         round(p, 6).as("score"),
         (p > threshold).as("pass"))

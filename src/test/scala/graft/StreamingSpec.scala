@@ -1857,6 +1857,73 @@ class StreamingSpec extends SparkSpec {
       (3L, "equator", "outside")), s"got $got")
   }
 
+  test("S44: proximity alerts — same-batch and cross-batch pairs once, eviction, no far pairs") {
+    val base = 1700000000L
+    def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000)
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long)]
+    // 30 s horizon: readings pair while both are in it
+    val q = StreamOps.proximityStream(
+        in.toDF().toDF("ts", "id", "la", "lo"), 150000.0,
+        watermark = "30 seconds")
+      .writeStream.format("memory").queryName("s44").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    def rows() = spark.table("s44").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // batch 1: A(1) and B(2) ~109 km apart arrive TOGETHER → one pair;
+    // C(3) far away → nothing
+    in.addData((ts(10), 1L, 10000000L, 20000000L),
+      (ts(12), 2L, 10000000L, 21000000L),
+      (ts(11), 3L, -50000000L, -120000000L))
+    q.processAllAvailable()
+    val b1 = rows()
+    assert(b1.length == 1 && b1.head._1 == 1L && b1.head._2 == 2L,
+      s"same-batch pair wrong: ${b1.toSeq}")
+    assert(b1.head._3 == graft.operators.Geo.havScala(
+      10000000L, 20000000L, 10000000L, 21000000L), "hav not bit-identical")
+    // batch 2 (in horizon): D(4) lands near A → cross-batch pair with
+    // BOTH A and B, each exactly once
+    in.addData((ts(20), 4L, 10100000L, 20100000L))
+    q.processAllAvailable()
+    val b2 = rows().toSet
+    assert(b2.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      s"cross-batch pairs: $b2")
+    assert(rows().length == rows().toSet.size, "duplicate pair events")
+    // push the watermark far ahead (lone far reading) → A/B/D evict;
+    // a NEW reading at A's spot pairs with nothing
+    in.addData((ts(1000), 9L, -50000000L, 170000000L))
+    q.processAllAvailable()
+    in.addData((ts(1005), 5L, 10000000L, 20000000L))
+    q.processAllAvailable(); q.stop()
+    assert(rows().length == 3, s"post-eviction pair leaked: ${rows().toSeq}")
+  }
+
+  test("S44: batch parity — streamed fixture pairs == sphericalRadiusJoin, hav bit-identical") {
+    val pts = graft.operators.Geo.customerPoints(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val base = 1700000000L
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long)]
+    val q = StreamOps.proximityStream(
+        in.toDF().toDF("ts", "id", "la", "lo"), 800000.0,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("s44p").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    // two batches, split arbitrarily — pairs must not care
+    val (h1, h2) = pts.splitAt(pts.length / 2)
+    in.addData(h1.map(p => (new java.sql.Timestamp(base * 1000), p._1, p._2, p._3)).toSeq)
+    q.processAllAvailable()
+    in.addData(h2.map(p => (new java.sql.Timestamp((base + 5) * 1000), p._1, p._2, p._3)).toSeq)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s44p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == got.toSet.size, "duplicate pairs")
+    val want = graft.operators.Geo.sphericalRadiusJoin(
+        graft.operators.Geo.customerPoints(spark, sf("sf0.001")), 800000.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty, "vacuous parity fixture")
+    assert(got.toSet == want,
+      s"missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
+  }
+
   test("S41: streaming classifier scoring is bit-identical to batch training scores") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
