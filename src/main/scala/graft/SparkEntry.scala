@@ -274,6 +274,7 @@ object SparkEntry {
     "q254_interval_gaps"   -> (Relational.q254 _),
     "q255_circle_zones"    -> (graft.operators.Geo.q255 _),
     "q256_zone_join"       -> (graft.operators.Geo.q256 _),
+    "q257_clf_calibrated"  -> (graft.ext.Classifier.q257 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -581,6 +582,9 @@ object SparkEntry {
     // q256: zone-SCALE membership (zones as data through the banded
     // grid) — naive point × zone cross join over the identical layers
     "q256_zone_join" -> graft.operators.Geo.q256OracleSql,
+    // q257: calibrated bigram classifier — the v2 CTE chain plus the
+    // exact-integer histogram rank selection of the keep threshold
+    "q257_clf_calibrated" -> graft.ext.Classifier.q257OracleSql,
     // q254: interval gaps — the q248 block CTE + LEAD complement
     "q254_interval_gaps" ->
       ("WITH iv AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, " +

@@ -48,15 +48,31 @@ object Classifier {
     * power of two (exact IEEE scaling — any other constant would add
     * a rounding the oracle must mirror anyway, a free determinism
     * win). Returns (features, labels, trained weights). */
+  /** Adjacent-token bigram stream (the q69 collocation machinery as a
+    * FEATURE source — the FineWeb-class move of adding n-gram evidence
+    * to the hashed bag): bigrams are built from the length-filtered
+    * token array, space-joined, and hashed by the same featureHash
+    * derivation as unigrams. */
+  private def bigramTok(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        expr("filter(split(text, '\\\\s+'), x -> length(x) > 0)").as("arr"))
+      .select(col("doc_id"), explode(zip_with(
+        expr("slice(arr, 1, size(arr) - 1)"),
+        expr("slice(arr, 2, size(arr) - 1)"),
+        (a, b) => concat_ws(" ", a, b))).as("w"))
+
   private def fit(docs: DataFrame, dim: Int, iters: Int,
-      lr: Double): (DataFrame, DataFrame, DataFrame) = {
+      lr: Double, bigrams: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     require(dim > 0 && iters > 0, s"dim=$dim iters=$iters must be positive")
     require(lr > 0 && java.lang.Double.doubleToLongBits(lr) ==
       java.lang.Double.doubleToLongBits(math.pow(2, math.getExponent(lr))),
       s"lr=$lr must be a power of two (exact IEEE scaling)")
-    val tok = docs.select(col("doc_id"),
+    val tok0 = docs.select(col("doc_id"),
         explode(split(col("text"), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
+    // the TEACHER always reads unigrams (stopword share is a unigram
+    // property); features optionally add the bigram stream
+    val tok = tok0
     // teacher: stopword share above 1/16 (exact integer test; ~49%
     // positive on the fixture corpus — a balanced, learnable signal)
     val lab = tok.groupBy("doc_id").agg(
@@ -65,7 +81,8 @@ object Classifier {
       .withColumn("y",
         when(col("n_stop") * 16 > col("n_tok"), 1L).otherwise(0L))
       .select("doc_id", "y").localCheckpoint(true)
-    val feat = tok.withColumn("bucket",
+    val featTok = if (bigrams) tok.union(bigramTok(docs)) else tok
+    val feat = featTok.withColumn("bucket",
         pmod(conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10)
           .cast("long"), lit(dim.toLong)))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
@@ -125,6 +142,69 @@ object Classifier {
       .select(col("doc_id"), col("y"),
         when(col("p") > 0.5, 1L).otherwise(0L).as("pred"),
         round(col("p"), 6).as("score"))
+  }
+
+  /** CLASSIFIER V2 (r16): bigram-augmented features + a CALIBRATED
+    * keep threshold. Real curation gates don't cut at p = 0.5 — they
+    * pick the threshold that yields a TARGET KEEP-RATE (the q77
+    * quantized-rate doctrine, applied to scores): scores quantize to
+    * ppm BIGINTs, K = ⌊n·keepPpm/10⁶⌋ (exact integers), and the
+    * threshold is the (K+1)-th largest quantized score — kept docs are
+    * strictly above it, so ties COLLAPSE BELOW the target (the
+    * deterministic side of the trade; both engines agree bit-for-bit
+    * because the selection runs on exact integers).
+    *
+    * Scale: the rank selection runs on the score HISTOGRAM (≤ 10⁶+1
+    * rows by construction — the pq domain), so the one ordered window
+    * is over a BOUNDED-cardinality frame, never the corpus; the
+    * threshold then broadcasts back as a 1-row frame. */
+  def calibratedQuality(docs: DataFrame, dim: Int = 64, iters: Int = 3,
+      lr: Double = 0.0625, keepPpm: Long = 400000L): DataFrame = {
+    require(keepPpm > 0 && keepPpm < 1000000L, s"keepPpm=$keepPpm outside (0, 1e6)")
+    import org.apache.spark.sql.expressions.Window
+    val (feat, lab, wFinal) = fit(docs, dim, iters, lr, bigrams = true)
+    val scored = marginsOf(feat, wFinal)
+      .join(lab, "doc_id")
+      .withColumn("p", softsign(col("m")))
+      .withColumn("pq", floor(col("p") * lit(1000000.0)).cast("long"))
+      .localCheckpoint(true) // multi-consumer: histogram + output
+    val kF = scored.agg(expr(s"(count(1) * $keepPpm) DIV 1000000").as("k"))
+    val hist = scored.groupBy("pq").agg(count(lit(1)).as("c"))
+    val thr = hist.crossJoin(broadcast(kF))
+      .withColumn("cum", sum("c").over(Window.orderBy(col("pq").desc)))
+      .filter(col("cum") >= col("k") + lit(1L))
+      .agg(coalesce(max("pq"), lit(-1L)).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("y"),
+        round(col("p"), 6).as("score"),
+        (col("pq") > col("thr")).as("keep"))
+  }
+
+  /** Q257 — calibrated bigram classifier gate under the ORACLE gate:
+    * dim 64, 16 preconditioned GD steps at lr ¼, 40% target keep-rate
+    * (the q251 config with the v2 feature space and threshold). */
+  def q257(s: SparkSession, d: String): DataFrame =
+    calibratedQuality(Tables.documents(s, d), 64, 16, 0.25, 400000L)
+      .orderBy("doc_id")
+
+  def q257OracleSql: String = q257OracleSql(64, 16, 0.25, 400000L)
+
+  /** The q257 oracle: the v2 CTE chain (unigram∪bigram features) plus
+    * the histogram rank selection, all exact integers. */
+  def q257OracleSql(dim: Int, iters: Int, lr: Double,
+      keepPpm: Long): String = {
+    val soft = (m: String) => s"(0.5 * (1.0 + ($m / (1.0 + abs($m)))))"
+    s"WITH ${clfCtes(dim, iters, lr, bigrams = true)}, " +
+      s"s AS MATERIALIZED (SELECT l.doc_id, l.y, mf.m, " +
+      s"CAST(FLOOR(${soft("mf.m")} * 1000000.0) AS BIGINT) AS pq " +
+      "FROM mf JOIN lab l ON mf.doc_id = l.doc_id), " +
+      s"kf AS (SELECT (COUNT(*) * $keepPpm) // 1000000 AS k FROM s), " +
+      "hist AS (SELECT pq, COUNT(*) AS c FROM s GROUP BY pq), " +
+      "cum AS (SELECT pq, SUM(c) OVER (ORDER BY pq DESC) AS cum FROM hist), " +
+      "thr AS (SELECT COALESCE(MAX(pq), -1) AS thr FROM cum, kf " +
+      "WHERE cum >= kf.k + 1) " +
+      s"SELECT s.doc_id, s.y, ROUND(${soft("s.m")}, 6) AS score, " +
+      "s.pq > thr.thr AS keep FROM s, thr ORDER BY s.doc_id"
   }
 
   /** Q251 — quality classifier under the ORACLE gate: full documents
@@ -206,8 +286,10 @@ object Classifier {
     * unrolled GD iterations → mf, every CTE MATERIALIZED — DuckDB
     * inlines CTEs by default and the unrolled chain would re-expand
     * tok/feat per reference, exhausting file handles). */
-  private def clfCtes(dim: Int, iters: Int, lr: Double): String = {
+  private def clfCtes(dim: Int, iters: Int, lr: Double,
+      bigrams: Boolean = false): String = {
     val soft = (m: String) => s"(0.5 * (1.0 + ($m / (1.0 + abs($m)))))"
+    val featSrc = if (bigrams) "toka" else "tok"
     def grad(gi: Int, pqRel: String) =
       s"g$gi AS MATERIALIZED (SELECT f.bucket, SUM((p.pq - 1000000 * l.y) * f.tf) AS g " +
         s"FROM feat f JOIN $pqRel p USING (doc_id) JOIN lab l ON f.doc_id = l.doc_id " +
@@ -232,9 +314,18 @@ object Classifier {
         "WHERE LENGTH(w) > 0)",
       "lab AS MATERIALIZED (SELECT doc_id, CASE WHEN SUM(CASE WHEN w IN ('a', 'the') " +
         "THEN 1 ELSE 0 END) * 16 > COUNT(*) THEN CAST(1 AS BIGINT) " +
-        "ELSE CAST(0 AS BIGINT) END AS y FROM tok GROUP BY doc_id)",
+        "ELSE CAST(0 AS BIGINT) END AS y FROM tok GROUP BY doc_id)") ++
+      (if (bigrams) Seq(
+        // v2 feature stream: unigrams ∪ adjacent bigrams from the
+        // LENGTH-filtered token list (mirrors Classifier.bigramTok)
+        "toka AS MATERIALIZED (SELECT doc_id, w FROM tok UNION ALL " +
+          "SELECT doc_id, unnest(list_transform(range(1, len(lf)), " +
+          "i -> lf[i] || ' ' || lf[i + 1])) AS w FROM " +
+          "(SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+          "x -> LENGTH(x) > 0) AS lf FROM documents))")
+       else Seq.empty) ++ Seq(
       s"feat AS MATERIALIZED (SELECT doc_id, CAST(CONCAT('0x', substr(md5(w), 1, 8)) AS BIGINT) " +
-        s"% $dim AS bucket, COUNT(*) AS tf FROM tok GROUP BY 1, 2)",
+        s"% $dim AS bucket, COUNT(*) AS tf FROM $featSrc GROUP BY 1, 2)",
       "prec AS MATERIALIZED (SELECT bucket, SUM(tf * tf) AS sj FROM feat GROUP BY bucket)",
       "w0 AS MATERIALIZED (SELECT DISTINCT bucket, CAST(0.0 AS DOUBLE) AS w FROM feat)",
       "pq1 AS MATERIALIZED (SELECT doc_id, CAST(500000 AS BIGINT) AS pq FROM lab)",

@@ -26,6 +26,40 @@ class ClassifierSpec extends SparkSpec {
     assert(acc == 1.0, s"planted-separable accuracy $acc < 1.0")
   }
 
+  test("calibrated v2: planted-separable still exact; keep-rate hits the quantized target") {
+    // the v1 planted corpus must stay exactly separable under the
+    // ENLARGED (unigram ∪ bigram) feature space — adding evidence
+    // cannot break an exact linear separator
+    val docs = (0 until 200).map { i =>
+      val id = i.toLong
+      if (i % 2 == 0)
+        (id, s"the a the a word${i % 5} the a the a the a extra${i % 3}")
+      else
+        (id, s"alpha beta gamma delta epsilon zeta eta theta iota kappa word${i % 5}")
+    }.toDF("doc_id", "text")
+    val out = Classifier.calibratedQuality(docs, 32, 12, 0.25, 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    // 50% target on a 50/50 planted corpus with separated scores: the
+    // kept set is exactly the positive class
+    assert(out.count(_._4) == 100, s"keep count ${out.count(_._4)} != 100")
+    assert(out.filter(_._4).forall(_._2 == 1L), "kept a teacher-negative doc")
+    // threshold semantics: keep-rate never EXCEEDS the target
+    val out30 = Classifier.calibratedQuality(docs, 32, 12, 0.25, 300000L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(out30.count(_._2) <= 60, s"30% target exceeded: ${out30.count(_._2)}")
+    // bigram machinery is live: a corpus whose classes differ ONLY in
+    // token ADJACENCY (identical unigram multisets) still trains —
+    // here just assert v2 scores differ from v1 on a bigram-rich doc
+    // set (the feature streams genuinely differ)
+    val v1 = Classifier.trainQuality(docs, 32, 12, 0.25)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    val v2 = Classifier.calibratedQuality(docs, 32, 12, 0.25, 500000L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(v1.keySet == v2.keySet && v1.exists { case (k, v) => v2(k) != v },
+      "bigram features changed nothing — stream likely not wired")
+  }
+
   test("fixture corpus: beats the base rate; scores are run-to-run identical") {
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
     def run() = Classifier.trainQuality(docs, 64, 16, 0.25)
