@@ -66,7 +66,8 @@ object Bench {
       "q224_recommend_bucketed",
       // r15: the classifier's 16 eager GD steps carry a fixed
       // per-step checkpoint latency that reads as a heavy at sf0.1
-      "q251_quality_clf", "q252_pipeline_v7")
+      // (r16: q257 is the same class plus the bigram feature stream)
+      "q251_quality_clf", "q252_pipeline_v7", "q257_clf_calibrated")
 
     // Heavy queries leave broadcast blocks (degree/bounds/codebook
     // broadcasts) that only ContextCleaner frees, and only after a GC

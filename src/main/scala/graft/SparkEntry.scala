@@ -275,6 +275,10 @@ object SparkEntry {
     "q255_circle_zones"    -> (graft.operators.Geo.q255 _),
     "q256_zone_join"       -> (graft.operators.Geo.q256 _),
     "q257_clf_calibrated"  -> (graft.ext.Classifier.q257 _),
+    "q258_zone_dwell"      -> (graft.operators.Geo.q258 _),
+    "q259_interval_overlap" -> (Relational.q259 _),
+    "q260_nearest_zone"    -> (graft.operators.Geo.q260 _),
+    "q261_geocell_rollup"  -> (graft.operators.Geo.q261 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -585,6 +589,37 @@ object SparkEntry {
     // q257: calibrated bigram classifier — the v2 CTE chain plus the
     // exact-integer histogram rank selection of the keep threshold
     "q257_clf_calibrated" -> graft.ext.Classifier.q257OracleSql,
+    // q258: zone dwell segments — mirrored zone layers + CASE +
+    // gaps-and-islands double ROW_NUMBER
+    "q258_zone_dwell" -> graft.operators.Geo.q258OracleSql,
+    // q259: interval overlap join — the q248 block CTE twice (click /
+    // view), strict-overlap join, exact-integer overlap seconds
+    "q259_interval_overlap" ->
+      ("WITH iva AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, " +
+        "CAST(FLOOR(epoch(ts)) AS BIGINT) + 600 + ((CAST(FLOOR(value) AS BIGINT) % 3600) + 3600) % 3600 AS e " +
+        "FROM events WHERE event_type IN ('click', 'purchase')), " +
+        "ivb AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, " +
+        "CAST(FLOOR(epoch(ts)) AS BIGINT) + 600 + ((CAST(FLOOR(value) AS BIGINT) % 3600) + 3600) % 3600 AS e " +
+        "FROM events WHERE event_type IN ('view', 'error')), " +
+        "ma AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iva), " +
+        "ba AS (SELECT user_id, s, e, SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS block FROM ma), " +
+        "ga AS (SELECT user_id, block, MIN(s) AS bs, MAX(e) AS be FROM ba GROUP BY user_id, block), " +
+        "mb AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM ivb), " +
+        "bb AS (SELECT user_id, s, e, SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS block FROM mb), " +
+        "gb AS (SELECT user_id, block, MIN(s) AS bs, MAX(e) AS be FROM bb GROUP BY user_id, block) " +
+        "SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps, " +
+        "CAST(SUM(LEAST(a.be, b.be) - GREATEST(a.bs, b.bs)) AS BIGINT) AS overlap_s " +
+        "FROM ga a JOIN gb b ON a.user_id = b.user_id AND a.bs < b.be AND b.bs < a.be " +
+        "GROUP BY a.user_id ORDER BY a.user_id"),
+    // q260: nearest supplier zone within 2000 km — naive cross join
+    // layers + constant-radius kz + ROW_NUMBER rk = 1
+    "q260_nearest_zone" -> graft.operators.Geo.q260OracleSql,
+    // q261: geocell rollup — exact integer cell ids at 3 resolutions
+    "q261_geocell_rollup" -> graft.operators.Geo.q261OracleSql,
     // q254: interval gaps — the q248 block CTE + LEAD complement
     "q254_interval_gaps" ->
       ("WITH iv AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, " +

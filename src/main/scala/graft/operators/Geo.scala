@@ -179,8 +179,10 @@ object Geo {
     * hav ≤ K, so it is lossless, and it spares most of the 3×3
     * neighborhood the ~50-flop verify. `ordered` selects `<` (radius
     * join) vs `=!=` (kNN) pair generation. */
-  private def candidates(points: DataFrame, radiusMeters: Double,
-      ordered: Boolean): (DataFrame, Double) = {
+  /** The grid parameters for a radius: (H band height µdeg, per-band
+    * (band, nc) cells, wMax domain-worst wrapped-Δλ bound µdeg).
+    * Shared by the batch joins and the S44 streaming grid. */
+  private[graft] def gridParams(radiusMeters: Double): (Long, Seq[(Long, Long)], Long) = {
     require(radiusMeters > 0, s"radius=$radiusMeters must be positive")
     // correctness no longer caps the radius (exploded keys are
     // deduplicated, so collapsed bands stay exactly-once); 2000 km is
@@ -188,8 +190,6 @@ object Geo {
     // toward one whole-circle cell each and the cut tends to all-pairs
     require(radiusMeters <= 2000000.0,
       s"radius=$radiusMeters m exceeds the 2000 km grid-cut contract")
-    val spark = points.sparkSession
-    import spark.implicits._
     val k = havK(radiusMeters)
     // polynomial-hav ≤ K ⇒ true-hav ≤ K + 3e-9; widen θ accordingly
     val thetaMax = 2.0 * math.asin(math.min(1.0, math.sqrt(k + 3e-9))) * 1.0001
@@ -198,6 +198,37 @@ object Geo {
     // domain-worst Δλ bound (the widest band's cell width):
     // wrapped |Δlon| of any qualifying pair is ≤ it
     val wMax = cells.map(c => 360000000L / c._2 + 1L).max
+    (H, cells, wMax)
+  }
+
+  /** Executor-side per-zone threshold: the IDENTICAL ops as
+    * [[kzLayers]] (divide by the 2R literal, sinP, square) in Scala —
+    * bit-identical to the batch column form. */
+  def kzScala(radiusMeters: Double): Double = {
+    val sr = sinPoly(radiusMeters / 12742000.0)
+    sr * sr
+  }
+
+  /** Executor-side defined haversine: the IDENTICAL op sequence as the
+    * SQL layers ([[havLayer1]]–[[havLayer3]]) in Scala — same Horner
+    * folds, same literals, same quadrant reduction — so a state
+    * function (S44) scores a pair bit-identically to the batch join. */
+  def havScala(la: Long, loa: Long, lb: Long, lob: Long): Double = {
+    val dphih = (la - lb).toDouble * CR2
+    val dlamh = (((loa - lob + 540000000L) % 360000000L) - 180000000L)
+      .toDouble * CR2
+    val sp = sinPoly(dphih)
+    val sl = sinPoly(dlamh)
+    sp * sp + (zoneCb(la) * zoneCb(lb)) * (sl * sl)
+  }
+
+  private def candidates(points: DataFrame, radiusMeters: Double,
+      ordered: Boolean): (DataFrame, Double) = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val k = havK(radiusMeters)
+    val (h, cells, wMax) = gridParams(radiusMeters)
+    val H = h
     val bt = broadcast(cells.toDF("bt_band", "bt_nc"))
     val p = points.select(col("id").cast("long").as("id"),
         col("la").cast("long").as("la"), col("lo").cast("long").as("lo"))
@@ -470,15 +501,10 @@ object Geo {
     * argument above). */
   def sphericalZoneJoin(points: DataFrame, zones: DataFrame,
       maxRadiusMeters: Double): DataFrame = {
-    require(maxRadiusMeters > 0 && maxRadiusMeters <= 2000000.0,
-      s"maxRadius=$maxRadiusMeters m outside (0, 2000 km]")
     val spark = points.sparkSession
     import spark.implicits._
-    val kMax = havK(maxRadiusMeters)
-    val thetaMax = 2.0 * math.asin(math.min(1.0, math.sqrt(kMax + 3e-9))) * 1.0001
-    val H = math.ceil(thetaMax * 180.0 / math.Pi * 1e6).toLong + 1000L
-    val cells = bandCells(thetaMax, H)
-    val wMax = cells.map(c => 360000000L / c._2 + 1L).max
+    val (hh, cells, wMax) = gridParams(maxRadiusMeters)
+    val H = hh
     val bt = broadcast(cells.toDF("bt_band", "bt_nc"))
     val z = zones.select(col("zone_id").cast("long").as("zone_id"),
         col("zla").cast("long").as("lb"), col("zlo").cast("long").as("lob"),
@@ -564,6 +590,168 @@ object Geo {
       s"l5 AS (SELECT id, zone_id, hav, ${kzl(1)._2} AS ${kzl(1)._1} FROM l4), " +
       s"l6 AS (SELECT id, zone_id, hav, ${kzl(2)._2} AS ${kzl(2)._1} FROM l5) " +
       "SELECT id, zone_id, hav FROM l6 WHERE hav <= kz ORDER BY id, zone_id"
+  }
+
+  /** First-match zone CASE as SQL text (the oracle side of
+    * [[resolveCircleZones]]'s column form). */
+  def zoneCaseSql(zones: Seq[(String, Long, Long, Double)]): String =
+    zones.zipWithIndex.foldRight("'outside'") {
+      case (((name, _, _, r), i), rest) =>
+        s"CASE WHEN hav$i <= ${d2s(havK(r))} THEN '$name' ELSE $rest END"
+    }
+
+  /** The q258 event-point derivation: each event gets deterministic
+    * coordinates = the user's md5-derived HOME (lat ±80°) plus an
+    * hourly md5 drift (±1°) — temporally coherent (a user stays put
+    * within an hour, wanders between hours), so zone DWELL segments
+    * actually exist; every step exact integers mirrored by the oracle. */
+  def eventPoints(s: SparkSession, d: String): DataFrame = {
+    val uh = md5(col("user_id").cast("string"))
+    val hr = expr("unix_timestamp(ts) DIV 3600")
+    val dh = md5(concat(col("user_id").cast("string"), lit("#"),
+      hr.cast("string")))
+    Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("tsu"),
+        ((pmod(conv(substring(uh, 1, 8), 16, 10).cast("long"), lit(160000001L))
+          - 80000000L) +
+         (pmod(conv(substring(dh, 1, 6), 16, 10).cast("long"), lit(2000001L))
+          - 1000000L)).as("la"),
+        (pmod((pmod(conv(substring(uh, 9, 8), 16, 10).cast("long"), lit(360000000L))
+          - 180000000L) +
+         (pmod(conv(substring(dh, 7, 6), 16, 10).cast("long"), lit(2000001L))
+          - 1000000L) + 540000000L, lit(360000000L)) - 180000000L).as("lo"))
+  }
+
+  /** The q258 dwell zones: continental-scale circles (~30% sphere
+    * coverage) so the uniform home fixture yields a real visit
+    * population — 142 visits at sf0.01 (the demo zones' ~4% coverage
+    * gave 6, a near-vacuous gate). */
+  val dwellZones: Seq[(String, Long, Long, Double)] = Seq(
+    ("americas", 10000000L, -80000000L, 3500000.0),
+    ("europe", 50000000L, 10000000L, 2500000.0),
+    ("eastasia", 30000000L, 115000000L, 3000000.0),
+    ("oceania", -25000000L, 140000000L, 3000000.0),
+    ("southam", -20000000L, -60000000L, 3000000.0),
+    ("polar_n", 85000000L, 0L, 2000000.0))
+
+  /** Q258 — zone DWELL segments: resolve each event's circle zone
+    * (first match, the q255 layers), then gaps-and-islands runs of
+    * consecutive same-zone events per user in (tsu, event_id) order —
+    * one row per IN-ZONE visit with enter/exit/n_events (the
+    * store-visit / geofence-dwell read). All key-partitioned windows. */
+  def q258(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val zones = dwellZones
+    val resolved = resolveCircleZones(eventPoints(s, d), zones)
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val wz = Window.partitionBy("user_id", "zone").orderBy("tsu", "event_id")
+    resolved
+      .withColumn("grp", row_number().over(w) - row_number().over(wz))
+      .filter(col("zone") =!= "outside")
+      .groupBy("user_id", "zone", "grp")
+      .agg(min("tsu").as("enter_s"), max("tsu").as("exit_s"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "zone", "enter_s", "exit_s", "n_events")
+      .orderBy("user_id", "enter_s", "zone")
+  }
+
+  private def eventPointsSql: String =
+    "SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsu, " +
+      "(CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 160000001 - 80000000) + " +
+      "(CAST(CONCAT('0x', substr(md5(CONCAT(CAST(user_id AS VARCHAR), '#', CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS VARCHAR))), 1, 6)) AS BIGINT) % 2000001 - 1000000) AS la, " +
+      "(((CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS BIGINT) % 360000000 - 180000000) + " +
+      "(CAST(CONCAT('0x', substr(md5(CONCAT(CAST(user_id AS VARCHAR), '#', CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS VARCHAR))), 7, 6)) AS BIGINT) % 2000001 - 1000000) + 540000000) % 360000000) - 180000000 AS lo " +
+      "FROM events"
+
+  def q258OracleSql: String = {
+    val zones = dwellZones
+    val l1 = zoneLayer1(zones).map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val l2 = zoneLayer2(zones).map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val l3 = zoneLayer3(zones).map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    s"WITH pts AS ($eventPointsSql), " +
+      s"l1 AS (SELECT user_id, event_id, tsu, $l1 FROM pts), " +
+      s"l2 AS (SELECT user_id, event_id, tsu, $l2 FROM l1), " +
+      s"l3 AS (SELECT user_id, event_id, tsu, $l3 FROM l2), " +
+      s"z AS (SELECT user_id, event_id, tsu, ${zoneCaseSql(zones)} AS zone FROM l3), " +
+      "g AS (SELECT user_id, tsu, event_id, zone, " +
+      "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tsu, event_id) - " +
+      "ROW_NUMBER() OVER (PARTITION BY user_id, zone ORDER BY tsu, event_id) AS grp FROM z) " +
+      "SELECT user_id, zone, MIN(tsu) AS enter_s, MAX(tsu) AS exit_s, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_events FROM g WHERE zone <> 'outside' " +
+      "GROUP BY user_id, zone, grp ORDER BY user_id, enter_s, zone"
+  }
+
+  /** Q260 — nearest-zone assignment (store/warehouse attribution):
+    * each customer's nearest supplier zone center within 2000 km,
+    * ranked by the bit-stable (hav, zone_id) order — q256's machinery
+    * with a constant radius and a per-point rank window. */
+  def q260(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val zones = supplierZones(s, d).withColumn("radius_m", lit(2000000.0))
+    sphericalZoneJoin(customerPoints(s, d), zones, 2000000.0)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("hav"), col("zone_id"))))
+      .filter(col("rk") === 1)
+      .select("id", "zone_id", "hav")
+      .orderBy("id")
+  }
+
+  def q260OracleSql: String = {
+    val l1 = havLayer1.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val l2 = havLayer2.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val kzl = kzLayers
+    "WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS id, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 180000001 - 90000000 AS la, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 360000000 - 180000000 AS lo " +
+      "FROM customer), " +
+      "zs AS (SELECT CAST(s_suppkey AS BIGINT) AS zone_id, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(s_suppkey AS VARCHAR)), 1, 8)) AS BIGINT) % 180000001 - 90000000 AS zla, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(s_suppkey AS VARCHAR)), 9, 8)) AS BIGINT) % 360000000 - 180000000 AS zlo, " +
+      "CAST(2000000 AS DOUBLE) AS radius_m FROM supplier), " +
+      "d AS (SELECT p.id, z.zone_id, p.la, p.lo AS loa, z.zla AS lb, " +
+      "z.zlo AS lob, z.radius_m FROM pts p, zs z), " +
+      s"l1 AS (SELECT id, zone_id, radius_m, $l1 FROM d), " +
+      s"l2 AS (SELECT id, zone_id, radius_m, $l2 FROM l1), " +
+      s"l3 AS (SELECT id, zone_id, radius_m, ${havLayer3._2} AS ${havLayer3._1} FROM l2), " +
+      s"l4 AS (SELECT id, zone_id, hav, ${kzl.head._2} AS ${kzl.head._1} FROM l3), " +
+      s"l5 AS (SELECT id, zone_id, hav, ${kzl(1)._2} AS ${kzl(1)._1} FROM l4), " +
+      s"l6 AS (SELECT id, zone_id, hav, ${kzl(2)._2} AS ${kzl(2)._1} FROM l5), " +
+      "r AS (SELECT id, zone_id, hav, ROW_NUMBER() OVER (PARTITION BY id " +
+      "ORDER BY hav, zone_id) AS rk FROM l6 WHERE hav <= kz) " +
+      "SELECT id, zone_id, hav FROM r WHERE rk = 1 ORDER BY id"
+  }
+
+  /** Q261 — geocell rollup: point counts per uniform lat/lon cell at
+    * three resolutions (15°/5°/1° — the multi-resolution density read
+    * behind heat maps and geo partitioning audits); cell ids are one
+    * exact integer per (row, col). */
+  def q261(s: SparkSession, d: String): DataFrame = {
+    val p = customerPoints(s, d)
+    def at(res: Long): DataFrame = {
+      val wide = 360000000L / res + 1L
+      p.groupBy(
+          expr(s"((la + 90000000) DIV $res) * $wide + (lo + 180000000) DIV $res")
+            .as("cell"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(res).as("res"), col("cell"), col("n"))
+    }
+    at(15000000L).union(at(5000000L)).union(at(1000000L))
+      .orderBy("res", "cell")
+  }
+
+  def q261OracleSql: String = {
+    def leg(res: Long): String = {
+      val wide = 360000000L / res + 1L
+      s"SELECT CAST($res AS BIGINT) AS res, " +
+        s"((la + 90000000) // $res) * $wide + (lo + 180000000) // $res AS cell, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2"
+    }
+    "WITH pts AS (SELECT " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 180000001 - 90000000 AS la, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 360000000 - 180000000 AS lo " +
+      "FROM customer) " +
+      Seq(15000000L, 5000000L, 1000000L).map(leg).mkString(" UNION ALL ") +
+      " ORDER BY res, cell"
   }
 
   /** The q249 point derivation: customers mapped to deterministic

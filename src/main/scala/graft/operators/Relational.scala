@@ -4682,6 +4682,45 @@ object Relational {
         col("next_bs").as("gap_end"),
         (col("next_bs") - col("be")).as("gap_s"))
 
+  /** Interval OVERLAP JOIN between two interval sets per key: merge
+    * each side into disjoint blocks (the q248 sweep), then an
+    * equi-join on the key with the strict-overlap residual
+    * (s₁ < e₂ ∧ s₂ < e₁) and Σ(min(e) − max(s)) — the "downtime ∩
+    * business-hours" / "session ∩ campaign-window" workhorse. Blocks
+    * are disjoint within each side, so every overlap window is
+    * counted exactly once; the join shuffles on the key only and the
+    * per-key block counts bound the fanout (never interval × interval
+    * — both sides are pre-merged). Keys with no overlap emit nothing. */
+  def intervalOverlap(ivA: DataFrame, ivB: DataFrame,
+      keyCol: String): DataFrame = {
+    val a = mergedBlocks(ivA, keyCol)
+      .select(col(keyCol), col("bs").as("a_s"), col("be").as("a_e"))
+    val b = mergedBlocks(ivB, keyCol)
+      .select(col(keyCol).as("kb"), col("bs").as("b_s"), col("be").as("b_e"))
+    a.join(b, col(keyCol) === col("kb") &&
+        col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .as("overlap_s"))
+  }
+
+  /** Q259 — engagement-coverage ∩ exposure-coverage per user: the
+    * q248 interval derivation (longer 600 s + ⌊value⌋ mod 3600
+    * windows — the 60/600 sessions gave ONE overlapping user at
+    * sf0.01, a vacuous gate) split into click∪purchase vs view∪error,
+    * overlap-joined (40 users / 51 block pairs at sf0.01). */
+  def q259(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def iv(ts: Seq[String]) = ev.filter(col("event_type").isin(ts: _*))
+      .select(col("user_id"),
+        unix_timestamp(col("ts")).as("s"),
+        (unix_timestamp(col("ts")) + 600L +
+          pmod(floor(col("value")).cast("bigint"), lit(3600L))).as("e"))
+    intervalOverlap(iv(Seq("click", "purchase")), iv(Seq("view", "error")),
+      "user_id").orderBy("user_id")
+  }
+
   /** Q248 — per-user session coverage: intervals from events (start =
     * event epoch second, duration = 60 + ⌊value⌋ mod 600 — FLOOR
     * before the integer cast, the dual-dialect truncation rule),

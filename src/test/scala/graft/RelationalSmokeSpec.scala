@@ -457,4 +457,22 @@ class RelationalSmokeSpec extends SparkSpec {
     assert(gaps.toSet == Set((1L, 20L, 30L, 10L), (1L, 40L, 100L, 60L)),
       s"gaps: ${gaps.toSeq}")
   }
+
+  test("intervalOverlap: strict overlap only, pre-merged sides, exact seconds") {
+    import spark.implicits._
+    // A merges to [0,20) [50,60); B merges to [15,30) [20,45) -> wait:
+    // B's pieces (15,30)+(20,45) overlap each other -> one block [15,45)
+    val a = Seq((1L, 0L, 10L), (1L, 5L, 20L), (1L, 50L, 60L),
+      (2L, 0L, 5L), (3L, 0L, 5L)).toDF("user_id", "s", "e")
+    val b = Seq((1L, 15L, 30L), (1L, 20L, 45L), (1L, 60L, 70L),
+      (2L, 5L, 9L), (4L, 0L, 5L)).toDF("user_id", "s", "e")
+    val out = graft.operators.Relational.intervalOverlap(a, b, "user_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // key 1: A[0,20) ∩ B[15,45) = [15,20) → 5 s; A[50,60) ∩ B[15,45)
+    // = ∅; A[50,60) vs B[60,70): TOUCHING is NOT overlap (strict <)
+    assert(out(1L) == ((1L, 5L)), s"k1: ${out(1L)}")
+    // key 2: A[0,5) ∩ B[5,9): touching only -> absent; keys 3/4
+    // one-sided -> absent
+    assert(out.keySet == Set(1L), s"keys: ${out.keySet}")
+  }
 }
