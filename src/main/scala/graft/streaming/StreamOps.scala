@@ -1952,6 +1952,101 @@ object StreamOps {
       }.toDF()
   }
 
+  /** S45 — ZONE-SCALE streaming geofence transitions: S43 with the
+    * zones as a DATAFRAME routed through the q256 banded grid — the
+    * implemented form of the S43 cutover guidance (a literal zone
+    * list compiles one plan column set per zone; 10³+ geofences need
+    * zones as data). Events explode onto their deduplicated 3×3 grid
+    * neighborhood and LEFT-join the static zone-cell table (a
+    * stream-static join — stateless, so it legally precedes the one
+    * stateful operator); per event, the state function resolves the
+    * NEAREST qualifying zone by the bit-stable (hav, zone_id) order
+    * using [[graft.operators.Geo.havScala]]/kzScala — the identical
+    * float ops as the batch q260 rank — and feeds the S39/S43
+    * transition machine (first event enters from "outside"; zone
+    * names are the zone_id rendered as a string). Unmatched events
+    * keep one null-zone row per exploded key, so "outside" resolution
+    * needs no second join. State: last zone + the order anchor per
+    * user — constant; parity with the batch resolution is pinned in
+    * the golden. */
+  def geofenceZoneStream(events: DataFrame, zones: DataFrame,
+      maxRadiusMeters: Double, watermark: String = "10 seconds"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val (h, cells, wMax) = graft.operators.Geo.gridParams(maxRadiusMeters)
+    val ncMap = map(cells.flatMap { case (b, nc) =>
+      Seq(lit(b), lit(nc)) }.toIndexedSeq: _*)
+    val bt = broadcast(cells.toDF("bt_band", "bt_nc"))
+    val z = zones.select(col("zone_id").cast("long").as("zone_id"),
+        col("zla").cast("long").as("lb"), col("zlo").cast("long").as("lob"),
+        when(col("radius_m") > lit(0.0) &&
+            col("radius_m") <= lit(maxRadiusMeters),
+          col("radius_m").cast("double"))
+          .otherwise(raise_error(concat(
+            lit(s"geofenceZoneStream: radius outside (0, $maxRadiusMeters]: "),
+            col("radius_m").cast("string")))).as("radius_m"))
+      .withColumn("zband", expr(s"(lb + 90000000) DIV $h"))
+      .join(bt, col("zband") === col("bt_band"))
+      .select(col("zone_id"), col("lb"), col("lob"), col("radius_m"),
+        col("zband"), expr("((lob + 180000000) * bt_nc) DIV 360000000").as("zcell"))
+      .persist()
+    z.count()
+    val pre = events.withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("la").cast("long").as("la"), col("lo").cast("long").as("lo"))
+      .withColumn("band", expr(s"(la + 90000000) DIV $h"))
+      .withColumn("db", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("tb", col("band") + col("db"))
+      .withColumn("ncT", element_at(ncMap, col("tb")))
+      .withColumn("cellT0", expr("((lo + 180000000) * ncT) DIV 360000000"))
+      .withColumn("gcell", explode(array_distinct(
+        transform(array(lit(-1L), lit(0L), lit(1L)),
+          dc => pmod(col("cellT0") + dc, col("ncT"))))))
+    val joined = pre.join(z,
+        pre("tb") === z("zband") && pre("gcell") === z("zcell") &&
+          abs(pre("la") - z("lb")) <= h &&
+          expr("abs(((lo - lob + 540000000) % 360000000) - 180000000)") <= wMax,
+        "left_outer")
+      .select(col("ts"), col("user_id"), col("event_id"), col("la"), col("lo"),
+        col("zone_id"), col("lb"), col("lob"), col("radius_m"))
+      .as[(java.sql.Timestamp, Long, Long, Long, Long,
+        Option[Long], Option[Long], Option[Long], Option[Double])]
+    joined.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long,
+         rows: Iterator[(java.sql.Timestamp, Long, Long, Long, Long,
+           Option[Long], Option[Long], Option[Long], Option[Double])],
+         state: GroupState[GeoState]) =>
+          def micros(ts: java.sql.Timestamp): Long =
+            ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+          var st = state.getOption.getOrElse(
+            GeoState(Long.MinValue, Long.MinValue, "outside"))
+          val out = rows.toSeq.groupBy(r => (micros(r._1), r._3)).toSeq
+            .sortBy(_._1)
+            .flatMap { case ((tu, id), cand) =>
+              if (tu < st.tsu || (tu == st.tsu && id <= st.eventId)) None
+              else {
+                val (pla, plo) = (cand.head._4, cand.head._5)
+                val zname = cand.flatMap { c =>
+                  for (zid <- c._6; zla <- c._7; zlo <- c._8; r <- c._9)
+                    yield (graft.operators.Geo.havScala(pla, plo, zla, zlo),
+                      zid, r)
+                }.filter { case (hv, _, r) =>
+                  hv <= graft.operators.Geo.kzScala(r)
+                }.sortBy { case (hv, zid, _) => (hv, zid) }
+                  .headOption.map(_._2.toString).getOrElse("outside")
+                val from = st.zone
+                st = GeoState(tu, id, zname)
+                if (zname != from) Some(GeoTransition(uid, tu, id, from, zname))
+                else None
+              }
+            }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
   /** S44 — streaming proximity alerts: LIVE point-vs-point radius
     * detection (fleet collision / contact tracing — the streaming
     * sibling of the q249 batch join). Events carry (ts, id, la, lo —

@@ -1857,6 +1857,53 @@ class StreamingSpec extends SparkSpec {
       (3L, "equator", "outside")), s"got $got")
   }
 
+  test("S45: zone-scale geofence — DataFrame zones, nearest-wins overlap, batch resolution parity") {
+    import spark.implicits._
+    val base = 1700000000L
+    def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000)
+    // two OVERLAPPING zones near (10°, 20°) — nearest must win — plus
+    // a dateline zone and a far one; radii within the 500 km grid
+    val zones = Seq(
+      (101L, 10000000L, 20000000L, 400000.0),
+      (102L, 10500000L, 20500000L, 400000.0),
+      (103L, 0L, 179900000L, 300000.0),
+      (104L, -60000000L, -90000000L, 200000.0))
+      .toDF("zone_id", "zla", "zlo", "radius_m")
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+    val q = StreamOps.geofenceZoneStream(
+        in.toDF().toDF("ts", "user_id", "event_id", "la", "lo"),
+        zones, 500000.0)
+      .writeStream.format("memory").queryName("s45").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    // u1: outside → zone 101's center (overlap region resolves to the
+    // NEAREST by (hav, zone_id)) → near 102's center → across the
+    // dateline zone → far outside
+    in.addData(
+      (ts(10), 1L, 1L, 40000000L, 40000000L),     // outside
+      (ts(20), 1L, 2L, 10000000L, 20000000L),     // 101 exactly
+      (ts(30), 1L, 3L, 10500000L, 20500000L),     // overlap → nearest = 102
+      (ts(40), 1L, 4L, 100000L, -179950000L),     // dateline wrap → 103
+      (ts(50), 1L, 5L, -30000000L, 100000000L))   // outside
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s45").collect()
+      .map(r => (r.getLong(2), r.getString(3), r.getString(4))).toSeq.sortBy(_._1)
+    assert(got == Seq((2L, "outside", "101"), (3L, "101", "102"),
+      (4L, "102", "103"), (5L, "103", "outside")), s"got $got")
+    // parity: the stream's per-event resolution == the batch
+    // nearest-zone rank (q260 machinery) over the same points
+    val pts = Seq((2L, 10000000L, 20000000L), (3L, 10500000L, 20500000L),
+      (4L, 100000L, -179950000L)).toDF("id", "la", "lo")
+    val batch = graft.operators.Geo.sphericalZoneJoin(pts, zones, 500000.0)
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(org.apache.spark.sql.functions.col("hav"),
+            org.apache.spark.sql.functions.col("zone_id"))))
+      .filter(org.apache.spark.sql.functions.col("rk") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1).toString)).toMap
+    assert(batch == Map(2L -> "101", 3L -> "102", 4L -> "103"),
+      s"batch resolution diverged: $batch")
+  }
+
   test("S44: proximity alerts — same-batch and cross-batch pairs once, eviction, no far pairs") {
     val base = 1700000000L
     def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000)
