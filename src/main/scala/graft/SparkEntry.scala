@@ -279,6 +279,9 @@ object SparkEntry {
     "q259_interval_overlap" -> (Relational.q259 _),
     "q260_nearest_zone"    -> (graft.operators.Geo.q260 _),
     "q261_geocell_rollup"  -> (graft.operators.Geo.q261 _),
+    "q262_speed_anomaly"   -> (graft.operators.Geo.q262 _),
+    "q263_bigram_lm"       -> (TextOps.q263 _),
+    "q264_geo_hotspots"    -> (graft.operators.Geo.q264 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -620,6 +623,16 @@ object SparkEntry {
     "q260_nearest_zone" -> graft.operators.Geo.q260OracleSql,
     // q261: geocell rollup — exact integer cell ids at 3 resolutions
     "q261_geocell_rollup" -> graft.operators.Geo.q261OracleSql,
+    // q262: travel-speed anomalies — the identical LAG + mirrored
+    // polynomial layers + per-row kz threshold chain in DuckDB
+    "q262_speed_anomaly" -> graft.operators.Geo.q262OracleSql,
+    // q263: bigram stupid-backoff LM — exact-integer counts from the
+    // mod-25 reference slice, LN (portable class) per term, the q79
+    // ordered fold keyed by bigram POSITION
+    "q263_bigram_lm" -> TextOps.q263OracleSql,
+    // q264: geo hotspot clusters — exact integer density test +
+    // recursive-CTE closure over dense-cell adjacency (q105 idiom)
+    "q264_geo_hotspots" -> graft.operators.Geo.q264OracleSql,
     // q254: interval gaps — the q248 block CTE + LEAD complement
     "q254_interval_gaps" ->
       ("WITH iv AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, " +

@@ -2256,4 +2256,101 @@ object TextOps {
   def q244(s: SparkSession, d: String): DataFrame =
     containmentJoin(Tables.documents(s, d), 2, 3)
       .orderBy("doc_a", "doc_b")
+
+  /** Bigram stupid-backoff LM quality score (r16) — the higher-order
+    * sibling of q79's unigram proxy and the closest self-contained
+    * analog of the CCNet/RedPajama KenLM perplexity filter (Wenzek et
+    * al. 2020, arXiv:1911.00359, which buckets docs by perplexity
+    * under an LM trained on a curated REFERENCE corpus; backoff form:
+    * Brants et al. 2007, "stupid backoff" — no discounting, one
+    * constant). A reference slice (`doc_id % 25 == 0`, standing in
+    * for the curated corpus) provides the counts; every other doc
+    * scores by its mean bigram log-probability:
+    *
+    *   S(w₂|w₁) = c₂(w₁,w₂) / c₁(w₁)              bigram seen in ref
+    *            = 0.4 · (c₁(w₂)+1) / (N+V)         backoff, add-one
+    *
+    * (add-one on the unigram floor keeps OOV words defined). Unlike
+    * q79, the scored docs genuinely MISS reference bigrams, so both
+    * CASE branches fire under the gate (9,539 of 25,741 bigrams back
+    * off at sf0.01, 163 at sf0.1; 26 OOV unigrams at sf0.01).
+    *
+    * Determinism: counts are exact BIGINTs; each term is one division
+    * then LN — the mirrored-libm portable class (sqrt/ln/log10/pow,
+    * gate-proven since r3; NOT exp/trig, the LibmProbe split) — and
+    * the per-doc sum folds in POSITION order (the q79 ordered-fold
+    * doctrine; positions are unique within a doc, so the order is
+    * total on both engines).
+    *
+    * Scale: counts are two vocab-keyed hash-aggs over the reference
+    * slice only; scoring is three vocab-keyed hash joins (AQE sizes
+    * them — Heaps-law keys, the q69 note) and one doc-keyed agg whose
+    * per-group state is bounded by doc length. (N, V) ride a 1-row
+    * broadcast — no driver count. */
+  def bigramLmScore(docs: DataFrame, refMod: Int = 25): DataFrame = {
+    require(refMod >= 2, s"refMod=$refMod must leave both slices non-empty")
+    val lf = docs.select(col("doc_id"),
+      expr("filter(split(text, '\\\\s+'), x -> length(x) > 0)").as("lf"))
+    val rtok = lf.filter(col("doc_id") % refMod === 0)
+      .select(explode(col("lf")).as("w"))
+    val c1 = rtok.groupBy("w").agg(count(lit(1)).as("c1"))
+    val nv = c1.agg(sum("c1").as("n_tok"), count(lit(1)).as("vsz"))
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), posexplode(zip_with(
+        expr("slice(lf, 1, size(lf) - 1)"),
+        expr("slice(lf, 2, size(lf) - 1)"),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("pos"), col("bg.w1"), col("bg.w2"))
+    val c2 = bigrams(lf.filter(col("doc_id") % refMod === 0))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val j = bigrams(lf.filter(col("doc_id") % refMod =!= 0))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1.select(col("w").as("w1"), col("c1").as("c1a")), Seq("w1"), "left")
+      .join(c1.select(col("w").as("w2"), col("c1").as("c1b")), Seq("w2"), "left")
+      .crossJoin(broadcast(nv))
+    j.withColumn("term", when(col("c2").isNotNull,
+        log(col("c2").cast("double") / col("c1a").cast("double")))
+      .otherwise(log(lit(0.4)) +
+        log((coalesce(col("c1b"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_tok") + col("vsz")).cast("double"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_backoff"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+            x => x.getField("term")),
+          lit(0d), (acc, x) => acc + x).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+        round(col("slp") / col("n_bigrams"), 6).as("lp_per_bigram"))
+  }
+
+  /** Q263 — bigram stupid-backoff LM score under the ORACLE gate. */
+  def q263(s: SparkSession, d: String): DataFrame =
+    bigramLmScore(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** The q263 oracle: the identical count/backoff/ordered-fold chain
+    * in DuckDB (range/list idiom for positional bigrams). */
+  def q263OracleSql: String =
+    "WITH lf AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+      "x -> LENGTH(x) > 0) AS lf FROM documents), " +
+      "rtok AS (SELECT unnest(lf) AS w FROM lf WHERE doc_id % 25 = 0), " +
+      "c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM rtok GROUP BY w), " +
+      "nv AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tok, " +
+      "CAST(COUNT(*) AS BIGINT) AS vsz FROM c1), " +
+      "rbig AS (SELECT lf.lf[i] AS w1, lf.lf[i + 1] AS w2 " +
+      "FROM lf, UNNEST(range(1, len(lf))) AS t(i) WHERE doc_id % 25 = 0), " +
+      "c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM rbig GROUP BY w1, w2), " +
+      "tbig AS (SELECT lf.doc_id, i AS pos, lf.lf[i] AS w1, lf.lf[i + 1] AS w2 " +
+      "FROM lf, UNNEST(range(1, len(lf))) AS t(i) WHERE doc_id % 25 <> 0), " +
+      "j AS (SELECT t.doc_id, t.pos, c2.c2, ca.c1 AS c1a, cb.c1 AS c1b " +
+      "FROM tbig t LEFT JOIN c2 ON t.w1 = c2.w1 AND t.w2 = c2.w2 " +
+      "LEFT JOIN c1 ca ON t.w1 = ca.w LEFT JOIN c1 cb ON t.w2 = cb.w), " +
+      "terms AS (SELECT doc_id, pos, c2 IS NULL AS backoff, " +
+      "CASE WHEN c2 IS NOT NULL THEN LN(CAST(c2 AS DOUBLE) / CAST(c1a AS DOUBLE)) " +
+      "ELSE LN(0.4) + LN(CAST(COALESCE(c1b, 0) + 1 AS DOUBLE) / " +
+      "CAST(nv.n_tok + nv.vsz AS DOUBLE)) END AS term FROM j CROSS JOIN nv) " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+      "CAST(SUM(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff, " +
+      "ROUND(list_sum(list(term ORDER BY pos)) / COUNT(*), 6) AS lp_per_bigram " +
+      "FROM terms GROUP BY doc_id ORDER BY doc_id"
 }

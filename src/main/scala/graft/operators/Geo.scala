@@ -797,4 +797,179 @@ object Geo {
       s"SELECT id_a, id_b, hav FROM l3 WHERE hav <= ${d2s(k)} " +
       "ORDER BY id_a, id_b"
   }
+
+  /** Travel-speed anomaly screen (GPS teleport detection — the
+    * trajectory-QA gate location ingest runs before any dwell/geofence
+    * analytic trusts the fixes; the reference ingests raw sensor
+    * streams with no such screen, RawDataIngestion.java:103-149): for
+    * each user's consecutive fix pair in (tsu, event_id) order, the
+    * pair is anomalous when its defined polynomial haversine EXCEEDS
+    * the haversine of the maximum plausible travel distance vMax·Δt —
+    * the fix implies motion faster than vMax.
+    *
+    * NO asin/sqrt ever runs: sin²(d/2R) is monotone in d on [0, πR],
+    * so `distance > vMax·Δt` is exactly `hav > kz(vMax·Δt)` with kz
+    * the mirrored [[kzLayers]] text over a per-row radius column (the
+    * q256 per-zone-threshold move). The radius caps at πR − ε
+    * (antipodal — no point is farther), keeping the sinP argument
+    * ≤ π/2 where the series is accurate AND monotone; a capped pair
+    * can only flag if hav exceeds sinP(π/2)² ≈ 1, i.e. never on real
+    * fixes.
+    *
+    * Scale: one user-keyed shuffle for the LAG window, then a narrow
+    * layered projection per pair; the verify is the Generator form
+    * (the q249 pushdown-blowup doctrine — a plain `.filter` on the
+    * polynomial column gets transposed into one interpreted-regime
+    * mega-expression). State per window partition is one row. */
+  def speedAnomalies(points: DataFrame, vMax: Double): DataFrame = {
+    require(vMax > 0, s"vMax=$vMax must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val prev = points
+      .withColumn("lb", lag("la", 1).over(w))
+      .withColumn("lob", lag("lo", 1).over(w))
+      .withColumn("ptsu", lag("tsu", 1).over(w))
+      .filter(col("lb").isNotNull)
+      .withColumn("loa", col("lo"))
+      .withColumn("dt_s", col("tsu") - col("ptsu"))
+      .withColumn("radius_m",
+        least(lit(vMax) * col("dt_s").cast("double"), lit(20015086.0)))
+    val l = (havLayer1 ++ havLayer2 :+ havLayer3) ++ kzLayers
+    val lay = l.foldLeft(prev) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+    lay.select(explode(when(col("hav") > col("kz"),
+        array(struct(col("user_id"), col("event_id"), col("dt_s"),
+          col("hav"), col("kz"))))
+      .otherwise(array().cast(
+        "array<struct<user_id:bigint,event_id:bigint,dt_s:bigint," +
+          "hav:double,kz:double>>"))).as("r"))
+      .select("r.*")
+  }
+
+  /** Q262 — travel-speed anomalies under the ORACLE gate: the q258
+    * trajectory fixture screened at 40 m/s (144 km/h — fast ground
+    * travel; 274 of 9,850 consecutive pairs flag at sf0.01). The
+    * oracle is the identical LAG + layer chain in DuckDB. */
+  def q262(s: SparkSession, d: String): DataFrame =
+    speedAnomalies(eventPoints(s, d), 40.0)
+      .orderBy("user_id", "event_id")
+
+  def q262OracleSql: String = {
+    val l1 = havLayer1.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val l2 = havLayer2.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val kzl = kzLayers
+    s"WITH pts AS ($eventPointsSql), " +
+      "lg AS (SELECT user_id, event_id, tsu, la, lo AS loa, " +
+      "LAG(la) OVER w AS lb, LAG(lo) OVER w AS lob, LAG(tsu) OVER w AS ptsu " +
+      "FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)), " +
+      "d AS (SELECT user_id, event_id, tsu - ptsu AS dt_s, la, loa, lb, lob, " +
+      s"LEAST(${d2s(40.0)} * CAST(tsu - ptsu AS DOUBLE), ${d2s(20015086.0)}) AS radius_m " +
+      "FROM lg WHERE lb IS NOT NULL), " +
+      s"l1 AS (SELECT user_id, event_id, dt_s, radius_m, $l1 FROM d), " +
+      s"l2 AS (SELECT user_id, event_id, dt_s, radius_m, $l2 FROM l1), " +
+      s"l3 AS (SELECT user_id, event_id, dt_s, radius_m, ${havLayer3._2} AS ${havLayer3._1} FROM l2), " +
+      s"l4 AS (SELECT user_id, event_id, dt_s, hav, ${kzl.head._2} AS ${kzl.head._1} FROM l3), " +
+      s"l5 AS (SELECT user_id, event_id, dt_s, hav, ${kzl(1)._2} AS ${kzl(1)._1} FROM l4), " +
+      s"l6 AS (SELECT user_id, event_id, dt_s, hav, ${kzl(2)._2} AS ${kzl(2)._1} FROM l5) " +
+      "SELECT user_id, event_id, dt_s, hav, kz FROM l6 WHERE hav > kz " +
+      "ORDER BY user_id, event_id"
+  }
+
+  /** Geo hotspot clusters — grid-density clustering (the GDBSCAN/
+    * STING family: density-reachable cells merged into regions):
+    * cells at `resMicroDeg` whose point count is STRICTLY above
+    * `factor`× the AMBIENT mean merge into clusters by 8-neighborhood
+    * connected components (longitude wraps mod the grid; latitude
+    * does not). The density test is the exact integer cross-multiply
+    * n·C > factor·N (C = the grid's fixed cell count, N = total
+    * points), so "hotspot" is scale-invariant — the same operator is
+    * non-degenerate at any corpus size, and both engines compare
+    * exact BIGINTs.
+    *
+    * Scale: the corpus is touched by ONE hash-agg (the cell count);
+    * everything after runs on the DENSE-CELL frame, which the
+    * ambient-relative threshold keeps a vanishing fraction of the
+    * grid. Adjacency is the same explode-to-neighborhood equi-join as
+    * the banded grid (never cell×cell), and the component merge is
+    * [[Graph.connectedComponents]] min-label propagation — hotspot
+    * adjacency graphs are shallow by construction (the q105 guidance;
+    * a pathological planet-ring chain would take the star form).
+    * Out-of-range latitude neighbors simply miss the join; isolated
+    * dense cells come back as singleton clusters (the q105 union). */
+  def geoHotspots(points: DataFrame, resMicroDeg: Long = 5000000L,
+      factor: Long = 2L): DataFrame = {
+    require(resMicroDeg > 0 && 360000000L % resMicroDeg == 0L &&
+      180000000L % resMicroDeg == 0L,
+      s"res=$resMicroDeg µdeg must divide both 180e6 and 360e6")
+    require(factor >= 1L, s"factor=$factor must be >= 1")
+    val res = resMicroDeg
+    val ncols = 360000000L / res
+    require(ncols >= 3L, s"grid too coarse: $ncols longitude cells")
+    val wide = ncols + 1L // the q261 cell-id scheme
+    val cTot = (180000000L / res) * ncols
+    val cells = points.groupBy(
+        expr(s"(la + 90000000) DIV $res").as("r"),
+        expr(s"(lo + 180000000) DIV $res").as("c"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum("n").as("nn"))
+    val dense = cells.crossJoin(broadcast(tot))
+      .filter(col("n") * lit(cTot) > lit(factor) * col("nn"))
+      .select(col("r"), col("c"), col("n"),
+        (col("r") * wide + col("c")).as("cell"))
+      .localCheckpoint(true) // multi-consumer: edge sides + singles + agg
+    val nbr = dense
+      .withColumn("dr", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dc", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .filter(col("dr") =!= 0L || col("dc") =!= 0L)
+      .select(col("cell").as("src"),
+        ((col("r") + col("dr")) * wide +
+          pmod(col("c") + col("dc"), lit(ncols))).as("dst_key"))
+    val edges = nbr.join(dense.select(col("cell").as("dst")),
+        col("dst_key") === col("dst"))
+      .filter(col("src") < col("dst"))
+      .select("src", "dst")
+    val cc = Graph.connectedComponents(edges)
+    val singles = dense.select(col("cell").as("id"))
+      .join(cc.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    cc.union(singles)
+      .join(dense.select(col("cell").as("id"), col("n")), Seq("id"))
+      .groupBy(col("component").as("cluster"))
+      .agg(count(lit(1)).as("n_cells"), sum("n").as("n_points"))
+  }
+
+  /** Q264 — hotspot clusters under the ORACLE gate: customer points,
+    * 5° cells, 2× ambient density (182 clusters at sf0.01, 32 at
+    * sf0.1 — the relative threshold keeps both scales non-vacuous).
+    * The oracle rebuilds the closure with a recursive CTE (the q105
+    * reachability idiom). */
+  def q264(s: SparkSession, d: String): DataFrame =
+    geoHotspots(customerPoints(s, d)).orderBy("cluster")
+
+  def q264OracleSql: String = {
+    val res = 5000000L
+    val ncols = 360000000L / res
+    val wide = ncols + 1L
+    val cTot = (180000000L / res) * ncols
+    "WITH RECURSIVE pts AS (SELECT " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 180000001 - 90000000 AS la, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 360000000 - 180000000 AS lo " +
+      "FROM customer), " +
+      s"cells AS (SELECT (la + 90000000) // $res AS r, " +
+      s"(lo + 180000000) // $res AS c, COUNT(*) AS n FROM pts GROUP BY 1, 2), " +
+      "tot AS (SELECT SUM(n) AS nn FROM cells), " +
+      s"dense AS (SELECT r, c, n, r * $wide + c AS cell FROM cells, tot " +
+      s"WHERE n * $cTot > 2 * nn), " +
+      "e0 AS (SELECT a.cell AS src, b.cell AS dst FROM dense a JOIN dense b " +
+      "ON abs(a.r - b.r) <= 1 AND " +
+      s"LEAST(((a.c - b.c) % $ncols + $ncols) % $ncols, " +
+      s"((b.c - a.c) % $ncols + $ncols) % $ncols) <= 1 " +
+      "AND a.cell <> b.cell), " +
+      "reach(id, label) AS (SELECT cell, cell FROM dense " +
+      "UNION SELECT e0.dst, r.label FROM reach r JOIN e0 ON e0.src = r.id), " +
+      "cl AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id) " +
+      "SELECT cl.cluster, CAST(COUNT(*) AS BIGINT) AS n_cells, " +
+      "CAST(SUM(d.n) AS BIGINT) AS n_points " +
+      "FROM dense d JOIN cl ON d.cell = cl.id GROUP BY cl.cluster " +
+      "ORDER BY cluster"
+  }
 }

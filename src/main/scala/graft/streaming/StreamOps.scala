@@ -71,6 +71,14 @@ case class ClosedBlock(user_id: Long, bs: Long, be: Long,
 case class GapRow(user_id: Long, gap_start: Long, gap_end: Long,
   gap_s: Long)
 
+/** S46 dwell state: the user's current zone RUN — zone, enter anchor,
+  * last-seen (tsu, event_id) anchor, event count. One run per key,
+  * constant size; removed on idle eviction. */
+case class DwellState(zone: String, enterUs: Long, lastUs: Long,
+  lastEvent: Long, n: Long)
+case class DwellVisit(user_id: Long, zone: String, enter_us: Long,
+  exit_us: Long, n_events: Long)
+
 /** S44 proximity state: the in-watermark readings exploded into one
   * (band, cell) grid key — parallel arrays; each reading carries its
   * HOME key so pair emission deduplicates to the smaller id's home
@@ -1714,6 +1722,92 @@ object StreamOps {
     geofenceResolved(
       graft.operators.Geo.resolveCircleZones(events, zones),
       watermark, idleGapUs)
+  }
+
+  /** S46 — streaming zone DWELL visits: the live form of q258
+    * ([[graft.operators.Geo.q258]]'s gaps-and-islands over resolved
+    * circle zones). One output row per completed IN-ZONE visit —
+    * emitted EXACTLY ONCE when the run CLOSES: either a later event
+    * resolves to a different zone (the next run's first event is the
+    * proof the old run ended), or the user goes idle past
+    * `idleGapUs` (EventTimeTimeout). Unlike S39/S43, the idle bound
+    * is REQUIRED here, not opt-in: live dwell is undecidable without
+    * one — "still inside, quiet" and "gone" are indistinguishable
+    * until the next fix — so the operator takes the session-boundary
+    * reading explicitly. "outside" runs close silently.
+    *
+    * Ordering contract (the S39 frontier class): events must arrive
+    * per user in event-time order ACROSS batches — cross-batch
+    * stragglers at-or-below the state's (tsu, event_id) anchor are
+    * dropped; intra-batch disorder is sorted away. Zone resolution is
+    * the layered q255 polynomial column chain — a narrow no-join map
+    * ahead of the single stateful operator; for 10³+ zones resolve
+    * through the S45 grid join instead and feed the same machine (the
+    * S43 cutover note).
+    *
+    * State: one run per key (a string + four longs) — constant
+    * regardless of stream age; removed on idle eviction, so quiet
+    * users cost nothing. Batch parity: with the idle gap wider than
+    * every intra-run silence, enter/exit truncated to seconds equal
+    * q258's rows exactly (pinned by the golden on the sf0.001
+    * trajectory fixture). */
+  def dwellStream(events: DataFrame,
+      zones: Seq[(String, Long, Long, Double)],
+      watermark: String = "10 seconds",
+      idleGapUs: Long = 3600L * 1000000L): DataFrame = {
+    require(zones.nonEmpty, "zones must be non-empty")
+    require(idleGapUs > 0, s"idleGapUs=$idleGapUs must be positive")
+    val resolved = graft.operators.Geo.resolveCircleZones(events, zones)
+    val s = events.sparkSession
+    import s.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    resolved.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("zone"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[DwellState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.zone != "outside")
+              Iterator.single(DwellVisit(uid, st.zone, st.enterUs,
+                st.lastUs, st.n))
+            else Iterator.empty
+          } else {
+            var stOpt = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[DwellVisit]
+            rows.toSeq
+              .map { case (_, ts, id, z) => (micros(ts), id, z) }
+              .sortBy { case (tu, id, _) => (tu, id) }
+              .foreach { case (tu, id, z) =>
+                stOpt match {
+                  case Some(st) if tu < st.lastUs ||
+                      (tu == st.lastUs && id <= st.lastEvent) => () // straggler
+                  case Some(st) if st.zone == z =>
+                    stOpt = Some(st.copy(lastUs = tu, lastEvent = id,
+                      n = st.n + 1))
+                  case Some(st) =>
+                    if (st.zone != "outside")
+                      out += DwellVisit(uid, st.zone, st.enterUs, st.lastUs, st.n)
+                    stOpt = Some(DwellState(z, tu, tu, id, 1L))
+                  case None =>
+                    stOpt = Some(DwellState(z, tu, tu, id, 1L))
+                }
+              }
+            stOpt.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(
+                st.lastUs / 1000 + idleGapUs / 1000,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }.toDF()
   }
 
   /** Shared S39 state machine over a resolved-zone column.

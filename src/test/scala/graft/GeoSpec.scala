@@ -188,4 +188,68 @@ class GeoSpec extends SparkSpec {
         s"($la,$loa)-($lb,$lob): poly=${r.getDouble(4)} true=$truth")
     }
   }
+
+  test("speedAnomalies == naive consecutive-pair screen (havScala/kzScala)") {
+    // the engine's windowed layer chain vs a driver-side recomputation
+    // with the bit-identical Scala forms — every pair, both directions
+    // of the predicate, on the real trajectory fixture
+    val rows = Geo.eventPoints(spark, sf("sf0.001"))
+      .select("user_id", "event_id", "tsu", "la", "lo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (uid, rs) =>
+      rs.sortBy(r => (r._3, r._2)).sliding(2).collect {
+        case Array(p, c) =>
+          val dt = c._3 - p._3
+          val radius = math.min(40.0 * dt.toDouble, 20015086.0)
+          val hav = Geo.havScala(c._4, c._5, p._4, p._5)
+          val kz = Geo.kzScala(radius)
+          (uid, c._2, dt, hav, kz)
+      }.filter { case (_, _, _, hav, kz) => hav > kz }
+    }.toSet
+    val got = Geo.q262(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.length == got.toSet.size, "duplicate anomaly rows")
+    assert(got.nonEmpty, "vacuous fixture: no anomalies at sf0.001")
+    assert(got.toSet == want,
+      s"missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
+    // the fixture also exercises the non-anomalous side
+    val nPairs = rows.groupBy(_._1).map(_._2.length - 1).sum
+    assert(got.length < nPairs, "screen flagged every pair")
+  }
+
+  test("geoHotspots == naive union-find over dense cells; lon wrap; singletons kept") {
+    val res = 5000000L; val ncols = 72L; val wide = 73L; val cTot = 2592L
+    val pts = Geo.customerPoints(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val cnt = pts.groupBy { case (la, lo) =>
+        ((la + 90000000L) / res, (lo + 180000000L) / res) }
+      .map { case (k, v) => k -> v.length.toLong }
+    val n = pts.length.toLong
+    val dense = cnt.filter { case (_, c) => c * cTot > 2L * n }
+    assert(dense.nonEmpty, "vacuous: no dense cells at sf0.001")
+    val parent = scala.collection.mutable.Map(dense.keys.map(k => k -> k).toSeq: _*)
+    def find(x: (Long, Long)): (Long, Long) =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (k <- dense.keys; dr <- -1L to 1L; dc <- -1L to 1L
+         if dr != 0L || dc != 0L) {
+      val nb = (k._1 + dr, (((k._2 + dc) % ncols) + ncols) % ncols)
+      if (dense.contains(nb)) {
+        val (ra, rb) = (find(k), find(nb))
+        if (ra != rb) parent(if (ra._1 * wide + ra._2 > rb._1 * wide + rb._2) ra else rb) =
+          if (ra._1 * wide + ra._2 > rb._1 * wide + rb._2) rb else ra
+      }
+    }
+    val want = dense.keys.toSeq.groupBy(find).map { case (root, ks) =>
+      (ks.map(k => k._1 * wide + k._2).min,
+        ks.length.toLong, ks.map(dense).sum)
+    }.toSet
+    val got = Geo.q264(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // at this density most clusters are singletons AND some merge
+    assert(want.exists(_._2 == 1L) && want.exists(_._2 > 1L),
+      "fixture exercises only one cluster shape")
+  }
 }

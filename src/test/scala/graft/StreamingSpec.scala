@@ -1971,6 +1971,87 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
   }
 
+  test("S46: dwell visits close on zone change; outside silent; idle timeout closes; straggler dropped") {
+    val base = 1700000000L
+    def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000)
+    val zones = Seq(("A", 0L, 0L, 200000.0), ("B", 0L, 10000000L, 200000.0))
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+    val q = StreamOps.dwellStream(
+        in.toDF().toDF("ts", "user_id", "event_id", "la", "lo"), zones,
+        watermark = "0 seconds", idleGapUs = 60L * 1000000L)
+      .writeStream.format("memory").queryName("s46").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    def rows() = spark.table("s46").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    def us(sec: Long) = (base + sec) * 1000000L
+    // visit 1: two A fixes (deliberately out of order in-batch), then
+    // a B fix CLOSES the A visit — one row, exactly once
+    in.addData((ts(20), 1L, 2L, 0L, 0L), (ts(10), 1L, 1L, 100000L, 0L),
+      (ts(30), 1L, 3L, 0L, 10000000L))
+    q.processAllAvailable()
+    val vA = (1L, "A", us(10), us(20), 2L)
+    assert(rows().toSeq == Seq(vA), s"b1: ${rows().toSeq}")
+    // an outside fix closes the B visit; the outside run itself is silent
+    in.addData((ts(40), 1L, 4L, 40000000L, 90000000L))
+    q.processAllAvailable()
+    val vB = (1L, "B", us(30), us(30), 1L)
+    assert(rows().toSet == Set(vA, vB), s"b2: ${rows().toSeq}")
+    // cross-batch straggler below the (tsu, event_id) anchor: dropped
+    in.addData((ts(15), 1L, 9L, 0L, 10000000L))
+    q.processAllAvailable()
+    assert(rows().length == 2, s"straggler emitted: ${rows().toSeq}")
+    // re-enter A, then idle past the 60 s gap: the timeout closes it
+    in.addData((ts(50), 1L, 5L, 0L, 0L))
+    q.processAllAvailable()
+    in.addData((ts(200), 2L, 6L, 40000000L, 90000000L)) // watermark → 200
+    q.processAllAvailable()
+    in.addData((ts(201), 2L, 7L, 40000000L, 90000000L)) // fires u1 timeout
+    q.processAllAvailable(); q.stop()
+    val u1 = rows().filter(_._1 == 1L).toSet
+    assert(u1 == Set(vA, vB, (1L, "A", us(50), us(50), 1L)), s"final: $u1")
+    assert(rows().forall(_._1 == 1L), "outside-only user emitted a visit")
+  }
+
+  test("S46: batch parity — streamed trajectory fixture == q258 zone dwell rows") {
+    val d = sf("sf0.001")
+    val pts = graft.operators.Geo.eventPoints(spark, d)
+      .select("user_id", "event_id", "tsu", "la", "lo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val gap = 100L * 86400L * 1000000L // wider than any intra-run silence
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+    val q = StreamOps.dwellStream(
+        in.toDF().toDF("ts", "user_id", "event_id", "la", "lo"),
+        graft.operators.Geo.dwellZones,
+        watermark = "0 seconds", idleGapUs = gap)
+      .writeStream.format("memory").queryName("s46p").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    in.addData(pts.map(p =>
+      (new java.sql.Timestamp(p._3 * 1000), p._1, p._2, p._4, p._5)).toIndexedSeq)
+    q.processAllAvailable()
+    // sentinel user pushes the watermark past every timeout, a second
+    // batch fires them — the final open visit per user closes
+    val flushSec = pts.map(_._3).max + gap / 1000000L + 10L
+    in.addData((new java.sql.Timestamp(flushSec * 1000), -1L, 1L,
+      40000000L, 90000000L))
+    q.processAllAvailable()
+    in.addData((new java.sql.Timestamp((flushSec + 1) * 1000), -1L, 2L,
+      40000000L, 90000000L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s46p").collect()
+      .filter(_.getLong(0) != -1L)
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2) / 1000000L,
+        r.getLong(3) / 1000000L, r.getLong(4)))
+    assert(got.length == got.toSet.size, "duplicate visit rows")
+    val want = graft.operators.Geo.q258(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(want.nonEmpty, "vacuous parity fixture")
+    assert(got.toSet == want,
+      s"missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
+  }
+
   test("S41: streaming classifier scoring is bit-identical to batch training scores") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))

@@ -318,6 +318,49 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("q263 bigram backoff LM: exact recomputation; both CASE branches fire") {
+    val d = sf("sf0.001")
+    val texts = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    def toks(t: String): Array[String] = t.split("\\s+").filter(_.nonEmpty)
+    val refIds = texts.keys.filter(_ % 25 == 0).toSeq
+    val c1 = refIds.flatMap(id => toks(texts(id)))
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val n = c1.values.sum
+    val v = c1.size.toLong
+    val c2 = refIds.flatMap(id => toks(texts(id)).sliding(2)
+        .collect { case Array(a, b) => (a, b) })
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val r = TextOps.q263(spark, d).collect()
+    val scoredIds = texts.keys
+      .filter(id => id % 25 != 0 && toks(texts(id)).length >= 2)
+    assert(r.length == scoredIds.size)
+    // the reference slice misses bigrams AND covers some: both branches
+    assert(r.map(_.getLong(2)).sum > 0, "backoff branch never fired")
+    assert(r.map(x => x.getLong(1) - x.getLong(2)).sum > 0, "seen branch never fired")
+    r.take(5).foreach { row =>
+      val id = row.getLong(0)
+      val bgs = toks(texts(id)).sliding(2)
+        .collect { case Array(a, b) => (a, b) }.toSeq
+      var backoff = 0L
+      val slp = bgs.foldLeft(0d) { case (acc, (w1, w2)) =>
+        acc + (c2.get((w1, w2)) match {
+          case Some(cc) => math.log(cc.toDouble / c1(w1).toDouble)
+          case None =>
+            backoff += 1
+            math.log(0.4) +
+              math.log((c1.getOrElse(w2, 0L) + 1L).toDouble / (n + v).toDouble)
+        })
+      }
+      val expect = BigDecimal(slp / bgs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getLong(1) == bgs.length.toLong, s"doc $id n_bigrams")
+      assert(row.getLong(2) == backoff, s"doc $id n_backoff")
+      assert(row.getDouble(3) == expect, s"doc $id score")
+    }
+  }
+
   test("segmentDedup: untouched docs reconstruct exactly, boilerplate really drops") {
     val d = sf("sf0.001")
     val docs = graft.sources.Tables.documents(spark, d)
