@@ -46,6 +46,9 @@ object PlanAudit {
     "q200_topk_coverage",
     // q203 crosses its 1-row summary with the 1-row gini frame
     "q203_partition_skew",
+    // q263 crosses the 1-row (N, V) reference-count frame — the q79
+    // class (reviewed r16)
+    "q263_bigram_lm",
     // r13, reviewed one by one: q225 crosses the 1-row total-quantity
     // frame; q232 crosses the per-source maxr frame (|sources| rows)
     // with the 10-row checkpoint spine; q233 is the labels² non-equi

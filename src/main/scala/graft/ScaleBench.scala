@@ -980,6 +980,75 @@ object ScaleBench {
     }
   }
 
+  /** Growth curves for the trajectory tier (r16): the speed-anomaly
+    * screen (q262 — per-user LAG window + polynomial layers; cost must
+    * be linear in fixes, the shuffle is one user-keyed exchange) and
+    * hotspot clustering (q264 — one corpus hash-agg + dense-cell CC;
+    * the corpus term must dominate and stay linear while the CC term
+    * stays bounded by the dense-cell frame). Fixes are 64-per-user
+    * synthetic trajectories: md5-class hash homes, per-fix drift, and
+    * a 1-in-16 planted teleport so the anomaly population is real. */
+  private def runTraj(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val uid = (col("id") / lit(64L)).cast("long")
+      val fixes = spark.range(n).select(
+        col("id").as("event_id"),
+        uid.as("user_id"),
+        (pmod(col("id"), lit(64L)) * 600L +
+          pmod(xxhash64(col("id")), lit(300L))).as("tsu"),
+        ((pmod(xxhash64(uid), lit(160000001L)) - 80000000L) +
+          (pmod(xxhash64(col("id"), lit(2)), lit(100001L)) - 50000L) +
+          when(pmod(xxhash64(col("id"), lit(3)), lit(16L)) === 0L,
+            pmod(xxhash64(col("id"), lit(4)), lit(8000001L)) - 4000000L)
+            .otherwise(lit(0L))).as("la"),
+        (pmod((pmod(xxhash64(uid, lit(1)), lit(360000000L))
+          - 180000000L) +
+          (pmod(xxhash64(col("id"), lit(5)), lit(100001L)) - 50000L)
+          + 540000000L, lit(360000000L)) - 180000000L).as("lo"))
+        .persist()
+      fixes.count()
+      def run(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val a = graft.operators.Geo.speedAnomalies(fixes, 40.0).count()
+        ((System.nanoTime() - t0) / 1e9, a)
+      }
+      if (i == 0) { // warmup both kernels, discarded
+        run()
+        graft.operators.Geo.geoHotspots(
+          fixes.select(col("event_id").as("id"), col("la"), col("lo"))).count()
+        sweep(); fixes.count()
+      }
+      val (sec, anom) = run()
+      fixes.unpersist(); sweep()
+      // hotspot fixture: 90% uniform ambient + 10% concentrated on 50
+      // hash-derived hot centers (±2° jitter ≈ one 5° cell; per-hot-cell
+      // density ≈ 5.8× ambient) — a pure uniform corpus has NO >2×
+      // cells at large n (the Poisson tail closes), which would make
+      // the curve's CC term vacuous
+      val hot = pmod(xxhash64(col("id"), lit(7)), lit(50L))
+      val isHot = pmod(xxhash64(col("id"), lit(6)), lit(10L)) === 0L
+      val pts = spark.range(n).select(col("id"),
+        when(isHot, pmod(xxhash64(hot, lit(8)), lit(176000001L)) - 88000000L +
+            (pmod(xxhash64(col("id"), lit(9)), lit(4000001L)) - 2000000L))
+          .otherwise(pmod(xxhash64(col("id")), lit(180000001L)) - 90000000L)
+          .as("la"),
+        when(isHot, pmod(pmod(xxhash64(hot, lit(10)), lit(360000000L)) +
+            (pmod(xxhash64(col("id"), lit(11)), lit(4000001L)) - 2000000L)
+            + 360000000L, lit(360000000L)) - 180000000L)
+          .otherwise(pmod(xxhash64(col("id"), lit(1)), lit(360000000L)) - 180000000L)
+          .as("lo"))
+        .persist()
+      pts.count()
+      val t1 = System.nanoTime()
+      val clusters = graft.operators.Geo.geoHotspots(pts).count()
+      val hotSec = (System.nanoTime() - t1) / 1e9
+      pts.unpersist(); sweep()
+      println(f"""{"op":"traj","n_fixes":$n,"speed_sec":$sec%.2f,"anomalies":$anom,"hotspot_sec":$hotSec%.2f,"clusters":$clusters}""")
+    }
+  }
+
   /** Growth curve for the trained quality classifier (q251): 16
     * preconditioned GD steps over word-soup corpora — cost must be
     * linear in corpus tokens (each step is one margin pass + one
@@ -1160,6 +1229,13 @@ object ScaleBench {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(1000000L, 5000000L, 20000000L)
       runGeo(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("traj")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(1000000L, 5000000L, 20000000L)
+      runTraj(spark, sizes)
       spark.stop()
       return
     }

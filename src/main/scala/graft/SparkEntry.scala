@@ -282,6 +282,7 @@ object SparkEntry {
     "q262_speed_anomaly"   -> (graft.operators.Geo.q262 _),
     "q263_bigram_lm"       -> (TextOps.q263 _),
     "q264_geo_hotspots"    -> (graft.operators.Geo.q264 _),
+    "q265_traj_resample"   -> (graft.operators.Geo.q265 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -633,6 +634,10 @@ object SparkEntry {
     // q264: geo hotspot clusters — exact integer density test +
     // recursive-CTE closure over dense-cell adjacency (q105 idiom)
     "q264_geo_hotspots" -> graft.operators.Geo.q264OracleSql,
+    // q265: trajectory resampling — exact-integer interpolation on
+    // SHIFTED non-negative coordinates (truncating DIV == floor //),
+    // prev/next fixes via IGNORE-NULLS edge windows
+    "q265_traj_resample" -> graft.operators.Geo.q265OracleSql,
     // q254: interval gaps — the q248 block CTE + LEAD complement
     "q254_interval_gaps" ->
       ("WITH iv AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, " +

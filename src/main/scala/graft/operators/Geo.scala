@@ -874,6 +874,106 @@ object Geo {
       "ORDER BY user_id, event_id"
   }
 
+  /** Trajectory resampling to a uniform time grid — the canonical step
+    * after raw sensor-fix ingestion (the reference's own domain:
+    * RawDataIngestion.java:103-149 ingests irregular mCerebrum sensor
+    * datapoints; aligning them to a fixed grid is what downstream
+    * fusion/model consumers do first): per user, one interpolated
+    * position every `gridSeconds` within the user's own fix span (no
+    * extrapolation). Interpolation is EXACT-INTEGER linear:
+    * coordinates shift to non-negative (la+90e6, lo+180e6) so the
+    * numerator a₀·(t₁−t) + a₁·(t−t₀) is a non-negative BIGINT and one
+    * truncating division equals floor division on BOTH engines (the
+    * q254 sign-semantics class, solved by construction instead of by
+    * mirrored sign fixups); a grid instant that hits a fix exactly
+    * returns that fix. Longitude interpolates naively (no dateline
+    * shortcut) — documented; a wrap-aware variant would interpolate
+    * the unwrapped cumulative angle.
+    *
+    * Scale: one per-user span agg + a bounded sequence explode
+    * (span/grid rows per user), then the fixes ∪ grid frame takes two
+    * user-keyed window passes (prev-fix / next-fix via IGNORE-NULLS
+    * edge values over the same (t, kind, eid) total order) — the
+    * shuffle set of any per-user window; no join, no driver work. */
+  def resampleTrajectory(points: DataFrame, gridSeconds: Long): DataFrame = {
+    require(gridSeconds > 0, s"gridSeconds=$gridSeconds must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val G = gridSeconds
+    val span = points.groupBy("user_id")
+      .agg(expr(s"((min(tsu) + ${G - 1}) DIV $G) * $G").as("g0"),
+        expr(s"(max(tsu) DIV $G) * $G").as("g1"))
+      .filter(col("g0") <= col("g1"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("g0"), col("g1"), lit(G))).as("t"))
+    val u = points.select(col("user_id"), col("tsu").as("t"),
+        lit(0).as("kind"), col("event_id").as("eid"),
+        (col("la") + 90000000L).as("las"), (col("lo") + 180000000L).as("los"))
+      .unionByName(grid.select(col("user_id"), col("t"), lit(1).as("kind"),
+        lit(Long.MaxValue).as("eid"),
+        lit(null).cast("long").as("las"), lit(null).cast("long").as("los")))
+    val wp = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("kind"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("kind"), col("eid"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val fixT = when(col("kind") === 0, col("t"))
+    val w = u.select(col("user_id"), col("t"), col("kind"),
+      last(col("las"), ignoreNulls = true).over(wp).as("pla"),
+      last(col("los"), ignoreNulls = true).over(wp).as("plo"),
+      last(fixT, ignoreNulls = true).over(wp).as("pt"),
+      first(col("las"), ignoreNulls = true).over(wn).as("nla"),
+      first(col("los"), ignoreNulls = true).over(wn).as("nlo"),
+      first(fixT, ignoreNulls = true).over(wn).as("nt"))
+    w.filter(col("kind") === 1 && col("pla").isNotNull &&
+        (col("pt") === col("t") || col("nla").isNotNull))
+      .select(col("user_id"), col("t"),
+        (when(col("pt") === col("t"), col("pla"))
+          .otherwise(expr("(pla * (nt - t) + nla * (t - pt)) DIV (nt - pt)"))
+          - 90000000L).as("la_i"),
+        (when(col("pt") === col("t"), col("plo"))
+          .otherwise(expr("(plo * (nt - t) + nlo * (t - pt)) DIV (nt - pt)"))
+          - 180000000L).as("lo_i"))
+  }
+
+  /** Q265 — trajectory resampling under the ORACLE gate: the q258
+    * fixture resampled to a 6-hour grid (17,493 grid positions at
+    * sf0.01, one per user per grid instant inside the user's span). */
+  def q265(s: SparkSession, d: String): DataFrame =
+    resampleTrajectory(eventPoints(s, d), 21600L).orderBy("user_id", "t")
+
+  def q265OracleSql: String = {
+    val G = 21600L
+    s"WITH pts AS ($eventPointsSql), " +
+      s"span AS (SELECT user_id, ((MIN(tsu) + ${G - 1}) // $G) * $G AS g0, " +
+      s"(MAX(tsu) // $G) * $G AS g1 FROM pts GROUP BY user_id), " +
+      s"grid AS (SELECT user_id, unnest(range(g0, g1 + 1, $G)) AS t " +
+      "FROM span WHERE g0 <= g1), " +
+      "u AS (SELECT user_id, tsu AS t, 0 AS kind, event_id AS eid, " +
+      "la + 90000000 AS las, lo + 180000000 AS los FROM pts " +
+      "UNION ALL SELECT user_id, t, 1 AS kind, 9223372036854775807 AS eid, " +
+      "NULL, NULL FROM grid), " +
+      "w AS (SELECT user_id, t, kind, " +
+      "last_value(las IGNORE NULLS) OVER wp AS pla, " +
+      "last_value(los IGNORE NULLS) OVER wp AS plo, " +
+      "last_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS) OVER wp AS pt, " +
+      "first_value(las IGNORE NULLS) OVER wn AS nla, " +
+      "first_value(los IGNORE NULLS) OVER wn AS nlo, " +
+      "first_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS) OVER wn AS nt " +
+      "FROM u WINDOW " +
+      "wp AS (PARTITION BY user_id ORDER BY t, kind, eid " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+      "wn AS (PARTITION BY user_id ORDER BY t, kind, eid " +
+      "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+      "SELECT user_id, t, " +
+      "CASE WHEN pt = t THEN pla " +
+      "ELSE (pla * (nt - t) + nla * (t - pt)) // (nt - pt) END - 90000000 AS la_i, " +
+      "CASE WHEN pt = t THEN plo " +
+      "ELSE (plo * (nt - t) + nlo * (t - pt)) // (nt - pt) END - 180000000 AS lo_i " +
+      "FROM w WHERE kind = 1 AND pla IS NOT NULL " +
+      "AND (pt = t OR nla IS NOT NULL) ORDER BY user_id, t"
+  }
+
   /** Geo hotspot clusters — grid-density clustering (the GDBSCAN/
     * STING family: density-reachable cells merged into regions):
     * cells at `resMicroDeg` whose point count is STRICTLY above

@@ -79,6 +79,16 @@ case class DwellState(zone: String, enterUs: Long, lastUs: Long,
 case class DwellVisit(user_id: Long, zone: String, enter_us: Long,
   exit_us: Long, n_events: Long)
 
+/** S47 burst state: per grid cell, the closed-window frontier, the
+  * EWMA baseline in 1/256 units (exact integer update — replay-
+  * stable), the warmup counter, and the in-flight window counts
+  * (parallel arrays, bounded by windows inside the watermark
+  * horizon). */
+case class BurstState(lastClosed: Long, warm: Long, ewmaQ: Long,
+  lastSeenUs: Long, ws: Array[Long], ns: Array[Long])
+case class BurstAlert(cell: Long, win_start_s: Long, n: Long,
+  baseline_q256: Long)
+
 /** S44 proximity state: the in-watermark readings exploded into one
   * (band, cell) grid key — parallel arrays; each reading carries its
   * HOME key so pair emission deduplicates to the smaller id's home
@@ -1722,6 +1732,129 @@ object StreamOps {
     geofenceResolved(
       graft.operators.Geo.resolveCircleZones(events, zones),
       watermark, idleGapUs)
+  }
+
+  /** S47 — streaming geo BURST detection (emerging-hotspot alerts):
+    * the live sibling of q264's grid-density clusters crossed with
+    * q213's rate anomaly — per 5°-class grid cell, tumbling-window
+    * event counts are compared against the cell's OWN EWMA baseline,
+    * and a window whose count strictly exceeds `mult`× the baseline
+    * (after `warmup` closed windows, and only at `minCount`+ events —
+    * the absolute support floor every burst detector needs, or a
+    * single event after a quiet spell "bursts" against a decayed-to-
+    * zero baseline) emits ONE alert when the watermark closes it.
+    *
+    * Exactness/replay stability: the baseline is an exact integer
+    * EWMA in 1/256 units — ewma' = (7·ewma + 256·n) DIV 8 — and
+    * windows close in strict order behind a monotone frontier, so a
+    * replay produces bit-identical alerts; empty windows decay the
+    * baseline by the same factor (a run of k empties applies
+    * min(k, 64) decay steps — beyond 64 the factor is < 2⁻¹¹ of
+    * itself, and capping bounds the sweep for a cell waking after a
+    * long sleep). Alerts report the baseline AS OF the window start.
+    *
+    * State per cell: frontier + two longs + the in-flight window
+    * counts (bounded by windows inside the watermark horizon);
+    * a cell idle past `idleGapUs` is EVICTED — it forgets its
+    * baseline and re-warms on return (the S39-eviction trade, here
+    * the right default: a dead cell's baseline is stale anyway).
+    * Late rows at-or-below the frontier are dropped (the S14/S35
+    * at-once watermark contract). */
+  def geoBurstStream(events: DataFrame, resMicroDeg: Long = 5000000L,
+      windowSeconds: Long = 60L, mult: Long = 3L, warmup: Long = 4L,
+      minCount: Long = 4L, watermark: String = "10 seconds",
+      idleGapUs: Long = 3600L * 1000000L): DataFrame = {
+    require(resMicroDeg > 0 && 360000000L % resMicroDeg == 0L &&
+      180000000L % resMicroDeg == 0L,
+      s"res=$resMicroDeg µdeg must divide both 180e6 and 360e6")
+    require(windowSeconds > 0 && mult >= 1 && warmup >= 1 && minCount >= 1 &&
+      idleGapUs > 0,
+      s"bad params: win=$windowSeconds mult=$mult warmup=$warmup gap=$idleGapUs")
+    val s = events.sparkSession
+    import s.implicits._
+    val winUs = windowSeconds * 1000000L
+    val wide = 360000000L / resMicroDeg + 1L
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    events.withWatermark("ts", watermark)
+      .select(expr(s"((la + 90000000) DIV $resMicroDeg) * $wide + " +
+          s"(lo + 180000000) DIV $resMicroDeg").as("cell"),
+        col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (cell: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[BurstState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[BurstAlert]
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // sweep: close every window whose end the watermark passed,
+          // in order, updating the baseline (empty runs decay)
+          def closeUpTo(st0: BurstState): BurstState = {
+            val maxClose = wmUs / winUs - 1L
+            if (maxClose <= st0.lastClosed) return st0
+            var ewma = st0.ewmaQ
+            var warm = st0.warm
+            var cursor = st0.lastClosed
+            def decay(k: Long): Unit = {
+              var i = 0L
+              val kk = math.min(k, 64L)
+              while (i < kk) { ewma = ewma * 7L / 8L; i += 1L }
+              warm = math.min(warm + k, Long.MaxValue / 2)
+            }
+            val (close, keep) = st0.ws.zip(st0.ns).partition(_._1 <= maxClose)
+            close.sortBy(_._1).foreach { case (w, n) =>
+              decay(w - cursor - 1L)
+              if (warm >= warmup && n >= minCount && n * 256L > mult * ewma)
+                out += BurstAlert(cell, w * windowSeconds, n, ewma)
+              ewma = (ewma * 7L + n * 256L) / 8L
+              warm += 1L
+              cursor = w
+            }
+            decay(maxClose - cursor)
+            BurstState(maxClose, warm, ewma, st0.lastSeenUs,
+              keep.map(_._1), keep.map(_._2))
+          }
+          var st = state.getOption.orNull
+          if (!state.hasTimedOut) {
+            val evs = rows.map { case (_, ts) => micros(ts) }.toArray
+            if (st == null && evs.nonEmpty)
+              st = BurstState(evs.min / winUs - 1L, 0L, 0L, Long.MinValue,
+                Array.empty, Array.empty)
+            if (st != null && evs.nonEmpty) {
+              val m = scala.collection.mutable.LongMap.empty[Long]
+              st.ws.indices.foreach(i => m(st.ws(i)) = st.ns(i))
+              var seen = st.lastSeenUs
+              evs.foreach { tu =>
+                val w = tu / winUs
+                if (w > st.lastClosed) { // frontier guard
+                  m(w) = m.getOrElse(w, 0L) + 1L
+                  if (tu > seen) seen = tu
+                }
+              }
+              val ks = m.keys.toArray
+              st = BurstState(st.lastClosed, st.warm, st.ewmaQ, seen,
+                ks, ks.map(m))
+            }
+          }
+          if (st != null) {
+            st = closeUpTo(st)
+            if (st.ws.isEmpty && wmUs >= st.lastSeenUs + idleGapUs &&
+                st.lastSeenUs != Long.MinValue) {
+              state.remove()
+            } else {
+              state.update(st)
+              // wake when the earliest in-flight window can close, or
+              // at the eviction horizon for an empty cell
+              val nextUs =
+                if (st.ws.nonEmpty) (st.ws.min + 1L) * winUs
+                else st.lastSeenUs + idleGapUs
+              state.setTimeoutTimestamp(math.max(nextUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+          }
+          out.iterator
+      }.toDF()
   }
 
   /** S46 — streaming zone DWELL visits: the live form of q258

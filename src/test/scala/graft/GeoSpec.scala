@@ -218,6 +218,64 @@ class GeoSpec extends SparkSpec {
     assert(got.length < nPairs, "screen flagged every pair")
   }
 
+  test("resampleTrajectory: exact interpolation, fix hits, floor semantics, no extrapolation") {
+    val pts = Seq(
+      (1L, 1L, 5L, -1000L, 100L), (1L, 2L, 25L, 3000L, -500L),
+      (1L, 3L, 30L, 5000L, 5000L),
+      (2L, 4L, 0L, 0L, 0L), (2L, 5L, 30L, 10L, 10L),
+      (3L, 6L, 0L, -10L, 0L), (3L, 7L, 30L, 0L, 0L),
+      (4L, 8L, 7L, 42L, 42L)) // single mid-cell fix: empty grid, no rows
+      .toDF("user_id", "event_id", "tsu", "la", "lo")
+    val r = Geo.resampleTrajectory(pts, 10L).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+    assert(r == Set(
+      (1L, 10L, 0L, -50L), (1L, 20L, 2000L, -350L), (1L, 30L, 5000L, 5000L),
+      (2L, 0L, 0L, 0L), (2L, 10L, 3L, 3L), (2L, 20L, 6L, 6L),
+      (2L, 30L, 10L, 10L),
+      // floor (not truncate-toward-zero) on negative coordinates:
+      // -10 + 10/3 → -7, not -6
+      (3L, 0L, -10L, 0L), (3L, 10L, -7L, 0L), (3L, 20L, -4L, 0L),
+      (3L, 30L, 0L, 0L)), s"got $r")
+  }
+
+  test("q265 == driver floor-div recompute over the sf0.001 trajectory fixture") {
+    val rows = Geo.eventPoints(spark, sf("sf0.001"))
+      .select("user_id", "event_id", "tsu", "la", "lo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val G = 21600L
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      val s = rs.sortBy(r => (r._3, r._2))
+      val g0 = ((s.map(_._3).min + G - 1) / G) * G
+      val g1 = (s.map(_._3).max / G) * G
+      (g0 to g1 by G).flatMap { t =>
+        val prevs = s.filter(_._3 <= t)
+        val nexts = s.filter(_._3 > t)
+        if (prevs.isEmpty) None
+        else {
+          val p = prevs.last
+          if (p._3 == t) Some((u, t, p._4, p._5))
+          else if (nexts.isEmpty) None
+          else {
+            val nx = nexts.head
+            val den = nx._3 - p._3
+            val la = Math.floorDiv((p._4 + 90000000L) * (nx._3 - t) +
+              (nx._4 + 90000000L) * (t - p._3), den) - 90000000L
+            val lo = Math.floorDiv((p._5 + 180000000L) * (nx._3 - t) +
+              (nx._5 + 180000000L) * (t - p._3), den) - 180000000L
+            Some((u, t, la, lo))
+          }
+        }
+      }
+    }.toSet
+    val got = Geo.q265(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == got.toSet.size, "duplicate grid rows")
+    assert(got.nonEmpty, "vacuous resample fixture")
+    assert(got.toSet == want,
+      s"missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
+  }
+
   test("geoHotspots == naive union-find over dense cells; lon wrap; singletons kept") {
     val res = 5000000L; val ncols = 72L; val wide = 73L; val cTot = 2592L
     val pts = Geo.customerPoints(spark, sf("sf0.001")).collect()

@@ -2052,6 +2052,45 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
   }
 
+  test("S47: geo burst — steady traffic silent, burst alerts once, eviction re-warms the baseline") {
+    val base = 1700000000L // divisible by the 10 s window
+    def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000)
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = StreamOps.geoBurstStream(
+        in.toDF().toDF("ts", "la", "lo"),
+        windowSeconds = 10L, mult = 3L, warmup = 4L,
+        watermark = "0 seconds", idleGapUs = 50L * 1000000L)
+      .writeStream.format("memory").queryName("s47").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    def rows() = spark.table("s47").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def hot(sec: Long) = (ts(sec), 0L, 0L)                 // cell 18*73+36
+    def far(sec: Long) = (ts(sec), 40000000L, 90000000L)   // distinct cell
+    // five steady windows of 2 events, then a 12-event burst in w5
+    in.addData(Seq(3L, 7L, 13L, 17L, 23L, 27L, 33L, 37L, 43L, 47L).map(hot) ++
+      Seq(51L, 51L, 52L, 52L, 53L, 53L, 54L, 54L, 55L, 55L, 56L, 56L).map(hot))
+    q.processAllAvailable()
+    in.addData(far(58)) // wm → 58 (incl. the timeout batch): w0..w4 close
+    q.processAllAvailable()
+    assert(rows().isEmpty, s"steady traffic alerted: ${rows().toSeq}")
+    in.addData(far(100)) // wm → 100: closes the burst window
+    q.processAllAvailable()
+    val a = rows()
+    // baseline: 0→64→120→169→211→248 in 1/256 units over the steady run
+    assert(a.toSeq == Seq((18L * 73L + 36L, base + 50L, 12L, 248L)),
+      s"burst alerts: ${a.toSeq}")
+    // idle past 50 s evicts the cell (wm 120 > lastSeen 56 + 50)...
+    in.addData(far(120)); q.processAllAvailable()
+    in.addData(far(121)); q.processAllAvailable()
+    // ...so a post-return flood must RE-WARM, not alert against the
+    // stale (tiny) baseline — with retained state warm=13 ≥ 4 would fire
+    in.addData((1 to 50).map(i => hot(135)): _*)
+    q.processAllAvailable()
+    in.addData(far(160)); q.processAllAvailable()
+    in.addData(far(161)); q.processAllAvailable(); q.stop()
+    assert(rows().length == 1, s"post-eviction alert leaked: ${rows().toSeq}")
+  }
+
   test("S41: streaming classifier scoring is bit-identical to batch training scores") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
