@@ -79,6 +79,14 @@ case class DwellState(zone: String, enterUs: Long, lastUs: Long,
 case class DwellVisit(user_id: Long, zone: String, enter_us: Long,
   exit_us: Long, n_events: Long)
 
+/** S48 resample state: the user's current-second fix (SHIFTED
+  * non-negative coordinates, the q265 convention), its (sec, eid)
+  * frontier anchor, and the last grid instant emitted — five longs,
+  * constant forever. */
+case class ResampleState(tu: Long, eid: Long, las: Long, los: Long,
+  lastGrid: Long)
+case class GridPoint(user_id: Long, t: Long, la_i: Long, lo_i: Long)
+
 /** S47 burst state: per grid cell, the closed-window frontier, the
   * EWMA baseline in 1/256 units (exact integer update — replay-
   * stable), the warmup counter, and the in-flight window counts
@@ -1732,6 +1740,104 @@ object StreamOps {
     geofenceResolved(
       graft.operators.Geo.resolveCircleZones(events, zones),
       watermark, idleGapUs)
+  }
+
+  /** S48 — streaming trajectory resampling: the live q265
+    * ([[graft.operators.Geo.resampleTrajectory]]). Emits one
+    * interpolated position per user per grid instant, EXACTLY ONCE,
+    * as soon as it is determined: a non-hit instant is bracketed the
+    * moment the NEXT fix arrives (under the S39 frontier contract no
+    * fix can later land between the pair), and an exact-hit instant
+    * emits when its SECOND closes — the next later-second fix proves
+    * no higher-event_id fix at that second is coming (q265 takes the
+    * LAST fix of a tied second), or the idle timeout closes it.
+    *
+    * The interpolation is the IDENTICAL exact-integer form as the
+    * batch operator: shifted non-negative coordinates, one
+    * Math.floorDiv per axis — a replayed stream and the batch query
+    * produce bit-identical grid positions (pinned by the parity
+    * golden over the sf0.001 trajectory fixture).
+    *
+    * State: five longs per user, constant. A user idle past
+    * `idleGapUs` is evicted — their next fix restarts the grid at its
+    * own span, so the cross-gap interpolation the batch computes is
+    * deliberately NOT emitted (the S46 session-boundary trade; set
+    * the gap wide for batch parity). Stragglers at-or-below the
+    * (sec, event_id) anchor are dropped. */
+  def resampleStream(events: DataFrame, gridSeconds: Long,
+      watermark: String = "10 seconds",
+      idleGapUs: Long = 3600L * 1000000L): DataFrame = {
+    require(gridSeconds > 0 && idleGapUs > 0,
+      s"gridSeconds=$gridSeconds idleGapUs=$idleGapUs must be positive")
+    val s = events.sparkSession
+    import s.implicits._
+    val G = gridSeconds
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"),
+        col("la").cast("long"), col("lo").cast("long"))
+      .as[(Long, java.sql.Timestamp, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, Long)],
+         state: GroupState[ResampleState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[GridPoint]
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (st.tu % G == 0L && st.tu > st.lastGrid)
+              out += GridPoint(uid, st.tu,
+                st.las - 90000000L, st.los - 180000000L)
+            state.remove()
+          } else {
+            var st = state.getOption.orNull
+            rows.toSeq
+              .map { case (_, ts, eid, la, lo) =>
+                (Math.floorDiv(micros(ts), 1000000L), eid,
+                  la + 90000000L, lo + 180000000L) }
+              .sortBy { case (t, eid, _, _) => (t, eid) }
+              .foreach { case (t, eid, las, los) =>
+                if (st == null)
+                  st = ResampleState(t, eid, las, los,
+                    ((t + G - 1L) / G) * G - G) // g0 − G: nothing emitted yet
+                else if (t < st.tu || (t == st.tu && eid <= st.eid)) {
+                  // cross-batch straggler below the anchor: dropped
+                } else if (t == st.tu) {
+                  // same second, higher event_id: the hit-candidate
+                  // fix is replaced (the q265 tied-second semantics)
+                  st = st.copy(eid = eid, las = las, los = los)
+                } else {
+                  var g = st.lastGrid + G
+                  var lastG = st.lastGrid
+                  while (g < t) {
+                    if (g == st.tu)
+                      out += GridPoint(uid, g,
+                        st.las - 90000000L, st.los - 180000000L)
+                    else if (g > st.tu) {
+                      val den = t - st.tu
+                      out += GridPoint(uid, g,
+                        Math.floorDiv(st.las * (t - g) + las * (g - st.tu),
+                          den) - 90000000L,
+                        Math.floorDiv(st.los * (t - g) + los * (g - st.tu),
+                          den) - 180000000L)
+                    }
+                    lastG = g
+                    g += G
+                  }
+                  st = ResampleState(t, eid, las, los, lastG)
+                }
+              }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(
+                st.tu * 1000L + idleGapUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+          }
+          out.iterator
+      }.toDF()
   }
 
   /** S47 — streaming geo BURST detection (emerging-hotspot alerts):

@@ -2091,6 +2091,70 @@ class StreamingSpec extends SparkSpec {
     assert(rows().length == 1, s"post-eviction alert leaked: ${rows().toSeq}")
   }
 
+  test("S48: resample emits each grid instant once — interp on bracket, hit on second-close, straggler ignored") {
+    val base = 1700000000L // grid-aligned epoch
+    def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000)
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+    val q = StreamOps.resampleStream(
+        in.toDF().toDF("ts", "user_id", "event_id", "la", "lo"), 10L,
+        watermark = "0 seconds", idleGapUs = 60L * 1000000L)
+      .writeStream.format("memory").queryName("s48").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    def rows() = spark.table("s48").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the GeoSpec q265 unit fixture, shifted to an aligned epoch
+    in.addData((ts(5), 1L, 1L, -1000L, 100L), (ts(25), 1L, 2L, 3000L, -500L),
+      (ts(30), 1L, 3L, 5000L, 5000L))
+    q.processAllAvailable()
+    val interp = Set((1L, base + 10L, 0L, -50L), (1L, base + 20L, 2000L, -350L))
+    assert(rows().toSet == interp, s"bracketed instants: ${rows().toSeq}")
+    // a same-second lower-event_id straggler must NOT replace the
+    // exact-hit candidate fix
+    in.addData((ts(30), 1L, 0L, 99999L, 99999L))
+    q.processAllAvailable()
+    assert(rows().length == 2, s"straggler emitted: ${rows().toSeq}")
+    // idle timeout closes the final second: the aligned hit emits with
+    // the HIGHEST event_id fix of that second
+    in.addData((ts(200), 2L, 9L, 40000000L, 90000000L))
+    q.processAllAvailable()
+    in.addData((ts(201), 2L, 10L, 40000000L, 90000000L))
+    q.processAllAvailable(); q.stop()
+    val u1 = rows().filter(_._1 == 1L).toSet
+    assert(u1 == interp + ((1L, base + 30L, 5000L, 5000L)), s"final: $u1")
+  }
+
+  test("S48: batch parity — streamed trajectory fixture == q265 grid positions, bit-identical") {
+    val d = sf("sf0.001")
+    val pts = graft.operators.Geo.eventPoints(spark, d)
+      .select("user_id", "event_id", "tsu", "la", "lo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val gap = 100L * 86400L * 1000000L
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+    val q = StreamOps.resampleStream(
+        in.toDF().toDF("ts", "user_id", "event_id", "la", "lo"), 21600L,
+        watermark = "0 seconds", idleGapUs = gap)
+      .writeStream.format("memory").queryName("s48p").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    in.addData(pts.map(p =>
+      (new java.sql.Timestamp(p._3 * 1000), p._1, p._2, p._4, p._5)).toIndexedSeq)
+    q.processAllAvailable()
+    val flushSec = pts.map(_._3).max + gap / 1000000L + 10L
+    in.addData((new java.sql.Timestamp(flushSec * 1000), -1L, 1L, 0L, 0L))
+    q.processAllAvailable()
+    in.addData((new java.sql.Timestamp((flushSec + 1) * 1000), -1L, 2L, 0L, 0L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s48p").collect()
+      .filter(_.getLong(0) >= 0L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == got.toSet.size, "duplicate grid rows")
+    val want = graft.operators.Geo.q265(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(want.nonEmpty, "vacuous parity fixture")
+    assert(got.toSet == want,
+      s"missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
+  }
+
   test("S41: streaming classifier scoring is bit-identical to batch training scores") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
