@@ -283,6 +283,7 @@ object SparkEntry {
     "q263_bigram_lm"       -> (TextOps.q263 _),
     "q264_geo_hotspots"    -> (graft.operators.Geo.q264 _),
     "q265_traj_resample"   -> (graft.operators.Geo.q265 _),
+    "q266_poly_zone_join"  -> (graft.operators.Spatial.q266 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -638,6 +639,9 @@ object SparkEntry {
     // SHIFTED non-negative coordinates (truncating DIV == floor //),
     // prev/next fixes via IGNORE-NULLS edge windows
     "q265_traj_resample" -> graft.operators.Geo.q265OracleSql,
+    // q266: zone-scale point-in-polygon — naive point × edge cross
+    // join over the identical diamond derivation + exact crossing CASE
+    "q266_poly_zone_join" -> graft.operators.Spatial.q266OracleSql,
     // q254: interval gaps — the q248 block CTE + LEAD complement
     "q254_interval_gaps" ->
       ("WITH iv AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, " +

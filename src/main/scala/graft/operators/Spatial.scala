@@ -249,6 +249,140 @@ object Spatial {
       "SELECT id, zone, n_cross FROM g WHERE n_cross % 2 = 1 ORDER BY id, zone"
   }
 
+  /** ZONE-SCALE point-in-polygon (r16): polygon zones as DATA — the
+    * polygon sibling of [[graft.operators.Geo.sphericalZoneJoin]] and
+    * the implemented cutover past [[pointInPolygon]]'s broadcast edge
+    * table / [[polyZoneExpr]]'s literal CASE, both of which grow the
+    * PLAN with the zone list. Here zones arrive as a vertex frame
+    * (zone_id, seq, xi, yi — ring order, auto-closed), the zone count
+    * is data, and the plan is constant:
+    *
+    *  - rings assemble per zone (array_sort over collected (seq, x, y)
+    *    structs; per-group state = vertex count), fail-fast on < 3
+    *    vertices with the guard fused into the frame both consumers
+    *    read (the q256 doctrine);
+    *  - each zone registers in every grid cell its bbox covers
+    *    (fanout = bbox area / cell² — pick `cellSize` near the median
+    *    zone diameter); each point sits in ONE cell, so a candidate
+    *    (point, zone) pair is generated at most once, no dedup;
+    *  - the lossless bbox cut drops far candidates before the edge
+    *    join; the exact-BIGINT crossing test ([[crossingCol]] — the
+    *    identical text q250 gates) aggregates map-side per
+    *    (point, zone); odd crossings = member.
+    *
+    * Truncating DIV on both the bbox span and the point cell keeps
+    * negative coordinates consistent (same rounding both sides;
+    * the straddling-zero cell is merely coarser, never lossy). */
+  def polyZoneJoin(points: DataFrame, vertices: DataFrame,
+      cellSize: Long): DataFrame = {
+    require(cellSize > 0, s"cellSize=$cellSize must be positive")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val ring = vertices.select(col("zone_id").cast("long").as("zone_id"),
+        col("seq").cast("int").as("seq"),
+        col("xi").cast("long").as("xi"), col("yi").cast("long").as("yi"))
+      .groupBy("zone_id")
+      .agg(array_sort(collect_list(
+        struct(col("seq"), col("xi"), col("yi")))).as("vs0"))
+      .withColumn("nv", size(col("vs0")))
+      .withColumn("vs", when(col("nv") >= 3, col("vs0"))
+        .otherwise(raise_error(concat(
+          lit("polyZoneJoin: zone needs >= 3 vertices, got "),
+          col("nv").cast("string")))))
+      .localCheckpoint(true) // multi-consumer: edges + bbox cells
+    val edges = ring.select(col("zone_id"),
+        explode(zip_with(col("vs"),
+          concat(expr("slice(vs, 2, nv - 1)"), expr("slice(vs, 1, 1)")),
+          (a, b) => struct(a.getField("xi").as("x1"), a.getField("yi").as("y1"),
+            b.getField("xi").as("x2"), b.getField("yi").as("y2")))).as("e"))
+      .select(col("zone_id"), col("e.x1"), col("e.y1"),
+        col("e.x2"), col("e.y2"))
+    val zcells = ring.select(col("zone_id"),
+        expr("array_min(transform(vs, v -> v.xi))").as("bxlo"),
+        expr("array_max(transform(vs, v -> v.xi))").as("bxhi"),
+        expr("array_min(transform(vs, v -> v.yi))").as("bylo"),
+        expr("array_max(transform(vs, v -> v.yi))").as("byhi"))
+      .withColumn("cx", explode(sequence(
+        expr(s"bxlo DIV $cellSize"), expr(s"bxhi DIV $cellSize"))))
+      .withColumn("cy", explode(sequence(
+        expr(s"bylo DIV $cellSize"), expr(s"byhi DIV $cellSize"))))
+    val p = points.select(col("id").cast("long").as("id"),
+        col("xi").cast("long").as("xi"), col("yi").cast("long").as("yi"))
+      .withColumn("cx", expr(s"xi DIV $cellSize"))
+      .withColumn("cy", expr(s"yi DIV $cellSize"))
+    val cand = p.join(zcells.hint("SHUFFLE_HASH"), Seq("cx", "cy"))
+      .filter(col("xi") >= col("bxlo") && col("xi") <= col("bxhi") &&
+        col("yi") >= col("bylo") && col("yi") <= col("byhi"))
+      .select("id", "xi", "yi", "zone_id")
+    cand.join(edges, Seq("zone_id"))
+      .withColumn("cr", when(crossingCol, 1L).otherwise(0L))
+      .groupBy("id", "zone_id")
+      .agg(sum("cr").as("n_cross"))
+      .filter(col("n_cross") % 2 === 1)
+  }
+
+  /** The q266 zone derivation: suppliers mapped to deterministic
+    * DIAMOND polygons (center from two md5 slices, four arm lengths
+    * in [500, 5500] from four more — always simple rings; the generic
+    * ray-cast machinery is concavity-tested in SpatialSpec). */
+  def supplierDiamonds(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("s_suppkey").cast("string"))
+    def hx(a: Int, n: Int) = conv(substring(h, a, n), 16, 10).cast("long")
+    Tables.supplier(s, d).select(
+        col("s_suppkey").cast("long").as("zone_id"),
+        pmod(hx(1, 8), lit(100000L)).as("cx"),
+        pmod(hx(9, 8), lit(100000L)).as("cy"),
+        (pmod(hx(17, 4), lit(5001L)) + 500L).as("ra"),
+        (pmod(hx(21, 4), lit(5001L)) + 500L).as("rb"),
+        (pmod(hx(25, 4), lit(5001L)) + 500L).as("rc"),
+        (pmod(hx(29, 4), lit(5001L)) + 500L).as("rd"))
+      .select(col("zone_id"), posexplode(array(
+        struct((col("cx") + col("ra")).as("xi"), col("cy").as("yi")),
+        struct(col("cx").as("xi"), (col("cy") + col("rb")).as("yi")),
+        struct((col("cx") - col("rc")).as("xi"), col("cy").as("yi")),
+        struct(col("cx").as("xi"), (col("cy") - col("rd")).as("yi"))))
+        .as(Seq("seq", "v")))
+      .select(col("zone_id"), col("seq"), col("v.xi"), col("v.yi"))
+  }
+
+  /** Q266 — zone-scale point-in-polygon under the ORACLE gate:
+    * the q246 customer points against supplier diamond zones through
+    * the cell grid; oracle = naive point × edge cross join over the
+    * identical derivations. */
+  def q266(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("c_custkey").cast("string"))
+    val pts = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("id"),
+      pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(100000L)).as("xi"),
+      pmod(conv(substring(h, 9, 8), 16, 10).cast("long"), lit(100000L)).as("yi"))
+    polyZoneJoin(pts, supplierDiamonds(s, d), 4000L)
+      .orderBy("id", "zone_id")
+  }
+
+  def q266OracleSql: String = {
+    def hx(a: Int, n: Int) =
+      s"CAST(CONCAT('0x', substr(md5(CAST(s_suppkey AS VARCHAR)), $a, $n)) AS BIGINT)"
+    val cross = "(e.x2 - e.x1) * (p.yi - e.y1) - (p.xi - e.x1) * (e.y2 - e.y1)"
+    "WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS id, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100000 AS xi, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 100000 AS yi FROM customer), " +
+      "z AS (SELECT CAST(s_suppkey AS BIGINT) AS zone_id, " +
+      s"${hx(1, 8)} % 100000 AS cx, ${hx(9, 8)} % 100000 AS cy, " +
+      s"${hx(17, 4)} % 5001 + 500 AS ra, ${hx(21, 4)} % 5001 + 500 AS rb, " +
+      s"${hx(25, 4)} % 5001 + 500 AS rc, ${hx(29, 4)} % 5001 + 500 AS rd " +
+      "FROM supplier), " +
+      "e AS (SELECT zone_id, cx + ra AS x1, cy AS y1, cx AS x2, cy + rb AS y2 FROM z " +
+      "UNION ALL SELECT zone_id, cx, cy + rb, cx - rc, cy FROM z " +
+      "UNION ALL SELECT zone_id, cx - rc, cy, cx, cy - rd FROM z " +
+      "UNION ALL SELECT zone_id, cx, cy - rd, cx + ra, cy FROM z), " +
+      "c AS (SELECT p.id, e.zone_id, CASE WHEN ((e.y1 <= p.yi) != (e.y2 <= p.yi)) " +
+      s"AND (((e.y2 > e.y1) AND ($cross > 0)) " +
+      s"OR ((e.y2 < e.y1) AND ($cross < 0))) " +
+      "THEN 1 ELSE 0 END AS cr FROM p, e), " +
+      "g AS (SELECT id, zone_id, CAST(SUM(cr) AS BIGINT) AS n_cross FROM c GROUP BY id, zone_id) " +
+      "SELECT id, zone_id, n_cross FROM g WHERE n_cross % 2 = 1 ORDER BY id, zone_id"
+  }
+
   /** Q246 — radius join under the ORACLE gate: customers mapped to
     * deterministic integer coordinates in a 100 000² centi-unit space
     * via two independent md5 slices (the q42/q142 cross-engine hash

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.operators.Spatial
 
 /** Spatial tier (q246): the grid-bucketed radius join's lossless-cut
   * contract, pinned against the naive all-pairs join on real fixture
@@ -153,5 +154,62 @@ class SpatialSpec extends SparkSpec {
     assert(got.length == got.toSet.size, s"duplicate pairs: ${got.toSeq}")
     assert(got.toSet == Set((1L, 2L, 2L), (3L, 4L, 4L), (5L, 6L, 100L)),
       s"got ${got.toSeq}")
+  }
+
+  test("polyZoneJoin == literal pointInPolygon on the fixture; generic ring machinery agrees") {
+    import spark.implicits._
+    val d = sf("sf0.001")
+    val h = org.apache.spark.sql.functions.md5(col("c_custkey").cast("string"))
+    val pts = graft.sources.Tables.customer(spark, d).select(
+      col("c_custkey").cast("long").as("id"),
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.conv(
+          org.apache.spark.sql.functions.substring(h, 1, 8), 16, 10)
+          .cast("long"), lit(100000L)).as("xi"),
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.conv(
+          org.apache.spark.sql.functions.substring(h, 9, 8), 16, 10)
+          .cast("long"), lit(100000L)).as("yi"))
+    val verts = Spatial.supplierDiamonds(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val literal = verts.groupBy(_._1).toSeq.map { case (z, vs) =>
+      (z.toString, vs.sortBy(_._2).map(v => (v._3, v._4)).toSeq)
+    }
+    val want = Spatial.pointInPolygon(pts, literal).collect()
+      .map(r => (r.getLong(0), r.getString(1).toLong, r.getLong(2))).toSet
+    val got = Spatial.q266(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == got.toSet.size, "duplicate membership rows")
+    assert(got.nonEmpty, "vacuous polygon fixture")
+    assert(got.toSet == want,
+      s"missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
+  }
+
+  test("polyZoneJoin: concave ring as data, cell-straddling zones, degenerate guard") {
+    import spark.implicits._
+    // a concave "C" shape spanning several 10-unit cells, plus a
+    // second zone overlapping it — both as DATA rows
+    val cShape = Seq((0L, 0L), (40L, 0L), (40L, 10L), (10L, 10L),
+      (10L, 30L), (40L, 30L), (40L, 40L), (0L, 40L))
+    val box = Seq((30L, 5L), (60L, 5L), (60L, 35L), (30L, 35L))
+    val verts = (cShape.zipWithIndex.map { case ((x, y), i) => (1L, i, x, y) } ++
+      box.zipWithIndex.map { case ((x, y), i) => (2L, i, x, y) })
+      .toDF("zone_id", "seq", "xi", "yi")
+    val pts = Seq((1L, 5L, 20L), (2L, 20L, 20L), (3L, 35L, 20L),
+      (4L, 50L, 20L), (5L, 35L, 7L), (6L, 70L, 20L))
+      .toDF("id", "xi", "yi")
+    val got = Spatial.polyZoneJoin(pts, verts, 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // p1 inside C's left bar; p2 in the concave NOTCH (outside); p3 in
+    // the notch but inside the box; p4 box only; p5 in C's bottom bar
+    // AND the box; p6 outside everything
+    assert(got == Set((1L, 1L), (3L, 2L), (4L, 2L), (5L, 1L), (5L, 2L)),
+      s"got $got")
+    // degenerate ring fails fast through the fused guard
+    val bad = Seq((9L, 0, 0L, 0L), (9L, 1, 5L, 5L)).toDF("zone_id", "seq", "xi", "yi")
+    val ex = intercept[Exception] {
+      Spatial.polyZoneJoin(pts, bad, 10L).collect()
+    }
+    assert(ex.getMessage != null)
   }
 }

@@ -2155,6 +2155,148 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
   }
 
+  test("RocksDB sweep r16: S39/S40/S42-S48 stateful ops run green on the production store") {
+    // the r14 sweep covered through S38; every stateful operator added
+    // since (geofence family, interval union/gaps, proximity, zone
+    // geofence, dwell, burst, resample) had only ever run on the
+    // default HDFS-backed store. Minimal scripts here — the golden
+    // tests pin exact values on the default store; this sweep proves
+    // the production provider actually serves the state (rows out +
+    // RocksDB metrics present, no silent fallback).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def usedRocks(q: org.apache.spark.sql.streaming.StreamingQuery) =
+      Option(q.lastProgress).exists(
+        _.stateOperators.exists(_.customMetrics.containsKey("rocksdbGetCount")))
+    val base = 1700000000L
+    def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000)
+    try {
+      locally { // S39 planar geofence
+        val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+        val q = StreamOps.geofenceStream(
+            in.toDF().toDF("ts", "user_id", "event_id", "xi", "yi"),
+            Seq(("A", 0L, 100L, 0L, 100L)))
+          .writeStream.format("memory").queryName("r16s39").outputMode("append")
+          .option("checkpointLocation", tmpDir("ckpt")).start()
+        in.addData((ts(10), 1L, 1L, 50L, 50L))
+        q.processAllAvailable()
+        val rocks = usedRocks(q); q.stop()
+        assert(spark.table("r16s39").count() > 0 && rocks, "S39 rocks")
+      }
+      locally { // S40 interval union + S42 gaps (same input shape)
+        Seq(("S40", (df: org.apache.spark.sql.DataFrame) =>
+            StreamOps.intervalUnionStream(df, "0 seconds")),
+          ("S42", (df: org.apache.spark.sql.DataFrame) =>
+            StreamOps.intervalGapsStream(df, "0 seconds"))).foreach {
+          case (label, op) =>
+            val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long)]
+            val q = op(in.toDF().toDF("ts", "user_id", "s", "e"))
+              .writeStream.format("memory").queryName(s"r16$label")
+              .outputMode("append")
+              .option("checkpointLocation", tmpDir("ckpt")).start()
+            in.addData((ts(0), 1L, base + 0L, base + 60L),
+              (ts(300), 1L, base + 300L, base + 360L))
+            q.processAllAvailable()
+            in.addData((ts(9000), 2L, base + 9000L, base + 9001L))
+            q.processAllAvailable()
+            in.addData((ts(9001), 2L, base + 9001L, base + 9002L))
+            q.processAllAvailable()
+            val rocks = usedRocks(q); q.stop()
+            assert(spark.table(s"r16$label").count() > 0 && rocks,
+              s"$label rocks")
+        }
+      }
+      locally { // S43 spherical geofence
+        val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+        val q = StreamOps.geofenceSphereStream(
+            in.toDF().toDF("ts", "user_id", "event_id", "la", "lo"),
+            graft.operators.Geo.demoCircleZones)
+          .writeStream.format("memory").queryName("r16s43").outputMode("append")
+          .option("checkpointLocation", tmpDir("ckpt")).start()
+        in.addData((ts(10), 1L, 1L, 0L, -179800000L))
+        q.processAllAvailable()
+        val rocks = usedRocks(q); q.stop()
+        assert(spark.table("r16s43").count() > 0 && rocks, "S43 rocks")
+      }
+      locally { // S44 proximity
+        val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long)]
+        val q = StreamOps.proximityStream(
+            in.toDF().toDF("ts", "id", "la", "lo"), 150000.0,
+            watermark = "30 seconds")
+          .writeStream.format("memory").queryName("r16s44").outputMode("append")
+          .option("checkpointLocation", tmpDir("ckpt")).start()
+        in.addData((ts(10), 1L, 10000000L, 20000000L),
+          (ts(12), 2L, 10000000L, 21000000L))
+        q.processAllAvailable()
+        val rocks = usedRocks(q); q.stop()
+        assert(spark.table("r16s44").count() > 0 && rocks, "S44 rocks")
+      }
+      locally { // S45 zone-scale geofence
+        val zones = Seq((101L, 10000000L, 20000000L, 400000.0))
+          .toDF("zone_id", "zla", "zlo", "radius_m")
+        val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+        val q = StreamOps.geofenceZoneStream(
+            in.toDF().toDF("ts", "user_id", "event_id", "la", "lo"),
+            zones, 500000.0)
+          .writeStream.format("memory").queryName("r16s45").outputMode("append")
+          .option("checkpointLocation", tmpDir("ckpt")).start()
+        in.addData((ts(10), 1L, 1L, 10000000L, 20000000L))
+        q.processAllAvailable()
+        val rocks = usedRocks(q); q.stop()
+        assert(spark.table("r16s45").count() > 0 && rocks, "S45 rocks")
+      }
+      locally { // S46 dwell
+        val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+        val q = StreamOps.dwellStream(
+            in.toDF().toDF("ts", "user_id", "event_id", "la", "lo"),
+            Seq(("A", 0L, 0L, 200000.0), ("B", 0L, 10000000L, 200000.0)),
+            watermark = "0 seconds", idleGapUs = 60L * 1000000L)
+          .writeStream.format("memory").queryName("r16s46").outputMode("append")
+          .option("checkpointLocation", tmpDir("ckpt")).start()
+        in.addData((ts(10), 1L, 1L, 0L, 0L), (ts(20), 1L, 2L, 0L, 10000000L))
+        q.processAllAvailable()
+        val rocks = usedRocks(q); q.stop()
+        assert(spark.table("r16s46").count() > 0 && rocks, "S46 rocks")
+      }
+      locally { // S47 burst
+        val in = MemoryStream[(java.sql.Timestamp, Long, Long)]
+        val q = StreamOps.geoBurstStream(
+            in.toDF().toDF("ts", "la", "lo"),
+            windowSeconds = 10L, mult = 1L, warmup = 1L, minCount = 1L,
+            watermark = "0 seconds")
+          .writeStream.format("memory").queryName("r16s47").outputMode("append")
+          .option("checkpointLocation", tmpDir("ckpt")).start()
+        in.addData(Seq(5L, 11L, 12L, 13L, 14L, 15L).map(s => (ts(s), 0L, 0L)): _*)
+        q.processAllAvailable()
+        in.addData((ts(9000), 40000000L, 90000000L))
+        q.processAllAvailable()
+        in.addData((ts(9001), 40000000L, 90000000L))
+        q.processAllAvailable()
+        val rocks = usedRocks(q); q.stop()
+        assert(spark.table("r16s47").count() > 0 && rocks, "S47 rocks")
+      }
+      locally { // S48 resample
+        val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+        val q = StreamOps.resampleStream(
+            in.toDF().toDF("ts", "user_id", "event_id", "la", "lo"), 10L,
+            watermark = "0 seconds")
+          .writeStream.format("memory").queryName("r16s48").outputMode("append")
+          .option("checkpointLocation", tmpDir("ckpt")).start()
+        in.addData((ts(5), 1L, 1L, -1000L, 100L), (ts(25), 1L, 2L, 3000L, -500L))
+        q.processAllAvailable()
+        val rocks = usedRocks(q); q.stop()
+        assert(spark.table("r16s48").count() > 0 && rocks, "S48 rocks")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("S41: streaming classifier scoring is bit-identical to batch training scores") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
