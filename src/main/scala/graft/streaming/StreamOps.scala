@@ -79,6 +79,12 @@ case class DwellState(zone: String, enterUs: Long, lastUs: Long,
 case class DwellVisit(user_id: Long, zone: String, enter_us: Long,
   exit_us: Long, n_events: Long)
 
+/** S49 speed-screen state: the user's previous fix — four longs,
+  * constant forever (or until opt-in idle eviction). */
+case class SpeedState(tsu: Long, eid: Long, la: Long, lo: Long)
+case class SpeedAlert(user_id: Long, event_id: Long, dt_s: Long,
+  hav: Double, kz: Double)
+
 /** S48 resample state: the user's current-second fix (SHIFTED
   * non-negative coordinates, the q265 convention), its (sec, eid)
   * frontier anchor, and the last grid instant emitted — five longs,
@@ -1740,6 +1746,81 @@ object StreamOps {
     geofenceResolved(
       graft.operators.Geo.resolveCircleZones(events, zones),
       watermark, idleGapUs)
+  }
+
+  /** S49 — streaming travel-speed screen: the live q262
+    * ([[graft.operators.Geo.speedAnomalies]]) — every consecutive fix
+    * pair of a user scores AT ARRIVAL: hav > kz(vMax·Δt) flags a
+    * teleport the instant the second fix lands (the batch form waits
+    * for the window; an ingest QA gate wants the alert inline). The
+    * Scala polynomial forms ([[graft.operators.Geo.havScala]] /
+    * [[graft.operators.Geo.kzScala]]) are op-for-op identical to the
+    * batch SQL layers, so alerts carry BIT-IDENTICAL (hav, kz) to
+    * q262's rows — pinned by the parity golden.
+    *
+    * Matching q262's LAG semantics exactly: EVERY consecutive pair in
+    * (tsu, event_id) order is compared — same-second pairs included
+    * (Δt = 0 ⇒ kz = 0; identical coordinates stay silent, a
+    * same-second jump flags). Stragglers at-or-below the anchor drop
+    * (the S39 frontier contract). State is four longs per user;
+    * DEFAULT PERSISTENT (evicting forgets the last fix and silently
+    * skips one comparison on return — the S39 trade, documented);
+    * opt-in `idleGapUs` evicts quiet users. */
+  def speedAnomalyStream(events: DataFrame, vMax: Double,
+      watermark: String = "10 seconds",
+      idleGapUs: Option[Long] = None): DataFrame = {
+    require(vMax > 0, s"vMax=$vMax must be positive")
+    val s = events.sparkSession
+    import s.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    val timeoutConf = if (idleGapUs.isDefined)
+      GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"),
+        col("la").cast("long"), col("lo").cast("long"))
+      .as[(Long, java.sql.Timestamp, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, Long)],
+         state: GroupState[SpeedState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[SpeedAlert]
+            rows.toSeq
+              .map { case (_, ts, eid, la, lo) =>
+                (Math.floorDiv(micros(ts), 1000000L), eid, la, lo) }
+              .sortBy { case (t, eid, _, _) => (t, eid) }
+              .foreach { case (t, eid, la, lo) =>
+                if (st != null &&
+                    (t < st.tsu || (t == st.tsu && eid <= st.eid))) {
+                  // straggler below the anchor: dropped
+                } else {
+                  if (st != null) {
+                    val dt = t - st.tsu
+                    val radius = math.min(vMax * dt.toDouble, 20015086.0)
+                    val hav = graft.operators.Geo.havScala(la, lo, st.la, st.lo)
+                    val kz = graft.operators.Geo.kzScala(radius)
+                    if (hav > kz) out += SpeedAlert(uid, eid, dt, hav, kz)
+                  }
+                  st = SpeedState(t, eid, la, lo)
+                }
+              }
+            if (st != null) {
+              state.update(st)
+              idleGapUs.foreach { gap =>
+                state.setTimeoutTimestamp(math.max(
+                  st.tsu * 1000L + gap / 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+              }
+            }
+            out.iterator
+          }
+      }.toDF()
   }
 
   /** S48 — streaming trajectory resampling: the live q265

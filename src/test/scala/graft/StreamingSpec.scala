@@ -2155,7 +2155,7 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
   }
 
-  test("RocksDB sweep r16: S39/S40/S42-S48 stateful ops run green on the production store") {
+  test("RocksDB sweep r16: S39/S40/S42-S49 stateful ops run green on the production store") {
     // the r14 sweep covered through S38; every stateful operator added
     // since (geofence family, interval union/gaps, proximity, zone
     // geofence, dwell, burst, resample) had only ever run on the
@@ -2289,12 +2289,58 @@ class StreamingSpec extends SparkSpec {
         val rocks = usedRocks(q); q.stop()
         assert(spark.table("r16s48").count() > 0 && rocks, "S48 rocks")
       }
+      locally { // S49 speed screen (a same-second teleport pair flags)
+        val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+        val q = StreamOps.speedAnomalyStream(
+            in.toDF().toDF("ts", "user_id", "event_id", "la", "lo"), 40.0)
+          .writeStream.format("memory").queryName("r16s49").outputMode("append")
+          .option("checkpointLocation", tmpDir("ckpt")).start()
+        in.addData((ts(10), 1L, 1L, 0L, 0L), (ts(10), 1L, 2L, 45000000L, 90000000L))
+        q.processAllAvailable()
+        val rocks = usedRocks(q); q.stop()
+        assert(spark.table("r16s49").count() > 0 && rocks, "S49 rocks")
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None    => spark.conf.unset(key)
       }
     }
+  }
+
+  test("S49: speed alerts == q262 batch rows bit-identically; straggler comparison dropped") {
+    val d = sf("sf0.001")
+    val pts = graft.operators.Geo.eventPoints(spark, d)
+      .select("user_id", "event_id", "tsu", "la", "lo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+    val q = StreamOps.speedAnomalyStream(
+        in.toDF().toDF("ts", "user_id", "event_id", "la", "lo"), 40.0,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("s49").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    in.addData(pts.map(p =>
+      (new java.sql.Timestamp(p._3 * 1000), p._1, p._2, p._4, p._5)).toIndexedSeq)
+    q.processAllAvailable()
+    val want = graft.operators.Geo.q262(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    def got() = spark.table("s49").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got().length == got().toSet.size, "duplicate alerts")
+    assert(want.nonEmpty, "vacuous parity fixture")
+    assert(got().toSet == want,
+      s"missing=${(want -- got().toSet).take(3)} extra=${(got().toSet -- want).take(3)}")
+    // a cross-batch straggler below the anchor adds NO comparison —
+    // a teleport-far fix with an old (tsu, event_id) stays silent
+    val u = pts.head._1
+    val anchor = pts.filter(_._1 == u).map(p => (p._3, p._2)).max
+    in.addData((new java.sql.Timestamp(anchor._1 * 1000), u, anchor._2 - 1,
+      -89000000L, 0L))
+    q.processAllAvailable(); q.stop()
+    assert(got().toSet == want, s"straggler emitted: ${got().length}")
   }
 
   test("S41: streaming classifier scoring is bit-identical to batch training scores") {
