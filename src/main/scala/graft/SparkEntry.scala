@@ -284,6 +284,7 @@ object SparkEntry {
     "q264_geo_hotspots"    -> (graft.operators.Geo.q264 _),
     "q265_traj_resample"   -> (graft.operators.Geo.q265 _),
     "q266_poly_zone_join"  -> (graft.operators.Spatial.q266 _),
+    "q267_pipeline_v8"     -> (graft.ext.Classifier.q267 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -642,6 +643,9 @@ object SparkEntry {
     // q266: zone-scale point-in-polygon — naive point × edge cross
     // join over the identical diamond derivation + exact crossing CASE
     "q266_poly_zone_join" -> graft.operators.Spatial.q266OracleSql,
+    // q267: pipeline v8 — the q257 calibrated-keep CTEs ∩ the q263 LM
+    // chain (both reused verbatim) + the q252 dedup/shard tail
+    "q267_pipeline_v8" -> graft.ext.Classifier.q267OracleSql,
     // q254: interval gaps — the q248 block CTE + LEAD complement
     "q254_interval_gaps" ->
       ("WITH iv AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, " +

@@ -195,16 +195,23 @@ object Classifier {
       keepPpm: Long): String = {
     val soft = (m: String) => s"(0.5 * (1.0 + ($m / (1.0 + abs($m)))))"
     s"WITH ${clfCtes(dim, iters, lr, bigrams = true)}, " +
-      s"s AS MATERIALIZED (SELECT l.doc_id, l.y, mf.m, " +
+      s"${calThresholdCtes(keepPpm)} " +
+      s"SELECT s.doc_id, s.y, ROUND(${soft("s.m")}, 6) AS score, " +
+      "s.pq > thr.thr AS keep FROM s, thr ORDER BY s.doc_id"
+  }
+
+  /** The calibrated-threshold CTEs (s/kf/hist/cum/thr) over an `mf`
+    * margin frame — shared by the q257 and pipeline-v8 oracles. */
+  private def calThresholdCtes(keepPpm: Long): String = {
+    val soft = (m: String) => s"(0.5 * (1.0 + ($m / (1.0 + abs($m)))))"
+    s"s AS MATERIALIZED (SELECT l.doc_id, l.y, mf.m, " +
       s"CAST(FLOOR(${soft("mf.m")} * 1000000.0) AS BIGINT) AS pq " +
       "FROM mf JOIN lab l ON mf.doc_id = l.doc_id), " +
       s"kf AS (SELECT (COUNT(*) * $keepPpm) // 1000000 AS k FROM s), " +
       "hist AS (SELECT pq, COUNT(*) AS c FROM s GROUP BY pq), " +
       "cum AS (SELECT pq, SUM(c) OVER (ORDER BY pq DESC) AS cum FROM hist), " +
       "thr AS (SELECT COALESCE(MAX(pq), -1) AS thr FROM cum, kf " +
-      "WHERE cum >= kf.k + 1) " +
-      s"SELECT s.doc_id, s.y, ROUND(${soft("s.m")}, 6) AS score, " +
-      "s.pq > thr.thr AS keep FROM s, thr ORDER BY s.doc_id"
+      "WHERE cum >= kf.k + 1)"
   }
 
   /** Q251 — quality classifier under the ORACLE gate: full documents
@@ -286,6 +293,68 @@ object Classifier {
     * unrolled GD iterations → mf, every CTE MATERIALIZED — DuckDB
     * inlines CTEs by default and the unrolled chain would re-expand
     * tok/feat per reference, exhausting file handles). */
+  /** Q267 — curation pipeline V8: the RefinedWeb × CCNet composition —
+    * BOTH r16 quality signals gate the corpus before packing:
+    *   calibrated bigram classifier keep (q257: v2 features, 40%
+    *     target keep-rate by exact-integer rank selection)
+    *   ∩ reference-LM perplexity band (q263: mean bigram log-prob
+    *     under the mod-25 reference slice ≥ −3.6 on the ROUNDED score
+    *     — a mirrored double compare; reference docs pass by
+    *     definition, the curated corpus is not self-filtered)
+    *   → exact dedup (md5 fingerprint, min doc_id)
+    *   → 2000-token shards with order-insensitive digests (the
+    *     q63/q252 two-phase distributed prefix sum).
+    * Each stage reuses a gate-green operator verbatim; the pipeline is
+    * hash-checked as a composition like v1–v7. */
+  def q267(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val keep1 = calibratedQuality(docs, 64, 16, 0.25, 400000L)
+      .filter(col("keep")).select("doc_id")
+    val lmKeep = TextOps.bigramLmScore(docs)
+      .filter(col("lp_per_bigram") >= lit(-3.6)).select("doc_id")
+      .union(docs.filter(col("doc_id") % 25 === 0).select("doc_id"))
+    val dd = docs.join(keep1, "doc_id").join(lmKeep, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("rk") === 1)
+      .select("doc_id", "text").persist()
+    val packed = TextOps.packShards(dd, budget = 2000L)
+    val res = packed.join(dd, Seq("doc_id"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), "\n")).as("digest"))
+      .localCheckpoint(true)
+    dd.unpersist()
+    res.orderBy("shard")
+  }
+
+  /** The q267 oracle: the q257 calibrated-keep CTEs ∩ the q263 LM
+    * chain (both reused verbatim from their gate-green oracles) + the
+    * q252 dedup/shard tail. */
+  def q267OracleSql: String =
+    s"WITH ${clfCtes(64, 16, 0.25, bigrams = true)}, " +
+      s"${calThresholdCtes(400000L)}, " +
+      "keep1 AS MATERIALIZED (SELECT s.doc_id FROM s, thr WHERE s.pq > thr.thr), " +
+      s"${TextOps.lmCtes}, " +
+      "lmk AS MATERIALIZED (SELECT doc_id FROM lmsc WHERE lp_per_bigram >= -3.6 " +
+      "UNION ALL SELECT doc_id FROM documents WHERE doc_id % 25 = 0), " +
+      "dd AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d " +
+      "JOIN keep1 USING (doc_id) JOIN lmk USING (doc_id) " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) = 1), " +
+      "cl AS (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) " +
+      "AS n_tokens FROM dd), " +
+      "sh AS (SELECT doc_id, text, n_tokens, CAST(FLOOR((SUM(n_tokens) OVER " +
+      "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0) AS BIGINT) " +
+      "AS shard FROM cl) " +
+      "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
+      "md5(string_agg(text, chr(10) ORDER BY doc_id)) AS digest " +
+      "FROM sh GROUP BY shard ORDER BY shard"
+
   private def clfCtes(dim: Int, iters: Int, lr: Double,
       bigrams: Boolean = false): String = {
     val soft = (m: String) => s"(0.5 * (1.0 + ($m / (1.0 + abs($m)))))"

@@ -2331,7 +2331,14 @@ object TextOps {
   /** The q263 oracle: the identical count/backoff/ordered-fold chain
     * in DuckDB (range/list idiom for positional bigrams). */
   def q263OracleSql: String =
-    "WITH lf AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+    s"WITH $lmCtes SELECT doc_id, n_bigrams, n_backoff, lp_per_bigram " +
+      "FROM lmsc ORDER BY doc_id"
+
+  /** The q263 chain as composable CTEs ending in `lmsc` (doc_id,
+    * n_bigrams, n_backoff, lp_per_bigram) — reused by the pipeline-v8
+    * oracle so the LM stage has ONE source of truth. */
+  private[ext] def lmCtes: String =
+    "lf AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
       "x -> LENGTH(x) > 0) AS lf FROM documents), " +
       "rtok AS (SELECT unnest(lf) AS w FROM lf WHERE doc_id % 25 = 0), " +
       "c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM rtok GROUP BY w), " +
@@ -2348,9 +2355,9 @@ object TextOps {
       "terms AS (SELECT doc_id, pos, c2 IS NULL AS backoff, " +
       "CASE WHEN c2 IS NOT NULL THEN LN(CAST(c2 AS DOUBLE) / CAST(c1a AS DOUBLE)) " +
       "ELSE LN(0.4) + LN(CAST(COALESCE(c1b, 0) + 1 AS DOUBLE) / " +
-      "CAST(nv.n_tok + nv.vsz AS DOUBLE)) END AS term FROM j CROSS JOIN nv) " +
-      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+      "CAST(nv.n_tok + nv.vsz AS DOUBLE)) END AS term FROM j CROSS JOIN nv), " +
+      "lmsc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
       "CAST(SUM(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff, " +
       "ROUND(list_sum(list(term ORDER BY pos)) / COUNT(*), 6) AS lp_per_bigram " +
-      "FROM terms GROUP BY doc_id ORDER BY doc_id"
+      "FROM terms GROUP BY doc_id)"
 }
