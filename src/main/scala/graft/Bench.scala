@@ -66,8 +66,10 @@ object Bench {
       "q224_recommend_bucketed",
       // r15: the classifier's 16 eager GD steps carry a fixed
       // per-step checkpoint latency that reads as a heavy at sf0.1
-      // (r16: q257 is the same class plus the bigram feature stream)
-      "q251_quality_clf", "q252_pipeline_v7", "q257_clf_calibrated")
+      // (r16: q257 is the same class plus the bigram feature stream;
+      // q267 composes the full q257 train + the LM chain + shards)
+      "q251_quality_clf", "q252_pipeline_v7", "q257_clf_calibrated",
+      "q267_pipeline_v8")
 
     // Heavy queries leave broadcast blocks (degree/bounds/codebook
     // broadcasts) that only ContextCleaner frees, and only after a GC
