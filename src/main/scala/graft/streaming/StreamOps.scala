@@ -2383,8 +2383,14 @@ object StreamOps {
     * needs no second join. State: last zone + the order anchor per
     * user — constant; parity with the batch resolution is pinned in
     * the golden. */
-  def geofenceZoneStream(events: DataFrame, zones: DataFrame,
-      maxRadiusMeters: Double, watermark: String = "10 seconds"): DataFrame = {
+  /** The S45/S50 candidate stage: events exploded onto their
+    * deduplicated 3×3 banded-grid neighborhood, LEFT-joined to the
+    * persisted static zone-cell table — one row per (event, candidate
+    * zone), "left" rows carrying None so zone-less events survive. */
+  private def zoneResolvedCandidates(events: DataFrame, zones: DataFrame,
+      maxRadiusMeters: Double, watermark: String, opName: String)
+      : org.apache.spark.sql.Dataset[(java.sql.Timestamp, Long, Long, Long,
+        Long, Option[Long], Option[Long], Option[Long], Option[Double])] = {
     val s = events.sparkSession
     import s.implicits._
     val (h, cells, wMax) = graft.operators.Geo.gridParams(maxRadiusMeters)
@@ -2397,7 +2403,7 @@ object StreamOps {
             col("radius_m") <= lit(maxRadiusMeters),
           col("radius_m").cast("double"))
           .otherwise(raise_error(concat(
-            lit(s"geofenceZoneStream: radius outside (0, $maxRadiusMeters]: "),
+            lit(s"$opName: radius outside (0, $maxRadiusMeters]: "),
             col("radius_m").cast("string")))).as("radius_m"))
       .withColumn("zband", expr(s"(lb + 90000000) DIV $h"))
       .join(bt, col("zband") === col("bt_band"))
@@ -2417,7 +2423,7 @@ object StreamOps {
       .withColumn("gcell", explode(array_distinct(
         transform(array(lit(-1L), lit(0L), lit(1L)),
           dc => pmod(col("cellT0") + dc, col("ncT"))))))
-    val joined = pre.join(z,
+    pre.join(z,
         pre("tb") === z("zband") && pre("gcell") === z("zcell") &&
           abs(pre("la") - z("lb")) <= h &&
           expr("abs(((lo - lob + 540000000) % 360000000) - 180000000)") <= wMax,
@@ -2426,7 +2432,29 @@ object StreamOps {
         col("zone_id"), col("lb"), col("lob"), col("radius_m"))
       .as[(java.sql.Timestamp, Long, Long, Long, Long,
         Option[Long], Option[Long], Option[Long], Option[Double])]
-    joined.groupByKey(_._2)
+  }
+
+  /** Nearest qualifying zone over one event's candidate rows — the
+    * bit-stable (hav, zone_id) order via the Scala polynomial forms
+    * (identical to the batch q260 rank); no candidate inside its
+    * radius ⇒ "outside". Shared by S45 and S50. */
+  private def nearestZoneName(pla: Long, plo: Long,
+      cand: Seq[(java.sql.Timestamp, Long, Long, Long, Long,
+        Option[Long], Option[Long], Option[Long], Option[Double])]): String =
+    cand.flatMap { c =>
+      for (zid <- c._6; zla <- c._7; zlo <- c._8; r <- c._9)
+        yield (graft.operators.Geo.havScala(pla, plo, zla, zlo), zid, r)
+    }.filter { case (hv, _, r) => hv <= graft.operators.Geo.kzScala(r) }
+      .sortBy { case (hv, zid, _) => (hv, zid) }
+      .headOption.map(_._2.toString).getOrElse("outside")
+
+  def geofenceZoneStream(events: DataFrame, zones: DataFrame,
+      maxRadiusMeters: Double, watermark: String = "10 seconds"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    zoneResolvedCandidates(events, zones, maxRadiusMeters, watermark,
+        "geofenceZoneStream")
+      .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long,
          rows: Iterator[(java.sql.Timestamp, Long, Long, Long, Long,
@@ -2441,15 +2469,7 @@ object StreamOps {
             .flatMap { case ((tu, id), cand) =>
               if (tu < st.tsu || (tu == st.tsu && id <= st.eventId)) None
               else {
-                val (pla, plo) = (cand.head._4, cand.head._5)
-                val zname = cand.flatMap { c =>
-                  for (zid <- c._6; zla <- c._7; zlo <- c._8; r <- c._9)
-                    yield (graft.operators.Geo.havScala(pla, plo, zla, zlo),
-                      zid, r)
-                }.filter { case (hv, _, r) =>
-                  hv <= graft.operators.Geo.kzScala(r)
-                }.sortBy { case (hv, zid, _) => (hv, zid) }
-                  .headOption.map(_._2.toString).getOrElse("outside")
+                val zname = nearestZoneName(cand.head._4, cand.head._5, cand)
                 val from = st.zone
                 st = GeoState(tu, id, zname)
                 if (zname != from) Some(GeoTransition(uid, tu, id, from, zname))
@@ -2458,6 +2478,72 @@ object StreamOps {
             }
           state.update(st)
           out.iterator
+      }.toDF()
+  }
+
+  /** S50 — ZONE-SCALE streaming dwell: S46's visit machine with S45's
+    * zones-as-data resolution — the fleet-scale form (10³+ geofences
+    * stay DATA through the banded grid; plan constant). Each event's
+    * candidate rows resolve to the nearest qualifying zone by the
+    * bit-stable (hav, zone_id) order, then the run logic is S46's
+    * verbatim: a visit emits EXACTLY ONCE when a later event resolves
+    * elsewhere or the REQUIRED idle gap passes; "outside" runs are
+    * silent; stragglers drop at the (tsu, event_id) anchor. Golden
+    * pins single-zone parity with [[dwellStream]] and the
+    * nearest-wins overlap split. */
+  def dwellZoneStream(events: DataFrame, zones: DataFrame,
+      maxRadiusMeters: Double, watermark: String = "10 seconds",
+      idleGapUs: Long = 3600L * 1000000L): DataFrame = {
+    require(idleGapUs > 0, s"idleGapUs=$idleGapUs must be positive")
+    val s = events.sparkSession
+    import s.implicits._
+    zoneResolvedCandidates(events, zones, maxRadiusMeters, watermark,
+        "dwellZoneStream")
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long,
+         rows: Iterator[(java.sql.Timestamp, Long, Long, Long, Long,
+           Option[Long], Option[Long], Option[Long], Option[Double])],
+         state: GroupState[DwellState]) =>
+          def micros(ts: java.sql.Timestamp): Long =
+            ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.zone != "outside")
+              Iterator.single(DwellVisit(uid, st.zone, st.enterUs,
+                st.lastUs, st.n))
+            else Iterator.empty
+          } else {
+            var stOpt = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[DwellVisit]
+            rows.toSeq.groupBy(r => (micros(r._1), r._3)).toSeq
+              .sortBy(_._1)
+              .foreach { case ((tu, id), cand) =>
+                val z = nearestZoneName(cand.head._4, cand.head._5, cand)
+                stOpt match {
+                  case Some(st) if tu < st.lastUs ||
+                      (tu == st.lastUs && id <= st.lastEvent) => () // straggler
+                  case Some(st) if st.zone == z =>
+                    stOpt = Some(st.copy(lastUs = tu, lastEvent = id,
+                      n = st.n + 1))
+                  case Some(st) =>
+                    if (st.zone != "outside")
+                      out += DwellVisit(uid, st.zone, st.enterUs, st.lastUs, st.n)
+                    stOpt = Some(DwellState(z, tu, tu, id, 1L))
+                  case None =>
+                    stOpt = Some(DwellState(z, tu, tu, id, 1L))
+                }
+              }
+            stOpt.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(
+                st.lastUs / 1000 + idleGapUs / 1000,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
       }.toDF()
   }
 

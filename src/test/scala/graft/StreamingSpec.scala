@@ -2155,7 +2155,7 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
   }
 
-  test("RocksDB sweep r16: S39/S40/S42-S49 stateful ops run green on the production store") {
+  test("RocksDB sweep r16: S39/S40/S42-S50 stateful ops run green on the production store") {
     // the r14 sweep covered through S38; every stateful operator added
     // since (geofence family, interval union/gaps, proximity, zone
     // geofence, dwell, burst, resample) had only ever run on the
@@ -2289,6 +2289,22 @@ class StreamingSpec extends SparkSpec {
         val rocks = usedRocks(q); q.stop()
         assert(spark.table("r16s48").count() > 0 && rocks, "S48 rocks")
       }
+      locally { // S50 zone-scale dwell (zone change closes a visit)
+        val zones = Seq((101L, 10000000L, 20000000L, 400000.0))
+          .toDF("zone_id", "zla", "zlo", "radius_m")
+        val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+        val q = StreamOps.dwellZoneStream(
+            in.toDF().toDF("ts", "user_id", "event_id", "la", "lo"),
+            zones, 500000.0, watermark = "0 seconds",
+            idleGapUs = 60L * 1000000L)
+          .writeStream.format("memory").queryName("r16s50").outputMode("append")
+          .option("checkpointLocation", tmpDir("ckpt")).start()
+        in.addData((ts(10), 1L, 1L, 10000000L, 20000000L),
+          (ts(20), 1L, 2L, 40000000L, 90000000L))
+        q.processAllAvailable()
+        val rocks = usedRocks(q); q.stop()
+        assert(spark.table("r16s50").count() > 0 && rocks, "S50 rocks")
+      }
       locally { // S49 speed screen (a same-second teleport pair flags)
         val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
         val q = StreamOps.speedAnomalyStream(
@@ -2306,6 +2322,60 @@ class StreamingSpec extends SparkSpec {
         case None    => spark.conf.unset(key)
       }
     }
+  }
+
+  test("S50: zone-scale dwell — nearest-wins visits close on change; literal-dwell parity off overlap") {
+    import spark.implicits._
+    val base = 1700000000L
+    def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000)
+    def us(sec: Long) = (base + sec) * 1000000L
+    // two overlapping 50 km circle zones, centers 77 km apart
+    val zones = Seq((101L, 10000000L, 20000000L, 50000.0),
+      (102L, 10500000L, 20500000L, 50000.0))
+      .toDF("zone_id", "zla", "zlo", "radius_m")
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+    val q = StreamOps.dwellZoneStream(
+        in.toDF().toDF("ts", "user_id", "event_id", "la", "lo"),
+        zones, 500000.0, watermark = "0 seconds", idleGapUs = 60L * 1000000L)
+      .writeStream.format("memory").queryName("s50").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    // u1: two fixes at 101's center, one in the OVERLAP but nearer to
+    // 102 (nearest-wins closes the 101 run), then far outside
+    in.addData(
+      (ts(10), 1L, 1L, 10000000L, 20000000L),
+      (ts(20), 1L, 2L, 10000000L, 20000000L),
+      (ts(30), 1L, 3L, 10300000L, 20300000L),
+      (ts(40), 1L, 4L, 40000000L, 40000000L))
+    q.processAllAvailable()
+    val got = spark.table("s50").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set((1L, "101", us(10), us(20), 2L),
+      (1L, "102", us(30), us(30), 1L)), s"got $got")
+    // parity with the literal-zone dwell machine on a non-overlap
+    // trajectory: same fixes, same visits
+    val in2 = MemoryStream[(java.sql.Timestamp, Long, Long, Long, Long)]
+    val q2 = StreamOps.dwellStream(
+        in2.toDF().toDF("ts", "user_id", "event_id", "la", "lo"),
+        Seq(("101", 10000000L, 20000000L, 50000.0),
+          ("102", 10500000L, 20500000L, 50000.0)),
+        watermark = "0 seconds", idleGapUs = 60L * 1000000L)
+      .writeStream.format("memory").queryName("s50lit").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    val script = Seq( // past stream 1's watermark (ts 40)
+      (ts(100), 3L, 1L, 10000000L, 20000000L),
+      (ts(110), 3L, 2L, 10000000L, 20000000L),
+      (ts(130), 3L, 4L, 40000000L, 40000000L))
+    in2.addData(script); q2.processAllAvailable(); q2.stop()
+    in.addData(script); q.processAllAvailable(); q.stop()
+    val lit3 = spark.table("s50lit").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val zs3 = spark.table("s50").collect().filter(_.getLong(0) == 3L)
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(lit3 == Set((3L, "101", us(100), us(110), 2L)), s"literal: $lit3")
+    assert(zs3 == lit3, s"zone-scale diverged: $zs3 vs $lit3")
   }
 
   test("S49: speed alerts == q262 batch rows bit-identically; straggler comparison dropped") {
