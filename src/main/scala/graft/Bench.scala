@@ -69,7 +69,9 @@ object Bench {
       // (r16: q257 is the same class plus the bigram feature stream;
       // q267 composes the full q257 train + the LM chain + shards)
       "q251_quality_clf", "q252_pipeline_v7", "q257_clf_calibrated",
-      "q267_pipeline_v8")
+      "q267_pipeline_v8",
+      // q268 is q145-bound (the covariance moment agg IS the cost)
+      "q268_pca_project")
 
     // Heavy queries leave broadcast blocks (degree/bounds/codebook
     // broadcasts) that only ContextCleaner frees, and only after a GC

@@ -285,6 +285,7 @@ object SparkEntry {
     "q265_traj_resample"   -> (graft.operators.Geo.q265 _),
     "q266_poly_zone_join"  -> (graft.operators.Spatial.q266 _),
     "q267_pipeline_v8"     -> (graft.ext.Classifier.q267 _),
+    "q268_pca_project"     -> (graft.ext.Similarity.q268 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -646,6 +647,10 @@ object SparkEntry {
     // q267: pipeline v8 — the q257 calibrated-keep CTEs ∩ the q263 LM
     // chain (both reused verbatim) + the q252 dedup/shard tail
     "q267_pipeline_v8" -> graft.ext.Classifier.q267OracleSql,
+    // q268: PC1 projections — the q145 covariance CTE + 12 unrolled
+    // power steps, every float fold ordered (matvec by j, norm by i,
+    // projection by i), sqrt the portable class
+    "q268_pca_project" -> graft.ext.Similarity.q268OracleSql(),
     // q254: interval gaps — the q248 block CTE + LEAD complement
     "q254_interval_gaps" ->
       ("WITH iv AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, " +

@@ -683,6 +683,99 @@ object Similarity {
   def q145(s: SparkSession, d: String): DataFrame =
     covarianceMatrix(Tables.embeddings(s, d)).orderBy("i", "j")
 
+  /** Top principal component by FIXED-ITERATION power method over the
+    * exact covariance (the eigensolve tier [[covarianceMatrix]]'s
+    * scaladoc declared — now end-to-end in the engine, no driver
+    * eigensolve): `iters` matvec+normalize steps from the all-ones
+    * start, then every embedding projects onto the direction (PC1
+    * loadings — the embedding-hygiene read behind PCA whitening, OOD
+    * screens, and "one direction is eating the variance" encoder
+    * audits).
+    *
+    * Determinism: the matrix entries are the q145 gate-proven
+    * round(9) doubles — IDENTICAL on both engines by that gate — and
+    * every subsequent op is mirrored: the matvec folds in j order,
+    * the norm folds in i order (the q79 ordered-fold doctrine), sqrt
+    * is the portable libm class, division is IEEE. After a FIXED
+    * iteration count both engines hold bit-identical vectors (no
+    * convergence test — the q129/q251 fixed-iteration class; the
+    * eigenvector SIGN is pinned by the deterministic start, not by a
+    * canonicalization; covariance is PSD so the dominant eigenvalue
+    * is ≥ 0 and the iteration cannot alternate).
+    *
+    * Scale: the d²-cell matrix is DIMENSION-bounded (KBs at d = 64,
+    * ~1 MB at d = 300 — bounded by the embedding width, never the
+    * corpus), so it collects to the driver and the iteration runs as
+    * plain Scala folds in the SAME orders the oracle's unrolled CTEs
+    * use — the documented bounded-collect class (Bpe merges, the PQ
+    * sample). A first cut iterated as 12 Spark jobs over the 64-row
+    * frame: 6.9 s of pure per-step checkpoint latency for KBs of
+    * math; driver-side reads ~1 s. The corpus itself is touched ONCE
+    * by the q145 moment agg and once by the distributed projection
+    * pass (v rides back as a broadcast d-row frame). */
+  def pcaProject(emb: DataFrame, iters: Int = 12): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // d²-cell collect: bounded by the embedding dimension, not N
+    val covCells = covarianceMatrix(emb).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    val cov = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+    covCells.foreach { case ((i, j), c) => cov((i, j)) = c; cov((j, i)) = c }
+    val dims = covCells.flatMap(p => Seq(p._1._1, p._1._2)).distinct.sorted
+    var v = Array.fill(dims.length)(1.0)
+    for (_ <- 1 to iters) {
+      // matvec folds in j order, norm in i order — the exact op
+      // sequence of the oracle's list_sum(... ORDER BY ...) CTEs
+      val u = dims.map { i =>
+        dims.foldLeft(0.0) { (a, j) => a + cov((i, j)) * v(j.toInt) }
+      }.toArray
+      val s = math.sqrt(dims.foldLeft(0.0) { (a, i) =>
+        a + u(i.toInt) * u(i.toInt) })
+      v = u.map(_ / s)
+    }
+    val vDf = broadcast(dims.map(i => (i, v(i.toInt))).toSeq.toDF("i", "v"))
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("ii", "xf")))
+      .select(col("vec_id"), col("ii").cast("long").as("i"),
+        col("xf").cast("double").as("x"))
+      .join(vDf, Seq("i"))
+      .withColumn("t", (col("x") * col("v")).as("t"))
+      .groupBy("vec_id")
+      .agg(round(aggregate(
+        transform(array_sort(collect_list(struct(col("i"), col("t")))),
+          x => x.getField("t")),
+        lit(0d), (a, x) => a + x), 6).as("pc1"))
+  }
+
+  /** Q268 — PC1 projections under the ORACLE gate: 12 power steps on
+    * the q145 covariance, every embedding's loading round(6). */
+  def q268(s: SparkSession, d: String): DataFrame =
+    pcaProject(Tables.embeddings(s, d)).orderBy("vec_id")
+
+  /** The q268 oracle: the q145 covariance CTE + the iteration
+    * UNROLLED (the q146/clfCtes idiom), every fold ordered. */
+  def q268OracleSql(iters: Int = 12): String = {
+    val steps = (1 to iters).map { k =>
+      s"u$k AS MATERIALIZED (SELECT c.i, list_sum(list(c.cov * v.v ORDER BY c.j)) AS u " +
+        s"FROM cov c JOIN v${k - 1} v ON c.j = v.i GROUP BY c.i), " +
+        s"n$k AS (SELECT SQRT(list_sum(list(u * u ORDER BY i))) AS s FROM u$k), " +
+        s"v$k AS MATERIALIZED (SELECT i, u / s AS v FROM u$k, n$k)"
+    }.mkString(", ")
+    "WITH x AS (SELECT vec_id, unnest(range(0, len(embedding))) AS i, " +
+      "CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,6)) AS x FROM embeddings), " +
+      "covu AS MATERIALIZED (SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j, " +
+      "ROUND((CAST(SUM(a.x * b.x) AS DOUBLE) - CAST(SUM(a.x) AS DOUBLE) * CAST(SUM(b.x) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1), 9) AS cov " +
+      "FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY a.i, b.i), " +
+      "cov AS MATERIALIZED (SELECT i, j, cov FROM covu " +
+      "UNION ALL SELECT j, i, cov FROM covu WHERE i <> j), " +
+      "v0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS v FROM cov), " +
+      steps + ", " +
+      "px AS (SELECT vec_id, unnest(range(0, len(embedding))) AS i, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS xd FROM embeddings) " +
+      s"SELECT px.vec_id, ROUND(list_sum(list(px.xd * v.v ORDER BY px.i)), 6) AS pc1 " +
+      s"FROM px JOIN v$iters v ON px.i = v.i GROUP BY px.vec_id ORDER BY px.vec_id"
+  }
+
   /** Embedding-space outlier audit: distance of every vector to its
     * LABEL CENTROID, top-k flagged (mislabeled rows, contaminated
     * clusters, encoder drift — the embedding-hygiene read before any

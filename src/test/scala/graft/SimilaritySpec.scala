@@ -363,4 +363,35 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Double]("nrm_min") == 3.0 &&
       r.getAs[Double]("nrm_p50") == 4.0 && r.getAs[Double]("nrm_max") == 5.0)
   }
+
+  test("pcaProject == driver power-iteration recompute (identical fold orders)") {
+    val d = sf("sf0.001")
+    val embd = Tables.embeddings(spark, d)
+    val covRows = Similarity.covarianceMatrix(embd).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    val cov = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    covRows.foreach { case ((i, j), c) => cov((i, j)) = c; cov((j, i)) = c }
+    val dims = covRows.flatMap(p => Seq(p._1._1, p._1._2)).distinct.sorted
+    var v = Array.fill(dims.length)(1.0)
+    for (_ <- 1 to 12) {
+      val u = dims.map { i =>
+        dims.foldLeft(0.0) { (a, j) => a + cov((i, j)) * v(j.toInt) }
+      }.toArray
+      val s = math.sqrt(dims.foldLeft(0.0) { (a, i) =>
+        a + u(i.toInt) * u(i.toInt) })
+      v = u.map(_ / s)
+    }
+    val want = embd.select("vec_id", "embedding").collect().map { r =>
+      val xs = r.getSeq[Float](1)
+      val p = xs.indices.foldLeft(0.0) { (a, i) => a + xs(i).toDouble * v(i) }
+      r.getLong(0) ->
+        BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = Similarity.q268(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet, s"coverage ${got.size} vs ${want.size}")
+    val diff = got.filter { case (k, p) => want(k) != p }
+    assert(diff.isEmpty, s"diverged for ${diff.size}, e.g. ${diff.headOption}")
+    assert(got.values.toSet.size > 10, "degenerate projections")
+  }
 }
