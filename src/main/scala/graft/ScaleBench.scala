@@ -892,8 +892,12 @@ object ScaleBench {
       // r14: ExactSubstr dedup — the planted shared prefixes are
       // exactly the ≥12-token cross-document span case
       val es = timed(TextOps.exactSubstrDedup(docs))
+      sweep(); docs.count()
+      // r16: bigram backoff LM — cost must track corpus tokens (three
+      // vocab-keyed joins + one doc-keyed agg), never vocab²
+      val lm = timed(TextOps.bigramLmScore(docs))
       docs.unpersist(); sweep()
-      println(f"""{"op":"corpusq","n_docs":$n,"repetition_sec":$rep%.2f,"lexdiv_sec":$lex%.2f,"zipf_sec":$zipf%.2f,"setsim_sec":$ss%.2f,"setsim_pairs":$ssPairs,"containment_sec":$cn%.2f,"containment_pairs":$cnPairs,"exactsubstr_sec":$es%.2f}""")
+      println(f"""{"op":"corpusq","n_docs":$n,"repetition_sec":$rep%.2f,"lexdiv_sec":$lex%.2f,"zipf_sec":$zipf%.2f,"setsim_sec":$ss%.2f,"setsim_pairs":$ssPairs,"containment_sec":$cn%.2f,"containment_pairs":$cnPairs,"exactsubstr_sec":$es%.2f,"bigram_lm_sec":$lm%.2f}""")
     }
   }
 
