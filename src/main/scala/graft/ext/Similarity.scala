@@ -713,10 +713,11 @@ object Similarity {
     * math; driver-side reads ~1 s. The corpus itself is touched ONCE
     * by the q145 moment agg and once by the distributed projection
     * pass (v rides back as a broadcast d-row frame). */
-  def pcaProject(emb: DataFrame, iters: Int = 12): DataFrame = {
+  /** The trained PC1 direction alone — index-ordered loadings for
+    * serving paths (the S51 streaming scorer rides it as an array
+    * literal, the way S41 rides the classifier weights). */
+  def topComponent(emb: DataFrame, iters: Int = 12): Array[Double] = {
     require(iters >= 1, s"iters=$iters must be >= 1")
-    val spark = emb.sparkSession
-    import spark.implicits._
     // d²-cell collect: bounded by the embedding dimension, not N
     val covCells = covarianceMatrix(emb).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
@@ -734,7 +735,14 @@ object Similarity {
         a + u(i.toInt) * u(i.toInt) })
       v = u.map(_ / s)
     }
-    val vDf = broadcast(dims.map(i => (i, v(i.toInt))).toSeq.toDF("i", "v"))
+    v
+  }
+
+  def pcaProject(emb: DataFrame, iters: Int = 12): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = topComponent(emb, iters)
+    val vDf = broadcast(v.indices.map(i => (i.toLong, v(i))).toDF("i", "v"))
     emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("ii", "xf")))
       .select(col("vec_id"), col("ii").cast("long").as("i"),
         col("xf").cast("double").as("x"))

@@ -2699,4 +2699,29 @@ object StreamOps {
         round(p, 6).as("score"),
         (p > threshold).as("pass"))
   }
+
+  /** S51 — streaming PC1 scoring: the SERVING half of q268 (train the
+    * component batch-side via
+    * [[graft.ext.Similarity.topComponent]], score vectors live — the
+    * S41 pattern applied to the PCA tier): the ≤d-element component
+    * rides as an ARRAY LITERAL, so the hot path is one stateless
+    * narrow projection — no join, no state, no shuffle. The in-row
+    * fold multiplies and adds in INDEX order, the identical float-op
+    * sequence as the batch projection fold (by i ascending), so
+    * scores are BIT-IDENTICAL to q268's rows (pinned by the golden).
+    * A vector of a different dimension fails fast — zip_with would
+    * silently null-pad it. */
+  def pcaScoreStream(vecs: DataFrame, component: Seq[Double]): DataFrame = {
+    require(component.nonEmpty, "component must be non-empty")
+    val vLit = array(component.map(lit).toIndexedSeq: _*)
+    vecs.select(col("vec_id").cast("long").as("vec_id"),
+      when(size(col("embedding")) === component.length,
+        round(aggregate(
+          zip_with(col("embedding").cast("array<double>"), vLit,
+            (x, w) => x * w),
+          lit(0d), (a, x) => a + x), 6))
+        .otherwise(raise_error(concat(lit("pcaScoreStream: dim "),
+          size(col("embedding")).cast("string"),
+          lit(s" != ${component.length}")))).as("pc1"))
+  }
 }

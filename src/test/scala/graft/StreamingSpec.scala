@@ -2413,6 +2413,31 @@ class StreamingSpec extends SparkSpec {
     assert(got().toSet == want, s"straggler emitted: ${got().length}")
   }
 
+  test("S51: streaming PC1 scores are bit-identical to batch q268 projections") {
+    val d = sf("sf0.001")
+    val emb = graft.sources.Tables.embeddings(spark, d)
+    val comp = graft.ext.Similarity.topComponent(emb).toSeq
+    val batch = graft.ext.Similarity.q268(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.pcaScoreStream(
+        in.toDF().toDF("vec_id", "embedding"), comp)
+      .writeStream.format("memory").queryName("s51").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    in.addData(all.take(all.length / 2).toIndexedSeq)
+    in.addData(all.drop(all.length / 2).toIndexedSeq)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s51").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"coverage ${streamed.size} vs ${batch.size}")
+    val diverged = streamed.filter { case (id, p) => batch(id) != p }
+    assert(diverged.isEmpty,
+      s"diverged for ${diverged.size}, e.g. ${diverged.headOption} vs ${diverged.headOption.map(x => batch(x._1))}")
+  }
+
   test("S41: streaming classifier scoring is bit-identical to batch training scores") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
