@@ -49,6 +49,9 @@ object PlanAudit {
     // q263 crosses the 1-row (N, V) reference-count frame — the q79
     // class (reviewed r16)
     "q263_bigram_lm",
+    // q269 crosses the 1-row tercile-threshold frames (t1, t2) plus
+    // the same (N, V) frame through its q263 stage (reviewed r16)
+    "q269_lm_buckets",
     // r13, reviewed one by one: q225 crosses the 1-row total-quantity
     // frame; q232 crosses the per-source maxr frame (|sources| rows)
     // with the 10-row checkpoint spine; q233 is the labels² non-equi

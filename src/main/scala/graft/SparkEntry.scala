@@ -286,6 +286,7 @@ object SparkEntry {
     "q266_poly_zone_join"  -> (graft.operators.Spatial.q266 _),
     "q267_pipeline_v8"     -> (graft.ext.Classifier.q267 _),
     "q268_pca_project"     -> (graft.ext.Similarity.q268 _),
+    "q269_lm_buckets"      -> (TextOps.q269 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -651,6 +652,9 @@ object SparkEntry {
     // power steps, every float fold ordered (matvec by j, norm by i,
     // projection by i), sqrt the portable class
     "q268_pca_project" -> graft.ext.Similarity.q268OracleSql(),
+    // q269: CCNet perplexity terciles — the q263 chain + ppm
+    // quantization + two exact-rank thresholds (q257 idiom)
+    "q269_lm_buckets" -> TextOps.q269OracleSql,
     // q254: interval gaps — the q248 block CTE + LEAD complement
     "q254_interval_gaps" ->
       ("WITH iv AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, " +

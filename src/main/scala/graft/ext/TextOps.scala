@@ -2328,6 +2328,65 @@ object TextOps {
   def q263(s: SparkSession, d: String): DataFrame =
     bigramLmScore(Tables.documents(s, d)).orderBy("doc_id")
 
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    * §4.3 — their pipeline's ACTUAL output: the corpus split into
+    * thirds by reference-LM perplexity, "head" the most reference-
+    * like): q263's scores cut at two EXACT-RANK tercile thresholds —
+    * the q257 calibration machinery generalized to two cut points.
+    * Scores quantize to ppm BIGINTs (ROUND on the identical round(6)
+    * double — both engines round half-away on the same value), k₁ =
+    * n DIV 3 and k₂ = (2n) DIV 3 exactly, each threshold is the
+    * (k+1)-th largest quantized score, and a bucket admits scores
+    * STRICTLY above its threshold — ties collapse downward, bit-
+    * stable on both engines. The one ordered window runs on the
+    * score HISTOGRAM (bounded by the quantized score DOMAIN — the lp
+    * range × 10⁶, a few million rows at any corpus size — never the
+    * corpus; the q257 class). */
+  def lmBuckets(docs: DataFrame, refMod: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = bigramLmScore(docs, refMod)
+      .withColumn("lpq",
+        round(col("lp_per_bigram") * lit(1000000.0)).cast("long"))
+      .localCheckpoint(true) // multi-consumer: histogram + output
+    val kf = sc.agg(expr("count(1) DIV 3").as("k1"),
+      expr("(2 * count(1)) DIV 3").as("k2"))
+    val hist = sc.groupBy("lpq").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(kf))
+      .withColumn("cum", sum("c").over(Window.orderBy(col("lpq").desc)))
+      .localCheckpoint(true)
+    val t1 = hist.filter(col("cum") >= col("k1") + lit(1L))
+      .agg(coalesce(max("lpq"), lit(Long.MinValue)).as("t1"))
+    val t2 = hist.filter(col("cum") >= col("k2") + lit(1L))
+      .agg(coalesce(max("lpq"), lit(Long.MinValue)).as("t2"))
+    sc.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .select(col("doc_id"), col("lp_per_bigram"),
+        when(col("lpq") > col("t1"), "head")
+          .when(col("lpq") > col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Q269 — CCNet perplexity buckets under the ORACLE gate. */
+  def q269(s: SparkSession, d: String): DataFrame =
+    lmBuckets(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** The q269 oracle: the q263 chain + ppm quantization + the two
+    * exact-rank tercile thresholds (the q257 cum/threshold idiom). */
+  def q269OracleSql: String =
+    s"WITH $lmCtes, " +
+      "sq AS MATERIALIZED (SELECT doc_id, lp_per_bigram, " +
+      "CAST(ROUND(lp_per_bigram * 1000000) AS BIGINT) AS lpq FROM lmsc), " +
+      "kf AS (SELECT COUNT(*) // 3 AS k1, (2 * COUNT(*)) // 3 AS k2 FROM sq), " +
+      "hist AS (SELECT lpq, COUNT(*) AS c FROM sq GROUP BY lpq), " +
+      "cum AS (SELECT lpq, SUM(c) OVER (ORDER BY lpq DESC) AS cum FROM hist), " +
+      "t1 AS (SELECT COALESCE(MAX(lpq), -9223372036854775807 - 1) AS t1 " +
+      "FROM cum, kf WHERE cum >= kf.k1 + 1), " +
+      "t2 AS (SELECT COALESCE(MAX(lpq), -9223372036854775807 - 1) AS t2 " +
+      "FROM cum, kf WHERE cum >= kf.k2 + 1) " +
+      "SELECT sq.doc_id, sq.lp_per_bigram, " +
+      "CASE WHEN sq.lpq > t1.t1 THEN 'head' " +
+      "WHEN sq.lpq > t2.t2 THEN 'middle' ELSE 'tail' END AS bucket " +
+      "FROM sq, t1, t2 ORDER BY sq.doc_id"
+
   /** The q263 oracle: the identical count/backoff/ordered-fold chain
     * in DuckDB (range/list idiom for positional bigrams). */
   def q263OracleSql: String =

@@ -361,6 +361,34 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("q269 CCNet buckets: exact-rank terciles match a driver recompute; ties collapse down") {
+    val d = sf("sf0.001")
+    val scores = TextOps.q263(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    def q(x: Double): Long =
+      BigDecimal(x * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val lpq = scores.map { case (id, lp) => id -> q(lp) }
+    val sortedDesc = lpq.values.toSeq.sorted.reverse
+    val n = sortedDesc.length.toLong
+    val (k1, k2) = (n / 3, 2 * n / 3)
+    val t1 = sortedDesc(k1.toInt)
+    val t2 = sortedDesc(k2.toInt)
+    val want = lpq.map { case (id, v) =>
+      id -> (if (v > t1) "head" else if (v > t2) "middle" else "tail")
+    }
+    val got = TextOps.q269(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.length == want.size)
+    got.foreach { case (id, lp, b) =>
+      assert(lp == scores(id), s"doc $id score")
+      assert(b == want(id), s"doc $id bucket: $b != ${want(id)}")
+    }
+    val sizes = got.groupBy(_._3).map { case (b, g) => b -> g.length }
+    assert(sizes.keySet == Set("head", "middle", "tail"), s"buckets $sizes")
+    // strictly-above semantics: head is AT MOST k1, ties collapse down
+    assert(sizes("head") <= k1, s"head overflow: $sizes k1=$k1")
+  }
+
   test("segmentDedup: untouched docs reconstruct exactly, boilerplate really drops") {
     val d = sf("sf0.001")
     val docs = graft.sources.Tables.documents(spark, d)
