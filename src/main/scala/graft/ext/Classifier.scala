@@ -56,9 +56,11 @@ object Classifier {
   private def bigramTok(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         expr("filter(split(text, '\\\\s+'), x -> length(x) > 0)").as("arr"))
+      // greatest(…, 0): empty/whitespace-only docs have size(arr) = 0
+      // and slice's length argument must be >= 0 (the q263 guard)
       .select(col("doc_id"), explode(zip_with(
-        expr("slice(arr, 1, size(arr) - 1)"),
-        expr("slice(arr, 2, size(arr) - 1)"),
+        expr("slice(arr, 1, greatest(size(arr) - 1, 0))"),
+        expr("slice(arr, 2, greatest(size(arr) - 1, 0))"),
         (a, b) => concat_ws(" ", a, b))).as("w"))
 
   private def fit(docs: DataFrame, dim: Int, iters: Int,
@@ -313,7 +315,8 @@ object Classifier {
       .filter(col("keep")).select("doc_id")
     val lmKeep = TextOps.bigramLmScore(docs)
       .filter(col("lp_per_bigram") >= lit(-3.6)).select("doc_id")
-      .union(docs.filter(col("doc_id") % 25 === 0).select("doc_id"))
+      .union(docs.filter(col("doc_id") % TextOps.LmRefMod === 0)
+        .select("doc_id"))
     val dd = docs.join(keep1, "doc_id").join(lmKeep, "doc_id")
       .withColumn("rk", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
@@ -339,9 +342,9 @@ object Classifier {
     s"WITH ${clfCtes(64, 16, 0.25, bigrams = true)}, " +
       s"${calThresholdCtes(400000L)}, " +
       "keep1 AS MATERIALIZED (SELECT s.doc_id FROM s, thr WHERE s.pq > thr.thr), " +
-      s"${TextOps.lmCtes}, " +
+      s"${TextOps.lmCtes()}, " +
       "lmk AS MATERIALIZED (SELECT doc_id FROM lmsc WHERE lp_per_bigram >= -3.6 " +
-      "UNION ALL SELECT doc_id FROM documents WHERE doc_id % 25 = 0), " +
+      s"UNION ALL SELECT doc_id FROM documents WHERE doc_id % ${TextOps.LmRefMod} = 0), " +
       "dd AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d " +
       "JOIN keep1 USING (doc_id) JOIN lmk USING (doc_id) " +
       "QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) = 1), " +

@@ -733,6 +733,13 @@ object Similarity {
       }.toArray
       val s = math.sqrt(dims.foldLeft(0.0) { (a, i) =>
         a + u(i.toInt) * u(i.toInt) })
+      // fail fast on a degenerate iterate (all-zero covariance, e.g.
+      // constant embeddings, or a matvec that annihilates the start):
+      // without this, s = 0 silently propagates NaN into every pc1
+      // projection on BOTH engines — garbage that the gate can't flag
+      require(s > 0,
+        s"power iteration degenerated: ||A·v|| = $s (constant or " +
+          "all-zero embeddings have no dominant eigendirection)")
       v = u.map(_ / s)
     }
     v

@@ -11,6 +11,12 @@ import graft.sources.Tables
   */
 object TextOps {
 
+  /** Reference-slice modulus for the bigram LM tier (q263/q269/q267):
+    * docs with doc_id % LmRefMod == 0 form the reference corpus. ONE
+    * constant shared by [[bigramLmScore]], [[lmCtes]] and the q267
+    * union filter, so engine and oracle cannot silently diverge. */
+  private[ext] val LmRefMod: Int = 25
+
   /** Q25 — key-based dedup: group on a content key, elect the keeper
     * (min doc_id), count members. The declared key is the 40-char text
     * prefix (the documents table has no exact duplicate texts; see
@@ -2287,7 +2293,7 @@ object TextOps {
     * them — Heaps-law keys, the q69 note) and one doc-keyed agg whose
     * per-group state is bounded by doc length. (N, V) ride a 1-row
     * broadcast — no driver count. */
-  def bigramLmScore(docs: DataFrame, refMod: Int = 25): DataFrame = {
+  def bigramLmScore(docs: DataFrame, refMod: Int = LmRefMod): DataFrame = {
     require(refMod >= 2, s"refMod=$refMod must leave both slices non-empty")
     val lf = docs.select(col("doc_id"),
       expr("filter(split(text, '\\\\s+'), x -> length(x) > 0)").as("lf"))
@@ -2295,10 +2301,13 @@ object TextOps {
       .select(explode(col("lf")).as("w"))
     val c1 = rtok.groupBy("w").agg(count(lit(1)).as("c1"))
     val nv = c1.agg(sum("c1").as("n_tok"), count(lit(1)).as("vsz"))
+    // greatest(…, 0): an empty/whitespace-only doc has size(lf) = 0,
+    // and slice's length argument must be >= 0 (Spark throws on -1
+    // where the oracle's range(1, len(lf)) just yields an empty list)
     def bigrams(df: DataFrame): DataFrame = df
       .select(col("doc_id"), posexplode(zip_with(
-        expr("slice(lf, 1, size(lf) - 1)"),
-        expr("slice(lf, 2, size(lf) - 1)"),
+        expr("slice(lf, 1, greatest(size(lf) - 1, 0))"),
+        expr("slice(lf, 2, greatest(size(lf) - 1, 0))"),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as(Seq("pos", "bg")))
       .select(col("doc_id"), col("pos"), col("bg.w1"), col("bg.w2"))
     val c2 = bigrams(lf.filter(col("doc_id") % refMod === 0))
@@ -2342,7 +2351,7 @@ object TextOps {
     * score HISTOGRAM (bounded by the quantized score DOMAIN — the lp
     * range × 10⁶, a few million rows at any corpus size — never the
     * corpus; the q257 class). */
-  def lmBuckets(docs: DataFrame, refMod: Int = 25): DataFrame = {
+  def lmBuckets(docs: DataFrame, refMod: Int = LmRefMod): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sc = bigramLmScore(docs, refMod)
       .withColumn("lpq",
@@ -2372,7 +2381,7 @@ object TextOps {
   /** The q269 oracle: the q263 chain + ppm quantization + the two
     * exact-rank tercile thresholds (the q257 cum/threshold idiom). */
   def q269OracleSql: String =
-    s"WITH $lmCtes, " +
+    s"WITH ${lmCtes()}, " +
       "sq AS MATERIALIZED (SELECT doc_id, lp_per_bigram, " +
       "CAST(ROUND(lp_per_bigram * 1000000) AS BIGINT) AS lpq FROM lmsc), " +
       "kf AS (SELECT COUNT(*) // 3 AS k1, (2 * COUNT(*)) // 3 AS k2 FROM sq), " +
@@ -2390,24 +2399,27 @@ object TextOps {
   /** The q263 oracle: the identical count/backoff/ordered-fold chain
     * in DuckDB (range/list idiom for positional bigrams). */
   def q263OracleSql: String =
-    s"WITH $lmCtes SELECT doc_id, n_bigrams, n_backoff, lp_per_bigram " +
+    s"WITH ${lmCtes()} SELECT doc_id, n_bigrams, n_backoff, lp_per_bigram " +
       "FROM lmsc ORDER BY doc_id"
 
   /** The q263 chain as composable CTEs ending in `lmsc` (doc_id,
     * n_bigrams, n_backoff, lp_per_bigram) — reused by the pipeline-v8
-    * oracle so the LM stage has ONE source of truth. */
-  private[ext] def lmCtes: String =
+    * oracle so the LM stage has ONE source of truth. `refMod` mirrors
+    * [[bigramLmScore]]'s parameter so a non-default caller can build
+    * the matching oracle instead of silently diverging from the
+    * hardcoded default. */
+  private[ext] def lmCtes(refMod: Int = LmRefMod): String =
     "lf AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
       "x -> LENGTH(x) > 0) AS lf FROM documents), " +
-      "rtok AS (SELECT unnest(lf) AS w FROM lf WHERE doc_id % 25 = 0), " +
+      s"rtok AS (SELECT unnest(lf) AS w FROM lf WHERE doc_id % $refMod = 0), " +
       "c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM rtok GROUP BY w), " +
       "nv AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tok, " +
       "CAST(COUNT(*) AS BIGINT) AS vsz FROM c1), " +
       "rbig AS (SELECT lf.lf[i] AS w1, lf.lf[i + 1] AS w2 " +
-      "FROM lf, UNNEST(range(1, len(lf))) AS t(i) WHERE doc_id % 25 = 0), " +
+      s"FROM lf, UNNEST(range(1, len(lf))) AS t(i) WHERE doc_id % $refMod = 0), " +
       "c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM rbig GROUP BY w1, w2), " +
       "tbig AS (SELECT lf.doc_id, i AS pos, lf.lf[i] AS w1, lf.lf[i + 1] AS w2 " +
-      "FROM lf, UNNEST(range(1, len(lf))) AS t(i) WHERE doc_id % 25 <> 0), " +
+      s"FROM lf, UNNEST(range(1, len(lf))) AS t(i) WHERE doc_id % $refMod <> 0), " +
       "j AS (SELECT t.doc_id, t.pos, c2.c2, ca.c1 AS c1a, cb.c1 AS c1b " +
       "FROM tbig t LEFT JOIN c2 ON t.w1 = c2.w1 AND t.w2 = c2.w2 " +
       "LEFT JOIN c1 ca ON t.w1 = ca.w LEFT JOIN c1 cb ON t.w2 = cb.w), " +

@@ -990,9 +990,10 @@ object Geo {
     * ambient-relative threshold keeps a vanishing fraction of the
     * grid. Adjacency is the same explode-to-neighborhood equi-join as
     * the banded grid (never cell×cell), and the component merge is
-    * [[Graph.connectedComponents]] min-label propagation — hotspot
-    * adjacency graphs are shallow by construction (the q105 guidance;
-    * a pathological planet-ring chain would take the star form).
+    * [[Graph.connectedComponentsStar]] (log-diameter rounds): hotspot
+    * graphs are usually shallow, but a long corridor of dense cells
+    * can exceed a propagation round budget and SILENTLY split, so
+    * the convergence-safe form is the default.
     * Out-of-range latitude neighbors simply miss the join; isolated
     * dense cells come back as singleton clusters (the q105 union). */
   def geoHotspots(points: DataFrame, resMicroDeg: Long = 5000000L,
@@ -1027,7 +1028,12 @@ object Geo {
         col("dst_key") === col("dst"))
       .filter(col("src") < col("dst"))
       .select("src", "dst")
-    val cc = Graph.connectedComponents(edges)
+    // star contraction, not min-label propagation: hotspot chains can
+    // exceed propagation's round budget (a long corridor of dense
+    // cells would silently split clusters at maxIter); star rounds
+    // grow ~log(diameter), so a 20-round cap is never the binding
+    // constraint at any realistic grid size
+    val cc = Graph.connectedComponentsStar(edges)
     val singles = dense.select(col("cell").as("id"))
       .join(cc.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))

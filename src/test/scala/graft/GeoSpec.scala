@@ -310,4 +310,20 @@ class GeoSpec extends SparkSpec {
     assert(want.exists(_._2 == 1L) && want.exists(_._2 > 1L),
       "fixture exercises only one cluster shape")
   }
+
+  test("geoHotspots: a 60-cell corridor stays ONE cluster (star CC, r17 ADVICE)") {
+    import spark.implicits._
+    // one point per cell -> every cell is dense (1 * 2592 > 2 * 60);
+    // the corridor's adjacency graph has diameter 59, which min-label
+    // propagation at maxIter = 20 would SILENTLY split into several
+    // clusters -- the star-contraction form converges in ~log rounds
+    val res = 5000000L
+    val pts = (0 until 60)
+      .map(i => (0L, -180000000L + i * res + res / 2))
+      .toDF("la", "lo")
+    val got = Geo.geoHotspots(pts, res, 2L).collect()
+    assert(got.length == 1, s"corridor split into ${got.length} clusters")
+    assert(got.head.getLong(1) == 60L && got.head.getLong(2) == 60L)
+  }
+
 }

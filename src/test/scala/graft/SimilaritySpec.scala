@@ -394,4 +394,17 @@ class SimilaritySpec extends SparkSpec {
     assert(diff.isEmpty, s"diverged for ${diff.size}, e.g. ${diff.headOption}")
     assert(got.values.toSet.size > 10, "degenerate projections")
   }
+
+  test("topComponent fails fast on constant embeddings (r17 ADVICE: no silent NaN)") {
+    import spark.implicits._
+    val df = Seq(0L, 1L, 2L)
+      .map(id => (id, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    // all-zero covariance annihilates the all-ones start: ||A*v|| = 0
+    val e = intercept[IllegalArgumentException] {
+      Similarity.topComponent(df)
+    }
+    assert(e.getMessage.contains("degenerated"), e.getMessage)
+  }
+
 }

@@ -915,4 +915,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("ttr") == 0.75)
     assert(r.getAs[Double]("hapax_frac") == math.rint(2.0 / 3 * 1e6) / 1e6)
   }
+
+  test("q263 guard: empty/whitespace/1-token docs skip, never crash (r17 ADVICE)") {
+    // before the greatest(size-1, 0) guard, size(lf) = 0 made slice's
+    // length argument -1 and Spark threw at runtime, while the DuckDB
+    // oracle's range(1, len(lf)) yielded an empty list and scored on
+    val df = spark.createDataFrame(Seq(
+      (0L, "the ref slice has these tokens and the tokens repeat"),
+      (1L, "these tokens repeat and also miss"),
+      (2L, ""),                            // empty -> zero tokens
+      (3L, "   \t  "),                     // whitespace-only -> zero tokens
+      (4L, "single")))                     // one token -> zero bigrams
+      .toDF("doc_id", "text")
+    val r = graft.ext.TextOps.bigramLmScore(df).collect()
+    assert(r.map(_.getLong(0)).toSet == Set(1L),
+      "only the >=2-token non-reference doc is scored")
+    assert(r.head.getLong(1) == 5L, "doc 1 has 5 bigrams")
+  }
+
 }
