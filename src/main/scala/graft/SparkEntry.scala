@@ -287,6 +287,10 @@ object SparkEntry {
     "q267_pipeline_v8"     -> (graft.ext.Classifier.q267 _),
     "q268_pca_project"     -> (graft.ext.Similarity.q268 _),
     "q269_lm_buckets"      -> (TextOps.q269 _),
+    "q270_hll_error_gate"  -> (graft.ext.Sketches.q270 _),
+    "q271_kmv_error_gate"  -> (graft.ext.Sketches.q271 _),
+    "q272_cms_guarantees"  -> (graft.ext.Sketches.q272 _),
+    "q273_pagerank_invariants" -> (graft.operators.Graph.q273 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -303,7 +307,9 @@ object SparkEntry {
     // floating-point contributions across a shuffle, and float addition
     // order differs between engines — a hash gate on the doubles would
     // pin an accident. Numeric contracts (uniform fixpoint, reference-
-    // iteration equality, Σrank = 1) live in EntityAnalyticsSpec.
+    // iteration equality, Σrank = 1) live in EntityAnalyticsSpec; the
+    // node-count/conservation/positivity PROJECTIONS are strict-gated
+    // via q273 (r17).
     "q129_pagerank"        -> (graft.operators.Graph.q129 _),
     // q139/q140 join the rows-only class: BPE training is a sequential
     // chain of data-dependent argmax decisions (each merge reshapes the
@@ -317,7 +323,9 @@ object SparkEntry {
     // q141 rows-only: the HLL estimate is algorithm-defined, not
     // query-defined — no second engine computes the same bytes. Its
     // EXACT counterpart is q112's oracle gate; byte-exact merge,
-    // duplicate absorption, and 3σ error contracts live in SketchesSpec.
+    // duplicate absorption, and 3σ error contracts live in SketchesSpec;
+    // the exact-window/error-contract PROJECTION is strict-gated via
+    // q270 (r17).
     "q141_hll_rolling"     -> (graft.ext.Sketches.q141 _),
     // q147 rows-only: bloom bit patterns are algorithm-defined like
     // q141's registers. The zero-false-negative guarantee (vs an exact
@@ -326,7 +334,9 @@ object SparkEntry {
     "q147_bloom_screen"    -> (graft.ext.Sketches.q147 _),
     // q165 rows-only: the KMV Jaccard estimate is algorithm-defined
     // (q141's class); the EXACT anchor is q148's gate, and byte-exact
-    // shard merging + error-vs-exact contracts live in SketchesSpec.
+    // shard merging + error-vs-exact contracts live in SketchesSpec;
+    // the exact-Jaccard/error-contract PROJECTION is strict-gated via
+    // q271 (r17).
     "q165_kmv_overlap"     -> (graft.ext.Sketches.q165 _),
     // q167 rows-only: aHash bits are codec+algorithm-defined (q53's
     // metadata is the multimodal family's oracle anchor); identical/
@@ -655,6 +665,54 @@ object SparkEntry {
     // q269: CCNet perplexity terciles — the q263 chain + ppm
     // quantization + two exact-rank thresholds (q257 idiom)
     "q269_lm_buckets" -> TextOps.q269OracleSql,
+    // q270–q273 (r17): derived-invariant companions that pull strict
+    // projections of the rows-only sketch/PageRank estimates into the
+    // hash gate — DuckDB recomputes the EXACT side; the estimate-vs-
+    // exact contract booleans are literal TRUE unless the algorithm
+    // breaks (both engines emit the same row either way only when the
+    // contract holds, so a regression hash-mismatches).
+    // q270: exact rolling distinct = the q112 ×7 fan-out restricted
+    // to complete windows (q141's n_days = 7 semantics)
+    "q270_hll_error_gate" ->
+      ("WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d0, user_id FROM events), " +
+        "f AS (SELECT user_id, d0, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), " +
+        "CAST(d0 + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM ud), " +
+        "k AS (SELECT day, COUNT(DISTINCT d0) AS n_days FROM f GROUP BY day), " +
+        "ex AS (SELECT f.day, CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS exact_users " +
+        "FROM f JOIN k ON k.day = f.day AND k.n_days = 7 GROUP BY f.day) " +
+        "SELECT day, exact_users, TRUE AS within_bound FROM ex ORDER BY day"),
+    // q271: exact pairwise token Jaccard (the q148 arithmetic) over
+    // ALL source pairs (zero-intersection pairs score 0)
+    "q271_kmv_error_gate" ->
+      ("WITH t AS (SELECT DISTINCT source AS src, w FROM (SELECT source, " +
+        "unnest(string_split_regex(text, '\\s+')) AS w FROM documents) WHERE LENGTH(w) > 0), " +
+        "s AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1), " +
+        "p AS (SELECT a.src AS src_a, b.src AS src_b, a.n AS n_a, b.n AS n_b " +
+        "FROM s a JOIN s b ON a.src < b.src), " +
+        "i AS (SELECT a.src AS src_a, b.src AS src_b, CAST(COUNT(*) AS BIGINT) AS inter " +
+        "FROM t a JOIN t b ON a.w = b.w AND a.src < b.src GROUP BY 1, 2) " +
+        "SELECT p.src_a, p.src_b, ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE) / " +
+        "(p.n_a + p.n_b - COALESCE(i.inter, 0)), 6) AS jaccard, TRUE AS within_bound " +
+        "FROM p LEFT JOIN i ON p.src_a = i.src_a AND p.src_b = i.src_b " +
+        "ORDER BY p.src_a, p.src_b"),
+    // q272: the q194 top-10 exact counts + the two CMS guarantees
+    "q272_cms_guarantees" ->
+      ("WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM events " +
+        "GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10) " +
+        "SELECT user_id, n_exact, TRUE AS never_under, TRUE AS within_eps " +
+        "FROM c ORDER BY user_id"),
+    // q273: node count of the symmetrized q120/q129 co-order graph +
+    // the conservation/positivity invariants
+    "q273_pagerank_invariants" ->
+      ("WITH small AS (SELECT p_partkey FROM part WHERE p_size <= 10), " +
+        "it AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey " +
+        "FROM lineitem JOIN small ON l_partkey = p_partkey), " +
+        "e AS (SELECT x.pkey AS src, y.pkey AS dst FROM it x JOIN it y " +
+        "ON x.okey = y.okey AND x.pkey < y.pkey GROUP BY 1, 2 HAVING COUNT(*) >= 1), " +
+        "nd AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e " +
+        "UNION ALL SELECT dst FROM e)) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, TRUE AS sums_to_one, " +
+        "TRUE AS all_positive FROM nd"),
     // q254: interval gaps — the q248 block CTE + LEAD complement
     "q254_interval_gaps" ->
       ("WITH iv AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, " +
@@ -2986,7 +3044,8 @@ object SparkEntry {
         "FROM p GROUP BY event_type, lag ORDER BY event_type, lag"),
     // q194 rows-only: CMS estimates are algorithm-defined like the
     // q141/q147/q165 sketch family; the exact anchor is q99's gate and
-    // the never-underestimate/εN/merge contracts live in SketchesSpec.
+    // the never-underestimate/εN/merge contracts live in SketchesSpec;
+    // both guarantees are strict-gated as booleans via q272 (r17).
     // q195: CUSUM changepoint — argmax of the integer n·P_t − t·T over
     // the gap-filled grid, earliest-day tie-break; means are the only
     // IEEE divides.

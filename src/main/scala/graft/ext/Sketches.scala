@@ -139,6 +139,44 @@ object Sketches {
   def q141(s: SparkSession, d: String): DataFrame =
     rollingDistinctHll(Tables.events(s, d), "user_id", 7).orderBy("day")
 
+  /** HLL relative-error budget for the q270 gate: P = 12 gives a
+    * 1.04/√4096 ≈ 1.6% standard error; 5% ≈ 3σ holds deterministically
+    * on the fixture (measured max ≈ threshold/3 at both gate scales)
+    * while still being a meaningful contract — a broken register
+    * merge or estimator overshoots it immediately. */
+  val HllRelBound = 0.05
+
+  /** Q270 — the q141 estimate's ERROR CONTRACT under the ORACLE gate
+    * (r17: shrink the rows-only set with derived-invariant gates).
+    * q141 itself stays rows-only — the estimate is algorithm-defined —
+    * but two PROJECTIONS of it are strictly checkable: the exact
+    * rolling distinct (DuckDB recomputes it independently) and the
+    * boolean |est − exact| ≤ 5%·exact (TRUE on both engines unless the
+    * sketch breaks). A register-merge bug, estimator regression, or
+    * window-semantics drift now fails the HASH gate, not just the
+    * ScalaTest contract. Exact side: one distinct + the q112 bounded
+    * ×7 fan-out — scales like q112, never like events². */
+  def q270(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val est = rollingDistinctHll(ev, "user_id", 7)
+    val exact = ev
+      .select(to_date(col("ts")).as("d0"), col("user_id").as("id")).distinct()
+      .select(col("id"), col("d0"),
+        explode(sequence(lit(0), lit(6))).as("off"))
+      .select(col("id"), col("d0"), date_add(col("d0"), col("off")).as("day"))
+      .groupBy("day")
+      .agg(countDistinct(col("d0")).as("n_days"),
+        countDistinct(col("id")).as("exact_users"))
+      .filter(col("n_days") === 7) // complete windows (q141 parity)
+    est.join(exact, "day")
+      .select(col("day"), col("exact_users"),
+        (abs(col("est_users").cast("double") -
+          col("exact_users").cast("double")) <=
+          lit(HllRelBound) * col("exact_users").cast("double"))
+          .as("within_bound"))
+      .orderBy("day")
+  }
+
   // ---------------------------------------------------------------
   // Bloom filter — the membership sketch (Bloom 1970)
   // ---------------------------------------------------------------
@@ -312,6 +350,45 @@ object Sketches {
     * merging plus estimate error against the exact Jaccard). */
   def q165(s: SparkSession, d: String): DataFrame =
     kmvOverlap(Tables.documents(s, d)).orderBy("src_a", "src_b")
+
+  /** KMV absolute Jaccard-error budget for the q271 gate: k = 512
+    * gives σ ≈ 1/√512 ≈ 4.4% on the estimate; 0.15 ≈ 3.4σ holds
+    * deterministically on the fixture while catching any k-min merge
+    * or estimator regression. */
+  val KmvAbsBound = 0.15
+
+  /** Q271 — the q165 estimate's ERROR CONTRACT under the ORACLE gate
+    * (the q270 pattern on the KMV tier): exact per-pair token Jaccard
+    * (the q148 gate-proven arithmetic — BIGINT set sizes, ONE IEEE
+    * divide, round 6) + the boolean |est − exact| ≤ 0.15. All source
+    * pairs appear (left join from the sketch matrix; a pair with no
+    * shared token scores exact 0), so a silently-vanishing pair also
+    * fails rows. */
+  def q271(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val est = kmvOverlap(docs) // (src_a, src_b, est_jaccard)
+    val t = docs.select(col("source").as("src"),
+        explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val sizes = t.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = t.as("a").join(t.as("b"),
+        col("a.w") === col("b.w") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    val exact = inter
+      .join(sizes.select(col("src").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+    est.join(exact, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"),
+        (abs(col("est_jaccard") - coalesce(col("jaccard"), lit(0.0))) <=
+          lit(KmvAbsBound)).as("within_bound"))
+      .orderBy("src_a", "src_b")
+  }
 
   /** Q147 — bloom-screen the %20 ∈ {18,19} document slice against the
     * %20 < 18 history by exact content fingerprint (rows-only driver
@@ -487,6 +564,31 @@ object Sketches {
     cmsKeyCounts(ev, "user_id", top.select("user_id"))
       .join(top, "user_id")
       .select(col("user_id"), col("n_exact"), col("est_count"))
+      .orderBy("user_id")
+  }
+
+  /** Q272 — the q194 estimate's GUARANTEE CONTRACT under the ORACLE
+    * gate (the q270 pattern on the CMS tier). Two checkable booleans
+    * per probed key: `never_under` (est ≥ exact — the CMS structural
+    * guarantee, min over depth rows each of which counted the key
+    * plus non-negative collisions) and `within_eps` (est − exact ≤
+    * ε·N with ε = e/W ≈ 1.33e-3 of total event mass — the Cormode–
+    * Muthukrishnan bound, which holds per row with prob 1 − 1/e and
+    * over the min with prob 1 − e^-4; deterministic on the fixed
+    * fixture). The exact counts are DuckDB-recomputable BIGINTs. */
+  def q272(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+    val n = ev.agg(count(lit(1)).as("n_total"))
+    cmsKeyCounts(ev, "user_id", top.select("user_id"))
+      .join(top, "user_id")
+      .crossJoin(broadcast(n))
+      .select(col("user_id"), col("n_exact"),
+        (col("est_count") >= col("n_exact")).as("never_under"),
+        ((col("est_count") - col("n_exact")).cast("double") <=
+          lit(math.E / CmsWidth) * col("n_total").cast("double"))
+          .as("within_eps"))
       .orderBy("user_id")
   }
 }

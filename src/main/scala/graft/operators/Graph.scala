@@ -345,6 +345,30 @@ object Graph {
       .orderBy("part")
   }
 
+  /** Q273 — the q129 PageRank's INVARIANT CONTRACT under the ORACLE
+    * gate (r17: shrink the rows-only set with derived-invariant
+    * gates). The per-node ranks stay rows-only (cross-engine float
+    * summation order), but three PROJECTIONS are strictly checkable:
+    * `n_nodes` (the symmetrized co-order graph's node count — DuckDB
+    * recomputes it from the q120 edge CTE), `sums_to_one` (the graph
+    * is symmetrized so every node has outdegree ≥ 1 — no dangling
+    * mass — and Σrank is conserved at 1; float error across 10 rounds
+    * stays ≪ 1e-9), and `all_positive` (every rank ≥ (1−d)/n > 0).
+    * A dropped node, a degree bug, or leaked rank mass now fails the
+    * HASH gate, not just EntityAnalyticsSpec's contracts. */
+  def q273(s: SparkSession, d: String): DataFrame = {
+    val small = Tables.part(s, d).filter(col("p_size") <= 10)
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(small), col("l_partkey") === col("p_partkey"), "left_semi")
+    pageRank(coOrderEdges(li, minSupport = 1), iterations = 10)
+      .agg(count(lit(1)).as("n_nodes"),
+        sum("rank").as("s"), min("rank").as("mn"))
+      .select(col("n_nodes"),
+        (abs(col("s") - lit(1.0)) < lit(1e-9)).as("sums_to_one"),
+        (col("mn") > lit(0.0)).as("all_positive"))
+  }
+
   /** Q105 — entity clusters under the ORACLE gate: q100's fuzzy name
     * pairs become an undirected graph, connected components give each
     * (brand, name) its cluster id = the lexicographically smallest

@@ -1398,4 +1398,13 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(out.last.getAs[Double]("cum_share") == 1.0)
     assert(out.head.getAs[Double]("share") == 0.333333)
   }
+
+  test("q273: PageRank invariant row — node count, conservation, positivity (r17 gate)") {
+    val r = graft.operators.Graph.q273(spark, sf("sf0.001")).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) > 0, "empty co-order graph")
+    assert(r.head.getBoolean(1), "rank mass not conserved")
+    assert(r.head.getBoolean(2), "non-positive rank")
+  }
+
 }

@@ -198,4 +198,19 @@ class SketchesSpec extends SparkSpec {
         s"$k: est ${est(k)} vs exact $c")
     }
   }
+
+  test("q270/q271/q272 contracts hold and are non-vacuous at sf0.001 (r17 gates)") {
+    val d = sf("sf0.001")
+    val hll = Sketches.q270(spark, d).collect()
+    assert(hll.nonEmpty, "no complete 7-day windows")
+    assert(hll.forall(_.getBoolean(2)), "HLL estimate left the 5% band")
+    val kmv = Sketches.q271(spark, d).collect()
+    assert(kmv.nonEmpty && kmv.forall(_.getBoolean(3)),
+      "KMV estimate left the 0.15 band")
+    val cms = Sketches.q272(spark, d).collect()
+    assert(cms.length == 10)
+    assert(cms.forall(_.getBoolean(2)), "CMS underestimated (impossible)")
+    assert(cms.forall(_.getBoolean(3)), "CMS overshot the epsilon-N bound")
+  }
+
 }
