@@ -1,0 +1,187 @@
+package graft.sources
+
+import java.util
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Offline CONTRACT SOURCE for the A1 Kafka surface (r16 verdict item
+  * 6): a DataSource-V2 micro-batch source that replays scripted
+  * (key, value, topic, partition, offset, timestamp) tuples through
+  * the EXACT option map [[KafkaSource.options]] emits and the EXACT
+  * wire schema the real `format("kafka")` source produces — so the A1
+  * wiring (subscribe topic filtering, startingOffsets semantics,
+  * per-topic-partition parallelism, value projection → Ingest) is
+  * exercised END-TO-END minus only the broker. The spark-sql-kafka
+  * connector artifact is unobtainable in this zero-egress build
+  * (probed r5/r9/r10/r16/r17: absent from /opt/spark/jars and every
+  * local cache; resolution fails offline); a connected deployment
+  * swaps `format(classOf[KafkaContractProvider].getName)` for
+  * `format("kafka")` and [[KafkaSource]] works unchanged.
+  *
+  * Semantics mirrored from the real source (all public behavior,
+  * spark-kafka docs + KafkaOffsetReader):
+  *  - `subscribe` is a comma-joined topic list; only matching topics
+  *    are read.
+  *  - `startingOffsets=earliest` begins at offset 0 per partition;
+  *    `latest` begins at the current end (only post-start appends
+  *    are read).
+  *  - offsets are PER TOPIC-PARTITION and checkpointable (serialized
+  *    json; restart resumes from the committed map).
+  *  - one InputPartition per topic-partition per micro-batch — the
+  *    reference's direct-stream parallelism contract
+  *    (RawDataIngestion.java:95-100).
+  * Records live in a process-local registry (the MemoryStream
+  * pattern), keyed by the `registry` option. */
+object KafkaContractSource {
+
+  /** One Kafka record as the wire exposes it. */
+  final case class Rec(key: Array[Byte], value: Array[Byte], topic: String,
+      partition: Int, offset: Long, timestampMs: Long)
+
+  /** The exact schema `format("kafka")` produces. */
+  val schema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  private val registry = TrieMap.empty[String, Vector[Rec]]
+
+  /** (Re)set a named fixture topic-log. Offsets must be dense per
+    * (topic, partition) starting at 0 — the Kafka log contract. */
+  def put(name: String, recs: Seq[Rec]): Unit = {
+    recs.groupBy(r => (r.topic, r.partition)).foreach { case (tp, rs) =>
+      val offs = rs.map(_.offset).sorted
+      require(offs == (0L until rs.length.toLong),
+        s"offsets for $tp must be dense from 0, got $offs")
+    }
+    registry(name) = recs.toVector
+  }
+
+  /** Append records (offsets continue each partition's log). */
+  def append(name: String, recs: Seq[Rec]): Unit =
+    registry(name) = registry.getOrElse(name, Vector.empty) ++ recs
+
+  private[sources] def recordsFor(name: String, topics: Set[String]): Vector[Rec] =
+    registry.getOrElse(name, Vector.empty).filter(r => topics(r.topic))
+
+  /** Build a value-only utf8 record the way the reference's producer
+    * would (string payload, no key). */
+  def rec(topic: String, partition: Int, offset: Long, value: String,
+      tsMs: Long = 0L): Rec =
+    Rec(null, value.getBytes("UTF-8"), topic, partition, offset, tsMs)
+}
+
+/** `spark.readStream.format(classOf[KafkaContractProvider].getName)`
+  * entry point. */
+class KafkaContractProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaContractSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KafkaContractTable(properties)
+}
+
+private class KafkaContractTable(props: util.Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = "kafka-contract"
+  override def schema(): StructType = KafkaContractSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = KafkaContractSource.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new KafkaContractStream(options)
+    }
+}
+
+/** Per-topic-partition offset map, serialized as sorted
+  * `topic|partition=next` pairs — checkpointable and human-readable. */
+private case class TpOffsets(m: Map[(String, Int), Long]) extends Offset {
+  override def json(): String = m.toSeq.sortBy(t => (t._1._1, t._1._2))
+    .map { case ((t, p), n) => s"$t|$p=$n" }.mkString(",")
+}
+private object TpOffsets {
+  def parse(s: String): TpOffsets = TpOffsets(
+    if (s.isEmpty) Map.empty
+    else s.split(",").map { kv =>
+      val Array(tp, n) = kv.split("=")
+      val i = tp.lastIndexOf('|')
+      (tp.substring(0, i), tp.substring(i + 1).toInt) -> n.toLong
+    }.toMap)
+}
+
+private class KafkaContractStream(options: CaseInsensitiveStringMap)
+    extends MicroBatchStream {
+  private val reg = {
+    val r = options.get("registry")
+    require(r != null, "registry option is required (fixture log name)")
+    r
+  }
+  private val topics: Set[String] = {
+    val s = options.get("subscribe")
+    require(s != null && s.nonEmpty, "subscribe option is required")
+    s.split(",").toSet
+  }
+  private val starting = Option(options.get("startingOffsets")).getOrElse("latest")
+  require(starting == "earliest" || starting == "latest",
+    s"startingOffsets must be earliest|latest, got $starting")
+
+  private def ends(): TpOffsets = TpOffsets(
+    KafkaContractSource.recordsFor(reg, topics)
+      .groupBy(r => (r.topic, r.partition))
+      .map { case (tp, rs) => tp -> (rs.map(_.offset).max + 1) })
+
+  override def initialOffset(): Offset =
+    if (starting == "earliest") TpOffsets(ends().m.map { case (tp, _) => tp -> 0L })
+    else ends()
+  override def latestOffset(): Offset = ends()
+  override def deserializeOffset(json: String): Offset = TpOffsets.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TpOffsets].m
+    val e = end.asInstanceOf[TpOffsets].m
+    val all = KafkaContractSource.recordsFor(reg, topics)
+    // one InputPartition per topic-partition: the A1 parallelism contract
+    e.toSeq.sortBy(t => (t._1._1, t._1._2)).flatMap { case (tp, hi) =>
+      val lo = s.getOrElse(tp, 0L)
+      val slice = all.filter(r =>
+        (r.topic, r.partition) == tp && r.offset >= lo && r.offset < hi)
+      if (slice.isEmpty) None else Some(KafkaContractPartition(slice): InputPartition)
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) =>
+      new KafkaContractReader(partition.asInstanceOf[KafkaContractPartition].recs)
+}
+
+private case class KafkaContractPartition(recs: Vector[KafkaContractSource.Rec])
+    extends InputPartition
+
+private class KafkaContractReader(recs: Vector[KafkaContractSource.Rec])
+    extends PartitionReader[InternalRow] {
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < recs.length }
+  override def get(): InternalRow = {
+    val r = recs(i)
+    new GenericInternalRow(Array[Any](
+      r.key, r.value, UTF8String.fromString(r.topic), r.partition, r.offset,
+      r.timestampMs * 1000L, // TimestampType carries micros
+      0)) // TimestampType.CREATE_TIME, what a producer-stamped log reads
+  }
+  override def close(): Unit = ()
+}

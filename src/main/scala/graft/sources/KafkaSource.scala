@@ -20,8 +20,13 @@ import org.apache.spark.sql.functions.col
   * 9 and 10 — same result, and r10 also confirmed zero network egress
   * to Maven Central); a connected
   * deployment adds the artifact (Provided scope) and this object works
-  * unchanged. The wiring is exercised against live Kafka only in such
-  * a deployment. Everything
+  * unchanged. In THIS build the full wiring is exercised end-to-end
+  * minus the broker by [[KafkaContractSource]] (r17): a DSv2
+  * micro-batch source speaking the same option surface and wire
+  * schema replays scripted records through subscribe filtering,
+  * earliest/latest semantics, per-topic-partition parallelism,
+  * checkpointed offsets, and the A3→A5 Ingest chain
+  * (KafkaContractSpec). Everything
   * downstream of the source is source-agnostic: `values(df)` produces
   * the same `value: string` column contract the file and MemoryStream
   * test sources feed into graft.streaming.Ingest.
