@@ -1097,6 +1097,179 @@ object ScaleBench {
     }
   }
 
+  /** SF1 SLICE generator (r17 verdict item 8): a 10× documents/
+    * embeddings/events tier derived deterministically from sf0.1 so
+    * the heavy block can record an sf0.1→sf1 scaling row on REAL
+    * fixture shape (vocabulary, doc-length, source/lang mix, event
+    * cadence all preserved) rather than synthetic frames. Copy 0 is
+    * sf0.1 verbatim; copies 1–9 re-randomize within the shape:
+    *  - documents: each token independently kept or replaced by a
+    *    hash-chosen vocabulary word (p=1/2) — sibling Jaccard ~1/3
+    *    stays BELOW the 0.5 near-dup threshold, so q28's pair density
+    *    scales like the corpus, not quadratically in copies (the
+    *    realistic shape; verbatim copies would plant 45 near-dup
+    *    pairs per family by construction).
+    *  - embeddings: per-coordinate hash jitter ±0.05 (cluster
+    *    structure survives, exact-dup vectors don't).
+    *  - events: user_id/event_id shifted per copy — 10× users at the
+    *    same per-day cadence (how traffic actually grows). */
+  private def runSf1Gen(spark: SparkSession, srcDir: String,
+      outDir: String): Unit = {
+    import spark.implicits._
+    val copies = spark.range(10).select(col("id").as("copy"))
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val nDocs = docs.count()
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().orderBy("w")
+      .limit(10000).as[String].collect()
+    val vlit = array(vocab.map(lit(_)).toIndexedSeq: _*)
+    docs.crossJoin(copies)
+      .select((col("doc_id") + col("copy") * nDocs).as("doc_id"),
+        array_join(zip_with(split(col("text"), " "),
+          sequence(lit(0), size(split(col("text"), " ")) - 1),
+          (w, i) => when(col("copy") === 0L ||
+              pmod(xxhash64(col("doc_id"), col("copy"), i), lit(2L)) === 0L, w)
+            .otherwise(element_at(vlit,
+              (pmod(xxhash64(col("doc_id"), col("copy"), i, lit(5L)),
+                lit(vocab.length.toLong)) + 1L).cast("int")))), " ").as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val nEmb = emb.count()
+    emb.crossJoin(copies)
+      .select((col("vec_id") + col("copy") * nEmb).as("vec_id"),
+        when(col("copy") === 0L, col("embedding"))
+          .otherwise(zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => (x + (pmod(xxhash64(col("vec_id"), col("copy"), i),
+              lit(1001L)) - 500L).cast("double") / 10000.0).cast("float")))
+          .as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val mx = ev.agg(max("event_id"), max("user_id")).head()
+    val (mxE, mxU) = (mx.getLong(0) + 1L, mx.getLong(1) + 1L)
+    ev.crossJoin(copies)
+      .select((col("event_id") + col("copy") * mxE).as("event_id"),
+        col("ts"), (col("user_id") + col("copy") * mxU).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    println(s"""{"op":"sf1gen","docs":${nDocs * 10},"embeddings":${nEmb * 10},"events":${ev.count() * 10}}""")
+  }
+
+  /** SF1 heavy block (r17 verdict item 8): the documents/embeddings/
+    * events heavies once at the 10× tier — recorded against their
+    * sf0.1 bench floors for the scaling row. (q121/q130/q224 need
+    * lineitem/orders, which the slice deliberately omits.) */
+  private def runSf1Heavy(spark: SparkSession, dir: String): Unit = {
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val names = Seq("q28_near_dup_minhash", "q34_ann_topk",
+      "q66_full_pipeline", "q76_semdedup", "q91_dedup_incremental",
+      "q112_rolling_distinct", "q141_hll_rolling", "q257_clf_calibrated",
+      "q263_bigram_lm", "q267_pipeline_v8")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val rows = fn(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      sweep()
+      println(f"""{"op":"sf1heavy","query":"$name","sec":$sec%.2f,"rows":$rows}""")
+    }
+  }
+
+  /** ZONE-SCALE adversarial curve (r17 verdict item 4): 50 km zones ×
+    * 20 M points from a SKEWED-home user population — point→user index
+    * is cubed-uniform, so the hottest homes carry ~100× the uniform
+    * density and pile onto single grid cells — measuring CANDIDATE
+    * VOLUME PER POINT through the q256 grid alongside wall-clock for
+    * the three batch twins the streaming machines resolve through
+    * (membership q256/S45, nearest q260, dwell runs q258/S50). The
+    * claim under test: candidates/point tracks ZONES PER PROBED
+    * NEIGHBORHOOD (reported as zones_per_cell_max/avg), never the
+    * zone count — the grid keeps 10⁴ zones as cheap as 10² per probe,
+    * and skewed density inflates only the matched cells' traffic. */
+  private def runZoneScale(spark: SparkSession, zoneCounts: Seq[Long]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val nPts = sys.env.get("SPARK_GRAFT_ZS_POINTS").map(_.toLong)
+      .getOrElse(20000000L)
+    val nUsers = 100000L
+    val rad = 50000.0
+    // skewed point→user map (cubed uniform): user 0's home sees ~3x10⁻⁵
+    // of all points vs 10⁻⁵ uniform at the head, and the tail thins —
+    // the fleet-tracking shape (depots and city centers are hot)
+    val pts = spark.range(nPts).select(col("id"),
+        expr(s"CAST($nUsers * pow(pmod(xxhash64(id), 1048576) / 1048576.0, 3.0) AS BIGINT)")
+          .as("user_id"))
+      .withColumn("tsu", col("id"))
+      .withColumn("la",
+        (pmod(expr("xxhash64(user_id, 11L)"), lit(160000001L)) - 80000000L) +
+          (pmod(expr("xxhash64(id, 13L)"), lit(900001L)) - 450000L))
+      .withColumn("lo",
+        pmod((pmod(expr("xxhash64(user_id, 12L)"), lit(360000000L)) - 180000000L) +
+          (pmod(expr("xxhash64(id, 14L)"), lit(900001L)) - 450000L) +
+          540000000L, lit(360000000L)) - 180000000L)
+      .persist()
+    pts.count()
+    zoneCounts.zipWithIndex.foreach { case (nz, i) =>
+      val zones = spark.range(nz).select(col("id").as("zone_id"),
+          (pmod(expr("xxhash64(zone_id, 7L)"), lit(160000001L)) - 80000000L).as("zla"),
+          (pmod(expr("xxhash64(zone_id, 8L)"), lit(360000000L)) - 180000000L).as("zlo"),
+          lit(rad).as("radius_m")).persist()
+      zones.count()
+      // zone density over the grid the candidates probe
+      val (hh, cells, _) = graft.operators.Geo.gridParams(rad)
+      val bt = broadcast(cells.toDF("bt_band", "bt_nc"))
+      val zd = zones.withColumn("zband", expr(s"(zla + 90000000) DIV $hh"))
+        .join(bt, col("zband") === col("bt_band"))
+        .groupBy(col("zband"), expr("((zlo + 180000000) * bt_nc) DIV 360000000"))
+        .agg(count(lit(1)).as("n"))
+        .agg(max("n").as("mx"), avg("n").as("av")).head()
+      val (zMax, zAvg) = (zd.getLong(0), zd.getDouble(1))
+      def time[A](f: => A): (Double, A) = {
+        val t0 = System.nanoTime(); val a = f
+        ((System.nanoTime() - t0) / 1e9, a)
+      }
+      if (i == 0) { // warmup, discarded
+        graft.operators.Geo.sphericalZoneJoin(pts, zones, rad).count()
+      }
+      val (candSec, cand) = time(
+        graft.operators.Geo.zoneCandidates(pts, zones, rad).count())
+      sweep(); pts.count(); zones.count()
+      val (joinSec, members) = time(
+        graft.operators.Geo.sphericalZoneJoin(pts, zones, rad).count())
+      sweep(); pts.count(); zones.count()
+      val resolved = graft.operators.Geo.sphericalZoneJoin(pts, zones, rad)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("id").orderBy(col("hav"), col("zone_id"))))
+        .filter(col("rk") === 1)
+      val (nearSec, nearest) = time(resolved.count())
+      sweep(); pts.count(); zones.count()
+      // dwell runs: nearest-wins zone per point (outside where none),
+      // then q258's gaps-and-islands per user — the S50 batch twin
+      val zp = pts.join(resolved.select(col("id"), col("zone_id")), Seq("id"), "left")
+        .select(col("user_id"), col("tsu"),
+          coalesce(col("zone_id").cast("string"), lit("outside")).as("zone"))
+      val w = Window.partitionBy("user_id").orderBy("tsu")
+      val wz = Window.partitionBy("user_id", "zone").orderBy("tsu")
+      val (dwellSec, visits) = time(zp
+        .withColumn("grp", row_number().over(w) - row_number().over(wz))
+        .filter(col("zone") =!= "outside")
+        .groupBy("user_id", "zone", "grp").agg(count(lit(1)).as("n"))
+        .count())
+      zones.unpersist(); sweep(); pts.count()
+      println(f"""{"op":"zonescale","n_points":$nPts,"n_zones":$nz,"zones_per_cell_max":$zMax,"zones_per_cell_avg":$zAvg%.4f,"cand_sec":$candSec%.2f,"candidates":$cand,"cand_per_point":${cand.toDouble / nPts}%.4f,"zone_join_sec":$joinSec%.2f,"members":$members,"nearest_sec":$nearSec%.2f,"nearest":$nearest,"dwell_sec":$dwellSec%.2f,"visits":$visits}""")
+    }
+    pts.unpersist(); sweep()
+  }
+
   /** ZONE-AXIS curve (r16 verdict item #2): membership cost as the
     * GEOFENCE COUNT grows at fixed point count — the regime where the
     * per-zone literal-CASE resolver (q255/S43 fast path) would blow up
@@ -1219,6 +1392,25 @@ object ScaleBench {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(100000L, 1000000L, 4000000L)
       runCc(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("sf1gen")) {
+      runSf1Gen(spark, "/root/testdata/sf0.1",
+        sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/target/sf1"))
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("sf1heavy")) {
+      runSf1Heavy(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/target/sf1"))
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("zonescale")) {
+      val counts = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(100L, 1000L, 10000L)
+      runZoneScale(spark, counts)
       spark.stop()
       return
     }

@@ -501,6 +501,24 @@ object Geo {
     * argument above). */
   def sphericalZoneJoin(points: DataFrame, zones: DataFrame,
       maxRadiusMeters: Double): DataFrame = {
+    val cand = zoneCandidates(points, zones, maxRadiusMeters)
+    val l = (havLayer1 ++ havLayer2 :+ havLayer3) ++ kzLayers
+    val lay = l.foldLeft(cand) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+    // Generator-form verify (the q249 pushdown-blowup doctrine)
+    lay.select(explode(when(col("hav") <= col("kz"),
+        array(struct(col("id"), col("zone_id"), col("hav"))))
+      .otherwise(array().cast(
+        "array<struct<id:bigint,zone_id:bigint,hav:double>>"))).as("r"))
+      .select("r.*")
+  }
+
+  /** The grid CANDIDATE stage of [[sphericalZoneJoin]] (everything up
+    * to the haversine verify) — split out so the ScaleBench zones
+    * curve can measure candidate volume per point directly: the scale
+    * claim is candidates/point = O(zones per grid cell), never
+    * O(zones). */
+  private[graft] def zoneCandidates(points: DataFrame, zones: DataFrame,
+      maxRadiusMeters: Double): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val (hh, cells, wMax) = gridParams(maxRadiusMeters)
@@ -533,16 +551,8 @@ object Geo {
       expr("abs(((loa - lob + 540000000) % 360000000) - 180000000)") <= wMax
     // SHUFFLE_HASH the zone side (the smaller, un-exploded relation);
     // the exploded point side streams un-sorted, as in `candidates`
-    val cand = p.join(z.hint("SHUFFLE_HASH"),
+    p.join(z.hint("SHUFFLE_HASH"),
       col("tb") === col("zband") && col("jcell") === col("zcell") && boxCut)
-    val l = (havLayer1 ++ havLayer2 :+ havLayer3) ++ kzLayers
-    val lay = l.foldLeft(cand) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
-    // Generator-form verify (the q249 pushdown-blowup doctrine)
-    lay.select(explode(when(col("hav") <= col("kz"),
-        array(struct(col("id"), col("zone_id"), col("hav"))))
-      .otherwise(array().cast(
-        "array<struct<id:bigint,zone_id:bigint,hav:double>>"))).as("r"))
-      .select("r.*")
   }
 
   /** The q256 zone derivation: suppliers mapped to deterministic
