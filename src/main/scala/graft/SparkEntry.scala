@@ -291,6 +291,9 @@ object SparkEntry {
     "q271_kmv_error_gate"  -> (graft.ext.Sketches.q271 _),
     "q272_cms_guarantees"  -> (graft.ext.Sketches.q272 _),
     "q273_pagerank_invariants" -> (graft.operators.Graph.q273 _),
+    "q274_bloom_guarantees" -> (graft.ext.Sketches.q274 _),
+    "q275_gk_rank_gate"    -> (Relational.q275 _),
+    "q276_bpe_conservation" -> (graft.ext.Bpe.q276 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -298,7 +301,8 @@ object SparkEntry {
     // from oracleSql by design; the banding/Hamming, substring-match,
     // and within-rank-error contracts are in ScalaTest — and the
     // winnowing MODALITY is oracle-gated via q51, the sketch's exactness
-    // anchor via q39)
+    // anchor via q39, and the GK rank-error contract strict-gated as
+    // booleans via q275 (r17))
     "q47_simhash_pairs"    -> (TextOps.q47 _),
     "q50_winnow_fp"        -> (TextOps.q50 _),
     "q52_approx_pctile"    -> (Relational.q52 _),
@@ -317,7 +321,10 @@ object SparkEntry {
     // cannot re-aggregate per level) and application replays that
     // chain, so no SQL oracle exists. The paper's golden merge
     // sequence, tie-breaks, rank-priority application, and exact
-    // integer token statistics are pinned in BpeSpec.
+    // integer token statistics are pinned in BpeSpec; the application
+    // CONSERVATION projections (exact word/char totals, per-word
+    // reconstruction, subword-count bounds) are strict-gated via
+    // q276 (r17).
     "q139_bpe_train"       -> (graft.ext.Bpe.q139 _),
     "q140_bpe_tokens"      -> (graft.ext.Bpe.q140 _),
     // q141 rows-only: the HLL estimate is algorithm-defined, not
@@ -330,7 +337,8 @@ object SparkEntry {
     // q147 rows-only: bloom bit patterns are algorithm-defined like
     // q141's registers. The zero-false-negative guarantee (vs an exact
     // semi-join, incl. on the real fixture), FPR bound, and byte-exact
-    // shard-merge contracts live in SketchesSpec.
+    // shard-merge contracts live in SketchesSpec; both guarantees are
+    // strict-gated as booleans via q274 (r17).
     "q147_bloom_screen"    -> (graft.ext.Sketches.q147 _),
     // q165 rows-only: the KMV Jaccard estimate is algorithm-defined
     // (q141's class); the EXACT anchor is q148's gate, and byte-exact
@@ -701,6 +709,25 @@ object SparkEntry {
         "GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10) " +
         "SELECT user_id, n_exact, TRUE AS never_under, TRUE AS within_eps " +
         "FROM c ORDER BY user_id"),
+    // q274: the q147 increment slices' exact counts + the
+    // zero-false-negative / FPR-bound booleans
+    "q274_bloom_guarantees" ->
+      ("WITH inc AS (SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN 'represented' " +
+        "ELSE 'fresh' END AS slice FROM documents WHERE doc_id % 20 >= 18 OR doc_id % 20 = 0) " +
+        "SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS guarantee_ok " +
+        "FROM inc GROUP BY slice ORDER BY slice"),
+    // q275: exact per-group sizes + the GK rank-error booleans
+    "q275_gk_rank_gate" ->
+      ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "TRUE AS p50_rank_ok, TRUE AS p95_rank_ok " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // q276: exact per-doc word/char totals + the BPE conservation booleans
+    "q276_bpe_conservation" ->
+      ("SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST(SUM(LENGTH(w)) AS BIGINT) AS n_word_chars, " +
+        "TRUE AS bounds_ok, TRUE AS reconstructs " +
+        "FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w " +
+        "FROM documents) WHERE LENGTH(w) > 0 GROUP BY doc_id ORDER BY doc_id"),
     // q273: node count of the symmetrized q120/q129 co-order graph +
     // the conservation/positivity invariants
     "q273_pagerank_invariants" ->

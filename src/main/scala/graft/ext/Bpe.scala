@@ -187,4 +187,44 @@ object Bpe {
     val docs = Tables.documents(s, d)
     tokenCounts(docs, train(docs, nMerges = 40)).orderBy("doc_id")
   }
+
+  /** Q276 — BPE application's CONSERVATION CONTRACT under the ORACLE
+    * gate (r17 derived-invariant tier): the merge sequence and the
+    * subword counts stay rows-only (sequential argmax chain), but two
+    * projections are strictly checkable per doc: the exact word/char
+    * totals (DuckDB recomputes both), plus the booleans `bounds_ok`
+    * (each word tokenizes to between 1 and chars+1 subwords, so
+    * n_words ≤ n_subwords ≤ n_word_chars + n_words) and `reconstructs`
+    * (the concatenated subwords of EVERY word equal word + "</w>" —
+    * the character stream survives any merge table byte-for-byte). A
+    * merge application that drops, duplicates, or reorders symbols now
+    * fails the HASH gate, not just BpeSpec's goldens. */
+  def q276(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ranks = train(docs, nMerges = 40).select("left", "right", "rank")
+      .collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")) ->
+        r.getAs[Long]("rank").toInt).toMap
+    val bc = docs.sparkSession.sparkContext.broadcast(ranks)
+    val statUdf = udf { (word: String) =>
+      val subs = applyMerges(word.split("").toSeq :+ "</w>", bc.value)
+      (subs.length.toLong,
+        if (subs.mkString("") == word + "</w>") 1L else 0L)
+    }
+    docs.select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("st", statUdf(col("word")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_word_chars"),
+        sum(col("st._1")).as("n_subwords"),
+        min(col("st._2")).as("rec_min"))
+      .select(col("doc_id"), col("n_words"), col("n_word_chars"),
+        (col("n_words") <= col("n_subwords") &&
+          col("n_subwords") <= col("n_word_chars") + col("n_words"))
+          .as("bounds_ok"),
+        (col("rec_min") === 1L).as("reconstructs"))
+      .orderBy("doc_id")
+  }
 }

@@ -567,6 +567,45 @@ object Sketches {
       .orderBy("user_id")
   }
 
+  /** Q274 — the q147 Bloom screen's GUARANTEE CONTRACT under the
+    * ORACLE gate (the q270 pattern on the membership sketch): one row
+    * per increment slice with DuckDB-recomputable exact counts and
+    * the two structural booleans. `represented` rows (history re-sent)
+    * must ALL flag maybe_seen — the zero-false-negative guarantee
+    * every bit of the design exists for. `fresh` rows may false-
+    * positive up to the sizing bound: actual FPs (flagged ∧ provably
+    * NOT in history, one exact anti-join — the q91 screen class) must
+    * stay ≤ 2× the (1−e^(−kn/m))^k theoretical rate computed from the
+    * ACTUAL history cardinality. */
+  def q274(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("fp", md5(regexp_replace(col("text"), "\\s+", " ")))
+    val history = docs.filter(col("doc_id") % 20 < 18).select("fp")
+    val inc = docs.filter(col("doc_id") % 20 >= 18 || col("doc_id") % 20 === 0)
+      .select("doc_id", "fp")
+    val screened = bloomScreen(history, inc, "fp")
+      .withColumn("slice",
+        when(col("doc_id") % 20 === 0, "represented").otherwise("fresh"))
+    val hset = history.distinct()
+    val nHist = hset.count().toDouble
+    val k = BloomHashes.toDouble
+    val fprBound = 2.0 *
+      math.pow(1.0 - math.exp(-k * nHist / BloomBits), k)
+    val falsePos = screened.filter(col("slice") === "fresh")
+      .filter(col("maybe_seen"))
+      .join(hset, Seq("fp"), "left_anti")
+      .agg(count(lit(1)).as("n_fp"))
+    screened.groupBy("slice")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("maybe_seen"), 1L).otherwise(0L)).as("n_flagged"))
+      .crossJoin(broadcast(falsePos))
+      .select(col("slice"), col("n_docs"),
+        when(col("slice") === "represented", col("n_flagged") === col("n_docs"))
+          .otherwise(col("n_fp").cast("double") <=
+            lit(fprBound) * col("n_docs").cast("double")).as("guarantee_ok"))
+      .orderBy("slice")
+  }
+
   /** Q272 — the q194 estimate's GUARANTEE CONTRACT under the ORACLE
     * gate (the q270 pattern on the CMS tier). Two checkable booleans
     * per probed key: `never_under` (est ≥ exact — the CMS structural

@@ -446,6 +446,40 @@ object Relational {
         expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"))
       .orderBy("l_returnflag")
 
+  /** Q275 — the q52 GK sketch's RANK-ERROR CONTRACT under the ORACLE
+    * gate (r17 derived-invariant tier): the picked values stay
+    * rows-only (engine-specific sketch state), but the guarantee is
+    * checkable — for each group the target rank p·n must fall within
+    * the picked value's tie-range widened by the accuracy bound
+    * (rank error ≤ n/accuracy, +2 slack for the endpoint
+    * convention): cnt_lt ≤ p·n + ε·n + 2 AND cnt_le ≥ p·n − ε·n − 2
+    * (tie-robust: cnt_lt/cnt_le bracket every rank the picked value
+    * occupies). Exact group sizes are DuckDB-recomputable BIGINTs. */
+  def q275(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val ap = li.groupBy("l_returnflag").agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+      expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"))
+    def rankOk(lt: Column, le: Column, n: Column, p: Double): Column = {
+      val nn = n.cast("double")
+      val slack = nn / 10000.0 + 2.0
+      (lt.cast("double") <= lit(p) * nn + slack) &&
+        (le.cast("double") >= lit(p) * nn - slack)
+    }
+    li.join(broadcast(ap), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("l_extendedprice") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_extendedprice") < col("ap95"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col("l_extendedprice") <= col("ap95"), 1L).otherwise(0L)).as("le95"))
+      .select(col("l_returnflag"), col("n"),
+        rankOk(col("lt50"), col("le50"), col("n"), 0.5).as("p50_rank_ok"),
+        rankOk(col("lt95"), col("le95"), col("n"), 0.95).as("p95_rank_ok"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q40 — CUBE + GROUPING() under the oracle gate (the grouping-sets
     * family row was ScalaTest-only through r4; ROLLUP is Q15). GROUPING
     * flags disambiguate "NULL because aggregated" from data NULLs —

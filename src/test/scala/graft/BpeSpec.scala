@@ -70,4 +70,13 @@ class BpeSpec extends SparkSpec {
     // merges (l,o), r5 (lo,w) → low, then (low,</w>) unranked → 2 each.
     assert(got == Seq((1L, 2L, 6L, 2.0), (2L, 2L, 4L, 1.5)))
   }
+
+  test("q276 conservation: every word reconstructs, bounds hold, totals exact (r17)") {
+    val r = graft.ext.Bpe.q276(spark, sf("sf0.001")).collect()
+    assert(r.length == 500, s"doc coverage ${r.length}")
+    assert(r.forall(_.getBoolean(3)), "subword-count bounds violated")
+    assert(r.forall(_.getBoolean(4)), "a word failed to reconstruct")
+    assert(r.map(_.getLong(1)).sum > 0 && r.map(_.getLong(2)).sum > 0)
+  }
+
 }

@@ -577,4 +577,14 @@ class PropertySpec extends SparkSpec {
       got.length == got.toSet.size && got.toSet == naive.toSet
     }, n = 15)
   }
+
+  test("q275 GK rank gate: per-group booleans hold and n is exact (r17)") {
+    val r = graft.operators.Relational.q275(spark, sf("sf0.001")).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getBoolean(2) && x.getBoolean(3)),
+      s"rank error outside the accuracy bound: ${r.toSeq}")
+    val n = graft.sources.Tables.lineitem(spark, sf("sf0.001")).count()
+    assert(r.map(_.getLong(1)).sum == n)
+  }
+
 }

@@ -213,4 +213,12 @@ class SketchesSpec extends SparkSpec {
     assert(cms.forall(_.getBoolean(3)), "CMS overshot the epsilon-N bound")
   }
 
+
+  test("q274 bloom guarantees: both slices present, booleans hold, FPs measurable") {
+    val rows = Sketches.q274(spark, sf("sf0.001")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("fresh", "represented"))
+    assert(rows.forall(_.getBoolean(2)), s"guarantee broken: ${rows.toSeq}")
+    assert(rows.forall(_.getLong(1) > 0), "vacuous slice")
+  }
+
 }
