@@ -294,6 +294,7 @@ object SparkEntry {
     "q274_bloom_guarantees" -> (graft.ext.Sketches.q274 _),
     "q275_gk_rank_gate"    -> (Relational.q275 _),
     "q276_bpe_conservation" -> (graft.ext.Bpe.q276 _),
+    "q277_image_dedup_recall" -> (graft.ext.Multimodal.q277 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -348,7 +349,9 @@ object SparkEntry {
     "q165_kmv_overlap"     -> (graft.ext.Sketches.q165 _),
     // q167 rows-only: aHash bits are codec+algorithm-defined (q53's
     // metadata is the multimodal family's oracle anchor); identical/
-    // near-dup/distinct Hamming contracts live in MultimodalSpec.
+    // near-dup/distinct Hamming contracts live in MultimodalSpec; the
+    // fixture counts + planted-pair recall are strict-gated via
+    // q277 (r17).
     "q167_image_dedup"     -> (graft.ext.Multimodal.q167 _),
     // q175 rows-only: MP4/ISO-BMFF container metadata — DuckDB has no
     // box parser to oracle the bits against; byte-exact golden
@@ -728,6 +731,13 @@ object SparkEntry {
         "TRUE AS bounds_ok, TRUE AS reconstructs " +
         "FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w " +
         "FROM documents) WHERE LENGTH(w) > 0 GROUP BY doc_id ORDER BY doc_id"),
+    // q277: the q167 fixture's exact image counts + the planted-pair
+    // recall boolean (zero false negatives to Hamming <= 3 banding)
+    "q277_image_dedup_recall" ->
+      ("WITH b AS (SELECT doc_id FROM documents WHERE doc_id < 120), " +
+        "p AS (SELECT doc_id FROM b WHERE doc_id % 4 = 0) " +
+        "SELECT (SELECT COUNT(*) FROM b) + (SELECT COUNT(*) FROM p) AS n_images, " +
+        "(SELECT COUNT(*) FROM p) AS n_planted, TRUE AS all_planted_found"),
     // q273: node count of the symmetrized q120/q129 co-order graph +
     // the conservation/positivity invariants
     "q273_pagerank_invariants" ->

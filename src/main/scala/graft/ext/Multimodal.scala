@@ -427,6 +427,30 @@ object Multimodal {
     pairs.orderBy("img_a", "img_b")
   }
 
+  /** Q277 — the q167 image dedup's RECALL CONTRACT under the ORACLE
+    * gate (r17 derived-invariant tier): the aHash bits stay rows-only
+    * (codec+algorithm-defined), but the fixture's structure is
+    * checkable — `n_images` (120 base gradients + one noise variant
+    * per %4 = 0 doc, DuckDB recomputes both counts from `documents`),
+    * plus `all_planted_found`: every planted (2d, 2d+1) near-dup pair
+    * must appear in q167's output (the ≤3-Hamming noise class
+    * MultimodalSpec pins per-pair, here enforced corpus-wide through
+    * the banding — zero false negatives to Hamming ≤ 3 is the q47
+    * band-key theorem, so a miss means a broken hash or band). */
+  def q277(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(s, d).filter(col("doc_id") < 120)
+    val planted = docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") * 2).as("img_a"), (col("doc_id") * 2 + 1).as("img_b"))
+    val found = q167(s, d).select("img_a", "img_b")
+    val missed = planted.join(found, Seq("img_a", "img_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val nBase = docs.agg(count(lit(1)).as("n_base"))
+    planted.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(broadcast(nBase)).crossJoin(broadcast(missed))
+      .select((col("n_base") + col("n_planted")).as("n_images"),
+        col("n_planted"), (col("n_missed") === 0L).as("all_planted_found"))
+  }
+
   // ---- VIDEO metadata: pure-JVM ISO-BMFF (MP4) box parse ----
   // The JDK ships no video CODEC, so frame decode stays impossible in
   // this offline environment (decodeFeaturesStub's note) — but the MP4

@@ -266,4 +266,12 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("q277 recall gate: counts exact, every planted near-dup pair found (r17)") {
+    val r = graft.ext.Multimodal.q277(spark, sf("sf0.001")).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 150L && r.head.getLong(1) == 30L)
+    assert(r.head.getBoolean(2), "a planted pair escaped the banding")
+  }
+
 }
