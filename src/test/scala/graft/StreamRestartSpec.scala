@@ -164,6 +164,34 @@ class StreamRestartSpec extends SparkSpec {
       minRows = 1)
   }
 
+  test("S46 restart under RocksDB: state recovery through the production store") {
+    // the HDFS-backed default store recovers from the checkpoint's
+    // delta files; RocksDB recovers from its own changelog/snapshot
+    // machinery — a different code path worth its own kill/restart
+    // golden (the r16 sweep asserts provider METRICS, not recovery)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val zones = Seq(("A", 0L, 0L, 200000.0), ("B", 0L, 10000000L, 200000.0))
+      golden("S46-rocks",
+        df => StreamOps.dwellStream(df, zones,
+          watermark = "0 seconds", idleGapUs = 60L * 1000000L),
+        Seq("ts", "user_id", "event_id", "la", "lo"),
+        Seq(
+          Seq((ts(20), 1L, 2L, 0L, 0L), (ts(10), 1L, 1L, 100000L, 0L),
+            (ts(30), 1L, 3L, 0L, 10000000L)),
+          Seq((ts(40), 1L, 4L, 40000000L, 90000000L)),
+          Seq((ts(50), 1L, 5L, 0L, 0L)),
+          Seq((ts(200), 2L, 6L, 40000000L, 90000000L)),
+          Seq((ts(201), 2L, 7L, 40000000L, 90000000L))),
+        minRows = 3)
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("S50 restart: zone-scale dwell runs close across kills (nearest-wins state)") {
     val zones = Seq((101L, 10000000L, 20000000L, 50000.0),
       (102L, 10500000L, 20500000L, 50000.0))
