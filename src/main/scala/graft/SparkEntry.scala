@@ -353,10 +353,11 @@ object SparkEntry {
     // fixture counts + planted-pair recall are strict-gated via
     // q277 (r17).
     "q167_image_dedup"     -> (graft.ext.Multimodal.q167 _),
-    // q175 rows-only: MP4/ISO-BMFF container metadata — DuckDB has no
-    // box parser to oracle the bits against; byte-exact golden
-    // contracts (synth → parse round-trip, v0/v1 offsets, truncation
-    // quarantine) live in MultimodalSpec.
+    // q175 — GATED since r17: DuckDB has no box parser, but the synth
+    // parameters are pure functions of doc_id, so the oracle states
+    // the EXPECTED parse output directly and the hash gate proves the
+    // synth → parse round-trip corpus-wide (the q53 epistemics);
+    // byte-exact box-layout goldens stay in MultimodalSpec.
     "q175_video_meta"      -> (graft.ext.Multimodal.q175 _),
   )
 
@@ -676,6 +677,18 @@ object SparkEntry {
     // q269: CCNet perplexity terciles — the q263 chain + ppm
     // quantization + two exact-rank thresholds (q257 idiom)
     "q269_lm_buckets" -> TextOps.q269OracleSql,
+    // q175 (gated r17): the synth MP4 parameters are pure doc_id
+    // arithmetic, so the oracle states the expected parse output and
+    // the gate proves the synth → parse round-trip corpus-wide
+    "q175_video_meta" ->
+      ("SELECT doc_id, doc_id % 3 = 2 AS quarantined, " +
+        "CASE WHEN doc_id % 3 = 2 THEN NULL ELSE CAST(600 AS BIGINT) END AS timescale, " +
+        "CASE WHEN doc_id % 3 = 2 THEN NULL ELSE ROUND(CAST(1 + doc_id % 30 AS DOUBLE), 6) END AS duration_s, " +
+        "CASE WHEN doc_id % 3 = 2 THEN NULL ELSE CAST(320 + (doc_id % 4) * 320 AS INTEGER) END AS width, " +
+        "CASE WHEN doc_id % 3 = 2 THEN NULL ELSE CAST(240 + (doc_id % 4) * 180 AS INTEGER) END AS height, " +
+        "CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 'avc1' END AS codec, " +
+        "CASE WHEN doc_id % 3 = 2 THEN NULL ELSE CAST(24 * (1 + doc_id % 30) AS BIGINT) END AS n_frames " +
+        "FROM documents WHERE doc_id < 300 ORDER BY doc_id"),
     // q270–q273 (r17): derived-invariant companions that pull strict
     // projections of the rows-only sketch/PageRank estimates into the
     // hash gate — DuckDB recomputes the EXACT side; the estimate-vs-
