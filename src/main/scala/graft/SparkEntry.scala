@@ -295,15 +295,17 @@ object SparkEntry {
     "q275_gk_rank_gate"    -> (Relational.q275 _),
     "q276_bpe_conservation" -> (graft.ext.Bpe.q276 _),
     "q277_image_dedup_recall" -> (graft.ext.Multimodal.q277 _),
+    "q278_winnow_density"  -> (TextOps.q278 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
     // approx-percentile sketch have no SQL-expressible oracle (omitted
     // from oracleSql by design; the banding/Hamming, substring-match,
     // and within-rank-error contracts are in ScalaTest — and the
-    // winnowing MODALITY is oracle-gated via q51, the sketch's exactness
-    // anchor via q39, and the GK rank-error contract strict-gated as
-    // booleans via q275 (r17))
+    // winnowing MODALITY is oracle-gated via q51, its density guarantee
+    // strict-gated via q278 (r17), the sketch's exactness anchor via
+    // q39, and the GK rank-error contract strict-gated as booleans via
+    // q275 (r17))
     "q47_simhash_pairs"    -> (TextOps.q47 _),
     "q50_winnow_fp"        -> (TextOps.q50 _),
     "q52_approx_pctile"    -> (Relational.q52 _),
@@ -744,6 +746,13 @@ object SparkEntry {
         "TRUE AS bounds_ok, TRUE AS reconstructs " +
         "FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w " +
         "FROM documents) WHERE LENGTH(w) > 0 GROUP BY doc_id ORDER BY doc_id"),
+    // q278: the q50 selection's density guarantee over the mirrored
+    // normalized length (ceil(windows/min(w,n)) <= n_fp <= windows)
+    "q278_winnow_density" ->
+      ("SELECT doc_id, CAST(LENGTH(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS BIGINT) AS norm_len, " +
+        "TRUE AS density_ok FROM documents " +
+        "WHERE LENGTH(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) >= 8 " +
+        "ORDER BY doc_id"),
     // q277: the q167 fixture's exact image counts + the planted-pair
     // recall boolean (zero false negatives to Hamming <= 3 banding)
     "q277_image_dedup_recall" ->

@@ -371,6 +371,32 @@ object TextOps {
         array_min(col("fp")).as("min_fp"))
       .orderBy("doc_id")
 
+  /** Q278 — the q50 winnowing selection's DENSITY CONTRACT under the
+    * ORACLE gate (r17 derived-invariant tier): the selected hashes
+    * stay rows-only, but the guarantee is checkable — a selected
+    * position stays the window minimum for at most min(w, n) windows,
+    * so ⌈windows / min(w, n)⌉ ≤ n_fp ≤ windows (windows = max(n − w
+    * + 1, 1), n = normLen − k + 1). The normalized length is
+    * mirrored arithmetic DuckDB recomputes exactly; docs shorter
+    * than k produce no k-gram and are excluded on both sides. */
+  def q278(s: SparkSession, d: String): DataFrame = {
+    val k = 8; val w = 4
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"),
+        length(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+          .cast("long").as("norm_len"),
+        size(winnowFingerprint(col("text"))).cast("long").as("n_fp"))
+      .filter(col("norm_len") >= k)
+      .select(col("doc_id"), col("norm_len"), {
+        val n = col("norm_len") - lit((k - 1).toLong)
+        val windows = greatest(n - lit((w - 1).toLong), lit(1L))
+        val ww = least(lit(w.toLong), n)
+        (col("n_fp") >= ceil(windows.cast("double") / ww.cast("double"))
+          .cast("long") && col("n_fp") <= windows).as("density_ok")
+      })
+      .orderBy("doc_id")
+  }
+
   /** Q47 — SimHash near-dup pairs as a DECLARED query (rows-only
     * driver check: simhash has no DuckDB-expressible oracle; the
     * Hamming/banding contracts live in TextAnalysisSpec). Default

@@ -933,4 +933,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.head.getLong(1) == 5L, "doc 1 has 5 bigrams")
   }
 
+
+  test("q278 winnow density gate: bounds hold on the fixture and at the edges (r17)") {
+    val r = graft.ext.TextOps.q278(spark, sf("sf0.001")).collect()
+    assert(r.length == 500)
+    assert(r.forall(_.getBoolean(2)), "density guarantee violated")
+    // edge shapes: exactly k chars (one k-gram), k+w-1 chars (w windows)
+    val df = spark.createDataFrame(Seq(
+      (1L, "abcdefgh"), (2L, "abcdefghijk"), (3L, "ab")))
+      .toDF("doc_id", "text")
+    val edge = df.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.size(
+        graft.ext.TextOps.winnowFingerprint(
+          org.apache.spark.sql.functions.col("text"))).as("n"))
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(edge(1L) == 1, "single k-gram must yield exactly one fp")
+    assert(edge(3L) == 0, "sub-k doc must yield none")
+    assert(edge(2L) >= 1 && edge(2L) <= 4)
+  }
+
 }
