@@ -121,7 +121,11 @@ class SqlCanarySpec extends SparkSpec {
     "q223_abc_classes", "q224_recommend_bucketed", "q225_xyz_classes",
     "q227_new_vs_returning", "q229_priority_mix", "q230_streaks",
     "q234_audience_overlap", "q236_price_volume", "q237_band_join",
-    "q239_mode", "q240_winsorized", "q245_cdc_merge")
+    "q239_mode", "q240_winsorized", "q245_cdc_merge",
+    // r17 derived-invariant tier: these oracles are plain enough to be
+    // dual-dialect (exact counts + literal-TRUE contract booleans)
+    "q175_video_meta", "q272_cms_guarantees", "q273_pagerank_invariants",
+    "q274_bloom_guarantees", "q275_gk_rank_gate", "q277_image_dedup_recall")
 
   test("extension dual-dialect oracle strings run through spark.sql and match") {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
