@@ -99,6 +99,15 @@ object Graph {
       iter += 1
     }
     adj.unpersist()
+    // fail FAST instead of silently returning partial components: a
+    // graph whose diameter exceeds the round budget would otherwise
+    // hand back split clusters with no error (r17; the star form is
+    // the right tool for deep graphs — say so in the error)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "the graph is deeper than the propagation budget; use " +
+          "connectedComponentsStar (log-diameter rounds) or raise maxIter")
     labels
   }
 

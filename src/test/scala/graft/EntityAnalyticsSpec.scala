@@ -1407,4 +1407,18 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(r.head.getBoolean(2), "non-positive rank")
   }
 
+
+  test("connectedComponents raises past its round budget instead of splitting (r17)") {
+    import spark.implicits._
+    val chain = spark.range(30).selectExpr("id AS src", "id + 1 AS dst")
+    val e = intercept[IllegalStateException] {
+      graft.operators.Graph.connectedComponents(chain, maxIter = 5).count()
+    }
+    assert(e.getMessage.contains("connectedComponentsStar"), e.getMessage)
+    // the star form handles the same chain fine
+    val cc = graft.operators.Graph.connectedComponentsStar(chain)
+    assert(cc.filter(org.apache.spark.sql.functions.col("component") === 0L)
+      .count() == 31L)
+  }
+
 }
