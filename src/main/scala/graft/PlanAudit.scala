@@ -76,7 +76,17 @@ object PlanAudit {
     // point is broadcasting a range dimension); q238 crosses the
     // day-spine with the groups frame (the q107 class).
     "q234_audience_overlap", "q235_rrf_fusion", "q237_band_join",
-    "q238_locf_fill")
+    "q238_locf_fill",
+    // r17, reviewed one by one. q257: the calibration threshold rides
+    // 1-row (kf, thr) crossJoins over the bounded score histogram
+    // (the q269 class; flagged since its r16 landing, annotated now).
+    // The derived-invariant gates each cross 1-row frames by design:
+    // q271 the (n_tok, vsz)-style sketch totals, q272 the 1-row
+    // corpus CMS sketch + 1-row n_total, q274 the 1-row false-positive
+    // count + 1-row history-size frame, q277 the 1-row missed-pair
+    // count + 1-row base count.
+    "q257_clf_calibrated", "q271_kmv_error_gate", "q272_cms_guarantees",
+    "q274_bloom_guarantees", "q277_image_dedup_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.filter(_.startsWith("/"))
