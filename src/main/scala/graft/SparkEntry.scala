@@ -296,6 +296,7 @@ object SparkEntry {
     "q276_bpe_conservation" -> (graft.ext.Bpe.q276 _),
     "q277_image_dedup_recall" -> (graft.ext.Multimodal.q277 _),
     "q278_winnow_density"  -> (TextOps.q278 _),
+    "q279_zorder_key"      -> (graft.operators.Warehouse.q279 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -746,6 +747,8 @@ object SparkEntry {
         "TRUE AS bounds_ok, TRUE AS reconstructs " +
         "FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w " +
         "FROM documents) WHERE LENGTH(w) > 0 GROUP BY doc_id ORDER BY doc_id"),
+    // q279: the Morton mask-shift ladder mirrored verbatim
+    "q279_zorder_key" -> graft.operators.Warehouse.q279OracleSql,
     // q278: the q50 selection's density guarantee over the mirrored
     // normalized length (ceil(windows/min(w,n)) <= n_fp <= windows)
     "q278_winnow_density" ->

@@ -466,4 +466,76 @@ object Warehouse {
       col("o_totalprice").cast("double").as("bal"))
     cdcMerge(snap, ch, "k", Seq("seg", "bal")).orderBy("k")
   }
+
+  // ---------------------------------------------------------------
+  // Z-ORDER (Morton) clustering — the multi-dimensional DATA LAYOUT
+  // lever (r17). At 100 TB, min/max file statistics only prune when
+  // the write order clusters the filter dimensions; a single-key sort
+  // clusters ONE dimension and leaves the other's per-file range at
+  // full width. Bit-interleaving two keys makes every file a tile of
+  // the 2-D space, so BOTH dimensions prune (the Delta/Iceberg
+  // OPTIMIZE ZORDER design, rebuilt as exact integer arithmetic).
+  // ---------------------------------------------------------------
+
+  /** Spread the low 31 bits of `x` to even bit positions — the
+    * classic 5-step mask-shift ladder, exact BIGINT ops mirrored
+    * verbatim by the oracle SQL (no UDF; codegen-friendly). */
+  private def spreadBits(x: Column): Column = {
+    val m = Seq(
+      0x0000FFFF0000FFFFL -> 16, 0x00FF00FF00FF00FFL -> 8,
+      0x0F0F0F0F0F0F0F0FL -> 4, 0x3333333333333333L -> 2,
+      0x5555555555555555L -> 1)
+    m.foldLeft(x.bitwiseAND(lit(0x7FFFFFFFL))) { case (v, (mask, s)) =>
+      (v.bitwiseOR(shiftleft(v, s))).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** Morton key of two NON-NEGATIVE sub-2³¹ integer columns: y's bits
+    * interleave above x's. Total order = Z-curve order. */
+  def mortonKey(x: Column, y: Column): Column =
+    spreadBits(x).bitwiseOR(shiftleft(spreadBits(y), 1))
+
+  /** Z-order-cluster a frame for writing: range-partition on the
+    * Morton key (each output file becomes a contiguous Z-curve
+    * segment = a 2-D tile), sort within partitions so parquet
+    * row-group stats tile too. This is the WRITE-side half; the
+    * read-side half is free (parquet min/max pruning). */
+  def zorderCluster(df: DataFrame, x: Column, y: Column,
+      numFiles: Int): DataFrame = {
+    require(numFiles > 0, s"numFiles=$numFiles must be positive")
+    val keyed = df.withColumn("zkey", mortonKey(x, y))
+    keyed.repartitionByRange(numFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+  }
+
+  /** Q279 — Morton keys under the ORACLE gate: customer points (the
+    * q255 µdeg derivation, shifted non-negative) bit-interleaved;
+    * DuckDB mirrors the mask-shift ladder verbatim. The layout WIN is
+    * pinned in WarehouseSpec (per-tile bbox area under Z-order vs
+    * single-key order); this gates the key arithmetic itself. */
+  def q279(s: SparkSession, d: String): DataFrame =
+    graft.operators.Geo.customerPoints(s, d)
+      .select(col("id"),
+        mortonKey(col("la") + lit(90000000L), col("lo") + lit(180000000L))
+          .as("zkey"))
+      .orderBy("id")
+
+  def q279OracleSql: String = {
+    def spread(v: String): String = {
+      var e = s"($v & 2147483647)"
+      Seq(0x0000FFFF0000FFFFL -> 16, 0x00FF00FF00FF00FFL -> 8,
+        0x0F0F0F0F0F0F0F0FL -> 4, 0x3333333333333333L -> 2,
+        0x5555555555555555L -> 1).foreach { case (m, s) =>
+        e = s"(($e | ($e << $s)) & $m)"
+      }
+      e
+    }
+    "WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS id, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 180000001 - 90000000 AS la, " +
+      "CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 360000000 - 180000000 AS lo " +
+      "FROM customer) " +
+      s"SELECT id, (${spread("(la + 90000000)")} | " +
+      s"(${spread("(lo + 180000000)")} << 1)) AS zkey " +
+      "FROM pts ORDER BY id"
+  }
 }

@@ -391,4 +391,31 @@ class WarehouseSpec extends SparkSpec {
       .collect()
     assert(out2.isEmpty, s"tie must resolve to the delete: ${out2.toSeq}")
   }
+
+  test("zorderCluster: the non-sorted dimension's per-file range collapses (r17)") {
+    import org.apache.spark.sql.functions._
+    val pts = graft.operators.Geo.customerPoints(spark, sf("sf0.01"))
+    val n = 16
+    def avgRanges(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val r = df.withColumn("part", spark_partition_id())
+        .groupBy("part")
+        .agg((max("la") - min("la")).cast("double").as("dla"),
+          (max("lo") - min("lo")).cast("double").as("dlo"))
+        .agg(avg("dla"), avg("dlo")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (_, slabLo) = avgRanges(
+      pts.repartitionByRange(n, col("la")).sortWithinPartitions("la"))
+    val (zLa, zLo) = avgRanges(graft.operators.Warehouse.zorderCluster(
+      pts, col("la") + lit(90000000L), col("lo") + lit(180000000L), n))
+    // a la-sort leaves lo at full width per file; z-order tiles BOTH
+    assert(zLo < 0.6 * slabLo,
+      s"z-order did not shrink the second dimension: $zLo vs $slabLo")
+    assert(zLa < 180000000.0, "z-order degenerated on the first dimension")
+    // bit-exactness: morton(3, 5) = 0b100111 = 39
+    val m = spark.range(1).select(graft.operators.Warehouse.mortonKey(
+      lit(3L), lit(5L)).as("m")).head().getLong(0)
+    assert(m == 39L, s"morton(3,5) = $m")
+  }
+
 }
