@@ -71,7 +71,12 @@ object Bench {
       "q251_quality_clf", "q252_pipeline_v7", "q257_clf_calibrated",
       "q267_pipeline_v8",
       // q268 is q145-bound (the covariance moment agg IS the cost)
-      "q268_pca_project")
+      "q268_pca_project",
+      // r17: q273 reruns the full q129 PageRank loop for its invariant
+      // row; q276 retrains the q139 merge table before applying —
+      // both inherit their parents' heavy class and get the isolated
+      // re-measurement discipline
+      "q273_pagerank_invariants", "q276_bpe_conservation")
 
     // Heavy queries leave broadcast blocks (degree/bounds/codebook
     // broadcasts) that only ContextCleaner frees, and only after a GC
