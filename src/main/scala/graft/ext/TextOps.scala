@@ -2363,6 +2363,55 @@ object TextOps {
   def q263(s: SparkSession, d: String): DataFrame =
     bigramLmScore(Tables.documents(s, d)).orderBy("doc_id")
 
+  /** The trained LM + tercile thresholds as DRIVER-SIDE tables for
+    * serving (the S41/S51 train-batch/serve-stream pattern on the LM
+    * tier): unigram/bigram reference counts, (N, V), and the q269
+    * exact-rank thresholds. The tables are VOCAB-keyed (Heaps-law
+    * sublinear in the reference slice — KBs on the fixture, and a
+    * reference corpus is curated/bounded by design); a deployment
+    * whose reference tables outgrow a broadcast serves the scores
+    * through the q263 joins instead and only the 2-value thresholds
+    * ride the stream. */
+  final case class LmModel(c1: Map[String, Long],
+      c2: Map[(String, String), Long], nTok: Long, vsz: Long,
+      t1: Long, t2: Long)
+
+  def lmModel(docs: DataFrame, refMod: Int = LmRefMod): LmModel = {
+    import org.apache.spark.sql.expressions.Window
+    val lf = docs.select(col("doc_id"),
+      expr("filter(split(text, '\\\\s+'), x -> length(x) > 0)").as("lf"))
+    val rtok = lf.filter(col("doc_id") % refMod === 0)
+      .select(explode(col("lf")).as("w"))
+    val c1 = rtok.groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c2 = lf.filter(col("doc_id") % refMod === 0)
+      .select(explode(zip_with(
+        expr("slice(lf, 1, greatest(size(lf) - 1, 0))"),
+        expr("slice(lf, 2, greatest(size(lf) - 1, 0))"),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .groupBy("bg.w1", "bg.w2").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val nTok = c1.values.sum
+    val vsz = c1.size.toLong
+    // thresholds: the q269 chain verbatim (histogram-bounded)
+    val sc = bigramLmScore(docs, refMod)
+      .withColumn("lpq",
+        round(col("lp_per_bigram") * lit(1000000.0)).cast("long"))
+      .localCheckpoint(true)
+    val kf = sc.agg(expr("count(1) DIV 3").as("k1"),
+      expr("(2 * count(1)) DIV 3").as("k2"))
+    val hist = sc.groupBy("lpq").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(kf))
+      .withColumn("cum", sum("c").over(Window.orderBy(col("lpq").desc)))
+      .localCheckpoint(true)
+    val t1 = hist.filter(col("cum") >= col("k1") + lit(1L))
+      .agg(coalesce(max("lpq"), lit(Long.MinValue))).head().getLong(0)
+    val t2 = hist.filter(col("cum") >= col("k2") + lit(1L))
+      .agg(coalesce(max("lpq"), lit(Long.MinValue))).head().getLong(0)
+    LmModel(c1, c2, nTok, vsz, t1, t2)
+  }
+
   /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     * §4.3 — their pipeline's ACTUAL output: the corpus split into
     * thirds by reference-LM perplexity, "head" the most reference-

@@ -2711,6 +2711,58 @@ object StreamOps {
     * scores are BIT-IDENTICAL to q268's rows (pinned by the golden).
     * A vector of a different dimension fails fast — zip_with would
     * silently null-pad it. */
+  /** S52 — streaming CCNet perplexity-bucket ROUTING: the q269
+    * serving twin (the S41/S51 train-batch/serve-stream pattern on
+    * the LM tier). The trained [[graft.ext.TextOps.LmModel]] rides a
+    * broadcast; each arriving doc scores IN-ROW with a sequential
+    * positional fold — the identical float-op sequence as the batch's
+    * position-ordered collect_list fold (same log/divide/add per
+    * bigram, same order), then the identical round(6)/ppm/threshold
+    * column arithmetic — so (lp_per_bigram, bucket) are BIT-IDENTICAL
+    * to q269's rows for the same docs (golden). Sub-2-token docs are
+    * silently unscored, the batch contract. Stateless narrow
+    * projection: no shuffle, no state store — per-event cost is the
+    * doc's own bigram count. */
+  def lmBucketStream(docs: DataFrame,
+      model: graft.ext.TextOps.LmModel): DataFrame = {
+    val s = docs.sparkSession
+    val bc = s.sparkContext.broadcast(model)
+    val scoreUdf = udf { (text: String) =>
+      val m = bc.value
+      val toks = Option(text)
+        .map(_.split("\\s+").filter(_.nonEmpty)).getOrElse(Array.empty)
+      if (toks.length < 2) None
+      else {
+        val n = toks.length - 1
+        var slp = 0.0
+        var i = 0
+        while (i < n) { // position order = the batch fold order
+          val w1 = toks(i); val w2 = toks(i + 1)
+          slp += (m.c2.get((w1, w2)) match {
+            case Some(c) => math.log(c.toDouble / m.c1(w1).toDouble)
+            case None => math.log(0.4) +
+              math.log((m.c1.getOrElse(w2, 0L) + 1L).toDouble /
+                (m.nTok + m.vsz).toDouble)
+          })
+          i += 1
+        }
+        Some(BigDecimal(slp / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        scoreUdf(col("text")).as("lp_per_bigram"))
+      .filter(col("lp_per_bigram").isNotNull)
+      // ppm quantization + strictly-above admission: the exact q269
+      // column arithmetic (Spark's own round = HALF_UP, like batch)
+      .withColumn("lpq",
+        round(col("lp_per_bigram") * lit(1000000.0)).cast("long"))
+      .select(col("doc_id"), col("lp_per_bigram"),
+        when(col("lpq") > lit(model.t1), "head")
+          .when(col("lpq") > lit(model.t2), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   def pcaScoreStream(vecs: DataFrame, component: Seq[Double]): DataFrame = {
     require(component.nonEmpty, "component must be non-empty")
     val vLit = array(component.map(lit).toIndexedSeq: _*)

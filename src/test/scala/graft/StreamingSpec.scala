@@ -2438,6 +2438,33 @@ class StreamingSpec extends SparkSpec {
       s"diverged for ${diverged.size}, e.g. ${diverged.headOption} vs ${diverged.headOption.map(x => batch(x._1))}")
   }
 
+  test("S52: streaming LM-bucket routing is bit-identical to batch q269") {
+    val d = sf("sf0.001")
+    val docs = graft.sources.Tables.documents(spark, d)
+    val model = graft.ext.TextOps.lmModel(docs)
+    val batch = graft.ext.TextOps.q269(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    val in = MemoryStream[Doc]
+    val q = StreamOps.lmBucketStream(in.toDF(), model)
+      .writeStream.format("memory").queryName("s52").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => Doc(new Timestamp(0L), r.getLong(0), r.getString(1)))
+      .filter(_.doc_id % 25 != 0) // serving scores NEW docs, not the slice
+    in.addData(rows.take(rows.length / 2).toIndexedSeq)
+    in.addData(rows.drop(rows.length / 2).toIndexedSeq)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s52").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"coverage ${streamed.size} vs ${batch.size}")
+    val diverged = streamed.filter { case (id, v) => batch(id) != v }
+    assert(diverged.isEmpty, s"diverged for ${diverged.size}, " +
+      s"e.g. ${diverged.headOption.map(x => (x, batch(x._1)))}")
+    // all three buckets live on the fixture (non-vacuous routing)
+    assert(streamed.values.map(_._2).toSet == Set("head", "middle", "tail"))
+  }
+
   test("S41: streaming classifier scoring is bit-identical to batch training scores") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
