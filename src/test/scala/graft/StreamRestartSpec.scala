@@ -26,7 +26,13 @@ import graft.streaming.StreamOps
   * cross-batch pair detection (S44), transition chains (S45), visit
   * close + idle timeout (S46/S50), burst baseline + eviction re-warm
   * (S47), bracket interpolation + final-second flush (S48), and the
-  * previous-fix speed comparison (S49). */
+  * previous-fix speed comparison (S49) — plus the classic analytics
+  * machines (S14 funnel step times, S18 transition anchors, S19
+  * last-touch anchors) and an S46 variant on the RocksDB provider.
+  * Batch arrangement respects watermark progression: an event must
+  * ride no later than the batch that advances the watermark past it
+  * (or both runs would drop it equally and the golden would be
+  * vacuous there). */
 class StreamRestartSpec extends SparkSpec {
   import spark.implicits._
   implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -64,6 +70,50 @@ class StreamRestartSpec extends SparkSpec {
       s"$name: vacuous control fixture (${control.size} rows)")
     assert(restarted == control, s"$name: lost=${(control -- restarted).take(3)} " +
       s"dup/extra=${(restarted -- control).take(3)}")
+  }
+
+  private def e(sec: Long, typ: String, id: Long, user: Long = 1): Ev =
+    Ev(ts(sec), user, typ, 1.0, id)
+
+  test("S14 restart: funnel step-completion state survives a kill mid-funnel") {
+    // Ev is a case class (not a tuple) — drive the harness with its
+    // natural column names via toDF-with-no-renames
+    golden[Ev]("S14",
+      df => StreamOps.funnelStream(df, Seq(("view", 0L),
+        ("click", 3600L * 1000000), ("purchase", 24 * 3600L * 1000000))),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        Seq(e(10, "view", 1), e(20, "click", 2), e(5, "click", 3, user = 2)),
+        // u1's purchase completes against RECOVERED step times
+        Seq(e(30, "purchase", 4), e(50, "view", 5, user = 2)),
+        Seq(e(55, "click", 7, user = 2))),
+      minRows = 5)
+  }
+
+  test("S18 restart: the per-user transition anchor is recovered state") {
+    golden[Ev]("S18",
+      df => StreamOps.transitionStream(df),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        Seq(e(10, "view", 1), e(20, "click", 2), e(5, "view", 3, user = 2)),
+        // chains off RECOVERED anchors; stale @15 drops; u2's pair
+        // rides the same batch as @40 (watermark discipline)
+        Seq(e(40, "purchase", 5), e(15, "signup", 7),
+          e(30, "click", 4, user = 2), e(25, "error", 6, user = 2))),
+      minRows = 4)
+  }
+
+  test("S19 restart: the last-touch anchor is recovered state") {
+    golden[Ev]("S19",
+      df => StreamOps.attributionStream(df, lookbackUs = 1000L * 1000000),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        Seq(e(100, "view", 1), e(400, "click", 2), e(100, "view", 3, user = 2)),
+        // credits resolve against RECOVERED touches; u3's same-instant
+        // pair rides the same batch as @5000 (watermark discipline)
+        Seq(e(500, "purchase", 5), e(5000, "purchase", 6, user = 2),
+          e(700, "click", 7, user = 3), e(700, "purchase", 8, user = 3))),
+      minRows = 3)
   }
 
   test("S44 restart: cross-batch proximity pairs survive a kill between the batches") {
