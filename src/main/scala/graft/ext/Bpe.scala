@@ -98,6 +98,21 @@ object Bpe {
     * deterministic for a fixed corpus. */
   def train(docs: DataFrame, nMerges: Int, minCount: Long = 2L,
       textCol: String = "text", checkpointEvery: Int = 8): DataFrame = {
+    val (merges, vocab) = trainWithVocab(docs, nMerges, minCount,
+      textCol, checkpointEvery)
+    vocab.unpersist()
+    merges
+  }
+
+  /** [[train]] plus the FINAL rewritten vocabulary (syms, freq) — left
+    * persisted for the caller to consume and unpersist. q281 needs it
+    * for the symbol-conservation invariant (every merge operation
+    * removes exactly one symbol from the weighted vocab, so
+    * S_final = S0 − merges_performed); the public `train` discards
+    * it. Same loop, one source of truth. */
+  private[graft] def trainWithVocab(docs: DataFrame, nMerges: Int,
+      minCount: Long = 2L, textCol: String = "text",
+      checkpointEvery: Int = 8): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab = docs
@@ -143,10 +158,10 @@ object Bpe {
         rank += 1
       }
     }
-    vocab.unpersist()
-    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+    (merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
       .select(col("rank").cast("long").as("rank"), col("left"),
-        col("right"), col("merged"), col("pair_count"))
+        col("right"), col("merged"), col("pair_count")),
+      vocab)
   }
 
   /** Apply a merge table to a corpus: per-doc word count, subword
@@ -226,5 +241,59 @@ object Bpe {
           .as("bounds_ok"),
         (col("rec_min") === 1L).as("reconstructs"))
       .orderBy("doc_id")
+  }
+
+  /** Q281 — BPE TRAINING's projections under the ORACLE gate (r18;
+    * closes the q139 row of the derived-invariant tier). The merge
+    * SEQUENCE stays rows-only (a chain of data-dependent argmax
+    * decisions no recursive CTE can replay), but four projections are
+    * strict arithmetic:
+    *  - round 1 is FULLY replayable: before any merge the symbols are
+    *    chars + `</w>`, so DuckDB recomputes the exact argmax pair
+    *    (`first_left`/`first_right`/`first_count`) with the same
+    *    count-DESC, (left, right)-lexicographic tie-break;
+    *  - `s0_symbols` = Σ freq·(len(word)+1), the initial weighted
+    *    symbol count — exact on both engines;
+    *  - `n_merges` — the fixture corpus sustains the full 40 rounds at
+    *    every SF (minCount 2 never exhausts);
+    *  - `closure_ok`: every merge's left/right is a base symbol (one
+    *    char or `</w>`) or the product of an EARLIER merge — the
+    *    merge table is self-contained, rank order is causal;
+    *  - `conservation_ok`: each merge OPERATION removes exactly one
+    *    symbol, and a round counting c adjacent occurrences performs
+    *    between ⌈c/2⌉ (fully overlapping run) and c (disjoint) merges,
+    *    so Σcnt/2 ≤ S0 − S_final ≤ Σcnt on the final vocabulary —
+    *    a rewrite that drops or duplicates symbols flips it.
+    * One summary row; the 40-row merge table is KBs (driver-side
+    * closure check is bounded by construction). Heavy class: re-runs
+    * the q139 training loop, like q276 — isolated-bench discipline. */
+  def q281(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (mergeDf, finalVocab) = trainWithVocab(docs, nMerges = 40)
+    val merges = mergeDf.collect().map(r => (r.getAs[Long]("rank"),
+      r.getAs[String]("left"), r.getAs[String]("right"),
+      r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
+    val sFinal = finalVocab
+      .agg(sum(col("freq") * size(col("syms"))).cast("long")).head.getLong(0)
+    finalVocab.unpersist()
+    val s0 = docs
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .agg(sum(length(col("word")) + lit(1)).cast("long")).head.getLong(0)
+    var built = Set.empty[String]
+    val closureOk = merges.forall { case (_, l, r, m, _) =>
+      val ok = Seq(l, r).forall(x =>
+        x.length == 1 || x == "</w>" || built.contains(x))
+      built += m; ok
+    } && merges.map(_._1).toSeq == (1L to merges.length).toSeq
+    val sumCnt = merges.map(_._5).sum
+    val removed = s0 - sFinal
+    val conservationOk = removed * 2L >= sumCnt && removed <= sumCnt
+    val (fl, fr, fc) = (merges.head._2, merges.head._3, merges.head._5)
+    val sess = s
+    import sess.implicits._
+    Seq((merges.length.toLong, fl, fr, fc, s0, closureOk, conservationOk))
+      .toDF("n_merges", "first_left", "first_right", "first_count",
+        "s0_symbols", "closure_ok", "conservation_ok")
   }
 }

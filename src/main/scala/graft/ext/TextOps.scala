@@ -13,9 +13,11 @@ object TextOps {
 
   /** Reference-slice modulus for the bigram LM tier (q263/q269/q267):
     * docs with doc_id % LmRefMod == 0 form the reference corpus. ONE
-    * constant shared by [[bigramLmScore]], [[lmCtes]] and the q267
-    * union filter, so engine and oracle cannot silently diverge. */
-  private[ext] val LmRefMod: Int = 25
+    * constant shared by [[bigramLmScore]], [[lmCtes]], the q267
+    * union filter, and S52's serving-side exclusion
+    * ([[graft.streaming.StreamOps.lmBucketStream]]), so engine,
+    * oracle and serving twin cannot silently diverge. */
+  private[graft] val LmRefMod: Int = 25
 
   /** Q25 — key-based dedup: group on a content key, elect the keeper
     * (min doc_id), count members. The declared key is the 40-char text
@@ -318,44 +320,63 @@ object TextOps {
     * semantics instead of set-Jaccard. */
   def winnowFingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
     val kernel = udf { (t: String) =>
-      if (t == null) null
-      else {
-        val s = t.toLowerCase.replaceAll("\\s+", " ").trim
-        val n = s.length - k + 1
-        if (n <= 0) Array.empty[Long]
-        else {
-          val B = 1000003L
-          var pow = 1L
-          var i = 0
-          while (i < k - 1) { pow *= B; i += 1 }
-          val hs = new Array[Long](n)
-          var h = 0L
-          i = 0
-          while (i < k) { h = h * B + s.charAt(i); i += 1 }
-          hs(0) = h
-          i = 1
-          while (i < n) {
-            h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
-            hs(i) = h
-            i += 1
-          }
-          val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-          var lastPos = -1
-          var j = 0
-          val windows = math.max(n - w + 1, 1)
-          val ww = math.min(w, n)
-          while (j < windows) {
-            var minPos = j
-            var p = j + 1
-            while (p < j + ww) { if (hs(p) <= hs(minPos)) minPos = p; p += 1 }
-            if (minPos != lastPos) { out += hs(minPos); lastPos = minPos }
-            j += 1
-          }
-          out.toArray
-        }
-      }
+      if (t == null) null else winnowKernel(t, k, w)._2
     }
     kernel(text)
+  }
+
+  /** The winnow kernel plus its OWN normalized length (UTF-16 code
+    * units of the Locale.ROOT-lowercased, whitespace-collapsed text) as
+    * `struct<norm_len: bigint, fp: array<bigint>>`. q278's density
+    * bound must use the SAME length arithmetic the k-gram count comes
+    * from — Spark's `length()` counts code POINTS and `lower()` can
+    * case-map differently, so recomputing the length column-side makes
+    * the bound spuriously falsifiable on non-BMP text (r18 ADVICE). */
+  def winnowWithLen(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val kernel = udf { (t: String) =>
+      if (t == null) null else winnowKernel(t, k, w)
+    }
+    kernel(text)
+  }
+
+  /** Shared kernel: returns (normalized length in UTF-16 code units,
+    * selected fingerprints). Lowercasing is Locale.ROOT — the rolling
+    * hash must not depend on the JVM's default locale. */
+  private def winnowKernel(t: String, k: Int, w: Int): (Long, Array[Long]) = {
+    val s = t.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").trim
+    val n = s.length - k + 1
+    if (n <= 0) (s.length.toLong, Array.empty[Long])
+    else {
+      val B = 1000003L
+      var pow = 1L
+      var i = 0
+      while (i < k - 1) { pow *= B; i += 1 }
+      val hs = new Array[Long](n)
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * B + s.charAt(i); i += 1 }
+      hs(0) = h
+      i = 1
+      while (i < n) {
+        h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+        hs(i) = h
+        i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var lastPos = -1
+      var j = 0
+      val windows = math.max(n - w + 1, 1)
+      val ww = math.min(w, n)
+      while (j < windows) {
+        var minPos = j
+        var p = j + 1
+        while (p < j + ww) { if (hs(p) <= hs(minPos)) minPos = p; p += 1 }
+        if (minPos != lastPos) { out += hs(minPos); lastPos = minPos }
+        j += 1
+      }
+      (s.length.toLong, out.toArray)
+    }
   }
 
   /** Q50 — winnowing fingerprints as a DECLARED query (rows-only
@@ -376,16 +397,22 @@ object TextOps {
     * stay rows-only, but the guarantee is checkable — a selected
     * position stays the window minimum for at most min(w, n) windows,
     * so ⌈windows / min(w, n)⌉ ≤ n_fp ≤ windows (windows = max(n − w
-    * + 1, 1), n = normLen − k + 1). The normalized length is
-    * mirrored arithmetic DuckDB recomputes exactly; docs shorter
-    * than k produce no k-gram and are excluded on both sides. */
+    * + 1, 1), n = normLen − k + 1). `norm_len` comes from the KERNEL
+    * itself ([[winnowWithLen]] — same code units, same Locale.ROOT
+    * lowercase as the k-gram count; r18 ADVICE fix: a column-side
+    * recompute via `length()`/`lower()` counts code points and can
+    * case-map differently, making density_ok spuriously false on
+    * non-BMP text). DuckDB's mirrored `LENGTH(TRIM(...))` arithmetic
+    * agrees wherever code points = code units (the fixture); docs
+    * shorter than k produce no k-gram and are excluded on both
+    * sides. */
   def q278(s: SparkSession, d: String): DataFrame = {
     val k = 8; val w = 4
     val docs = Tables.documents(s, d)
-    docs.select(col("doc_id"),
-        length(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
-          .cast("long").as("norm_len"),
-        size(winnowFingerprint(col("text"))).cast("long").as("n_fp"))
+    docs.select(col("doc_id"), winnowWithLen(col("text")).as("wl"))
+      .select(col("doc_id"),
+        col("wl._1").as("norm_len"),
+        size(col("wl._2")).cast("long").as("n_fp"))
       .filter(col("norm_len") >= k)
       .select(col("doc_id"), col("norm_len"), {
         val n = col("norm_len") - lit((k - 1).toLong)
@@ -404,6 +431,48 @@ object TextOps {
   def q47(s: SparkSession, d: String): DataFrame =
     simHashPairs(Tables.documents(s, d))
       .orderBy("a", "b")
+
+  /** Q280 — the q47 SimHash banding's QUALITY CONTRACT under the
+    * ORACLE gate (r18; closes the q47 row of the derived-invariant
+    * tier, the q277 epistemics): the pair set itself stays rows-only
+    * (the simhash bits are algorithm-defined 64-bit arithmetic DuckDB
+    * cannot replay), but its quality against the fixture's
+    * DuckDB-expressible ground truth — the 40-char-prefix near-dup
+    * groups, the exact q25/q28 oracle family — is strictly checkable:
+    *  - `n_truth_pairs`: Σ C(n,2) over prefix groups, recomputed
+    *    independently by both engines;
+    *  - `n_pairs`: the exact emitted-pair count. Empirically every
+    *    emitted pair is a truth pair (n_fp = 0 measured at all three
+    *    SFs), so this IS the recalled-pair count — a stable fixture
+    *    constant the oracle pins per scale (keyed on corpus size; a
+    *    regenerated documents fixture requires re-pinning, which this
+    *    comment documents deliberately);
+    *  - `n_fp`: |emitted − truth| = 0 — any spurious pair flips the
+    *    gate corpus-wide;
+    *  - `recall_ok`: recalled ≥ 85% of truth — the scale-portable
+    *    floor (measured 26/28 at sf0.001, 229/256 at sf0.1; a
+    *    ~0.9-Jaccard pair usually but not always lands within
+    *    Hamming 7 — MinHash q28 is the exact-recall path).
+    * Plan: the pair set is tiny (≤ hundreds of rows); both joins
+    * against the prefix-truth pairs broadcast it. */
+  def q280(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pref = docs.select(substring(col("text"), 1, 40).as("p"),
+      col("doc_id"))
+    val truth = pref.as("x").join(pref.as("y"),
+        col("x.p") === col("y.p") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .localCheckpoint(true)
+    val pairs = simHashPairs(docs).select("a", "b").localCheckpoint(true)
+    val nTruth = truth.count()
+    val nPairs = pairs.count()
+    val nFp = pairs.join(truth, Seq("a", "b"), "left_anti").count()
+    val nRecalled = nPairs - nFp
+    val sess = s
+    import sess.implicits._
+    Seq((nTruth, nPairs, nFp, nRecalled * 20L >= nTruth * 17L))
+      .toDF("n_truth_pairs", "n_pairs", "n_fp", "recall_ok")
+  }
 
   /** Winnow-fingerprint near-dup pairs: docs whose winnowing-fingerprint
     * SETS have Jaccard ≥ `threshold`. The candidate generation is the

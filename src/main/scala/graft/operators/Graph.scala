@@ -98,6 +98,20 @@ object Graph {
       converged = changed == 0
       iter += 1
     }
+    // Convergence is only OBSERVABLE one round after the labels settle
+    // (the last productive round has changed > 0), so a graph whose
+    // diameter is exactly maxIter exits the loop with fully-correct
+    // labels and converged = false. Run ONE extra observation round
+    // before condemning the result: if it moves nothing, the budget
+    // sufficed (r18 ADVICE fix — previously threw on correct output).
+    if (!converged) {
+      val nbrMin = adj.join(labels, adj("dst") === labels("id"))
+        .groupBy(adj("src").as("id2")).agg(min("component").as("nbr"))
+      converged = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
+        .filter(least(col("component"),
+          coalesce(col("nbr"), col("component"))) =!= col("component"))
+        .isEmpty
+    }
     adj.unpersist()
     // fail FAST instead of silently returning partial components: a
     // graph whose diameter exceeds the round budget would otherwise

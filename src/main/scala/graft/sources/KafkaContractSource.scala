@@ -107,20 +107,46 @@ private class KafkaContractTable(props: util.Map[String, String])
     }
 }
 
-/** Per-topic-partition offset map, serialized as sorted
-  * `topic|partition=next` pairs — checkpointable and human-readable. */
+/** Per-topic-partition offset map, serialized as the REAL Kafka
+  * source's offset-log JSON shape — `{"topic":{"partition":next}}`,
+  * topics and partitions sorted for determinism. JSON (not a
+  * delimiter join) because Kafka topic names may legally contain
+  * the old format's `,`/`=`/`|` delimiters, which corrupted the
+  * checkpoint round-trip (r18 ADVICE fix). */
 private case class TpOffsets(m: Map[(String, Int), Long]) extends Offset {
-  override def json(): String = m.toSeq.sortBy(t => (t._1._1, t._1._2))
-    .map { case ((t, p), n) => s"$t|$p=$n" }.mkString(",")
+  override def json(): String =
+    m.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (topic, tps) =>
+      val parts = tps.toSeq.sortBy(_._1._2)
+        .map { case ((_, p), n) => s""""$p":$n""" }.mkString(",")
+      s""""${TpOffsets.escape(topic)}":{$parts}"""
+    }.mkString("{", ",", "}")
 }
 private object TpOffsets {
-  def parse(s: String): TpOffsets = TpOffsets(
-    if (s.isEmpty) Map.empty
-    else s.split(",").map { kv =>
-      val Array(tp, n) = kv.split("=")
-      val i = tp.lastIndexOf('|')
-      (tp.substring(0, i), tp.substring(i + 1).toInt) -> n.toLong
-    }.toMap)
+  private[sources] def escape(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+  def parse(s: String): TpOffsets = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    if (s.isEmpty || s == "{}") TpOffsets(Map.empty)
+    else TpOffsets(JsonMethods.parse(s) match {
+      case JObject(topics) => topics.flatMap { case (topic, v) =>
+        v match {
+          case JObject(parts) => parts.map {
+            case (p, JInt(n)) => (topic, p.toInt) -> n.toLong
+            case (p, other) => throw new IllegalArgumentException(
+              s"bad offset for $topic/$p: $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"bad partition map for $topic: $other")
+        }
+      }.toMap
+      case other =>
+        throw new IllegalArgumentException(s"bad offset json: $other")
+    })
+  }
 }
 
 private class KafkaContractStream(options: CaseInsensitiveStringMap)

@@ -2720,7 +2720,12 @@ object StreamOps {
     * bigram, same order), then the identical round(6)/ppm/threshold
     * column arithmetic — so (lp_per_bigram, bucket) are BIT-IDENTICAL
     * to q269's rows for the same docs (golden). Sub-2-token docs are
-    * silently unscored, the batch contract. Stateless narrow
+    * silently unscored, the batch contract — and so are REFERENCE
+    * docs (doc_id % LmRefMod == 0): q269 structurally excludes the
+    * training slice from its output, so the operator enforces the
+    * same exclusion rather than leaving it to the caller (r18 ADVICE
+    * fix — 'bit-identical to q269' now holds for every row the
+    * stream emits, not just pre-filtered input). Stateless narrow
     * projection: no shuffle, no state store — per-event cost is the
     * doc's own bigram count. */
   def lmBucketStream(docs: DataFrame,
@@ -2752,6 +2757,8 @@ object StreamOps {
     }
     docs.select(col("doc_id").cast("long").as("doc_id"),
         scoreUdf(col("text")).as("lp_per_bigram"))
+      // q269 parity: the batch twin never emits the reference slice
+      .filter(col("doc_id") % lit(graft.ext.TextOps.LmRefMod.toLong) =!= 0L)
       .filter(col("lp_per_bigram").isNotNull)
       // ppm quantization + strictly-above admission: the exact q269
       // column arithmetic (Spark's own round = HALF_UP, like batch)

@@ -1421,4 +1421,15 @@ class EntityAnalyticsSpec extends SparkSpec {
       .count() == 31L)
   }
 
+  test("connectedComponents accepts a graph settling in EXACTLY maxIter rounds (r18)") {
+    // labels on a k-edge path settle after exactly k productive rounds,
+    // but convergence is observable only one round later — the budget
+    // check must not condemn correct output (r18 ADVICE fix: one extra
+    // observation round before throwing)
+    val chain = spark.range(5).selectExpr("id AS src", "id + 1 AS dst")
+    val cc = graft.operators.Graph.connectedComponents(chain, maxIter = 5)
+    assert(cc.filter(org.apache.spark.sql.functions.col("component") === 0L)
+      .count() == 6L)
+  }
+
 }

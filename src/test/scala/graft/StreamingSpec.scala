@@ -2448,9 +2448,11 @@ class StreamingSpec extends SparkSpec {
     val q = StreamOps.lmBucketStream(in.toDF(), model)
       .writeStream.format("memory").queryName("s52").outputMode("append")
       .option("checkpointLocation", tmpDir("ckpt")).start()
+    // feed the WHOLE corpus, reference slice included: the operator
+    // itself must exclude doc_id % LmRefMod == 0 for q269 parity
+    // (r18 ADVICE fix — previously the test pre-filtered)
     val rows = docs.select("doc_id", "text").collect()
       .map(r => Doc(new Timestamp(0L), r.getLong(0), r.getString(1)))
-      .filter(_.doc_id % 25 != 0) // serving scores NEW docs, not the slice
     in.addData(rows.take(rows.length / 2).toIndexedSeq)
     in.addData(rows.drop(rows.length / 2).toIndexedSeq)
     q.processAllAvailable(); q.stop()
