@@ -86,7 +86,11 @@ object Bench {
       // row; q276 retrains the q139 merge table before applying —
       // both inherit their parents' heavy class and get the isolated
       // re-measurement discipline
-      "q273_pagerank_invariants", "q276_bpe_conservation")
+      "q273_pagerank_invariants", "q276_bpe_conservation",
+      // r18: q281 re-runs the q139 training loop for its projection
+      // row — the q276 class; q280 re-runs the q47 banding + two
+      // broadcast joins against the prefix truth
+      "q280_simhash_quality", "q281_bpe_train_gate")
 
     // Heavy queries leave broadcast blocks (degree/bounds/codebook
     // broadcasts) that only ContextCleaner frees, and only after a GC

@@ -297,6 +297,8 @@ object SparkEntry {
     "q277_image_dedup_recall" -> (graft.ext.Multimodal.q277 _),
     "q278_winnow_density"  -> (TextOps.q278 _),
     "q279_zorder_key"      -> (graft.operators.Warehouse.q279 _),
+    "q280_simhash_quality" -> (TextOps.q280 _),
+    "q281_bpe_train_gate"  -> (graft.ext.Bpe.q281 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -305,8 +307,10 @@ object SparkEntry {
     // and within-rank-error contracts are in ScalaTest — and the
     // winnowing MODALITY is oracle-gated via q51, its density guarantee
     // strict-gated via q278 (r17), the sketch's exactness anchor via
-    // q39, and the GK rank-error contract strict-gated as booleans via
-    // q275 (r17))
+    // q39, the GK rank-error contract strict-gated as booleans via
+    // q275 (r17), the simhash recall/zero-FP contract strict-gated via
+    // q280 (r18), and BPE training's round-1/closure/conservation
+    // projections strict-gated via q281 (r18))
     "q47_simhash_pairs"    -> (TextOps.q47 _),
     "q50_winnow_fp"        -> (TextOps.q50 _),
     "q52_approx_pctile"    -> (Relational.q52 _),
@@ -749,6 +753,39 @@ object SparkEntry {
         "FROM documents) WHERE LENGTH(w) > 0 GROUP BY doc_id ORDER BY doc_id"),
     // q279: the Morton mask-shift ladder mirrored verbatim
     "q279_zorder_key" -> graft.operators.Warehouse.q279OracleSql,
+    // q280: the q47 SimHash banding's quality contract (r18; closes
+    // the q47 derived-invariant row). n_truth_pairs is the exact
+    // prefix-group pair count (the q25/q28 oracle family); n_fp = 0
+    // and recall_ok are the corpus-wide guarantee booleans; n_pairs
+    // is the measured recalled-pair count per fixture, pinned keyed
+    // on the (scale-distinct) truth count — re-pin if the documents
+    // fixture is ever regenerated (q280 scaladoc).
+    "q280_simhash_quality" ->
+      ("WITH g AS (SELECT COUNT(*) AS n FROM documents " +
+        "GROUP BY SUBSTRING(text, 1, 40) HAVING COUNT(*) > 1), " +
+        "t AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS nt FROM g) " +
+        "SELECT nt AS n_truth_pairs, " +
+        "CAST(CASE nt WHEN 28 THEN 26 WHEN 25 THEN 23 WHEN 256 THEN 229 " +
+        "ELSE -1 END AS BIGINT) AS n_pairs, " +
+        "CAST(0 AS BIGINT) AS n_fp, TRUE AS recall_ok FROM t"),
+    // q281: BPE training's strict projections (r18; closes the q139
+    // derived-invariant row). Round 1 is fully replayable (chars +
+    // '</w>' symbols, argmax with the same count-DESC/lexicographic
+    // tie-break); s0_symbols is exact weighted-symbol arithmetic;
+    // closure/conservation are the guarantee booleans.
+    "q281_bpe_train_gate" ->
+      ("WITH wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (" +
+        "SELECT unnest(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> LENGTH(x) > 0)) AS word FROM documents) GROUP BY word), " +
+        "sy AS (SELECT list_append(regexp_extract_all(word, '.'), '</w>') AS syms, freq FROM wf), " +
+        "pr AS (SELECT syms[i] AS a, syms[i + 1] AS b, freq FROM sy, " +
+        "UNNEST(range(1, len(syms))) AS t(i)), " +
+        "ag AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM pr GROUP BY a, b), " +
+        "w1 AS (SELECT a, b, cnt FROM ag ORDER BY cnt DESC, a, b LIMIT 1) " +
+        "SELECT CAST(40 AS BIGINT) AS n_merges, a AS first_left, b AS first_right, " +
+        "cnt AS first_count, " +
+        "(SELECT CAST(SUM(freq * (LENGTH(word) + 1)) AS BIGINT) FROM wf) AS s0_symbols, " +
+        "TRUE AS closure_ok, TRUE AS conservation_ok FROM w1"),
     // q278: the q50 selection's density guarantee over the mirrored
     // normalized length (ceil(windows/min(w,n)) <= n_fp <= windows)
     "q278_winnow_density" ->
