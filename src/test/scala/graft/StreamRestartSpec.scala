@@ -75,6 +75,49 @@ class StreamRestartSpec extends SparkSpec {
   private def e(sec: Long, typ: String, id: Long, user: Long = 1): Ev =
     Ev(ts(sec), user, typ, 1.0, id)
 
+  private def ev(sec: Long, typ: String, id: Long, user: Long = 1,
+      v: Double = 1.0): Ev = Ev(ts(sec), user, typ, v, id)
+
+  /** The [[run]] harness for UPDATE-mode machines (S33/S37/S38): the
+    * parquet file sink is append-only, so updates drive a foreachBatch
+    * that appends each micro-batch's update rows. Batch boundaries are
+    * identical in both runs and every batch commits under a graceful
+    * stop(), so the per-batch update sets — and therefore the appended
+    * union — must be equal iff recovered state is exact. (This golden
+    * pins STATE RECOVERY; the file-sink exactly-once half belongs to
+    * the append-mode goldens — foreachBatch is at-least-once only
+    * under mid-batch crashes, which the scripted stop() never does.) */
+  private def runFb[T <: Product : Encoder](
+      transform: DataFrame => DataFrame, cols: Seq[String],
+      batches: Seq[Seq[T]], restart: Boolean): Set[String] = {
+    val in = MemoryStream[T]
+    val out = tmpDir("rgu_out"); val ckpt = tmpDir("rgu_ckpt")
+    def start() = transform(in.toDF().toDF(cols: _*))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => df.write.mode("append").parquet(out); () }
+      .option("checkpointLocation", ckpt).start()
+    if (restart) batches.foreach { b =>
+      val q = start(); in.addData(b); q.processAllAvailable(); q.stop()
+    } else {
+      val q = start()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+    }
+    spark.read.parquet(out).collect().map(_.mkString("|")).toSet
+  }
+
+  private def goldenFb[T <: Product : Encoder](name: String,
+      transform: DataFrame => DataFrame, cols: Seq[String],
+      batches: Seq[Seq[T]], minRows: Int): Unit = {
+    val control = runFb(transform, cols, batches, restart = false)
+    val restarted = runFb(transform, cols, batches, restart = true)
+    assert(control.size >= minRows,
+      s"$name: vacuous control fixture (${control.size} rows)")
+    assert(restarted == control, s"$name: lost=${(control -- restarted).take(3)} " +
+      s"dup/extra=${(restarted -- control).take(3)}")
+  }
+
   test("S14 restart: funnel step-completion state survives a kill mid-funnel") {
     // Ev is a case class (not a tuple) — drive the harness with its
     // natural column names via toDF-with-no-renames
@@ -257,5 +300,279 @@ class StreamRestartSpec extends SparkSpec {
         Seq((ts(30), 1L, 3L, 10300000L, 20300000L)),
         Seq((ts(40), 1L, 4L, 40000000L, 40000000L))), // closes 102
       minRows = 2)
+  }
+
+  // ---- r18 (r17 verdict #1): the remaining stateful machines, same
+  // control-vs-restart discipline — each script places its defining
+  // cross-batch state interaction ACROSS a kill, fixtures adapted from
+  // the machines' functional goldens in StreamingSpec. ----
+
+  test("S10 restart: open gap-sessions and idle timeouts are recovered state") {
+    golden[Ev]("S10",
+      df => StreamOps.statefulSessions(df, gapMs = 30000L,
+        watermark = "10 seconds"),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        Seq(e(0, "a", 1), e(10, "a", 2), e(5, "a", 3, user = 2)),
+        // u1's 90 s gap closes its RECOVERED first session
+        Seq(e(100, "a", 4)),
+        // watermark passes u2's idle timeout (armed pre-kill) AND
+        // closes u1's recovered second session
+        Seq(e(200, "a", 5))),
+      minRows = 3)
+  }
+
+  test("S15 restart: prequential moments accumulated pre-kill score post-kill spikes") {
+    golden[Ev]("S15",
+      df => StreamOps.anomalyStream(df, threshold = 2.5, minCount = 30),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        // 31 warm-up values build the moments — all state, no output
+        (1 to 31).map(i => ev(i, "a", i, v = i.toDouble)),
+        // spike + dead-center value scored against RECOVERED moments
+        Seq(ev(40, "a", 101, v = 100.0), ev(41, "a", 102, v = 16.0)),
+        // same spike re-judged against moments that now include batch 2
+        Seq(ev(50, "a", 103, v = 100.0))),
+      minRows = 2)
+  }
+
+  test("S16 restart: Misra-Gries counters survive the kill mid-decrement-cycle") {
+    golden[Ev]("S16",
+      df => StreamOps.heavyHittersStream(df, k = 2),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        // fold ends {1:2} after a decrement-all — that counter state
+        // is what batch 2 keeps folding into
+        Seq(e(1, "a", 10), e(2, "a", 11), e(3, "a", 12),
+          e(4, "a", 13, user = 2), e(5, "a", 14, user = 3)),
+        Seq(e(6, "a", 15, user = 3), e(7, "a", 16, user = 3),
+          e(8, "a", 17, user = 2))),
+      minRows = 2)
+  }
+
+  test("S17 restart: regression moments refine across a kill, then bend on the outlier") {
+    golden[Ev]("S17",
+      df => StreamOps.trendStream(df),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        (0 to 4).map(t => ev(t, "a", t + 1, v = 2.0 * t + 5)),
+        // continues the same line off RECOVERED moments
+        (5 to 9).map(t => ev(t, "a", t + 1, v = 2.0 * t + 5)),
+        Seq(ev(10, "a", 11, v = 1000.0))),
+      minRows = 3)
+  }
+
+  test("S20 restart: the seen user-day set dedups against recovered state") {
+    val day = 86400L
+    golden[Ev]("S20",
+      df => StreamOps.retentionStream(df, horizonDays = 30),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        Seq(e(10, "view", 1), e(20, "click", 2),
+          e(day + 5, "view", 3), e(2 * day + 7, "view", 4, user = 2)),
+        // day-1 re-activity must NOT re-emit (dedup vs recovered set);
+        // u2's pre-cohort day is dropped against its recovered cohort
+        Seq(e(day + 100, "view", 5), e(day + 3, "view", 6, user = 2))),
+      minRows = 3)
+  }
+
+  test("S21 restart: the skip-gram ring pairs post-kill tokens with recovered ones") {
+    golden[Ev]("S21",
+      df => StreamOps.skipGramStream(df, maxSkip = 2),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        Seq(e(10, "a", 1), e(20, "b", 2), e(30, "c", 3)),
+        // d pairs with the RECOVERED b, c; the stale token drops
+        Seq(e(40, "d", 4), e(15, "x", 5))),
+      minRows = 5)
+  }
+
+  test("S32 restart: a conversion completes against the recovered arm") {
+    val base2 = 4067200L // keep the fixture's own epoch shape, offset from base
+    golden[Ev]("S32",
+      df => StreamOps.conversionLagStream(df, "signup", "purchase"),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        Seq(e(base2, "signup", 1), e(base2 + 3600, "purchase", 2),
+          e(base2 + 100, "purchase", 3, user = 2), // pre-arm → ignored
+          e(base2 + 200, "signup", 4, user = 2),
+          e(base2 + 50, "signup", 5, user = 3)),   // never converts
+        // u2 converts CROSS-KILL (lag 600); u1's duplicate is silent
+        // against its recovered converted flag
+        Seq(e(base2 + 7200, "purchase", 6), e(base2 + 800, "purchase", 7, user = 2))),
+      minRows = 2)
+  }
+
+  test("S34 restart: the silence timer armed pre-kill fires post-recovery") {
+    golden[Ev]("S34",
+      df => StreamOps.heartbeatMonitor(df, silenceMs = 60000L),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        Seq(e(0, "a", 1), e(30, "a", 2), e(0, "a", 3, user = 2)),
+        Seq(e(200, "a", 4)), // watermark → 190 next batch
+        Seq(e(400, "a", 5))), // u2's recovered last-seen fires the alert
+      minRows = 1)
+  }
+
+  test("S35 restart: the EWMA level and anchor are recovered state") {
+    golden[Ev]("S35",
+      df => StreamOps.ewmaStream(df, alpha = 0.5),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        // out-of-order batch folds 10, 20, 30 by event time
+        Seq(ev(20, "a", 3, v = 30.0), ev(0, "a", 1, v = 10.0),
+          ev(10, "a", 2, v = 20.0)),
+        // in-order point folds into the RECOVERED level; the regression
+        // behind the recovered anchor is dropped
+        Seq(ev(30, "a", 4, v = 40.0), ev(5, "a", 9, v = 999.0))),
+      minRows = 4)
+  }
+
+  test("S36 restart: the CUSUM accumulator builds to alarm across a kill") {
+    golden[Ev]("S36",
+      df => StreamOps.cusumStream(df, mu0 = 10.0, slack = 1.0, threshold = 5.0),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        // S+ = 1,2,3 then 15.0 pushes it to 7 > 5 → alarm + reset
+        Seq(ev(1, "a", 1, v = 12.0), ev(2, "a", 2, v = 12.0),
+          ev(3, "a", 3, v = 12.0), ev(4, "a", 4, v = 15.0),
+          ev(5, "a", 5, v = 10.0)),
+        Seq(ev(6, "a", 6, v = 4.0)), // S− = 5, silent — recovered next
+        // the alarm CROSSES the kill: S− 5 → 10 > 5 from recovered state
+        Seq(ev(7, "a", 7, v = 4.0), ev(8, "a", 8, v = 4.0))),
+      minRows = 2)
+  }
+
+  test("S40 restart: open interval blocks and armed timeouts are recovered") {
+    golden[(Long, Timestamp, Long, Long)]("S40",
+      df => StreamOps.intervalUnionStream(df, watermark = "0 seconds"),
+      Seq("user_id", "ts", "s", "e"),
+      Seq(
+        // out-of-order pieces build [10,40) + a disjoint open [100,110)
+        Seq((1L, ts(20), base + 20, base + 40), (1L, ts(10), base + 10, base + 25),
+          (1L, ts(25), base + 25, base + 25), (1L, ts(100), base + 100, base + 110),
+          (2L, ts(15), base + 15, base + 30)),
+        Seq((1L, ts(200), base + 200, base + 210)), // closes recovered [100,110)
+        Seq((9L, ts(500), base + 500, base + 501)), // timeout closes [200,210)
+        Seq((9L, ts(900), base + 900, base + 901))),
+      minRows = 4)
+  }
+
+  test("S42 restart: the gap frontier survives kills even with no open blocks") {
+    golden[(Long, Timestamp, Long, Long)]("S42",
+      df => StreamOps.intervalGapsStream(df, watermark = "0 seconds"),
+      Seq("user_id", "ts", "s", "e"),
+      Seq(
+        Seq((1L, ts(20), base + 20, base + 40), (1L, ts(10), base + 10, base + 25),
+          (1L, ts(100), base + 100, base + 110), (2L, ts(15), base + 15, base + 30)),
+        Seq((1L, ts(200), base + 200, base + 210)), // gap (40,100) finalizes
+        Seq((9L, ts(500), base + 500, base + 501)), // timeout → gap (110,200)
+        // EVERY u1 block is now closed — only the frontier survives the
+        // next two kills; the downtime gap must still pair on return
+        Seq((1L, ts(1000), base + 1000, base + 1010)),
+        Seq((9L, ts(2000), base + 2000, base + 2001)), // gap (210,1000)
+        Seq((9L, ts(9000), base + 9000, base + 9001))),
+      minRows = 3)
+  }
+
+  test("S33 restart (update): the window count escalates from the recovered count") {
+    goldenFb[Ev]("S33",
+      df => StreamOps.burstStream(df, "user_id", threshold = 5L,
+        size = "60 seconds"),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        (1 to 6).map(i => e(i, "a", i)) ++
+          (1 to 3).map(i => e(i, "a", 100L + i, user = 2)),
+        // u2's late lift crosses the threshold ONLY with the recovered
+        // in-window count of 3
+        (4 to 8).map(i => e(i, "a", 200L + i, user = 2))),
+      minRows = 2)
+  }
+
+  test("S37 restart (update): the reservoir's bottom-k heap is recovered state") {
+    goldenFb[Ev]("S37",
+      df => StreamOps.reservoirStream(df, k = 3),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        (1L to 6L).map(i => e(i, "a", i)),
+        // later candidates displace members of the RECOVERED sample
+        // (emit-on-change: an unchanged union emits nothing — equality
+        // then still pins the recovered n counter on the next change)
+        (7L to 12L).map(i => e(i, "a", i)),
+        (13L to 24L).map(i => e(i, "a", i))),
+      minRows = 2)
+  }
+
+  test("S38 restart (update): CDC winners, tombstones and resurrection recover") {
+    goldenFb[(Long, String, Long, String)]("S38",
+      df => StreamOps.cdcUpsertStream(df),
+      Seq("k", "op", "version", "payload"),
+      Seq(
+        Seq((1L, "U", 3L, "b"), (1L, "I", 1L, "a"), (2L, "I", 2L, "x"),
+          (3L, "U", 1L, "u"), (3L, "D", 1L, "d")),
+        // late lower version ABSORBED by the recovered winner; delete
+        // emits a tombstone; duplicate redelivery is silent
+        Seq((1L, "U", 2L, "late"), (1L, "U", 3L, "b"), (2L, "D", 5L, "-")),
+        // higher-version insert resurrects the recovered tombstone
+        Seq((2L, "I", 7L, "y"))),
+      minRows = 4)
+  }
+
+  test("S38 restart (update): the tombstone GC timer armed pre-kill fires post-recovery") {
+    goldenFb[(Long, String, Long, String, Timestamp)]("S38-gc",
+      df => StreamOps.cdcUpsertStream(df,
+        tombstoneRetentionUs = Some(30L * 1000000), watermark = "0 seconds"),
+      Seq("k", "op", "version", "payload", "ts"),
+      Seq(
+        Seq((1L, "D", 5L, "-", ts(10))),   // tombstone; evict at 40 s
+        Seq((9L, "I", 1L, "x", ts(100))),  // watermark → 100
+        Seq((9L, "I", 2L, "y", ts(101))),  // fires the RECOVERED timer
+        // post-GC: the lower version re-materializes — only possible if
+        // the eviction actually happened across the kills
+        Seq((1L, "U", 3L, "late", ts(102)))),
+      minRows = 3)
+  }
+
+  test("S27 restart: killing after every batch folds the same dimension as one query") {
+    import graft.streaming.Sinks
+    import org.apache.spark.sql.functions.col
+    val day1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime / 1000 - base
+    val day2 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime / 1000 - base
+    val day3 = java.sql.Timestamp.valueOf("2024-04-01 00:00:00").getTime / 1000 - base
+    val batches: Seq[Seq[Ev]] = Seq(
+      // in-batch duplicate: the later eff wins before the fold
+      Seq(ev(day1, "u", 1, user = 1, v = 15.0),
+        ev(day1 + 86400, "u", 2, user = 1, v = 20.0)),
+      Seq(ev(day2, "u", 3, user = 3, v = 7.0)),  // new key inserts
+      // k=1 changes AGAIN post-kill: closes the version opened by a
+      // fold that itself ran in a killed-and-restarted query
+      Seq(ev(day3, "u", 4, user = 1, v = 25.0)))
+    def runScd(restart: Boolean): Set[String] = {
+      import spark.implicits._
+      val init = Seq((1L, 10.0, "2024-01-01"), (2L, 5.0, "2024-01-01"))
+        .toDF("k", "bal", "f")
+        .select(col("k"), col("bal"), col("f").cast("date").as("valid_from"))
+      val dim = tmpDir("s27dim"); val ckpt = tmpDir("s27ckpt")
+      val in = MemoryStream[Ev]
+      def updates = in.toDF().select(col("user_id").as("k"),
+        col("value").as("bal"), col("ts").cast("date").as("eff"))
+      def start() = Sinks.scd2Sink(updates, dim, ckpt, Seq("k"), Seq("bal"), init)
+      if (restart) batches.foreach { b =>
+        val q = start(); in.addData(b); q.processAllAvailable(); q.stop()
+      } else {
+        val q = start()
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        q.stop()
+      }
+      val vmax = new java.io.File(dim).listFiles
+        .filter(_.getName.startsWith("v=")).map(_.getName.drop(2).toLong).max
+      spark.read.parquet(s"$dim/v=$vmax").collect().map(_.mkString("|")).toSet
+    }
+    val control = runScd(restart = false)
+    val restarted = runScd(restart = true)
+    // k1: 10 closed, 20 closed, 25 current; k2 untouched; k3 inserted
+    assert(control.size >= 5, s"vacuous S27 fixture: ${control.size} rows")
+    assert(restarted == control, s"S27: lost=${(control -- restarted).take(3)} " +
+      s"extra=${(restarted -- control).take(3)}")
   }
 }
