@@ -1158,20 +1158,64 @@ object ScaleBench {
         col("event_type"), col("value"), col("props"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
-    println(s"""{"op":"sf1gen","docs":${nDocs * 10},"embeddings":${nEmb * 10},"events":${ev.count() * 10}}""")
+    // lineitem/orders (r18, r17 verdict #4): the recsys trio
+    // (q121/q130/q224) reads baskets = lineitem ⋈ orders, so the 10×
+    // tier derives both. Orders/customers grow 10× (orderkey/custkey
+    // shifted per copy — traffic growth); the PART CATALOG is shared
+    // across copies (item spaces don't grow with traffic — that is
+    // what densifies the co-occurrence graph, the shape that actually
+    // stresses q121's pair generation). Copies 1–9 re-randomize each
+    // line's partkey with p=1/2 within the catalog so baskets vary
+    // instead of duplicating copy 0 verbatim (the documents recipe).
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    val mxO = ord.agg(max("o_orderkey")).head().getLong(0) + 1L
+    val mxC = ord.agg(max("o_custkey")).head().getLong(0) + 1L
+    val partKeys = li.select(col("l_partkey")).distinct()
+      .orderBy("l_partkey").as[Long].collect()
+    val pkLit = array(partKeys.map(lit(_)).toIndexedSeq: _*)
+    li.crossJoin(copies)
+      .select((col("l_orderkey") + col("copy") * mxO).as("l_orderkey"),
+        when(col("copy") === 0L ||
+            pmod(xxhash64(col("l_orderkey"), col("l_linenumber"),
+              col("copy")), lit(2L)) === 0L, col("l_partkey"))
+          .otherwise(element_at(pkLit,
+            (pmod(xxhash64(col("l_orderkey"), col("l_linenumber"),
+              col("copy"), lit(7L)), lit(partKeys.length.toLong)) + 1L)
+              .cast("int"))).as("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    ord.crossJoin(copies)
+      .select((col("o_orderkey") + col("copy") * mxO).as("o_orderkey"),
+        (col("o_custkey") + col("copy") * mxC).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    println(s"""{"op":"sf1gen","docs":${nDocs * 10},"embeddings":${nEmb * 10},"events":${ev.count() * 10},"lineitem":${li.count() * 10},"orders":${ord.count() * 10}}""")
   }
 
-  /** SF1 heavy block (r17 verdict item 8): the documents/embeddings/
-    * events heavies once at the 10× tier — recorded against their
-    * sf0.1 bench floors for the scaling row. (q121/q130/q224 need
-    * lineitem/orders, which the slice deliberately omits.) */
+  /** SF1 heavy block (r17 verdict item 8; recsys trio added r18 per
+    * r17 verdict #4): every sf0.1 heavy once at the 10× tier —
+    * recorded against their sf0.1 bench floors for the scaling row.
+    * q121/q130/q224 read the lineitem/orders derivation (10× baskets
+    * over the SHARED part catalog — the densified co-occurrence
+    * shape). */
   private def runSf1Heavy(spark: SparkSession, dir: String): Unit = {
     def sweep(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    val names = Seq("q28_near_dup_minhash", "q34_ann_topk",
+    val all = Seq("q28_near_dup_minhash", "q34_ann_topk",
       "q66_full_pipeline", "q76_semdedup", "q91_dedup_incremental",
       "q112_rolling_distinct", "q141_hll_rolling", "q257_clf_calibrated",
-      "q263_bigram_lm", "q267_pipeline_v8")
+      "q263_bigram_lm", "q267_pipeline_v8",
+      "q121_item_neighbors", "q130_recommend", "q224_recommend_bucketed")
+    // optional comma-separated subset (the Bench SPARK_GRAFT_BENCH_ONLY
+    // idiom) — re-measure one block without re-paying the whole tier
+    val names = sys.env.get("SPARK_GRAFT_SF1_ONLY")
+      .map(_.split(",").toSet).fold(all)(f => all.filter(f.contains))
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
