@@ -86,7 +86,11 @@ object PlanAudit {
     // count + 1-row history-size frame, q277 the 1-row missed-pair
     // count + 1-row base count.
     "q257_clf_calibrated", "q271_kmv_error_gate", "q272_cms_guarantees",
-    "q274_bloom_guarantees", "q277_image_dedup_recall")
+    "q274_bloom_guarantees", "q277_image_dedup_recall",
+    // r18, reviewed: q283's apportionment crosses the 1-row ΣW total
+    // against the SOURCES dimension frame (bounded by construction —
+    // Mixture.allocateQuotas scaladoc)
+    "q283_mixture_quotas")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.filter(_.startsWith("/"))

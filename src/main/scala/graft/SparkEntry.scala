@@ -299,6 +299,8 @@ object SparkEntry {
     "q279_zorder_key"      -> (graft.operators.Warehouse.q279 _),
     "q280_simhash_quality" -> (TextOps.q280 _),
     "q281_bpe_train_gate"  -> (graft.ext.Bpe.q281 _),
+    "q282_source_quantiles" -> (graft.ext.Mixture.q282 _),
+    "q283_mixture_quotas"  -> (graft.ext.Mixture.q283 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -768,6 +770,39 @@ object SparkEntry {
         "CAST(CASE nt WHEN 28 THEN 26 WHEN 25 THEN 23 WHEN 256 THEN 229 " +
         "ELSE -1 END AS BIGINT) AS n_pairs, " +
         "CAST(0 AS BIGINT) AS n_fp, TRUE AS recall_ok FROM t"),
+    // q282: exact per-source quantiles — explicit ⌈p·n⌉ rank
+    // arithmetic on the (source, length) histogram, mirrored verbatim
+    // (no engine quantile-function tie semantics on either side)
+    "q282_source_quantiles" ->
+      ("WITH h AS (SELECT source, LENGTH(text) AS v, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM documents GROUP BY source, LENGTH(text)), " +
+        "cum AS (SELECT source, v, SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum, " +
+        "SUM(c) OVER (PARTITION BY source) AS n FROM h) " +
+        "SELECT source, CAST(MAX(n) AS BIGINT) AS n, " +
+        "MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS len_p50, " +
+        "MIN(CASE WHEN cum >= (n * 9 + 9) // 10 THEN v END) AS len_p90 " +
+        "FROM cum GROUP BY source ORDER BY source"),
+    // q283: Hamilton apportionment + per-source selection thresholds —
+    // the apportionment arithmetic mirrored verbatim; thresholds via
+    // per-source ROW_NUMBER (oracle scale only — the engine's
+    // two-level histogram select exists because that window does not
+    // scale to one task per source)
+    "q283_mixture_quotas" ->
+      ("WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUBSTRING(source, 4) AS BIGINT) + 1 AS weight FROM documents GROUP BY source), " +
+        "tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS W, " +
+        "CAST(SUM(n_docs) AS BIGINT) // 2 AS T FROM s), " +
+        "b AS (SELECT source, n_docs, weight, (T * weight) // W AS base, " +
+        "(T * weight) % W AS rem, T FROM s, tot), " +
+        "sb AS (SELECT CAST(SUM(base) AS BIGINT) AS sumbase FROM b), " +
+        "a AS (SELECT source, n_docs, weight, T, " +
+        "CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source) <= T - (SELECT sumbase FROM sb) " +
+        "THEN base + 1 ELSE base END AS quota FROM b), " +
+        "rk AS (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk FROM documents) " +
+        "SELECT a.source, a.n_docs, a.weight, CAST(a.quota AS BIGINT) AS quota, " +
+        "(SELECT doc_id FROM rk WHERE rk.source = a.source AND rk.rk = LEAST(a.quota, a.n_docs)) AS sel_threshold, " +
+        "LEAST(CAST(a.quota AS BIGINT), a.n_docs) AS n_selected " +
+        "FROM a ORDER BY a.source"),
     // q281: BPE training's strict projections (r18; closes the q139
     // derived-invariant row). Round 1 is fully replayable (chars +
     // '</w>' symbols, argmax with the same count-DESC/lexicographic
