@@ -23,6 +23,10 @@ case class ConvHit(user_id: Long, t0_us: Long, t1_us: Long, lag_s: Double)
 case class HbState(lastUs: Long, n: Long)
 case class HbAlert(user_id: Long, last_seen_us: Long, n_events: Long)
 
+/** S53 admission state: per-source admitted-so-far counter (the whole
+  * state — one fixed-size record per source). */
+case class QuotaCount(n: Long)
+
 /** S35 EWMA state: last smoothed level + the (tsu, event_id) anchor of
   * the last event folded in (the monotonic guard's total order). */
 case class EwmaState(tsu: Long, eventId: Long, level: Double)
@@ -2768,6 +2772,43 @@ object StreamOps {
         when(col("lpq") > lit(model.t1), "head")
           .when(col("lpq") > lit(model.t2), "middle")
           .otherwise("tail").as("bucket"))
+  }
+
+  /** S53 — streaming QUOTA-CAPPED ADMISSION: the live half of q283's
+    * mixture step ([[graft.ext.Mixture.allocateQuotas]] computes the
+    * per-source quotas batch-side; this operator ENFORCES them on an
+    * arriving corpus — "take the first quotaᵢ documents of source i",
+    * the ingest-time form of data mixing). Per source, state is ONE
+    * counter (admitted so far); each micro-batch's arrivals fold in
+    * doc_id order (deterministic regardless of partition arrival
+    * order within the batch) and admit while the RECOVERED counter is
+    * below quota. Emits (source, doc_id, admit_rank) with ranks
+    * contiguous per source; sources without a quota entry admit
+    * nothing. Exactly-once across restart: the counter IS the state,
+    * so a kill/replay cannot re-admit past quota (StreamRestartSpec).
+    *
+    * Scale posture: state is one long per SOURCE (the bounded
+    * dimension), keyed-partitioned; per-batch work is the batch's own
+    * rows plus an in-batch sort per source — no corpus-sized anything.
+    * The quota map rides the closure (sources are KBs). */
+  def quotaFillStream(docs: DataFrame, quotas: Map[String, Long]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("source"), col("doc_id").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Long)],
+         state: GroupState[QuotaCount]) =>
+          val quota = quotas.getOrElse(src, 0L)
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+          rows.map(_._2).toArray.sorted.foreach { id =>
+            if (n < quota) { n += 1; out += ((src, id, n)) }
+          }
+          state.update(QuotaCount(n))
+          out.iterator
+      }.toDF("source", "doc_id", "admit_rank")
   }
 
   def pcaScoreStream(vecs: DataFrame, component: Seq[Double]): DataFrame = {

@@ -533,6 +533,20 @@ class StreamRestartSpec extends SparkSpec {
       minRows = 3)
   }
 
+  test("S53 restart: the admitted counter is recovered — no re-admission past quota") {
+    golden[(String, Long)]("S53",
+      df => StreamOps.quotaFillStream(df, Map("src0" -> 3L, "src1" -> 1L)),
+      Seq("source", "doc_id"),
+      Seq(
+        Seq(("src0", 10L), ("src0", 4L), ("src1", 7L)),
+        // src0 admits ONE more (rank 3 off the recovered counter);
+        // src1 is full — its arrival must drop
+        Seq(("src0", 2L), ("src1", 9L)),
+        // both full: a counter lost in the kill would re-admit these
+        Seq(("src0", 99L), ("src0", 1L))),
+      minRows = 4)
+  }
+
   test("S27 restart: killing after every batch folds the same dimension as one query") {
     import graft.streaming.Sinks
     import org.apache.spark.sql.functions.col

@@ -2467,6 +2467,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.map(_._2).toSet == Set("head", "middle", "tail"))
   }
 
+  test("S53: quota-capped admission fills to quota in doc_id order, drops overflow and unquota'd sources") {
+    val in = MemoryStream[(String, Long)]
+    val q = StreamOps.quotaFillStream(in.toDF().toDF("source", "doc_id"),
+      Map("src0" -> 2L, "src1" -> 1L))
+      .writeStream.format("memory").queryName("s53").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    // in-batch ordering is doc_id ASC (4 admits before 10), not arrival
+    in.addData(("src0", 10L), ("src0", 4L), ("src1", 7L), ("srcX", 1L))
+    q.processAllAvailable()
+    // both sources are at quota — every later arrival drops silently
+    in.addData(("src0", 2L), ("src1", 1L), ("src1", 9L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s53").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("src0", 4L, 1L), ("src0", 10L, 2L), ("src1", 7L, 1L)),
+      s"got $got")
+  }
+
   test("S41: streaming classifier scoring is bit-identical to batch training scores") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
