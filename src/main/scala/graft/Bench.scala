@@ -152,11 +152,21 @@ object Bench {
       passes.map(_(n)).collect { case Right(v) => v }
         .minOption.exists(_ > isoThresholdSec)
     }
-    val isolatedRuns: Seq[(String, Seq[Either[String, Double]])] =
+    // per-isolated-query host load captured right after each pair of
+    // runs, stamped like the S1 shots: an isolated reading above its
+    // in-suite min is then self-adjudicating (the isolated block runs
+    // at the END of the suite, where the suite's own GC/page-cache
+    // churn peaks)
+    val isolatedRaw: Seq[(String, Seq[Either[String, Double]], Double)] =
       isolatedSet.map { n =>
         sweepCaches(); System.gc(); Thread.sleep(500)
-        n -> (1 to 2).map(_ => runOnce(n))
+        val rs = (1 to 2).map(_ => runOnce(n))
+        (n, rs, loadavg())
       }
+    val isolatedRuns: Seq[(String, Seq[Either[String, Double]])] =
+      isolatedRaw.map { case (n, rs, _) => (n, rs) }
+    val isolatedLoad: Seq[(String, Double)] =
+      isolatedRaw.map { case (n, _, l) => (n, l) }
     val isolated: Map[String, Double] = isolatedRuns.flatMap { case (n, rs) =>
       rs.collect { case Right(v) => v }.minOption.map(n -> _)
     }.toMap
@@ -314,7 +324,9 @@ object Bench {
     val s1ShotsLoadJson = s1Shots.map(_._2).mkString("[", ",", "]")
     val s1SustainedJson = s1Sustained.map(_.round.toString).getOrElse("null")
     val loadavgEnd = loadavg()
-    val loadJson = s""""loadavg_start":$loadavgStart,"loadavg_s1_start":$loadavgS1Start,"loadavg_s1_end":$loadavgS1End,"loadavg_end":$loadavgEnd,"s1_shots_loadavg":$s1ShotsLoadJson"""
+    val isoLoadJson = isolatedLoad.sortBy(_._1)
+      .map { case (k, l) => s"\"$k\":$l" }.mkString("{", ",", "}")
+    val loadJson = s""""loadavg_start":$loadavgStart,"loadavg_s1_start":$loadavgS1Start,"loadavg_s1_end":$loadavgS1End,"loadavg_end":$loadavgEnd,"s1_shots_loadavg":$s1ShotsLoadJson,"isolated_loadavg":$isoLoadJson"""
     val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated_heavies":$isoJson,"isolated_errors":$isoErrJson$bsJson,"s1_ingest_rows_per_sec":${s1RowsPerSec.round},"s1_shots_rows_per_sec":$s1ShotsJson,"s1_sustained_rows_per_sec":$s1SustainedJson,$loadJson,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")

@@ -273,6 +273,8 @@ object Bpe {
     val merges = mergeDf.collect().map(r => (r.getAs[Long]("rank"),
       r.getAs[String]("left"), r.getAs[String]("right"),
       r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
+    require(merges.nonEmpty,
+      "q281: zero merges learned — empty corpus or minCount exhausted at round 1")
     val sFinal = finalVocab
       .agg(sum(col("freq") * size(col("syms"))).cast("long")).head.getLong(0)
     finalVocab.unpersist()

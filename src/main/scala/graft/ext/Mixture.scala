@@ -85,7 +85,12 @@ object Mixture {
   /** Per-source quota-th smallest doc_id by two-level histogram
     * select; `quotas` = (source, quota). Returns (source,
     * sel_threshold); sources with quota ≤ 0 or quota > n emit no row
-    * (join back with left to observe them as NULL). */
+    * (join back with left to observe them as NULL). Assumes doc_id is
+    * unique per source (the corpus primary key): with duplicate ids
+    * the returned threshold VALUE is still deterministic (equal ids
+    * are interchangeable under the level-2 rank), but
+    * count(id ≤ threshold) can exceed the quota — dedup first if ids
+    * can repeat. */
   def selectionThresholds(docs: DataFrame, quotas: DataFrame,
       buckets: Int = 4096): DataFrame = {
     val ids = docs.select(col("source"), col("doc_id").cast("long").as("id"))

@@ -2790,7 +2790,11 @@ object StreamOps {
     * Scale posture: state is one long per SOURCE (the bounded
     * dimension), keyed-partitioned; per-batch work is the batch's own
     * rows plus an in-batch sort per source — no corpus-sized anything.
-    * The quota map rides the closure (sources are KBs). */
+    * The quota map rides the closure (sources are KBs). Assumes
+    * doc_id is unique per source (the corpus primary key) — a
+    * redelivered id in a LATER batch is a new document to this
+    * operator (exact once-per-id dedup is S12's job, composable
+    * upstream). */
   def quotaFillStream(docs: DataFrame, quotas: Map[String, Long]): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
