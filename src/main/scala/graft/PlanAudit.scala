@@ -87,10 +87,10 @@ object PlanAudit {
     // count + 1-row base count.
     "q257_clf_calibrated", "q271_kmv_error_gate", "q272_cms_guarantees",
     "q274_bloom_guarantees", "q277_image_dedup_recall",
-    // r18, reviewed: q283's apportionment crosses the 1-row ΣW total
-    // against the SOURCES dimension frame (bounded by construction —
-    // Mixture.allocateQuotas scaladoc)
-    "q283_mixture_quotas")
+    // r18, reviewed: q283/q284's apportionment crosses the 1-row ΣW
+    // total against the SOURCES dimension frame (bounded by
+    // construction — Mixture.allocateQuotas scaladoc)
+    "q283_mixture_quotas", "q284_mixture_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.filter(_.startsWith("/"))

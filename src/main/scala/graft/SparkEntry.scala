@@ -301,6 +301,7 @@ object SparkEntry {
     "q281_bpe_train_gate"  -> (graft.ext.Bpe.q281 _),
     "q282_source_quantiles" -> (graft.ext.Mixture.q282 _),
     "q283_mixture_quotas"  -> (graft.ext.Mixture.q283 _),
+    "q284_mixture_apply"   -> (graft.ext.Mixture.q284 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -803,6 +804,28 @@ object SparkEntry {
         "(SELECT doc_id FROM rk WHERE rk.source = a.source AND rk.rk = LEAST(a.quota, a.n_docs)) AS sel_threshold, " +
         "LEAST(CAST(a.quota AS BIGINT), a.n_docs) AS n_selected " +
         "FROM a ORDER BY a.source"),
+    // q284: the mixture APPLIED — the composition gate: per-source
+    // count/id-range/char-mass of the admitted slice; n_rows = quota
+    // and max_id = threshold prove exact application corpus-wide
+    "q284_mixture_apply" ->
+      ("WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUBSTRING(source, 4) AS BIGINT) + 1 AS weight FROM documents GROUP BY source), " +
+        "tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS W, " +
+        "CAST(SUM(n_docs) AS BIGINT) // 2 AS T FROM s), " +
+        "b AS (SELECT source, n_docs, weight, (T * weight) // W AS base, " +
+        "(T * weight) % W AS rem, T FROM s, tot), " +
+        "sb AS (SELECT CAST(SUM(base) AS BIGINT) AS sumbase FROM b), " +
+        "a AS (SELECT source, n_docs, " +
+        "CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source) <= T - (SELECT sumbase FROM sb) " +
+        "THEN base + 1 ELSE base END AS quota FROM b), " +
+        "rk AS (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk FROM documents), " +
+        "thr AS (SELECT a.source, (SELECT doc_id FROM rk WHERE rk.source = a.source " +
+        "AND rk.rk = LEAST(a.quota, a.n_docs)) AS t FROM a) " +
+        "SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "MIN(d.doc_id) AS min_id, MAX(d.doc_id) AS max_id, " +
+        "CAST(SUM(LENGTH(d.text)) AS BIGINT) AS n_chars " +
+        "FROM documents d JOIN thr ON d.source = thr.source AND d.doc_id <= thr.t " +
+        "GROUP BY d.source ORDER BY d.source"),
     // q281: BPE training's strict projections (r18; closes the q139
     // derived-invariant row). Round 1 is fully replayable (chars +
     // '</w>' symbols, argmax with the same count-DESC/lexicographic

@@ -149,4 +149,33 @@ object Mixture {
         least(col("quota"), col("n_docs")).as("n_selected"))
       .orderBy("source")
   }
+
+  /** Q284 — the mixture APPLIED under the ORACLE gate (the composition
+    * query: q283 gates the plan, this gates the mixed corpus a user
+    * actually materializes): the per-source thresholds broadcast onto
+    * the corpus scan, `doc_id ≤ threshold` filters map-side, and the
+    * admitted slice's per-source count, id range, and character mass
+    * are exact arithmetic both engines recompute. `n_rows = quota` and
+    * `max_id = threshold` per source prove the application dropped and
+    * admitted EXACTLY the planned set — corpus-wide, any off-by-one
+    * flips the hash. One broadcast join, no shuffle before the final
+    * sources-sized agg. */
+  def q284(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val srcs = docs.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("weight",
+        substring(col("source"), 4, 10).cast("long") + 1L)
+    val total = srcs.agg(sum("n_docs")).head().getLong(0)
+    val quotas = allocateQuotas(srcs, "weight", total / 2L)
+    val thresholds = selectionThresholds(docs,
+      quotas.select("source", "quota"))
+    docs.join(broadcast(thresholds), Seq("source"))
+      .filter(col("doc_id") <= col("sel_threshold"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+      .orderBy("source")
+  }
 }

@@ -1222,6 +1222,26 @@ class StreamingSpec extends SparkSpec {
           alerts.head.getLong(2) == 6L, s"S33 under RocksDB: ${alerts.toSeq}")
         assert(usedRocks, "S33 shows no RocksDB state metrics")
       }
+      // S53 quota-capped admission (fMGWS, NoTimeout — the admitted
+      // counter must persist and cap through the production store)
+      locally {
+        val in = MemoryStream[(String, Long)]
+        val q = StreamOps.quotaFillStream(in.toDF().toDF("source", "doc_id"),
+            Map("src0" -> 2L))
+          .writeStream.format("memory").queryName("s53r").outputMode("append")
+          .option("checkpointLocation", tmpDir("ckpt")).start()
+        in.addData(("src0", 10L), ("src0", 4L))
+        q.processAllAvailable()
+        in.addData(("src0", 2L)) // counter at quota — must drop
+        q.processAllAvailable()
+        val usedRocks = Option(q.lastProgress).exists(
+          _.stateOperators.exists(_.customMetrics.containsKey("rocksdbGetCount")))
+        q.stop()
+        val got = spark.table("s53r").collect()
+          .map(r => (r.getLong(1), r.getLong(2))).toSet
+        assert(got == Set((4L, 1L), (10L, 2L)), s"S53 under RocksDB: $got")
+        assert(usedRocks, "S53 shows no RocksDB state metrics")
+      }
       // S34 heartbeat/liveness (fMGWS, EventTimeTimeout — the timeout
       // path must fire from RocksDB-held state)
       locally {
