@@ -149,8 +149,11 @@ object Bench {
     // passes (lights first) and gates the per-query GC.
     val isoThresholdSec = 4.0
     val isolatedSet: Seq[String] = order.filter { n =>
-      passes.map(_(n)).collect { case Right(v) => v }
-        .minOption.exists(_ > isoThresholdSec)
+      val oks = passes.map(_(n)).collect { case Right(v) => v }
+      // isolate measured-slow queries AND all-passes-error queries —
+      // an error under suite contention still deserves the isolated
+      // second opinion it had under the static r17 list (r18 review)
+      oks.minOption.exists(_ > isoThresholdSec) || oks.isEmpty
     }
     // per-isolated-query host load captured right after each pair of
     // runs, stamped like the S1 shots: an isolated reading above its
@@ -291,8 +294,11 @@ object Bench {
       }
       val (n1, n2) = (2000000.0, 10000000.0)
       def pair() = (shot(200000L), shot(1000000L))
+      // validity floor: the 8 M-row delta at any plausible rate costs
+      // ≥ 1 s, so a sub-0.1 s delta is timing noise that would record
+      // an absurd > 80 M rows/s — reject it like an inversion
       val valid = Iterator.continually(pair()).take(2)
-        .find { case (t1, t2) => t2 > t1 }
+        .find { case (t1, t2) => t2 - t1 >= 0.1 }
       valid.map { case (t1, t2) => (n2 - n1) / (t2 - t1) }
     }
     val loadavgS1End = loadavg()

@@ -95,6 +95,9 @@ object Mixture {
       buckets: Int = 4096): DataFrame = {
     val ids = docs.select(col("source"), col("doc_id").cast("long").as("id"))
     val bounds = ids.agg(min("id").as("lo"), max("id").as("hi")).head()
+    if (bounds.isNullAt(0)) // empty corpus: no thresholds, not an NPE
+      return quotas.select(col("source"),
+        lit(null).cast("long").as("sel_threshold")).limit(0)
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val bWidth = math.max(1L, (hi - lo) / buckets + 1L)
     val bucketed = ids.withColumn("b", expr(s"(id - $lo) DIV $bWidth"))
@@ -133,22 +136,35 @@ object Mixture {
     * verbatim and the thresholds via per-source ROW_NUMBER (fine at
     * oracle scale; the engine's two-level form exists precisely
     * because that window does not scale). */
-  def q283(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  /** Shared q283/q284 planning prefix — ONE source of truth for the
+    * weight rule (source ordinal + 1), the target (half the corpus),
+    * and the quota→threshold wiring, so the plan gate and the
+    * application gate cannot silently desynchronize. The quota fed to
+    * the selector is CLAMPED to the source's availability
+    * (LEAST(quota, n_docs) — the oracle's arithmetic), so an
+    * over-quota source resolves to its max doc_id and admits fully
+    * rather than diverging engine-NULL vs oracle-max-id. Returns
+    * (quotas ⋈ thresholds) with n_docs/weight/quota/sel_threshold. */
+  private def mixturePlan(docs: DataFrame): DataFrame = {
     val srcs = docs.groupBy("source")
       .agg(count(lit(1)).cast("long").as("n_docs"))
       .withColumn("weight",
         substring(col("source"), 4, 10).cast("long") + 1L)
-    val total = srcs.agg(sum("n_docs")).head().getLong(0)
+    val total = srcs.agg(coalesce(sum("n_docs"), lit(0L)))
+      .head().getLong(0)
     val quotas = allocateQuotas(srcs, "weight", total / 2L)
     val thresholds = selectionThresholds(docs,
-      quotas.select("source", "quota"))
+      quotas.select(col("source"),
+        least(col("quota"), col("n_docs")).as("quota")))
     quotas.join(thresholds, Seq("source"), "left")
+  }
+
+  def q283(s: SparkSession, d: String): DataFrame =
+    mixturePlan(Tables.documents(s, d))
       .select(col("source"), col("n_docs"), col("weight"), col("quota"),
         col("sel_threshold"),
         least(col("quota"), col("n_docs")).as("n_selected"))
       .orderBy("source")
-  }
 
   /** Q284 — the mixture APPLIED under the ORACLE gate (the composition
     * query: q283 gates the plan, this gates the mixed corpus a user
@@ -162,14 +178,8 @@ object Mixture {
     * sources-sized agg. */
   def q284(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val srcs = docs.groupBy("source")
-      .agg(count(lit(1)).cast("long").as("n_docs"))
-      .withColumn("weight",
-        substring(col("source"), 4, 10).cast("long") + 1L)
-    val total = srcs.agg(sum("n_docs")).head().getLong(0)
-    val quotas = allocateQuotas(srcs, "weight", total / 2L)
-    val thresholds = selectionThresholds(docs,
-      quotas.select("source", "quota"))
+    val thresholds = mixturePlan(docs)
+      .select("source", "sel_threshold")
     docs.join(broadcast(thresholds), Seq("source"))
       .filter(col("doc_id") <= col("sel_threshold"))
       .groupBy("source")

@@ -84,15 +84,21 @@ object Graph {
       .select(col("id"), col("id").as("component")).localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val nbrMin = adj.join(labels, adj("dst") === labels("id"))
+    // ONE body for the propagation round — the loop and the post-loop
+    // observation below must test the SAME function (r18 review: a
+    // copy-pasted observation could silently drift from the loop)
+    def propagate(ls: DataFrame): DataFrame = {
+      val nbrMin = adj.join(ls, adj("dst") === ls("id"))
         .groupBy(adj("src").as("id2")).agg(min("component").as("nbr"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
+      ls.join(nbrMin, ls("id") === nbrMin("id2"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr"), col("component")))
             .as("component"),
           col("component").as("prev"))
         .localCheckpoint(true)
+    }
+    while (!converged && iter < maxIter) {
+      val next = propagate(labels)
       val changed = next.filter(col("component") =!= col("prev")).count()
       labels = next.drop("prev")
       converged = changed == 0
@@ -104,14 +110,10 @@ object Graph {
     // labels and converged = false. Run ONE extra observation round
     // before condemning the result: if it moves nothing, the budget
     // sufficed (r18 ADVICE fix — previously threw on correct output).
-    if (!converged) {
-      val nbrMin = adj.join(labels, adj("dst") === labels("id"))
-        .groupBy(adj("src").as("id2")).agg(min("component").as("nbr"))
-      converged = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
-        .filter(least(col("component"),
-          coalesce(col("nbr"), col("component"))) =!= col("component"))
-        .isEmpty
-    }
+    // Labels stay the pre-observation frame either way.
+    if (!converged)
+      converged = propagate(labels)
+        .filter(col("component") =!= col("prev")).isEmpty
     adj.unpersist()
     // fail FAST instead of silently returning partial components: a
     // graph whose diameter exceeds the round budget would otherwise

@@ -131,6 +131,16 @@ private object TpOffsets {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     if (s.isEmpty || s == "{}") TpOffsets(Map.empty)
+    // legacy pre-r18 checkpoint format ('topic|partition=next' joined
+    // by commas): a stream restarted from an old offset log must
+    // RESUME, not crash (r18 review). Only legal under the old
+    // format's own constraint (no delimiter chars in topic names).
+    else if (s.charAt(0) != '{') TpOffsets(
+      s.split(",").map { kv =>
+        val Array(tp, n) = kv.split("=")
+        val i = tp.lastIndexOf('|')
+        (tp.substring(0, i), tp.substring(i + 1).toInt) -> n.toLong
+      }.toMap)
     else TpOffsets(JsonMethods.parse(s) match {
       case JObject(topics) => topics.flatMap { case (topic, v) =>
         v match {

@@ -2810,7 +2810,12 @@ object StreamOps {
           rows.map(_._2).toArray.sorted.foreach { id =>
             if (n < quota) { n += 1; out += ((src, id, n)) }
           }
-          state.update(QuotaCount(n))
+          // never materialize state for an unquota'd source: a stream
+          // carrying arbitrary source names would otherwise grow one
+          // permanent zero-count record per distinct name — unbounded
+          // state on the operator whose claim is one record per
+          // CONFIGURED source (r18 review)
+          if (quota > 0L) state.update(QuotaCount(n))
           out.iterator
       }.toDF("source", "doc_id", "admit_rank")
   }

@@ -34,6 +34,11 @@ class TpOffsetsSpec extends AnyFunSuite {
     roundTrip(m)
   }
 
+  test("legacy pre-r18 delimiter checkpoints still parse (restart resumes, not crashes)") {
+    assert(TpOffsets.parse("events|0=42,events|1=7,logs|0=0").m ==
+      Map(("events", 0) -> 42L, ("events", 1) -> 7L, ("logs", 0) -> 0L))
+  }
+
   test("malformed offset json is rejected, not misparsed") {
     intercept[Exception] { TpOffsets.parse("""{"t":[1,2]}""") }
     intercept[Exception] { TpOffsets.parse("""{"t":{"0":"x"}}""") }
