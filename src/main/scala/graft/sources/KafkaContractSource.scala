@@ -127,21 +127,35 @@ private object TpOffsets {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
+  // legacy pre-r18 checkpoint format ('topic|partition=next' joined
+  // by commas): a stream restarted from an old offset log must
+  // RESUME, not crash (r18 review). Only legal under the old
+  // format's own constraint (no delimiter chars in topic names — but
+  // '{' was never banned, so the format is detected by PARSE, not by
+  // first-character sniff: a pre-r18 topic name starting with '{'
+  // must still resume, r18 ADVICE).
+  private def parseLegacy(s: String): TpOffsets = TpOffsets(
+    s.split(",").map { kv =>
+      val Array(tp, n) = kv.split("=")
+      val i = tp.lastIndexOf('|')
+      (tp.substring(0, i), tp.substring(i + 1).toInt) -> n.toLong
+    }.toMap)
+
   def parse(s: String): TpOffsets = {
+    if (s.isEmpty || s == "{}") TpOffsets(Map.empty)
+    else if (s.charAt(0) != '{') parseLegacy(s)
+    else try parseJson(s) catch {
+      // a '{'-leading string that is not our JSON shape can only be a
+      // legacy checkpoint whose first sorted topic begins with '{';
+      // if it is neither, parseLegacy's own failure surfaces instead
+      case _: Exception => parseLegacy(s)
+    }
+  }
+
+  private def parseJson(s: String): TpOffsets = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    if (s.isEmpty || s == "{}") TpOffsets(Map.empty)
-    // legacy pre-r18 checkpoint format ('topic|partition=next' joined
-    // by commas): a stream restarted from an old offset log must
-    // RESUME, not crash (r18 review). Only legal under the old
-    // format's own constraint (no delimiter chars in topic names).
-    else if (s.charAt(0) != '{') TpOffsets(
-      s.split(",").map { kv =>
-        val Array(tp, n) = kv.split("=")
-        val i = tp.lastIndexOf('|')
-        (tp.substring(0, i), tp.substring(i + 1).toInt) -> n.toLong
-      }.toMap)
-    else TpOffsets(JsonMethods.parse(s) match {
+    TpOffsets(JsonMethods.parse(s) match {
       case JObject(topics) => topics.flatMap { case (topic, v) =>
         v match {
           case JObject(parts) => parts.map {

@@ -71,6 +71,42 @@ class MixtureSpec extends SparkSpec {
     assert(full("s2") == bySrc("s2").last, "quota = n → max id")
   }
 
+  test("selectionThresholds recurses on clustered ids (r18 verdict #3): tiny taskCap, block-allocated ids") {
+    // epoch-prefixed / block-allocated ids: ~all of each source's rows
+    // land in ONE value-range bucket at buckets = 8 — the skew shape
+    // the recursive split exists for. taskCap = 16 forces ≥ 2 rounds
+    // (800 rows per source in a range 8 buckets wide can't reach a
+    // ≤ 16-row slot in one split).
+    val rows = (0 until 2400).map { i =>
+      val s = s"s${i % 3}"
+      // cluster: a huge epoch prefix + a dense 800-wide block per source
+      (s, 1700000000000000L + (i % 3) * 10000000L + i / 3)
+    }
+    val docs = rows.toDF("source", "doc_id")
+    val quotas = Seq(("s0", 1L), ("s1", 400L), ("s2", 800L))
+      .toDF("source", "quota")
+    val got = Mixture.selectionThresholds(docs, quotas,
+      buckets = 8, taskCap = 16L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySrc = rows.groupBy(_._1).map { case (s, vs) => s -> vs.map(_._2).sorted }
+    assert(got("s0") == bySrc("s0").head, "quota 1 = min id under clustering")
+    assert(got("s1") == bySrc("s1")(399), s"400th smallest: ${got("s1")}")
+    assert(got("s2") == bySrc("s2").last, "quota = n -> max id under clustering")
+  }
+
+  test("allocateQuotas fails loudly on empty input or non-positive weight sum") {
+    val empty = Seq.empty[(String, Long)].toDF("source", "w")
+    val e1 = intercept[IllegalArgumentException] {
+      Mixture.allocateQuotas(empty, "w", 10L)
+    }
+    assert(e1.getMessage.contains("must be positive"))
+    val zero = Seq(("a", 0L), ("b", 0L)).toDF("source", "w")
+    val e2 = intercept[IllegalArgumentException] {
+      Mixture.allocateQuotas(zero, "w", 10L)
+    }
+    assert(e2.getMessage.contains("must be positive"))
+  }
+
   test("q283 composition: selected counts sum to the target when no source caps") {
     val d = sf("sf0.001")
     val out = Mixture.q283(spark, d).collect()

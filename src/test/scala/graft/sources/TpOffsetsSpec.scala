@@ -39,6 +39,14 @@ class TpOffsetsSpec extends AnyFunSuite {
       Map(("events", 0) -> 42L, ("events", 1) -> 7L, ("logs", 0) -> 0L))
   }
 
+  test("legacy checkpoint whose first topic starts with '{' resumes via parse fallback (r18 ADVICE)") {
+    // the old format banned ,/=/| in topic names but never '{' — a
+    // first-character sniff would feed this to the JSON parser and
+    // crash the restart
+    assert(TpOffsets.parse("{curly|0=42,events|2=7").m ==
+      Map(("{curly", 0) -> 42L, ("events", 2) -> 7L))
+  }
+
   test("malformed offset json is rejected, not misparsed") {
     intercept[Exception] { TpOffsets.parse("""{"t":[1,2]}""") }
     intercept[Exception] { TpOffsets.parse("""{"t":{"0":"x"}}""") }
