@@ -754,6 +754,103 @@ object ScaleBench {
     * single-agg Welch, the LAG-window burstiness, the top-k coverage
     * cut, and the CMS build (expected flat state, linear scan). Same
     * events-shaped frame as runDrift. */
+  /** mixture mode (r19, verdict #1): growth curves for the r18
+    * mixture tier — exact per-source quantiles, Hamilton quotas, and
+    * the RECURSIVE order-statistic selection — over zipfian source
+    * sizes (12 sources, share_k ∝ 1/k: the head source holds ~32% of
+    * the corpus) under TWO id shapes:
+    *   uniform   — doc_id = row id, every source's ids spread evenly
+    *               across the whole range (the fixture shape; the
+    *               selector resolves in one split round);
+    *   clustered — 99.9% of ids sit in a dense block 2^40 above a
+    *               thin outlier tail (epoch-prefixed / block-allocated
+    *               production ids): round 1's value-range buckets land
+    *               the whole block in one slot, forcing the recursive
+    *               narrowing the r18 two-level selector lacked.
+    * taskCap = 65536 so the final rank window stays bounded at every
+    * size (the default 4M cap would let fixture-scale clusters resolve
+    * without recursing — the curve must exercise the recursion).
+    * The claim under test: clustered ≈ uniform × small constant, both
+    * flat-to-linear in n — never the one-task-per-source sort. */
+  private def runMixture(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    import graft.ext.Mixture
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val nSrc = 12
+    val h = (1 to nSrc).map(1.0 / _).sum
+    val cuts = (1 to nSrc).scanLeft(0.0)((acc, k) => acc + (1.0 / k) / h).tail
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val u = pmod(expr("xxhash64(id)"), lit(1048576L)) / 1048576.0
+      val srcIdx = (0 until nSrc).reverse.foldLeft(
+        lit(nSrc - 1): org.apache.spark.sql.Column) { (acc, k) =>
+        when(u < cuts(k), lit(k)).otherwise(acc)
+      }
+      val base = spark.range(n)
+        .select(col("id"), concat(lit("src"), srcIdx).as("source"),
+          pmod(expr("xxhash64(id, 5L)"), lit(1900L)).as("len"))
+      val uniformDocs = base.select(col("source"),
+        col("id").as("doc_id"), col("len")).persist()
+      val clusteredDocs = base.select(col("source"),
+        when(col("id") % 1000L === 0L, col("id"))
+          .otherwise(col("id") + (1L << 40)).as("doc_id"), col("len"))
+        .persist()
+      uniformDocs.count(); clusteredDocs.count()
+      def planSec(docs: DataFrame): Double = timed {
+        val srcs = docs.groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+          .withColumn("weight",
+            expr("substring(source, 4)").cast("long") + 1L)
+          .localCheckpoint(true)
+        val total = srcs.agg(sum("n_docs")).head().getLong(0)
+        val quotas = Mixture.allocateQuotas(srcs, "weight", total / 2L)
+        Mixture.selectionThresholds(docs,
+          quotas.select(col("source"),
+            least(col("quota"), col("n_docs")).as("quota")),
+          taskCap = 65536L)
+          .write.format("noop").mode("overwrite").save()
+      }
+      if (i == 0) { // warmup pass, discarded
+        planSec(uniformDocs); sweep()
+        uniformDocs.count(); clusteredDocs.count()
+      }
+      val qSec = timed {
+        Mixture.groupQuantiles(uniformDocs, "source", col("len"),
+          Seq(("p50", 1, 2), ("p90", 9, 10)))
+          .write.format("noop").mode("overwrite").save()
+      }
+      sweep(); uniformDocs.count(); clusteredDocs.count()
+      val uniSec = planSec(uniformDocs)
+      sweep(); uniformDocs.count(); clusteredDocs.count()
+      val cluSec = planSec(clusteredDocs)
+      sweep(); uniformDocs.count()
+      // the q284 application shape: thresholds broadcast onto the
+      // corpus scan, map-side filter, sources-sized agg
+      val srcs = uniformDocs.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .withColumn("weight",
+          expr("substring(source, 4)").cast("long") + 1L)
+        .localCheckpoint(true)
+      val total = srcs.agg(sum("n_docs")).head().getLong(0)
+      val thr = Mixture.selectionThresholds(uniformDocs,
+        Mixture.allocateQuotas(srcs, "weight", total / 2L)
+          .select(col("source"),
+            least(col("quota"), col("n_docs")).as("quota")),
+        taskCap = 65536L).localCheckpoint(true)
+      val applySec = timed {
+        uniformDocs.join(broadcast(thr), Seq("source"))
+          .filter(col("doc_id") <= col("sel_threshold"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_rows"), sum("len").as("mass"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      uniformDocs.unpersist(); clusteredDocs.unpersist(); sweep()
+      println(f"""{"op":"mixture","n_docs":$n,"quantiles_sec":$qSec%.2f,"plan_uniform_sec":$uniSec%.2f,"plan_clustered_sec":$cluSec%.2f,"apply_sec":$applySec%.2f}""")
+    }
+  }
+
   private def runStats(spark: SparkSession, sizes: Seq[Long]): Unit = {
     import graft.operators.Relational
     def sweep(): Unit =
@@ -1411,6 +1508,13 @@ object ScaleBench {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/target/scale")
     val spark = Sessions.local(Sessions.envCpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("mixture")) {
+      val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+        else Seq(1000000L, 5000000L, 20000000L)
+      runMixture(spark, sizes)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("stats")) {
       val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
         else Seq(1000000L, 5000000L, 20000000L)
