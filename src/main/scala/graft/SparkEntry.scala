@@ -302,6 +302,7 @@ object SparkEntry {
     "q282_source_quantiles" -> (graft.ext.Mixture.q282 _),
     "q283_mixture_quotas"  -> (graft.ext.Mixture.q283 _),
     "q284_mixture_apply"   -> (graft.ext.Mixture.q284 _),
+    "q285_pipeline_v9"     -> (graft.ext.Mixture.q285 _),
     "q235_rrf_fusion"      -> (TextOps.q235 _),
     "q236_price_volume"    -> (Relational.q236 _),
     // rows-only checks: simhash banding, winnowing selection, and the
@@ -826,6 +827,36 @@ object SparkEntry {
         "CAST(SUM(LENGTH(d.text)) AS BIGINT) AS n_chars " +
         "FROM documents d JOIN thr ON d.source = thr.source AND d.doc_id <= thr.t " +
         "GROUP BY d.source ORDER BY d.source"),
+    // q285: pipeline v9 — the mixture tier composed end-to-end:
+    // apportionment arithmetic + per-source ROW_NUMBER thresholds
+    // (the q283/q284 CTEs verbatim) → admission → the q66/q75 quality
+    // cuts → q63's global-window shard rebuild → q74's ordered digest
+    "q285_pipeline_v9" ->
+      ("WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUBSTRING(source, 4) AS BIGINT) + 1 AS weight FROM documents GROUP BY source), " +
+        "tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS W, " +
+        "CAST(SUM(n_docs) AS BIGINT) // 2 AS T FROM s), " +
+        "b AS (SELECT source, n_docs, weight, (T * weight) // W AS base, " +
+        "(T * weight) % W AS rem, T FROM s, tot), " +
+        "sb AS (SELECT CAST(SUM(base) AS BIGINT) AS sumbase FROM b), " +
+        "a AS (SELECT source, n_docs, " +
+        "CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source) <= T - (SELECT sumbase FROM sb) " +
+        "THEN base + 1 ELSE base END AS quota FROM b), " +
+        "rk AS (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk FROM documents), " +
+        "thr AS (SELECT a.source, (SELECT doc_id FROM rk WHERE rk.source = a.source " +
+        "AND rk.rk = LEAST(a.quota, a.n_docs)) AS t FROM a), " +
+        "adm AS (SELECT d.doc_id, d.text FROM documents d " +
+        "JOIN thr ON d.source = thr.source AND d.doc_id <= thr.t), " +
+        "clean AS (SELECT doc_id, text FROM adm WHERE LENGTH(text) >= 60 " +
+        "AND ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), " +
+        "x -> LIST_CONTAINS(['the','a','of','and','to','in','is'], x))) AS DOUBLE) " +
+        "/ LEN(STRING_SPLIT(text, ' ')), 4) >= 0.02), " +
+        "t2 AS (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM clean), " +
+        "sh AS (SELECT doc_id, text, n_tokens, CAST(FLOOR((SUM(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 4000.0) AS BIGINT) AS shard FROM t2) " +
+        "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
+        "md5(string_agg(text, chr(10) ORDER BY doc_id)) AS digest " +
+        "FROM sh GROUP BY shard ORDER BY shard"),
     // q281: BPE training's strict projections (r18; closes the q139
     // derived-invariant row). Round 1 is fully replayable (chars +
     // '</w>' symbols, argmax with the same count-DESC/lexicographic

@@ -248,6 +248,48 @@ object Mixture {
     * admitted EXACTLY the planned set — corpus-wide, any off-by-one
     * flips the hash. One broadcast join, no shuffle before the final
     * sources-sized agg. */
+  /** Q285 — PIPELINE V9: the mixture tier composed END-TO-END under
+    * the ORACLE gate (the Dolma-recipe analog of q66/q75/q80/q88/
+    * q243/q252/q267 — the last pipeline family that had no
+    * composition):
+    *   mixture plan (q283: Hamilton quotas + recursive selection
+    *     thresholds, weights = source ordinal + 1, target = half the
+    *     corpus)
+    *   → applied admission (q284's broadcast threshold filter,
+    *     map-side on the corpus scan)
+    *   → quality cut (the q66/q75 cuts: length ≥ 60, stopword ratio
+    *     ≥ 0.02 via the compiled kernel)
+    *   → 4,000-token shard packing (q63's two-phase distributed
+    *     prefix sum — never the global window)
+    *   → per-shard ordered content digest (q74's bounded
+    *     collect_list + array_sort md5).
+    * DuckDB rebuilds the identical funnel: the apportionment
+    * arithmetic verbatim, per-source ROW_NUMBER thresholds (oracle
+    * scale), the same cuts, the naive global-window shard rebuild,
+    * string_agg ordered digest. Any admitted/dropped doc, shard
+    * boundary, or byte of shard content flips the hash. Plan shape:
+    * one corpus scan to the sources frame (checkpointed), one
+    * broadcast-filtered scan into the quality cut, the packShards
+    * range exchange, one bounded digest agg. */
+  def q285(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val thresholds = mixturePlan(docs).select("source", "sel_threshold")
+    val clean = docs.join(broadcast(thresholds), Seq("source"))
+      .filter(col("doc_id") <= col("sel_threshold"))
+      .filter(length(col("text")) >= 60)
+      .filter(TextOps.tokenRatioKernel(col("text"), TextOps.stopwords) >= 0.02)
+      .select(col("doc_id"), col("text"))
+    val packed = TextOps.packShards(clean, budget = 4000L)
+    packed.join(clean, Seq("doc_id"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), "\n")).as("digest"))
+      .orderBy("shard")
+  }
+
   def q284(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val thresholds = mixturePlan(docs)

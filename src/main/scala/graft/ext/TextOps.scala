@@ -103,7 +103,7 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(text), " +", " "))
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[ext] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private val enMarkers = Seq("the", "is", "and", "of", "a")
 
   /** Q30 — document quality scoring: length, token count, mean token

@@ -2505,6 +2505,39 @@ class StreamingSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("S53 parity on the REAL fixture: admitted stream union equals the batch q284 mixture slice") {
+    // the live half of the mixture tier pinned to the batch half
+    // (r18 verdict #2): quotas = the q283 plan's clamped n_selected,
+    // corpus streamed in ascending doc_id order (the admission
+    // operator's arrival contract for "the quota SMALLEST ids") in
+    // three micro-batches — the admitted union must be EXACTLY the
+    // doc_id <= sel_threshold slice q284 gates.
+    val d = sf("sf0.001")
+    val plan = graft.ext.Mixture.q283(spark, d).collect()
+    val quotas = plan.map(r => r.getString(0) -> r.getLong(5)).toMap
+    val thr = plan.filter(!_.isNullAt(4))
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    val want = docs.filter { case (s, id) =>
+      thr.get(s).exists(id <= _) }.toSet
+    assert(want.nonEmpty, "vacuous parity fixture")
+    val in = MemoryStream[(String, Long)]
+    val q = StreamOps.quotaFillStream(in.toDF().toDF("source", "doc_id"), quotas)
+      .writeStream.format("memory").queryName("s53par").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    docs.grouped(docs.length / 3 + 1).foreach { b =>
+      in.addData(b.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("s53par").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"admitted ${got.size} vs batch slice ${want.size}; " +
+        s"only-stream=${(got -- want).take(3)} only-batch=${(want -- got).take(3)}")
+  }
+
   test("S41: streaming classifier scoring is bit-identical to batch training scores") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
