@@ -14,6 +14,10 @@ object Verify {
     graft.sources.DriftCheck.run(sfDir) // testdata-drift tripwire (fail fast)
     val spark = Sessions.local(Sessions.envCpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
+    // fixture-regeneration tripwire: q280/q281 pin fixture-measured
+    // constants — a silently regenerated documents.parquet must fail
+    // HERE with the re-pin procedure, not as a bare hash mismatch
+    graft.sources.FixtureManifest.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
