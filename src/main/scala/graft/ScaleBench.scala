@@ -1306,7 +1306,8 @@ object ScaleBench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     val all = Seq("q28_near_dup_minhash", "q34_ann_topk",
       "q66_full_pipeline", "q76_semdedup", "q91_dedup_incremental",
-      "q112_rolling_distinct", "q141_hll_rolling", "q257_clf_calibrated",
+      "q112_rolling_distinct", "q141_hll_rolling", "q251_quality_clf",
+      "q257_clf_calibrated",
       "q263_bigram_lm", "q267_pipeline_v8",
       "q121_item_neighbors", "q130_recommend", "q224_recommend_bucketed")
     // optional comma-separated subset (the Bench SPARK_GRAFT_BENCH_ONLY

@@ -36,6 +36,57 @@ class KafkaContractSpec extends SparkSpec {
       "timestamp" -> "timestamp", "timestampType" -> "int"))
   }
 
+  test("A2 real-time trigger smoke: the reference topology under real ProcessingTime fires") {
+    // r18 verdict #8: A2's 5 s trigger was config-asserted only — the
+    // MemoryStream goldens drive batches with processAllAvailable and
+    // never exercise the ProcessingTime SCHEDULING path. This smoke
+    // runs the full reference topology (contract source -> value
+    // projection -> JSON parse -> explode/derive -> A6 partitioned
+    // parquet sink) under a real 2 s ProcessingTime trigger (the A2
+    // shape at a runtime-capped interval), appends records between
+    // fires, and requires >= 2 distinct trigger executions with the
+    // appended record picked up by a LATER batch than the first.
+    import KafkaContractSource.rec
+    import graft.streaming.Sinks
+    val name = "a2trig"
+    KafkaContractSource.put(name, Seq(
+      rec("t1", 0, 0L, envelope(1, 1718064000000L), 1718064000000L)))
+    val cfg = KafkaSource.Config("broker:9092", Seq("t1"))
+    val out = tmpDir("a2out"); val ckpt = tmpDir("a2ckpt")
+    val points = Ingest.dataPoints(Ingest.parse(KafkaSource.values(reader(name, cfg))))
+    val q = Sinks.parquetPartitioned(points, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("2 seconds"))
+    try {
+      // let the first fire commit, then append a second record so a
+      // LATER fire must pick it up off the clock, not off addData
+      Thread.sleep(2500)
+      KafkaContractSource.append(name, Seq(
+        rec("t1", 0, 1L, envelope(2, 1718064005000L), 1718064005000L)))
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def committed(): Long =
+        spark.read.schema(points.schema).parquet(out).count()
+      while (System.nanoTime() < deadline &&
+        (scala.util.Try(committed()).getOrElse(0L) < 2L)) Thread.sleep(500)
+    } finally q.stop()
+    val prog = q.recentProgress
+    val nonEmpty = prog.filter(_.numInputRows > 0)
+    assert(nonEmpty.map(_.batchId).distinct.length >= 2,
+      s"expected >= 2 distinct data-carrying trigger fires, got " +
+        s"${prog.map(p => (p.batchId, p.numInputRows)).toSeq}")
+    // the trigger clock really spaced the fires: the two data batches
+    // started in different 2 s trigger slots
+    val starts = nonEmpty.map(_.timestamp).distinct
+    assert(starts.length >= 2, s"fires share a timestamp: ${starts.toSeq}")
+    // both records flowed through the full A3->A4->A5->A6 chain into
+    // the partitioned sink
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 2L, s"sink rows: ${rows.count()}")
+    assert(rows.select("datastream_id").collect().map(_.getInt(0)).toSet
+      == Set(1, 2))
+    assert(new java.io.File(out).listFiles.exists(
+      _.getName.startsWith("datastream_id=")), "A6 partition layout missing")
+  }
+
   test("A1 end-to-end: subscribe filter, tp parallelism, values -> Ingest, earliest") {
     import KafkaContractSource.rec
     val name = "a1e2e"

@@ -547,6 +547,135 @@ class StreamRestartSpec extends SparkSpec {
       minRows = 4)
   }
 
+  // ---- MID-BATCH kill goldens (r18 verdict #7) ----
+  //
+  // Everything above stops AFTER a committed batch — state recovery,
+  // not sink atomicity under an UNCOMMITTED batch. Here the sink
+  // itself crashes the designated epoch on its FIRST attempt, AFTER
+  // its writes land (the crash-after-write-before-commit window: the
+  // worst case for duplication). The restarted query replays that
+  // epoch from rolled-back state; the sink is the idempotent
+  // foreachBatch pattern (overwrite a batchId-keyed path), so a
+  // correct replay produces byte-identical batch content and the
+  // run-total equals the uninterrupted control — no dupes, no loss.
+
+  /** Drive `transform` into an idempotent batchId-partitioned parquet
+    * foreachBatch sink; when `killAt` is set, throw from inside the
+    * sink on that epoch's first attempt after writing. Returns rows
+    * rendered with their batch partition (content AND placement must
+    * match the control). */
+  private def runMidKill[T <: Product : Encoder](
+      transform: DataFrame => DataFrame, cols: Seq[String],
+      batches: Seq[Seq[T]], outMode: String,
+      killAt: Option[Long]): Set[String] = {
+    val in = MemoryStream[T]
+    val out = tmpDir("mk_out"); val ckpt = tmpDir("mk_ckpt")
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start() = transform(in.toDF().toDF(cols: _*))
+      .writeStream.outputMode(outMode)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          bid: Long) =>
+        df.write.mode("overwrite").parquet(s"$out/b=$bid")
+        if (killAt.contains(bid) && !fired.getAndSet(true))
+          throw new RuntimeException("injected mid-batch crash")
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    var q = start()
+    batches.foreach { b =>
+      in.addData(b)
+      try q.processAllAvailable()
+      catch { case _: Exception =>
+        scala.util.Try(q.stop())
+        q = start()           // resume from the checkpoint: the failed
+        q.processAllAvailable() // epoch replays against rolled-back state
+      }
+    }
+    q.stop()
+    killAt.foreach(_ => assert(fired.get,
+      "mid-batch crash never fired — vacuous golden"))
+    spark.read.parquet(out).collect().map(_.mkString("|")).toSet
+  }
+
+  /** One mid-batch-kill golden under BOTH state-store providers. */
+  private def midKillGolden[T <: Product : Encoder](name: String,
+      transform: DataFrame => DataFrame, cols: Seq[String],
+      batches: Seq[Seq[T]], outMode: String, killAt: Long,
+      minRows: Int): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    Seq(
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .foreach { provider =>
+        spark.conf.set(key, provider)
+        try {
+          val control = runMidKill(transform, cols, batches, outMode, None)
+          val crashed = runMidKill(transform, cols, batches, outMode, Some(killAt))
+          val p = provider.split('.').last
+          assert(control.size >= minRows,
+            s"$name/$p: vacuous control (${control.size} rows)")
+          assert(crashed == control,
+            s"$name/$p: lost=${(control -- crashed).take(3)} " +
+              s"dup/extra=${(crashed -- control).take(3)}")
+        } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      }
+  }
+
+  test("S53 mid-batch kill: fMGWS counter state rolls back and the replayed epoch re-admits identically") {
+    midKillGolden[(String, Long)]("S53-mid",
+      df => StreamOps.quotaFillStream(df, Map("src0" -> 3L, "src1" -> 1L)),
+      Seq("source", "doc_id"),
+      Seq(
+        Seq(("src0", 10L), ("src1", 7L)),
+        // killed epoch: admits ride the recovered batch-0 counter —
+        // a non-rolled-back counter would skip rank 2 or drop the admit
+        Seq(("src0", 4L), ("src1", 9L)),
+        Seq(("src0", 2L), ("src0", 99L))),
+      outMode = "append", killAt = 1L, minRows = 4)
+  }
+
+  test("S3 mid-batch kill: windowed-agg versioned state replays the uncommitted epoch exactly") {
+    midKillGolden[Ev]("S3-mid",
+      df => StreamOps.slidingAgg(df),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        Seq(ev(10, "a", 1), ev(40, "b", 2)),
+        // killed epoch UPDATES windows opened in batch 0: replay from
+        // un-rolled-back state would double-count these into cnt/sv
+        Seq(ev(20, "a", 3, v = 2.0), ev(50, "b", 4, v = 5.0)),
+        Seq(ev(70, "a", 5))),
+      outMode = "update", killAt = 1L, minRows = 5)
+  }
+
+  test("S5 mid-batch kill: dropDuplicates state neither re-emits nor loses the replayed keys") {
+    midKillGolden[Ev]("S5-mid",
+      df => StreamOps.dedupByKey(df, watermark = "10 minutes"),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        Seq(e(10, "view", 1), e(11, "view", 2)),
+        // killed epoch: id 1 is a cross-batch duplicate (must stay
+        // suppressed through the replay), id 3 is new (must emit
+        // exactly once despite the epoch running twice)
+        Seq(e(12, "view", 1), e(13, "view", 3)),
+        Seq(e(14, "view", 3), e(15, "view", 4))),
+      outMode = "append", killAt = 1L, minRows = 3)
+  }
+
+  test("stateless mid-batch kill: the idempotent foreachBatch sink absorbs a pure replay") {
+    // no state store at all — this isolates the SINK half of the
+    // contract: at-least-once epoch delivery + batchId-keyed
+    // overwrite = exactly-once output placement
+    midKillGolden[Ev]("sink-mid",
+      df => df.select("event_id", "event_type", "value"),
+      Seq("ts", "user_id", "event_type", "value", "event_id"),
+      Seq(
+        Seq(e(10, "view", 1), e(11, "click", 2)),
+        Seq(e(12, "view", 3)),
+        Seq(e(13, "click", 4))),
+      outMode = "append", killAt = 1L, minRows = 4)
+  }
+
   test("S27 restart: killing after every batch folds the same dimension as one query") {
     import graft.streaming.Sinks
     import org.apache.spark.sql.functions.col
