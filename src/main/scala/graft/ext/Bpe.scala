@@ -91,6 +91,107 @@ object Bpe {
   private def toSymbols(word: org.apache.spark.sql.Column) =
     concat(filter(split(word, ""), x => length(x) > 0), array(lit("</w>")))
 
+  /** Unsigned UTF-8 byte comparison — EXACTLY Spark's string ordering
+    * (UTF8String.binaryCompare). The local merge loop's tie-break must
+    * reproduce the distributed `orderBy(cnt DESC, a, b)` bit-for-bit,
+    * and Java String.compareTo orders by UTF-16 code unit, which
+    * diverges from UTF-8 byte order for supplementary code points. */
+  private[graft] def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** LOCAL merge loop over a collected word-frequency table — the r19
+    * fast path of [[trainWithVocab]]. BPE's decision state is the
+    * Heaps-law-bounded vocabulary, not the corpus (the original
+    * algorithm of Sennrich et al. 2016 trains entirely in memory from
+    * word counts; the corpus-sized work is ONLY the word-frequency
+    * aggregation, which stays distributed). Running the 40 sequential
+    * argmax rounds on the driver removes 40 driver⇄cluster job round
+    * trips that dominated wall-clock at every fixture scale (the
+    * distributed loop is declared driver-round-bound in its own
+    * scaladoc). Pair statistics update by DELTA: a merge of (a, b)
+    * only changes the pair counts of words containing (a, b)
+    * adjacently, so each round rescans the vocab for adjacency (cheap
+    * string equality) but re-counts only affected words.
+    *
+    * Bit-identical contract with the distributed loop, proven by
+    * BpeSpec's equivalence golden: counts are exact Longs summed in
+    * any order; argmax tie-break is (count DESC, left, right) with
+    * [[utf8Compare]] = Spark's string order; the rewrite is the same
+    * [[mergeOnce]] kernel; minCount exhaustion matches. */
+  private[graft] def trainLocalLoop(
+      vocab0: Array[(Array[String], Long)], nMerges: Int, minCount: Long):
+      (Seq[(Int, String, String, String, Long)], Array[(Array[String], Long)]) = {
+    import scala.collection.mutable
+    var cur = vocab0
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    def addWord(syms: Array[String], f: Long, sign: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        val c = counts.getOrElse(k, 0L) + sign * f
+        if (c == 0L) counts.remove(k) else counts.update(k, c)
+        i += 1
+      }
+    }
+    cur.foreach { case (s, f) => addWord(s, f, 1L) }
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      var ba: String = null; var bb: String = null; var bc = Long.MinValue
+      counts.foreach { case ((a, b), c) =>
+        if (c > bc || (c == bc && {
+          val ca = utf8Compare(a, ba)
+          ca < 0 || (ca == 0 && utf8Compare(b, bb) < 0)
+        })) { ba = a; bb = b; bc = c }
+      }
+      if (ba == null || bc < minCount) exhausted = true
+      else {
+        merges += ((rank, ba, bb, ba + bb, bc))
+        cur = cur.map { case (syms, f) =>
+          // delta update: only words with an adjacent (ba, bb) change
+          var hit = false
+          var i = 0
+          while (!hit && i < syms.length - 1) {
+            if (syms(i) == ba && syms(i + 1) == bb) hit = true
+            i += 1
+          }
+          if (!hit) (syms, f)
+          else {
+            addWord(syms, f, -1L)
+            val next = mergeOnce(syms.toSeq, ba, bb).toArray
+            addWord(next, f, 1L)
+            (next, f)
+          }
+        }
+        rank += 1
+      }
+    }
+    (merges.toSeq, cur)
+  }
+
+  /** Vocabulary-row cap under which [[trainWithVocab]] collects the
+    * word-frequency table and runs the merge loop on the driver. A
+    * 1 M-row vocab is ~tens of MB — the documented bounded-collect
+    * class (the LM model build, the PQ sample); past the cap the
+    * distributed loop runs unchanged (the 100 TB posture: Heaps-law
+    * vocabularies ≈ 10⁷ rows stay on the cluster unless the operator
+    * is explicitly told the driver can hold them). */
+  private[graft] def localVocabCap: Long =
+    sys.props.get("graft.bpe.localCap")
+      .orElse(sys.env.get("SPARK_GRAFT_BPE_LOCAL_CAP"))
+      .map(_.toLong).getOrElse(1000000L)
+
   /** Train `nMerges` BPE merges over `textCol`. Returns the merge
     * table: (rank, left, right, merged, pair_count), rank 1 = first
     * merge learned. Stops early when no pair reaches `minCount`.
@@ -98,7 +199,7 @@ object Bpe {
     * deterministic for a fixed corpus. */
   def train(docs: DataFrame, nMerges: Int, minCount: Long = 2L,
       textCol: String = "text", checkpointEvery: Int = 8): DataFrame = {
-    val (merges, vocab) = trainWithVocab(docs, nMerges, minCount,
+    val (merges, vocab, _) = trainWithVocab(docs, nMerges, minCount,
       textCol, checkpointEvery)
     vocab.unpersist()
     merges
@@ -109,10 +210,14 @@ object Bpe {
     * for the symbol-conservation invariant (every merge operation
     * removes exactly one symbol from the weighted vocab, so
     * S_final = S0 − merges_performed); the public `train` discards
-    * it. Same loop, one source of truth. */
+    * it. Same loop, one source of truth. Third element (r19): the
+    * INITIAL weighted symbol count Σ freq·|syms₀| when the local path
+    * already holds the vocab in memory (free there; None on the
+    * distributed path, where the caller recomputes it — q281's
+    * corpus-scan fallback). */
   private[graft] def trainWithVocab(docs: DataFrame, nMerges: Int,
       minCount: Long = 2L, textCol: String = "text",
-      checkpointEvery: Int = 8): (DataFrame, DataFrame) = {
+      checkpointEvery: Int = 8): (DataFrame, DataFrame, Option[Long]) = {
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab = docs
@@ -121,7 +226,26 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(toSymbols(col("word")).as("syms"), col("freq"))
       .persist()
-    vocab.count()
+    val nVocab = vocab.count()
+    // r19 fast path: the merge rounds are a SEQUENTIAL chain of argmax
+    // decisions over the vocabulary — when that bounded frame fits the
+    // driver (localVocabCap), 40 cluster round-trips buy nothing. One
+    // collect, the identical loop locally, results bit-equal by
+    // BpeSpec's equivalence golden. The corpus-sized word count above
+    // stays distributed either way.
+    if (nVocab <= localVocabCap) {
+      val rows = vocab.collect().map(r =>
+        (r.getSeq[String](0).toArray, r.getLong(1)))
+      vocab.unpersist()
+      val (merges, finalVocab) = trainLocalLoop(rows, nMerges, minCount)
+      val mergesDf = merges.toDF("rank", "left", "right", "merged", "pair_count")
+        .select(col("rank").cast("long").as("rank"), col("left"),
+          col("right"), col("merged"), col("pair_count"))
+      val vocabDf = finalVocab.toSeq.map { case (s, f) => (s.toSeq, f) }
+        .toDF("syms", "freq").persist()
+      val s0 = rows.foldLeft(0L) { case (a, (s, f)) => a + f * s.length }
+      return (mergesDf, vocabDf, Some(s0))
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -161,7 +285,7 @@ object Bpe {
     (merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
       .select(col("rank").cast("long").as("rank"), col("left"),
         col("right"), col("merged"), col("pair_count")),
-      vocab)
+      vocab, None)
   }
 
   /** Apply a merge table to a corpus: per-doc word count, subword
@@ -178,10 +302,18 @@ object Bpe {
     val countUdf = udf { (word: String) =>
       applyMerges(word.split("").toSeq :+ "</w>", bc.value).length
     }
-    docs.select(col(idCol),
+    // r19: the merge replay is O(len²·merges) per WORD VALUE, so run it
+    // once per DISTINCT word (the Heaps-bounded dimension — the same
+    // frame BPE trains on) and join the per-word subword count back to
+    // the occurrence stream, instead of replaying per OCCURRENCE. The
+    // distinct+join shuffle a vocabulary-sized frame; identical values
+    // per occurrence, so per-doc sums are unchanged.
+    val words = docs.select(col(idCol),
         explode(split(col(textCol), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
+    val wordSubs = words.select("word").distinct()
       .withColumn("n_sub", countUdf(col("word")))
+    words.join(wordSubs, Seq("word"))
       .withColumn("n_chars", length(col("word")))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"),
@@ -226,10 +358,14 @@ object Bpe {
       (subs.length.toLong,
         if (subs.mkString("") == word + "</w>") 1L else 0L)
     }
-    docs.select(col("doc_id"),
+    // r19: replay per DISTINCT word, join back (tokenCounts' rationale —
+    // per-word values identical, per-doc aggregates unchanged).
+    val words = docs.select(col("doc_id"),
         explode(split(col("text"), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
+    val wordStats = words.select("word").distinct()
       .withColumn("st", statUdf(col("word")))
+    words.join(wordStats, Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word"))).cast("long").as("n_word_chars"),
@@ -269,7 +405,7 @@ object Bpe {
     * the q139 training loop, like q276 — isolated-bench discipline. */
   def q281(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val (mergeDf, finalVocab) = trainWithVocab(docs, nMerges = 40)
+    val (mergeDf, finalVocab, s0Opt) = trainWithVocab(docs, nMerges = 40)
     val merges = mergeDf.collect().map(r => (r.getAs[Long]("rank"),
       r.getAs[String]("left"), r.getAs[String]("right"),
       r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
@@ -278,10 +414,13 @@ object Bpe {
     val sFinal = finalVocab
       .agg(sum(col("freq") * size(col("syms"))).cast("long")).head.getLong(0)
     finalVocab.unpersist()
-    val s0 = docs
+    // S0 = Σ_occurrences (len(word)+1) = Σ_vocab freq·|syms₀| — the
+    // local train path hands it over for free; the distributed path
+    // recomputes it with the original corpus scan.
+    val s0 = s0Opt.getOrElse(docs
       .select(explode(split(col("text"), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
-      .agg(sum(length(col("word")) + lit(1)).cast("long")).head.getLong(0)
+      .agg(sum(length(col("word")) + lit(1)).cast("long")).head.getLong(0))
     var built = Set.empty[String]
     val closureOk = merges.forall { case (_, l, r, m, _) =>
       val ok = Seq(l, r).forall(x =>

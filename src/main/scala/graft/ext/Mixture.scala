@@ -73,12 +73,14 @@ object Mixture {
     * apportionment is undefined there (r18 ADVICE). The weight-sum
     * probe is one scalar aggregate on the sources-sized frame. */
   def allocateQuotas(sources: DataFrame, weightCol: String,
-      target: Long): DataFrame = {
-    val wsumRow = sources.agg(sum(col(weightCol)).cast("long")).head()
-    require(!wsumRow.isNullAt(0) && wsumRow.getLong(0) > 0L,
+      target: Long, precomputedWsum: Option[Long] = None): DataFrame = {
+    val wsum = precomputedWsum.getOrElse {
+      val wsumRow = sources.agg(sum(col(weightCol)).cast("long")).head()
+      if (wsumRow.isNullAt(0)) 0L else wsumRow.getLong(0)
+    }
+    require(wsum > 0L,
       s"allocateQuotas: sum($weightCol) must be positive " +
         "(empty source frame or non-positive weights)")
-    val wsum = wsumRow.getLong(0)
     sources
       .withColumn("__base", expr(s"CAST($target AS BIGINT) * $weightCol DIV $wsum"))
       .withColumn("__rem", expr(s"CAST($target AS BIGINT) * $weightCol % $wsum"))
@@ -118,14 +120,19 @@ object Mixture {
     * scans only the unresolved sources' rows (map-side semi-join on
     * the broadcast state). */
   def selectionThresholds(docs: DataFrame, quotas: DataFrame,
-      buckets: Int = 4096, taskCap: Long = 1L << 22): DataFrame = {
+      buckets: Int = 4096, taskCap: Long = 1L << 22,
+      bounds: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ids = docs.select(col("source"), col("doc_id").cast("long").as("id"))
-    // seed: per-source bounds + in-range quota → (source, lo, hi, r)
-    var pending: Array[(String, Long, Long, Long)] = ids
+    // seed: per-source bounds + in-range quota → (source, lo, hi, r).
+    // `bounds` (source, lo, hi, n) skips the seed's corpus scan when the
+    // caller already aggregated the per-source frame (mixturePlan fuses
+    // it into the one srcs pass — r19, guide §2.4: don't re-scan for
+    // stats an earlier aggregation already holds).
+    var pending: Array[(String, Long, Long, Long)] = bounds.getOrElse(ids
       .groupBy("source")
-      .agg(min("id").as("lo"), max("id").as("hi"), count(lit(1)).as("n"))
+      .agg(min("id").as("lo"), max("id").as("hi"), count(lit(1)).as("n")))
       .join(quotas, "source")
       .filter(col("quota") > 0L && col("quota") <= col("n"))
       .select(col("source"), col("lo"), col("hi"),
@@ -212,20 +219,31 @@ object Mixture {
     // and the q284 application gate never rescan the corpus for it
     // (r18 ADVICE). Weight = ordinal suffix + 1, UNBOUNDED substring —
     // byte-identical to the oracle's SUBSTRING(source, 4) whatever
-    // the ordinal width (r18 ADVICE).
+    // the ordinal width (r18 ADVICE). r19: the same pass also carries
+    // the per-source id bounds the selector's seed needs, and ONE
+    // sources-sized probe returns total AND Σweight — the plan now
+    // touches the corpus exactly twice in total (this agg + the
+    // selection rounds), guide §2.4.
     val srcs = docs.groupBy("source")
-      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("doc_id").cast("long")).as("__lo"),
+        max(col("doc_id").cast("long")).as("__hi"))
       .withColumn("weight", expr("substring(source, 4)").cast("long") + 1L)
       .localCheckpoint(true)
-    val total = srcs.agg(coalesce(sum("n_docs"), lit(0L)))
-      .head().getLong(0)
+    val probe = srcs.agg(coalesce(sum("n_docs"), lit(0L)),
+      sum("weight").cast("long")).head()
+    val total = probe.getLong(0)
     if (total == 0L) // empty corpus: empty plan, not allocateQuotas' require
-      return srcs.withColumn("quota", lit(0L))
+      return srcs.drop("__lo", "__hi").withColumn("quota", lit(0L))
         .withColumn("sel_threshold", lit(null).cast("long")).limit(0)
-    val quotas = allocateQuotas(srcs, "weight", total / 2L)
+    val wsum = if (probe.isNullAt(1)) None else Some(probe.getLong(1))
+    val quotas = allocateQuotas(srcs, "weight", total / 2L, wsum)
+      .drop("__lo", "__hi")
     val thresholds = selectionThresholds(docs,
       quotas.select(col("source"),
-        least(col("quota"), col("n_docs")).as("quota")))
+        least(col("quota"), col("n_docs")).as("quota")),
+      bounds = Some(srcs.select(col("source"), col("__lo").as("lo"),
+        col("__hi").as("hi"), col("n_docs").as("n"))))
     // sources-sized result, checkpointed: q284 broadcasts it onto the
     // corpus scan without re-running the selection
     quotas.join(thresholds, Seq("source"), "left").localCheckpoint(true)

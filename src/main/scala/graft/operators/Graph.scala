@@ -318,10 +318,19 @@ object Graph {
     val adj = adjWide.join(deg, "src")
       .repartition(loopParts, col("src")).persist()
     adj.count()
+    // Node count only — the per-iteration node frame is NOT needed:
+    // the adjacency is symmetrized, so every node is some edge's dst
+    // and receives ≥ 1 contribution each round. The pre-r19 loop left-
+    // joined a persisted node frame per iteration to re-admit zero-
+    // contribution nodes that cannot exist here (coalesce(recv, 0)
+    // never fired); dropping it removes one join and one persisted
+    // frame per query with identical output rows (guide §2.4 — don't
+    // plan work a structural invariant already rules out). A directed
+    // variant (dangling mass) would need the node frame back.
     val nodes = adj.select(col("src").as("id")).distinct()
-      .repartition(loopParts, col("id")).persist()
     val n = nodes.count()
-    var cached = nodes.select(col("id"), lit(1.0 / n).as("rank")).persist()
+    var cached = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+      .repartition(loopParts, col("id")).persist()
     cached.count()
     var ranks = cached
     // Rounds COMPOSE lazily and materialize every `materializeEvery`
@@ -335,11 +344,9 @@ object Graph {
       val contribs = adj.join(ranks, adj("src") === ranks("id"))
         .select(col("dst").as("nid"), (col("rank") / col("deg")).as("share"))
         .groupBy("nid").agg(sum("share").as("recv"))
-      val next = nodes
-        .join(contribs, nodes("id") === contribs("nid"), "left")
-        .select(col("id"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("recv"), lit(0.0))).as("rank"))
+      val next = contribs.select(col("nid").as("id"),
+        (lit((1.0 - damping) / n) +
+          lit(damping) * col("recv")).as("rank"))
       if (i % materializeEvery == 0 || i == iterations) {
         val mat = next.persist()
         mat.count()
@@ -349,7 +356,6 @@ object Graph {
       } else ranks = next
     }
     adj.unpersist()
-    nodes.unpersist()
     val out = ranks.localCheckpoint(true)
     cached.unpersist()
     out

@@ -1635,11 +1635,39 @@ object Relational {
         "neighbor")
       .withColumn("sim", round(col("co").cast("double") /
         sqrt((col("n_a") * col("n_b")).cast("double")), 6))
-    sim.withColumn("rk", row_number().over(
-        Window.partitionBy("item").orderBy(col("sim").desc, col("neighbor"))))
-      .filter(col("rk") <= k)
-      .select(col("item"), col("neighbor"), col("co"), col("sim"),
-        col("rk").cast("long").as("rk"))
+    // r19: the per-item top-k cut runs as a BOUNDED two-phase aggregate
+    // (TopKAuxAggregator — map-side partials keep ≤ k rows per item, so
+    // the exchange carries items·k rows instead of the full 25 M-row
+    // pair frame the row_number window sorted; guide §2.3). posexplode
+    // of the (score DESC, id ASC)-sorted buffer reproduces row_number's
+    // ranks over the identical tie-free total order. The aggregate is
+    // typed on Long ids (the declared queries' part keys); non-integral
+    // item types keep the generic window form — the operator's contract
+    // admits any orderable type and a Long render would reorder ties.
+    topKCut(sim, "item", "neighbor", "co", "sim", k)
+  }
+
+  /** Per-group top-k cut on (score DESC, id ASC): bounded two-phase
+    * aggregate when the id is LongType, the generic row_number window
+    * otherwise. Both emit (group, id, aux, score, rk ≤ k) with ranks
+    * from the identical tie-free total order. */
+  private def topKCut(df: DataFrame, groupCol: String, idCol: String,
+      auxCol: String, scoreCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    if (df.schema(idCol).dataType == LongType) {
+      val topk = udaf(new graft.functions.TopKAuxAggregator(k))
+      df.groupBy(groupCol)
+        .agg(topk(col(idCol), col(auxCol), col(scoreCol)).as("t"))
+        .select(col(groupCol), posexplode(col("t")))
+        .select(col(groupCol), col("col.id").as(idCol),
+          col("col.aux").as(auxCol), col("col.score").as(scoreCol),
+          (col("pos") + 1).cast("long").as("rk"))
+    } else
+      df.withColumn("rk", row_number().over(
+          Window.partitionBy(groupCol).orderBy(col(scoreCol).desc, col(idCol))))
+        .filter(col("rk") <= k)
+        .select(col(groupCol), col(idCol), col(auxCol), col(scoreCol),
+          col("rk").cast("long").as("rk"))
   }
 
   /** At-rest co-location variant: the distinct basket frame is written
@@ -1982,14 +2010,11 @@ object Relational {
     val unowned = scores.join(owned,
       scores("cust") === owned("cust") && scores("rec_item") === owned("item"),
       "left_anti")
-    val out = unowned
-      .withColumn("score", round(col("score_d").cast("double"), 6))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("cust").orderBy(col("score").desc, col("rec_item"))))
-      .filter(col("rk") <= topn)
-      .select(col("cust"), col("rec_item"), col("n_shared"), col("score"),
-        col("rk").cast("long").as("rk"))
-    out
+    // r19: same bounded top-k cut as the neighbor step — the per-cust
+    // window previously sorted every candidate recommendation row; the
+    // aggregate ships ≤ topn per cust past the partials.
+    topKCut(unowned.withColumn("score", round(col("score_d").cast("double"), 6)),
+      "cust", "rec_item", "n_shared", "score", topn)
   }
 
   /** Q130 — item-CF recommendations under the ORACLE gate: top-3

@@ -71,6 +71,36 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 6L, 2.0), (2L, 2L, 4L, 1.5)))
   }
 
+  test("local merge loop ≡ distributed loop: merges, final vocab, s0 (r19)") {
+    // a corpus with real tie-breaks, repeats, multi-char merges and a
+    // word that exhausts to a single symbol, across several docs
+    val docs = Seq("aa ab aa ba bab", "abab baba aa aa b a",
+      "ccc cc c ccc", "aa ab ba bab abab").toDF("text")
+    def run(): (Seq[(Long, String, String, String, Long)], Set[(Seq[String], Long)], Option[Long]) = {
+      val (m, v, s0) = Bpe.trainWithVocab(docs, nMerges = 12)
+      val merges = m.orderBy("rank").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+          r.getLong(4))).toSeq
+      val vocab = v.collect().map(r =>
+        (r.getSeq[String](0), r.getLong(1))).toSet
+      v.unpersist()
+      (merges, vocab, s0)
+    }
+    val (lm, lv, ls0) = run() // vocab 11 ≤ cap → local path
+    sys.props("graft.bpe.localCap") = "0" // force the distributed loop
+    try {
+      val (dm, dv, ds0) = run()
+      assert(ds0.isEmpty, "distributed path must not report s0")
+      assert(lm == dm, s"merge tables diverge:\nlocal $lm\ndist  $dm")
+      assert(lv == dv, "final vocabularies diverge")
+      // s0 from the local path equals the corpus-scan definition
+      val s0Scan = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .agg(sum(length(col("w")) + lit(1)).cast("long")).head.getLong(0)
+      assert(ls0.contains(s0Scan), s"s0 ${ls0} != corpus scan $s0Scan")
+    } finally sys.props.remove("graft.bpe.localCap")
+  }
+
   test("q276 conservation: every word reconstructs, bounds hold, totals exact (r17)") {
     val r = graft.ext.Bpe.q276(spark, sf("sf0.001")).collect()
     assert(r.length == 500, s"doc coverage ${r.length}")
