@@ -75,17 +75,6 @@ object Classifier {
     // the TEACHER always reads unigrams (stopword share is a unigram
     // property); features optionally add the bigram stream
     val tok = tok0
-    // r19 note: a loop co-partitioning variant (feat/lab pinned to
-    // hash(doc_id, shuffle.partitions) before the checkpoint, zero
-    // exchanges inside the 16-iteration loop) was implemented and
-    // MEASURED SLOWER at every gate scale (q251 5.3 → 8.5 s, q257
-    // 8.5 → 10.5 s): without exchanges the per-iteration joins stay
-    // sort-merge (two full feat sorts per round — AQE can only
-    // rewrite to broadcast at a shuffle boundary), and the pinned
-    // partition count defeated AQE's coalescing of the tiny
-    // per-round shuffles. The exchange-bearing form below lets AQE
-    // broadcast pq/lab and coalesce per-round partitions — the
-    // empirically faster shape (guide §1.1).
     // teacher: stopword share above 1/16 (exact integer test; ~49%
     // positive on the fixture corpus — a balanced, learnable signal)
     val lab = tok.groupBy("doc_id").agg(
@@ -107,13 +96,24 @@ object Classifier {
     // integer IEEE division per bucket
     val prec = feat.groupBy("bucket")
       .agg(sum(col("tf") * col("tf")).as("sj")).localCheckpoint(true)
+    // r19 optimization notes (guide §1.1 — both variants below were
+    // implemented and MEASURED SLOWER; the plain shape stands):
+    //  * loop co-partitioning (feat/lab pinned to hash(doc_id, parts)
+    //    before the checkpoint, zero exchanges inside the 16-iteration
+    //    loop): q251 5.3 → 8.5 s, q257 8.5 → 10.5 s — without shuffle
+    //    boundaries the per-iteration joins stay sort-merge (AQE can
+    //    only rewrite to broadcast at an Exchange) and the pinned
+    //    partition count defeats AQE's coalescing.
+    //  * explicit broadcast(g)/broadcast(prec) hints on the ≤dim-row
+    //    weight-update joins: q251 5.98 → 6.84 s, q257 8.33 → 9.24 s —
+    //    AQE already converts these at runtime from observed sizes;
+    //    the hint forces an eager blocking BroadcastExchange build per
+    //    iteration and removes AQE's freedom.
     def gradStep(w: DataFrame, pq: DataFrame): DataFrame = {
       val g = feat.join(pq, "doc_id").join(lab, "doc_id")
         .groupBy("bucket")
         .agg(sum((col("pq") - lit(1000000L) * col("y")) * col("tf")).as("g"))
-      // g and prec are ≤dim-row frames: broadcast them so the weight
-      // update never plans a sort-merge exchange over 64 rows
-      w.join(broadcast(g), "bucket").join(broadcast(prec), "bucket")
+      w.join(g, "bucket").join(prec, "bucket")
         .select(col("bucket"),
           (col("w") - (lit(lr) * (col("g").cast("double") /
             (lit(1000000L) * col("sj")).cast("double")))).as("w"))
