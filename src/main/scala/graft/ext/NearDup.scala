@@ -396,8 +396,39 @@ object NearDup {
       .select("a", "b").persist()
     // adjacency both directions (self-loops implicit via the left join)
     val adj = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).persist()
-    adj.count() // materialize; drops the LSH lineage from the loop below
+    val nAdj = adj.count() // materialize; drops the LSH lineage from the loop below
     hashed.unpersist() // pairs/adj are cached; the shingle frame is done
+
+    // r19 fast path (Graph.ccLocalCap doctrine): the VERIFIED pair set
+    // is the bounded decision state — the corpus-sized work (shingling,
+    // banding, Jaccard verification) is already behind us — so when it
+    // fits the driver, one union-find pass replaces the propagation
+    // rounds (each of which was a join+agg+count job train; the
+    // Bpe-local-loop class of win). Endpoint labels come back as a
+    // LocalRelation, which the widening join below broadcasts for free.
+    // Identical labels: component = min reachable id under Spark's own
+    // ordering (NearDupSpec local≡distributed golden).
+    val idDt = adj.schema("a").dataType
+    val localLt = graft.operators.Graph.ccLocalLt(idDt)
+    if (nAdj <= graft.operators.Graph.ccLocalCap && localLt.isDefined) {
+      val rows = adj.collect()
+      if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        pairs.unpersist(); adj.unpersist()
+        val lbl = graft.operators.Graph.unionFindMin(
+          rows.map(r => (r.get(0), r.get(1))), localLt.get)
+        val spark = docs.sparkSession
+        val endpointLabels = spark.createDataFrame(
+          java.util.Arrays.asList(lbl.map { case (v, m) =>
+            org.apache.spark.sql.Row(v, m) }: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", idDt),
+            org.apache.spark.sql.types.StructField("label", idDt))))
+        return docs.select(col(idCol).as("id"))
+          .join(endpointLabels, Seq("id"), "left")
+          .select(col("id").as(idCol),
+            coalesce(col("label"), col("id")).as("group_id"))
+      }
+    }
 
     // The loop's working set is the pair-graph ENDPOINTS only — a doc
     // with no verified near-dup edge can never change label, so carrying

@@ -660,22 +660,98 @@ object Similarity {
     * eigenvectors of the 64×64 output are a driver-side eigensolve —
     * the distributed work IS this moment aggregation. */
   def covarianceMatrix(embeddings: DataFrame): DataFrame = {
-    val x = embeddings.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("i", "xf")))
-      .select(col("vec_id"), col("i"),
-        col("xf").cast("double").cast("decimal(12,6)").as("x"))
-    val y = x.select(col("vec_id").as("vid2"), col("i").as("j"),
-      col("x").as("y"))
-    x.join(y, col("vec_id") === col("vid2") && col("j") >= col("i"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("n"),
-        sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("y")).as("sxy"))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        col("n"),
-        round((col("sxy").cast("double") -
-          col("sx").cast("double") * col("sy").cast("double") / col("n")) /
-          (col("n") - 1), 9).as("cov"))
+    // r19 (guide §1.2 "per-task work", §2.3): the measured cost of this
+    // operator is NOT the vec_id self-join's shuffle (N·d rows — small)
+    // but the DECIMAL aggregation behind it: 4 BigDecimal-path sums
+    // over N·d(d+1)/2 pair rows (sum buffers above precision 18 leave
+    // Spark's compact-long Decimal representation). Fast path: quantize
+    // to UNSCALED LONGS (x·10⁶ — exact by construction from the
+    // decimal(12,6) cast), generate the (i, j ≥ i) pair rows row-
+    // locally with a compiled kernel (the pairing never needed a join:
+    // each vector meets only itself), and aggregate with plain LONG
+    // codegen sums; the exact decimal values are reconstructed from
+    // the integer sums on the 2080-cell result and cast to double —
+    // the same double Spark's decimal→double cast produced, so `cov`
+    // is bit-identical (SimilaritySpec pins fast ≡ decimal).
+    //
+    // The long path is exact only while nothing can overflow, so ONE
+    // narrow probe pass (count + max |x·10⁶| + null check) picks the
+    // plan: N·maxU and N·maxU² must both clear Long.Max with 2×
+    // headroom, and null elements (whose sum/count semantics differ
+    // from long 0) fall back. Unit-scale embeddings clear the bound to
+    // ~10⁶ vectors per 64-dim corpus; past it — or for null-bearing
+    // rows — the decimal join form below runs unchanged (measured
+    // sf0.1: fast 1.5-2.0 s vs decimal 4.0-4.3 s; an interpreted-HOF
+    // pair generator was tried first and measured 10.5 s — the
+    // CodegenFallback trap shingleHashesKernel documents).
+    val qArr = transform(col("embedding"),
+      e => e.cast("double").cast("decimal(12,6)"))
+    val uArr = transform(qArr, q => (q * lit(1000000)).cast("long"))
+    val probeRow = embeddings.agg(
+      count(lit(1)),
+      max(aggregate(uArr, lit(0L), (a, u) => greatest(a, abs(u)))),
+      max(size(filter(uArr, u => u.isNull)))).head()
+    val n0 = probeRow.getLong(0)
+    val maxU = if (probeRow.isNullAt(1)) 0L else probeRow.getLong(1)
+    val hasNulls = !probeRow.isNullAt(2) && probeRow.getInt(2) > 0
+    val safe = n0 > 0 && !hasNulls && maxU > 0 &&
+      maxU <= Long.MaxValue / 2 / math.max(n0, 1L) / math.max(maxU, 1L) &&
+      n0 <= Long.MaxValue / 2 / math.max(maxU, 1L) &&
+      !sys.props.contains("graft.cov.forceDecimal") // test hook: SimilaritySpec pins fast ≡ decimal
+    if (safe) {
+      val gen = udf { (q: Seq[Long]) =>
+        if (q == null) Array.empty[(Int, Int, Long, Long)] // null array ≡ no pairs (posexplode parity)
+        else {
+          val n = q.length
+          val out = new Array[(Int, Int, Long, Long)](n * (n + 1) / 2)
+          var k = 0
+          var i = 0
+          while (i < n) {
+            var j = i
+            while (j < n) { out(k) = (i, j, q(i), q(j)); k += 1; j += 1 }
+            i += 1
+          }
+          out
+        }
+      }
+      // exact decimal(·, scale)→double reconstruction of an unscaled
+      // long sum — the identical double Cast(decimal→double) yields
+      val dblAt = (scale: Int) => udf { (u: Long) =>
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(u), scale)
+          .doubleValue()
+      }
+      val d6 = dblAt(6); val d12 = dblAt(12)
+      embeddings
+        .select(explode(gen(uArr)).as("p"))
+        .select(col("p._1").as("i"), col("p._2").as("j"),
+          col("p._3").as("xu"), col("p._4").as("yu"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"),
+          sum("xu").as("sxu"), sum("yu").as("syu"),
+          sum(col("xu") * col("yu")).as("sxyu"))
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("n"),
+          round((d12(col("sxyu")) -
+            d6(col("sxu")) * d6(col("syu")) / col("n")) /
+            (col("n") - 1), 9).as("cov"))
+    } else {
+      val x = embeddings.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("i"),
+          col("xf").cast("double").cast("decimal(12,6)").as("x"))
+      val y = x.select(col("vec_id").as("vid2"), col("i").as("j"),
+        col("x").as("y"))
+      x.join(y, col("vec_id") === col("vid2") && col("j") >= col("i"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("n"),
+          round((col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double") / col("n")) /
+            (col("n") - 1), 9).as("cov"))
+    }
   }
 
   /** Q145 — embedding covariance under the ORACLE gate (parallel
@@ -746,20 +822,20 @@ object Similarity {
   }
 
   def pcaProject(emb: DataFrame, iters: Int = 12): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val v = topComponent(emb, iters)
-    val vDf = broadcast(v.indices.map(i => (i.toLong, v(i))).toDF("i", "v"))
-    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("ii", "xf")))
-      .select(col("vec_id"), col("ii").cast("long").as("i"),
-        col("xf").cast("double").as("x"))
-      .join(vDf, Seq("i"))
-      .withColumn("t", (col("x") * col("v")).as("t"))
-      .groupBy("vec_id")
-      .agg(round(aggregate(
-        transform(array_sort(collect_list(struct(col("i"), col("t")))),
-          x => x.getField("t")),
-        lit(0d), (a, x) => a + x), 6).as("pc1"))
+    // r19 (guide §2.4): the projection is an ordered fold over i —
+    // the array's OWN element order — so it runs as one row-local
+    // zip_with + aggregate against the literal direction instead of
+    // explode → broadcast-join → collect_list/array_sort shuffle →
+    // fold. Zero exchanges; the double op sequence is identical
+    // (per-element product, left fold in i order), so results are
+    // bit-equal to the old plan and to the oracle's ordered CTE fold.
+    val vlit = array(v.map(lit).toIndexedSeq: _*)
+    emb.select(col("vec_id"),
+      round(aggregate(
+        zip_with(transform(col("embedding"), x => x.cast("double")), vlit,
+          (x, w) => x * w),
+        lit(0d), (a, t) => a + t), 6).as("pc1"))
   }
 
   /** Q268 — PC1 projections under the ORACLE gate: 12 power steps on

@@ -42,6 +42,91 @@ import graft.sources.Tables
   */
 object Graph {
 
+  /** Edge-row cap under which the CC family collects the (bounded,
+    * verified) edge list and resolves components in ONE driver-side
+    * union-find pass instead of driver-coordinated propagation /
+    * contraction rounds — the r19 Bpe.localVocabCap doctrine: the
+    * DECISION state is the edge set, which the builders already bound
+    * (LSH bucket guards, fuzzy-pair banding, dense-cell adjacency),
+    * while the corpus-sized work (shingling, verification, cell aggs)
+    * stays distributed. 4 M edge rows of two longs ≈ 64 MB — the
+    * documented bounded-collect class. Past the cap, or for id types
+    * without a mirrored local ordering, the distributed loops run
+    * unchanged. Output contract is IDENTICAL (component = min
+    * reachable id under Spark's own ordering); equivalence is pinned
+    * by EntityAnalyticsSpec's local≡distributed golden. */
+  private[graft] def ccLocalCap: Long =
+    sys.props.get("graft.cc.localCap")
+      .orElse(sys.env.get("SPARK_GRAFT_CC_LOCAL_CAP"))
+      .map(_.toLong).getOrElse(4000000L)
+
+  /** Spark-order `lessThan` for the id types the local CC path serves;
+    * None = keep the distributed loop. String order is UTF-8 byte
+    * order (Bpe.utf8Compare) = UTF8String.binaryCompare, NOT Java's
+    * UTF-16 compareTo. */
+  private[graft] def ccLocalLt(
+      dt: org.apache.spark.sql.types.DataType): Option[(Any, Any) => Boolean] =
+    dt match {
+      case org.apache.spark.sql.types.LongType =>
+        Some((a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long])
+      case org.apache.spark.sql.types.IntegerType =>
+        Some((a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int])
+      case org.apache.spark.sql.types.StringType =>
+        Some((a, b) => graft.ext.Bpe.utf8Compare(
+          a.asInstanceOf[String], b.asInstanceOf[String]) < 0)
+      case _ => None
+    }
+
+  /** Union-find (path-halving + union by rank) over a collected edge
+    * list; maps every endpoint to the MINIMUM reachable id under `lt`
+    * — exactly the distributed propagation/contraction fixpoint. */
+  private[graft] def unionFindMin(pairs: Array[(Any, Any)],
+      lt: (Any, Any) => Boolean): Array[(Any, Any)] = {
+    import scala.collection.mutable
+    val index = mutable.HashMap.empty[Any, Int]
+    val vals = mutable.ArrayBuffer.empty[Any]
+    val parent = mutable.ArrayBuffer.empty[Int]
+    val rank = mutable.ArrayBuffer.empty[Int]
+    def idOf(v: Any): Int = index.getOrElseUpdate(v, {
+      vals += v; parent += parent.length; rank += 0; vals.length - 1 })
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val ra = find(idOf(a)); val rb = find(idOf(b))
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(rb) < rank(ra)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) += 1 }
+      }
+    }
+    val minOf = mutable.HashMap.empty[Int, Any]
+    var i = 0
+    while (i < vals.length) {
+      val r = find(i); val v = vals(i)
+      val m = minOf.get(r)
+      if (m.isEmpty || lt(v, m.get)) minOf(r) = v
+      i += 1
+    }
+    Array.tabulate(vals.length)(k => (vals(k), minOf(find(k))))
+  }
+
+  /** Two-column LocalRelation (id-typed) from a driver-side label map —
+    * the local CC paths' return shape. A LocalRelation build side lets
+    * downstream joins broadcast it without an exchange. */
+  private def ccLabelFrame(spark: SparkSession,
+      dt: org.apache.spark.sql.types.DataType, names: (String, String),
+      labels: Array[(Any, Any)]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val schema = StructType(Seq(
+      StructField(names._1, dt), StructField(names._2, dt)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(labels.map { case (v, m) =>
+        org.apache.spark.sql.Row(v, m) }: _*), schema)
+  }
+
   /** Connected components over an undirected edge frame.
     *
     * @param edges two-column frame (src, dst) of any orderable type;
@@ -59,6 +144,20 @@ object Graph {
     val adjWide = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     val nEdges = adjWide.count() // materialize; iterations must not recompute
+    // r19 fast path (ccLocalCap scaladoc): a bounded edge set resolves
+    // by one driver-side union-find pass — no propagation rounds, no
+    // round-budget concern (union-find is exact at any diameter). Null
+    // endpoints keep the distributed loop (they never join there).
+    val localLt = ccLocalLt(e.schema("src").dataType)
+    if (nEdges <= ccLocalCap && localLt.isDefined) {
+      val rows = adjWide.collect()
+      if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        adjWide.unpersist()
+        val lbl = unionFindMin(rows.map(r => (r.get(0), r.get(1))), localLt.get)
+        return ccLabelFrame(edges.sparkSession, e.schema("src").dataType,
+          ("id", "component"), lbl)
+      }
+    }
     // Pre-partition the LOOP-INVARIANT adjacency by its join key, sized
     // ~100k edge rows/partition (capped at the session parallelism):
     // every round joins adj("dst") = labels("id"), and a frame already
@@ -150,22 +249,59 @@ object Graph {
     * that can be deep (web graphs, citation chains, transaction
     * lineage); keep propagation for known-shallow similarity graphs
     * (its per-round cost is lower and shallow graphs finish in 2–4). */
-  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 50): DataFrame =
-    ccStarWithRounds(edges, maxIter)._1
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // r19 fast path (ccLocalCap scaladoc): resolve a bounded canonical
+    // edge set with one driver union-find pass. The canonical frame is
+    // built ONCE (checkpointed) and handed to the distributed loop
+    // when over the cap, so the >cap case pays no extra shuffle.
+    // ccStarWithRounds stays the raw distributed engine (its round
+    // counts are pinned by tests and the ScaleBench cc curve).
+    val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2)
+    val localLt = ccLocalLt(edges.schema(srcCol).dataType)
+    if (localLt.isEmpty) return ccStarWithRounds(edges, maxIter)._1
+    val canon = ccCanonEdges(edges, srcCol, dstCol)
+    if (canon.count() <= ccLocalCap) {
+      // canonicalization already dropped null-involved and self-loop
+      // rows; self-loop-only / isolated endpoints rejoin as singletons
+      // from the node set, exactly like the distributed tail
+      val uf = unionFindMin(
+        canon.collect().map(r => (r.get(0), r.get(1))), localLt.get).toMap
+      val nodes = edges.select(col(srcCol).as("id"))
+        .union(edges.select(col(dstCol).as("id"))).distinct().collect()
+      val lbl = nodes.map { r =>
+        val v = r.get(0); (v, uf.getOrElse(v, v)) }
+      ccLabelFrame(edges.sparkSession, edges.schema(srcCol).dataType,
+        ("id", "component"), lbl)
+    } else ccStarLoop(canon, edges, srcCol, dstCol, maxIter)._1
+  }
 
-  /** [[connectedComponentsStar]] + the round count (curve/test hook). */
+  /** Canonical (hi > lo) distinct edge frame, checkpointed — the star
+    * loop's round-0 state. */
+  private def ccCanonEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(
+        greatest(col(srcCol), col(dstCol)).as("hi"),
+        least(col(srcCol), col(dstCol)).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(true)
+
+  /** [[connectedComponentsStar]] + the round count (curve/test hook);
+    * always the DISTRIBUTED engine — round-count assertions depend on
+    * it. */
   private[graft] def ccStarWithRounds(edges: DataFrame,
       maxIter: Int = 50): (DataFrame, Int) = {
     val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2)
+    ccStarLoop(ccCanonEdges(edges, srcCol, dstCol), edges, srcCol, dstCol,
+      maxIter)
+  }
+
+  private def ccStarLoop(e0: DataFrame, edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int): (DataFrame, Int) = {
     // each round references `e` ~5×, so lineage MUST be truncated per
     // round (the q130 localCheckpoint doctrine) — a persist alone
     // leaves the logical plan growing ~5× per round, which is
     // exponential in rounds (measured: OOM in Catalyst's explainString
     // at round ~10 on a 512-chain before this cut)
-    var e = edges.select(
-        greatest(col(srcCol), col(dstCol)).as("hi"),
-        least(col(srcCol), col(dstCol)).as("lo"))
-      .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(true)
+    var e = e0
     var rounds = 0
     var done = false
     while (!done && rounds < maxIter) {

@@ -1410,26 +1410,67 @@ class EntityAnalyticsSpec extends SparkSpec {
 
   test("connectedComponents raises past its round budget instead of splitting (r17)") {
     import spark.implicits._
-    val chain = spark.range(30).selectExpr("id AS src", "id + 1 AS dst")
-    val e = intercept[IllegalStateException] {
-      graft.operators.Graph.connectedComponents(chain, maxIter = 5).count()
-    }
-    assert(e.getMessage.contains("connectedComponentsStar"), e.getMessage)
-    // the star form handles the same chain fine
-    val cc = graft.operators.Graph.connectedComponentsStar(chain)
-    assert(cc.filter(org.apache.spark.sql.functions.col("component") === 0L)
-      .count() == 31L)
+    // force the DISTRIBUTED loop: the round-budget contract is a
+    // property of the propagation engine; the r19 local union-find
+    // fast path has no rounds to exhaust
+    sys.props("graft.cc.localCap") = "0"
+    try {
+      val chain = spark.range(30).selectExpr("id AS src", "id + 1 AS dst")
+      val e = intercept[IllegalStateException] {
+        graft.operators.Graph.connectedComponents(chain, maxIter = 5).count()
+      }
+      assert(e.getMessage.contains("connectedComponentsStar"), e.getMessage)
+      // the star form handles the same chain fine
+      val cc = graft.operators.Graph.connectedComponentsStar(chain)
+      assert(cc.filter(org.apache.spark.sql.functions.col("component") === 0L)
+        .count() == 31L)
+    } finally sys.props.remove("graft.cc.localCap")
   }
 
   test("connectedComponents accepts a graph settling in EXACTLY maxIter rounds (r18)") {
     // labels on a k-edge path settle after exactly k productive rounds,
     // but convergence is observable only one round later — the budget
     // check must not condemn correct output (r18 ADVICE fix: one extra
-    // observation round before throwing)
-    val chain = spark.range(5).selectExpr("id AS src", "id + 1 AS dst")
-    val cc = graft.operators.Graph.connectedComponents(chain, maxIter = 5)
-    assert(cc.filter(org.apache.spark.sql.functions.col("component") === 0L)
-      .count() == 6L)
+    // observation round before throwing). Distributed loop forced: the
+    // observation-round behavior is what this pins.
+    sys.props("graft.cc.localCap") = "0"
+    try {
+      val chain = spark.range(5).selectExpr("id AS src", "id + 1 AS dst")
+      val cc = graft.operators.Graph.connectedComponents(chain, maxIter = 5)
+      assert(cc.filter(org.apache.spark.sql.functions.col("component") === 0L)
+        .count() == 6L)
+    } finally sys.props.remove("graft.cc.localCap")
+  }
+
+  test("local union-find CC == distributed propagation/star on mixed graphs (r19)") {
+    import spark.implicits._
+    // mixed shapes: path, clique edge, singleton self-loop, two
+    // components, long-vs-string typed ids — the local fast path must
+    // be row-identical to both distributed engines
+    val edgesL = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 8L), (5L, 5L))
+      .toDF("src", "dst")
+    val edgesS = Seq(("b", "a"), ("b", "c"), ("c", "d"), ("x", "y"),
+      ("z", "z")).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val local = graft.operators.Graph.connectedComponents(df)
+        .collect().map(r => (r.get(0), r.get(1))).toSet
+      val localStar = graft.operators.Graph.connectedComponentsStar(df)
+        .collect().map(r => (r.get(0), r.get(1))).toSet
+      sys.props("graft.cc.localCap") = "0"
+      try {
+        val dist = graft.operators.Graph.connectedComponents(df, 60)
+          .collect().map(r => (r.get(0), r.get(1))).toSet
+        val distStar = graft.operators.Graph.connectedComponentsStar(df)
+          .collect().map(r => (r.get(0), r.get(1))).toSet
+        assert(local == dist, s"local $local vs distributed $dist")
+        assert(localStar == distStar, s"local-star $localStar vs $distStar")
+      } finally sys.props.remove("graft.cc.localCap")
+    }
+    run(edgesL)
+    run(edgesS)
+    // a random shallow graph with hash-spread long ids
+    run(spark.range(400).selectExpr(
+      "pmod(xxhash64(id), 300) AS src", "pmod(xxhash64(id, 1), 300) AS dst"))
   }
 
 }

@@ -32,6 +32,19 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("nearDupGroups local union-find == distributed propagation (r19)") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val local = NearDup.nearDupGroups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    sys.props("graft.cc.localCap") = "0" // force the propagation loop
+    try {
+      val dist = NearDup.nearDupGroups(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(local == dist,
+        s"diff: ${(local -- dist).take(5)} / ${(dist -- local).take(5)}")
+    } finally sys.props.remove("graft.cc.localCap")
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
     val once = NearDup.dedup(docs)

@@ -395,6 +395,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.toSet.size > 10, "degenerate projections")
   }
 
+  test("covarianceMatrix exact-long fast path == decimal join path (r19)") {
+    val embd = Tables.embeddings(spark, sf("sf0.001"))
+    val fast = Similarity.covarianceMatrix(embd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    sys.props("graft.cov.forceDecimal") = "1"
+    try {
+      val dec = Similarity.covarianceMatrix(embd).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(fast == dec,
+        s"diff: ${(fast -- dec).take(3)} / ${(dec -- fast).take(3)}")
+      assert(fast.size == 2080, s"cell count ${fast.size}")
+    } finally sys.props.remove("graft.cov.forceDecimal")
+  }
+
   test("topComponent fails fast on constant embeddings (r17 ADVICE: no silent NaN)") {
     import spark.implicits._
     val df = Seq(0L, 1L, 2L)
