@@ -618,7 +618,54 @@ object Graph {
       spark.sessionState.conf.numShufflePartitions,
       spark.sparkContext.defaultParallelism))
     var alive = sym.repartition(loopParts, col("src")).persist()
-    alive.count()
+    val nSym = alive.count()
+    // r19 fast path (ccLocalCap doctrine): the k-core is the UNIQUE
+    // maximal subgraph of min-degree ≥ k — peel order does not change
+    // the fixpoint — so a bounded symmetric edge list resolves with one
+    // driver-side queue peel instead of maxIter wave jobs (15 waves at
+    // sf0.1 = 15 agg+collect+filter trains). Multiplicity semantics
+    // match the distributed form exactly: degree = symmetric edge ROWS
+    // per src, each removed occurrence decrements its mirror's count.
+    // Any id type works (no ordering needed). Past the cap the wave
+    // loop below runs unchanged.
+    if (nSym <= ccLocalCap) {
+      import scala.collection.mutable
+      val rows = alive.collect()
+      alive.unpersist()
+      val deg = mutable.HashMap.empty[Any, Long]
+      val adj = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
+      rows.foreach { r =>
+        val s = r.get(0); val t = r.get(1)
+        deg.update(s, deg.getOrElse(s, 0L) + 1L)
+        adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += t
+      }
+      val removed = mutable.HashSet.empty[Any]
+      val queue = mutable.Queue.empty[Any]
+      deg.foreach { case (v, dv) => if (dv < k) queue += v }
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        if (!removed.contains(v)) {
+          removed += v
+          adj.getOrElse(v, mutable.ArrayBuffer.empty).foreach { u =>
+            if (!removed.contains(u)) {
+              val du = deg(u) - 1L
+              deg.update(u, du)
+              if (du == k - 1L) queue += u // just crossed the threshold
+            }
+          }
+        }
+      }
+      val survivors = deg.iterator
+        .filter { case (v, dv) => !removed.contains(v) && dv > 0L }
+        .map { case (v, dv) => (v, dv) }.toArray
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("node", e0.schema("src").dataType),
+        StructField("core_deg", LongType, nullable = false)))
+      return spark.createDataFrame(
+        java.util.Arrays.asList(survivors.map { case (v, dv) =>
+          org.apache.spark.sql.Row(v, dv) }: _*), schema)
+    }
     var round = 0
     var done = false
     while (round < maxIter && !done) {

@@ -686,6 +686,16 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
     // k above the max degree empties the graph
     assert(graft.operators.Graph.kCore(edges, k = 4).count() == 0)
+    // r19: local queue peel == distributed wave loop (the fixpoint is
+    // unique; degrees must match row-multiplicity semantics exactly)
+    val local = graft.operators.Graph.kCore(edges, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sys.props("graft.cc.localCap") = "0"
+    try {
+      val dist = graft.operators.Graph.kCore(edges, k = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(local == dist, s"local $local vs distributed $dist")
+    } finally sys.props.remove("graft.cc.localCap")
   }
 
   // ---- q138 skip-grams ----
