@@ -3263,21 +3263,39 @@ object Relational {
     * THAT, with per-row ranks restored by an equi-join that shuffles in
     * parallel across the value space. */
   private def dblRanks(df: DataFrame, groupCol: String,
-      valCol: String): DataFrame = {
+      valCol: String, asLong: Boolean = false): DataFrame = {
     val w = Window.partitionBy(groupCol).orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // 2·rank−1 summed over ties: exact LONG arithmetic either way; the
+    // decimal cast is only the overflow armor for the SUMS downstream
+    // (r19: the long tier skips it when the probe proves the sums fit)
+    val r2 = col("cum") * 2L - col("cnt") + 1L
     df.groupBy(col(groupCol), col(valCol).as("v"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum("cnt").over(w))
       .select(col(groupCol), col("v"),
-        (col("cum") * 2L - col("cnt") + 1L).cast("decimal(18,0)").as("r2"))
+        (if (asLong) r2 else r2.cast("decimal(18,0)")).as("r2"))
   }
 
   def spearman(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
-    val rx = dblRanks(df, groupCol, xCol)
+    // r19 (the covarianceMatrix lesson, guide §1.2): the five rank-sum
+    // aggregates ran as BigDecimal-path decimal sums (buffers above
+    // precision 18 leave the compact representation). Ranks are exact
+    // integers ≤ 2·N_g, so ONE cheap probe of the max group size picks
+    // plain codegen LONG sums whenever 4·maxN³ clears Long.Max with 2×
+    // headroom (maxN ≤ 10⁶); rho casts the identical integer values to
+    // double, so it is bit-identical (RelationalSmokeSpec pins long ≡
+    // decimal). Bigger groups — or the test hook — keep the decimal
+    // armor unchanged.
+    val maxNRow = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .agg(max("__n")).head()
+    val maxN = if (maxNRow.isNullAt(0)) 0L else maxNRow.getLong(0)
+    val asLong = maxN > 0 && maxN <= 1000000L &&
+      !sys.props.contains("graft.rank.forceDecimal")
+    val rx = dblRanks(df, groupCol, xCol, asLong)
       .select(col(groupCol), col("v").as("__vx"), col("r2").as("rx"))
-    val ry = dblRanks(df, groupCol, yCol)
+    val ry = dblRanks(df, groupCol, yCol, asLong)
       .select(col(groupCol), col("v").as("__vy"), col("r2").as("ry"))
     val ranked = df
       .select(col(groupCol), col(xCol).as("__vx"), col(yCol).as("__vy"))

@@ -458,6 +458,33 @@ class RelationalSmokeSpec extends SparkSpec {
       s"gaps: ${gaps.toSeq}")
   }
 
+  test("spearman long rank-sum fast path == decimal armor path (bit-identical)") {
+    import spark.implicits._
+    // ties in both columns, negative values, uneven group sizes (zero-
+    // variance groups are outside spearman's domain — ANSI div-by-zero
+    // on either path, unchanged semantics)
+    val rows = Seq(
+      ("a", 1.0, 10.0), ("a", 1.0, 12.0), ("a", 2.0, 11.0),
+      ("a", 3.0, 11.0), ("a", -4.0, 9.0), ("a", 5.0, 20.0),
+      ("b", 7.0, 1.0), ("b", 7.0, 1.0), ("b", 8.0, 2.0), ("b", 9.0, 1.0)
+    ).toDF("g", "x", "y")
+    def run(): Seq[org.apache.spark.sql.Row] =
+      graft.operators.Relational.spearman(rows, "g", "x", "y")
+        .orderBy("g").collect().toSeq
+    val fast = run() // maxN = 6 <= 1e6 -> long path
+    val armored = try {
+      System.setProperty("graft.rank.forceDecimal", "1"); run()
+    } finally System.clearProperty("graft.rank.forceDecimal")
+    assert(fast == armored, s"fast=$fast armored=$armored")
+    // and the fixture query itself: both paths agree on q186's rows
+    val q = SparkEntry.queries("q186_spearman")(spark, d).collect().toSeq
+    val qArmored = try {
+      System.setProperty("graft.rank.forceDecimal", "1")
+      SparkEntry.queries("q186_spearman")(spark, d).collect().toSeq
+    } finally System.clearProperty("graft.rank.forceDecimal")
+    assert(q == qArmored)
+  }
+
   test("intervalOverlap: strict overlap only, pre-merged sides, exact seconds") {
     import spark.implicits._
     // A merges to [0,20) [50,60); B merges to [15,30) [20,45) -> wait:
