@@ -33,11 +33,15 @@ import graft.sources.Tables
   *    zero-gradient bucket stays +0.0 on both engines (0.0 − 0.0;
   *    unary negation would render −0.0 and hash-diverge).
   *
-  * Scale: feat/lab computed once (localCheckpoint — the q130
-  * multi-consumer doctrine); the weight vector is a ≤dim-row frame
-  * broadcast into every margin join; per iteration the corpus is
-  * touched twice (one margin pass, one gradient pass), each a single
-  * narrow join + hash-agg. Driver holds nothing but plans. */
+  * Scale: the per-doc feature array + label frame is computed with ONE
+  * corpus pass and localCheckpointed (the q130 multi-consumer
+  * doctrine); per-doc state is ≤ dim entries. The weight vector is
+  * ≤ dim doubles and lives on the DRIVER across the loop (r19 — the
+  * bounded-frame doctrine of the BPE/CC fast paths, except here the
+  * bound is structural: dim is a constructor argument, so there is no
+  * cap or fallback to manage); each iteration is one narrow
+  * margin-fold + gradient hash-agg job whose shuffle carries ≤ dim
+  * rows. Driver holds plans plus O(dim) scalars. */
 object Classifier {
 
   /** Softsign link, mirrored op-for-op by the oracle SQL. */
@@ -63,12 +67,51 @@ object Classifier {
         expr("slice(arr, 2, greatest(size(arr) - 1, 0))"),
         (a, b) => concat_ws(" ", a, b))).as("w"))
 
+  /** Fit the GD loop. r19 restructure (guide §1.2 — fix the algorithm
+    * before the per-task work): the loop's decision state is the
+    * ≤dim-row weight vector, so the 16 iterations now run with
+    * DRIVER-HELD weights over ONE pre-aggregated per-doc feature
+    * frame:
+    *  - `docArr` = per doc the bucket-sorted (bucket, tf) array + the
+    *    teacher label, built with ONE corpus pass and localCheckpointed
+    *    (the q130 multi-consumer doctrine). Per-doc state ≤ dim —
+    *    bounded, scale-clean.
+    *  - each iteration is ONE narrow job: margins fold per doc from
+    *    the weight-array LITERAL (no join — weights ship inside the
+    *    plan, dim ≤ 64 doubles), pq/coefficient inline, explode +
+    *    hash-agg to the ≤dim-row gradient, collected to the driver.
+    *  - the weight update runs on the driver with the IDENTICAL IEEE
+    *    expression sequence (w − lr·(g/(10⁶·sj)), Long→Double casts in
+    *    the same places), so every margin/score is bit-identical to
+    *    the joined form — the oracle CTE chain is unchanged and the
+    *    hash gate stays strict; ClassifierSpec pins new == old on a
+    *    reference implementation of the joined loop.
+    * Replaces per iteration: 2 corpus-sized joins + a collect_list
+    * re-sort + 3 bucket joins + an eager localCheckpoint (≈4 shuffled
+    * jobs) with one narrow pass. The margin fold order (bucket asc)
+    * and every arithmetic op are unchanged.
+    *
+    * Earlier r19 variants measured SLOWER and rejected (guide §1.1):
+    *  * loop co-partitioning (feat/lab pinned to hash(doc_id, parts),
+    *    zero exchanges inside the loop): q251 5.3 → 8.5 s, q257
+    *    8.5 → 10.5 s — without shuffle boundaries the per-iteration
+    *    joins stay sort-merge (AQE can only rewrite to broadcast at an
+    *    Exchange) and the pinned partition count defeats AQE's
+    *    coalescing.
+    *  * explicit broadcast(g)/broadcast(prec) hints on the ≤dim-row
+    *    weight-update joins: q251 5.98 → 6.84 s, q257 8.33 → 9.24 s —
+    *    AQE already converts these at runtime from observed sizes; the
+    *    hint forces an eager blocking BroadcastExchange per iteration.
+    *
+    * Returns (scored frame (doc_id, y, m), weight frame (bucket, w)). */
   private def fit(docs: DataFrame, dim: Int, iters: Int,
-      lr: Double, bigrams: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+      lr: Double, bigrams: Boolean = false): (DataFrame, DataFrame) = {
     require(dim > 0 && iters > 0, s"dim=$dim iters=$iters must be positive")
     require(lr > 0 && java.lang.Double.doubleToLongBits(lr) ==
       java.lang.Double.doubleToLongBits(math.pow(2, math.getExponent(lr))),
       s"lr=$lr must be a power of two (exact IEEE scaling)")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val tok0 = docs.select(col("doc_id"),
         explode(split(col("text"), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
@@ -82,77 +125,80 @@ object Classifier {
         sum(when(col("w").isin("a", "the"), 1L).otherwise(0L)).as("n_stop"))
       .withColumn("y",
         when(col("n_stop") * 16 > col("n_tok"), 1L).otherwise(0L))
-      .select("doc_id", "y").localCheckpoint(true)
+      .select("doc_id", "y")
     val featTok = if (bigrams) tok.union(bigramTok(docs)) else tok
     val feat = featTok.withColumn("bucket",
         pmod(conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10)
           .cast("long"), lit(dim.toLong)))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+    // bucket-sorted per-doc feature array + label: ONE corpus job (the
+    // feat agg and the lab agg are sibling subtrees of the same plan).
+    // array_sort on (bucket, tf) structs orders by bucket (unique per
+    // doc) — exactly the fold order marginsOf used.
+    val docArr = feat
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("bucket"), col("tf")))).as("fa"))
+      .join(lab, "doc_id")
       .localCheckpoint(true)
     // diagonal preconditioner: per-bucket curvature proxy sj = Σ tf²
     // (exact BIGINT, computed once) — coordinate-wise scaling turns
     // the ill-scaled raw-tf problem into one GD solves in a handful
     // of steps; the update divide stays one exact-integer-over-
-    // integer IEEE division per bucket
-    val prec = feat.groupBy("bucket")
-      .agg(sum(col("tf") * col("tf")).as("sj")).localCheckpoint(true)
-    // r19 optimization notes (guide §1.1 — both variants below were
-    // implemented and MEASURED SLOWER; the plain shape stands):
-    //  * loop co-partitioning (feat/lab pinned to hash(doc_id, parts)
-    //    before the checkpoint, zero exchanges inside the 16-iteration
-    //    loop): q251 5.3 → 8.5 s, q257 8.5 → 10.5 s — without shuffle
-    //    boundaries the per-iteration joins stay sort-merge (AQE can
-    //    only rewrite to broadcast at an Exchange) and the pinned
-    //    partition count defeats AQE's coalescing.
-    //  * explicit broadcast(g)/broadcast(prec) hints on the ≤dim-row
-    //    weight-update joins: q251 5.98 → 6.84 s, q257 8.33 → 9.24 s —
-    //    AQE already converts these at runtime from observed sizes;
-    //    the hint forces an eager blocking BroadcastExchange build per
-    //    iteration and removes AQE's freedom.
-    def gradStep(w: DataFrame, pq: DataFrame): DataFrame = {
-      val g = feat.join(pq, "doc_id").join(lab, "doc_id")
-        .groupBy("bucket")
-        .agg(sum((col("pq") - lit(1000000L) * col("y")) * col("tf")).as("g"))
-      w.join(g, "bucket").join(prec, "bucket")
-        .select(col("bucket"),
-          (col("w") - (lit(lr) * (col("g").cast("double") /
-            (lit(1000000L) * col("sj")).cast("double")))).as("w"))
-        .localCheckpoint(true)
+    // integer IEEE division per bucket. Derived from docArr (same
+    // (bucket, tf) multiset as feat), ≤ dim rows collected.
+    val sj: Map[Long, Long] = docArr
+      .select(explode(col("fa")).as("e"))
+      .groupBy(col("e.bucket").as("bucket"))
+      .agg(sum(col("e.tf") * col("e.tf")).as("sj"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // weights live on the driver, indexed by bucket (0 until dim);
+    // buckets absent from the corpus stay 0.0 and are never read
+    val w = new Array[Double](dim)
+    def marginExpr: Column = {
+      val wl = typedLit(w.toIndexedSeq)
+      aggregate(
+        transform(col("fa"), x =>
+          element_at(wl, (x.getField("bucket") + lit(1L)).cast("int")) *
+            x.getField("tf").cast("double")),
+        lit(0d), (acc, t) => acc + t)
     }
-    def margins(w: DataFrame): DataFrame = marginsOf(feat, w)
-    val w0 = feat.select("bucket").distinct()
-      .withColumn("w", lit(0.0)).localCheckpoint(true)
-    val pq1 = lab.select(col("doc_id"), lit(500000L).as("pq"))
-    val wFinal = (2 to iters).foldLeft(gradStep(w0, pq1)) { (w, _) =>
-      val pq = margins(w).select(col("doc_id"),
-        floor(softsign(col("m")) * lit(1000000.0)).cast("long").as("pq"))
-      gradStep(w, pq)
+    var it = 1
+    while (it <= iters) {
+      // iteration 1 seeds pq = 500000 (w = 0 ⇒ softsign(0) = ½ exactly,
+      // the old explicit pq1 frame); later rounds fold the margin from
+      // the current weight literal
+      val pq =
+        if (it == 1) lit(500000L)
+        else floor(softsign(marginExpr) * lit(1000000.0)).cast("long")
+      val g = docArr
+        .withColumn("c", pq - lit(1000000L) * col("y"))
+        .select(col("c"), explode(col("fa")).as("e"))
+        .groupBy(col("e.bucket").as("bucket"))
+        .agg(sum(col("c") * col("e.tf")).as("g"))
+        .collect()
+      g.foreach { r =>
+        val b = r.getLong(0)
+        // identical IEEE sequence to the joined form's update column
+        w(b.toInt) = w(b.toInt) -
+          lr * (r.getLong(1).toDouble / (1000000L * sj(b)).toDouble)
+      }
+      it += 1
     }
-    (feat, lab, wFinal)
+    val scored = docArr.select(col("doc_id"), col("y"), marginExpr.as("m"))
+    val wDf = sj.keys.toSeq.sorted.map(b => (b, w(b.toInt))).toDF("bucket", "w")
+    (scored, wDf)
   }
-
-  /** Per-doc margins of a hashed-feature frame under a weight frame —
-    * the ordered fold both engines mirror (q79 pair). */
-  private def marginsOf(feat: DataFrame, w: DataFrame): DataFrame =
-    feat.join(broadcast(w), "bucket")
-      .withColumn("term", col("w") * col("tf").cast("double"))
-      .groupBy("doc_id")
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("bucket"), col("term")))),
-          x => x.getField("term")),
-        lit(0d), (acc, x) => acc + x).as("m"))
 
   /** The trained weight vector alone — (bucket, w), ≤ dim rows — for
     * serving paths (the S41 streaming scorer broadcasts it). */
   def trainWeights(docs: DataFrame, dim: Int = 64, iters: Int = 3,
-      lr: Double = 0.0625): DataFrame = fit(docs, dim, iters, lr)._3
+      lr: Double = 0.0625): DataFrame = fit(docs, dim, iters, lr)._2
 
   /** Train `iters` steps and score every doc (the q251 shape). */
   def trainQuality(docs: DataFrame, dim: Int = 64, iters: Int = 3,
       lr: Double = 0.0625): DataFrame = {
-    val (feat, lab, wFinal) = fit(docs, dim, iters, lr)
-    marginsOf(feat, wFinal)
-      .join(lab, "doc_id")
+    val (scored, _) = fit(docs, dim, iters, lr)
+    scored
       .withColumn("p", softsign(col("m")))
       .select(col("doc_id"), col("y"),
         when(col("p") > 0.5, 1L).otherwise(0L).as("pred"),
@@ -177,9 +223,8 @@ object Classifier {
       lr: Double = 0.0625, keepPpm: Long = 400000L): DataFrame = {
     require(keepPpm > 0 && keepPpm < 1000000L, s"keepPpm=$keepPpm outside (0, 1e6)")
     import org.apache.spark.sql.expressions.Window
-    val (feat, lab, wFinal) = fit(docs, dim, iters, lr, bigrams = true)
-    val scored = marginsOf(feat, wFinal)
-      .join(lab, "doc_id")
+    val (scored0, _) = fit(docs, dim, iters, lr, bigrams = true)
+    val scored = scored0
       .withColumn("p", softsign(col("m")))
       .withColumn("pq", floor(col("p") * lit(1000000.0)).cast("long"))
       .localCheckpoint(true) // multi-consumer: histogram + output

@@ -75,6 +75,79 @@ class ClassifierSpec extends SparkSpec {
     assert(run().sameElements(out), "re-run diverged")
   }
 
+  test("r19 driver-loop fit == joined-loop reference (bit-identical scores)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    // verbatim pre-r19 joined GD loop (per-iteration feat⋈pq⋈lab
+    // gradient, broadcast-w margin fold, eager checkpoints) — the
+    // equivalence golden for the driver-held-weights restructure
+    def refQuality(docs: DataFrame, dim: Int, iters: Int, lr: Double): DataFrame = {
+      def softsign(m: org.apache.spark.sql.Column) =
+        lit(0.5) * (lit(1.0) + (m / (lit(1.0) + abs(m))))
+      val tok = docs.select(col("doc_id"),
+          explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      val lab = tok.groupBy("doc_id").agg(
+          count(lit(1)).as("n_tok"),
+          sum(when(col("w").isin("a", "the"), 1L).otherwise(0L)).as("n_stop"))
+        .withColumn("y",
+          when(col("n_stop") * 16 > col("n_tok"), 1L).otherwise(0L))
+        .select("doc_id", "y").localCheckpoint(true)
+      val feat = tok.withColumn("bucket",
+          pmod(conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10)
+            .cast("long"), lit(dim.toLong)))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val prec = feat.groupBy("bucket")
+        .agg(sum(col("tf") * col("tf")).as("sj")).localCheckpoint(true)
+      def marginsOf(w: DataFrame): DataFrame =
+        feat.join(broadcast(w), "bucket")
+          .withColumn("term", col("w") * col("tf").cast("double"))
+          .groupBy("doc_id")
+          .agg(aggregate(
+            transform(array_sort(collect_list(struct(col("bucket"), col("term")))),
+              x => x.getField("term")),
+            lit(0d), (acc, x) => acc + x).as("m"))
+      def gradStep(w: DataFrame, pq: DataFrame): DataFrame = {
+        val g = feat.join(pq, "doc_id").join(lab, "doc_id")
+          .groupBy("bucket")
+          .agg(sum((col("pq") - lit(1000000L) * col("y")) * col("tf")).as("g"))
+        w.join(g, "bucket").join(prec, "bucket")
+          .select(col("bucket"),
+            (col("w") - (lit(lr) * (col("g").cast("double") /
+              (lit(1000000L) * col("sj")).cast("double")))).as("w"))
+          .localCheckpoint(true)
+      }
+      val w0 = feat.select("bucket").distinct()
+        .withColumn("w", lit(0.0)).localCheckpoint(true)
+      val pq1 = lab.select(col("doc_id"), lit(500000L).as("pq"))
+      val wFinal = (2 to iters).foldLeft(gradStep(w0, pq1)) { (w, _) =>
+        val pq = marginsOf(w).select(col("doc_id"),
+          floor(softsign(col("m")) * lit(1000000.0)).cast("long").as("pq"))
+        gradStep(w, pq)
+      }
+      marginsOf(wFinal).join(lab, "doc_id")
+        .withColumn("p", softsign(col("m")))
+        .select(col("doc_id"), col("y"),
+          when(col("p") > 0.5, 1L).otherwise(0L).as("pred"),
+          round(col("p"), 6).as("score"))
+    }
+    // uneven doc lengths, shared + disjoint vocab, empty-ish docs
+    val docs = (0 until 120).map { i =>
+      val id = i.toLong
+      if (i % 3 == 0) (id, s"the a the a word${i % 7} the extra${i % 5}")
+      else if (i % 3 == 1) (id, s"alpha beta gamma word${i % 7} delta")
+      else (id, s"a the word${i % 11} zeta eta theta iota the a a")
+    }.toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val fast = Classifier.trainQuality(docs, 32, 9, 0.25).collect()
+      .map(key).sortBy(_._1)
+    val ref = refQuality(docs, 32, 9, 0.25).collect().map(key).sortBy(_._1)
+    assert(fast.sameElements(ref),
+      s"driver-loop diverged from joined reference:\n fast=${fast.take(5).toSeq}\n ref=${ref.take(5).toSeq}")
+  }
+
   test("pipeline v7 shards carry every quality-pass deduped doc exactly once") {
     val res = Classifier.q252(spark, sf("sf0.001")).collect()
     val nDocs = res.map(_.getLong(1)).sum
