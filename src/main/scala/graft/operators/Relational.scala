@@ -419,11 +419,12 @@ object Relational {
     * correctness anchor; at 100 TB you'd trade exactness for
     * `approx_percentile`'s bounded-memory sketch. */
   def q39(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    // r19: routed through [[exactPercentilesCont]] — the identical
+    // interpolated statistic picked from the value histogram (local
+    // below the cap, the buffering aggregate above it); bit-equal to
+    // the `percentile` aggregate and the DuckDB quantile_cont oracle
+    exactPercentilesCont(Tables.lineitem(s, d), "l_returnflag",
+      "l_extendedprice", Seq((0.5, "p50"), (0.95, "p95")))
       .orderBy("l_returnflag")
 
   /** Q52 — the 100 TB percentile path: `approx_percentile` (Greenwald-
@@ -2961,12 +2962,11 @@ object Relational {
     * Same one-grouped-agg shape as percentileBands; sketch tier at
     * 100 TB is q52/S25's approx_percentile. */
   def percentileCont(df: DataFrame, groupCol: String, valCol: String,
-      ps: Seq[Double]): DataFrame = {
-    val aggs = ps.map(p =>
-      expr(s"percentile_cont($p) WITHIN GROUP (ORDER BY $valCol)")
-        .as(s"p${(p * 100).round}"))
-    df.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
-  }
+      ps: Seq[Double]): DataFrame =
+    // r19: routed through [[exactPercentilesCont]] (percentile_cont
+    // delegates to the same Percentile aggregate — identical values)
+    exactPercentilesCont(df, groupCol, valCol,
+      ps.map(p => (p, s"p${(p * 100).round}")))
 
   /** Q176 — interpolated quartiles + p95 of order totals per status. */
   def q176(s: SparkSession, d: String): DataFrame =
@@ -3815,9 +3815,73 @@ object Relational {
     * min — all integer/decimal-exact, no IEEE until the caller. */
   def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
       weightCol: String): DataFrame = {
+    // r19 local tier (the discPercentiles doctrine): the pick needs only
+    // the (group, value) → weight histogram; below osLocalCap collect it
+    // and pick on the driver with the identical decimal arithmetic
+    // (BigDecimal sums ≡ Spark Decimal sums) and the identical
+    // min-v-over-passing-rows semantics incl. null values/weights.
+    val v0 = df.select(col(groupCol), col(valCol).as("v"),
+      col(weightCol).cast("decimal(18,2)").as("w"))
+    val dv = v0.groupBy(col(groupCol), col("v")).agg(sum("w").as("wv"))
+      .persist()
+    val nDv = dv.count()
+    val cmpOpt = sparkCmp(v0.schema("v").dataType)
+    if (nDv <= osLocalCap && cmpOpt.isDefined) {
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      import org.apache.spark.sql.Row
+      val cmp = cmpOpt.get
+      val byG = scala.collection.mutable.LinkedHashMap
+        .empty[Any, scala.collection.mutable.ArrayBuffer[(Any, java.math.BigDecimal)]]
+      dv.collect().foreach { r =>
+        byG.getOrElseUpdate(r.get(0),
+          scala.collection.mutable.ArrayBuffer
+            .empty[(Any, java.math.BigDecimal)]) +=
+          ((r.get(1), r.getAs[java.math.BigDecimal](2)))
+      }
+      dv.unpersist()
+      val two = java.math.BigDecimal.valueOf(2L)
+      // NULL groups never survive the distributed engine's pid/offset
+      // equi-join on groupCol — mirror by dropping them
+      val out = byG.iterator.filter(_._1 != null).flatMap { case (g, vs0) =>
+        val vs = vs0.toArray.sortWith { (a, b) =>
+          if (a._1 == null) b._1 != null
+          else if (b._1 == null) false
+          else cmp(a._1, b._1) < 0
+        }
+        val wtot = vs.foldLeft(null: java.math.BigDecimal) { (acc, e) =>
+          if (e._2 == null) acc
+          else if (acc == null) e._2 else acc.add(e._2)
+        }
+        if (wtot == null) None // all-null weights: no row passes the filter
+        else {
+          var cum = java.math.BigDecimal.ZERO
+          var pick: Any = null
+          var anyPass = false
+          vs.foreach { case (x, wv) =>
+            if (wv != null) cum = cum.add(wv)
+            if (cum.multiply(two).compareTo(wtot) >= 0) {
+              anyPass = true
+              if (pick == null && x != null) pick = x
+            }
+          }
+          if (!anyPass) None
+          else Some(Row(g, pick, wtot.doubleValue))
+        }
+      }.toSeq
+      val schema = StructType(Seq(
+        StructField(groupCol, v0.schema(groupCol).dataType),
+        StructField("w_median", v0.schema("v").dataType),
+        StructField("total_weight", DoubleType)))
+      return df.sparkSession.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(out).asJava), schema)
+    }
+    // over-cap: the distributed engine re-derives its dv plan — kept
+    // persisted here so the cache manager serves it to the eager pin
     val (out, part) = weightedMedianLazy(df, groupCol, valCol, weightCol)
     val pinned = out.localCheckpoint(true) // pin-then-release
     part.unpersist()
+    dv.unpersist()
     pinned
   }
 
@@ -5049,7 +5113,15 @@ object Relational {
     // until this cache landed).
     val dv = v.groupBy(col(groupCol), col("x")).agg(count(lit(1)).as("w"))
       .persist()
-    val p = v.sparkSession.sparkContext.defaultParallelism
+    discPercentilesOnDv(dv, groupCol, ps)
+  }
+
+  /** The distributed two-phase engine over an already-persisted dv
+    * histogram (split out r19 so the local-tier probe can reuse the
+    * same materialized frame on fallback). */
+  private def discPercentilesOnDv(dv: DataFrame, groupCol: String,
+      ps: Seq[(Int, Int, String)]): (DataFrame, Seq[DataFrame]) = {
+    val p = dv.sparkSession.sparkContext.defaultParallelism
     val part = dv.repartitionByRange(p, col(groupCol), col("x"))
       .withColumn("pid", spark_partition_id()).persist()
     val local = part.withColumn("run", sum("w").over(
@@ -5073,19 +5145,230 @@ object Relational {
       Seq(part, dv))
   }
 
+  /** Histogram-row cap under which the order-statistic pickers
+    * (discPercentiles / weightedMedian / exactPercentilesCont) collect
+    * the distinct-(group, value) frame and pick thresholds on the
+    * driver (r19 — the BPE/CC bounded-collect doctrine). The bound is
+    * on the HISTOGRAM (distinct values × groups), not the corpus: a
+    * 2 M-row histogram is tens of MB whatever the corpus size. Past
+    * the cap the two-phase distributed engines run unchanged — the
+    * 100 TB posture for genuinely unbounded value domains. Size-
+    * adaptive, never core-count-dependent. */
+  private[graft] def osLocalCap: Long =
+    sys.props.get("graft.os.localCap")
+      .orElse(sys.env.get("SPARK_GRAFT_OS_LOCAL_CAP"))
+      .map(_.toLong).getOrElse(2000000L)
+
+  /** Spark-consistent ASC comparator for collected values of `dt`:
+    * strings compare by UTF-8 bytes (UTF8String.compareTo — Java
+    * String order diverges past the BMP), doubles/floats by
+    * java.lang.Double/Float.compare (NaN largest; −0.0 never reaches
+    * here — group keys are NormalizeFloatingNumbers-normalized),
+    * everything else via its JDK Comparable (BigDecimal, boxed
+    * integrals, java.sql.Date/Timestamp). None = type unsupported by
+    * the local tier → callers keep the distributed engine. Null
+    * ordering (FIRST) is handled by the callers. */
+  private def sparkCmp(dt: org.apache.spark.sql.types.DataType):
+      Option[(Any, Any) => Int] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some((a, b) =>
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(b.asInstanceOf[String])))
+      case _: NumericType | DateType | TimestampType | BooleanType =>
+        Some((a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b))
+      case _ => None
+    }
+  }
+
+  /** Collected dv histogram grouped and value-sorted (nulls FIRST —
+    * Spark's ASC default, matching the distributed cumulative): group
+    * key → sorted (x, w) with w already the per-value weight. */
+  private def groupedSorted(rows: Array[org.apache.spark.sql.Row],
+      cmp: (Any, Any) => Int): Seq[(Any, Array[(Any, Long)])] = {
+    val byG = scala.collection.mutable.LinkedHashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[(Any, Long)]]
+    rows.foreach { r =>
+      byG.getOrElseUpdate(r.get(0),
+        scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]) +=
+        ((r.get(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+    }
+    byG.iterator.map { case (g, vs) =>
+      g -> vs.toArray.sortWith { (a, b) =>
+        if (a._1 == null) b._1 != null
+        else if (b._1 == null) false
+        else cmp(a._1, b._1) < 0
+      }
+    }.toSeq
+  }
+
+  /** Driver-side percentile_disc picker over a collected dv histogram:
+    * the identical exact rational threshold (den·cum ≥ num·n, Long
+    * arithmetic — same overflow envelope as the distributed form,
+    * guarded by the caller) and the identical pick (first NON-NULL
+    * value in sort order meeting the threshold ⟺ min(when(...))).
+    * Returns one row per group, schema-identical to the distributed
+    * bounds frame. */
+  private def localDiscBounds(spark: SparkSession, groupName: String,
+      groupType: org.apache.spark.sql.types.DataType,
+      xType: org.apache.spark.sql.types.DataType,
+      groups: Seq[(Any, Array[(Any, Long)])],
+      ps: Seq[(Int, Int, String)]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    import org.apache.spark.sql.Row
+    val out = groups.map { case (g, vs) =>
+      val n = vs.foldLeft(0L)(_ + _._2)
+      val picks = new Array[Any](ps.length)
+      var cum = 0L
+      vs.foreach { case (x, w) =>
+        cum += w
+        var i = 0
+        while (i < ps.length) {
+          val (num, den, _) = ps(i)
+          if (picks(i) == null && x != null && cum * den >= n * num)
+            picks(i) = x
+          i += 1
+        }
+      }
+      Row.fromSeq(g +: picks.toSeq)
+    }
+    val schema = StructType(
+      StructField(groupName, groupType) +:
+        ps.map { case (_, _, name) => StructField(name, xType) })
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(out).asJava), schema)
+  }
+
   /** Materialized form of [[discPercentilesLazy]]: one tiny per-group
     * bounds frame, checkpoint + release handled here. `ps` are
     * (numerator, denominator, name) rationals. This is the designated
     * replacement for every `percentile_disc` aggregate over a
     * low-cardinality group column (q134/q135/q143/q240 ride it; the
-    * r13 `bi` curve measured the buffering aggregate superlinear). */
+    * r13 `bi` curve measured the buffering aggregate superlinear).
+    *
+    * r19 local tier: the pick itself needs only the dv HISTOGRAM —
+    * when that fits [[osLocalCap]] (probe = one count on the persisted
+    * frame the distributed engine needs anyway), collect it and pick on
+    * the driver: same rational thresholds, same Long arithmetic, same
+    * nulls-first ordering — RelationalSmokeSpec pins local ==
+    * distributed incl. null/tie edges. Past the cap (or for exotic
+    * value types) the two-phase engine runs unchanged on the
+    * already-persisted dv. */
   def discPercentiles(df: DataFrame, groupCol: String, valCol: String,
       ps: Seq[(Int, Int, String)]): DataFrame = {
-    val (bounds0, pins) = discPercentilesLazy(
-      df.select(col(groupCol), col(valCol).as("x")), groupCol, ps)
+    val v = df.select(col(groupCol), col(valCol).as("x"))
+    val dv = v.groupBy(col(groupCol), col("x")).agg(count(lit(1)).as("w"))
+      .persist()
+    val nDv = dv.count()
+    val cmpOpt = sparkCmp(v.schema("x").dataType)
+    if (nDv <= osLocalCap && cmpOpt.isDefined) {
+      // a NULL group never survives the distributed engine (the
+      // pid/offset equi-join on groupCol) — mirror by dropping it
+      val groups = groupedSorted(dv.collect(), cmpOpt.get)
+        .filter(_._1 != null)
+      val maxDen = ps.map(_._2.toLong).max
+      // same Long-overflow envelope as the distributed cum·den compare
+      if (groups.forall(_._2.foldLeft(0L)(_ + _._2) <= Long.MaxValue / maxDen)) {
+        val out = localDiscBounds(df.sparkSession, groupCol,
+          v.schema(groupCol).dataType, v.schema("x").dataType, groups, ps)
+        dv.unpersist()
+        return out
+      }
+    }
+    val (bounds0, pins) = discPercentilesOnDv(dv, groupCol, ps)
     val bounds = bounds0.localCheckpoint(true) // pin-then-release
     pins.foreach(_.unpersist())
     bounds
+  }
+
+  /** Exact INTERPOLATED percentiles — the `percentile` /
+    * `percentile_cont` aggregate's semantics, mirrored op-for-op
+    * (r19). The buffering aggregate holds the full per-group value
+    * multiset in ONE aggregation buffer (the r13 `bi` curve read that
+    * superlinear on low-cardinality groups); the statistic itself
+    * needs only the value HISTOGRAM, so below [[osLocalCap]] the
+    * histogram is collected and the pick runs on the driver with
+    * EXACTLY the aggregate's arithmetic (Spark `Percentile`):
+    * position = (n−1)·p (Long×Double), bracketing elements at
+    * cumulative count > ⌊position⌋ / > ⌈position⌉ over the value-sorted
+    * non-null histogram, result = (⌈pos⌉−pos)·lo + (pos−⌊pos⌋)·hi in
+    * IEEE doubles — bit-identical, pinned by RelationalSmokeSpec's
+    * local == aggregate golden and the unchanged q39/q176 oracle
+    * gates. Past the cap (or non-numeric values) the buffering
+    * aggregate runs unchanged — and `approx_percentile` (q52) remains
+    * the documented 100 TB sketch tier. */
+  def exactPercentilesCont(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val v = df.select(col(groupCol), col(valCol).as("x"))
+    val xType = v.schema("x").dataType
+    val toDbl: Any => Double = xType match {
+      case _: DecimalType =>
+        a => a.asInstanceOf[java.math.BigDecimal].doubleValue
+      case DoubleType => a => a.asInstanceOf[Double]
+      case FloatType => a => a.asInstanceOf[Float].toDouble
+      case LongType => a => a.asInstanceOf[Long].toDouble
+      case IntegerType => a => a.asInstanceOf[Int].toDouble
+      case ShortType => a => a.asInstanceOf[Short].toDouble
+      case ByteType => a => a.asInstanceOf[Byte].toDouble
+      case _ => null
+    }
+    val cmpOpt = sparkCmp(xType)
+    if (toDbl != null && cmpOpt.isDefined) {
+      val dv = v.groupBy(col(groupCol), col("x")).agg(count(lit(1)).as("w"))
+        .persist()
+      val nDv = dv.count()
+      if (nDv <= osLocalCap) {
+        val groups = groupedSorted(dv.collect(), cmpOpt.get)
+        dv.unpersist()
+        val out = groups.map { case (g, vs) =>
+          val nn = vs.filter(_._1 != null) // the aggregate skips nulls
+          if (nn.isEmpty) Row.fromSeq(g +: ps.map(_ => null))
+          else {
+            val cums = new Array[Long](nn.length)
+            var c = 0L
+            var i = 0
+            while (i < nn.length) { c += nn(i)._2; cums(i) = c; i += 1 }
+            val n = c
+            val picks = ps.map { case (p, _) =>
+              val position = (n - 1) * p
+              val lower = math.floor(position).toLong
+              val higher = math.ceil(position).toLong
+              def idxOf(rank: Long): Int = {
+                var j = 0
+                while (cums(j) < rank + 1) j += 1
+                j
+              }
+              val li = idxOf(lower)
+              val out =
+                if (higher == lower) toDbl(nn(li)._1)
+                else {
+                  val hi = idxOf(higher)
+                  if (hi == li) toDbl(nn(li)._1)
+                  else (higher - position) * toDbl(nn(li)._1) +
+                    (position - lower) * toDbl(nn(hi)._1)
+                }
+              java.lang.Double.valueOf(out)
+            }
+            Row.fromSeq(g +: picks)
+          }
+        }
+        val schema = StructType(
+          StructField(groupCol, v.schema(groupCol).dataType) +:
+            ps.map { case (_, name) => StructField(name, DoubleType) })
+        return df.sparkSession.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(out).asJava), schema)
+      }
+      dv.unpersist()
+    }
+    // over-cap / non-numeric: the buffering aggregate, unchanged
+    val aggs = ps.map { case (p, name) => percentile(col("x"), lit(p)).as(name) }
+    v.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Winsorized statistics — clamp (don't drop) the tails at the
@@ -5115,13 +5398,8 @@ object Relational {
       v.groupBy(groupCol).agg(
         expr(s"approx_percentile(x, 0.05, $accuracy)").as("p05"),
         expr(s"approx_percentile(x, 0.95, $accuracy)").as("p95"))
-    else {
-      val (bounds0, pins) = discPercentilesLazy(v, groupCol,
-        Seq((1, 20, "p05"), (19, 20, "p95")))
-      val b = bounds0.localCheckpoint(true) // pin-then-release
-      pins.foreach(_.unpersist())
-      b
-    }
+    else // r19: rides discPercentiles' local tier below the cap
+      discPercentiles(v, groupCol, "x", Seq((1, 20, "p05"), (19, 20, "p95")))
     v.join(broadcast(bounds), Seq(groupCol))
       .withColumn("cx", least(greatest(col("x"), col("p05")), col("p95"))
         .cast("decimal(18,2)"))

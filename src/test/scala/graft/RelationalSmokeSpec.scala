@@ -485,6 +485,58 @@ class RelationalSmokeSpec extends SparkSpec {
     assert(q == qArmored)
   }
 
+  test("order-stat local tier == distributed engines (nulls, ties, null weights)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Relational
+    // null group, null values, null weights, heavy ties, negatives
+    val rows: Seq[(String, java.lang.Double, java.lang.Double)] = Seq(
+      ("a", 1.0, 2.0), ("a", 1.0, 1.0), ("a", -3.5, 4.0), ("a", 7.25, 0.5),
+      ("a", null, 9.0), ("a", 2.0, null),
+      ("b", 5.0, 1.0), ("b", 5.0, 1.0), ("b", 5.0, 1.0),
+      (null, 4.0, 2.0), (null, 8.0, 1.0),
+      ("c", null, 3.0) // all-null values: disc bounds null, wm dropped
+    )
+    val df = { import spark.implicits._; rows.toDF("g", "x", "w") }
+    def withDistributed[T](body: => T): T = {
+      System.setProperty("graft.os.localCap", "0")
+      try body finally System.clearProperty("graft.os.localCap")
+    }
+    def cmp(name: String, fast: Seq[org.apache.spark.sql.Row],
+        ref: Seq[org.apache.spark.sql.Row]): Unit =
+      assert(fast.map(_.toString).sorted == ref.map(_.toString).sorted,
+        s"$name diverged:\n fast=$fast\n ref=$ref")
+    val ps = Seq((1, 4, "p25"), (1, 2, "med"), (19, 20, "p95"))
+    cmp("discPercentiles",
+      Relational.discPercentiles(df, "g", "x", ps).collect().toSeq,
+      withDistributed(
+        Relational.discPercentiles(df, "g", "x", ps).collect().toSeq))
+    cmp("weightedMedian",
+      Relational.weightedMedian(df, "g", "x", "w").collect().toSeq,
+      withDistributed(
+        Relational.weightedMedian(df, "g", "x", "w").collect().toSeq))
+    // interpolated: local picker vs the buffering aggregate, exact bits,
+    // on the edge frame AND the fixture q39 shape (decimal input)
+    val cps = Seq((0.5, "p50"), (0.95, "p95"))
+    cmp("exactPercentilesCont",
+      Relational.exactPercentilesCont(df, "g", "x", cps).collect().toSeq,
+      withDistributed(
+        Relational.exactPercentilesCont(df, "g", "x", cps).collect().toSeq))
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val fastQ = Relational.exactPercentilesCont(li, "l_returnflag",
+      "l_extendedprice", cps).orderBy("l_returnflag").collect().toSeq
+    val refQ = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(fastQ.zip(refQ).forall { case (f, r) =>
+      f.getString(0) == r.getString(0) &&
+        java.lang.Double.doubleToLongBits(f.getDouble(1)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)) &&
+        java.lang.Double.doubleToLongBits(f.getDouble(2)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(2))
+    }, s"q39-shape bits diverged:\n $fastQ\n $refQ")
+  }
+
   test("intervalOverlap: strict overlap only, pre-merged sides, exact seconds") {
     import spark.implicits._
     // A merges to [0,20) [50,60); B merges to [15,30) [20,45) -> wait:
