@@ -164,23 +164,22 @@ object Classifier {
     }
     var it = 1
     while (it <= iters) {
-      // iteration 1 seeds pq = 500000 (w = 0 ⇒ softsign(0) = ½ exactly,
-      // the old explicit pq1 frame); later rounds fold the margin from
-      // the current weight literal
-      val pq =
-        if (it == 1) lit(500000L)
-        else floor(softsign(marginExpr) * lit(1000000.0)).cast("long")
-      val g = docArr
-        .withColumn("c", pq - lit(1000000L) * col("y"))
-        .select(col("c"), explode(col("fa")).as("e"))
-        .groupBy(col("e.bucket").as("bucket"))
-        .agg(sum(col("c") * col("e.tf")).as("g"))
-        .collect()
-      g.foreach { r =>
-        val b = r.getLong(0)
-        // identical IEEE sequence to the joined form's update column
+      // one typed gradient pass per iteration (GradientAggregator):
+      // margin fold (bucket-asc, same IEEE sequence as the HOF
+      // expression), pq (iteration 1 seeds the constant 500000 — w ≡ 0
+      // ⇒ softsign(0) = ½ exactly), and the exact-Long c·tf
+      // accumulation all run in one compiled kernel whose partials are
+      // dim-length arrays — no explode, no hash-agg machinery
+      val gradAgg = udaf(new graft.functions.GradientAggregator(
+        dim, w.clone(), it == 1))
+      val g = docArr.agg(gradAgg(col("y"), col("fa")).as("g"))
+        .head().getSeq[Long](0)
+      sj.foreach { case (b, s) =>
+        // identical IEEE sequence to the joined form's update column;
+        // buckets absent from the corpus have no sj entry and are never
+        // read (a present bucket with g = 0 updates by exactly +0.0)
         w(b.toInt) = w(b.toInt) -
-          lr * (r.getLong(1).toDouble / (1000000L * sj(b)).toDouble)
+          lr * (g(b.toInt).toDouble / (1000000L * s).toDouble)
       }
       it += 1
     }
