@@ -442,8 +442,58 @@ object Graph {
     val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val adjWide = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .distinct().persist()
     val nEdges = adjWide.count()
+    // r19 fast path (ccLocalCap doctrine): the power method's state is
+    // the symmetrized adjacency + one rank per node — when the edge
+    // set fits the driver, 10 rounds of join+agg job trains buy
+    // nothing. Same update expression per node:
+    // (1−d)/n + d·Σ rank(u)/deg(u). Float-sum ORDER is fixed here
+    // (edges sorted by (src, dst)) where the distributed rounds sum in
+    // partition order — PageRank is declared rows-only for exactly
+    // that reason (cross-engine/cross-partitioning float order), the
+    // q273 invariant gate is order-free, and EntityAnalyticsSpec pins
+    // the 1e-9 reference-iteration contract on BOTH paths. Null
+    // endpoints or exotic id types keep the distributed loop.
+    val localLt = ccLocalLt(e.schema("src").dataType)
+    if (nEdges <= ccLocalCap && nEdges > 0 && localLt.isDefined) {
+      val rows = adjWide.collect()
+      if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        adjWide.unpersist()
+        val lt = localLt.get
+        val arr = rows.map(r => (r.get(0), r.get(1)))
+          .sortWith((a, b) => lt(a._1, b._1) ||
+            (!lt(b._1, a._1) && lt(a._2, b._2)))
+        val ids = arr.map(_._1).distinct // first-seen = sorted order
+        val idx = ids.zipWithIndex.toMap
+        val n = ids.length
+        val deg = new Array[Long](n)
+        arr.foreach { case (u, _) => deg(idx(u)) += 1L }
+        val src = arr.map(x => idx(x._1))
+        val dst = arr.map(x => idx(x._2))
+        var rank = Array.fill(n)(1.0 / n)
+        val base = (1.0 - damping) / n
+        (1 to iterations).foreach { _ =>
+          val recv = new Array[Double](n)
+          var i = 0
+          while (i < arr.length) {
+            recv(dst(i)) += rank(src(i)) / deg(src(i))
+            i += 1
+          }
+          rank = recv.map(r => base + damping * r)
+        }
+        import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("id", e.schema("src").dataType),
+          StructField("rank", DoubleType, nullable = false)))
+        return edges.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              ids.indices.map(i =>
+                org.apache.spark.sql.Row(ids(i), rank(i))).toSeq).asJava),
+          schema)
+      }
+    }
     val loopParts = math.max(1, math.min(
       edges.sparkSession.sessionState.conf.numShufflePartitions,
       (nEdges / 100000L).toInt + 1))
@@ -454,6 +504,7 @@ object Graph {
     val adj = adjWide.join(deg, "src")
       .repartition(loopParts, col("src")).persist()
     adj.count()
+    adjWide.unpersist()
     // Node count only — the per-iteration node frame is NOT needed:
     // the adjacency is symmetrized, so every node is some edge's dst
     // and receives ≥ 1 contribution each round. The pre-r19 loop left-

@@ -497,6 +497,30 @@ class EntityAnalyticsSpec extends SparkSpec {
     assert(pr(2L) > pr(1L) && pr(2L) > pr(3L))
   }
 
+  test("PageRank local tier == distributed loop (float tolerance), invariants on both") {
+    import graft.operators.Graph
+    // two components, asymmetric degrees, a triangle — nontrivial mass flow
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (5L, 6L))
+      .toDF("src", "dst")
+    def run(): Map[Long, Double] = Graph.pageRank(g, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val local = run() // 12 symmetric edge rows << cap -> driver loop
+    val dist = try {
+      System.setProperty("graft.cc.localCap", "0"); run()
+    } finally System.clearProperty("graft.cc.localCap")
+    assert(local.keySet == dist.keySet)
+    // same update arithmetic, different float-sum order (the operator's
+    // documented rows-only rationale) -> tolerance, not bit equality
+    local.keySet.foreach(k =>
+      assert(math.abs(local(k) - dist(k)) < 1e-12, s"node $k: ${local(k)} vs ${dist(k)}"))
+    Seq(local, dist).foreach { m =>
+      assert(math.abs(m.values.sum - 1.0) < 1e-9)
+      assert(m.values.forall(_ > 0.0))
+    }
+    // deterministic replay of the local tier (fixed edge-sorted order)
+    assert(run() == local)
+  }
+
   // ---- q130 recommendations ----
 
   test("item-CF recommends unowned neighbors by exact decimal score sum") {
